@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational analytics — the query engine the reference's import
+  * pipeline feeds (its BigQuery side). TPC-H-shaped, all expressed
+  * declaratively so Catalyst handles pushdown/pruning/join selection.
+  *
+  * Oracle-parity conventions (see SURVEY.md §6):
+  *  - money sums go through DECIMAL so the result is independent of
+  *    partition/summation order (double sums are not associative);
+  *  - every integer output is LongType (DuckDB row_number/len are
+  *    BIGINT, DuckDB sum(int) is HUGEINT — cast both sides);
+  *  - every result has a total order.
+  */
+object Analytics {
+
+  /** Cast a money expression to an exact decimal per row, sum exactly,
+    * and present at the given scale — deterministic at any parallelism. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(18,$scale)")
+
+  /** TPC-H Q1: pricing summary report. 8 aggregates, group by flags. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3: shipping priority — customer ⋈ orders ⋈ lineitem,
+    * revenue per order, top 10. Customer side is broadcast (dim-sized
+    * after the segment filter). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: revenue by nation for one region+year.
+    * All dims (nation/region/supplier/customer) broadcast; only the
+    * fact-fact lineitem⋈orders join shuffles. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+                             col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6: forecast revenue change — selective filter + single agg.
+    * The whole predicate reaches the parquet scan (PushedFilters). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+  }
+
+  /** Window functions: per-supplier running quantity + row numbers. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,2)").as("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Top-k rows per group (rank ≤ 3 orders per customer by price). */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** ROLLUP aggregation over status × priority. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Left-semi + left-anti joins: customers with orders > 400k
+    * (EXISTS) and suppliers with no lineitem this year (NOT EXISTS),
+    * unioned with a tag column. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    val withBig = cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("key"), lit("has_big_order").as("tag"))
+    val supp = Tables.supplier(spark, dir)
+    val recent = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+    val idleSupp = supp.join(recent, col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .select(col("s_suppkey").as("key"), lit("idle_supplier").as("tag"))
+    withBig.unionAll(idleSupp).orderBy(col("tag"), col("key"))
+  }
+
+  /** Approximate distinct (HLL) vs exact — rows-only oracle (HLL is
+    * engine-specific); the spec asserts the estimate is within 5%. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+}
