@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Analytics
+import graft.operators.{Analytics, DlpQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; every
@@ -26,7 +26,71 @@ object SparkEntry {
     "q_rollup" -> Analytics.qRollup _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
+    // §2.A ingest / schema
+    "ingest_catalog" -> DlpQueries.ingestCatalog _,
+    "ingest_offset_splits" -> DlpQueries.ingestOffsetSplits _,
+    "ingest_excluded_tables" -> DlpQueries.ingestExcludedTables _,
+    "ingest_row_count" -> DlpQueries.ingestRowCount _,
+    // §2.B DLP transforms
+    "dlp_mask_chars" -> DlpQueries.dlpMaskChars _,
+    "dlp_redact" -> DlpQueries.dlpRedact _,
+    "dlp_replace_infotype" -> DlpQueries.dlpReplaceInfotype _,
+    "dlp_inspect" -> DlpQueries.dlpInspect _,
+    "dlp_crypto_hash" -> DlpQueries.dlpCryptoHash _,
+    "dlp_deterministic_token" -> DlpQueries.dlpDeterministicToken _,
+    "dlp_reidentify" -> DlpQueries.dlpReidentify _,
+    "dlp_date_shift" -> DlpQueries.dlpDateShift _,
+    "dlp_bucketing" -> DlpQueries.dlpBucketing _,
+    "dlp_row_batches" -> DlpQueries.dlpRowBatches _,
+    // §2.C conversion / load
+    "bq_row_convert" -> DlpQueries.bqRowConvert _,
+    "bq_schema_map" -> DlpQueries.bqSchemaMap _,
+    "dead_letter_split" -> DlpQueries.deadLetterSplit _,
+    "reid_publish_format" -> DlpQueries.reidPublishFormat _,
   )
+
+  /** Shared SQL fragment: the deterministic PII-shaped contact string
+    * (must match DlpQueries.contact exactly). */
+  private val ContactSql =
+    "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> call 555-867-' || " +
+    "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+  private val EmailReSql = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneReSql = """[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+
+  /** Static truth about the testdata schemas (identical at every sf):
+    * (table, column, ordinal, spark_type, bq_type, bq_name). */
+  private val CatalogValues: String = Seq(
+    ("customer", Seq(("c_custkey","bigint","INTEGER"), ("c_name","string","STRING"),
+      ("c_nationkey","int","INTEGER"), ("c_acctbal","double","FLOAT"), ("c_mktsegment","string","STRING"))),
+    ("documents", Seq(("doc_id","bigint","INTEGER"), ("text","string","STRING"),
+      ("lang","string","STRING"), ("source","string","STRING"), ("n_chars","bigint","INTEGER"))),
+    ("embeddings", Seq(("vec_id","bigint","INTEGER"), ("embedding","array<float>","REPEATED FLOAT"),
+      ("label","int","INTEGER"))),
+    ("events", Seq(("event_id","bigint","INTEGER"), ("ts","timestamp","TIMESTAMP"),
+      ("user_id","bigint","INTEGER"), ("event_type","string","STRING"),
+      ("value","double","FLOAT"), ("props","string","STRING"))),
+    ("lineitem", Seq(("l_orderkey","bigint","INTEGER"), ("l_partkey","bigint","INTEGER"),
+      ("l_suppkey","bigint","INTEGER"), ("l_linenumber","int","INTEGER"),
+      ("l_quantity","double","FLOAT"), ("l_extendedprice","double","FLOAT"),
+      ("l_discount","double","FLOAT"), ("l_tax","double","FLOAT"),
+      ("l_returnflag","string","STRING"), ("l_linestatus","string","STRING"),
+      ("l_shipdate","timestamp_ntz","TIMESTAMP"))),
+    ("nation", Seq(("n_nationkey","int","INTEGER"), ("n_name","string","STRING"),
+      ("n_regionkey","int","INTEGER"))),
+    ("orders", Seq(("o_orderkey","bigint","INTEGER"), ("o_custkey","bigint","INTEGER"),
+      ("o_orderstatus","string","STRING"), ("o_totalprice","double","FLOAT"),
+      ("o_orderdate","timestamp_ntz","TIMESTAMP"), ("o_orderpriority","string","STRING"))),
+    ("part", Seq(("p_partkey","bigint","INTEGER"), ("p_name","string","STRING"),
+      ("p_brand","string","STRING"), ("p_type","string","STRING"),
+      ("p_size","int","INTEGER"), ("p_retailprice","double","FLOAT"))),
+    ("region", Seq(("r_regionkey","int","INTEGER"), ("r_name","string","STRING"))),
+    ("supplier", Seq(("s_suppkey","bigint","INTEGER"), ("s_name","string","STRING"),
+      ("s_nationkey","int","INTEGER"), ("s_acctbal","double","FLOAT")))
+  ).flatMap { case (t, cols) =>
+    cols.zipWithIndex.map { case ((c, st, bt), i) =>
+      s"('$t','$c',${i + 1},'$st','$bt','$c')"
+    }
+  }.mkString(",\n")
 
   /** DuckDB-equivalent SQL per query key (same column names + types). */
   def oracleSql: Map[String, String] = Map(
@@ -91,5 +155,106 @@ object SparkEntry {
         |SELECT s_suppkey AS key, 'idle_supplier' AS tag FROM supplier
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY tag, key""".stripMargin,
+    // §2.A
+    "ingest_catalog" ->
+      (s"""SELECT table_name, column_name, CAST(ordinal AS BIGINT) AS ordinal,
+         |  spark_type, bq_type, bq_name FROM (VALUES
+         |$CatalogValues
+         |) t(table_name, column_name, ordinal, spark_type, bq_type, bq_name)
+         |ORDER BY table_name, ordinal""".stripMargin),
+    "bq_schema_map" ->
+      (s"""SELECT table_name, column_name, bq_type FROM (VALUES
+         |$CatalogValues
+         |) t(table_name, column_name, ordinal, spark_type, bq_type, bq_name)
+         |ORDER BY table_name, column_name""".stripMargin),
+    "ingest_offset_splits" ->
+      """WITH c AS (SELECT COUNT(*) AS cnt FROM lineitem)
+        |SELECT split_id, CAST(LEAST(5000, cnt - split_id*5000) AS BIGINT) AS planned_rows
+        |FROM (SELECT unnest(range(0, CAST(ceil(cnt/5000.0) AS BIGINT))) AS split_id, cnt FROM c)
+        |ORDER BY split_id""".stripMargin,
+    "ingest_excluded_tables" ->
+      """SELECT * FROM (VALUES ('customer'),('documents'),('lineitem'),('nation'),
+        |('orders'),('part'),('region'),('supplier')) t(table_name) ORDER BY table_name""".stripMargin,
+    "ingest_row_count" ->
+      """SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'region', COUNT(*) FROM region
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |ORDER BY table_name""".stripMargin,
+    // §2.B
+    "dlp_mask_chars" ->
+      """SELECT c_custkey, c_name,
+        |  substr(c_name, 1, 9) || repeat('#', greatest(length(c_name) - 9, 0)) AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dlp_redact" ->
+      s"""WITH t AS (SELECT c_custkey, $ContactSql AS contact FROM customer)
+         |SELECT c_custkey, regexp_replace(contact, '$EmailReSql|$PhoneReSql', '[REDACTED]', 'g') AS redacted
+         |FROM t ORDER BY c_custkey""".stripMargin,
+    "dlp_replace_infotype" ->
+      s"""WITH t AS (SELECT c_custkey, $ContactSql AS contact FROM customer)
+         |SELECT c_custkey, regexp_replace(regexp_replace(contact, '$EmailReSql', '[EMAIL_ADDRESS]', 'g'), '$PhoneReSql', '[PHONE_NUMBER]', 'g') AS replaced
+         |FROM t ORDER BY c_custkey""".stripMargin,
+    "dlp_inspect" ->
+      s"""WITH t AS (SELECT c_custkey, $ContactSql AS contact FROM customer),
+         |u AS (
+         |  SELECT c_custkey, 'EMAIL_ADDRESS' AS info_type,
+         |    CAST(len(regexp_extract_all(contact, '$EmailReSql')) AS BIGINT) AS n,
+         |    regexp_extract(contact, '$EmailReSql') AS quote FROM t
+         |  UNION ALL
+         |  SELECT c_custkey, 'PHONE_NUMBER',
+         |    CAST(len(regexp_extract_all(contact, '$PhoneReSql')) AS BIGINT),
+         |    regexp_extract(contact, '$PhoneReSql') FROM t)
+         |SELECT * FROM u WHERE n > 0 ORDER BY c_custkey, info_type""".stripMargin,
+    "dlp_crypto_hash" ->
+      """SELECT c_custkey, sha256('graft-key:' || c_name) AS token
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dlp_deterministic_token" ->
+      """SELECT c_custkey, 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS token
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dlp_reidentify" ->
+      """WITH tok AS (SELECT c_custkey, 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS token FROM customer),
+        |vault AS (SELECT DISTINCT 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS token, c_name AS plaintext FROM customer)
+        |SELECT c_custkey, token, plaintext AS recovered
+        |FROM tok JOIN vault USING (token) ORDER BY c_custkey""".stripMargin,
+    "dlp_date_shift" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  o_orderdate + INTERVAL (o_custkey % 61 - 30) DAY AS shifted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dlp_bucketing" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(floor(c_acctbal/500)*500 AS BIGINT) AS VARCHAR) || '_' ||
+        |  CAST(CAST(floor(c_acctbal/500)*500 + 500 AS BIGINT) AS VARCHAR) AS acctbal_bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dlp_row_batches" ->
+      """WITH c AS (SELECT COUNT(*) AS cnt FROM customer)
+        |SELECT batch_id, CAST(LEAST(500, cnt - batch_id*500) AS BIGINT) AS rows_in_batch
+        |FROM (SELECT unnest(range(0, CAST(ceil(cnt/500.0) AS BIGINT))) AS batch_id, cnt FROM c)
+        |ORDER BY batch_id""".stripMargin,
+    // §2.C
+    "bq_row_convert" ->
+      """SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS custkey_s, c_name AS name_s,
+        |  printf('%.2f', c_acctbal) AS acctbal_s,
+        |  CAST(c_nationkey AS VARCHAR) AS nationkey_s,
+        |  c_mktsegment AS mktsegment_s,
+        |  to_base64(encode(c_name)) AS name_b64
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dead_letter_split" ->
+      """WITH t AS (SELECT event_id,
+        |  try_cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k FROM events)
+        |SELECT event_id, k,
+        |  CASE WHEN k IS NULL THEN 'dead' WHEN k >= 80 THEN 'dead' ELSE 'ok' END AS status,
+        |  CASE WHEN k IS NULL THEN 'malformed_props' WHEN k >= 80 THEN 'value_out_of_range' ELSE '' END AS reason
+        |FROM t ORDER BY event_id""".stripMargin,
+    "reid_publish_format" ->
+      """SELECT c_custkey,
+        |  '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_name":"' || c_name ||
+        |  '","c_mktsegment":"' || c_mktsegment || '"}' AS message
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Warehouse-schema mapping: the Spark-native analog of the
+  * reference's SQL-Server→BigQuery type map
+  * (ServerUtil.msSqlToBqTypeMap, ServerUtil.java:57-87), BQ column
+  * name sanitization (checkHeaderName, ServerUtil.java:297-307), and
+  * BQ row conversion (BigQueryTableRowDoFn.java:28-58: stringify,
+  * skip nulls, base64 binary).
+  */
+object SchemaMapper {
+
+  /** Spark type → BigQuery type string (scalar map mirrors the
+    * reference's; arrays become REPEATED, like BQ repeated fields). */
+  def bqType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "INTEGER"
+    case FloatType | DoubleType => "FLOAT"
+    case _: DecimalType => "NUMERIC"
+    case BooleanType => "BOOLEAN"
+    case StringType => "STRING"
+    case DateType => "DATE"
+    case _: TimestampType | TimestampNTZType => "TIMESTAMP"
+    case BinaryType => "BYTES"
+    case ArrayType(et, _) => "REPEATED " + bqType(et)
+    case st: StructType => "RECORD"
+    case other => "STRING" // reference logs-and-strings unknown types
+  }
+
+  /** checkHeaderName analog: whitespace→_, strip quotes and slashes,
+    * then require a valid BQ column identifier. */
+  def sanitizeName(name: String): String = {
+    val cleaned = name.replaceAll("\\s", "_").replaceAll("'", "").replaceAll("/", "")
+    require(cleaned.matches("^[A-Za-z_]+[A-Za-z_0-9]*$"),
+      s"Column name can't be matched to a valid format $name")
+    cleaned
+  }
+
+  /** Full catalog of every table/column with Spark + BQ types —
+    * the Spark-native INFORMATION_SCHEMA discovery result
+    * (ServerUtil.getTablesList/getColumnsList). Metadata-only: reads
+    * parquet footers, no data scan. */
+  def catalog(spark: SparkSession, dir: String,
+              tables: Seq[String] = Tables.all): DataFrame = {
+    import spark.implicits._
+    val rows = tables.flatMap { t =>
+      Tables.load(spark, dir, t).schema.fields.zipWithIndex.map {
+        case (f, i) =>
+          (t, f.name, (i + 1).toLong, f.dataType.simpleString,
+            bqType(f.dataType), sanitizeName(f.name))
+      }
+    }
+    rows.toDF("table_name", "column_name", "ordinal",
+        "spark_type", "bq_type", "bq_name")
+      .orderBy("table_name", "ordinal")
+  }
+
+  /** Catalog after the reference's `-`-separated excluded-table list
+    * (ServerUtil.parseExcludedTables, ServerUtil.java:249). */
+  def catalogExcluding(spark: SparkSession, dir: String, excluded: String): DataFrame = {
+    val ex = excluded.split("-").toSet
+    catalog(spark, dir, Tables.all.filterNot(ex.contains))
+  }
+}

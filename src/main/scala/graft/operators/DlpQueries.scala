@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Dlp, Ingest, SchemaMapper}
+
+/** The reference-surface pipeline operators as runnable queries
+  * (SURVEY.md §2 blocks A/B/C). PII-shaped columns are derived
+  * deterministically from testdata keys so the infoType detectors have
+  * real matches to find, while both engines (Spark + DuckDB oracle)
+  * compute byte-identical inputs.
+  */
+object DlpQueries {
+
+  /** Deterministic contact string with one email + one phone per
+    * customer — the de-identification subject. */
+  private def contact: Column =
+    concat(col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+      lit("@example.com> call 555-867-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+
+  private def withContact(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"), contact.as("contact"))
+
+  // ---- §2.B DLP transforms ----
+
+  def dlpMaskChars(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        Dlp.maskChars(col("c_name"), 9).as("masked"))
+      .orderBy("c_custkey")
+
+  def dlpRedact(spark: SparkSession, dir: String): DataFrame =
+    withContact(spark, dir)
+      .select(col("c_custkey"), Dlp.redact(col("contact")).as("redacted"))
+      .orderBy("c_custkey")
+
+  def dlpReplaceInfotype(spark: SparkSession, dir: String): DataFrame =
+    withContact(spark, dir)
+      .select(col("c_custkey"), Dlp.replaceWithInfoType(col("contact")).as("replaced"))
+      .orderBy("c_custkey")
+
+  def dlpInspect(spark: SparkSession, dir: String): DataFrame = {
+    val c = withContact(spark, dir)
+    val email = c.select(col("c_custkey"), lit("EMAIL_ADDRESS").as("info_type"),
+      Dlp.inspectCount(col("contact"), Dlp.EmailRe).as("n"),
+      Dlp.inspectQuote(col("contact"), Dlp.EmailRe).as("quote"))
+    val phone = c.select(col("c_custkey"), lit("PHONE_NUMBER").as("info_type"),
+      Dlp.inspectCount(col("contact"), Dlp.PhoneRe).as("n"),
+      Dlp.inspectQuote(col("contact"), Dlp.PhoneRe).as("quote"))
+    email.unionAll(phone).filter(col("n") > 0).orderBy("c_custkey", "info_type")
+  }
+
+  def dlpCryptoHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), Dlp.cryptoHash(col("c_name"), "graft-key").as("token"))
+      .orderBy("c_custkey")
+
+  def dlpDeterministicToken(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        Dlp.deterministicToken(col("c_name"), "det-key").as("token"))
+      .orderBy("c_custkey")
+
+  /** Round trip: tokenize, build the vault (distinct token→plaintext),
+    * then re-identify by joining tokens back through the vault —
+    * the Spark-native form of BQReidentificationPipeline (no DLP
+    * service: the vault is data, broadcast when dim-sized). */
+  def dlpReidentify(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val tokenized = cust.select(col("c_custkey"),
+      Dlp.deterministicToken(col("c_name"), "det-key").as("token"))
+    val vault = cust.select(
+      Dlp.deterministicToken(col("c_name"), "det-key").as("token"),
+      col("c_name").as("plaintext")).distinct()
+    tokenized.join(broadcast(vault), "token")
+      .select(col("c_custkey"), col("token"), col("plaintext").as("recovered"))
+      .orderBy("c_custkey")
+  }
+
+  def dlpDateShift(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        Dlp.dateShift(col("o_orderdate"), col("o_custkey"), 30).as("shifted"))
+      .orderBy("o_orderkey")
+
+  def dlpBucketing(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        Dlp.bucketize(col("c_acctbal"), 500).as("acctbal_bucket"))
+      .orderBy("c_custkey")
+
+  def dlpRowBatches(spark: SparkSession, dir: String): DataFrame =
+    Ingest.rowBatches(Tables.customer(spark, dir), 500L)
+
+  // ---- §2.A ingest/schema ----
+
+  def ingestCatalog(spark: SparkSession, dir: String): DataFrame =
+    SchemaMapper.catalog(spark, dir)
+
+  def ingestExcludedTables(spark: SparkSession, dir: String): DataFrame =
+    SchemaMapper.catalogExcluding(spark, dir, "events-embeddings")
+      .select("table_name").distinct().orderBy("table_name")
+
+  def ingestOffsetSplits(spark: SparkSession, dir: String): DataFrame =
+    Ingest.offsetSplits(Tables.lineitem(spark, dir), 5000L)
+
+  def ingestRowCount(spark: SparkSession, dir: String): DataFrame =
+    Ingest.rowCounts(spark, dir)
+
+  // ---- §2.C conversion / load ----
+
+  /** BigQueryTableRowDoFn analog: stringified row view (numbers via
+    * printf so both engines render identically), binary → base64. */
+  def bqRowConvert(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+        col("c_custkey"),
+        col("c_custkey").cast("string").as("custkey_s"),
+        col("c_name").as("name_s"),
+        format_string("%.2f", col("c_acctbal")).as("acctbal_s"),
+        col("c_nationkey").cast("string").as("nationkey_s"),
+        col("c_mktsegment").as("mktsegment_s"),
+        base64(col("c_name").cast("binary")).as("name_b64"))
+      .orderBy("c_custkey")
+
+  def bqSchemaMap(spark: SparkSession, dir: String): DataFrame =
+    SchemaMapper.catalog(spark, dir)
+      .select("table_name", "column_name", "bq_type")
+      .orderBy("table_name", "column_name")
+
+  def deadLetterSplit(spark: SparkSession, dir: String): DataFrame =
+    Ingest.deadLetterSplit(Tables.events(spark, dir))
+
+  /** Pub/Sub publish payload (BQReidentificationPipeline.java:240-260
+    * builds a JSON object per row): deterministic JSON by manual
+    * construction so key order is fixed across engines. */
+  def reidPublishFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+        col("c_custkey"),
+        concat(lit("{\"c_custkey\":"), col("c_custkey").cast("string"),
+          lit(",\"c_name\":\""), col("c_name"),
+          lit("\",\"c_mktsegment\":\""), col("c_mktsegment"),
+          lit("\"}")).as("message"))
+      .orderBy("c_custkey")
+}
