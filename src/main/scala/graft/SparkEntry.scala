@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, DlpQueries}
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Ann
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; every
@@ -47,7 +50,50 @@ object SparkEntry {
     "bq_schema_map" -> DlpQueries.bqSchemaMap _,
     "dead_letter_split" -> DlpQueries.deadLetterSplit _,
     "reid_publish_format" -> DlpQueries.reidPublishFormat _,
+    // §2.G text analysis
+    "text_token_count" -> TextOps.tokenCount _,
+    "text_lang_id" -> TextOps.langId _,
+    "text_quality_score" -> TextOps.qualityScore _,
+    "text_fingerprint" -> TextOps.fingerprint _,
+    // §2.E deduplication
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_minhash_sig" -> Dedup.minhashSig _,
+    "dedup_minhash_pairs" -> Dedup.minhashPairs _,
+    "dedup_simhash" -> Dedup.simhash _,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_embedding_cos" -> Dedup.embeddingCosine _,
+    // §2.F similarity search
+    "ann_topk_bruteforce" -> Ann.topkBruteforce _,
+    "ann_ivf_topk" -> Ann.ivfTopk _,
   )
+
+  // ---- Oracle SQL shared fragments (blocks E/F/G) ----
+
+  /** word-3-gram shingle CTEs (mirror Dedup.gramsDf exactly). */
+  private val GramsCte =
+    """doc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+      |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams FROM doc)""".stripMargin
+
+  private val SigCte = {
+    val hs = (0 until 8).map(j => s"list_min(list_transform(grams, s -> md5('$j:' || s))) AS h$j").mkString(",\n  ")
+    s"sig AS (SELECT doc_id,\n  $hs\nFROM g)"
+  }
+
+  private val JaccExpr =
+    "ROUND(CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) / CAST(len(list_distinct(ga.grams || gb.grams)) AS BIGINT), 4)"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  private val SimhashExpr = (0 until 16).map { j =>
+    s"(CASE WHEN 2 * len(list_filter(mdw, h -> substr(h, ${j + 1}, 1) >= '8')) > len(mdw) THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private def langHits(words: Seq[String]): String =
+    s"CAST(len(list_filter(w, x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
 
   /** Shared SQL fragment: the deterministic PII-shaped contact string
     * (must match DlpQueries.contact exactly). */
@@ -256,5 +302,104 @@ object SparkEntry {
         |  '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_name":"' || c_name ||
         |  '","c_mktsegment":"' || c_mktsegment || '"}' AS message
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // §2.G
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      (s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, labeled_lang,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("en"))} AS s_en,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("de"))} AS s_de,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("es"))} AS s_es,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("fr"))} AS s_fr FROM t)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+         |       WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+         |       WHEN s_en >= s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+         |       WHEN s_es >= s_en AND s_es >= s_de AND s_es > s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted,
+         |  s_en, s_de, s_es, s_fr
+         |FROM s ORDER BY doc_id""".stripMargin),
+    "text_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_words, n_stop,
+        |  CAST(LEAST(n_words, 100) * 50 +
+        |       (CASE WHEN n_chars_m / n_words BETWEEN 3 AND 8 THEN 3000 ELSE 900 END) +
+        |       (2000 * LEAST(n_words, 5 * n_stop)) // n_words
+        |  AS BIGINT) AS quality_bp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> md5(substr(text, i, 5))) AS hs
+        |  FROM documents)
+        |SELECT doc_id, list_min(hs) AS fp, CAST(len(list_distinct(hs)) AS BIGINT) AS n_windows
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // §2.E
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, COUNT(*) AS n, md5(text) AS h
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    "dedup_minhash_sig" ->
+      (s"""WITH $GramsCte,
+         |$SigCte
+         |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig ORDER BY doc_id""".stripMargin),
+    "dedup_minhash_pairs" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_simhash" ->
+      (s"""WITH m AS (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS mdw FROM documents),
+         |s AS (SELECT doc_id, CAST($SimhashExpr AS BIGINT) AS simhash FROM m)
+         |SELECT doc_id, simhash, CAST(simhash // 16 AS BIGINT) AS bucket FROM s ORDER BY doc_id""".stripMargin),
+    "dedup_ngram_jaccard" ->
+      (s"""WITH $GramsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON a.n_chars // 32 = b.n_chars // 32 AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_embedding_cos" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.emb AS ea, b.emb AS eb2
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |c AS (SELECT vec_a, vec_b, ROUND(${duckCos("ea", "eb2")}, 4) AS cos FROM p)
+         |SELECT vec_a, vec_b, cos FROM c WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
+    // §2.F
+    "ann_topk_bruteforce" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+         |s AS (SELECT query_id, e.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN e ON e.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, emb, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM cells WHERE vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
   )
 }

@@ -1,0 +1,120 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over the documents corpus: exact-hash,
+  * MinHash+LSH, SimHash, blocked n-gram Jaccard, and embedding-cosine
+  * near-dup. All candidate generation is equality-join on LSH/blocking
+  * keys — never a cross join — so each stage stays shuffle-bounded at
+  * 100 TB (pairs per bucket ≈ constant; AQE handles hot buckets).
+  */
+object Dedup {
+
+  /** Shared: distinct word-3-gram shingles per doc. */
+  private def gramsDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))) AS grams")
+
+  /** k=8 MinHash signature as columns h0..h7 (md5-seeded; no RNG —
+    * reproducible at any parallelism). */
+  private def sigDf(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = (0 until 8).map { j =>
+      s"array_min(transform(grams, s -> md5(concat('$j:', s)))) AS h$j"
+    }
+    gramsDf(spark, dir).selectExpr("doc_id" +: hashes: _*)
+  }
+
+  /** Exact dedup: group identical texts by md5, keep the min doc_id. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .select(col("keeper"), col("n"), col("h"))
+      .orderBy("keeper")
+
+  /** MinHash signatures (the per-doc sketch; pairs come next). */
+  def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    sigDf(spark, dir).orderBy("doc_id")
+
+  /** LSH banding (4 bands × 2 rows) → candidate pairs → verify true
+    * Jaccard ≥ 0.5. The band join is an equality shuffle join on
+    * (band_id, band_key); verification touches only candidates. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sigDf(spark, dir)
+    val bands = (0 until 4).map { b =>
+      sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val g = gramsDf(spark, dir)
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
+      .filter(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash over the word stream (majority vote per md5
+    * nibble), plus its 12-bit bucket prefix for blocking. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until 16).map { j =>
+      s"(CASE WHEN 2 * size(filter(mdw, h -> substr(h, ${j + 1}, 1) >= '8')) > size(mdw) THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "transform(split(text, ' '), x -> md5(x)) AS mdw")
+      .selectExpr("doc_id", s"CAST($bits AS BIGINT) AS simhash")
+      .selectExpr("doc_id", "simhash", "CAST(simhash DIV 16 AS BIGINT) AS bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Blocked n-gram Jaccard: candidates share a 32-char length bucket
+    * (cheap blocking key), verified on distinct word-3-gram Jaccard
+    * ≥ 0.5. Pairs that straddle a bucket boundary are missed — the
+    * standard recall/cost tradeoff of length blocking. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "n_chars DIV 32 AS lb")
+    val cand = d.as("a").join(d.as("b"),
+        col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val g = gramsDf(spark, dir)
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
+      .filter(col("jacc") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup: 4-bit sign-LSH bucket (dims 1-4) gates the
+    * pair join; cosine ≥ 0.35 verified inside the bucket only. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .selectExpr("vec_id", "emb",
+        ("concat(" + (1 to 4).map(i =>
+          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket"))
+    val dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    val na = "sqrt(aggregate(zip_with(ea, ea, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    val nb = "sqrt(aggregate(zip_with(eb, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.emb").as("ea"), col("b.emb").as("eb"))
+      .selectExpr("vec_a", "vec_b", s"ROUND($dot / ($na * $nb), 4) AS cos")
+      .filter(col("cos") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+}

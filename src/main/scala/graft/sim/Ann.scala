@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  * Brute-force cosine top-k is the exactness baseline; IVF (nearest
+  * centroid cell, probe-1) is the 100 TB scale path: the centroid set
+  * is broadcast, each vector shuffles once on its cell id, and a
+  * query probes one cell instead of the full corpus.
+  */
+object Ann {
+
+  private val Dot = "aggregate(zip_with(%A, %B, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def dot(a: String, b: String) = Dot.replace("%A", a).replace("%B", b)
+  private def cos(a: String, b: String) =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  private def embDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+
+  /** Exact cosine top-10 for query vectors (vec_id < 10): broadcast
+    * the tiny query set against the full corpus — one scan, no
+    * quadratic blowup. */
+  def topkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", s"${cos("qe", "emb")} AS c")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
+    * every vector is assigned to its max-cosine cell; queries
+    * (8 ≤ vec_id < 18) search only their own cell, top 5. */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c").desc, col("cent_id"))
+    val cells = e.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "emb", "cent_id", s"${cos("emb", "ce")} AS c")
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", s"${cos("qe", "emb")} AS c")
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. Everything is
+  * Catalyst expressions (split/regexp/higher-order functions) — no
+  * UDFs, so the ops run distributed with full pushdown at 100 TB.
+  */
+object TextOps {
+
+  /** BPE-ish token regex: letter runs, digit runs, single symbols. */
+  val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-language stopword marker lists for the n-gram/stopword-hit
+    * language heuristic. Deterministic argmax with lexicographic
+    * tie-break; 'unknown' when nothing hits. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "y", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Whitespace + BPE-ish token counts per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens",
+        s"CAST(size(regexp_extract_all(text, '$BpeRe', 0)) AS BIGINT) AS bpe_tokens")
+      .orderBy("doc_id")
+
+  private def hits(lang: String): String = {
+    val list = LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(size(filter(w, x -> x IN ($list))) AS BIGINT)"
+  }
+
+  /** Stopword-hit language identification: score each language's
+    * marker list against the token stream, take the argmax. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang AS labeled_lang", "split(text, ' ') AS w")
+      .selectExpr("doc_id", "labeled_lang",
+        s"${hits("en")} AS s_en", s"${hits("de")} AS s_de",
+        s"${hits("es")} AS s_es", s"${hits("fr")} AS s_fr")
+    scored.selectExpr("doc_id", "labeled_lang",
+        """CASE
+          |  WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+          |  WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+          |  WHEN s_en >= s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+          |  WHEN s_es >= s_en AND s_es >= s_de AND s_es > s_fr THEN 'es'
+          |  ELSE 'fr' END AS predicted""".stripMargin.replace("\n", " "),
+        "s_en", "s_de", "s_es", "s_fr")
+      .orderBy("doc_id")
+  }
+
+  /** Composite quality score: volume, word-length shape, stopword
+    * ratio — the usual cheap pretraining-corpus filters. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text", "split(text, ' ') AS w")
+      .selectExpr("doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars_m",
+        "CAST(size(w) AS BIGINT) AS n_words",
+        "CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS BIGINT) AS n_stop")
+      .selectExpr("doc_id", "n_chars_m", "n_words", "n_stop",
+        // basis points (0..10000), all-integer so the score is exact
+        // and engine-independent: 50% volume, 30% word-length shape,
+        // 20% stopword density.
+        """CAST(
+          |  LEAST(n_words, 100) * 50 +
+          |  (CASE WHEN n_chars_m / n_words BETWEEN 3 AND 8 THEN 3000 ELSE 900 END) +
+          |  (2000 * LEAST(n_words, 5 * n_stop)) DIV n_words
+          |AS BIGINT) AS quality_bp""".stripMargin.replace("\n", " "))
+      .orderBy("doc_id")
+
+  /** Winnowing-style fingerprint: min rolling-hash (md5 of each
+    * 5-char window) + distinct-window count. Equal fingerprints ⇒
+    * near-identical prefixes with high probability. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "transform(sequence(1, greatest(length(text) - 4, 1)), i -> md5(substr(text, i, 5))) AS hs")
+      .selectExpr("doc_id",
+        "array_min(hs) AS fp",
+        "CAST(size(array_distinct(hs)) AS BIGINT) AS n_windows")
+      .orderBy("doc_id")
+}
