@@ -5,6 +5,8 @@ import graft.operators.{Analytics, DlpQueries}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.sim.Ann
+import graft.streaming.Streams
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; every
@@ -65,6 +67,12 @@ object SparkEntry {
     // §2.F similarity search
     "ann_topk_bruteforce" -> Ann.topkBruteforce _,
     "ann_ivf_topk" -> Ann.ivfTopk _,
+    // §2.I streaming (batch-equivalent forms; streaming forms in specs)
+    "stream_window_agg" -> Streams.windowAggBatch _,
+    "stream_sessionize" -> Streams.sessionizeBatch _,
+    "stream_dedup" -> Streams.dedupBatch _,
+    // §2.H multimodal
+    "mm_binary_meta" -> Multimodal.binaryMeta _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -401,5 +409,36 @@ object SparkEntry {
          |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
          |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // §2.I
+    "stream_window_agg" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |    INTERVAL ((CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300) SECOND AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, us, SUM(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  make_timestamp(MIN(us)) AS session_start, make_timestamp(MAX(us)) AS session_end
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events)
+        |SELECT user_id, event_type, make_timestamp(MIN(us)) AS first_ts,
+        |  MIN(event_id) AS min_event_id, COUNT(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // §2.H
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(to_base64(encode(text)), 1, 16) AS b64_head,
+        |  CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS fake_width,
+        |  CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: opaque binary payloads + typed
+  * metadata, the pattern a 100 TB image/audio corpus uses (binary
+  * parquet columns, per-partition batch decode, metadata pushdown).
+  *
+  * The decode step itself is STUBBED — this container ships no
+  * image/audio codecs — but everything Spark-side is real: schema,
+  * batch shape, partition-local processing, deterministic fake
+  * features derived from content hashes so results are testable.
+  */
+object Multimodal {
+
+  /** Binary payload view: text bytes stand in for an encoded image.
+    * (mirrors the reference's IMAGE → base64 BYTES path,
+    * BigQueryTableRowDoFn.java:44-48). */
+  def binaryView(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+
+  /** Metadata extraction over the binary column — byte length, base64
+    * head (wire format sample), and decode-stub features: fake
+    * width/height derived deterministically from the content hash
+    * (a real decoder would replace exactly this expression). */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes",
+        "substr(base64(CAST(text AS BINARY)), 1, 16) AS b64_head",
+        "CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS fake_width",
+        "CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height")
+      .orderBy("doc_id")
+
+  /** Decode stub: where a real implementation would run a codec over
+    * each partition's payload batch (mapPartitions so the codec is
+    * initialized once per partition, not per row). Deliberately
+    * unimplemented — no codecs in this environment. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    throw new NotImplementedError(
+      "image decode requires a codec library; use binaryMeta's deterministic fake features")
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Streaming operators over the events table. Each operator has two
+  * forms with identical semantics:
+  *  - a batch DataFrame form (what Verify/the DuckDB oracle run);
+  *  - a Structured Streaming form (readStream → watermark → window /
+  *    flatMapGroupsWithState), exercised by the ScalaTest spec with a
+  *    memory sink.
+  * The reference's streaming side is its windowed BQ write
+  * (DBImportPipeline.java:108-115 fixed 30 s windows) and the
+  * Pub/Sub publish path; here the full event-time toolkit replaces
+  * processing-time-only panes.
+  */
+object Streams {
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min in micros
+
+  private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
+
+  /** 5-minute tumbling window count/sum per event_type (batch form). */
+  def windowAggBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr("timestamp_seconds((unix_seconds(ts) DIV 300) * 300) AS ws",
+        "event_type", "value")
+      .groupBy(col("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(ntz(col("ws")).as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Same aggregation as a streaming query (watermark + window). */
+  def windowAggStreaming(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(ntz(col("window.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** 30-min-gap sessionization, batch form (gaps-and-islands). */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ntz(timestamp_micros(min(col("us")))).as("session_start"),
+        ntz(timestamp_micros(max(col("us")))).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  case class Ev(user_id: Long, event_id: Long, us: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        session_start: Long, session_end: Long)
+  private case class SessState(lastUs: Long, sessionId: Long, start: Long, n: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState. Each user's
+    * state is O(1): last event time + open session accumulator;
+    * completed sessions are emitted as soon as the gap closes them. */
+  def sessionizeStreaming(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            if (st.lastUs == Long.MinValue) {
+              st = SessState(e.us, 1L, e.us, 1L)
+            } else if (e.us - st.lastUs > SessionGapUs) {
+              out += SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs)
+              st = SessState(e.us, st.sessionId + 1, e.us, 1L)
+            } else {
+              st = SessState(e.us, st.sessionId, st.start, st.n + 1)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming-dedup batch form: first event per (user_id, event_type)
+    * key, plus how many duplicates were suppressed. */
+  def dedupBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(ntz(timestamp_micros(min(col("us")))).as("first_ts"),
+        min(col("event_id")).as("min_event_id"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+
+  /** Streaming form: dropDuplicates inside the watermark. */
+  def dedupStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** File stream sources need a directory; stage the single parquet
+    * file into a temp dir. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("streaming window agg matches batch form") {
+    // feed the parquet dir as a file stream (one batch), memory sink
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.windowAggStreaming(raw)
+      .writeStream.outputMode("append").format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // append mode only emits closed windows; with a finite input the
+    // final watermark closes all but the last — compare the common set
+    val got = spark.table("win_out")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Streams.windowAggBatch(spark, sf)
+      .orderBy("window_start", "event_type").collect()
+    assert(got.nonEmpty, "streaming produced no windows")
+    val batchSet = batch.map(_.toString).toSet
+    got.foreach(r => assert(batchSet.contains(r.toString), s"streaming row $r not in batch result"))
+  }
+
+  test("streaming sessionize matches batch sessions (closed sessions)") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Streams.Ev]
+    // run the same flatMapGroupsWithState logic in batch mode over the
+    // typed Dataset (identical code path semantics, single batch)
+    val viaState = Streams.sessionizeStreaming(evs).collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.session_start, s.session_end))
+    val batch = Streams.sessionizeBatch(spark, sf)
+      .selectExpr("user_id", "session_id", "n_events",
+        "unix_micros(CAST(session_start AS TIMESTAMP)) AS s", "unix_micros(CAST(session_end AS TIMESTAMP)) AS e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(viaState.nonEmpty, "no sessions emitted")
+    // stateful form emits only *closed* sessions (last session per user
+    // stays open in state); every emitted session must match batch
+    viaState.foreach { s =>
+      assert(batch.contains(s), s"stateful session $s not found in batch result")
+    }
+  }
+
+  test("streaming dedup keeps one row per key") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.dedupStreaming(raw)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").select("user_id", "event_type").collect()
+    val expected = Streams.dedupBatch(spark, sf).count()
+    assert(got.length == expected, s"streaming dedup ${got.length} keys vs batch $expected")
+    assert(got.map(r => (r.getLong(0), r.getString(1))).distinct.length == got.length)
+  }
+}
