@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * fronts `spark.read.jdbc` (see [[graft.etl.Ingest]]).
   */
 object Tables {
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  /** Cached schema lookup — catalog queries touch all 10 tables and
+    * parquet footer reads are the dominant cost there. */
+  def schema(spark: SparkSession, sfDir: String, name: String): org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate((sfDir, name), load(spark, sfDir, name).schema)
+
   /** All tables the test corpus ships; mirrors the reference's
     * INFORMATION_SCHEMA.TABLES result set. */
   val all: Seq[String] = Seq(

@@ -2,7 +2,9 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
+import graft.functions.VectorExprs.cosineSim
 
 /** Deduplication operators over the documents corpus: exact-hash,
   * MinHash+LSH, SimHash, blocked n-gram Jaccard, and embedding-cosine
@@ -43,9 +45,13 @@ object Dedup {
 
   /** LSH banding (4 bands × 2 rows) → candidate pairs → verify true
     * Jaccard ≥ 0.5. The band join is an equality shuffle join on
-    * (band_id, band_key); verification touches only candidates. */
+    * (band_id, band_key); verification touches only candidates.
+    * Signatures and shingle sets are persisted: they feed the band
+    * union (4×) and both sides of the self-join, and at 100 TB they'd
+    * be checkpointed tables — recomputing the md5 sketch per branch
+    * is the single biggest avoidable cost. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sigDf(spark, dir)
+    val sig = sigDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until 4).map { b =>
       sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
     }.reduce(_ unionAll _)
@@ -54,7 +60,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val g = gramsDf(spark, dir)
+    val g = gramsDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
@@ -85,35 +91,45 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .selectExpr("doc_id", "n_chars DIV 32 AS lb")
-    val cand = d.as("a").join(d.as("b"),
-        col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val g = gramsDf(spark, dir)
-    cand
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
-      .selectExpr("doc_a", "doc_b",
-        "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
+    // Inverted-index join: explode shingles and equality-join on the
+    // shingle itself, so only pairs sharing ≥1 gram are ever
+    // materialized (|∩| arrives as a codegen'd count, |∪| = na+nb−|∩|).
+    // Pairs with zero common grams have jacc 0 and can't pass the
+    // threshold, so this is result-identical to the all-pairs form but
+    // never builds the quadratic candidate set.
+    // join on a 64-bit hash of the gram, not the gram string: ~5×
+    // smaller shuffle keys; a collision would need two distinct grams
+    // in the same length bucket at the same hash (~2⁻⁶⁴ per pair).
+    val x = gramsDf(spark, dir)
+      .join(d, "doc_id")
+      .selectExpr("doc_id", "lb", "CAST(size(grams) AS BIGINT) AS sz", "explode(grams) AS gram")
+      .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    x.as("a").join(x.as("b"),
+        col("a.gh") === col("b.gh") && col("a.lb") === col("b.lb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("c"))
+      .selectExpr("doc_a", "doc_b", "ROUND(c / (sza + szb - c), 4) AS jacc")
       .filter(col("jacc") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding near-dup: 4-bit sign-LSH bucket (dims 1-4) gates the
-    * pair join; cosine ≥ 0.35 verified inside the bucket only. */
+  /** Embedding near-dup: 8-bit sign-LSH bucket (dims 1-8) gates the
+    * pair join — 256 buckets keep each bucket's pair count ~n²/256 —
+    * then cosine ≥ 0.35 (native codegen'd expression) verified inside
+    * the bucket only. */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
       .selectExpr("vec_id", "emb",
-        ("concat(" + (1 to 4).map(i =>
+        ("concat(" + (1 to 8).map(i =>
           s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket"))
-    val dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    val na = "sqrt(aggregate(zip_with(ea, ea, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
-    val nb = "sqrt(aggregate(zip_with(eb, eb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.emb").as("ea"), col("b.emb").as("eb"))
-      .selectExpr("vec_a", "vec_b", s"ROUND($dot / ($na * $nb), 4) AS cos")
+        round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }

@@ -46,8 +46,16 @@ object SchemaMapper {
   def catalog(spark: SparkSession, dir: String,
               tables: Seq[String] = Tables.all): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // fetch footers concurrently — schema discovery is driver-side
+    // metadata I/O, serializing 10 tables' footer reads is pure wait
+    val schemas = Await.result(
+      Future.sequence(tables.map(t => Future(t -> Tables.schema(spark, dir, t)))),
+      Duration.Inf).toMap
     val rows = tables.flatMap { t =>
-      Tables.load(spark, dir, t).schema.fields.zipWithIndex.map {
+      schemas(t).fields.zipWithIndex.map {
         case (f, i) =>
           (t, f.name, (i + 1).toLong, f.dataType.simpleString,
             bqType(f.dataType), sanitizeName(f.name))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.VectorExprs.cosineSim
 
 /** Approximate-nearest-neighbor search over the embeddings table.
   * Brute-force cosine top-k is the exactness baseline; IVF (nearest
@@ -12,11 +13,6 @@ import graft.Tables
   * query probes one cell instead of the full corpus.
   */
 object Ann {
-
-  private val Dot = "aggregate(zip_with(%A, %B, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-  private def dot(a: String, b: String) = Dot.replace("%A", a).replace("%B", b)
-  private def cos(a: String, b: String) =
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   private def embDf(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -32,7 +28,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .selectExpr("query_id", "vec_id", s"${cos("qe", "emb")} AS c")
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -46,20 +42,20 @@ object Ann {
     val e = embDf(spark, dir)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c").desc, col("cent_id"))
+    // cell assignment as an aggregate (min over (-cos, cent_id)
+    // structs) — map-side combinable, no per-vector sort window
     val cells = e.crossJoin(broadcast(cent))
-      .selectExpr("vec_id", "emb", "cent_id", s"${cos("emb", "ce")} AS c")
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("emb"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"), col("emb"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+      .select(col("vec_id"), col("emb"), col("best.cid").as("cell"))
     val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("vec_id"))
     cells.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .selectExpr("query_id", "vec_id", s"${cos("qe", "emb")} AS c")
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExprs
+import graft.sim.Ann
+import graft.operators.Analytics
+
+/** Plan-shape and native-expression checks: the "would this survive a
+  * 100× scale-up" assertions. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("CosineSim native expression matches the HOF formula bitwise") {
+    import spark.implicits._
+    val df = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .limit(50)
+    val a = df.select(col("vec_id"), VectorExprs.cosineSim(col("emb"), col("emb")).as("c"))
+    val dot = "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    val b = df.selectExpr("vec_id", s"$dot / (sqrt($dot) * sqrt($dot)) AS c")
+    val got = a.orderBy("vec_id").collect().map(_.getDouble(1))
+    val exp = b.orderBy("vec_id").collect().map(_.getDouble(1))
+    got.zip(exp).foreach { case (x, y) =>
+      assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y),
+        s"bitwise mismatch: $x vs $y")
+    }
+  }
+
+  test("CosineSim participates in whole-stage codegen") {
+    val df = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .select(VectorExprs.cosineSim(col("emb"), col("emb")).as("c"))
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("cosinesim")),
+      s"cosinesim not inside a codegen stage:\n$plan")
+  }
+
+  test("q3/q5 broadcast their dimension sides") {
+    Seq(Analytics.q3ShippingPriority _, Analytics.q5LocalSupplier _).foreach { q =>
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n${plan.take(2000)}")
+    }
+  }
+
+  test("ANN brute force broadcasts the query set, not the corpus") {
+    val plan = Ann.topkBruteforce(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join in ANN plan:\n${plan.take(2000)}")
+  }
+
+  test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
+    val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_returnflag"),
+      s"scan schema not pruned: $readSchema")
+  }
+}
