@@ -73,4 +73,9 @@ object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     GraftInternal.column(CosineSim(
       GraftInternal.expression(a), GraftInternal.expression(b)))
+
+  /** Make `cosine_sim(a, b)` callable from SQL on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftInternal.registerFunction(spark, "cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)))
 }

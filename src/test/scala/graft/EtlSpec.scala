@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Dlp, SchemaMapper}
+import graft.sources.Sources
+
+class EtlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("maskChars keeps prefix, masks remainder, handles short strings") {
+    import spark.implicits._
+    val df = Seq("Customer#000000001", "abc", "").toDF("s")
+      .select(Dlp.maskChars(col("s"), 9).as("m"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Customer##########", "abc", ""))
+  }
+
+  test("deterministic token round-trips through the vault") {
+    val cust = Tables.customer(spark, sf)
+    val recovered = graft.operators.DlpQueries.dlpReidentify(spark, sf)
+    val joined = recovered.join(cust, "c_custkey")
+      .filter(col("recovered") =!= col("c_name"))
+    assert(joined.count() == 0, "reidentification must recover every name")
+  }
+
+  test("sanitizeName matches reference checkHeaderName behavior") {
+    assert(SchemaMapper.sanitizeName("a col") == "a_col")
+    assert(SchemaMapper.sanitizeName("it's/here") == "itshere")
+    intercept[IllegalArgumentException](SchemaMapper.sanitizeName("9bad"))
+  }
+
+  test("bqType maps every testdata type") {
+    assert(SchemaMapper.bqType(LongType) == "INTEGER")
+    assert(SchemaMapper.bqType(DoubleType) == "FLOAT")
+    assert(SchemaMapper.bqType(ArrayType(FloatType)) == "REPEATED FLOAT")
+    assert(SchemaMapper.bqType(TimestampNTZType) == "TIMESTAMP")
+    assert(SchemaMapper.bqType(BinaryType) == "BYTES")
+  }
+
+  test("csv and json round-trip preserves data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val nation = Tables.nation(spark, sf)
+    Sources.writeCsv(nation, s"$dir/n_csv")
+    Sources.writeJson(nation, s"$dir/n_json")
+    val backCsv = Sources.readCsv(spark, s"$dir/n_csv", nation.schema)
+    val backJson = Sources.readJson(spark, s"$dir/n_json", nation.schema)
+    assert(backCsv.count() == nation.count())
+    assert(backJson.count() == nation.count())
+    assert(backCsv.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("warehouse write sanitizes names and honors dispositions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val df = Tables.region(spark, sf).withColumnRenamed("r_name", "r name")
+    Sources.writeWarehouse(df, dir, "ds", "region", "WRITE_APPEND")
+    val back = spark.read.parquet(s"$dir/ds/region")
+    assert(back.columns.toSeq.contains("r_name"))
+    Sources.writeWarehouse(df, dir, "ds", "region", "WRITE_APPEND")
+    assert(spark.read.parquet(s"$dir/ds/region").count() == df.count() * 2)
+    Sources.writeWarehouse(df, dir, "ds", "region", "WRITE_TRUNCATE")
+    assert(spark.read.parquet(s"$dir/ds/region").count() == df.count())
+    intercept[Exception] {
+      Sources.writeWarehouse(df, dir, "ds", "region", "WRITE_EMPTY")
+    }
+  }
+
+  test("cosine_sim is callable from SQL after registration") {
+    graft.functions.VectorExprs.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val mixed = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 1.0D)) AS c").collect()(0).getDouble(0)
+    assert(math.abs(mixed - 0.8) < 1e-12)
+  }
+}
