@@ -47,6 +47,7 @@ object SparkEntry {
     "dlp_date_shift" -> DlpQueries.dlpDateShift _,
     "dlp_bucketing" -> DlpQueries.dlpBucketing _,
     "dlp_row_batches" -> DlpQueries.dlpRowBatches _,
+    "dlp_config_apply" -> DlpQueries.dlpConfigApply _,
     // §2.C conversion / load
     "bq_row_convert" -> DlpQueries.bqRowConvert _,
     "bq_schema_map" -> DlpQueries.bqSchemaMap _,
@@ -290,6 +291,14 @@ object SparkEntry {
         |SELECT batch_id, CAST(LEAST(500, cnt - batch_id*500) AS BIGINT) AS rows_in_batch
         |FROM (SELECT unnest(range(0, CAST(ceil(cnt/500.0) AS BIGINT))) AS batch_id, cnt FROM c)
         |ORDER BY batch_id""".stripMargin,
+    "dlp_config_apply" ->
+      """SELECT c_custkey,
+        |  'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS c_name,
+        |  c_nationkey,
+        |  CAST(CAST(floor(c_acctbal/500)*500 AS BIGINT) AS VARCHAR) || '_' ||
+        |  CAST(CAST(floor(c_acctbal/500)*500 + 500 AS BIGINT) AS VARCHAR) AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // §2.C
     "bq_row_convert" ->
       """SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS custkey_s, c_name AS name_s,

@@ -11,6 +11,13 @@ import graft.functions.VectorExprs.cosineSim
   * near-dup. All candidate generation is equality-join on LSH/blocking
   * keys — never a cross join — so each stage stays shuffle-bounded at
   * 100 TB (pairs per bucket ≈ constant; AQE handles hot buckets).
+  *
+  * Algorithms per the published literature: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of
+  * documents", 1997) with banding LSH (Leskovec/Rajaraman/Ullman,
+  * Mining of Massive Datasets ch.3); SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002);
+  * random-hyperplane sign-LSH for cosine (same paper).
   */
 object Dedup {
 

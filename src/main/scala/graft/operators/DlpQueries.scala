@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.etl.{Dlp, Ingest, SchemaMapper}
+import graft.etl.{Dlp, DlpConfig, Ingest, SchemaMapper}
 
 /** The reference-surface pipeline operators as runnable queries
   * (SURVEY.md §2 blocks A/B/C). PII-shaped columns are derived
@@ -93,6 +93,13 @@ object DlpQueries {
 
   def dlpRowBatches(spark: SparkSession, dir: String): DataFrame =
     Ingest.rowBatches(Tables.customer(spark, dir), 500L)
+
+  /** Whole-table config-driven de-identification (the reference's
+    * dlpconfigs.json flow): customer per the example config. */
+  def dlpConfigApply(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DlpConfig.parse(DlpConfig.ExampleConfig).find(_.tableName == "customer")
+    DlpConfig.applyTable(Tables.customer(spark, dir), cfg).orderBy("c_custkey")
+  }
 
   // ---- §2.A ingest/schema ----
 

@@ -7,9 +7,11 @@ import graft.Tables
 import graft.functions.VectorExprs.cosineSim
 
 /** Approximate-nearest-neighbor search over the embeddings table.
-  * Brute-force cosine top-k is the exactness baseline; IVF (nearest
-  * centroid cell, probe-1) is the 100 TB scale path: the centroid set
-  * is broadcast, each vector shuffles once on its cell id, and a
+  * Brute-force cosine top-k is the exactness baseline; IVF (inverted
+  * file over a coarse quantizer, probe-1 — Jégou/Douze/Schmid,
+  * "Product quantization for nearest neighbor search", TPAMI 2011,
+  * minus the PQ compression) is the 100 TB scale path: the centroid
+  * set is broadcast, each vector shuffles once on its cell id, and a
   * query probes one cell instead of the full corpus.
   */
 object Ann {

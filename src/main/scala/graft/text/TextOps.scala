@@ -75,9 +75,11 @@ object TextOps {
           |AS BIGINT) AS quality_bp""".stripMargin.replace("\n", " "))
       .orderBy("doc_id")
 
-  /** Winnowing-style fingerprint: min rolling-hash (md5 of each
-    * 5-char window) + distinct-window count. Equal fingerprints ⇒
-    * near-identical prefixes with high probability. */
+  /** Winnowing-style fingerprint (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD 2003): min rolling-hash (md5 of each 5-char window) +
+    * distinct-window count. Equal fingerprints ⇒ near-identical
+    * content with high probability. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr("doc_id",

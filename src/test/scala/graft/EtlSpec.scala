@@ -68,6 +68,21 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("DlpConfig parses, applies, and passes through unconfigured tables") {
+    import graft.etl.DlpConfig
+    val cfgs = DlpConfig.parse(DlpConfig.ExampleConfig)
+    assert(cfgs.map(_.tableName) == Seq("customer", "orders"))
+    assert(cfgs.head.transforms.size == 2)
+    intercept[IllegalArgumentException] {
+      DlpConfig.parse("""[{"tableName":"x","transforms":[{"column":"c","kind":"nope"}]}]""")
+    }
+    val all = DlpConfig.applyAll(spark, sf, DlpConfig.ExampleConfig,
+      tables = Seq("customer", "nation"))
+    // nation untouched; customer's c_name tokenized
+    assert(all("nation").collect().toSeq == Tables.nation(spark, sf).collect().toSeq)
+    assert(all("customer").select("c_name").head().getString(0).startsWith("TOK_"))
+  }
+
   test("cosine_sim is callable from SQL after registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
