@@ -31,6 +31,8 @@ object SparkEntry {
     "q_rollup" -> Analytics.qRollup _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
+    "q_correlated_subquery" -> Analytics.qCorrelatedSubquery _,
+    "q_set_ops" -> Analytics.qSetOps _,
     // §2.A ingest / schema
     "ingest_catalog" -> DlpQueries.ingestCatalog _,
     "ingest_offset_splits" -> DlpQueries.ingestOffsetSplits _,
@@ -210,6 +212,21 @@ object SparkEntry {
         |SELECT s_suppkey AS key, 'idle_supplier' AS tag FROM supplier
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY tag, key""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY c_custkey""".stripMargin,
     // §2.A
     "ingest_catalog" ->
       (s"""SELECT table_name, column_name, CAST(ordinal AS BIGINT) AS ordinal,

@@ -138,6 +138,35 @@ object Analytics {
     withBig.unionAll(idleSupp).orderBy(col("tag"), col("key"))
   }
 
+  /** Correlated scalar subqueries (decorrelated by Catalyst into
+    * aggregated joins): orders priced above 1.5× their customer's
+    * average. The comparison is all-integer/decimal
+    * (2·cnt·price > 3·sum) so no float average crosses the oracle
+    * boundary. Also exercises the spark.sql parser path. */
+  def qCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders_v o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+        |      (SELECT COUNT(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |           FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Set operations with distinct semantics: BUILDING-segment
+    * customers ∩ big-order customers ∖ negative-balance customers. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigOrder = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("c_custkey"))
+    val negative = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+    building.intersect(bigOrder).except(negative).orderBy("c_custkey")
+  }
+
   /** Approximate distinct (HLL) vs exact — rows-only oracle (HLL is
     * engine-specific); the spec asserts the estimate is within 5%. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
