@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_embedding_cos" -> Dedup.embeddingCosine _,
+    "dedup_corpus_sig" -> Dedup.corpusSig _,
     // §2.F similarity search
     "ann_topk_bruteforce" -> Ann.topkBruteforce _,
     "ann_ivf_topk" -> Ann.ivfTopk _,
@@ -418,6 +419,12 @@ object SparkEntry {
          |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |c AS (SELECT vec_a, vec_b, ROUND(${duckCos("ea", "eb2")}, 4) AS cos FROM p)
          |SELECT vec_a, vec_b, cos FROM c WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
+    "dedup_corpus_sig" ->
+      """SELECT source,
+        |  [min(md5('0:' || text)), min(md5('1:' || text)),
+        |   min(md5('2:' || text)), min(md5('3:' || text))] AS sig,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // §2.F
     "ann_topk_bruteforce" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -38,6 +38,16 @@ object Dedup {
     gramsDf(spark, dir).selectExpr("doc_id" +: hashes: _*)
   }
 
+  /** Corpus-level minhash signature per source via the custom
+    * TypedImperativeAggregate (one buffer pass, map-side combinable) —
+    * sketch whole sub-corpora for corpus-vs-corpus resemblance. */
+  def corpusSig(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("text"), 4).as("sig"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   /** Exact dedup: group identical texts by md5, keep the min doc_id. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

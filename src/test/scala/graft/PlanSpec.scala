@@ -50,6 +50,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast join in ANN plan:\n${plan.take(2000)}")
   }
 
+  test("MinHashAgg partial-aggregates and is partition-count invariant") {
+    import graft.functions.MinHashAgg
+    val docs = Tables.documents(spark, sf)
+    val agg1 = docs.repartition(1).groupBy(col("source"))
+      .agg(MinHashAgg.minhashSig(col("text"), 4).as("sig"))
+    val agg7 = docs.repartition(7).groupBy(col("source"))
+      .agg(MinHashAgg.minhashSig(col("text"), 4).as("sig"))
+    assert(agg1.orderBy("source").collect().toSeq == agg7.orderBy("source").collect().toSeq,
+      "merge() must make the sketch independent of partitioning")
+    val plan = agg7.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_minhashagg"), s"no map-side partial aggregation:\n${plan.take(1200)}")
+  }
+
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
     val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
