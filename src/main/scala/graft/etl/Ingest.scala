@@ -60,7 +60,9 @@ object Ingest {
   /** Dead-letter routing (DBImportPipeline.java:140-160): validate
     * rows, tag ok/dead with a reason, keep both sides flowing. The
     * whole check is codegen'd expressions — no row-level try/catch. */
-  def deadLetterSplit(events: DataFrame): DataFrame = {
+  /** Row validation + routing columns, no ordering — usable on both
+    * batch tables and streaming micro-batches. */
+  def deadLetterRoute(events: DataFrame): DataFrame = {
     val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
     val kInt = when(k === "", lit(null)).otherwise(k).cast("long")
     events.select(
@@ -72,6 +74,8 @@ object Ingest {
         when(kInt.isNull, "malformed_props")
           .when(kInt >= 80, "value_out_of_range")
           .otherwise("").as("reason"))
-      .orderBy("event_id")
   }
+
+  def deadLetterSplit(events: DataFrame): DataFrame =
+    deadLetterRoute(events).orderBy("event_id")
 }

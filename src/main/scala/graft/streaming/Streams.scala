@@ -109,4 +109,25 @@ object Streams {
   def dedupStreaming(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
+
+  /** Streaming load with dead-letter routing — the reference's BQ
+    * write path (DBImportPipeline.java:116-160: failed inserts retried
+    * then logged to a dead-letter tag). foreachBatch validates each
+    * micro-batch with the same expression as the batch operator and
+    * appends ok/dead rows to separate sinks, so a poison record never
+    * stalls the stream. Returns the started query. */
+  def writeWithDeadLetter(events: DataFrame, okDir: String, deadDir: String,
+                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val routed = graft.etl.Ingest.deadLetterRoute(batch).persist()
+        routed.filter(col("status") === "ok").drop("status", "reason")
+          .write.mode("append").parquet(okDir)
+        routed.filter(col("status") === "dead").drop("status")
+          .write.mode("append").parquet(deadDir)
+        routed.unpersist()
+        ()
+      }
+      .start()
 }

@@ -62,6 +62,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch dead-letter sink routes ok/dead to separate dirs") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.writeWithDeadLetter(raw, s"$out/ok", s"$out/dead", s"$out/ckpt")
+    q.processAllAvailable(); q.stop()
+    val ok = spark.read.parquet(s"$out/ok").count()
+    val dead = spark.read.parquet(s"$out/dead").count()
+    val expected = graft.etl.Ingest.deadLetterSplit(Tables.events(spark, sf))
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ok == expected("ok"), s"ok rows $ok vs ${expected("ok")}")
+    assert(dead == expected("dead"), s"dead rows $dead vs ${expected("dead")}")
+    assert(spark.read.parquet(s"$out/dead").columns.contains("reason"))
+  }
+
   test("streaming dedup keeps one row per key") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
