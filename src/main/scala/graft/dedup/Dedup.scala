@@ -21,13 +21,12 @@ import graft.functions.VectorExprs.cosineSim
   */
 object Dedup {
 
-  /** Shared: distinct word-3-gram shingles per doc. */
+  /** Shared: distinct word-3-gram shingles per doc (native single-pass
+    * expression; set-equal to the HOF transform chain, spec-checked). */
   private def gramsDf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "split(text, ' ') AS w")
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))) AS grams")
+      .select(col("doc_id"), graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
 
   /** k=8 MinHash signature as columns h0..h7 (md5-seeded; no RNG —
     * reproducible at any parallelism). */

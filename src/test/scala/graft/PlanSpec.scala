@@ -63,6 +63,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_minhashagg"), s"no map-side partial aggregation:\n${plan.take(1200)}")
   }
 
+  test("WordNGrams is set-equal to the HOF transform chain") {
+    import graft.functions.WordNGrams
+    val df = Tables.documents(spark, sf).selectExpr("doc_id", "split(text, ' ') AS w")
+    val native = df.select(col("doc_id"),
+      WordNGrams.wordNGrams(col("w"), 3).as("g")).orderBy("doc_id").collect()
+    val hof = df.selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))) AS g")
+      .orderBy("doc_id").collect()
+    native.zip(hof).foreach { case (a, b) =>
+      assert(a.getSeq[String](1).toSet == b.getSeq[String](1).toSet,
+        s"gram set mismatch for doc ${a.getLong(0)}")
+    }
+    // edge cases: 0/1/2-word inputs
+    import spark.implicits._
+    val edge = Seq(Seq.empty[String], Seq("a"), Seq("a", "b")).toDF("w")
+    val got = edge.select(WordNGrams.wordNGrams(col("w"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(got.toSeq == Seq(Set(""), Set("a"), Set("a b")))
+  }
+
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
     val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
