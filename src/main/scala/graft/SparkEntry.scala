@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, DlpQueries}
+import graft.operators.{Analytics, AsOf, DlpQueries}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.sim.Ann
@@ -33,6 +33,7 @@ object SparkEntry {
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_correlated_subquery" -> Analytics.qCorrelatedSubquery _,
     "q_set_ops" -> Analytics.qSetOps _,
+    "q_asof_join" -> AsOf.purchaseLastClick _,
     // §2.A ingest / schema
     "ingest_catalog" -> DlpQueries.ingestCatalog _,
     "ingest_offset_splits" -> DlpQueries.ingestOffsetSplits _,
@@ -228,6 +229,14 @@ object SparkEntry {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal < 0
         |ORDER BY c_custkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us, max(event_id) AS click_id FROM e WHERE event_type = 'click' GROUP BY user_id, us)
+        |SELECT p.event_id AS purchase_id, p.user_id, c.click_id AS last_click_id,
+        |  CAST(p.us - c.us AS BIGINT) AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |ORDER BY purchase_id""".stripMargin,
     // §2.A
     "ingest_catalog" ->
       (s"""SELECT table_name, column_name, CAST(ordinal AS BIGINT) AS ordinal,
