@@ -29,13 +29,12 @@ object Dedup {
       .select(col("doc_id"), graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
 
   /** k=8 MinHash signature as columns h0..h7 (md5-seeded; no RNG —
-    * reproducible at any parallelism). */
-  private def sigDf(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = (0 until 8).map { j =>
-      s"array_min(transform(grams, s -> md5(concat('$j:', s)))) AS h$j"
-    }
-    gramsDf(spark, dir).selectExpr("doc_id" +: hashes: _*)
-  }
+    * reproducible at any parallelism; native single-pass expression). */
+  private def sigDf(spark: SparkSession, dir: String): DataFrame =
+    gramsDf(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MinHashArray.minhashArray(col("grams"), 8).as("sig"))
+      .selectExpr("doc_id" +: (0 until 8).map(j => s"sig[$j] AS h$j"): _*)
 
   /** Corpus-level minhash signature per source via the custom
     * TypedImperativeAggregate (one buffer pass, map-side combinable) —
