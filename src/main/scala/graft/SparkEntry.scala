@@ -76,8 +76,13 @@ object SparkEntry {
     "stream_window_agg" -> Streams.windowAggBatch _,
     "stream_sessionize" -> Streams.sessionizeBatch _,
     "stream_dedup" -> Streams.dedupBatch _,
+    "stream_funnel" -> Streams.funnel _,
+    "stream_retention" -> Streams.retention _,
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
+    "mm_frame_sample" -> Multimodal.frameSample _,
+    // §2.G (cont.)
+    "text_normalize" -> TextOps.normalize _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -476,6 +481,37 @@ object SparkEntry {
         |SELECT user_id, event_type, make_timestamp(MIN(us)) AS first_ts,
         |  MIN(event_id) AS min_event_id, COUNT(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN us END) AS t_signup,
+        |  min(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN us END) AS t_purchase
+        |  FROM e GROUP BY user_id)
+        |SELECT COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 END) AS n_click_after,
+        |  COUNT(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click THEN 1 END) AS n_purchase_after
+        |FROM s""".stripMargin,
+    "stream_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, 1 AS retained FROM e JOIN f USING (user_id)
+        |      WHERE day >= cohort_day + 7 AND day < cohort_day + 14)
+        |SELECT cohort_day, COUNT(*) AS n_users, COUNT(retained) AS n_retained
+        |FROM f LEFT JOIN a USING (user_id) GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS normalized
+        |  FROM documents)
+        |SELECT doc_id, normalized,
+        |  CAST(CASE WHEN normalized = text THEN 0 ELSE 1 END AS BIGINT) AS changed
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substr(text, 1 + frame_idx * 64, 16)) AS frame_hash
+        |FROM (SELECT doc_id, text,
+        |      unnest(range(0, least(3, (length(text) - 1) // 64) + 1)) AS frame_idx FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // §2.H
     "mm_binary_meta" ->
       """SELECT doc_id,

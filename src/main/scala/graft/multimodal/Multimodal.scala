@@ -35,6 +35,18 @@ object Multimodal {
         "CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height")
       .orderBy("doc_id")
 
+  /** Frame sampling plan over binary payloads: every 64 bytes emit a
+    * 16-byte frame slice with its index and content hash — the Spark
+    * plumbing (explode over computed offsets, per-frame rows) of a
+    * video frame-sampler, with the codec stubbed to byte slicing. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text",
+        "explode(sequence(0, CAST(least(3, (length(text) - 1) DIV 64) AS INT))) AS frame_idx")
+      .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
+        "md5(substr(text, 1 + frame_idx * 64, 16)) AS frame_hash")
+      .orderBy("doc_id", "frame_idx")
+
   /** Decode stub: where a real implementation would run a codec over
     * each partition's payload batch (mapPartitions so the codec is
     * initialized once per partition, not per row). Deliberately

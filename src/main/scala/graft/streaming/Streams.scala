@@ -110,6 +110,40 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Event funnel: per-user stage timestamps (signup → click →
+    * purchase, each stage's min ts must follow the previous stage's),
+    * aggregated to funnel counts — one groupBy, no self-joins. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val stages = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("us"))).as("t_signup"),
+      min(when(col("event_type") === "click", col("us"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+    stages.agg(
+      count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+      count(when(col("t_signup").isNotNull && col("t_click") > col("t_signup"), 1)).as("n_click_after"),
+      count(when(col("t_signup").isNotNull && col("t_click") > col("t_signup") &&
+        col("t_purchase") > col("t_click"), 1)).as("n_purchase_after"))
+  }
+
+  /** Cohort retention: cohort = first-seen day (integer day number —
+    * exact arithmetic), retained = any activity in days [7, 14) after
+    * the cohort day. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val firstSeen = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = e.join(firstSeen, "user_id")
+      .filter(col("day") >= col("cohort_day") + 7 && col("day") < col("cohort_day") + 14)
+      .select(col("user_id")).distinct()
+      .withColumn("retained", lit(1L))
+    firstSeen.join(active, Seq("user_id"), "left")
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"), count(col("retained")).as("n_retained"))
+      .orderBy("cohort_day")
+  }
+
   /** Streaming load with dead-letter routing — the reference's BQ
     * write path (DBImportPipeline.java:116-160: failed inserts retried
     * then logged to a dead-letter tag). foreachBatch validates each

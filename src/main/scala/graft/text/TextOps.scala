@@ -75,6 +75,17 @@ object TextOps {
           |AS BIGINT) AS quality_bp""".stripMargin.replace("\n", " "))
       .orderBy("doc_id")
 
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace runs, trim — the first stage of every
+    * dedup/quality pipeline (normalize before hashing). */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text",
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')) AS normalized")
+      .selectExpr("doc_id", "normalized",
+        "CAST(CASE WHEN normalized = text THEN 0 ELSE 1 END AS BIGINT) AS changed")
+      .orderBy("doc_id")
+
   /** Winnowing-style fingerprint (Schleimer/Wilkerson/Aiken,
     * "Winnowing: local algorithms for document fingerprinting",
     * SIGMOD 2003): min rolling-hash (md5 of each 5-char window) +
