@@ -34,6 +34,11 @@ object SparkEntry {
     "q_correlated_subquery" -> Analytics.qCorrelatedSubquery _,
     "q_set_ops" -> Analytics.qSetOps _,
     "q_asof_join" -> AsOf.purchaseLastClick _,
+    "q_pivot" -> Analytics.qPivot _,
+    "q_cube" -> Analytics.qCube _,
+    "q_unpivot" -> Analytics.qUnpivot _,
+    "q_string_agg" -> Analytics.qStringAgg _,
+    "q_percentile" -> Analytics.qPercentile _,
     // §2.A ingest / schema
     "ingest_catalog" -> DlpQueries.ingestCatalog _,
     "ingest_offset_splits" -> DlpQueries.ingestOffsetSplits _,
@@ -242,6 +247,34 @@ object SparkEntry {
         |  CAST(p.us - c.us AS BIGINT) AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
         |ORDER BY purchase_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_string_agg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names, COUNT(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, attr, CAST(val AS DECIMAL(18,2)) AS val
+        |FROM (UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v, p_retailprice AS price_v FROM part)
+        |      ON size_v, price_v INTO NAME attr VALUE val)
+        |ORDER BY p_partkey, attr""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // §2.A
     "ingest_catalog" ->
       (s"""SELECT table_name, column_name, CAST(ordinal AS BIGINT) AS ordinal,

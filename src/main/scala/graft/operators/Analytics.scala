@@ -167,6 +167,65 @@ object Analytics {
     building.intersect(bigOrder).except(negative).orderBy("c_custkey")
   }
 
+  /** Pivot: order counts by status × priority, priorities as columns
+    * (explicit value list keeps the schema static and plannable). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val p = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .count()
+    p.select(col("o_orderstatus") +:
+        priorities.zipWithIndex.map { case (v, i) =>
+          coalesce(col(s"`$v`"), lit(0L)).as(s"p${i + 1}") }: _*)
+      .orderBy("o_orderstatus")
+  }
+
+  /** CUBE with grouping indicators — all four aggregation levels in
+    * one pass (partial-aggregated expansion, no re-scan per level). */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Unpivot (melt): wide per-part numeric columns to (attr, value)
+    * rows — schema-evolution-friendly long form. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .selectExpr("p_partkey",
+        "CAST(p_size AS DOUBLE) AS size_v", "p_retailprice AS price_v")
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size_v"), col("price_v")), "attr", "val")
+      .select(col("p_partkey"), col("attr"),
+        col("val").cast("decimal(18,2)").as("val"))
+      .orderBy("p_partkey", "attr")
+  }
+
+  /** Ordered string aggregation: per-nation sorted roster of supplier
+    * names (deterministic: sort before join). */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+  }
+
+  /** Exact percentiles (type-7 linear interpolation in both engines):
+    * median and p90 of quantity per return flag. */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_quantity, 0.9D)").as("p90"))
+      .orderBy("l_returnflag")
+  }
+
   /** Approximate distinct (HLL) vs exact — rows-only oracle (HLL is
     * engine-specific); the spec asserts the estimate is within 5%. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
