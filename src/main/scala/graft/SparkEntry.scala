@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_embedding_cos" -> Dedup.embeddingCosine _,
     "dedup_corpus_sig" -> Dedup.corpusSig _,
+    "pipeline_dedup_survivors" -> Dedup.pipelineSurvivors _,
     // §2.F similarity search
     "ann_topk_bruteforce" -> Ann.topkBruteforce _,
     "ann_ivf_topk" -> Ann.ivfTopk _,
@@ -81,6 +82,7 @@ object SparkEntry {
     "stream_window_agg" -> Streams.windowAggBatch _,
     "stream_sessionize" -> Streams.sessionizeBatch _,
     "stream_dedup" -> Streams.dedupBatch _,
+    "stream_session_window" -> Streams.sessionWindowBatch _,
     "stream_funnel" -> Streams.funnel _,
     "stream_retention" -> Streams.retention _,
     // §2.H multimodal
@@ -514,6 +516,30 @@ object SparkEntry {
         |SELECT user_id, event_type, make_timestamp(MIN(us)) AS first_ts,
         |  MIN(event_id) AS min_event_id, COUNT(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, us, SUM(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+        |SELECT user_id, make_timestamp(MIN(us)) AS session_start, COUNT(*) AS n_events
+        |FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "pipeline_dedup_survivors" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jacc >= 0.5)
+         |ORDER BY doc_id""".stripMargin),
     "stream_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |s AS (SELECT user_id,

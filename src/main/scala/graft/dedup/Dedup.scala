@@ -86,6 +86,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** End-to-end dedup pipeline: LSH-verified near-dup pairs → keep
+    * the lower doc_id of each pair → survivor set (left-anti join on
+    * the removal list). The composition a training-data pipeline
+    * actually ships. */
+  def pipelineSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val removed = minhashPairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** 16-bit SimHash over the word stream (majority vote per md5
     * nibble), plus its 12-bit bucket prefix for blocking. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
