@@ -28,6 +28,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> Analytics.q6ForecastRevenue _,
     "q_window_running" -> Analytics.qWindowRunning _,
     "q_topk_per_group" -> Analytics.qTopkPerGroup _,
+    "q_topk_native" -> Analytics.qTopkNative _,
     "q_rollup" -> Analytics.qRollup _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
@@ -208,6 +209,13 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_topk_native" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,

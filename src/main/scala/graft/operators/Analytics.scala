@@ -167,6 +167,20 @@ object Analytics {
     building.intersect(bigOrder).except(negative).orderBy("c_custkey")
   }
 
+  /** Same result as [[qTopkPerGroup]] through the custom
+    * TopKPerKeyPlan/Exec operator (bounded per-key heaps, no window
+    * sort) — the oracle that checks the window form also checks the
+    * custom physical operator. */
+  def qTopkNative(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    graft.plans.TopKPerKey.topKPerKey(ord,
+        Seq("o_custkey"),
+        Seq("price" -> false, "o_orderkey" -> true), 3)
+      .orderBy("o_custkey", "rk")
+  }
+
   /** Pivot: order counts by status × priority, priorities as columns
     * (explicit value list keeps the schema static and plannable). */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {

@@ -84,6 +84,17 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Set(""), Set("a"), Set("a b")))
   }
 
+  test("TopKPerKeyExec plans with a key exchange and matches the window form") {
+    val native = Analytics.qTopkNative(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), s"custom exec missing:\n${plan.take(1200)}")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      "Catalyst should insert the clustered exchange for the custom node")
+    val window = Analytics.qTopkPerGroup(spark, sf)
+    assert(native.collect().toSeq.map(_.toString).sorted ==
+      window.collect().toSeq.map(_.toString).sorted)
+  }
+
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
     val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
