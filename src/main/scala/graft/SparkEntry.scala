@@ -36,6 +36,7 @@ object SparkEntry {
     "q_set_ops" -> Analytics.qSetOps _,
     "q_asof_join" -> AsOf.purchaseLastClick _,
     "q_pivot" -> Analytics.qPivot _,
+    "q_salted_join" -> Analytics.qSaltedJoin _,
     "q_cube" -> Analytics.qCube _,
     "q_unpivot" -> Analytics.qUnpivot _,
     "q_string_agg" -> Analytics.qStringAgg _,
@@ -57,6 +58,8 @@ object SparkEntry {
     "dlp_bucketing" -> DlpQueries.dlpBucketing _,
     "dlp_row_batches" -> DlpQueries.dlpRowBatches _,
     "dlp_config_apply" -> DlpQueries.dlpConfigApply _,
+    "dlp_k_anonymity" -> DlpQueries.dlpKAnonymity _,
+    "dlp_l_diversity" -> DlpQueries.dlpLDiversity _,
     // §2.C conversion / load
     "bq_row_convert" -> DlpQueries.bqRowConvert _,
     "bq_schema_map" -> DlpQueries.bqSchemaMap _,
@@ -79,6 +82,7 @@ object SparkEntry {
     // §2.F similarity search
     "ann_topk_bruteforce" -> Ann.topkBruteforce _,
     "ann_ivf_topk" -> Ann.ivfTopk _,
+    "ann_ivf_probe2" -> Ann.ivfTopkProbe2 _,
     // §2.I streaming (batch-equivalent forms; streaming forms in specs)
     "stream_window_agg" -> Streams.windowAggBatch _,
     "stream_sessionize" -> Streams.sessionizeBatch _,
@@ -374,6 +378,29 @@ object SparkEntry {
         |  CAST(CAST(floor(c_acctbal/500)*500 + 500 AS BIGINT) AS VARCHAR) AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dlp_k_anonymity" ->
+      """WITH q AS (SELECT c_mktsegment, c_nationkey,
+        |  CAST(CAST(floor(c_acctbal/2000)*2000 AS BIGINT) AS VARCHAR) || '_' ||
+        |  CAST(CAST(floor(c_acctbal/2000)*2000 + 2000 AS BIGINT) AS VARCHAR) AS bal_bucket
+        |  FROM customer),
+        |cls AS (SELECT c_mktsegment, c_nationkey, bal_bucket, COUNT(*) AS class_size
+        |  FROM q GROUP BY 1, 2, 3)
+        |SELECT class_size, COUNT(*) AS n_classes FROM cls
+        |GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "dlp_l_diversity" ->
+      """WITH q AS (SELECT c_mktsegment, c_nationkey,
+        |  CAST(CAST(floor(c_acctbal/2000)*2000 AS BIGINT) AS VARCHAR) || '_' ||
+        |  CAST(CAST(floor(c_acctbal/2000)*2000 + 2000 AS BIGINT) AS VARCHAR) AS bal_bucket
+        |  FROM customer)
+        |SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size,
+        |  COUNT(DISTINCT bal_bucket) AS l_diversity
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // §2.C
     "bq_row_convert" ->
       """SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS custkey_s, c_name AS name_s,
@@ -501,6 +528,18 @@ object SparkEntry {
          |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
          |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf_probe2" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a),
+         |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r2 WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, cent_id AS cell FROM r2
+         |      WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT DISTINCT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
+         |rk AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     // §2.I
     "stream_window_agg" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)

@@ -181,6 +181,20 @@ object Analytics {
       .orderBy("o_custkey", "rk")
   }
 
+  /** Salted fact-fact join (Skew.saltedJoin) — result must equal the
+    * plain join, so the oracle is the plain SQL join: validates that
+    * the salt/replicate/drop pipeline is distribution-only. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("total"))
+    Skew.saltedJoin(li, ord, "l_orderkey", 8)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Pivot: order counts by status × priority, priorities as columns
     * (explicit value list keeps the schema static and plannable). */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {

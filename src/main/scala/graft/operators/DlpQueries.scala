@@ -101,6 +101,34 @@ object DlpQueries {
     DlpConfig.applyTable(Tables.customer(spark, dir), cfg).orderBy("c_custkey")
   }
 
+  /** K-anonymity risk analysis (DLP RiskAnalysisJobConfig →
+    * KAnonymityConfig analog): equivalence classes over the
+    * quasi-identifiers (segment, nation, acctbal bucket) and the
+    * histogram of class sizes — the re-identification risk profile
+    * of the de-identified table. */
+  def dlpKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        Dlp.bucketize(col("c_acctbal"), 2000).as("bal_bucket"))
+      .groupBy("c_mktsegment", "c_nationkey", "bal_bucket")
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .orderBy("class_size")
+
+  /** L-diversity (DLP LDiversityConfig analog): per equivalence class
+    * (segment × nation), the number of distinct sensitive values
+    * (acctbal bucket) — classes with low diversity leak the sensitive
+    * attribute even at high k. */
+  def dlpLDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        Dlp.bucketize(col("c_acctbal"), 2000).as("bal_bucket"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("bal_bucket")).as("l_diversity"))
+      .orderBy("c_mktsegment", "c_nationkey")
+
   // ---- §2.A ingest/schema ----
 
   def ingestCatalog(spark: SparkSession, dir: String): DataFrame =

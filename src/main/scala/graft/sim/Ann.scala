@@ -37,6 +37,35 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF probe-2: queries search their top-2 cells (higher recall at
+    * 2× probe cost — the standard IVF recall knob). */
+  def ivfTopkProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c").desc, col("cent_id"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .withColumn("rn", row_number().over(wAssign))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    val q = ranked.filter(col("rn") <= 2)
+      .filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
+      .distinct()
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */
