@@ -37,6 +37,8 @@ object SparkEntry {
     "q_asof_join" -> AsOf.purchaseLastClick _,
     "q_pivot" -> Analytics.qPivot _,
     "q_salted_join" -> Analytics.qSaltedJoin _,
+    "q_join_types" -> Analytics.qJoinTypes _,
+    "q_window_range" -> Analytics.qWindowRange _,
     "q_cube" -> Analytics.qCube _,
     "q_unpivot" -> Analytics.qUnpivot _,
     "q_string_agg" -> Analytics.qStringAgg _,
@@ -90,11 +92,14 @@ object SparkEntry {
     "stream_session_window" -> Streams.sessionWindowBatch _,
     "stream_funnel" -> Streams.funnel _,
     "stream_retention" -> Streams.retention _,
+    "stream_event_join" -> Streams.eventJoinBatch _,
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
     "mm_frame_sample" -> Multimodal.frameSample _,
     // §2.G (cont.)
     "text_normalize" -> TextOps.normalize _,
+    "text_ngram_freq" -> TextOps.ngramFreq _,
+    "text_vocab" -> TextOps.vocab _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -395,6 +400,36 @@ object SparkEntry {
         |SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size,
         |  COUNT(DISTINCT bal_bucket) AS l_diversity
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_join_types" ->
+      """SELECT c_custkey, c_name, o_custkey, total
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 700) c
+        |FULL OUTER JOIN (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY COALESCE(c_custkey, o_custkey), c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+        |SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS cnt_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
+    "text_vocab" ->
+      """WITH c AS (SELECT word, COUNT(*) AS n FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word),
+        |t AS (SELECT word, n,
+        |  SUM(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(n) OVER () AS total FROM c)
+        |SELECT word, n, CAST(cum * 10000 // total AS BIGINT) AS cum_bp
+        |FROM t ORDER BY n DESC, word LIMIT 200""".stripMargin,
     "q_salted_join" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
@@ -587,6 +622,15 @@ object SparkEntry {
          |SELECT doc_id, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jacc >= 0.5)
          |ORDER BY doc_id""".stripMargin),
+    "stream_event_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, click_id, purchase_id,
+        |  purchase_us - click_us AS lag_us
+        |FROM c JOIN p USING (user_id)
+        |WHERE purchase_us > click_us AND purchase_us <= click_us + 3600000000
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     "stream_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |s AS (SELECT user_id,

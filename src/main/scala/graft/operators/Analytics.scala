@@ -181,6 +181,37 @@ object Analytics {
       .orderBy("o_custkey", "rk")
   }
 
+  /** Full outer join with null sides: a customer subset vs per-key
+    * order totals — left-only, right-only, and matched rows all
+    * present, sentinel-free (nullable output, deterministic order on
+    * the coalesced key). */
+  def qJoinTypes(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 700)
+      .select(col("c_custkey"), col("c_name"))
+    val totals = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice"), 2).as("total"))
+    cust.join(totals, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("total"))
+      .orderBy(coalesce(col("c_custkey"), col("o_custkey")),
+        col("c_custkey").asc_nulls_first)
+  }
+
+  /** Time-range window frames: per-user trailing-1-hour event count
+    * and value sum (RANGE frame over event-time micros). */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("decimal(18,2)").as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Salted fact-fact join (Skew.saltedJoin) — result must equal the
     * plain join, so the oracle is the plain SQL join: validates that
     * the salt/replicate/drop pipeline is distribution-only. */

@@ -122,6 +122,34 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Click→purchase attribution join: purchases within 1 hour after a
+    * click by the same user (equi-join on user + time-band predicate —
+    * the batch form of a watermarked stream-stream join). */
+  def eventJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("purchase_us"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") > col("click_us") &&
+        col("purchase_us") <= col("click_us") + 3600000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  /** The same join as a watermarked stream-stream join (state pruned
+    * by the event-time bound on both sides). */
+  def eventJoinStreaming(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("c_ts", "2 hours")
+    val p = purchases.withWatermark("p_ts", "2 hours")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR""".stripMargin))
+  }
+
   /** Event funnel: per-user stage timestamps (signup → click →
     * purchase, each stage's min ts must follow the previous stage's),
     * aggregated to funnel counts — one groupBy, no self-joins. */

@@ -75,6 +75,43 @@ object TextOps {
           |AS BIGINT) AS quality_bp""".stripMargin.replace("\n", " "))
       .orderBy("doc_id")
 
+  /** Corpus bigram frequency table (top 100) — the raw statistic
+    * under BPE/tokenizer training and collocation mining. Non-distinct
+    * windows (frequency, not set membership). */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("split(text, ' ') AS w")
+      .selectExpr("explode(transform(sequence(1, greatest(size(w) - 1, 1)), " +
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))) AS gram")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(100)
+
+  /** Vocabulary with cumulative corpus coverage in integer basis
+    * points — "how many types cover 90% of tokens" is the standard
+    * tokenizer sizing question. Exact integer arithmetic throughout. */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("cum", sum(col("n")).over(wOrd))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .selectExpr("word", "n", "CAST(cum * 10000 DIV total AS BIGINT) AS cum_bp")
+      .orderBy(col("n").desc, col("word"))
+      .limit(200)
+  }
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace runs, trim — the first stage of every
     * dedup/quality pipeline (normalize before hashing). */

@@ -81,6 +81,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/dead").columns.contains("reason"))
   }
 
+  test("stream-stream join matches the batch time-band join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def stream(t: String, uCol: String, tsCol: String) = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${uCol.head}_id"),
+        col("user_id").as(uCol), col("ts").as(tsCol))
+    val joined = Streams.eventJoinStreaming(
+      stream("click", "c_user", "c_ts"), stream("purchase", "p_user", "p_ts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out")
+      .select(col("c_user").as("user_id"), col("c_id"), col("p_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Streams.eventJoinBatch(spark, sf)
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream-stream ${got.size} vs batch ${batch.size}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per key") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
