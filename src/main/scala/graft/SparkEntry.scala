@@ -67,6 +67,7 @@ object SparkEntry {
     "bq_schema_map" -> DlpQueries.bqSchemaMap _,
     "dead_letter_split" -> DlpQueries.deadLetterSplit _,
     "reid_publish_format" -> DlpQueries.reidPublishFormat _,
+    "migration_manifest" -> graft.etl.Migration.manifest _,
     // §2.G text analysis
     "text_token_count" -> TextOps.tokenCount _,
     "text_lang_id" -> TextOps.langId _,
@@ -451,6 +452,22 @@ object SparkEntry {
         |  CASE WHEN k IS NULL THEN 'dead' WHEN k >= 80 THEN 'dead' ELSE 'ok' END AS status,
         |  CASE WHEN k IS NULL THEN 'malformed_props' WHEN k >= 80 THEN 'value_out_of_range' ELSE '' END AS reason
         |FROM t ORDER BY event_id""".stripMargin,
+    "migration_manifest" ->
+      """WITH dead AS (SELECT COUNT(*) AS n FROM events
+        |  WHERE try_cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) IS NULL
+        |     OR try_cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) >= 80)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM customer) AS n_rows, CAST(1 AS BIGINT) AS deid_applied, CAST(0 AS BIGINT) AS n_dead
+        |  UNION ALL SELECT 'documents', (SELECT COUNT(*) FROM documents), 0, 0
+        |  UNION ALL SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings), 0, 0
+        |  UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events) - (SELECT n FROM dead), 0, (SELECT n FROM dead)
+        |  UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem), 0, 0
+        |  UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation), 0, 0
+        |  UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders), 1, 0
+        |  UNION ALL SELECT 'part', (SELECT COUNT(*) FROM part), 0, 0
+        |  UNION ALL SELECT 'region', (SELECT COUNT(*) FROM region), 0, 0
+        |  UNION ALL SELECT 'supplier', (SELECT COUNT(*) FROM supplier), 0, 0
+        |) ORDER BY table_name""".stripMargin,
     "reid_publish_format" ->
       """SELECT c_custkey,
         |  '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_name":"' || c_name ||

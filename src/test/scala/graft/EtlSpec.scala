@@ -83,6 +83,24 @@ class EtlSpec extends AnyFunSuite {
     assert(all("customer").select("c_name").head().getString(0).startsWith("TOK_"))
   }
 
+  test("Migration.runImport writes deidentified tables + dead letters and reports a manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    val manifest = graft.etl.Migration.runImport(spark, sf,
+      graft.etl.DlpConfig.ExampleConfig, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest.size == 10)
+    assert(manifest("customer")._2 == 1L && manifest("orders")._2 == 1L)
+    // written customer table is de-identified (tokens, not names)
+    val written = spark.read.parquet(s"$out/imported/customer")
+    assert(written.select("c_name").head().getString(0).startsWith("TOK_"))
+    // events: ok rows + dead letters partition the table
+    val okN = spark.read.parquet(s"$out/imported/events").count()
+    val deadN = spark.read.parquet(s"$out/imported/events_dead_letter").count()
+    assert(okN == manifest("events")._1)
+    assert(deadN == manifest("events")._3)
+    assert(okN + deadN == Tables.events(spark, sf).count())
+  }
+
   test("cosine_sim is callable from SQL after registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
