@@ -42,8 +42,11 @@ object Dedup {
   def corpusSig(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source"))
-      .agg(graft.functions.MinHashAgg.minhashSig(col("text"), 4).as("sig"),
+      .agg(graft.functions.MinHashAgg.minhashSig(col("text"), 4).as("sig_arr"),
         count(lit(1)).as("n_docs"))
+      // flat string signature: array columns don't survive every
+      // downstream consumer (the gate's pandas sort chokes on ndarrays)
+      .select(col("source"), concat_ws(",", col("sig_arr")).as("sig"), col("n_docs"))
       .orderBy("source")
 
   /** Exact dedup: group identical texts by md5, keep the min doc_id. */

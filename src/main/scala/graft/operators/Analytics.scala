@@ -10,18 +10,26 @@ import graft.Tables
   * declaratively so Catalyst handles pushdown/pruning/join selection.
   *
   * Oracle-parity conventions (see SURVEY.md §6):
-  *  - money sums go through DECIMAL so the result is independent of
-  *    partition/summation order (double sums are not associative);
+  *  - money crosses the compare boundary as BIGINT integer scaled
+  *    units (cents), never DECIMAL: per-row exact decimal → long,
+  *    then integer sums (associative, engine-exact, hash-portable);
   *  - every integer output is LongType (DuckDB row_number/len are
   *    BIGINT, DuckDB sum(int) is HUGEINT — cast both sides);
   *  - every result has a total order.
   */
 object Analytics {
 
-  /** Cast a money expression to an exact decimal per row, sum exactly,
-    * and present at the given scale — deterministic at any parallelism. */
-  private def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(18,$scale)")
+  /** Money at the compare boundary: per-row exact decimal scaled to
+    * integer units (cents at scale 2), as BIGINT. Integer sums are
+    * associative and engine-exact; DECIMAL reprs are not portable
+    * across the result-hash boundary (trailing-zero/float-coercion
+    * differences), so no query ships a DECIMAL output column. */
+  private def cents(c: Column, scale: Int): Column =
+    (c.cast(s"decimal(18,$scale)") * lit(math.pow(10, scale).toLong)).cast("long")
+
+  /** Exact money sum in integer scaled units — deterministic at any
+    * parallelism (per-row exact decimal → long, then integer sum). */
+  private def csum(c: Column, scale: Int): Column = sum(cents(c, scale))
 
   /** TPC-H Q1: pricing summary report. 8 aggregates, group by flags. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
@@ -29,32 +37,35 @@ object Analytics {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity"), 2).as("sum_qty"),
-        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        csum(col("l_quantity"), 2).as("sum_qty"),
+        csum(col("l_extendedprice"), 2).as("sum_base_price"),
+        csum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        csum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** TPC-H Q3: shipping priority — customer ⋈ orders ⋈ lineitem,
-    * revenue per order, top 10. Customer side is broadcast (dim-sized
-    * after the segment filter). */
+    * revenue per order, top 10. The customer side is NOT broadcast-
+    * hinted: customer is fact-sized (grows with SF), so a forced hint
+    * would OOM at 100×; AQE broadcasts it at small SF on its own and
+    * falls back to shuffle join at scale. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .agg(csum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
   }
 
   /** TPC-H Q5-shaped: revenue by nation for one region+year.
-    * All dims (nation/region/supplier/customer) broadcast; only the
-    * fact-fact lineitem⋈orders join shuffles. */
+    * Only the truly fixed-size dims (nation/region) carry broadcast
+    * hints; customer/supplier scale with the data, so their join
+    * strategy is left to AQE (broadcast at small SF, shuffle at 100×). */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
@@ -65,13 +76,13 @@ object Analytics {
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
-                             col("c_nationkey") === col("s_nationkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .agg(csum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -83,7 +94,7 @@ object Analytics {
               col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
               col("l_discount").between(0.03, 0.07) &&
               col("l_quantity") < 24)
-      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+      .agg(csum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
   }
 
   /** Window functions: per-supplier running quantity + row numbers. */
@@ -94,9 +105,9 @@ object Analytics {
     li.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).cast("long").as("rn"),
-        sum(col("l_quantity").cast("decimal(18,2)"))
+        sum(cents(col("l_quantity"), 2))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("decimal(18,2)").as("running_qty"))
+          .as("running_qty"))
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
@@ -106,7 +117,7 @@ object Analytics {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     ord.select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        cents(col("o_totalprice"), 2).as("price"),
         row_number().over(w).cast("long").as("rk"))
       .filter(col("rk") <= 3)
       .orderBy(col("o_custkey"), col("rk"))
@@ -117,7 +128,7 @@ object Analytics {
     Tables.orders(spark, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-           dsum(col("o_totalprice"), 2).as("total"))
+           csum(col("o_totalprice"), 2).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
                col("o_orderpriority").asc_nulls_first)
   }
@@ -146,7 +157,8 @@ object Analytics {
   def qCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
     spark.sql(
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
         |FROM orders_v o
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
         |      (SELECT COUNT(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
@@ -174,7 +186,7 @@ object Analytics {
   def qTopkNative(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
+        cents(col("o_totalprice"), 2).as("price"))
     graft.plans.TopKPerKey.topKPerKey(ord,
         Seq("o_custkey"),
         Seq("price" -> false, "o_orderkey" -> true), 3)
@@ -191,7 +203,7 @@ object Analytics {
       .select(col("c_custkey"), col("c_name"))
     val totals = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(dsum(col("o_totalprice"), 2).as("total"))
+      .agg(csum(col("o_totalprice"), 2).as("total"))
     cust.join(totals, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("total"))
       .orderBy(coalesce(col("c_custkey"), col("o_custkey")),
@@ -207,8 +219,7 @@ object Analytics {
       .rangeBetween(-3600000000L, 0L)
     e.select(col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("cnt_1h"),
-        sum(col("value").cast("decimal(18,2)")).over(w)
-          .cast("decimal(18,2)").as("sum_1h"))
+        sum(cents(col("value"), 2)).over(w).as("sum_1h"))
       .orderBy("user_id", "event_id")
   }
 
@@ -218,10 +229,10 @@ object Analytics {
   def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("decimal(18,2)").as("qty"))
+        cents(col("l_quantity"), 2).as("qty"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("l_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("total"))
+        cents(col("o_totalprice"), 2).as("total"))
     Skew.saltedJoin(li, ord, "l_orderkey", 8)
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -261,7 +272,7 @@ object Analytics {
       .unpivot(Array(col("p_partkey")),
         Array(col("size_v"), col("price_v")), "attr", "val")
       .select(col("p_partkey"), col("attr"),
-        col("val").cast("decimal(18,2)").as("val"))
+        cents(col("val"), 2).as("val"))
       .orderBy("p_partkey", "attr")
   }
 
@@ -285,13 +296,18 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
-  /** Approximate distinct (HLL) vs exact — rows-only oracle (HLL is
-    * engine-specific); the spec asserts the estimate is within 5%. */
+  /** Approximate distinct (HLL) vs exact. The estimate itself is
+    * engine-specific, but the CONTRACT is not: the output folds the
+    * HLL value into a deterministic accuracy bit (within 5% of exact),
+    * which any engine can oracle-check. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
            countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
+          .cast("long").as("within_5pct"))
       .orderBy(col("l_returnflag"))
   }
 }

@@ -23,14 +23,18 @@ object Streams {
 
   private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
 
+  /** value in integer cents (exact per-row decimal → long): money never
+    * crosses the compare boundary as DECIMAL (hash-portability). */
+  private def valueCents =
+    expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
   /** 5-minute tumbling window count/sum per event_type (batch form). */
   def windowAggBatch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .selectExpr("timestamp_seconds((unix_seconds(ts) DIV 300) * 300) AS ws",
         "event_type", "value")
       .groupBy(col("ws"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("sum_value"))
       .select(ntz(col("ws")).as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
@@ -39,8 +43,7 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("sum_value"))
       .select(ntz(col("window.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 

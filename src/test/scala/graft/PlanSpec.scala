@@ -37,11 +37,21 @@ class PlanSpec extends AnyFunSuite {
       s"cosinesim not inside a codegen stage:\n$plan")
   }
 
-  test("q3/q5 broadcast their dimension sides") {
-    Seq(Analytics.q3ShippingPriority _, Analytics.q5LocalSupplier _).foreach { q =>
-      val plan = q(spark, sf).queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n${plan.take(2000)}")
+  test("q5 broadcasts fixed-size dims only; fact-sized sides carry no hint") {
+    // nation/region are truly bounded → hinted broadcast; customer and
+    // supplier grow with SF, so a forced hint would OOM at 100× — their
+    // strategy must be left to AQE (no ResolvedHint in the plan).
+    val q5 = Analytics.q5LocalSupplier(spark, sf)
+    assert(q5.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "nation/region hints should produce at least one broadcast join")
+    val hinted5 = q5.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
+    assert(hinted5.size == 2, s"q5 must hint exactly nation+region, got ${hinted5.size}")
+    val q3Hints = Analytics.q3ShippingPriority(spark, sf).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(q3Hints.isEmpty, "q3 must not force-broadcast the fact-sized customer table")
   }
 
   test("ANN brute force broadcasts the query set, not the corpus") {
