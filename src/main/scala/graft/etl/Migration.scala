@@ -1,9 +1,12 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sources.Sources
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 /** The reference's whole program as one composed operation
   * (DBImportPipeline.java:69-165): enumerate tables, apply the
@@ -20,25 +23,43 @@ object Migration {
   def runImport(spark: SparkSession, dir: String, configJson: String,
                 outBase: String, dataset: String = "imported"): DataFrame = {
     import spark.implicits._
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val cfgs = DlpConfig.parse(configJson).map(c => c.tableName -> c).toMap
-    val rows = Tables.all.map { t =>
-      val raw = Tables.load(spark, dir, t)
-      val cfg = cfgs.get(t)
-      // dead-letter validation applies to the event stream (the only
-      // table with a validity rule — mirrors the reference routing
-      // failed rows rather than failing the import)
-      val (ok, nDead) =
-        if (t == "events") {
-          val routed = Ingest.deadLetterRoute(raw)
-          val dead = routed.filter(col("status") === "dead")
-          Sources.writeWarehouse(dead.drop("status"), outBase, dataset, s"${t}_dead_letter", "WRITE_TRUNCATE")
-          val okIds = routed.filter(col("status") === "ok").select("event_id")
-          (raw.join(okIds, "event_id"), routed.filter(col("status") === "dead").count())
-        } else (raw, 0L)
-      val deid = DlpConfig.applyTable(ok, cfg)
-      Sources.writeWarehouse(deid, outBase, dataset, t, "WRITE_TRUNCATE")
-      (t, deid.count(), if (cfg.isDefined) 1L else 0L, nDead)
+    // Tables are independent import jobs: submit them concurrently
+    // (Spark schedules stages from many threads; on a cluster this is
+    // what keeps 1000 executors busy while one table's scan trickles).
+    // Row counts ride the write itself via observe() — a second
+    // count() action would recompute the whole de-id pipeline.
+    val futures = Tables.all.map { t =>
+      Future {
+        val raw = Tables.load(spark, dir, t)
+        val cfg = cfgs.get(t)
+        // dead-letter validation applies to the event stream (the only
+        // table with a validity rule — mirrors the reference routing
+        // failed rows rather than failing the import)
+        val (ok, nDead, cached) =
+          if (t == "events") {
+            val routed = Ingest.deadLetterRoute(raw)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val deadObs = new Observation(s"mig_dead_$t${System.nanoTime()}")
+            Sources.writeWarehouse(
+              routed.filter(col("status") === "dead").drop("status")
+                .observe(deadObs, count(lit(1)).as("n")),
+              outBase, dataset, s"${t}_dead_letter", "WRITE_TRUNCATE")
+            val okIds = routed.filter(col("status") === "ok").select("event_id")
+            (raw.join(okIds, "event_id"),
+              deadObs.get("n").asInstanceOf[Long], Some(routed))
+          } else (raw, 0L, None)
+        val deid = DlpConfig.applyTable(ok, cfg)
+        val obs = new Observation(s"mig_$t${System.nanoTime()}")
+        Sources.writeWarehouse(deid.observe(obs, count(lit(1)).as("n")),
+          outBase, dataset, t, "WRITE_TRUNCATE")
+        val n = obs.get("n").asInstanceOf[Long]
+        cached.foreach(_.unpersist())
+        (t, n, if (cfg.isDefined) 1L else 0L, nDead)
+      }
     }
+    val rows = Await.result(Future.sequence(futures), Duration.Inf)
     rows.toDF("table_name", "n_rows", "deid_applied", "n_dead")
       .orderBy("table_name")
   }
