@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOf, DlpQueries}
+import graft.operators.{Analytics, AsOf, DlpQueries, SourceQueries}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.sim.Ann
@@ -101,6 +101,15 @@ object SparkEntry {
     "text_normalize" -> TextOps.normalize _,
     "text_ngram_freq" -> TextOps.ngramFreq _,
     "text_vocab" -> TextOps.vocab _,
+    // §2.A/§2.C (round 4): live JDBC path, reid shaping, load retry,
+    // CSV/JSON source round-trips
+    "jdbc_live_extract" -> SourceQueries.jdbcLiveExtract _,
+    "jdbc_pk_catalog" -> SourceQueries.jdbcPkCatalog _,
+    "reid_header_map" -> SourceQueries.reidHeaderMap _,
+    "reid_group_signature" -> SourceQueries.reidGroupSignature _,
+    "load_retry_deadletter" -> SourceQueries.loadRetryDispositions _,
+    "source_csv_roundtrip" -> SourceQueries.csvRoundtrip _,
+    "source_json_roundtrip" -> SourceQueries.jsonRoundtrip _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -694,5 +703,55 @@ object SparkEntry {
         |  CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS fake_width,
         |  CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // §2.A/§2.C (round 4)
+    // jdbc_live_extract: Spark reads rows back out of a live Derby DB
+    // via a partitioned JDBC range scan; the oracle reads the same rows
+    // straight from parquet — equal aggregates prove the DB round-trip.
+    "jdbc_live_extract" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // jdbc_pk_catalog: the DDL is fixed in the query, so the expected
+    // discovery result is a literal table.
+    "jdbc_pk_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('acct', 'id', CAST(0 AS BIGINT)),
+        |  ('order_line', 'order_id,line_no', CAST(0 AS BIGINT)),
+        |  ('raw_log', 'ts,msg,lvl', CAST(1 AS BIGINT))
+        |) t(table_name, pk_cols, pk_inferred) ORDER BY table_name""".stripMargin,
+    "reid_header_map" ->
+      """WITH tok AS (SELECT c_custkey, 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS token FROM customer),
+        |vault AS (SELECT DISTINCT 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS token, c_name AS plaintext FROM customer)
+        |SELECT c_custkey AS customer_id, token, plaintext AS customer_name
+        |FROM tok JOIN vault USING (token) ORDER BY customer_id""".stripMargin,
+    "reid_group_signature" ->
+      """WITH s AS (
+        |  SELECT 'c_custkey,c_name' AS headers, COUNT(*) AS n_rows FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |  UNION ALL
+        |  SELECT 'o_orderkey,o_custkey,o_totalprice', COUNT(*) FROM orders)
+        |SELECT md5(headers) AS signature, headers, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(ceil(n_rows / 500.0) AS BIGINT) AS n_batches
+        |FROM s ORDER BY headers""".stripMargin,
+    "load_retry_deadletter" ->
+      """WITH t AS (SELECT event_id,
+        |  try_cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k,
+        |  substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') AS flaky
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(CASE WHEN k IS NULL OR k >= 80 THEN 1 WHEN flaky THEN 2 ELSE 1 END AS BIGINT) AS attempts,
+        |  CASE WHEN k IS NULL THEN 'dead_letter:malformed_props'
+        |       WHEN k >= 80 THEN 'dead_letter:value_out_of_range'
+        |       WHEN flaky THEN 'loaded_retry' ELSE 'loaded' END AS disposition
+        |FROM t ORDER BY event_id""".stripMargin,
+    "source_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "source_json_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

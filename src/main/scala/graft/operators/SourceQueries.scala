@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{LoadRetry, Reid}
+import graft.sources.{Jdbc, Sources}
+
+/** Pipeline-surface queries added in round 4: the live JDBC extract
+  * path (embedded Derby — the reference's actual ingest loop run for
+  * real), PK-inference catalog, reid output shaping, retry-aware load
+  * dispositions, and CSV/JSON source round-trips.
+  */
+object SourceQueries {
+
+  /** End-to-end live JDBC extract: load the customer table into an
+    * embedded Derby database, read it back through a partitioned
+    * `spark.read.jdbc` range scan on the primary key (8 concurrent
+    * bounded queries — TableToDbRowFn.java:62-137's splits with
+    * sargable predicates), and aggregate. The oracle aggregates the
+    * same rows straight from parquet, so any row lost or mangled in
+    * the DB round-trip fails the hash. */
+  def jdbcLiveExtract(spark: SparkSession, dir: String): DataFrame = {
+    val url = Jdbc.derbyUrl()
+    val cust = Tables.customer(spark, dir)
+    val up = cust.toDF(cust.columns.map(_.toUpperCase).toIndexedSeq: _*)
+    Jdbc.createAndLoad(up, url, "CUSTOMER_SRC",
+      """CREATE TABLE CUSTOMER_SRC (
+        |  C_CUSTKEY BIGINT NOT NULL PRIMARY KEY, C_NAME VARCHAR(64),
+        |  C_NATIONKEY INT, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR(16))""".stripMargin)
+    // split planning is driver-side metadata work, like the
+    // reference's rowCount query (ServerUtil.java:140)
+    val bounds = cust.agg(min("c_custkey"), max("c_custkey")).head()
+    val back = Jdbc.readPartitioned(spark, url, "CUSTOMER_SRC",
+      "C_CUSTKEY", bounds.getLong(0), bounds.getLong(1) + 1, 8)
+    back.groupBy(col("C_MKTSEGMENT").as("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("C_ACCTBAL").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Primary-key discovery from live JDBC metadata, with the
+    * reference's fallback (no declared PK → order by all columns,
+    * ServerUtil.java:233-246): three Derby tables — single-column PK,
+    * composite PK, and no PK at all. */
+  def jdbcPkCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val url = Jdbc.derbyUrl()
+    Jdbc.createTable(url, "ACCT",
+      "CREATE TABLE ACCT (ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(32), BAL DOUBLE)")
+    Jdbc.createTable(url, "ORDER_LINE",
+      """CREATE TABLE ORDER_LINE (ORDER_ID BIGINT NOT NULL, LINE_NO INT NOT NULL,
+        |  QTY DOUBLE, PRIMARY KEY (ORDER_ID, LINE_NO))""".stripMargin)
+    Jdbc.createTable(url, "RAW_LOG",
+      "CREATE TABLE RAW_LOG (TS BIGINT, MSG VARCHAR(64), LVL INT)")
+    val cat = Jdbc.pkCatalog(spark, url, Seq("ACCT", "ORDER_LINE", "RAW_LOG"))
+    cat.select(lower(col("table_name")).as("table_name"),
+        lower(col("pk_cols")).as("pk_cols"), col("pk_inferred"))
+      .orderBy("table_name")
+  }
+
+  /** CreateHeaderMap analog: re-identified output with user-mapped
+    * column names (unmapped columns keep their headers). */
+  def reidHeaderMap(spark: SparkSession, dir: String): DataFrame = {
+    val mapJson =
+      """{"c_custkey": "customer_id", "recovered": "customer_name"}"""
+    Reid.headerMap(DlpQueries.dlpReidentify(spark, dir), mapJson)
+      .orderBy("customer_id")
+  }
+
+  /** Header-signature grouping: three heterogeneous "query results"
+    * (two share a header set and must merge into one signature group)
+    * keyed, counted, and planned into DLP batches of 500. */
+  def reidGroupSignature(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val negative = cust.filter(col("c_acctbal") < 0)
+      .select("c_custkey", "c_name")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Reid.groupBySignature(Seq(building, negative, orders), 500L)
+  }
+
+  /** Per-row final load disposition under the deterministic
+    * transient-failure model (validate → insert → retry →
+    * dead-letter). */
+  def loadRetryDispositions(spark: SparkSession, dir: String): DataFrame =
+    LoadRetry.dispositions(Tables.events(spark, dir))
+
+  /** CSV round-trip: write a projection of orders as CSV, read it back
+    * through the typed CSV source, aggregate. The oracle aggregates
+    * the parquet directly — a row lost/retyped in the CSV codec path
+    * breaks the hash. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val proj = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Sources.writeCsv(proj, out)
+    Sources.readCsv(spark, out, proj.schema)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** JSON round-trip: same contract over the JSON source. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val proj = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    Sources.writeJson(proj, out)
+    Sources.readJson(spark, out, proj.schema)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum((col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("total"))
+      .orderBy("p_brand")
+  }
+}

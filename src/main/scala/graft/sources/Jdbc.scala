@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Live JDBC ingest path, proven end-to-end against an embedded Derby
+  * database (the Derby jars ship with Spark). This is the reference's
+  * core loop made real: schema discovery over JDBC metadata
+  * (ServerUtil.java:103-205 walks INFORMATION_SCHEMA + primary keys),
+  * then a parallel partitioned extract (TableToDbRowFn.java:62-137's
+  * OFFSET/FETCH splits → `spark.read.jdbc` range partitions, which
+  * push `WHERE pk >= lo AND pk < hi` into the database per task).
+  *
+  * Catalog discovery is driver-side by nature (a handful of metadata
+  * round-trips, exactly like the reference's ServerUtil); row data
+  * only ever moves executor-side through the partitioned read.
+  */
+object Jdbc {
+
+  val DriverClass = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** One embedded Derby instance per JVM under java.io.tmpdir; Derby's
+    * log goes there too instead of polluting the cwd. */
+  lazy val defaultDbDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-derby")
+    System.setProperty("derby.stream.error.file",
+      d.resolve("derby.log").toString)
+    d.resolve("db").toString
+  }
+
+  def derbyUrl(dbDir: String = defaultDbDir): String =
+    s"jdbc:derby:$dbDir;create=true"
+
+  def connProps: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", DriverClass)
+    p
+  }
+
+  private def withConn[A](url: String)(f: java.sql.Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** Create a table from explicit DDL (Spark's JDBC writer cannot
+    * declare PRIMARY KEY constraints) and append the rows. Column
+    * names in the DDL are double-quoted lowercase so they match the
+    * identifiers Spark's writer quotes into its INSERT statements. */
+  def createAndLoad(df: DataFrame, url: String, table: String, ddl: String): Unit = {
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () } // first run: no table
+      st.executeUpdate(ddl)
+      st.close()
+    }
+    df.write.mode(SaveMode.Append)
+      .option("driver", DriverClass)
+      .jdbc(url, table, connProps)
+  }
+
+  def createTable(url: String, table: String, ddl: String): Unit =
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () }
+      st.executeUpdate(ddl)
+      st.close()
+    }
+
+  /** Primary-key columns from JDBC metadata, in key-sequence order —
+    * the reference's SqlColumn.getPrimaryKey discovery
+    * (ServerUtil.java:166-205). Empty when the table declares none. */
+  def primaryKeys(url: String, table: String): Seq[String] =
+    withConn(url) { conn =>
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, table.toUpperCase)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    }
+
+  /** All columns in ordinal order (INFORMATION_SCHEMA.COLUMNS analog,
+    * ServerUtil.java:140-165). */
+  def columns(url: String, table: String): Seq[String] =
+    withConn(url) { conn =>
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      while (rs.next()) buf += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
+      rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    }
+
+  /** PK catalog with the reference's fallback: when a table declares
+    * no primary key, order by ALL columns (ServerUtil.java:233-246's
+    * all-column ordering) and flag the inference. */
+  def pkCatalog(spark: SparkSession, url: String, tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tables.map { t =>
+      val pks = primaryKeys(url, t)
+      if (pks.nonEmpty) (t, pks.mkString(","), 0L)
+      else (t, columns(url, t).mkString(","), 1L)
+    }.toDF("table_name", "pk_cols", "pk_inferred").orderBy("table_name")
+  }
+
+  /** Partitioned range read on the primary key — each of the
+    * `numPartitions` tasks runs its own bounded query against the
+    * database, so the extract parallelizes like the reference's
+    * offset splits but with sargable range predicates instead of
+    * OFFSET scans. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+                      pk: String, lower: Long, upper: Long,
+                      numPartitions: Int): DataFrame =
+    spark.read
+      .option("driver", DriverClass)
+      .option("fetchsize", "10000")
+      .jdbc(url, table, pk, lower, upper, numPartitions, connProps)
+}

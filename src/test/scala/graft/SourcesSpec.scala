@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{LoadRetry, Reid}
+import graft.sources.Jdbc
+
+/** Round-4 pipeline surface: live JDBC (embedded Derby), reid output
+  * shaping, and the retrying dead-letter writer. */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("partitioned JDBC read returns every row with the declared parallelism") {
+    val url = Jdbc.derbyUrl()
+    val cust = Tables.customer(spark, sf)
+    val up = cust.toDF(cust.columns.map(_.toUpperCase).toIndexedSeq: _*)
+    Jdbc.createAndLoad(up, url, "CUSTOMER_SPEC",
+      """CREATE TABLE CUSTOMER_SPEC (
+        |  C_CUSTKEY BIGINT NOT NULL PRIMARY KEY, C_NAME VARCHAR(64),
+        |  C_NATIONKEY INT, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR(16))""".stripMargin)
+    val bounds = cust.agg(min("c_custkey"), max("c_custkey")).head()
+    val back = Jdbc.readPartitioned(spark, url, "CUSTOMER_SPEC",
+      "C_CUSTKEY", bounds.getLong(0), bounds.getLong(1) + 1, 4)
+    assert(back.rdd.getNumPartitions == 4, "range read must keep its split plan")
+    assert(back.count() == cust.count(), "no row lost in the DB round-trip")
+    // spot-check a value survives the type mapping both ways
+    val one = back.filter(col("C_CUSTKEY") === bounds.getLong(0)).head()
+    val ref = cust.filter(col("c_custkey") === bounds.getLong(0)).head()
+    assert(one.getString(one.fieldIndex("C_NAME")) == ref.getString(ref.fieldIndex("c_name")))
+    assert(one.getDouble(one.fieldIndex("C_ACCTBAL")) == ref.getDouble(ref.fieldIndex("c_acctbal")))
+  }
+
+  test("primary-key discovery: declared single, declared composite, inferred fallback") {
+    val url = Jdbc.derbyUrl()
+    Jdbc.createTable(url, "PK_ONE",
+      "CREATE TABLE PK_ONE (ID BIGINT NOT NULL PRIMARY KEY, V VARCHAR(8))")
+    Jdbc.createTable(url, "PK_TWO",
+      "CREATE TABLE PK_TWO (A INT NOT NULL, B INT NOT NULL, V VARCHAR(8), PRIMARY KEY (A, B))")
+    Jdbc.createTable(url, "PK_NONE",
+      "CREATE TABLE PK_NONE (X INT, Y INT)")
+    assert(Jdbc.primaryKeys(url, "PK_ONE") == Seq("ID"))
+    assert(Jdbc.primaryKeys(url, "PK_TWO") == Seq("A", "B"))
+    assert(Jdbc.primaryKeys(url, "PK_NONE").isEmpty)
+    val cat = Jdbc.pkCatalog(spark, url, Seq("PK_ONE", "PK_TWO", "PK_NONE"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(cat.contains(("PK_TWO", "A,B", 0L)))
+    assert(cat.contains(("PK_NONE", "X,Y", 1L)), "no PK -> all-columns fallback, flagged")
+  }
+
+  test("headerMap renames mapped columns, passes unmapped through, ignores absent") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x")).toDF("id", "tok", "name")
+    val out = Reid.headerMap(df, """{"id": "row_id", "name": "full_name", "ghost": "g"}""")
+    assert(out.columns.toSeq == Seq("row_id", "tok", "full_name"))
+  }
+
+  test("groupBySignature merges equal header sets and plans batches") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((3L, "z")).toDF("k", "v")
+    val c = Seq((1L, 2L, 3L)).toDF("p", "q", "r")
+    val rows = Reid.groupBySignature(Seq(a, b, c), 2L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("k,v", 3L, 2L), ("p,q,r", 1L, 1L)))
+  }
+
+  test("writeWithRetry: transient failure retried to success, poison dead-lettered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retry").toString
+    val events = Tables.events(spark, sf)
+    val nDead = graft.etl.Ingest.deadLetterRoute(events)
+      .filter(col("status") === "dead").count()
+    var calls = 0
+    LoadRetry.writeWithRetry(events, s"$dir/dead", maxAttempts = 3) { ok =>
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient 503")
+      ok.write.mode("overwrite").parquet(s"$dir/ok")
+    }
+    assert(calls == 2, "first attempt fails, second succeeds")
+    val okRows = spark.read.parquet(s"$dir/ok").count()
+    assert(okRows == events.count() - nDead)
+    assert(spark.read.parquet(s"$dir/dead").count() == nDead)
+  }
+
+  test("writeWithRetry: exhausted retries dead-letter the batch, never throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retry2").toString
+    val events = Tables.events(spark, sf).limit(50)
+    var calls = 0
+    LoadRetry.writeWithRetry(events, s"$dir/dead", maxAttempts = 2) { _ =>
+      calls += 1; throw new RuntimeException("permanent outage")
+    }
+    assert(calls == 2)
+    val dead = spark.read.parquet(s"$dir/dead")
+    assert(dead.filter(col("reason") === "retry_exhausted").count() > 0)
+  }
+}
