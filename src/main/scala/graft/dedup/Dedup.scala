@@ -117,31 +117,55 @@ object Dedup {
   /** Blocked n-gram Jaccard: candidates share a 32-char length bucket
     * (cheap blocking key), verified on distinct word-3-gram Jaccard
     * ≥ 0.5. Pairs that straddle a bucket boundary are missed — the
-    * standard recall/cost tradeoff of length blocking. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * standard recall/cost tradeoff of length blocking.
+    *
+    * Scale shape: candidate pairs come from an inverted-index
+    * equality join on gram hashes, with a document-frequency cap —
+    * a gram shared by k docs in a bucket emits k(k−1)/2 join rows, so
+    * one stop-gram would go quadratic at corpus scale. Grams with
+    * per-bucket df > `maxGramDf` are dropped from the INDEX ONLY
+    * (they carry no discriminative Jaccard signal); surviving
+    * candidates are verified on their full exact gram sets, so the
+    * cap bounds the join fan-out at O(maxGramDf²) rows per gram
+    * without ever changing a reported score. Testdata max df is 9, so
+    * the default cap of 64 is exact here; at 100 TB it is the knob
+    * that keeps the self-join bounded (recall loss only for pairs
+    * whose EVERY shared gram is corpus-hot — such pairs are
+    * boilerplate, not near-dups). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(spark, dir, maxGramDf = 64)
+
+  def ngramJaccard(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame = {
     val d = Tables.documents(spark, dir)
       .selectExpr("doc_id", "n_chars DIV 32 AS lb")
-    // Inverted-index join: explode shingles and equality-join on the
-    // shingle itself, so only pairs sharing ≥1 gram are ever
-    // materialized (|∩| arrives as a codegen'd count, |∪| = na+nb−|∩|).
-    // Pairs with zero common grams have jacc 0 and can't pass the
-    // threshold, so this is result-identical to the all-pairs form but
-    // never builds the quadratic candidate set.
     // join on a 64-bit hash of the gram, not the gram string: ~5×
     // smaller shuffle keys; a collision would need two distinct grams
     // in the same length bucket at the same hash (~2⁻⁶⁴ per pair).
-    val x = gramsDf(spark, dir)
-      .join(d, "doc_id")
-      .selectExpr("doc_id", "lb", "CAST(size(grams) AS BIGINT) AS sz", "explode(grams) AS gram")
-      .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
+    val g = gramsDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val x = g.join(d, "doc_id")
+      .selectExpr("doc_id", "lb", "explode(grams) AS gram")
+      .selectExpr("doc_id", "lb", "xxhash64(gram) AS gh")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    x.as("a").join(x.as("b"),
+    // df-capped index: the count shuffle and the join-back share the
+    // (gh, lb) key, so AQE keeps them co-partitioned — no extra pass
+    // over the corpus.
+    val keep = x.groupBy(col("gh"), col("lb"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxGramDf)
+      .select("gh", "lb")
+    val xc = x.join(keep, Seq("gh", "lb"))
+    val cand = xc.as("a").join(xc.as("b"),
         col("a.gh") === col("b.gh") && col("a.lb") === col("b.lb") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
-      .agg(count(lit(1)).as("c"))
-      .selectExpr("doc_a", "doc_b", "ROUND(c / (sza + szb - c), 4) AS jacc")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the candidates only (scores never depend
+    // on the cap)
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
       .filter(col("jacc") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }

@@ -57,46 +57,93 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** Cap on distinct keys held as in-memory heaps per partition.
+    * Heap state is O(keys·k); past the cap the operator degrades to a
+    * spill-capable external sort (Spark-managed memory) instead of
+    * OOMing on high-cardinality keys — same results, bounded heap. */
+  private def maxKeysInMemory: Int =
+    conf.getConfString("graft.topk.maxKeysInMemory", (1 << 20).toString).toInt
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val ks = keys
     val so = order
     val kk = k
     val rank = rankAttr
+    val maxKeys = maxKeysInMemory
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(ks, childOutput)
       val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .create(so, childOutput)
-      // per key: bounded heap of the k best rows (worst-of-the-best on top)
+      // per key: bounded heap of the k best rows (worst-of-the-best on
+      // top). A row rejected by a full heap is beaten by k better rows
+      // already seen, so it can never enter the true top-k — discarding
+      // it is safe even if we later degrade to the sort path.
       val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
       val reverseOrd = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
-      while (iter.hasNext) {
+      var overflowRow: InternalRow = null
+      while (overflowRow == null && iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row).copy()
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverseOrd)
-          heaps.put(key, heap)
+          if (heaps.size() >= maxKeys) {
+            overflowRow = row.copy() // degrade; this row joins the sort
+          } else {
+            heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverseOrd)
+            heaps.put(key, heap)
+          }
         }
-        if (heap.size() < kk) {
-          heap.add(row.copy())
-        } else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap != null) {
+          if (heap.size() < kk) {
+            heap.add(row.copy())
+          } else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
         }
       }
       val outProj = UnsafeProjection.create(childOutput :+ rank, childOutput :+ rank)
       val joined = new JoinedRow
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap { heap =>
-        val arr = heap.toArray(new Array[InternalRow](heap.size()))
-        java.util.Arrays.sort(arr, ord)
-        arr.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.update(0, (i + 1).toLong)
-          outProj(joined(r, rankRow))
+      if (overflowRow == null) {
+        heaps.values().asScala.iterator.flatMap { heap =>
+          val arr = heap.toArray(new Array[InternalRow](heap.size()))
+          java.util.Arrays.sort(arr, ord)
+          arr.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, (i + 1).toLong)
+            outProj(joined(r, rankRow))
+          }
+        }
+      } else {
+        // Sort-based fallback: surviving heap rows (top-k-so-far per
+        // seen key) plus every not-yet-consumed row go through Spark's
+        // spillable ExternalSorter ordered by (key, order); the sorted
+        // stream is then a single rank-and-emit pass with O(1) state.
+        val keySortOrders = ks.map(kE =>
+          SortOrder(kE, org.apache.spark.sql.catalyst.expressions.Ascending))
+        val fullOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .create(keySortOrders ++ so, childOutput)
+        val pending =
+          heaps.values().asScala.iterator.flatMap(_.iterator().asScala) ++
+          Iterator.single(overflowRow) ++ iter.map(_.copy())
+        val sorted = org.apache.spark.sql.GraftInternal
+          .externalSortRows(pending, fullOrd)
+        var curKey: InternalRow = null
+        var curRank = 0L
+        sorted.flatMap { r =>
+          val key = keyProj(r)
+          if (curKey == null || !curKey.equals(key)) {
+            curKey = key.copy(); curRank = 0L
+          }
+          curRank += 1
+          if (curRank <= kk) {
+            rankRow.update(0, curRank)
+            Iterator.single(outProj(joined(r, rankRow)))
+          } else Iterator.empty
         }
       }
     }

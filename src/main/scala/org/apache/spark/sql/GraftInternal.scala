@@ -28,4 +28,23 @@ object GraftInternal {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Spill-capable sort of a task's rows through Spark's
+    * ExternalSorter (the machinery behind sortByKey): rows are
+    * buffered in execution memory and spilled to disk under pressure,
+    * so the caller never pins an unbounded partition on the heap.
+    * Rows must already be defensive copies. The sorter's buffers are
+    * released on task completion. */
+  def externalSortRows(
+      iter: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      ord: Ordering[org.apache.spark.sql.catalyst.InternalRow])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val context = org.apache.spark.TaskContext.get()
+    val sorter = new org.apache.spark.util.collection.ExternalSorter[
+      org.apache.spark.sql.catalyst.InternalRow, Null, Null](
+      context, None, None, Some(ord))
+    sorter.insertAll(iter.map(r => (r, null)))
+    context.addTaskCompletionListener[Unit](_ => sorter.stop())
+    sorter.iterator.map(_._1)
+  }
 }

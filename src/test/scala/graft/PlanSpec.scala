@@ -105,6 +105,21 @@ class PlanSpec extends AnyFunSuite {
       window.collect().toSeq.map(_.toString).sorted)
   }
 
+  test("TopKPerKeyExec overflow fallback (external sort) matches the heap path") {
+    // cap the in-memory heap map at 2 keys: orders has ~hundreds of
+    // customers per partition, so every partition takes the spillable
+    // sort path — results must be identical to the unbounded heap form
+    val key = "graft.topk.maxKeysInMemory"
+    spark.conf.set(key, "2")
+    try {
+      val capped = Analytics.qTopkNative(spark, sf).collect().toSeq.map(_.toString).sorted
+      spark.conf.unset(key)
+      val heap = Analytics.qTopkNative(spark, sf).collect().toSeq.map(_.toString).sorted
+      assert(capped == heap, "sort fallback must be result-identical")
+      assert(capped.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
     val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

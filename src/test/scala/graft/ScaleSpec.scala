@@ -22,6 +22,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ngramJaccard: df cap bounds index fan-out without changing scores") {
+    import spark.implicits._
+    // two true near-dups sharing rare grams, plus many docs sharing
+    // one stop-phrase ("x y z" gram) that would otherwise fan out k²
+    val nearDupA = "alpha beta gamma delta epsilon zeta"
+    val nearDupB = "alpha beta gamma delta epsilon eta!"
+    val boiler = (0 until 20).map(i => s"x y z filler$i%02d pad words here".take(34))
+    val docs = (Seq(nearDupA, nearDupB) ++ boiler).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // cap 4 drops the shared stop-gram "x y z" (df=20) from the index;
+    // the true pair must still be found with its exact score
+    val capped = graft.dedup.Dedup.ngramJaccard(spark, dir, maxGramDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((0L, 1L)), s"expected only the true near-dup pair, got $capped")
+    // uncapped finds the same pairs here (boilerplate shares 1 gram of
+    // ~5 → jacc « 0.5), proving the cap only pruned the index
+    val uncapped = graft.dedup.Dedup.ngramJaccard(spark, dir, maxGramDf = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(uncapped == capped)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
     val s2 = spark.newSession()
