@@ -104,6 +104,10 @@ object SparkEntry {
     // §2.A/§2.C (round 4): live JDBC path, reid shaping, load retry,
     // CSV/JSON source round-trips
     "jdbc_live_extract" -> SourceQueries.jdbcLiveExtract _,
+    // §2.D/E/G (round 4): interval join, dedup components, repetition
+    "q_range_join" -> Analytics.qRangeJoin _,
+    "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
+    "text_repetition" -> TextOps.repetition _,
     "jdbc_pk_catalog" -> SourceQueries.jdbcPkCatalog _,
     "reid_header_map" -> SourceQueries.reidHeaderMap _,
     "reid_group_signature" -> SourceQueries.reidGroupSignature _,
@@ -703,6 +707,55 @@ object SparkEntry {
         |  CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS fake_width,
         |  CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // §2.D (round 4): bucketed interval join — oracle is the direct
+    // inequality join DuckDB plans natively.
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT event_id AS purchase_id, us AS lo, us + 1800000000 AS hi
+        |      FROM e WHERE event_type = 'purchase' AND value >= 95),
+        |c AS (SELECT event_id AS click_id, us FROM e WHERE event_type = 'click'),
+        |j AS (SELECT purchase_id, COUNT(click_id) AS n_clicks
+        |      FROM w LEFT JOIN c ON c.us >= w.lo AND c.us < w.hi
+        |      GROUP BY purchase_id)
+        |SELECT purchase_id, CAST(n_clicks AS BIGINT) AS n_clicks
+        |FROM j ORDER BY purchase_id""".stripMargin,
+    // §2.E (round 4): connected components via recursive reachability
+    // (min label over everything reachable through verified near-dup
+    // pairs) — an independent formulation of the same fixpoint.
+    "dedup_components" ->
+      (s"""WITH RECURSIVE $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jacc >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
+         |comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp)
+         |SELECT c.doc_id, c.comp, s.n_members
+         |FROM comp c JOIN sizes s USING (comp) ORDER BY doc_id""".stripMargin),
+    // §2.G (round 4): Gopher-style repetition filters.
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w, list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+        |  i -> concat_ws(' ', w[i], w[i+1])) AS bg FROM t)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST((len(w) - len(list_distinct(w))) * 10000 // len(w) AS BIGINT) AS dup_word_bp,
+        |  CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) * 10000 // len(w) AS BIGINT) AS top_word_bp,
+        |  CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) * 10000 // len(bg) AS BIGINT) AS top_bigram_bp
+        |FROM b ORDER BY doc_id""".stripMargin,
     // §2.A/§2.C (round 4)
     // jdbc_live_extract: Spark reads rows back out of a live Derby DB
     // via a partitioned JDBC range scan; the oracle reads the same rows

@@ -101,6 +101,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over the near-dup pair graph: the dedup
+    * policy a production pipeline actually needs (keep-min-per-PAIR
+    * under-removes when A~B and B~C but A!~C — the component, not the
+    * pair, is the duplicate group). Iterative min-label propagation
+    * (the standard Pregel/GraphX connected-components algorithm):
+    * every doc starts labeled with itself; each round, labels flow
+    * across edges and each doc keeps the minimum seen; fixpoint in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * this is 2-4 distributed joins, all co-partitioned on doc_id.
+    * localCheckpoint per round truncates the growing lineage (the
+    * scale requirement for any iterative Spark algorithm); the
+    * driver-side loop moves only a convergence counter, never rows. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    componentsFromPairs(
+      Tables.documents(spark, dir).select("doc_id"),
+      minhashPairs(spark, dir).select("doc_a", "doc_b"))
+
+  /** The propagation core, parameterized on the node set and the
+    * undirected pair list (doc_a, doc_b). */
+  def componentsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      rounds += 1
+      val msgs = edges.join(
+          labels.select(col("doc_id").as("src"), col("comp")), "src")
+        .select(col("dst").as("doc_id"), col("comp"))
+      val next = labels.unionAll(msgs)
+        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
+        .filter(col("comp") < col("old")).count()
+      labels = next
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   /** 16-bit SimHash over the word stream (majority vote per md5
     * nibble), plus its 12-bit bucket prefix for blocking. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {

@@ -296,6 +296,37 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Pure interval join — NO equality key, the case Spark would plan
+    * as a broadcast-nested-loop: every high-value purchase opens a
+    * 30-minute window; count the clicks (any user) landing inside it.
+    * Re-expressed as an equality join by time-bucketing: the bucket
+    * width equals the window length, so each window overlaps at most 2
+    * buckets (one explode row each) and each point belongs to exactly
+    * 1 — the O(n·m) loop becomes a shuffle join on bucket ids with a
+    * residual range predicate, which scales linearly and AQE-balances.
+    * Windows with zero clicks survive via the final left join. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1800000000L // 30 min in micros = bucket width
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val wins = e.filter(col("event_type") === "purchase" && col("value") >= 95)
+      .select(col("event_id").as("purchase_id"), col("us").as("lo"),
+        (col("us") + W).as("hi"))
+    val winBuckets = wins.selectExpr("purchase_id", "lo", "hi",
+      s"explode(sequence(lo DIV ${W}L, (hi - 1) DIV ${W}L)) AS bk")
+    val clicks = e.filter(col("event_type") === "click")
+      .selectExpr("event_id AS click_id", "us", s"us DIV ${W}L AS bk")
+    val counted = winBuckets.join(clicks, "bk")
+      .filter(col("us") >= col("lo") && col("us") < col("hi"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    wins.select("purchase_id")
+      .join(counted, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("purchase_id")
+  }
+
   /** Approximate distinct (HLL) vs exact. The estimate itself is
     * engine-specific, but the CONTRACT is not: the output folds the
     * HLL value into a deterministic accuracy bit (within 5% of exact),

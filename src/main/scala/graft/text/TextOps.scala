@@ -112,6 +112,29 @@ object TextOps {
       .limit(200)
   }
 
+  /** Repetition filters in integer basis points (the Gopher quality
+    * rules — Rae et al., "Scaling Language Models: Methods, Analysis &
+    * Insights from Training Gopher", 2021, §A1.3: duplicate-line and
+    * top-n-gram fractions; word-level here since the corpus is
+    * single-line):
+    *  - dup_word_bp: fraction of tokens that repeat an earlier token;
+    *  - top_word_bp: share of the most frequent token;
+    *  - top_bigram_bp: share of the most frequent bigram.
+    * All per-row higher-order functions — no shuffle, no UDF; a 100 TB
+    * corpus filters in one codegen'd scan. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .selectExpr("doc_id", "w",
+        "transform(sequence(1, greatest(size(w) - 1, 1)), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) AS bg")
+      .selectExpr("doc_id",
+        "CAST(size(w) AS BIGINT) AS n_words",
+        "CAST((size(w) - size(array_distinct(w))) * 10000 DIV size(w) AS BIGINT) AS dup_word_bp",
+        "CAST(array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x)))) * 10000 DIV size(w) AS BIGINT) AS top_word_bp",
+        "CAST(array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) * 10000 DIV size(bg) AS BIGINT) AS top_bigram_bp")
+      .orderBy("doc_id")
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace runs, trim — the first stage of every
     * dedup/quality pipeline (normalize before hashing). */

@@ -46,6 +46,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(uncapped == capped)
   }
 
+  test("components: transitive chains collapse to one group, min-label id") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3, but NOT 1~3), pair 7-9, singletons 5, 8
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = graft.dedup.Dedup.componentsFromPairs(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (5L, 5L, 1L), (7L, 7L, 2L), (8L, 8L, 1L), (9L, 7L, 2L)))
+  }
+
+  test("bucketed range join is result-identical to the direct interval join") {
+    val e = Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type", "value", "unix_micros(ts) AS us")
+    val w = e.filter(col("event_type") === "purchase" && col("value") >= 95)
+      .selectExpr("event_id AS purchase_id", "us AS lo", "us + 1800000000 AS hi")
+    val c = e.filter(col("event_type") === "click")
+      .selectExpr("event_id AS click_id", "us")
+    val direct = w.join(c, col("us") >= col("lo") && col("us") < col("hi"), "left")
+      .groupBy("purchase_id")
+      .agg(count(col("click_id")).as("n_clicks"))
+      .orderBy("purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bucketed = graft.operators.Analytics.qRangeJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bucketed == direct)
+    assert(bucketed.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
     val s2 = spark.newSession()
