@@ -184,36 +184,51 @@ object Dedup {
     ngramJaccard(spark, dir, maxGramDf = 64)
 
   def ngramJaccard(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "n_chars DIV 32 AS lb")
-    // join on a 64-bit hash of the gram, not the gram string: ~5×
+    // index on a 64-bit hash of the gram, not the gram string: ~5×
     // smaller shuffle keys; a collision would need two distinct grams
     // in the same length bucket at the same hash (~2⁻⁶⁴ per pair).
-    val g = gramsDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val x = g.join(d, "doc_id")
-      .selectExpr("doc_id", "lb", "explode(grams) AS gram")
-      .selectExpr("doc_id", "lb", "xxhash64(gram) AS gh")
+    // explode_outer, not explode: the inner form makes the optimizer
+    // infer a size(grams)>0 pre-filter that re-expands the WordNGrams
+    // alias — doubling the dominant per-row cost; grams is never
+    // empty, so the outer form is identical and single-evaluation.
+    // Every downstream step works on this FLAT (all-long) index —
+    // array columns never enter a join or a cache: array<string>
+    // payloads fall out of whole-stage codegen and make broadcast /
+    // shuffle sides pay seconds of serialization.
+    val x = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "n_chars DIV 32 AS lb", "split(text, ' ') AS w")
+      .select(col("doc_id"), col("lb"),
+        graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
+      .selectExpr("doc_id", "lb", "CAST(size(grams) AS BIGINT) AS sz",
+        "explode_outer(grams) AS gram")
+      .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // df-capped index: the count shuffle and the join-back share the
-    // (gh, lb) key, so AQE keeps them co-partitioned — no extra pass
-    // over the corpus.
-    val keep = x.groupBy(col("gh"), col("lb"))
-      .agg(count(lit(1)).as("df"))
+    // inverted index: ONE exchange builds the per-gram posting list
+    // (partial-aggregated map-side); candidate pairs are emitted from
+    // each capped list by a double explode — max cap·(cap−1)/2
+    // surviving pairs per gram, no self-join, no second corpus pass.
+    // (Deliberately NOT a nested-lambda pair expression: deep lambda
+    // trees cost seconds of driver-side canonicalization per query.)
+    val byGram = x.groupBy(col("gh"), col("lb"))
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
       .filter(col("df") <= maxGramDf)
-      .select("gh", "lb")
-    val xc = x.join(keep, Seq("gh", "lb"))
-    val cand = xc.as("a").join(xc.as("b"),
-        col("a.gh") === col("b.gh") && col("a.lb") === col("b.lb") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select("docs")
+    val cand = byGram
+      .select(explode_outer(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode_outer(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
     // exact verification on the candidates only (scores never depend
-    // on the cap)
-    cand
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
-      .selectExpr("doc_a", "doc_b",
-        "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
+    // on the cap): re-join the UNCAPPED flat index per side and count
+    // shared gram hashes — |∩| = c, |∪| = sza + szb − c. Long-only
+    // join keys and payloads, codegen end to end.
+    val xa = x.select(col("doc_id").as("doc_a"), col("gh"), col("sz").as("sza"))
+    val xb = x.select(col("doc_id").as("doc_b"), col("gh"), col("sz").as("szb"))
+    cand.join(xa, "doc_a")
+      .join(xb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"), max(col("sza")).as("sza"), max(col("szb")).as("szb"))
+      .selectExpr("doc_a", "doc_b", "ROUND(c / (sza + szb - c), 4) AS jacc")
       .filter(col("jacc") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }

@@ -38,22 +38,25 @@ object Ann {
   }
 
   /** IVF probe-2: queries search their top-2 cells (higher recall at
-    * 2× probe cost — the standard IVF recall knob). */
+    * 2× probe cost — the standard IVF recall knob). Cell assignment is
+    * an aggregate over the broadcast-centroid scores (map-side
+    * combinable: the 8 scored rows per vector collapse to one ≤2-cell
+    * list before the exchange), not a per-vector sort window. */
   def ivfTopkProbe2(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c").desc, col("cent_id"))
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("emb"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .withColumn("rn", row_number().over(wAssign))
-    val cells = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
-    val q = ranked.filter(col("rn") <= 2)
-      .filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .groupBy(col("vec_id"), col("emb"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("c")).as("nc"), col("cent_id").as("cid")))), 1, 2).as("top2"))
+    val cells = ranked
+      .select(col("vec_id"), col("emb"), col("top2").getItem(0).getField("cid").as("cell"))
+    val q = ranked.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-        col("cent_id").as("cell"))
+        explode(col("top2")).as("t"))
+      .select(col("query_id"), col("qe"), col("t.cid").as("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("vec_id"))
     cells.join(broadcast(q), Seq("cell"))
