@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOf, DlpQueries, SourceQueries}
+import graft.operators.{Analytics, AsOf, BloomJoin, DlpQueries, SourceQueries}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.sim.Ann
@@ -106,6 +106,11 @@ object SparkEntry {
     "jdbc_live_extract" -> SourceQueries.jdbcLiveExtract _,
     // §2.D/E/G (round 4): interval join, dedup components, repetition
     "q_range_join" -> Analytics.qRangeJoin _,
+    "q_grouping_sets" -> Analytics.qGroupingSets _,
+    "q_ntile" -> Analytics.qNtile _,
+    "q_bloom_join" -> BloomJoin.qBloomJoin _,
+    "dlp_format_preserving" -> DlpQueries.dlpFormatPreserving _,
+    "ingest_partition_pruning" -> SourceQueries.partitionPruning _,
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
     "text_repetition" -> TextOps.repetition _,
     "jdbc_pk_catalog" -> SourceQueries.jdbcPkCatalog _,
@@ -719,6 +724,49 @@ object SparkEntry {
         |      GROUP BY purchase_id)
         |SELECT purchase_id, CAST(n_clicks AS BIGINT) AS n_clicks
         |FROM j ORDER BY purchase_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_ntile" ->
+      """WITH t AS (SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty,
+        |  CAST(ntile(4) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS quartile
+        |  FROM lineitem)
+        |SELECT l_returnflag, quartile, COUNT(*) AS n,
+        |  MIN(qty) AS min_qty, MAX(qty) AS max_qty
+        |FROM t GROUP BY l_returnflag, quartile ORDER BY l_returnflag, quartile""".stripMargin,
+    // q_bloom_join: the bloom sketch is a pre-filter only; the exact
+    // semi join defines the result, so the oracle is the plain EXISTS.
+    "q_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dlp_format_preserving" ->
+      """WITH t AS (SELECT c_custkey,
+        |  '555-867-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone
+        |  FROM customer)
+        |SELECT c_custkey, phone,
+        |  array_to_string(list_transform(range(1, length(phone) + 1), i ->
+        |    CASE WHEN substr(phone, i, 1) BETWEEN '0' AND '9'
+        |      THEN CAST((CAST(substr(phone, i, 1) AS INT) +
+        |                 ascii(substr(md5('fpe-key' || ':' || CAST(i AS VARCHAR)), 1, 1))) % 10 AS VARCHAR)
+        |      ELSE substr(phone, i, 1) END), '') AS fpe_phone
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    "ingest_partition_pruning" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // §2.E (round 4): connected components via recursive reachability
     // (min label over everything reachable through verified near-dup
     // pairs) — an independent formulation of the same fixpoint.

@@ -119,13 +119,17 @@ object Dedup {
       minhashPairs(spark, dir).select("doc_a", "doc_b"))
 
   /** The propagation core, parameterized on the node set and the
-    * undirected pair list (doc_a, doc_b). */
+    * undirected pair list (doc_a, doc_b). Iteration state is the
+    * near-dup SUBGRAPH only — docs that appear in no pair never enter
+    * the loop (their component is trivially themselves and joins back
+    * in at the end), so per-round work is O(|paired docs|) even when
+    * the corpus is 10⁹ docs with a sliver of duplicates. */
   def componentsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
@@ -143,8 +147,10 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "comp")
+    val all = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    val sizes = all.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    all.join(sizes, "comp")
       .select(col("doc_id"), col("comp"), col("n_members"))
       .orderBy("doc_id")
   }

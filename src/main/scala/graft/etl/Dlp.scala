@@ -68,4 +68,23 @@ object Dlp {
     val lo = floor(c / width).cast("long") * width
     concat(lo.cast("string"), lit("_"), (lo + width).cast("string"))
   }
+
+  /** Format-preserving digit substitution (the
+    * CryptoReplaceFfxFpeConfig shape: output keeps the input's
+    * format — digits map to digits, everything else passes through,
+    * length preserved). Each digit is shifted by a key+position-
+    * derived amount, so equal plaintexts tokenize equally and the
+    * token still validates as a phone/account number. Pure codegen'd
+    * expression (per-char higher-order transform, no UDF). */
+  def fpeDigits(c: Column, key: String): Column =
+    expr(
+      s"""array_join(transform(sequence(1, length(${colSql(c)})), i ->
+         |  CASE WHEN substring(${colSql(c)}, i, 1) >= '0' AND substring(${colSql(c)}, i, 1) <= '9'
+         |    THEN CAST((CAST(substring(${colSql(c)}, i, 1) AS INT) +
+         |               ascii(substring(md5(concat('$key', ':', CAST(i AS STRING))), 1, 1))) % 10 AS STRING)
+         |    ELSE substring(${colSql(c)}, i, 1) END), '')""".stripMargin.replace("\n", " "))
+
+  /** Column → SQL text for embedding in expr() (simple named columns
+    * only — the fpe transform is applied to a named column). */
+  private def colSql(c: Column): String = c.toString
 }

@@ -296,6 +296,40 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-status totals,
+    * per-priority totals, and the grand total in one pass — Catalyst
+    * expands to a single partial-aggregated Expand, no re-scan per
+    * set. SQL path (the DataFrame API has no grouping-sets surface). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** NTILE quartiles: per return flag, quantity quartile boundaries
+    * (count, min, max per quartile) over a fully-deterministic order. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    // cents() is monotonic in l_quantity, so ordering by qty is the
+    // same rank order the oracle computes over l_quantity
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_quantity"), 2).as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("qty")).as("min_qty"),
+        max(col("qty")).as("max_qty"))
+      .orderBy("l_returnflag", "quartile")
+  }
+
   /** Pure interval join — NO equality key, the case Spark would plan
     * as a broadcast-nested-loop: every high-value purchase opens a
     * 30-minute window; count the clicks (any user) landing inside it.

@@ -129,6 +129,19 @@ object DlpQueries {
         countDistinct(col("bal_bucket")).as("l_diversity"))
       .orderBy("c_mktsegment", "c_nationkey")
 
+  /** Format-preserving tokenization of the phone column: digits map
+    * to digits, separators survive, length preserved — the output
+    * still *parses* as a phone number (CryptoReplaceFfxFpeConfig's
+    * contract), unlike the opaque TOK_ surrogates. */
+  def dlpFormatPreserving(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        concat(lit("555-867-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")).as("phone"))
+      .select(col("c_custkey"), col("phone"),
+        Dlp.fpeDigits(col("phone"), "fpe-key").as("fpe_phone"))
+      .orderBy("c_custkey")
+
   // ---- §2.A ingest/schema ----
 
   def ingestCatalog(spark: SparkSession, dir: String): DataFrame =

@@ -105,6 +105,30 @@ object SourceQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Partitioned warehouse layout + partition pruning: write orders
+    * partitioned by status (the warehouse layout the reference's
+    * date-partitioned BQ tables imply), then read ONE partition back —
+    * the scan must touch only that directory (PartitionFilters; the
+    * spec asserts it), which is what makes per-status/per-day queries
+    * O(partition) instead of O(table) at 100 TB. */
+  def partitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Sources.writeWarehouse(
+      Tables.orders(spark, dir).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      out, "wh", "orders_part", "WRITE_TRUNCATE", Seq("o_orderstatus"))
+    prunedRead(spark, s"$out/wh/orders_part")
+  }
+
+  /** The pruned read half, reusable by the plan spec. */
+  def prunedRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("total"))
+      .orderBy("o_orderstatus")
+
   /** JSON round-trip: same contract over the JSON source. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-json").toString

@@ -57,8 +57,11 @@ object Jdbc {
       st.executeUpdate(ddl)
       st.close()
     }
-    df.write.mode(SaveMode.Append)
+    // a handful of writer connections with large insert batches beats
+    // one connection per input partition against an embedded DB
+    df.coalesce(4).write.mode(SaveMode.Append)
       .option("driver", DriverClass)
+      .option("batchsize", "10000")
       .jdbc(url, table, connProps)
   }
 

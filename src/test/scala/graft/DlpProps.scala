@@ -44,6 +44,19 @@ object DlpProps extends Properties("Dlp") {
       red.forall(r => !r.contains("@") && !r.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"))
     }
 
+  property("fpeDigits preserves format: digits→digits, rest unchanged, deterministic") =
+    forAll(Gen.listOfN(6, Gen.choose(0, 9999))) { ns =>
+      val inputs = ns.map(n => s"555-867-${"%04d".format(n)}")
+      val out = eval1(inputs, c => Dlp.fpeDigits(c, "fpe-key"))
+      val again = eval1(inputs, c => Dlp.fpeDigits(c, "fpe-key"))
+      out == again && inputs.zip(out).forall { case (in, o) =>
+        o.length == in.length &&
+        in.zip(o).forall { case (a, b) =>
+          if (a.isDigit) b.isDigit else a == b
+        }
+      }
+    }
+
   property("bucketize is monotone and width-consistent") =
     forAll(Gen.listOfN(8, Gen.choose(-10000.0, 10000.0))) { xs =>
       import spark.implicits._

@@ -76,6 +76,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty)
   }
 
+  test("bloom pre-filter: zero false negatives, real selectivity") {
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val trueMatches = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val pre = graft.operators.BloomJoin.preFiltered(spark, sf)
+    // every true match must survive the bloom (no false negatives)
+    assert(trueMatches.join(pre.select("l_orderkey", "l_linenumber"),
+      Seq("l_orderkey", "l_linenumber"), "left_anti").count() == 0)
+    // and the filter must actually drop most non-matching rows
+    assert(pre.count() < li.count() / 2,
+      "bloom pre-filter should be selective on high-value orders")
+  }
+
+  test("partitioned write prunes to one directory on a status filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.sources.Sources.writeWarehouse(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      out, "wh", "orders_part", "WRITE_TRUNCATE", Seq("o_orderstatus"))
+    val q = graft.operators.SourceQueries.prunedRead(spark, s"$out/wh/orders_part")
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("o_orderstatus"),
+      s"partition filter must reach the scan, got: $scan")
+    assert(q.count() == 1)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
     val s2 = spark.newSession()
