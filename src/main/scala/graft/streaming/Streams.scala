@@ -79,7 +79,9 @@ object Streams {
   case class Ev(user_id: Long, event_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         session_start: Long, session_end: Long)
-  private case class SessState(lastUs: Long, sessionId: Long, start: Long, n: Long)
+  // public: the state encoder's generated deserializer instantiates it
+  // reflectively in true streaming mode (private breaks codegen there)
+  case class SessState(lastUs: Long, sessionId: Long, start: Long, n: Long)
 
   /** Streaming sessionization via flatMapGroupsWithState. Each user's
     * state is O(1): last event time + open session accumulator;
@@ -105,6 +107,47 @@ object Streams {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  case class EvT(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  /** Event-time-timeout sessionization: unlike [[sessionizeStreaming]]
+    * (whose open sessions close only when a LATER event from the same
+    * user arrives), state here registers an event-time timeout at
+    * last-event + gap; when the watermark passes it, the session emits
+    * and its state is freed — the property that bounds state size on a
+    * real cluster (idle keys cannot accumulate forever). */
+  def sessionizeStreamingEventTime(events: Dataset[EvT]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              if (st.lastUs == Long.MinValue) {
+                st = SessState(us, 1L, us, 1L)
+              } else if (us - st.lastUs > SessionGapUs) {
+                out += SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs)
+                st = SessState(us, st.sessionId + 1, us, 1L)
+              } else {
+                st = SessState(us, st.sessionId, st.start, st.n + 1)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs / 1000 + SessionGapUs / 1000)
+            out.result().iterator
+          }
       }
   }
 

@@ -62,6 +62,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timeout closes idle sessions via watermark, not new data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.EvT]
+    val q = Streams.sessionizeStreamingEventTime(src.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("et_out").start()
+    // base well past the epoch: the initial watermark is 0, and events
+    // at exactly the watermark are dropped as late
+    val base = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    // user 1: two events 10 min apart, then goes idle forever
+    src.addData(Streams.EvT(1L, 10L, ts(0)), Streams.EvT(1L, 11L, ts(10)),
+      Streams.EvT(2L, 20L, ts(0)))
+    q.processAllAvailable()
+    // user 2 keeps the stream alive 2h later -> watermark passes
+    // user 1's last event + 30min gap -> session must time out
+    src.addData(Streams.EvT(2L, 21L, ts(120)))
+    q.processAllAvailable()
+    src.addData(Streams.EvT(2L, 22L, ts(240))) // extra batch fires timeouts
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("et_out")
+      .select("user_id", "n_events", "session_start", "session_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val u1 = sessions.filter(_._1 == 1L)
+    assert(u1.toSeq == Seq((1L, 2L, base * 1000L, base * 1000L + 10L * 60000000L)),
+      s"user 1's idle session must close by timeout, got ${sessions.toSeq}")
+  }
+
   test("foreachBatch dead-letter sink routes ok/dead to separate dirs") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft-dl").toString
