@@ -94,6 +94,8 @@ object SparkEntry {
     "stream_funnel" -> Streams.funnel _,
     "stream_retention" -> Streams.retention _,
     "stream_event_join" -> Streams.eventJoinBatch _,
+    "stream_latest_state" -> Streams.latestState _,
+    "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
     "mm_frame_sample" -> Multimodal.frameSample _,
@@ -673,6 +675,22 @@ object SparkEntry {
         |FROM c JOIN p USING (user_id)
         |WHERE purchase_us > click_us AND purchase_us <= click_us + 3600000000
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+    "stream_latest_state" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value_cents AS last_value, us AS last_us
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ingest_incremental" ->
+      """WITH b AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |                  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |c AS (SELECT (lo + hi) // 2 AS ckpt_us FROM b)
+        |SELECT (SELECT ckpt_us FROM c) AS ckpt_us,
+        |  COUNT(*) AS n_new,
+        |  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS next_ckpt_us
+        |FROM events WHERE epoch_us(CAST(ts AS TIMESTAMP)) > (SELECT ckpt_us FROM c)""".stripMargin,
     "stream_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |s AS (SELECT user_id,

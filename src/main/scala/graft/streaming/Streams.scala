@@ -230,6 +230,41 @@ object Streams {
       .orderBy("cohort_day")
   }
 
+  /** CDC-style latest-state view: one row per user carrying the most
+    * recent event (by event time, event_id tiebreak) — the batch form
+    * of a Debezium/upsert-stream materialization. At scale this is the
+    * classic "compact the changelog" shuffle: one exchange on the key,
+    * no full-history retention. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("value_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value_cents").as("last_value"),
+        col("us").as("last_us"))
+      .orderBy("user_id")
+  }
+
+  /** The same latest-state as streaming state: mapGroupsWithState
+    * keeping exactly one row per user (update-mode upsert view). */
+  def latestStateStreaming(events: Dataset[Ev]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), (Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[(Long, Long)]) =>
+          val best = (evs ++ state.getOption.map(s => Ev(uid, s._2, s._1)).iterator)
+            .maxBy(e => (e.us, e.event_id))
+          state.update((best.us, best.event_id))
+          (uid, best.event_id)
+      }
+  }
+
   /** Streaming load with dead-letter routing — the reference's BQ
     * write path (DBImportPipeline.java:116-160: failed inserts retried
     * then logged to a dead-letter tag). foreachBatch validates each

@@ -91,6 +91,19 @@ class StreamingSpec extends AnyFunSuite {
       s"user 1's idle session must close by timeout, got ${sessions.toSeq}")
   }
 
+  test("latest-state stream state agrees with the batch changelog compaction") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Streams.Ev]
+    val viaState = Streams.latestStateStreaming(evs).collect().toMap
+    val batch = Streams.latestState(spark, sf)
+      .select("user_id", "last_event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaState == batch)
+    assert(viaState.nonEmpty)
+  }
+
   test("foreachBatch dead-letter sink routes ok/dead to separate dirs") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft-dl").toString
