@@ -86,6 +86,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> Ann.topkBruteforce _,
     "ann_ivf_topk" -> Ann.ivfTopk _,
     "ann_ivf_probe2" -> Ann.ivfTopkProbe2 _,
+    "ann_pq_topk" -> Ann.pqTopk _,
     // §2.I streaming (batch-equivalent forms; streaming forms in specs)
     "stream_window_agg" -> Streams.windowAggBatch _,
     "stream_sessionize" -> Streams.sessionizeBatch _,
@@ -143,6 +144,13 @@ object SparkEntry {
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Squared L2 over the 16-dim subspace starting at 1-based `lo` —
+    * fold order matches Spark's aggregate(zip_with(...)) exactly
+    * (left-to-right, 0+v1 == v1), so distances are bit-identical. */
+  private def duckSqL2(a: String, b: String, lo: Int): String =
+    s"list_reduce(list_transform(range(0, 16), i -> " +
+      s"($a[$lo + i] - $b[$lo + i]) * ($a[$lo + i] - $b[$lo + i])), (acc, x) -> acc + x)"
 
   private val SimhashExpr = (0 until 16).map { j =>
     s"(CASE WHEN 2 * len(list_filter(mdw, h -> substr(h, ${j + 1}, 1) >= '8')) > len(mdw) THEN ${1L << j} ELSE 0 END)"
@@ -619,6 +627,32 @@ object SparkEntry {
          |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
          |rk AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_pq_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, cent_id,
+         |  ${duckSqL2("emb", "ce", 1)} AS d0, ${duckSqL2("emb", "ce", 17)} AS d1,
+         |  ${duckSqL2("emb", "ce", 33)} AS d2, ${duckSqL2("emb", "ce", 49)} AS d3
+         |  FROM e CROSS JOIN cent),
+         |k0 AS (SELECT vec_id, cent_id AS c0 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d0, cent_id) AS rn FROM sc) WHERE rn = 1),
+         |k1 AS (SELECT vec_id, cent_id AS c1 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d1, cent_id) AS rn FROM sc) WHERE rn = 1),
+         |k2 AS (SELECT vec_id, cent_id AS c2 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM sc) WHERE rn = 1),
+         |k3 AS (SELECT vec_id, cent_id AS c3 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d3, cent_id) AS rn FROM sc) WHERE rn = 1),
+         |codes AS (SELECT vec_id, c0, c1, c2, c3 FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id) JOIN k3 USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |tb AS (SELECT query_id, cent_id,
+         |  ${duckSqL2("qe", "ce", 1)} AS t0, ${duckSqL2("qe", "ce", 17)} AS t1,
+         |  ${duckSqL2("qe", "ce", 33)} AS t2, ${duckSqL2("qe", "ce", 49)} AS t3
+         |  FROM q CROSS JOIN cent),
+         |d AS (SELECT t0q.query_id, codes.vec_id, ((t0q.t0 + t1q.t1) + t2q.t2) + t3q.t3 AS ad
+         |  FROM codes
+         |  JOIN tb t0q ON t0q.cent_id = codes.c0
+         |  JOIN tb t1q ON t1q.query_id = t0q.query_id AND t1q.cent_id = codes.c1
+         |  JOIN tb t2q ON t2q.query_id = t0q.query_id AND t2q.cent_id = codes.c2
+         |  JOIN tb t3q ON t3q.query_id = t0q.query_id AND t3q.cent_id = codes.c3
+         |  WHERE codes.vec_id <> t0q.query_id),
+         |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS BIGINT) AS rank FROM d)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     // §2.I
     "stream_window_agg" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)

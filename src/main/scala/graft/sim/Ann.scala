@@ -69,6 +69,55 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Product quantization top-k (Jégou/Douze/Schmid, TPAMI 2011 —
+    * the compression half that [[ivfTopk]] omits): vectors are encoded
+    * as M=4 subspace codes (argmin squared-L2 against an 8-entry
+    * per-subspace codebook), queries build an M×8 distance table, and
+    * the approximate distance is 4 table lookups — the corpus scan
+    * touches 4 SMALL INTS per vector instead of 64 doubles, which is
+    * the 100 TB memory story (16× compression here; 64× with byte
+    * codes). Codes come from one map-side-combinable aggregate;
+    * lookups are broadcast joins against the 80-row table. */
+  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val M = 4
+    val sub = 16
+    def sqL2(a: String, b: String, lo: Int): String =
+      s"aggregate(zip_with(slice($a, $lo, $sub), slice($b, $lo, $sub), " +
+        s"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val scored = e.crossJoin(broadcast(cent))
+      .selectExpr(Seq("vec_id", "cent_id") ++
+        (0 until M).map(m => s"${sqL2("emb", "ce", m * sub + 1)} AS d$m"): _*)
+    val codes = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("d0"), col("cent_id"))).as("b0"),
+        min(struct(col("d1"), col("cent_id"))).as("b1"),
+        min(struct(col("d2"), col("cent_id"))).as("b2"),
+        min(struct(col("d3"), col("cent_id"))).as("b3"))
+      .selectExpr("vec_id" +: (0 until M).map(m => s"b$m.cent_id AS c$m"): _*)
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val table = q.crossJoin(broadcast(cent))
+      .selectExpr(Seq("query_id", "cent_id") ++
+        (0 until M).map(m => s"${sqL2("qe", "ce", m * sub + 1)} AS t$m"): _*)
+    var dists = codes
+    for (m <- 0 until M) {
+      val tm = table.select(col("query_id"), col("cent_id").as(s"c$m"), col(s"t$m"))
+      dists =
+        if (m == 0) dists.join(broadcast(tm), Seq(s"c$m"))
+        else dists.join(broadcast(tm), Seq("query_id", s"c$m"))
+    }
+    val approx = dists
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "((t0 + t1) + t2) + t3 AS ad")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad"), col("vec_id"))
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */

@@ -76,6 +76,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty)
   }
 
+  test("PQ recalls clustered neighbors (codebook-resolvable structure)") {
+    // The shipped testdata is unit-norm quasi-random (pairwise-distance
+    // cv ≈ 0.12) — no 8-codeword codebook can resolve that, and a
+    // numpy reference PQ scores the same ~10% there. Fidelity is the
+    // oracle's job; THIS spec checks PQ does its actual job when the
+    // data has codebook-resolvable structure: 8 well-separated
+    // clusters, codebook = the centers, queries near centers.
+    import spark.implicits._
+    val dim = 64
+    def center(c: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); (0 until 8).foreach(j => a(c * 8 + j) = 1.0f); a
+    }
+    def member(c: Int, i: Int): Array[Float] = {
+      val a = center(c)
+      a(i % dim) += 0.05f * ((i % 7) + 1); a((i * 13) % dim) += 0.03f; a
+    }
+    val rows =
+      (0 until 8).map(c => (c.toLong, center(c), c)) ++ // ids 0-7: centers = codebook
+      (8 until 18).map(i => (i.toLong, member(i % 8, i), i % 8)) ++ // queries near centers
+      (18 until 100).map(i => (i.toLong, member(i % 8, i), i % 8))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pq = graft.sim.Ann.pqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every query's PQ neighbors should be dominated by its own cluster
+    val sameCluster = pq.count { case (q, n) => q % 8 == n % 8 }
+    assert(pq.nonEmpty)
+    assert(sameCluster * 10 >= pq.length * 8,
+      s"PQ should retrieve same-cluster neighbors, got $sameCluster of ${pq.length}")
+  }
+
   test("bloom pre-filter: zero false negatives, real selectivity") {
     val li = Tables.lineitem(spark, sf)
     val ord = Tables.orders(spark, sf)
