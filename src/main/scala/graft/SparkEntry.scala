@@ -121,6 +121,7 @@ object SparkEntry {
     "reid_group_signature" -> SourceQueries.reidGroupSignature _,
     "load_retry_deadletter" -> SourceQueries.loadRetryDispositions _,
     "source_csv_roundtrip" -> SourceQueries.csvRoundtrip _,
+    "load_scd2_merge" -> SourceQueries.scd2Merge _,
     "source_json_roundtrip" -> SourceQueries.jsonRoundtrip _,
   )
 
@@ -898,6 +899,20 @@ object SparkEntry {
         |       WHEN k >= 80 THEN 'dead_letter:value_out_of_range'
         |       WHEN flaky THEN 'loaded_retry' ELSE 'loaded' END AS disposition
         |FROM t ORDER BY event_id""".stripMargin,
+    "load_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |chg AS (SELECT c_custkey, 'MACHINERY' AS new_segment FROM cur
+        |        WHERE c_custkey % 10 = 3 AND c_mktsegment <> 'MACHINERY')
+        |SELECT c_custkey, c_mktsegment, '1995-01-01' AS valid_from,
+        |  CAST(NULL AS VARCHAR) AS valid_to, CAST(1 AS BIGINT) AS is_current
+        |FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, '1995-01-01', '1996-06-01', 0
+        |FROM cur WHERE c_custkey IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c_custkey, new_segment, '1996-06-01', CAST(NULL AS VARCHAR), 1
+        |FROM chg
+        |ORDER BY c_custkey, valid_from, is_current""".stripMargin,
     "source_csv_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total

@@ -129,6 +129,34 @@ object SourceQueries {
           .cast("long").as("total"))
       .orderBy("o_orderstatus")
 
+  /** SCD2 merge (the warehouse MERGE INTO / slowly-changing-dimension
+    * pattern the reference's append-only dispositions lack): apply a
+    * deterministic change set to the customer dimension — changed keys
+    * close their current row (valid_to set, is_current 0) and open a
+    * new one; unchanged keys pass through. One anti-join + one
+    * semi-join + the change set, all on the dimension key: at scale
+    * this is exactly Delta/Iceberg's merge shuffle shape. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val changes = cur
+      .filter(col("c_custkey") % 10 === 3 && col("c_mktsegment") =!= "MACHINERY")
+      .select(col("c_custkey"), lit("MACHINERY").as("new_segment"))
+    val unchanged = cur.join(changes, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit("1995-01-01").as("valid_from"), lit(null.asInstanceOf[String]).as("valid_to"),
+        lit(1L).as("is_current"))
+    val closed = cur.join(changes, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit("1995-01-01").as("valid_from"), lit("1996-06-01").as("valid_to"),
+        lit(0L).as("is_current"))
+    val opened = changes
+      .select(col("c_custkey"), col("new_segment").as("c_mktsegment"),
+        lit("1996-06-01").as("valid_from"), lit(null.asInstanceOf[String]).as("valid_to"),
+        lit(1L).as("is_current"))
+    unchanged.unionAll(closed).unionAll(opened)
+      .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
+  }
+
   /** JSON round-trip: same contract over the JSON source. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-json").toString

@@ -76,6 +76,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty)
   }
 
+  test("key operators are partition-count invariant (3 vs 13 shuffle partitions)") {
+    // determinism at any parallelism is the 1000-executor contract:
+    // every hash/sketch/rank operator must produce identical rows
+    // whether the shuffle fans out over 3 or 13 partitions
+    val keys = Seq("dedup_minhash_pairs", "dedup_ngram_jaccard",
+      "dedup_components", "q_topk_native", "ann_pq_topk", "stream_sessionize")
+    def runAll(parts: Int): Map[String, Seq[String]] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      keys.map { k =>
+        k -> SparkEntry.queries(k)(s, sf).collect().map(_.toString).toSeq
+      }.toMap
+    }
+    val a = runAll(3)
+    val b = runAll(13)
+    keys.foreach { k =>
+      assert(a(k) == b(k), s"$k differs across partition counts")
+      assert(a(k).nonEmpty, s"$k returned nothing")
+    }
+  }
+
   test("PQ recalls clustered neighbors (codebook-resolvable structure)") {
     // The shipped testdata is unit-norm quasi-random (pairwise-distance
     // cv ≈ 0.12) — no 8-codeword codebook can resolve that, and a
