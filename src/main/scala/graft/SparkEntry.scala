@@ -122,6 +122,8 @@ object SparkEntry {
     "load_retry_deadletter" -> SourceQueries.loadRetryDispositions _,
     "source_csv_roundtrip" -> SourceQueries.csvRoundtrip _,
     "load_scd2_merge" -> SourceQueries.scd2Merge _,
+    "migration_jdbc_manifest" -> SourceQueries.jdbcImportManifest _,
+    "dlp_k_map" -> DlpQueries.dlpKMap _,
     "source_json_roundtrip" -> SourceQueries.jsonRoundtrip _,
   )
 
@@ -899,6 +901,21 @@ object SparkEntry {
         |       WHEN k >= 80 THEN 'dead_letter:value_out_of_range'
         |       WHEN flaky THEN 'loaded_retry' ELSE 'loaded' END AS disposition
         |FROM t ORDER BY event_id""".stripMargin,
+    "migration_jdbc_manifest" ->
+      """SELECT * FROM (
+        |  SELECT 'nation' AS table_name, (SELECT COUNT(*) FROM nation) AS n_rows,
+        |    'n_nationkey' AS pk_col, CAST(4 AS BIGINT) AS n_splits, CAST(0 AS BIGINT) AS deid_applied
+        |  UNION ALL
+        |  SELECT 'supplier', (SELECT COUNT(*) FROM supplier), 's_suppkey', 4, 1
+        |) ORDER BY table_name""".stripMargin,
+    "dlp_k_map" ->
+      """WITH s AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_sample
+        |  FROM customer WHERE c_custkey % 7 = 0 GROUP BY 1, 2),
+        |p AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS k_map
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_nationkey, n_sample, k_map
+        |FROM s JOIN p USING (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     "load_scd2_merge" ->
       """WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
         |chg AS (SELECT c_custkey, 'MACHINERY' AS new_segment FROM cur

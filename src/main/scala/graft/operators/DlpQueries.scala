@@ -142,6 +142,24 @@ object DlpQueries {
         Dlp.fpeDigits(col("phone"), "fpe-key").as("fpe_phone"))
       .orderBy("c_custkey")
 
+  /** K-map risk estimate (DLP KMapEstimationConfig analog): for each
+    * quasi-identifier combination in the released sample, how many
+    * records in the reference POPULATION share it — the
+    * re-identifiability of the release against an external dataset,
+    * which k-anonymity (sample-only) understates. One aggregate over
+    * the population joined to the sample's distinct QI combos. */
+  def dlpKMap(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val sample = cust.filter(col("c_custkey") % 7 === 0)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_sample"))
+    val population = cust
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("k_map"))
+    sample.join(population, Seq("c_mktsegment", "c_nationkey"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   // ---- §2.A ingest/schema ----
 
   def ingestCatalog(spark: SparkSession, dir: String): DataFrame =

@@ -129,6 +129,45 @@ object SourceQueries {
           .cast("long").as("total"))
       .orderBy("o_orderstatus")
 
+  /** The reference's WHOLE program with the live JDBC front end:
+    * stage tables into Derby (DDL with real PKs) → discover each
+    * table's PK from metadata → plan split bounds with a driver-side
+    * MIN/MAX (ServerUtil.getRowCount shape) → partitioned range
+    * extract → per-table DLP config → partitioned warehouse write →
+    * manifest. The oracle checks the manifest against the source-of-
+    * truth parquet counts, so a row lost anywhere in DB staging,
+    * extract, deid, or write fails the gate. */
+  def jdbcImportManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val url = Jdbc.derbyUrl()
+    val out = java.nio.file.Files.createTempDirectory("graft-jdbc-import").toString
+    val tables = Seq(
+      ("NATION_SRC", "nation",
+        """CREATE TABLE NATION_SRC (N_NATIONKEY INT NOT NULL PRIMARY KEY,
+          |  N_NAME VARCHAR(32), N_REGIONKEY INT)""".stripMargin, false),
+      ("SUPPLIER_SRC", "supplier",
+        """CREATE TABLE SUPPLIER_SRC (S_SUPPKEY BIGINT NOT NULL PRIMARY KEY,
+          |  S_NAME VARCHAR(64), S_NATIONKEY INT, S_ACCTBAL DOUBLE)""".stripMargin, true))
+    val rows = tables.map { case (dbTable, name, ddl, deid) =>
+      val src = Tables.load(spark, dir, name)
+      Jdbc.createAndLoad(src.toDF(src.columns.map(_.toUpperCase).toIndexedSeq: _*),
+        url, dbTable, ddl)
+      val pk = Jdbc.primaryKeys(url, dbTable).head
+      val (lo, hi) = Jdbc.columnBounds(url, dbTable, pk)
+      val extracted = Jdbc.readPartitioned(spark, url, dbTable, pk, lo, hi + 1, 4)
+      val lowered = extracted.toDF(extracted.columns.map(_.toLowerCase).toIndexedSeq: _*)
+      val deided =
+        if (deid) lowered.withColumn("s_name",
+          graft.etl.Dlp.deterministicToken(col("s_name"), "det-key"))
+        else lowered
+      Sources.writeWarehouse(deided, out, "imported", name, "WRITE_TRUNCATE")
+      val n = spark.read.parquet(s"$out/imported/$name").count()
+      (name, n, pk.toLowerCase, 4L, if (deid) 1L else 0L)
+    }
+    rows.toDF("table_name", "n_rows", "pk_col", "n_splits", "deid_applied")
+      .orderBy("table_name")
+  }
+
   /** SCD2 merge (the warehouse MERGE INTO / slowly-changing-dimension
     * pattern the reference's append-only dispositions lack): apply a
     * deterministic change set to the customer dimension — changed keys

@@ -109,6 +109,18 @@ object Jdbc {
     }.toDF("table_name", "pk_cols", "pk_inferred").orderBy("table_name")
   }
 
+  /** Driver-side MIN/MAX bounds for split planning — the same shape
+    * as the reference's row-count query (ServerUtil.java:140): one
+    * metadata-sized round-trip, no data movement. */
+  def columnBounds(url: String, table: String, column: String): (Long, Long) =
+    withConn(url) { conn =>
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT MIN($column), MAX($column) FROM $table")
+      rs.next()
+      val b = (rs.getLong(1), rs.getLong(2))
+      rs.close(); b
+    }
+
   /** Partitioned range read on the primary key — each of the
     * `numPartitions` tasks runs its own bounded query against the
     * database, so the extract parallelizes like the reference's
