@@ -78,7 +78,8 @@ object SparkEntry {
     "dedup_minhash_sig" -> Dedup.minhashSig _,
     "dedup_minhash_pairs" -> Dedup.minhashPairs _,
     "dedup_simhash" -> Dedup.simhash _,
-    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_containment" -> Dedup.containment _,
     "dedup_embedding_cos" -> Dedup.embeddingCosine _,
     "dedup_corpus_sig" -> Dedup.corpusSig _,
     "pipeline_dedup_survivors" -> Dedup.pipelineSurvivors _,
@@ -87,6 +88,7 @@ object SparkEntry {
     "ann_ivf_topk" -> Ann.ivfTopk _,
     "ann_ivf_probe2" -> Ann.ivfTopkProbe2 _,
     "ann_pq_topk" -> Ann.pqTopk _,
+    "ann_ivfpq_topk" -> Ann.ivfPqTopk _,
     // §2.I streaming (batch-equivalent forms; streaming forms in specs)
     "stream_window_agg" -> Streams.windowAggBatch _,
     "stream_sessionize" -> Streams.sessionizeBatch _,
@@ -154,6 +156,10 @@ object SparkEntry {
   private def duckSqL2(a: String, b: String, lo: Int): String =
     s"list_reduce(list_transform(range(0, 16), i -> " +
       s"($a[$lo + i] - $b[$lo + i]) * ($a[$lo + i] - $b[$lo + i])), (acc, x) -> acc + x)"
+
+  private def duckSqL2Full(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> " +
+      s"($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
 
   private val SimhashExpr = (0 until 16).map { j =>
     s"(CASE WHEN 2 * len(list_filter(mdw, h -> substr(h, ${j + 1}, 1) >= '8')) > len(mdw) THEN ${1L << j} ELSE 0 END)"
@@ -582,6 +588,18 @@ object SparkEntry {
          |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
          |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_containment" ->
+      (s"""WITH $GramsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON a.n_chars // 32 = b.n_chars // 32 AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS c,
+         |  CAST(len(ga.grams) AS BIGINT) AS sza, CAST(len(gb.grams) AS BIGINT) AS szb
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |u AS (SELECT doc_a AS contained_id, doc_b AS container_id, ROUND(c / sza, 4) AS cont FROM j
+         |  UNION ALL SELECT doc_b, doc_a, ROUND(c / szb, 4) FROM j)
+         |SELECT contained_id, container_id, cont FROM u
+         |WHERE cont >= 0.6 ORDER BY contained_id, container_id""".stripMargin),
     "dedup_embedding_cos" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |eb AS (SELECT vec_id, emb,
@@ -653,6 +671,38 @@ object SparkEntry {
          |  JOIN tb t1q ON t1q.query_id = t0q.query_id AND t1q.cent_id = codes.c1
          |  JOIN tb t2q ON t2q.query_id = t0q.query_id AND t2q.cent_id = codes.c2
          |  JOIN tb t3q ON t3q.query_id = t0q.query_id AND t3q.cent_id = codes.c3
+         |  WHERE codes.vec_id <> t0q.query_id),
+         |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS BIGINT) AS rank FROM d)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivfpq_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |asg AS (SELECT e.vec_id, emb, cent_id, ${duckSqL2Full("emb", "ce")} AS d FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, emb, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn FROM asg) WHERE rn = 1),
+         |wres AS (SELECT cells.vec_id, cell, list_transform(range(1, 65), i -> emb[i] - ce[i]) AS res
+         |  FROM cells JOIN cent ON cent_id = cell),
+         |book AS (SELECT vec_id AS code_id, res AS bce FROM wres WHERE vec_id >= 8 AND vec_id < 16),
+         |sc AS (SELECT wres.vec_id, cell, code_id,
+         |  ${duckSqL2("res", "bce", 1)} AS d0, ${duckSqL2("res", "bce", 17)} AS d1,
+         |  ${duckSqL2("res", "bce", 33)} AS d2, ${duckSqL2("res", "bce", 49)} AS d3
+         |  FROM wres CROSS JOIN book),
+         |k0 AS (SELECT vec_id, cell, code_id AS c0 FROM (SELECT vec_id, cell, code_id, row_number() OVER (PARTITION BY vec_id ORDER BY d0, code_id) AS rn FROM sc) WHERE rn = 1),
+         |k1 AS (SELECT vec_id, code_id AS c1 FROM (SELECT vec_id, code_id, row_number() OVER (PARTITION BY vec_id ORDER BY d1, code_id) AS rn FROM sc) WHERE rn = 1),
+         |k2 AS (SELECT vec_id, code_id AS c2 FROM (SELECT vec_id, code_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code_id) AS rn FROM sc) WHERE rn = 1),
+         |k3 AS (SELECT vec_id, code_id AS c3 FROM (SELECT vec_id, code_id, row_number() OVER (PARTITION BY vec_id ORDER BY d3, code_id) AS rn FROM sc) WHERE rn = 1),
+         |codes AS (SELECT vec_id, cell, c0, c1, c2, c3 FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id) JOIN k3 USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, cell AS qcell, res AS qres FROM wres WHERE vec_id >= 16 AND vec_id < 26),
+         |tb AS (SELECT query_id, qcell, code_id,
+         |  ${duckSqL2("qres", "bce", 1)} AS t0, ${duckSqL2("qres", "bce", 17)} AS t1,
+         |  ${duckSqL2("qres", "bce", 33)} AS t2, ${duckSqL2("qres", "bce", 49)} AS t3
+         |  FROM q CROSS JOIN book),
+         |d AS (SELECT t0q.query_id, codes.vec_id, ((t0q.t0 + t1q.t1) + t2q.t2) + t3q.t3 AS ad
+         |  FROM codes
+         |  JOIN tb t0q ON t0q.qcell = codes.cell AND t0q.code_id = codes.c0
+         |  JOIN tb t1q ON t1q.query_id = t0q.query_id AND t1q.code_id = codes.c1
+         |  JOIN tb t2q ON t2q.query_id = t0q.query_id AND t2q.code_id = codes.c2
+         |  JOIN tb t3q ON t3q.query_id = t0q.query_id AND t3q.code_id = codes.c3
          |  WHERE codes.vec_id <> t0q.query_id),
          |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS BIGINT) AS rank FROM d)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),

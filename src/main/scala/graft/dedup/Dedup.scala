@@ -189,7 +189,10 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(spark, dir, maxGramDf = 64)
 
-  def ngramJaccard(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame = {
+  /** Shared core: verified shared-gram counts per candidate pair —
+    * (doc_a, doc_b, c = |∩|, sza, szb) with doc_a < doc_b. Feeds both
+    * the symmetric (Jaccard) and asymmetric (containment) scores. */
+  private def gramPairCounts(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame = {
     // index on a 64-bit hash of the gram, not the gram string: ~5×
     // smaller shuffle keys; a collision would need two distinct grams
     // in the same length bucket at the same hash (~2⁻⁶⁴ per pair).
@@ -234,9 +237,29 @@ object Dedup {
       .join(xb, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"), max(col("sza")).as("sza"), max(col("szb")).as("szb"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame =
+    gramPairCounts(spark, dir, maxGramDf)
       .selectExpr("doc_a", "doc_b", "ROUND(c / (sza + szb - c), 4) AS jacc")
       .filter(col("jacc") >= 0.5)
       .orderBy("doc_a", "doc_b")
+
+  /** N-gram CONTAINMENT (Broder's asymmetric resemblance):
+    * |A∩B| / |A| — the train/test contamination question ("is this
+    * document mostly inside that one?") that symmetric Jaccard
+    * misses when sizes differ. Emits (contained, container) in
+    * whichever direction(s) clear the threshold. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val counts = gramPairCounts(spark, dir, maxGramDf = 64)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aInB = counts.selectExpr("doc_a AS contained_id", "doc_b AS container_id",
+      "ROUND(c / sza, 4) AS cont")
+    val bInA = counts.selectExpr("doc_b AS contained_id", "doc_a AS container_id",
+      "ROUND(c / szb, 4) AS cont")
+    aInB.unionAll(bInA)
+      .filter(col("cont") >= 0.6)
+      .orderBy("contained_id", "container_id")
   }
 
   /** Embedding near-dup: 8-bit sign-LSH bucket (dims 1-8) gates the

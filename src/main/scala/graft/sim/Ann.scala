@@ -118,6 +118,70 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ with residual encoding — the FAISS production composition
+    * (coarse quantizer routes to a cell, PQ encodes the RESIDUAL
+    * v − centroid, queries ADC-scan only their probed cell): the
+    * residual's dynamic range is much smaller than the vector's, so
+    * the same codebook bits quantize far more accurately, and the
+    * per-cell inverted lists keep the scan O(corpus/cells). Fully
+    * deterministic here: coarse centroids = vecs 0-7, residual
+    * codebook = the residuals of vecs 8-15, queries = vecs 16-25. */
+  def ivfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val sub = 16
+    def sqL2(a: String, b: String, lo: Int): String =
+      s"aggregate(zip_with(slice($a, $lo, $sub), slice($b, $lo, $sub), " +
+        s"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    val sqL2Full =
+      "aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "emb", "cent_id", s"$sqL2Full AS d")
+      .groupBy(col("vec_id"), col("emb"))
+      .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("emb"), col("best.cent_id").as("cell"))
+    val withRes = assigned
+      .join(broadcast(cent.select(col("cent_id").as("cell"), col("ce"))), "cell")
+      .selectExpr("vec_id", "cell", "zip_with(emb, ce, (x, y) -> x - y) AS res")
+    val book = withRes.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("res").as("bce"))
+    val scored = withRes.crossJoin(broadcast(book))
+      .selectExpr(Seq("vec_id", "cell", "code_id") ++
+        (0 until 4).map(m => s"${sqL2("res", "bce", m * sub + 1)} AS d$m"): _*)
+    val codes = scored.groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("d0"), col("code_id"))).as("b0"),
+        min(struct(col("d1"), col("code_id"))).as("b1"),
+        min(struct(col("d2"), col("code_id"))).as("b2"),
+        min(struct(col("d3"), col("code_id"))).as("b3"))
+      .selectExpr(Seq("vec_id", "cell") ++
+        (0 until 4).map(m => s"b$m.code_id AS c$m"): _*)
+    val q = withRes.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
+        col("res").as("qres"))
+    val table = q.crossJoin(broadcast(book))
+      .selectExpr(Seq("query_id", "qcell", "code_id") ++
+        (0 until 4).map(m => s"${sqL2("qres", "bce", m * sub + 1)} AS t$m"): _*)
+    var dists = codes
+    for (m <- 0 until 4) {
+      val tm = table.select(col("query_id"), col("qcell"),
+        col("code_id").as(s"c$m"), col(s"t$m"))
+      dists =
+        if (m == 0) dists.join(broadcast(tm),
+          col("cell") === col("qcell") && dists(s"c$m") === tm(s"c$m"))
+          .drop(tm(s"c$m")).drop("qcell")
+        else dists.join(broadcast(tm.drop("qcell")), Seq("query_id", s"c$m"))
+    }
+    val approx = dists
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "((t0 + t1) + t2) + t3 AS ad")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad"), col("vec_id"))
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */
