@@ -102,6 +102,7 @@ object SparkEntry {
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
     "mm_frame_sample" -> Multimodal.frameSample _,
+    "mm_modality_route" -> Multimodal.modalityRoute _,
     // §2.G (cont.)
     "text_normalize" -> TextOps.normalize _,
     "text_ngram_freq" -> TextOps.ngramFreq _,
@@ -253,7 +254,7 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
         |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q_topk_per_group" ->
       """SELECT * FROM (
@@ -809,6 +810,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |      unnest(range(0, least(3, (length(text) - 1) // 64) + 1)) AS frame_idx FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm_modality_route: Spark sniffs the actual leading bytes of the
+    // payload; the oracle derives modality from the generator rule —
+    // two independent formulations that must agree.
+    "mm_modality_route" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS modality,
+        |  CAST(octet_length(encode(text)) + CASE doc_id % 3 WHEN 0 THEN 3 ELSE 4 END AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT modality, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
     // §2.H
     "mm_binary_meta" ->
       """SELECT doc_id,

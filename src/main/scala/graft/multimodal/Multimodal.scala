@@ -47,6 +47,36 @@ object Multimodal {
         "md5(substr(text, 1 + frame_idx * 64, 16)) AS frame_hash")
       .orderBy("doc_id", "frame_idx")
 
+  /** Container-format routing by magic bytes — the first step of any
+    * mixed-modality ingest (route JPEG payloads to the image decoder
+    * pool, RIFF/WAV to audio, etc.). The payload is synthesized here
+    * (magic header + text bytes, keyed by doc_id), but the SNIFF side
+    * reads only the actual leading bytes of the binary column —
+    * exactly what it would do on real payloads — while the oracle
+    * derives modality from the generator rule, so the two must agree
+    * independently. */
+  def modalityRoute(spark: SparkSession, dir: String): DataFrame = {
+    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val riff = "RIFF".getBytes("UTF-8")
+    val payload = when(col("doc_id") % 3 === 0, concat(lit(jpeg), col("bin")))
+      .when(col("doc_id") % 3 === 1, concat(lit(png), col("bin")))
+      .otherwise(concat(lit(riff), col("bin")))
+    val sniffed = when(substring(col("payload"), 1, 3) === lit(jpeg), "image/jpeg")
+      .when(substring(col("payload"), 1, 4) === lit(png), "image/png")
+      .when(substring(col("payload"), 1, 4) === lit(riff), "audio/wav")
+      .otherwise("application/octet-stream")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"), sniffed.as("modality"),
+        (length(col("payload"))).cast("long").as("n_bytes"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("modality")
+  }
+
   /** Decode stub: where a real implementation would run a codec over
     * each partition's payload batch (mapPartitions so the codec is
     * initialized once per partition, not per row). Deliberately

@@ -97,11 +97,17 @@ object Analytics {
       .agg(csum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
   }
 
-  /** Window functions: per-supplier running quantity + row numbers. */
+  /** Window functions: per-supplier running quantity + row numbers.
+    * l_quantity joins the order spec: the testdata contains duplicate
+    * (orderkey, linenumber) rows, and a running sum is only
+    * engine-portable when the order is total over every column that
+    * feeds the sum (fully-identical tied rows commute; different
+    * quantities must not). */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     li.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).cast("long").as("rn"),

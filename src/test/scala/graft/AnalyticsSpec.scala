@@ -29,6 +29,11 @@ class AnalyticsSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"oracleSql key $k missing from queries")
     }
+    // and the reverse: NO query ships without an oracle (a rows-only
+    // check is a weaker gate — full coverage is the contract)
+    SparkEntry.queries.keys.foreach { k =>
+      assert(SparkEntry.oracleSql.contains(k), s"query $k has no oracleSql entry")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
