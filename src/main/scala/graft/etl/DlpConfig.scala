@@ -24,6 +24,7 @@ object DlpConfig {
   case class DeterministicToken(column: String, key: String) extends Transform
   case class Bucketize(column: String, width: Int) extends Transform
   case class DateShift(column: String, contextKey: String, maxDays: Int) extends Transform
+  case class FpeDigits(column: String, key: String) extends Transform
 
   case class TableConfig(tableName: String, batchSize: Int, transforms: Seq[Transform])
 
@@ -46,6 +47,7 @@ object DlpConfig {
           case "bucketize" => Bucketize(col, (tx \ "width").extract[Int])
           case "date_shift" => DateShift(col, (tx \ "contextKey").extract[String],
             (tx \ "maxDays").extractOrElse[Int](30))
+          case "fpe_digits" => FpeDigits(col, (tx \ "key").extract[String])
           case other => throw new IllegalArgumentException(s"unknown transform kind $other")
         }
       }
@@ -61,6 +63,7 @@ object DlpConfig {
     case DeterministicToken(c, key) => Dlp.deterministicToken(col(c), key)
     case Bucketize(c, w) => Dlp.bucketize(col(c), w)
     case DateShift(c, ctx, d) => Dlp.dateShift(col(c), col(ctx), d)
+    case FpeDigits(c, key) => Dlp.fpeDigits(col(c), key)
   }
 
   /** Apply one table's configured transforms in place (columns keep

@@ -40,6 +40,20 @@ class EtlSpec extends AnyFunSuite {
     assert(SchemaMapper.bqType(BinaryType) == "BYTES")
   }
 
+  test("config-driven fpe_digits transform preserves format through applyTable") {
+    import spark.implicits._
+    val cfg = graft.etl.DlpConfig.parse(
+      """[{"tableName": "t", "transforms": [
+        |  {"column": "phone", "kind": "fpe_digits", "key": "k1"}]}]""".stripMargin)
+    val df = Seq(("555-867-0001", 1L), ("555-867-0002", 2L)).toDF("phone", "id")
+    val out = graft.etl.DlpConfig.applyTable(df, cfg.headOption)
+      .collect().map(_.getString(0))
+    out.foreach { p =>
+      assert(p.matches("[0-9]{3}-[0-9]{3}-[0-9]{4}"), s"format broken: $p")
+      assert(p != "555-867-0001")
+    }
+  }
+
   test("csv and json round-trip preserves data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
     val nation = Tables.nation(spark, sf)
