@@ -80,6 +80,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_containment" -> Dedup.containment _,
+    "dedup_minhash_est" -> Dedup.minhashEstimate _,
+    "ingest_schema_drift" -> SourceQueries.schemaDrift _,
     "dedup_embedding_cos" -> Dedup.embeddingCosine _,
     "dedup_corpus_sig" -> Dedup.corpusSig _,
     "pipeline_dedup_survivors" -> Dedup.pipelineSurvivors _,
@@ -589,6 +591,35 @@ object SparkEntry {
          |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
          |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "ingest_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('c_acctbal', 'double', 'string', 'type_changed'),
+        |  ('c_custkey', 'bigint', 'bigint', 'same'),
+        |  ('c_email', '', 'string', 'added'),
+        |  ('c_mktsegment', 'string', '', 'removed'),
+        |  ('c_name', 'string', 'string', 'same'),
+        |  ('c_nationkey', 'int', 'int', 'same')
+        |) t(column_name, v1_type, v2_type, status) ORDER BY column_name""".stripMargin,
+    "dedup_minhash_est" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5)
+         |SELECT doc_a, doc_b, jacc,
+         |  CAST(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) * 1250 AS BIGINT) AS est_bp
+         |FROM p JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_containment" ->
       (s"""WITH $GramsCte,
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -89,6 +89,24 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sketch calibration: MinHash-ESTIMATED Jaccard (matching
+    * signature components / k, in basis points) next to the true
+    * verified Jaccard for every LSH pair — the query that tells you
+    * whether k=8 is enough signature for your threshold, without
+    * which a production dedup tunes its sketch blind. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sigDf(spark, dir)
+    val sa = sig.toDF("doc_a" +: (0 until 8).map(j => s"a$j"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until 8).map(j => s"b$j"): _*)
+    val matches = (0 until 8)
+      .map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")
+    minhashPairs(spark, dir)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .selectExpr("doc_a", "doc_b", "jacc",
+        s"CAST(($matches) * 1250 AS BIGINT) AS est_bp")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** End-to-end dedup pipeline: LSH-verified near-dup pairs → keep
     * the lower doc_id of each pair → survivor set (left-anti join on
     * the removal list). The composition a training-data pipeline

@@ -72,4 +72,27 @@ object SchemaMapper {
     val ex = excluded.split("-").toSet
     catalog(spark, dir, Tables.all.filterNot(ex.contains))
   }
+
+  /** Schema drift between two versions of a table: per column —
+    * added / removed / type_changed / same. The operational check a
+    * scheduled re-import needs before writing into an existing
+    * warehouse table (the reference would fail the insert; detecting
+    * drift first routes it to schema evolution instead of the dead
+    * letter). Metadata-only. */
+  def drift(spark: SparkSession, v1: StructType, v2: StructType): DataFrame = {
+    import spark.implicits._
+    val m1 = v1.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val m2 = v2.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = (m1.keySet ++ m2.keySet).toSeq.sorted.map { c =>
+      (m1.get(c), m2.get(c)) match {
+        case (Some(t1), Some(t2)) if t1 == t2 => (c, t1, t2, "same")
+        case (Some(t1), Some(t2)) => (c, t1, t2, "type_changed")
+        case (Some(t1), None) => (c, t1, "", "removed")
+        case (None, Some(t2)) => (c, "", t2, "added")
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }
+    rows.toDF("column_name", "v1_type", "v2_type", "status")
+      .orderBy("column_name")
+  }
 }

@@ -168,6 +168,20 @@ object SourceQueries {
       .orderBy("table_name")
   }
 
+  /** Schema drift between the current customer schema and an evolved
+    * next-import version (column dropped, column added, type changed)
+    * — the pre-write check a scheduled re-import runs so drift routes
+    * to schema evolution instead of the dead letter. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.customer(spark, dir).schema
+    val v2 = Tables.customer(spark, dir)
+      .drop("c_mktsegment")
+      .withColumn("c_email", concat(col("c_name"), lit("@example.com")))
+      .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+      .schema
+    graft.etl.SchemaMapper.drift(spark, v1, v2)
+  }
+
   /** SCD2 merge (the warehouse MERGE INTO / slowly-changing-dimension
     * pattern the reference's append-only dispositions lack): apply a
     * deterministic change set to the customer dimension — changed keys
