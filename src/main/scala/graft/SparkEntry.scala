@@ -973,6 +973,9 @@ object SparkEntry {
         |vault AS (SELECT DISTINCT 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS token, c_name AS plaintext FROM customer)
         |SELECT c_custkey AS customer_id, token, plaintext AS customer_name
         |FROM tok JOIN vault USING (token) ORDER BY customer_id""".stripMargin,
+    // the n_rows > 0 guard keeps the oracle row-count-equal to Spark's
+    // groupBy (which emits nothing for an empty source) on datasets
+    // where a signature group is empty
     "reid_group_signature" ->
       """WITH s AS (
         |  SELECT 'c_custkey,c_name' AS headers, COUNT(*) AS n_rows FROM (
@@ -982,7 +985,7 @@ object SparkEntry {
         |  SELECT 'o_orderkey,o_custkey,o_totalprice', COUNT(*) FROM orders)
         |SELECT md5(headers) AS signature, headers, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(ceil(n_rows / 500.0) AS BIGINT) AS n_batches
-        |FROM s ORDER BY headers""".stripMargin,
+        |FROM s WHERE n_rows > 0 ORDER BY headers""".stripMargin,
     "load_retry_deadletter" ->
       """WITH t AS (SELECT event_id,
         |  try_cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k,

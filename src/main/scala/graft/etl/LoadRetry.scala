@@ -63,11 +63,20 @@ object LoadRetry {
       while (!done && attempt < maxAttempts) {
         attempt += 1
         try { write(ok); done = true }
-        catch { case e: Exception => lastErr = e }
+        catch {
+          case e: Exception =>
+            lastErr = e
+            // linear backoff: don't hammer a struggling warehouse
+            if (attempt < maxAttempts) Thread.sleep(100L * attempt)
+        }
       }
       if (!done) {
+        // carry the terminal cause into the dead letter — the only
+        // place it can still be diagnosed from
         routed.filter(col("status") === "ok")
-          .withColumn("reason", lit("retry_exhausted")).drop("status")
+          .withColumn("reason",
+            lit(s"retry_exhausted:${lastErr.getClass.getSimpleName}:${lastErr.getMessage}"))
+          .drop("status")
           .write.mode("append").parquet(deadDir)
         ()
       }

@@ -33,35 +33,33 @@ object BloomJoin {
       Literal(bloom, BinaryType),
       new XxHash64(Seq(GraftInternal.expression(c)))))
 
-  /** Lineitem rows whose order is high-value, via bloom pre-filter +
-    * exact semi join; aggregated per return flag. The sketch is a
-    * bounded artifact (like Spark's own runtime-filter broadcast):
-    * collecting it to the driver is the build-side exchange, not a
-    * data collect. */
-  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir)
+  /** Build side: the high-value order keys the bloom sketches. */
+  private def buildSide(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 400000)
       .select(col("o_orderkey"))
-    val bloom = ord.agg(bloomAgg(col("o_orderkey"), 1000000L).as("bf"))
+
+  /** The bloom pre-filter alone (no exact join) — also used by the
+    * spec to measure selectivity and prove zero false negatives. The
+    * sketch is a bounded artifact (like Spark's own runtime-filter
+    * broadcast): collecting it to the driver is the build-side
+    * exchange, not a data collect. */
+  def preFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val bloom = buildSide(spark, dir)
+      .agg(bloomAgg(col("o_orderkey"), 1000000L).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val pre = Tables.lineitem(spark, dir)
-      .filter(mightContain(bloom, col("l_orderkey")))
-    pre.join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    Tables.lineitem(spark, dir).filter(mightContain(bloom, col("l_orderkey")))
+  }
+
+  /** Lineitem rows whose order is high-value, via bloom pre-filter +
+    * exact semi join; aggregated per return flag. */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame =
+    preFiltered(spark, dir)
+      .join(buildSide(spark, dir),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
           .cast("long").as("sum_qty"))
       .orderBy("l_returnflag")
-  }
-
-  /** The bloom pre-filter alone (no exact join) — used by the spec to
-    * measure selectivity and prove zero false negatives. */
-  def preFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir)
-      .filter(col("o_totalprice") > 400000)
-      .select(col("o_orderkey"))
-    val bloom = ord.agg(bloomAgg(col("o_orderkey"), 1000000L).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    Tables.lineitem(spark, dir).filter(mightContain(bloom, col("l_orderkey")))
-  }
 }

@@ -129,8 +129,5 @@ object Jdbc {
   def readPartitioned(spark: SparkSession, url: String, table: String,
                       pk: String, lower: Long, upper: Long,
                       numPartitions: Int): DataFrame =
-    spark.read
-      .option("driver", DriverClass)
-      .option("fetchsize", "10000")
-      .jdbc(url, table, pk, lower, upper, numPartitions, connProps)
+    Sources.readJdbc(spark, url, table, pk, lower, upper, numPartitions, connProps)
 }

@@ -134,7 +134,10 @@ object Streams {
             var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
+              // exact micros: getTime's ms + the sub-ms part of nanos
+              // (getTime * 1000 would truncate away sub-millisecond
+              // event-time and disagree with the batch micros contract)
+              val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
               if (st.lastUs == Long.MinValue) {
                 st = SessState(us, 1L, us, 1L)
               } else if (us - st.lastUs > SessionGapUs) {

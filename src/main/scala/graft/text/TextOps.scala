@@ -82,7 +82,7 @@ object TextOps {
     Tables.documents(spark, dir)
       .selectExpr("split(text, ' ') AS w")
       .selectExpr("explode(transform(sequence(1, greatest(size(w) - 1, 1)), " +
-        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))) AS gram")
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))) AS gram")
       .groupBy("gram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
@@ -126,8 +126,11 @@ object TextOps {
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "split(text, ' ') AS w")
       .selectExpr("doc_id", "w",
+        // try_element_at: single-word docs index past the end; ANSI
+        // element_at throws, try_element_at yields null and concat_ws
+        // skips it — matching DuckDB's out-of-bounds-is-NULL indexing
         "transform(sequence(1, greatest(size(w) - 1, 1)), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) AS bg")
+          "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1))) AS bg")
       .selectExpr("doc_id",
         "CAST(size(w) AS BIGINT) AS n_words",
         "CAST((size(w) - size(array_distinct(w))) * 10000 DIV size(w) AS BIGINT) AS dup_word_bp",

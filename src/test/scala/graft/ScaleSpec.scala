@@ -28,7 +28,7 @@ class ScaleSpec extends AnyFunSuite {
     // one stop-phrase ("x y z" gram) that would otherwise fan out k²
     val nearDupA = "alpha beta gamma delta epsilon zeta"
     val nearDupB = "alpha beta gamma delta epsilon eta!"
-    val boiler = (0 until 20).map(i => s"x y z filler$i%02d pad words here".take(34))
+    val boiler = (0 until 20).map(i => f"x y z filler$i%02d pad words here".take(34))
     val docs = (Seq(nearDupA, nearDupB) ++ boiler).zipWithIndex
       .map { case (t, i) => (i.toLong, t, "en", "synthetic", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -90,6 +90,7 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(calls == 2)
     val dead = spark.read.parquet(s"$dir/dead")
-    assert(dead.filter(col("reason") === "retry_exhausted").count() > 0)
+    assert(dead.filter(col("reason").startsWith("retry_exhausted:")).count() > 0,
+      "exhausted rows must carry the terminal cause in the reason")
   }
 }
