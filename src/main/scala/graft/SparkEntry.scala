@@ -115,6 +115,8 @@ object SparkEntry {
     // §2.D/E/G (round 4): interval join, dedup components, repetition
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_grouping_sets" -> Analytics.qGroupingSets _,
+    "q_lateral" -> Analytics.qLateral _,
+    "q_window_lead_lag" -> Analytics.qWindowLeadLag _,
     "q_ntile" -> Analytics.qNtile _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "dlp_format_preserving" -> DlpQueries.dlpFormatPreserving _,
@@ -881,6 +883,25 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_lateral" ->
+      """SELECT c_custkey, t.o_orderkey,
+        |  CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_lead_lag" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, qty,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(qty, 1) OVER w AS prev_qty,
+        |  lead(qty, 1) OVER w AS next_qty,
+        |  first_value(qty) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_qty
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, qty)
+        |ORDER BY l_suppkey, rn""".stripMargin,
     "q_ntile" ->
       """WITH t AS (SELECT l_returnflag,
         |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty,

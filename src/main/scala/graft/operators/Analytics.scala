@@ -336,6 +336,43 @@ object Analytics {
       .orderBy("l_returnflag", "quartile")
   }
 
+  /** LATERAL correlated subquery (top-1-per-row without a window):
+    * each customer's single most expensive order via CROSS JOIN
+    * LATERAL — Catalyst decorrelates the LIMIT 1 subquery into a
+    * ranked join, the plan shape a dependent nested loop would
+    * never survive at scale. */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lat")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey,
+        |  CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
+        |FROM customer_lat,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Window value functions: lag/lead/first_value over the totalized
+    * per-supplier shipment order (the summed/peeked column joins the
+    * order spec — duplicate rows exist in the data and neighbor
+    * values are only portable under a total order). */
+  def qWindowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("qty"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), cents(col("l_quantity"), 2).as("qty"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("qty"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("qty"), 1).over(w).as("prev_qty"),
+        lead(col("qty"), 1).over(w).as("next_qty"),
+        first_value(col("qty")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_qty"))
+      .orderBy("l_suppkey", "rn")
+  }
+
   /** Pure interval join — NO equality key, the case Spark would plan
     * as a broadcast-nested-loop: every high-value purchase opens a
     * 30-minute window; count the clicks (any user) landing inside it.
