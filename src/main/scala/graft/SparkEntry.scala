@@ -100,6 +100,8 @@ object SparkEntry {
     "stream_retention" -> Streams.retention _,
     "stream_event_join" -> Streams.eventJoinBatch _,
     "stream_latest_state" -> Streams.latestState _,
+    "stream_windowed_topk" -> Streams.windowedTopkBatch _,
+    "q_histogram" -> Analytics.qHistogram _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -796,6 +798,22 @@ object SparkEntry {
         |FROM c JOIN p USING (user_id)
         |WHERE purchase_us > click_us AND purchase_us <= click_us + 3600000000
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+    "stream_windowed_topk" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |c AS (SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |    INTERVAL ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) SECOND AS window_start,
+        |  event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, n,
+        |  CAST(row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type) AS BIGINT) AS rk FROM c)
+        |SELECT window_start, event_type, n, rk FROM r WHERE rk <= 3
+        |ORDER BY window_start, rk""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |  CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS lo,
+        |  (CAST(floor(l_extendedprice / 5000) AS BIGINT) + 1) * 5000 AS hi,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
     "stream_latest_state" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,

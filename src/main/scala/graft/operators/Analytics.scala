@@ -404,6 +404,20 @@ object Analytics {
       .orderBy("purchase_id")
   }
 
+  /** Fixed-width numeric histogram of extended price (5000-wide
+    * buckets) — one partial-aggregated pass, the profiling query
+    * behind every data-quality dashboard. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .selectExpr("CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket",
+        "l_extendedprice")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        csum(col("l_extendedprice"), 2).as("total_cents"))
+      .selectExpr("bucket", "bucket * 5000 AS lo", "(bucket + 1) * 5000 AS hi",
+        "n", "total_cents")
+      .orderBy("bucket")
+
   /** Approximate distinct (HLL) vs exact. The estimate itself is
     * engine-specific, but the CONTRACT is not: the output folds the
     * HLL value into a deterministic accuracy bit (within 5% of exact),

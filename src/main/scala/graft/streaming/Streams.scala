@@ -233,6 +233,24 @@ object Streams {
       .orderBy("cohort_day")
   }
 
+  /** Windowed top-k: the top-3 event types per 1-hour tumbling window
+    * (trending-now analytics). Counts partial-aggregate map-side; the
+    * rank window runs per hour bucket — state bounded by
+    * (windows × types). */
+  def windowedTopkBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("event_type"))
+    Tables.events(spark, dir)
+      .selectExpr("timestamp_seconds((unix_seconds(ts) DIV 3600) * 3600) AS ws",
+        "event_type")
+      .groupBy(col("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(ntz(col("ws")).as("window_start"), col("event_type"), col("n"), col("rk"))
+      .orderBy("window_start", "rk")
+  }
+
   /** CDC-style latest-state view: one row per user carrying the most
     * recent event (by event time, event_id tiebreak) — the batch form
     * of a Debezium/upsert-stream materialization. At scale this is the
