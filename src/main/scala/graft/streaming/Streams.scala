@@ -251,6 +251,30 @@ object Streams {
       .orderBy("window_start", "rk")
   }
 
+  /** Streaming form of [[windowedTopkBatch]]: watermarked windowed
+    * counts emit in append mode only when the watermark finalizes a
+    * window — every (window, type) row of one window lands in the
+    * same micro-batch, so the foreachBatch rank-and-keep-top-3 is
+    * exact per window, and state never outlives the watermark. */
+  def windowedTopkStreaming(events: DataFrame, outDir: String,
+                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(ntz(col("window.start")).as("window_start"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = Window.partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("event_type"))
+        batch.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** CDC-style latest-state view: one row per user carrying the most
     * recent event (by event time, event_id tiebreak) — the batch form
     * of a Debezium/upsert-stream materialization. At scale this is the

@@ -104,6 +104,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaState.nonEmpty)
   }
 
+  test("streaming windowed top-k matches the batch form on closed windows") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft-wtopk").toString
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.windowedTopkStreaming(raw, s"$out/topk", s"$out/ckpt")
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$out/topk")
+      .collect().map(_.toString).toSet
+    val batch = Streams.windowedTopkBatch(spark, sf)
+      .select("window_start", "event_type", "n", "rk")
+      .collect().map(_.toString).toSet
+    assert(got.nonEmpty, "no windows emitted")
+    // append mode emits only watermark-closed windows; each must match
+    got.foreach(r => assert(batch.contains(r), s"streaming row $r not in batch"))
+  }
+
   test("foreachBatch dead-letter sink routes ok/dead to separate dirs") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft-dl").toString
