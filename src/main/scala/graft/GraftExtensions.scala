@@ -2,20 +2,53 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSim
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSim, MinHashArray, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions. Enable with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * SQL surface:
+  *   cosine_sim(a, b)            — codegen'd cosine similarity
+  *   word_ngrams(words, n)       — distinct word n-gram shingles
+  *   minhash_array(grams, k)     — k md5-seeded minhash values
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSim(exprs(0), exprs(1))))
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
   }
+
+  /** The function table, shared by the extensions injection and the
+    * live-session registration path below. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
+    ("word_ngrams",
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) =>
+        WordNGrams(exprs(0), intArg(exprs(1), "word_ngrams"))),
+    ("minhash_array",
+      new ExpressionInfo(classOf[MinHashArray].getName, "minhash_array"),
+      (exprs: Seq[Expression]) =>
+        MinHashArray(exprs(0), intArg(exprs(1), "minhash_array"))))
+
+  /** Register everything on an already-running session (extensions
+    * only apply at session build time). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.GraftInternal.registerFunction(spark, name, builder)
+    }
 }

@@ -91,6 +91,7 @@ object SparkEntry {
     "ann_ivf_probe2" -> Ann.ivfTopkProbe2 _,
     "ann_pq_topk" -> Ann.pqTopk _,
     "ann_ivfpq_topk" -> Ann.ivfPqTopk _,
+    "embed_centroid_update" -> Ann.centroidUpdate _,
     // §2.I streaming (batch-equivalent forms; streaming forms in specs)
     "stream_window_agg" -> Streams.windowAggBatch _,
     "stream_sessionize" -> Streams.sessionizeBatch _,
@@ -710,6 +711,18 @@ object SparkEntry {
          |  WHERE codes.vec_id <> t0q.query_id),
          |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS BIGINT) AS rank FROM d)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "embed_centroid_update" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, emb, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1)
+         |SELECT cell, COUNT(*) AS n_members,
+         |  CAST(SUM(CAST(CAST(emb[1] AS DECIMAL(9,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s1,
+         |  CAST(SUM(CAST(CAST(emb[2] AS DECIMAL(9,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s2,
+         |  CAST(SUM(CAST(CAST(emb[3] AS DECIMAL(9,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s3,
+         |  CAST(SUM(CAST(CAST(emb[4] AS DECIMAL(9,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s4
+         |FROM cells GROUP BY cell ORDER BY cell""".stripMargin),
     "ann_ivfpq_topk" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),

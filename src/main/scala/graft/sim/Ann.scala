@@ -187,6 +187,29 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** One Lloyd-iteration M-step over the IVF assignment (the
+    * "training" half the deterministic codebook skips): per cell,
+    * member count plus exact integer-scaled sums of the leading dims
+    * — the statistics the next codebook iteration divides. Exact
+    * per-row decimal→long scaling keeps the reduction associative and
+    * engine-portable, the same contract as the money sums. */
+  def centroidUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val cells = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"), col("emb"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+      .select(col("emb"), col("best.cid").as("cell"))
+    def dimSum(d: Int) =
+      sum((element_at(col("emb"), d).cast("decimal(9,6)") * 1000000).cast("long"))
+        .cast("long").as(s"s$d")
+    cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), dimSum(1), dimSum(2), dimSum(3), dimSum(4))
+      .orderBy("cell")
+  }
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */

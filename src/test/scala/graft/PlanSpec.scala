@@ -120,6 +120,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("GraftExtensions registers the full SQL function surface") {
+    GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT cosine_sim(array(1D, 0D), array(1D, 0D)) AS cs,
+        |  word_ngrams(array('a', 'b', 'c'), 2) AS ng,
+        |  minhash_array(array('a', 'b'), 2) AS mh""".stripMargin).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getSeq[String](1) == Seq("a b", "b c"))
+    assert(row.getSeq[String](2).length == 2)
+  }
+
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
     val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
