@@ -32,6 +32,7 @@ object SparkEntry {
     "q_rollup" -> Analytics.qRollup _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
+    "q_approx_quantile" -> Analytics.qApproxQuantile _,
     "q_correlated_subquery" -> Analytics.qCorrelatedSubquery _,
     "q_set_ops" -> Analytics.qSetOps _,
     "q_asof_join" -> AsOf.purchaseLastClick _,
@@ -346,6 +347,14 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  CAST(1 AS BIGINT) AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // approx sketch value is engine-specific; the rank-error contract
+    // is not (see qApproxQuantile)
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.49) AS p49,
+        |  quantile_cont(l_quantity, 0.51) AS p51,
+        |  CAST(1 AS BIGINT) AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // §2.A
     "ingest_catalog" ->

@@ -418,6 +418,22 @@ object Analytics {
         "n", "total_cents")
       .orderBy("bucket")
 
+  /** Approximate percentile (GK sketch) vs exact — same contract
+    * pattern as [[qApproxDistinct]]: the sketch value is
+    * engine-specific, but the algorithm guarantees rank error ≤ 1%
+    * at accuracy 100, so "approx p50 lies between exact p49 and
+    * exact p51" is a deterministic boolean any engine can check. */
+  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5D, 100)").as("approx_p50"),
+        expr("percentile(l_quantity, 0.49D)").as("p49"),
+        expr("percentile(l_quantity, 0.51D)").as("p51"))
+      .select(col("l_returnflag"), col("p49"), col("p51"),
+        (col("approx_p50") >= col("p49") && col("approx_p50") <= col("p51"))
+          .cast("long").as("within_bound"))
+      .orderBy("l_returnflag")
+
   /** Approximate distinct (HLL) vs exact. The estimate itself is
     * engine-specific, but the CONTRACT is not: the output folds the
     * HLL value into a deterministic accuracy bit (within 5% of exact),

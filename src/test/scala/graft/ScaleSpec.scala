@@ -81,7 +81,8 @@ class ScaleSpec extends AnyFunSuite {
     // every hash/sketch/rank operator must produce identical rows
     // whether the shuffle fans out over 3 or 13 partitions
     val keys = Seq("dedup_minhash_pairs", "dedup_ngram_jaccard",
-      "dedup_components", "q_topk_native", "ann_pq_topk", "stream_sessionize")
+      "dedup_components", "q_topk_native", "ann_pq_topk", "stream_sessionize",
+      "q_histogram", "embed_centroid_update")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)

@@ -30,6 +30,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(one.getDouble(one.fieldIndex("C_ACCTBAL")) == ref.getDouble(ref.fieldIndex("c_acctbal")))
   }
 
+  test("columnBounds returns the driver-side MIN/MAX for split planning") {
+    val url = Jdbc.derbyUrl()
+    Jdbc.createTable(url, "BOUNDS_T",
+      "CREATE TABLE BOUNDS_T (ID BIGINT NOT NULL PRIMARY KEY, V INT)")
+    import spark.implicits._
+    val df = Seq((5L, 1), (42L, 2), (17L, 3)).toDF("ID", "V")
+    df.write.mode("append")
+      .option("driver", Jdbc.DriverClass).jdbc(url, "BOUNDS_T", Jdbc.connProps)
+    assert(Jdbc.columnBounds(url, "BOUNDS_T", "ID") == (5L, 42L))
+  }
+
   test("primary-key discovery: declared single, declared composite, inferred fallback") {
     val url = Jdbc.derbyUrl()
     Jdbc.createTable(url, "PK_ONE",
