@@ -127,6 +127,8 @@ object SparkEntry {
     "ingest_partition_pruning" -> SourceQueries.partitionPruning _,
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
     "text_repetition" -> TextOps.repetition _,
+    "sample_stratified" -> TextOps.sampleStratified _,
+    "split_train_eval" -> TextOps.splitTrainEval _,
     "jdbc_pk_catalog" -> SourceQueries.jdbcPkCatalog _,
     "reid_header_map" -> SourceQueries.reidHeaderMap _,
     "reid_group_signature" -> SourceQueries.reidGroupSignature _,
@@ -1002,6 +1004,19 @@ object SparkEntry {
          |sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp)
          |SELECT c.doc_id, c.comp, s.n_members
          |FROM comp c JOIN sizes s USING (comp) ORDER BY doc_id""".stripMargin),
+    // sampling/splitting: the hash-bucket SQL is shared verbatim with
+    // the Spark side (TextOps.HashBucketSql), so the oracle IS the
+    // same function evaluated by a different engine.
+    "sample_stratified" ->
+      (s"""SELECT doc_id, source, ${TextOps.HashBucketSql} AS hash_bucket
+         |FROM documents WHERE ${TextOps.HashBucketSql} < 20
+         |ORDER BY doc_id""".stripMargin),
+    "split_train_eval" ->
+      (s"""WITH t AS (SELECT doc_id, source, ${TextOps.HashBucketSql} AS h FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM t)
+         |SELECT source, split, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin),
     // §2.G (round 4): Gopher-style repetition filters.
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -138,6 +138,42 @@ object TextOps {
         "CAST(array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) * 10000 DIV size(bg) AS BIGINT) AS top_bigram_bp")
       .orderBy("doc_id")
 
+  /** Portable 0-99 key-hash bucket: three md5 hex digits converted
+    * digit-by-digit (neither engine's hex-to-int builtin exists in
+    * the other) — identical SQL text runs on Spark and DuckDB. */
+  val HashBucketSql: String = {
+    def hv(i: Int) =
+      s"(ascii(substring(md5(CAST(doc_id AS STRING)), $i, 1)) - " +
+        s"CASE WHEN substring(md5(CAST(doc_id AS STRING)), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    s"CAST(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) % 100 AS BIGINT)"
+  }
+
+  /** Deterministic stratified sample: ~20% of documents per source,
+    * selected by content-independent key hash (md5 of doc_id) — the
+    * reproducible-at-any-parallelism sampling a train/eval pipeline
+    * needs (Bernoulli rand() samples change across runs and resume).
+    * Emits the sampled rows with their stratum. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", s"$HashBucketSql AS h")
+      .filter(col("h") < 20)
+      .select(col("doc_id"), col("source"), col("h").as("hash_bucket"))
+      .orderBy("doc_id")
+
+  /** Hash-based train/val/test split (80/10/10 by the same key hash):
+    * per (source, split) counts plus min/max ids — the assignment is a
+    * pure function of the key, so a document never migrates between
+    * splits across runs, partitions, or corpus growth. */
+  def splitTrainEval(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", s"$HashBucketSql AS h")
+      .selectExpr("doc_id", "source",
+        "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("source", "split")
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace runs, trim — the first stage of every
     * dedup/quality pipeline (normalize before hashing). */
