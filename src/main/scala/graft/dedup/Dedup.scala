@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.Tables
+import graft.{Caches, Tables}
 import graft.functions.VectorExprs.cosineSim
 
 /** Deduplication operators over the documents corpus: exact-hash,
@@ -22,19 +22,28 @@ import graft.functions.VectorExprs.cosineSim
 object Dedup {
 
   /** Shared: distinct word-3-gram shingles per doc (native single-pass
-    * expression; set-equal to the HOF transform chain, spec-checked). */
+    * expression; set-equal to the HOF transform chain, spec-checked).
+    * Persisted once per session via [[Caches]] — it feeds both sides of
+    * the verification join and every minhash consumer; at 100 TB this
+    * is the shared shingle table you'd checkpoint, not recompute. */
   private def gramsDf(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS w")
-      .select(col("doc_id"), graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
+    Caches.shared(spark, s"dedup.grams:$dir") {
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS w")
+        .select(col("doc_id"), graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
+    }
 
   /** k=8 MinHash signature as columns h0..h7 (md5-seeded; no RNG —
-    * reproducible at any parallelism; native single-pass expression). */
+    * reproducible at any parallelism; native single-pass expression).
+    * Shared/persisted once per session: it feeds the 4-band union and
+    * both sides of the LSH self-join, across four query entries. */
   private def sigDf(spark: SparkSession, dir: String): DataFrame =
-    gramsDf(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.MinHashArray.minhashArray(col("grams"), 8).as("sig"))
-      .selectExpr("doc_id" +: (0 until 8).map(j => s"sig[$j] AS h$j"): _*)
+    Caches.shared(spark, s"dedup.sig:$dir") {
+      gramsDf(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.MinHashArray.minhashArray(col("grams"), 8).as("sig"))
+        .selectExpr("doc_id" +: (0 until 8).map(j => s"sig[$j] AS h$j"): _*)
+    }
 
   /** Corpus-level minhash signature per source via the custom
     * TypedImperativeAggregate (one buffer pass, map-side combinable) —
@@ -64,12 +73,13 @@ object Dedup {
   /** LSH banding (4 bands × 2 rows) → candidate pairs → verify true
     * Jaccard ≥ 0.5. The band join is an equality shuffle join on
     * (band_id, band_key); verification touches only candidates.
-    * Signatures and shingle sets are persisted: they feed the band
+    * Signatures and shingle sets come from the session [[Caches]]
+    * (persisted once, reused by every caller): they feed the band
     * union (4×) and both sides of the self-join, and at 100 TB they'd
     * be checkpointed tables — recomputing the md5 sketch per branch
     * is the single biggest avoidable cost. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sigDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sigDf(spark, dir)
     val bands = (0 until 4).map { b =>
       sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
     }.reduce(_ unionAll _)
@@ -78,7 +88,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val g = gramsDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val g = gramsDf(spark, dir)
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
@@ -222,14 +232,15 @@ object Dedup {
     // array columns never enter a join or a cache: array<string>
     // payloads fall out of whole-stage codegen and make broadcast /
     // shuffle sides pay seconds of serialization.
-    val x = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "n_chars DIV 32 AS lb", "split(text, ' ') AS w")
-      .select(col("doc_id"), col("lb"),
-        graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
-      .selectExpr("doc_id", "lb", "CAST(size(grams) AS BIGINT) AS sz",
-        "explode_outer(grams) AS gram")
-      .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val x = Caches.shared(spark, s"dedup.flatgrams:$dir") {
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", "n_chars DIV 32 AS lb", "split(text, ' ') AS w")
+        .select(col("doc_id"), col("lb"),
+          graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
+        .selectExpr("doc_id", "lb", "CAST(size(grams) AS BIGINT) AS sz",
+          "explode_outer(grams) AS gram")
+        .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
+    }
     // inverted index: ONE exchange builds the per-gram posting list
     // (partial-aggregated map-side); candidate pairs are emitted from
     // each capped list by a double explode — max cap·(cap−1)/2
@@ -269,8 +280,8 @@ object Dedup {
     * misses when sizes differ. Emits (contained, container) in
     * whichever direction(s) clear the threshold. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val counts = gramPairCounts(spark, dir, maxGramDf = 64)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = Caches.shared(spark, s"dedup.paircounts:$dir:64")(
+      gramPairCounts(spark, dir, maxGramDf = 64))
     val aInB = counts.selectExpr("doc_a AS contained_id", "doc_b AS container_id",
       "ROUND(c / sza, 4) AS cont")
     val bInA = counts.selectExpr("doc_b AS contained_id", "doc_a AS container_id",

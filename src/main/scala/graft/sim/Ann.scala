@@ -137,15 +137,17 @@ object Ann {
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
     // assignment shuffles ONCE into a flat all-long (vec_id, cell)
-    // map, cached cheaply; the residual branches below (codebook,
-    // corpus encode, query table) re-derive residuals with joins only
-    // — no repeated aggregation, no array columns in the cache
-    val cells = e.crossJoin(broadcast(cent))
-      .selectExpr("vec_id", "cent_id", s"$sqL2Full AS d")
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // map, cached cheaply via the session Caches registry (released by
+    // Bench/Verify between queries); the residual branches below
+    // (codebook, corpus encode, query table) re-derive residuals with
+    // joins only — no repeated aggregation, no array columns in the cache
+    val cells = graft.Caches.shared(spark, s"ann.ivfpq.cells:$dir") {
+      e.crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "cent_id", s"$sqL2Full AS d")
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cell"))
+    }
     val withRes = e.join(cells, "vec_id")
       .join(broadcast(cent.select(col("cent_id").as("cell"), col("ce"))), "cell")
       .selectExpr("vec_id", "cell", "zip_with(emb, ce, (x, y) -> x - y) AS res")

@@ -90,26 +90,31 @@ object TextOps {
 
   /** Vocabulary with cumulative corpus coverage in integer basis
     * points — "how many types cover 90% of tokens" is the standard
-    * tokenizer sizing question. Exact integer arithmetic throughout. */
+    * tokenizer sizing question. Exact integer arithmetic throughout.
+    *
+    * Scale shape: a no-partition window over the FULL vocabulary would
+    * drag every distinct word (10⁸+ at corpus scale) into one task, so
+    * instead (1) the grand total is a scalar aggregate (tree-reduced,
+    * then broadcast via a 1-row cross join), (2) the top-200 cut runs
+    * FIRST through orderBy+limit (TakeOrderedAndProject — per-partition
+    * heaps, fully parallel), and (3) only the 200 surviving rows enter
+    * the cumulative window. Identical result: the cumulative sum at
+    * rank r depends only on rows ranked above r. */
   def vocab(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .selectExpr("explode(split(text, ' ')) AS word")
       .groupBy("word")
       .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(200)
     val wOrd = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("word"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy()
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    counts
+    top.crossJoin(broadcast(total))
       .withColumn("cum", sum(col("n")).over(wOrd))
-      .withColumn("total", sum(col("n")).over(wAll))
       .selectExpr("word", "n", "CAST(cum * 10000 DIV total AS BIGINT) AS cum_bp")
       .orderBy(col("n").desc, col("word"))
-      .limit(200)
   }
 
   /** Repetition filters in integer basis points (the Gopher quality
@@ -121,8 +126,26 @@ object TextOps {
     *  - top_word_bp: share of the most frequent token;
     *  - top_bigram_bp: share of the most frequent bigram.
     * All per-row higher-order functions — no shuffle, no UDF; a 100 TB
-    * corpus filters in one codegen'd scan. */
-  def repetition(spark: SparkSession, dir: String): DataFrame =
+    * corpus filters in one codegen'd scan.
+    *
+    * The top-count is a ONE-PASS aggregate over the sorted token array
+    * (longest equal-run = max frequency): O(n log n) per document,
+    * where the naive transform×filter form is O(n²) — the difference
+    * between milliseconds and ~10⁹ comparisons on a 50k-token web
+    * document. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    // longest run of equal adjacent values in the sorted array ==
+    // count of the most frequent element. '' sentinel is safe: a run
+    // always (re)starts at 1 whether or not x equals the sentinel,
+    // because run=0 at that point.
+    def maxFreq(arr: String) =
+      s"""aggregate(array_sort($arr),
+         |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  IF(x = a.prev, a.run + 1L, 1L),
+         |    'best', greatest(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+         |  a -> a.best)""".stripMargin.replace("\n", " ")
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "split(text, ' ') AS w")
       .selectExpr("doc_id", "w",
@@ -134,9 +157,10 @@ object TextOps {
       .selectExpr("doc_id",
         "CAST(size(w) AS BIGINT) AS n_words",
         "CAST((size(w) - size(array_distinct(w))) * 10000 DIV size(w) AS BIGINT) AS dup_word_bp",
-        "CAST(array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x)))) * 10000 DIV size(w) AS BIGINT) AS top_word_bp",
-        "CAST(array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) * 10000 DIV size(bg) AS BIGINT) AS top_bigram_bp")
+        s"CAST(${maxFreq("w")} * 10000 DIV size(w) AS BIGINT) AS top_word_bp",
+        s"CAST(${maxFreq("bg")} * 10000 DIV size(bg) AS BIGINT) AS top_bigram_bp")
       .orderBy("doc_id")
+  }
 
   /** Portable 0-99 key-hash bucket: three md5 hex digits converted
     * digit-by-digit (neither engine's hex-to-int builtin exists in
