@@ -56,10 +56,39 @@ object Bench {
       name -> times.min
     }
     Caches.clearAll()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a file: with 100+ queries the
+    // per-query map alone is ~3 KB, and the harness that scrapes this
+    // main's stdout keeps only the LAST ~2000 characters — a JSON line
+    // longer than that is truncated mid-object and unparseable. The
+    // stdout line stays under 1800 chars: total + the slowest queries
+    // that fit, with an explicit elision count so nothing is dropped
+    // silently.
+    val fullJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cache_mode":"${if (isolate) "isolate" else "shared"}","queries":{""", ",", "}}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
+    }
+    val byTime = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val budget = 1700
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cache_mode":"${if (isolate) "isolate" else "shared"}","n_total":${results.size},"full":"BENCH_FULL.json","queries":{"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 60 // reserve room for the closing elision fields
+    var keptSec = 0.0
+    byTime.foreach { case (k, v) =>
+      val e = s"\"$k\":${fmt(v)}"
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1; keptSec += v }
+    }
+    val elided = results.size - entries.size
+    val elidedSec = total - keptSec
+    println(head + entries.mkString(",") +
+      s"""},"n_elided":$elided,"elided_sec":${fmt(elidedSec)}}""")
     spark.stop()
   }
 }

@@ -26,7 +26,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
 
-  private val reg = TrieMap.empty[(Int, String), DataFrame]
+  // Keyed by the CacheManager OBJECT (default reference equality /
+  // identity hashCode), not its identity hash alone — hashes collide,
+  // and a collision would hand a caller a DataFrame bound to another
+  // (possibly stopped) session.
+  private val reg = TrieMap.empty[(AnyRef, String), DataFrame]
 
   /** Get-or-build the persisted DataFrame for `key` in this session's
     * cache scope. Keyed by the shared CacheManager, not the session
@@ -34,11 +38,23 @@ object Caches {
     * per fork would re-persist a plan the shared cache already holds
     * (the exact "already cached" churn this registry removes).
     * `build` runs at most once per (cache scope, key) until
-    * [[clearAll]]. */
-  def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    reg.getOrElseUpdate(
-      (System.identityHashCode(spark.sharedState.cacheManager), key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    * [[clearAll]]; under a concurrent race the losing build is
+    * unpersisted immediately so no orphaned cache survives. */
+  def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // Drop entries whose owning session has stopped so the registry
+    // never pins a dead session's DataFrames across session restarts.
+    reg.filterInPlace { case (_, df) => !df.sparkSession.sparkContext.isStopped }
+    val k = (spark.sharedState.cacheManager: AnyRef, key)
+    reg.get(k) match {
+      case Some(df) => df
+      case None =>
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        reg.putIfAbsent(k, df) match {
+          case Some(winner) => df.unpersist(blocking = false); winner
+          case None         => df
+        }
+    }
+  }
 
   /** Unpersist every registered intermediate and forget it. Safe to
     * call with stopped sessions in the registry. */

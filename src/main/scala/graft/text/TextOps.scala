@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Caches, Tables}
 
 /** Text-analysis operators for training-data pipelines: tokenization,
   * language ID, quality scoring, fingerprinting. Everything is
@@ -101,10 +101,15 @@ object TextOps {
     * the cumulative window. Identical result: the cumulative sum at
     * rank r depends only on rows ranked above r. */
   def vocab(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .selectExpr("explode(split(text, ' ')) AS word")
-      .groupBy("word")
-      .agg(count(lit(1)).as("n"))
+    // Shared-persisted: both the scalar total and the top-200 cut read
+    // this aggregation — without the cache that is two full corpus
+    // scans+shuffles where one suffices.
+    val counts = Caches.shared(spark, s"text.vocabCounts:$dir") {
+      Tables.documents(spark, dir)
+        .selectExpr("explode(split(text, ' ')) AS word")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+    }
     val total = counts.agg(sum(col("n")).as("total"))
     val top = counts.orderBy(col("n").desc, col("word")).limit(200)
     val wOrd = org.apache.spark.sql.expressions.Window
