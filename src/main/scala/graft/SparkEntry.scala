@@ -116,6 +116,8 @@ object SparkEntry {
     // §2.A/§2.C (round 4): live JDBC path, reid shaping, load retry,
     // CSV/JSON source round-trips
     "jdbc_live_extract" -> SourceQueries.jdbcLiveExtract _,
+    "jdbc_live_extract_nopk" -> SourceQueries.jdbcLiveExtractNoPk _,
+    "jdbc_type_map" -> SourceQueries.jdbcTypeMap _,
     // §2.D/E/G (round 4): interval join, dedup components, repetition
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_grouping_sets" -> Analytics.qGroupingSets _,
@@ -1036,6 +1038,36 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // jdbc_live_extract_nopk: same rows round-tripped through a Derby
+    // table with NO primary key (string-boundary range partitions);
+    // min/max of the derived string key prove no split boundary lost
+    // or duplicated a row.
+    "jdbc_live_extract_nopk" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_acctbal,
+        |  MIN(concat('K', lpad(CAST(c_custkey AS VARCHAR), 10, '0'))) AS min_key,
+        |  MAX(concat('K', lpad(CAST(c_custkey AS VARCHAR), 10, '0'))) AS max_key
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // jdbc_type_map: DDL is fixed in the query → the discovered
+    // TYPE_NAME→BQ mapping is a literal expected table.
+    "jdbc_type_map" ->
+      """SELECT CAST(ordinal AS BIGINT) AS ordinal, column_name, source_type, bq_type
+        |FROM (VALUES
+        |  (1, 'id', 'BIGINT', 'INTEGER'),
+        |  (2, 'name', 'VARCHAR', 'STRING'),
+        |  (3, 'note', 'CLOB', 'STRING'),
+        |  (4, 'flag', 'BOOLEAN', 'BOOLEAN'),
+        |  (5, 'qty', 'INTEGER', 'INTEGER'),
+        |  (6, 'tiny', 'SMALLINT', 'INTEGER'),
+        |  (7, 'price', 'DECIMAL', 'FLOAT'),
+        |  (8, 'ratio', 'DOUBLE', 'FLOAT'),
+        |  (9, 'rate', 'REAL', 'FLOAT'),
+        |  (10, 'born', 'DATE', 'DATE'),
+        |  (11, 'at_time', 'TIME', 'TIME'),
+        |  (12, 'seen', 'TIMESTAMP', 'STRING'),
+        |  (13, 'payload', 'BLOB', 'BYTES'),
+        |  (14, 'thumb', 'VARCHAR () FOR BIT DATA', 'BYTES')
+        |) t(ordinal, column_name, source_type, bq_type) ORDER BY ordinal""".stripMargin,
     // jdbc_pk_catalog: the DDL is fixed in the query, so the expected
     // discovery result is a literal table.
     "jdbc_pk_catalog" ->

@@ -30,12 +30,49 @@ object SchemaMapper {
     case other => "STRING" // reference logs-and-strings unknown types
   }
 
+  /** SOURCE-database type NAME → BigQuery type — the reference keys
+    * its schema conversion on the source's declared type string
+    * (msSqlToBqTypeMap, ServerUtil.java:55-87), which preserves
+    * distinctions the JDBC dialect erases before Spark sees them
+    * (IMAGE vs VARBINARY both surface as BinaryType; MONEY surfaces as
+    * a plain decimal). Keys are SQL Server type names plus the common
+    * JDBC/Derby synonyms those types surface as in DatabaseMetaData
+    * TYPE_NAME. Note TIMESTAMP→STRING is deliberate: in SQL Server
+    * TIMESTAMP is a rowversion token, not a point in time. */
+  val sourceTypeToBq: Map[String, String] = Map(
+    "VARCHAR" -> "STRING", "NVARCHAR" -> "STRING", "CHAR" -> "STRING",
+    "NCHAR" -> "STRING", "TEXT" -> "STRING", "NTEXT" -> "STRING",
+    "CLOB" -> "STRING", "LONG VARCHAR" -> "STRING",
+    "BIGINT" -> "INTEGER", "INT" -> "INTEGER", "INTEGER" -> "INTEGER",
+    "TINYINT" -> "INTEGER", "SMALLINT" -> "INTEGER",
+    "NUMERIC" -> "FLOAT", "DECIMAL" -> "FLOAT", "MONEY" -> "FLOAT",
+    "SMALLMONEY" -> "FLOAT", "FLOAT" -> "FLOAT", "REAL" -> "FLOAT",
+    "DOUBLE" -> "FLOAT",
+    "BIT" -> "BOOLEAN", "BOOLEAN" -> "BOOLEAN",
+    "DATE" -> "DATE", "TIME" -> "TIME",
+    "DATETIME" -> "DATETIME", "DATETIME2" -> "DATETIME",
+    "SMALLDATETIME" -> "DATETIME", "DATETIMEOFFSET" -> "TIMESTAMP",
+    "TIMESTAMP" -> "STRING",
+    "BINARY" -> "BYTES", "IMAGE" -> "BYTES", "VARBINARY" -> "BYTES",
+    "BLOB" -> "BYTES",
+    "UNIQUEIDENTIFIER" -> "STRING")
+
+  /** Map a raw DatabaseMetaData TYPE_NAME: uppercase, strip length
+    * parens, collapse whitespace; Derby's `... FOR BIT DATA` family is
+    * binary. None for a type the map does not know — the reference
+    * logs-and-skips those (ServerUtil.java:222-227), callers decide. */
+  def bqTypeForSourceName(typeName: String): Option[String] = {
+    val t = typeName.trim.toUpperCase
+      .replaceAll("\\(.*?\\)", "").replaceAll("\\s+", " ").trim
+    if (t.endsWith("FOR BIT DATA")) Some("BYTES") else sourceTypeToBq.get(t)
+  }
+
   /** checkHeaderName analog: whitespace→_, strip quotes and slashes,
     * then require a valid BQ column identifier. */
   def sanitizeName(name: String): String = {
     val cleaned = name.replaceAll("\\s", "_").replaceAll("'", "").replaceAll("/", "")
     require(cleaned.matches("^[A-Za-z_]+[A-Za-z_0-9]*$"),
-      s"Column name can't be matched to a valid format $name")
+      s"not a valid BQ column identifier after sanitization: '$name'")
     cleaned
   }
 

@@ -59,6 +59,65 @@ object SourceQueries {
       .orderBy("table_name")
   }
 
+  /** Source-type-name schema conversion discovered from live JDBC
+    * metadata: a Derby table declaring one column per representable
+    * type family, its TYPE_NAME strings read back through
+    * DatabaseMetaData and mapped with the string-keyed source-type→BQ
+    * map (the reference's msSqlToBqTypeMap keyed on the database's
+    * declared DATA_TYPE, ServerUtil.java:55-87 — distinctions like
+    * BLOB/IMAGE→base64 BYTES are lost once a JDBC dialect collapses
+    * them to BinaryType, so the map must run on the source string). */
+  def jdbcTypeMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val url = Jdbc.derbyUrl()
+    Jdbc.createTable(url, "TYPED_SRC",
+      """CREATE TABLE TYPED_SRC (
+        |  ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(64), NOTE CLOB,
+        |  FLAG BOOLEAN, QTY INT, TINY SMALLINT, PRICE DECIMAL(10,2),
+        |  RATIO DOUBLE, RATE REAL, BORN DATE, AT_TIME TIME,
+        |  SEEN TIMESTAMP, PAYLOAD BLOB,
+        |  THUMB VARCHAR (128) FOR BIT DATA)""".stripMargin)
+    Jdbc.columnTypes(url, "TYPED_SRC").zipWithIndex.map {
+      case ((name, typeName), i) =>
+        ((i + 1).toLong, name.toLowerCase, typeName,
+          graft.etl.SchemaMapper.bqTypeForSourceName(typeName)
+            .getOrElse("UNSUPPORTED"))
+    }.toDF("ordinal", "column_name", "source_type", "bq_type")
+      .orderBy("ordinal")
+  }
+
+  /** Parallel live extract of a table with NO numeric primary key —
+    * the gap the reference closes with ORDER BY/OFFSET/FETCH paging
+    * over the PK-or-all-columns ordering (TableToDbRowFn.java:155-170,
+    * ServerUtil.java:233-246). The table declares no PK at all, so the
+    * ordering is DISCOVERED the reference's way (metadata PK lookup →
+    * empty → all-columns fallback) and the extract range-partitions on
+    * the leading ordering column via driver-probed string boundaries —
+    * 8 concurrent sargable slices instead of a single-partition read.
+    * The oracle aggregates the same rows straight from parquet, so a
+    * row lost or duplicated at any split boundary fails the hash. */
+  def jdbcLiveExtractNoPk(spark: SparkSession, dir: String): DataFrame = {
+    val url = Jdbc.derbyUrl()
+    val src = Tables.customer(spark, dir).selectExpr(
+      "concat('K', lpad(CAST(c_custkey AS STRING), 10, '0')) AS CUST_KEY",
+      "c_mktsegment AS C_MKTSEGMENT", "c_acctbal AS C_ACCTBAL")
+    Jdbc.createAndLoad(src, url, "CUST_NOKEY",
+      """CREATE TABLE CUST_NOKEY (
+        |  CUST_KEY VARCHAR(12) NOT NULL, C_MKTSEGMENT VARCHAR(16),
+        |  C_ACCTBAL DOUBLE)""".stripMargin)
+    val pks = Jdbc.primaryKeys(url, "CUST_NOKEY")
+    val ordering = if (pks.nonEmpty) pks else Jdbc.columns(url, "CUST_NOKEY")
+    val back = Jdbc.readPartitionedByOrdering(spark, url, "CUST_NOKEY",
+      ordering.head, 8)
+    back.groupBy(col("C_MKTSEGMENT").as("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("C_ACCTBAL").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("sum_acctbal"),
+        min(col("CUST_KEY")).as("min_key"),
+        max(col("CUST_KEY")).as("max_key"))
+      .orderBy("c_mktsegment")
+  }
+
   /** CreateHeaderMap analog: re-identified output with user-mapped
     * column names (unmapped columns keep their headers). */
   def reidHeaderMap(spark: SparkSession, dir: String): DataFrame = {

@@ -97,6 +97,22 @@ object Jdbc {
       buf.sortBy(_._1).map(_._2).toSeq
     }
 
+  /** Column names with their SOURCE type names (DatabaseMetaData
+    * TYPE_NAME), ordinal order — the discovery input for the
+    * source-type→BQ map, which the reference keys on the database's
+    * declared type string (ServerUtil.java:50-51 reads
+    * INFORMATION_SCHEMA DATA_TYPE), not the post-dialect JDBC type. */
+  def columnTypes(url: String, table: String): Seq[(String, String)] =
+    withConn(url) { conn =>
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, (String, String))]
+      while (rs.next())
+        buf += ((rs.getInt("ORDINAL_POSITION"),
+          (rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME"))))
+      rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    }
+
   /** PK catalog with the reference's fallback: when a table declares
     * no primary key, order by ALL columns (ServerUtil.java:233-246's
     * all-column ordering) and flag the inference. */
@@ -130,4 +146,66 @@ object Jdbc {
                       pk: String, lower: Long, upper: Long,
                       numPartitions: Int): DataFrame =
     Sources.readJdbc(spark, url, table, pk, lower, upper, numPartitions, connProps)
+
+  /** Boundary values that split `table` into `numPartitions` roughly
+    * equal ranges of `column` (any ORDER BY-able type, read back as
+    * its string form). Planning is driver-side metadata work — one
+    * COUNT plus (numPartitions-1) single-row ORDER BY/OFFSET/FETCH
+    * probes, the same paging statement the reference issues per chunk
+    * (TableToDbRowFn.java:155-170) but issued once per BOUNDARY here;
+    * the bulk rows then move through sargable range predicates that an
+    * index on `column` serves without scanning past skipped rows. */
+  def stringSplitPoints(url: String, table: String, column: String,
+                        numPartitions: Int): Seq[String] =
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      val rsN = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+      rsN.next(); val n = rsN.getLong(1); rsN.close()
+      val step = math.max(1L, n / math.max(1, numPartitions))
+      val pts = (1L until numPartitions.toLong).map(_ * step)
+        .filter(_ < n).flatMap { off =>
+          val rs = st.executeQuery(
+            s"SELECT $column FROM $table ORDER BY $column OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
+          val v = if (rs.next()) Option(rs.getString(1)) else None
+          rs.close(); v
+        }
+      st.close()
+      pts.distinct
+    }
+
+  private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** Disjoint covering WHERE clauses over string boundaries: the first
+    * range also claims NULLs (Derby orders NULLs last, but a NULL never
+    * satisfies either comparison, so it must be claimed explicitly or
+    * the row is silently dropped). */
+  def rangePredicates(column: String, points: Seq[String]): Array[String] =
+    if (points.isEmpty) Array("1=1")
+    else {
+      val first = s"$column < ${sqlQuote(points.head)} OR $column IS NULL"
+      val mids = points.sliding(2).collect { case Seq(a, b) =>
+        s"$column >= ${sqlQuote(a)} AND $column < ${sqlQuote(b)}"
+      }.toSeq
+      val last = s"$column >= ${sqlQuote(points.last)}"
+      (first +: mids :+ last).toArray
+    }
+
+  /** Parallel extract for tables WITHOUT a numeric primary key — the
+    * reference pages any such table with `ORDER BY <pk or all columns>
+    * OFFSET n FETCH NEXT k` (TableToDbRowFn.java:155-170; all-columns
+    * fallback ServerUtil.java:233-246). OFFSET paging makes the
+    * database re-scan and discard `n` rows per chunk (quadratic total
+    * work); here the driver probes (numPartitions-1) boundary values of
+    * the leading ordering column once, then each executor task reads
+    * its slice through a sargable range predicate — same split
+    * semantics, linear total DB work, and no two tasks overlap because
+    * the [lo, hi) ranges partition the column's domain. Skew caveat:
+    * ranges split the leading column only, so a single hot value bounds
+    * one task — the same bound the reference's ORDER BY paging has on a
+    * sorted duplicate run. */
+  def readPartitionedByOrdering(spark: SparkSession, url: String, table: String,
+                                orderCol: String, numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, table,
+      rangePredicates(orderCol, stringSplitPoints(url, table, orderCol, numPartitions)),
+      connProps)
 }

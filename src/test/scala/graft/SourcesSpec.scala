@@ -10,6 +10,50 @@ import graft.sources.Jdbc
 class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("ordering-based JDBC read partitions a no-PK table without losing rows") {
+    val url = Jdbc.derbyUrl()
+    Jdbc.createTable(url, "NOPK_SPEC",
+      "CREATE TABLE NOPK_SPEC (K VARCHAR(16), V INT)")
+    import spark.implicits._
+    val df = (1 to 97).map(i => (f"k$i%03d", i)).toDF("K", "V")
+    df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("driver", Jdbc.DriverClass).jdbc(url, "NOPK_SPEC", Jdbc.connProps)
+    // NULL ordering key via direct SQL: Spark's Derby dialect writes
+    // StringType as CLOB, and setNull(CLOB) fails on a VARCHAR column
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "INSERT INTO NOPK_SPEC VALUES (NULL, 98)")
+    finally conn.close()
+    val back = Jdbc.readPartitionedByOrdering(spark, url, "NOPK_SPEC", "K", 4)
+    assert(back.rdd.getNumPartitions == 4, "boundary probing must yield the declared splits")
+    // NULL ordering value must be claimed by the first range, not dropped
+    assert(back.count() == 98, "no row (including the NULL key) lost at a split boundary")
+    assert(back.agg(sum(col("V"))).head().getLong(0) == (1 to 98).sum.toLong)
+    // ranges are disjoint: no key appears twice (97 keys + the NULL)
+    assert(back.select("K").distinct().count() == 98)
+  }
+
+  test("rangePredicates covers NULLs, escapes quotes, and stays disjoint") {
+    val preds = Jdbc.rangePredicates("C", Seq("b", "d'Arc"))
+    assert(preds.length == 3)
+    assert(preds(0).contains("C IS NULL"))
+    assert(preds(1) == "C >= 'b' AND C < 'd''Arc'")
+    assert(preds(2) == "C >= 'd''Arc'")
+    assert(Jdbc.rangePredicates("C", Nil).sameElements(Array("1=1")))
+  }
+
+  test("source type-name map keys on the declared source type") {
+    import graft.etl.SchemaMapper._
+    assert(bqTypeForSourceName("IMAGE").contains("BYTES"))
+    assert(bqTypeForSourceName("uniqueidentifier").contains("STRING"))
+    assert(bqTypeForSourceName("MONEY").contains("FLOAT"))
+    assert(bqTypeForSourceName("DECIMAL(10,2)").contains("FLOAT"))
+    assert(bqTypeForSourceName("VARCHAR () FOR BIT DATA").contains("BYTES"))
+    // SQL Server TIMESTAMP is a rowversion token, not a time
+    assert(bqTypeForSourceName("TIMESTAMP").contains("STRING"))
+    assert(bqTypeForSourceName("GEOGRAPHY").isEmpty)
+  }
+
   test("partitioned JDBC read returns every row with the declared parallelism") {
     val url = Jdbc.derbyUrl()
     val cust = Tables.customer(spark, sf)
