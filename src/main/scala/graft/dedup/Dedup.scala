@@ -79,24 +79,32 @@ object Dedup {
     * be checkpointed tables — recomputing the md5 sketch per branch
     * is the single biggest avoidable cost. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sigDf(spark, dir)
-    val bands = (0 until 4).map { b =>
-      sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
-    }.reduce(_ unionAll _)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val g = gramsDf(spark, dir)
-    cand
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
-      .selectExpr("doc_a", "doc_b",
-        "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
-      .filter(col("jacc") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
-      .orderBy("doc_a", "doc_b")
+    // The verified pair list itself is session-shared: FOUR consumers
+    // (the pairs query, survivor pipeline, sketch calibration,
+    // connected components) each re-run the band join + verification
+    // otherwise. It is also the natural checkpoint of a production
+    // dedup — tiny (candidates that passed, not the corpus) and
+    // feeding every downstream policy.
+    Caches.shared(spark, s"dedup.pairs:$dir") {
+      val sig = sigDf(spark, dir)
+      val bands = (0 until 4).map { b =>
+        sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
+      }.reduce(_ unionAll _)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val g = gramsDf(spark, dir)
+      cand
+        .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
+        .filter(col("jacc") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** Sketch calibration: MinHash-ESTIMATED Jaccard (matching
@@ -167,12 +175,19 @@ object Dedup {
       val msgs = edges.join(
           labels.select(col("doc_id").as("src"), col("comp")), "src")
         .select(col("dst").as("doc_id"), col("comp"))
-      val next = labels.unionAll(msgs)
-        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+      // The previous label rides through the same aggregate (each doc
+      // has exactly ONE label row, so min(old) IS its old label) —
+      // the convergence check is then a shuffle-free scan of the
+      // checkpointed result instead of a second join+shuffle per
+      // round, halving the per-round work.
+      val next = labels.select(col("doc_id"), col("comp"), col("comp").as("old"))
+        .unionAll(msgs.select(col("doc_id"), col("comp"),
+          lit(null).cast("long").as("old")))
+        .groupBy("doc_id")
+        .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
-        .filter(col("comp") < col("old")).count()
-      labels = next
+      changed = next.filter(col("comp") < col("old")).count()
+      labels = next.select("doc_id", "comp")
     }
     edges.unpersist()
     val all = docs.join(labels, Seq("doc_id"), "left")
