@@ -76,15 +76,11 @@ object Dlp {
     * derived amount, so equal plaintexts tokenize equally and the
     * token still validates as a phone/account number. Pure codegen'd
     * expression (per-char higher-order transform, no UDF). */
-  def fpeDigits(c: Column, key: String): Column =
+  def fpeDigits(colName: String, key: String): Column =
     expr(
-      s"""array_join(transform(sequence(1, length(${colSql(c)})), i ->
-         |  CASE WHEN substring(${colSql(c)}, i, 1) >= '0' AND substring(${colSql(c)}, i, 1) <= '9'
-         |    THEN CAST((CAST(substring(${colSql(c)}, i, 1) AS INT) +
+      s"""array_join(transform(sequence(1, length($colName)), i ->
+         |  CASE WHEN substring($colName, i, 1) >= '0' AND substring($colName, i, 1) <= '9'
+         |    THEN CAST((CAST(substring($colName, i, 1) AS INT) +
          |               ascii(substring(md5(concat('$key', ':', CAST(i AS STRING))), 1, 1))) % 10 AS STRING)
-         |    ELSE substring(${colSql(c)}, i, 1) END), '')""".stripMargin.replace("\n", " "))
-
-  /** Column → SQL text for embedding in expr() (simple named columns
-    * only — the fpe transform is applied to a named column). */
-  private def colSql(c: Column): String = c.toString
+         |    ELSE substring($colName, i, 1) END), '')""".stripMargin.replace("\n", " "))
 }

@@ -63,7 +63,7 @@ object DlpConfig {
     case DeterministicToken(c, key) => Dlp.deterministicToken(col(c), key)
     case Bucketize(c, w) => Dlp.bucketize(col(c), w)
     case DateShift(c, ctx, d) => Dlp.dateShift(col(c), col(ctx), d)
-    case FpeDigits(c, key) => Dlp.fpeDigits(col(c), key)
+    case FpeDigits(c, key) => Dlp.fpeDigits(c, key)
   }
 
   /** Apply one table's configured transforms in place (columns keep

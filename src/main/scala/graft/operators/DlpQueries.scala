@@ -139,7 +139,7 @@ object DlpQueries {
         concat(lit("555-867-"),
           lpad((col("c_custkey") % 10000).cast("string"), 4, "0")).as("phone"))
       .select(col("c_custkey"), col("phone"),
-        Dlp.fpeDigits(col("phone"), "fpe-key").as("fpe_phone"))
+        Dlp.fpeDigits("phone", "fpe-key").as("fpe_phone"))
       .orderBy("c_custkey")
 
   /** K-map risk estimate (DLP KMapEstimationConfig analog): for each

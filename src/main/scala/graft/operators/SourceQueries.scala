@@ -207,22 +207,30 @@ object SourceQueries {
       ("SUPPLIER_SRC", "supplier",
         """CREATE TABLE SUPPLIER_SRC (S_SUPPKEY BIGINT NOT NULL PRIMARY KEY,
           |  S_NAME VARCHAR(64), S_NATIONKEY INT, S_ACCTBAL DOUBLE)""".stripMargin, true))
-    val rows = tables.map { case (dbTable, name, ddl, deid) =>
-      val src = Tables.load(spark, dir, name)
-      Jdbc.createAndLoad(src.toDF(src.columns.map(_.toUpperCase).toIndexedSeq: _*),
-        url, dbTable, ddl)
-      val pk = Jdbc.primaryKeys(url, dbTable).head
-      val (lo, hi) = Jdbc.columnBounds(url, dbTable, pk)
-      val extracted = Jdbc.readPartitioned(spark, url, dbTable, pk, lo, hi + 1, 4)
-      val lowered = extracted.toDF(extracted.columns.map(_.toLowerCase).toIndexedSeq: _*)
-      val deided =
-        if (deid) lowered.withColumn("s_name",
-          graft.etl.Dlp.deterministicToken(col("s_name"), "det-key"))
-        else lowered
-      Sources.writeWarehouse(deided, out, "imported", name, "WRITE_TRUNCATE")
-      val n = spark.read.parquet(s"$out/imported/$name").count()
-      (name, n, pk.toLowerCase, 4L, if (deid) 1L else 0L)
-    }
+    // Tables are independent import jobs — stage/extract/write them
+    // from concurrent driver threads (the Migration.runImport shape):
+    // Spark interleaves their stages, so one table's Derby staging
+    // overlaps the other's extract instead of serializing.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rows = Await.result(Future.sequence(
+      tables.map { case (dbTable, name, ddl, deid) => Future {
+        val src = Tables.load(spark, dir, name)
+        Jdbc.createAndLoad(src.toDF(src.columns.map(_.toUpperCase).toIndexedSeq: _*),
+          url, dbTable, ddl)
+        val pk = Jdbc.primaryKeys(url, dbTable).head
+        val (lo, hi) = Jdbc.columnBounds(url, dbTable, pk)
+        val extracted = Jdbc.readPartitioned(spark, url, dbTable, pk, lo, hi + 1, 4)
+        val lowered = extracted.toDF(extracted.columns.map(_.toLowerCase).toIndexedSeq: _*)
+        val deided =
+          if (deid) lowered.withColumn("s_name",
+            graft.etl.Dlp.deterministicToken(col("s_name"), "det-key"))
+          else lowered
+        Sources.writeWarehouse(deided, out, "imported", name, "WRITE_TRUNCATE")
+        val n = spark.read.parquet(s"$out/imported/$name").count()
+        (name, n, pk.toLowerCase, 4L, if (deid) 1L else 0L)
+      }}), Duration.Inf)
     rows.toDF("table_name", "n_rows", "pk_col", "n_splits", "deid_applied")
       .orderBy("table_name")
   }

@@ -131,6 +131,28 @@ class PlanSpec extends AnyFunSuite {
     assert(row.getSeq[String](2).length == 2)
   }
 
+  test("q_lateral decorrelates: ranked join, no per-row nested loop") {
+    val qe = Analytics.qLateral(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    // Catalyst must rewrite the correlated LIMIT-1 subquery into a
+    // set-level plan; a surviving LateralJoin would run the subquery
+    // once per outer row — the shape that dies at 10⁹ customers.
+    assert(!optimized.contains("LateralJoin"),
+      s"correlated subquery not decorrelated:\n${optimized.take(1500)}")
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation produced a per-row loop:\n${physical.take(1500)}")
+    assert(physical.contains("Window") || physical.contains("SortAggregate") ||
+      physical.contains("HashAggregate"),
+      s"expected a ranked/aggregated rewrite:\n${physical.take(1500)}")
+    // WindowGroupLimit is the top-1-per-group pushdown: per-partition
+    // partial limit before the shuffle, final after — the plan that
+    // scales with distinct customers, not orders
+    assert(physical.contains("WindowGroupLimit"),
+      s"missing group-limit pushdown:\n${physical.take(1500)}")
+  }
+
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
     val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
