@@ -86,6 +86,11 @@ object SparkEntry {
     "dedup_embedding_cos" -> Dedup.embeddingCosine _,
     "dedup_corpus_sig" -> Dedup.corpusSig _,
     "pipeline_dedup_survivors" -> Dedup.pipelineSurvivors _,
+    // §2.E/G (round 6): incremental batch-vs-corpus dedup, train/eval
+    // decontamination, composite quality gate
+    "dedup_incremental" -> Dedup.incremental _,
+    "split_decontaminate" -> Dedup.decontaminate _,
+    "pipeline_quality_gate" -> TextOps.qualityGate _,
     // §2.F similarity search
     "ann_topk_bruteforce" -> Ann.topkBruteforce _,
     "ann_ivf_topk" -> Ann.ivfTopk _,
@@ -559,6 +564,22 @@ object SparkEntry {
          |       ELSE 'fr' END AS predicted,
          |  s_en, s_de, s_es, s_fr
          |FROM s ORDER BY doc_id""".stripMargin),
+    // pipeline_quality_gate: first-failing-rule corpus filter.
+    "pipeline_quality_gate" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  ${TextOps.LangMarkers.map { case (_, ws) => langHits(ws) }.mkString(" + ")} AS marker_hits,
+         |  CAST((len(w) - len(list_distinct(w))) * 10000 // len(w) AS BIGINT) AS dup_word_bp
+         |FROM t),
+         |r AS (SELECT doc_id, n_words, marker_hits, dup_word_bp,
+         |  CASE WHEN n_words < 5 THEN 'too_short'
+         |       WHEN marker_hits = 0 THEN 'unknown_language'
+         |       WHEN dup_word_bp > 3000 THEN 'repetitive'
+         |       ELSE 'ok' END AS gate FROM q)
+         |SELECT doc_id, n_words, marker_hits, dup_word_bp, gate,
+         |  CAST(CASE WHEN gate = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin),
     "text_quality_score" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -598,6 +619,51 @@ object SparkEntry {
          |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
          |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    // dedup_incremental: batch (odd ids) vs corpus (even ids) band-key
+    // join only — no corpus self-pairing.
+    "dedup_incremental" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_corpus, b.doc_id AS doc_new
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk
+         |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+         |j AS (SELECT doc_new, doc_corpus, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_corpus JOIN g gb ON gb.doc_id = doc_new),
+         |m AS (SELECT doc_new AS doc_id, MIN(doc_corpus) AS dup_of, COUNT(*) AS n_dups
+         |  FROM j WHERE jacc >= 0.5 GROUP BY doc_new)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN m.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+         |  CAST(coalesce(m.dup_of, -1) AS BIGINT) AS dup_of,
+         |  CAST(coalesce(m.n_dups, 0) AS BIGINT) AS n_dups
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin),
+    // split_decontaminate: eval/test docs with a verified near-dup in
+    // the train split (hash-bucket split × verified pair list).
+    "split_decontaminate" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |p AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |und AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |s AS (SELECT doc_id, CASE WHEN ${TextOps.HashBucketSql} < 80 THEN 'train'
+         |  WHEN ${TextOps.HashBucketSql} < 90 THEN 'val' ELSE 'test' END AS split FROM documents)
+         |SELECT u.doc_id, s.split, MIN(u.nbr) AS train_dup, CAST(COUNT(*) AS BIGINT) AS n_train_dups
+         |FROM und u JOIN s ON s.doc_id = u.doc_id AND s.split <> 'train'
+         |JOIN s t ON t.doc_id = u.nbr AND t.split = 'train'
+         |GROUP BY u.doc_id, s.split ORDER BY u.doc_id""".stripMargin),
     "dedup_simhash" ->
       (s"""WITH m AS (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS mdw FROM documents),
          |s AS (SELECT doc_id, CAST($SimhashExpr AS BIGINT) AS simhash FROM m)

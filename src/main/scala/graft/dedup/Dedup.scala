@@ -107,6 +107,68 @@ object Dedup {
     }
   }
 
+  /** INCREMENTAL dedup — the daily-ingest shape: a new batch (odd
+    * doc_ids here) checked against the existing corpus (even ids)
+    * without re-pairing the corpus against itself. Band keys of the
+    * batch equality-join ONLY against corpus band keys, so per-run
+    * work is O(batch × collision rate), not O(corpus²) — the property
+    * that lets a 100 TB index absorb a daily crawl. Each batch doc
+    * reports whether it duplicates the corpus and its canonical
+    * (minimum) corpus duplicate; -1 sentinel keeps the output
+    * null-free for the compare boundary. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sigDf(spark, dir)
+    val bands = (0 until 4).map { b =>
+      sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
+    }.reduce(_ unionAll _)
+    val cand = bands.filter(col("doc_id") % 2 === 0).as("a")
+      .join(bands.filter(col("doc_id") % 2 === 1).as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("doc_corpus"), col("b.doc_id").as("doc_new"))
+      .distinct()
+    val g = gramsDf(spark, dir)
+    val verified = cand
+      .join(g.select(col("doc_id").as("doc_corpus"), col("grams").as("ga")), "doc_corpus")
+      .join(g.select(col("doc_id").as("doc_new"), col("grams").as("gb")), "doc_new")
+      .selectExpr("doc_new", "doc_corpus",
+        "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
+      .filter(col("jacc") >= 0.5)
+      .groupBy(col("doc_new").as("doc_id"))
+      .agg(min(col("doc_corpus")).as("dup_of"), count(lit(1)).as("n_dups"))
+    Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+      .select("doc_id")
+      .join(verified, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(CASE WHEN dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup",
+        "coalesce(dup_of, -1) AS dup_of",
+        "coalesce(n_dups, 0) AS n_dups")
+      .orderBy("doc_id")
+  }
+
+  /** Train/eval DECONTAMINATION: eval/test documents whose verified
+    * near-duplicate sits in the train split — the leakage check every
+    * benchmark-honest training pipeline runs before shipping a split
+    * (an eval doc the model saw in train measures memorization, not
+    * generalization). Reuses the session-cached verified pair list and
+    * the deterministic hash-bucket split, so the check is a join over
+    * sketch-scale data, never a corpus rescan. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val directed = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+    val split = Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"${graft.text.TextOps.HashBucketSql} AS h")
+      .selectExpr("doc_id",
+        "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split")
+    directed
+      .join(split, "doc_id").filter(col("split") =!= "train")
+      .join(split.select(col("doc_id").as("nbr"), col("split").as("nbr_split")), "nbr")
+      .filter(col("nbr_split") === "train")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(min(col("nbr")).as("train_dup"), count(lit(1)).as("n_train_dups"))
+      .orderBy("doc_id")
+  }
+
   /** Sketch calibration: MinHash-ESTIMATED Jaccard (matching
     * signature components / k, in basis points) next to the true
     * verified Jaccard for every LSH pair — the query that tells you

@@ -167,6 +167,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Composite quality GATE — the filter pipeline a pretraining corpus
+    * actually runs (C4/Gopher style): every document gets a pass/fail
+    * and the FIRST failing rule, so corpus curation can report why
+    * volume was dropped, not just how much. Rules are all-integer
+    * (length, marker-hit count, duplicate-word basis points) and run
+    * in one codegen'd scan — no shuffle, no UDF; at 100 TB this is a
+    * map-only pass whose output feeds the survivor write directly. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val allHits = LangMarkers.map { case (l, _) => hits(l) }.mkString(" + ")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .selectExpr("doc_id",
+        "CAST(size(w) AS BIGINT) AS n_words",
+        s"$allHits AS marker_hits",
+        "CAST((size(w) - size(array_distinct(w))) * 10000 DIV size(w) AS BIGINT) AS dup_word_bp")
+      .selectExpr("doc_id", "n_words", "marker_hits", "dup_word_bp",
+        """CASE
+          |  WHEN n_words < 5 THEN 'too_short'
+          |  WHEN marker_hits = 0 THEN 'unknown_language'
+          |  WHEN dup_word_bp > 3000 THEN 'repetitive'
+          |  ELSE 'ok' END AS gate""".stripMargin.replace("\n", " "))
+      .selectExpr("doc_id", "n_words", "marker_hits", "dup_word_bp", "gate",
+        "CAST(CASE WHEN gate = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS pass")
+      .orderBy("doc_id")
+  }
+
   /** Portable 0-99 key-hash bucket: three md5 hex digits converted
     * digit-by-digit (neither engine's hex-to-int builtin exists in
     * the other) — identical SQL text runs on Spark and DuckDB. */
