@@ -145,6 +145,7 @@ object SparkEntry {
     "migration_jdbc_manifest" -> SourceQueries.jdbcImportManifest _,
     "dlp_k_map" -> DlpQueries.dlpKMap _,
     "source_json_roundtrip" -> SourceQueries.jsonRoundtrip _,
+    "source_orc_roundtrip" -> SourceQueries.orcRoundtrip _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1204,6 +1205,10 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "source_json_roundtrip" ->
       """SELECT p_brand, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total

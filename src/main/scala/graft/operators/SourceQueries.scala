@@ -164,6 +164,23 @@ object SourceQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** ORC round-trip: same contract as the CSV/JSON round-trips but
+    * through the columnar ORC codec (schema travels with the file, so
+    * no explicit schema on read). Exercises lineitem, the widest
+    * table. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val proj = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    Sources.writeOrc(proj, out)
+    Sources.readOrc(spark, out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("total"))
+      .orderBy("l_returnflag")
+  }
+
   /** Partitioned warehouse layout + partition pruning: write orders
     * partitioned by status (the warehouse layout the reference's
     * date-partitioned BQ tables imply), then read ONE partition back —

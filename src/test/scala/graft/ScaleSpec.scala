@@ -46,6 +46,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(uncapped == capped)
   }
 
+  test("incremental dedup checks batch-vs-corpus only, never corpus self-pairs") {
+    val out = graft.dedup.Dedup.incremental(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, s"output must be batch (odd) docs only: $r")
+      val dupOf = r.getLong(2)
+      if (r.getLong(1) == 1L)
+        assert(dupOf % 2 == 0 && dupOf >= 0, s"dup_of must point into the corpus (even): $r")
+      else assert(dupOf == -1L && r.getLong(3) == 0L, s"non-dup must carry sentinels: $r")
+    }
+  }
+
+  test("decontaminate flags only eval/test docs and points into train") {
+    val split = Tables.documents(spark, sf)
+      .selectExpr("doc_id", s"${graft.text.TextOps.HashBucketSql} AS h")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train" else if (r.getLong(1) < 90) "val" else "test")).toMap
+    val out = graft.dedup.Dedup.decontaminate(spark, sf).collect()
+    out.foreach { r =>
+      val (docId, sp, trainDup) = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(sp != "train" && split(docId) == sp, s"flagged doc must be eval/test: $r")
+      assert(split(trainDup) == "train", s"train_dup must sit in train: $r")
+    }
+  }
+
+  test("quality gate reports the FIRST failing rule") {
+    val rows = graft.text.TextOps.qualityGate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hits, dup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expected =
+        if (n < 5) "too_short"
+        else if (hits == 0) "unknown_language"
+        else if (dup > 3000) "repetitive"
+        else "ok"
+      assert(r.getString(4) == expected, s"gate order violated: $r")
+      assert(r.getLong(5) == (if (expected == "ok") 1L else 0L))
+    }
+  }
+
   test("components: transitive chains collapse to one group, min-label id") {
     import spark.implicits._
     // chain 1-2-3 (1~2, 2~3, but NOT 1~3), pair 7-9, singletons 5, 8
