@@ -174,9 +174,17 @@ object TextOps {
     * (length, marker-hit count, duplicate-word basis points) and run
     * in one codegen'd scan — no shuffle, no UDF; at 100 TB this is a
     * map-only pass whose output feeds the survivor write directly. */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGateCols(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The gate as a pure column transform over any (doc_id, text)
+    * relation — batch or stream: stateless and map-only, it applies
+    * unchanged to a readStream source (StreamingSpec runs it on a
+    * MemoryStream), which is how a streaming ingest filters documents
+    * before they ever land. */
+  def qualityGateCols(docs: DataFrame): DataFrame = {
     val allHits = LangMarkers.map { case (l, _) => hits(l) }.mkString(" + ")
-    Tables.documents(spark, dir)
+    docs
       .selectExpr("doc_id", "split(text, ' ') AS w")
       .selectExpr("doc_id",
         "CAST(size(w) AS BIGINT) AS n_words",
@@ -190,7 +198,6 @@ object TextOps {
           |  ELSE 'ok' END AS gate""".stripMargin.replace("\n", " "))
       .selectExpr("doc_id", "n_words", "marker_hits", "dup_word_bp", "gate",
         "CAST(CASE WHEN gate = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS pass")
-      .orderBy("doc_id")
   }
 
   /** Portable 0-99 key-hash bucket: three md5 hex digits converted

@@ -62,6 +62,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("quality gate applies unchanged to a stream (stateless map-only filter)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.text.TextOps.qualityGateCols(src.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("gate_out").start()
+    src.addData(
+      (1L, "the cat sat on the mat"),           // ok
+      (2L, "tiny doc"),                         // too_short
+      (3L, "zzz qqq xxx yyy www vvv"),          // unknown_language
+      (4L, "the the the the the and to of a"))  // repetitive
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate_out").select("doc_id", "gate").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "ok", 2L -> "too_short",
+      3L -> "unknown_language", 4L -> "repetitive"), s"got $got")
+  }
+
   test("event-time timeout closes idle sessions via watermark, not new data") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
