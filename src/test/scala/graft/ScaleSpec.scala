@@ -122,7 +122,8 @@ class ScaleSpec extends AnyFunSuite {
     // whether the shuffle fans out over 3 or 13 partitions
     val keys = Seq("dedup_minhash_pairs", "dedup_ngram_jaccard",
       "dedup_components", "q_topk_native", "ann_pq_topk", "stream_sessionize",
-      "q_histogram", "embed_centroid_update")
+      "q_histogram", "embed_centroid_update",
+      "dedup_incremental", "split_decontaminate")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
