@@ -114,6 +114,7 @@ object SparkEntry {
     "mm_binary_meta" -> Multimodal.binaryMeta _,
     "mm_frame_sample" -> Multimodal.frameSample _,
     "mm_modality_route" -> Multimodal.modalityRoute _,
+    "mm_decode_batch_plan" -> Multimodal.decodeBatchPlan _,
     // §2.G (cont.)
     "text_normalize" -> TextOps.normalize _,
     "text_ngram_freq" -> TextOps.ngramFreq _,
@@ -965,6 +966,20 @@ object SparkEntry {
         |SELECT modality, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
         |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
+    // mm_decode_batch_plan: byte-budgeted decode batches per
+    // (modality, shard) — the window is bounded at 1000 rows/shard.
+    "mm_decode_batch_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS modality,
+        |  CAST(octet_length(encode(text)) + CASE doc_id % 3 WHEN 0 THEN 3 ELSE 4 END AS BIGINT) AS n_bytes,
+        |  CAST(doc_id // 1000 AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, modality, shard, n_bytes,
+        |  SUM(n_bytes) OVER (PARTITION BY modality, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m)
+        |SELECT doc_id, modality, shard, n_bytes,
+        |  CAST((cum - n_bytes) // 4096 AS BIGINT) AS batch_in_shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     // §2.H
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -77,6 +77,39 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** Decode-batch planning: pack each decode-pool shard's payloads
+    * into byte-budgeted batches (the GPU-decoder feeding pattern —
+    * a batch is bounded by device memory, so the planner packs by
+    * cumulative payload bytes, not row count; compare the reference's
+    * row-count DLP batching, DLPProperties batchSize). Shard key =
+    * (modality, doc_id DIV 1000): batching is per decode-pool shard,
+    * so the cumulative window is bounded at 1000 rows and the plan is
+    * embarrassingly parallel — never a corpus-wide window. */
+  def decodeBatchPlan(spark: SparkSession, dir: String): DataFrame = {
+    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val riff = "RIFF".getBytes("UTF-8")
+    val payload = when(col("doc_id") % 3 === 0, concat(lit(jpeg), col("bin")))
+      .when(col("doc_id") % 3 === 1, concat(lit(png), col("bin")))
+      .otherwise(concat(lit(riff), col("bin")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("modality"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(col("doc_id"), payload.as("payload"))
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'audio/wav' END AS modality",
+        "CAST(octet_length(payload) AS BIGINT) AS n_bytes",
+        "doc_id DIV 1000 AS shard")
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .selectExpr("doc_id", "modality", "shard", "n_bytes",
+        "CAST((cum - n_bytes) DIV 4096 AS BIGINT) AS batch_in_shard")
+      .orderBy("doc_id")
+  }
+
   /** Decode stub: where a real implementation would run a codec over
     * each partition's payload batch (mapPartitions so the codec is
     * initialized once per partition, not per row). Deliberately
