@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_ivf_topk" -> Ann.ivfTopk _,
     "ann_ivf_probe2" -> Ann.ivfTopkProbe2 _,
     "ann_pq_topk" -> Ann.pqTopk _,
+    "ann_pq_rerank" -> Ann.pqRerank _,
     "ann_ivfpq_topk" -> Ann.ivfPqTopk _,
     "embed_centroid_update" -> Ann.centroidUpdate _,
     // §2.I streaming (batch-equivalent forms; streaming forms in specs)
@@ -134,6 +135,7 @@ object SparkEntry {
     "dlp_format_preserving" -> DlpQueries.dlpFormatPreserving _,
     "ingest_partition_pruning" -> SourceQueries.partitionPruning _,
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
+    "dedup_keep_best" -> Dedup.keepBest _,
     "text_repetition" -> TextOps.repetition _,
     "sample_stratified" -> TextOps.sampleStratified _,
     "split_train_eval" -> TextOps.splitTrainEval _,
@@ -180,6 +182,35 @@ object SparkEntry {
   private def duckSqL2Full(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> " +
       s"($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
+
+  /** PQ ADC scan — (query_id, vec_id, approximate distance): the CTE
+    * chain both PQ oracles share (top-k and exact re-rank). Mirrors
+    * Ann.pqAdcDistances exactly, including the parenthesized sum
+    * order ((t0+t1)+t2)+t3. */
+  private lazy val PqAdcCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+       |sc AS (SELECT e.vec_id, cent_id,
+       |  ${duckSqL2("emb", "ce", 1)} AS d0, ${duckSqL2("emb", "ce", 17)} AS d1,
+       |  ${duckSqL2("emb", "ce", 33)} AS d2, ${duckSqL2("emb", "ce", 49)} AS d3
+       |  FROM e CROSS JOIN cent),
+       |k0 AS (SELECT vec_id, cent_id AS c0 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d0, cent_id) AS rn FROM sc) WHERE rn = 1),
+       |k1 AS (SELECT vec_id, cent_id AS c1 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d1, cent_id) AS rn FROM sc) WHERE rn = 1),
+       |k2 AS (SELECT vec_id, cent_id AS c2 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM sc) WHERE rn = 1),
+       |k3 AS (SELECT vec_id, cent_id AS c3 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d3, cent_id) AS rn FROM sc) WHERE rn = 1),
+       |codes AS (SELECT vec_id, c0, c1, c2, c3 FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id) JOIN k3 USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+       |tb AS (SELECT query_id, cent_id,
+       |  ${duckSqL2("qe", "ce", 1)} AS t0, ${duckSqL2("qe", "ce", 17)} AS t1,
+       |  ${duckSqL2("qe", "ce", 33)} AS t2, ${duckSqL2("qe", "ce", 49)} AS t3
+       |  FROM q CROSS JOIN cent),
+       |d AS (SELECT t0q.query_id, codes.vec_id, ((t0q.t0 + t1q.t1) + t2q.t2) + t3q.t3 AS ad
+       |  FROM codes
+       |  JOIN tb t0q ON t0q.cent_id = codes.c0
+       |  JOIN tb t1q ON t1q.query_id = t0q.query_id AND t1q.cent_id = codes.c1
+       |  JOIN tb t2q ON t2q.query_id = t0q.query_id AND t2q.cent_id = codes.c2
+       |  JOIN tb t3q ON t3q.query_id = t0q.query_id AND t3q.cent_id = codes.c3
+       |  WHERE codes.vec_id <> t0q.query_id)""".stripMargin
 
   private val SimhashExpr = (0 until 16).map { j =>
     s"(CASE WHEN 2 * len(list_filter(mdw, h -> substr(h, ${j + 1}, 1) >= '8')) > len(mdw) THEN ${1L << j} ELSE 0 END)"
@@ -767,31 +798,20 @@ object SparkEntry {
          |rk AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "ann_pq_topk" ->
-      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
-         |sc AS (SELECT e.vec_id, cent_id,
-         |  ${duckSqL2("emb", "ce", 1)} AS d0, ${duckSqL2("emb", "ce", 17)} AS d1,
-         |  ${duckSqL2("emb", "ce", 33)} AS d2, ${duckSqL2("emb", "ce", 49)} AS d3
-         |  FROM e CROSS JOIN cent),
-         |k0 AS (SELECT vec_id, cent_id AS c0 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d0, cent_id) AS rn FROM sc) WHERE rn = 1),
-         |k1 AS (SELECT vec_id, cent_id AS c1 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d1, cent_id) AS rn FROM sc) WHERE rn = 1),
-         |k2 AS (SELECT vec_id, cent_id AS c2 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM sc) WHERE rn = 1),
-         |k3 AS (SELECT vec_id, cent_id AS c3 FROM (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY d3, cent_id) AS rn FROM sc) WHERE rn = 1),
-         |codes AS (SELECT vec_id, c0, c1, c2, c3 FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id) JOIN k3 USING (vec_id)),
-         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
-         |tb AS (SELECT query_id, cent_id,
-         |  ${duckSqL2("qe", "ce", 1)} AS t0, ${duckSqL2("qe", "ce", 17)} AS t1,
-         |  ${duckSqL2("qe", "ce", 33)} AS t2, ${duckSqL2("qe", "ce", 49)} AS t3
-         |  FROM q CROSS JOIN cent),
-         |d AS (SELECT t0q.query_id, codes.vec_id, ((t0q.t0 + t1q.t1) + t2q.t2) + t3q.t3 AS ad
-         |  FROM codes
-         |  JOIN tb t0q ON t0q.cent_id = codes.c0
-         |  JOIN tb t1q ON t1q.query_id = t0q.query_id AND t1q.cent_id = codes.c1
-         |  JOIN tb t2q ON t2q.query_id = t0q.query_id AND t2q.cent_id = codes.c2
-         |  JOIN tb t3q ON t3q.query_id = t0q.query_id AND t3q.cent_id = codes.c3
-         |  WHERE codes.vec_id <> t0q.query_id),
+      (s"""WITH $PqAdcCte,
          |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS BIGINT) AS rank FROM d)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ann_pq_rerank: ADC top-20 shortlist → exact cosine re-rank top-5
+    // (fold orders match the Spark side bit-for-bit, so ranks agree).
+    "ann_pq_rerank" ->
+      (s"""WITH $PqAdcCte,
+         |s AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS arank FROM d)
+         |  WHERE arank <= 20),
+         |x AS (SELECT s.query_id, s.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.query_id = s.query_id),
+         |rr AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM x)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "embed_centroid_update" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
@@ -1088,6 +1108,46 @@ object SparkEntry {
          |sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp)
          |SELECT c.doc_id, c.comp, s.n_members
          |FROM comp c JOIN sizes s USING (comp) ORDER BY doc_id""".stripMargin),
+    // dedup_keep_best: highest-quality representative per near-dup
+    // component (quality bp desc, doc_id tiebreak), multi-doc
+    // components only.
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jacc >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
+         |comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp),
+         |tq AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |qual AS (SELECT doc_id,
+         |  CAST(LEAST(n_words, 100) * 50 +
+         |       (CASE WHEN n_chars_m / n_words BETWEEN 3 AND 8 THEN 3000 ELSE 900 END) +
+         |       (2000 * LEAST(n_words, 5 * n_stop)) // n_words
+         |  AS BIGINT) AS quality_bp FROM tq),
+         |m AS (SELECT c.doc_id, c.comp, s.n_members, q.quality_bp
+         |  FROM comp c JOIN sizes s USING (comp) JOIN qual q USING (doc_id)
+         |  WHERE s.n_members > 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY comp ORDER BY quality_bp DESC, doc_id) AS rn FROM m)
+         |SELECT comp, doc_id AS keeper, quality_bp AS keeper_bp, n_members
+         |FROM r WHERE rn = 1 ORDER BY comp""".stripMargin),
     // sampling/splitting: the hash-bucket SQL is shared verbatim with
     // the Spark side (TextOps.HashBucketSql), so the oracle IS the
     // same function evaluated by a different engine.

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.{Caches, Tables}
@@ -215,6 +216,29 @@ object Dedup {
     componentsFromPairs(
       Tables.documents(spark, dir).select("doc_id"),
       minhashPairs(spark, dir).select("doc_a", "doc_b"))
+
+  /** Cluster-representative selection — the dedup POLICY step: inside
+    * every near-dup component keep the highest-quality document
+    * (quality basis points, doc_id tiebreak), not the arbitrary
+    * min-id. This is what production corpus curation ships: dedup
+    * decides WHICH copy survives by quality, because near-dup clusters
+    * usually contain one clean original and N boilerplate-wrapped
+    * copies. Work is per-component (sketch-scale), never a corpus
+    * rescan. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(spark, dir)
+    val q = graft.text.TextOps.qualityScore(spark, dir)
+      .select("doc_id", "quality_bp")
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("quality_bp").desc, col("doc_id"))
+    comp.filter(col("n_members") > 1)
+      .join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("keeper"),
+        col("quality_bp").as("keeper_bp"), col("n_members"))
+      .orderBy("comp")
+  }
 
   /** The propagation core, parameterized on the node set and the
     * undirected pair list (doc_a, doc_b). Iteration state is the

@@ -79,6 +79,17 @@ object Ann {
     * codes). Codes come from one map-side-combinable aggregate;
     * lookups are broadcast joins against the 80-row table. */
   def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad"), col("vec_id"))
+    pqAdcDistances(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The ADC scan itself — (query_id, vec_id, approximate distance):
+    * shared by the PQ top-k and the exact re-rank stage. */
+  private def pqAdcDistances(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
     val M = 4
     val sub = 16
@@ -108,12 +119,32 @@ object Ann {
         if (m == 0) dists.join(broadcast(tm), Seq(s"c$m"))
         else dists.join(broadcast(tm), Seq("query_id", s"c$m"))
     }
-    val approx = dists
+    dists
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id", "((t0 + t1) + t2) + t3 AS ad")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("ad"), col("vec_id"))
-    approx.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+  }
+
+  /** Two-stage retrieval — the production PQ query path: the cheap
+    * ADC scan produces a per-query shortlist (top-20 by approximate
+    * distance — 4 table lookups per corpus vector), then ONLY the
+    * shortlist's full vectors are fetched and exactly re-ranked by
+    * cosine. At corpus scale the exact math touches 20 rows per query
+    * instead of the corpus, and the shortlist side of the fetch join
+    * is broadcast-sized (queries × 20). */
+  def pqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ad"), col("vec_id"))
+    val shortlist = pqAdcDistances(spark, dir)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= 20)
+      .select("query_id", "vec_id")
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val wExact = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id"))
+    shortlist.join(e, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }
