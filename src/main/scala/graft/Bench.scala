@@ -57,7 +57,10 @@ object Bench {
     }
     Caches.clearAll()
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" uses the default locale, and a comma
+    // decimal separator would corrupt both JSON outputs
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail goes to a file: with 100+ queries the
     // per-query map alone is ~3 KB, and the harness that scrapes this
     // main's stdout keeps only the LAST ~2000 characters — a JSON line

@@ -49,10 +49,12 @@ object Caches {
       case Some(df) => df
       case None =>
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        reg.putIfAbsent(k, df) match {
-          case Some(winner) => df.unpersist(blocking = false); winner
-          case None         => df
-        }
+        // On a concurrent race, return the winner and leave the
+        // "loser" alone: both builds produce the same logical plan,
+        // and the CacheManager keys cached data by plan — the losing
+        // persist() was a no-op against the same entry, so
+        // unpersisting it here would evict the winner's cache.
+        reg.putIfAbsent(k, df).getOrElse(df)
     }
   }
 

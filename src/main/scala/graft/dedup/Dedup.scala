@@ -79,6 +79,14 @@ object Dedup {
     * union (4×) and both sides of the self-join, and at 100 TB they'd
     * be checkpointed tables — recomputing the md5 sketch per branch
     * is the single biggest avoidable cost. */
+  /** The 4-band × 2-row LSH banding of a signature table — the ONE
+    * source of truth for the banding scheme (pairs, incremental, and
+    * the oracles all assume this exact key derivation). */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    (0 until 4).map { b =>
+      sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
+    }.reduce(_ unionAll _)
+
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The verified pair list itself is session-shared: FOUR consumers
     // (the pairs query, survivor pipeline, sketch calibration,
@@ -87,10 +95,7 @@ object Dedup {
     // dedup — tiny (candidates that passed, not the corpus) and
     // feeding every downstream policy.
     Caches.shared(spark, s"dedup.pairs:$dir") {
-      val sig = sigDf(spark, dir)
-      val bands = (0 until 4).map { b =>
-        sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
-      }.reduce(_ unionAll _)
+      val bands = bandsOf(sigDf(spark, dir))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -118,10 +123,7 @@ object Dedup {
     * (minimum) corpus duplicate; -1 sentinel keeps the output
     * null-free for the compare boundary. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sigDf(spark, dir)
-    val bands = (0 until 4).map { b =>
-      sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
-    }.reduce(_ unionAll _)
+    val bands = bandsOf(sigDf(spark, dir))
     val cand = bands.filter(col("doc_id") % 2 === 0).as("a")
       .join(bands.filter(col("doc_id") % 2 === 1).as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk"))

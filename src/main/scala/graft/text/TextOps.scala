@@ -161,7 +161,9 @@ object TextOps {
           "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1))) AS bg")
       .selectExpr("doc_id",
         "CAST(size(w) AS BIGINT) AS n_words",
-        "CAST((size(w) - size(array_distinct(w))) * 10000 DIV size(w) AS BIGINT) AS dup_word_bp",
+        // BIGINT before the multiply — INT dup_count * 10000 wraps
+        // negative past ~215k duplicate tokens
+        "(CAST(size(w) AS BIGINT) - CAST(size(array_distinct(w)) AS BIGINT)) * 10000 DIV size(w) AS dup_word_bp",
         s"CAST(${maxFreq("w")} * 10000 DIV size(w) AS BIGINT) AS top_word_bp",
         s"CAST(${maxFreq("bg")} * 10000 DIV size(bg) AS BIGINT) AS top_bigram_bp")
       .orderBy("doc_id")
@@ -189,7 +191,9 @@ object TextOps {
       .selectExpr("doc_id",
         "CAST(size(w) AS BIGINT) AS n_words",
         s"$allHits AS marker_hits",
-        "CAST((size(w) - size(array_distinct(w))) * 10000 DIV size(w) AS BIGINT) AS dup_word_bp")
+        // multiply in BIGINT: size() is INT, and dup_count * 10000
+        // wraps negative past ~215k duplicate tokens (crawl outliers)
+        "(CAST(size(w) AS BIGINT) - CAST(size(array_distinct(w)) AS BIGINT)) * 10000 DIV size(w) AS dup_word_bp")
       .selectExpr("doc_id", "n_words", "marker_hits", "dup_word_bp",
         """CASE
           |  WHEN n_words < 5 THEN 'too_short'

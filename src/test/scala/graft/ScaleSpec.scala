@@ -125,6 +125,12 @@ class ScaleSpec extends AnyFunSuite {
       "q_histogram", "embed_centroid_update",
       "dedup_incremental", "split_decontaminate")
     def runAll(parts: Int): Map[String, Seq[String]] = {
+      // newSession() forks SHARE the CacheManager, and Caches.shared is
+      // keyed by it — without clearing, the second run would collect
+      // the first run's persisted DataFrames and the comparison would
+      // be a tautology for every cache-backed operator
+      Caches.clearAll()
+      spark.catalog.clearCache()
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
       keys.map { k =>
