@@ -215,9 +215,16 @@ object Dedup {
     * scale requirement for any iterative Spark algorithm); the
     * driver-side loop moves only a convergence counter, never rows. */
   def components(spark: SparkSession, dir: String): DataFrame =
-    componentsFromPairs(
-      Tables.documents(spark, dir).select("doc_id"),
-      minhashPairs(spark, dir).select("doc_a", "doc_b"))
+    // Session-shared like the pair list it derives from: the label
+    // table is the other natural dedup checkpoint (flat all-long),
+    // and both the components query and the keep-best policy read it —
+    // without the cache each consumer re-runs the whole propagation
+    // loop.
+    Caches.shared(spark, s"dedup.components:$dir") {
+      componentsFromPairs(
+        Tables.documents(spark, dir).select("doc_id"),
+        minhashPairs(spark, dir).select("doc_a", "doc_b"))
+    }.orderBy("doc_id")
 
   /** Cluster-representative selection — the dedup POLICY step: inside
     * every near-dup component keep the highest-quality document
