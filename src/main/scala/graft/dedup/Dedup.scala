@@ -27,24 +27,38 @@ object Dedup {
     * Persisted once per session via [[Caches]] — it feeds both sides of
     * the verification join and every minhash consumer; at 100 TB this
     * is the shared shingle table you'd checkpoint, not recompute. */
+  private def gramsOf(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .select(col("doc_id"), graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
+
   private def gramsDf(spark: SparkSession, dir: String): DataFrame =
     Caches.shared(spark, s"dedup.grams:$dir") {
-      Tables.documents(spark, dir)
-        .selectExpr("doc_id", "split(text, ' ') AS w")
-        .select(col("doc_id"), graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
+      gramsOf(Tables.documents(spark, dir))
     }
 
   /** k=8 MinHash signature as columns h0..h7 (md5-seeded; no RNG —
     * reproducible at any parallelism; native single-pass expression).
     * Shared/persisted once per session: it feeds the 4-band union and
     * both sides of the LSH self-join, across four query entries. */
+  private def sigFromGrams(grams: DataFrame): DataFrame =
+    grams
+      .select(col("doc_id"),
+        graft.functions.MinHashArray.minhashArray(col("grams"), 8).as("sig"))
+      .selectExpr("doc_id" +: (0 until 8).map(j => s"sig[$j] AS h$j"): _*)
+
   private def sigDf(spark: SparkSession, dir: String): DataFrame =
     Caches.shared(spark, s"dedup.sig:$dir") {
-      gramsDf(spark, dir)
-        .select(col("doc_id"),
-          graft.functions.MinHashArray.minhashArray(col("grams"), 8).as("sig"))
-        .selectExpr("doc_id" +: (0 until 8).map(j => s"sig[$j] AS h$j"): _*)
+      sigFromGrams(gramsDf(spark, dir))
     }
+
+  /** Band keys for ANY (doc_id, text) relation — batch or stream. All
+    * three stages (shingles, minhash, banding) are stateless native
+    * expressions, so this applies unchanged to a readStream source:
+    * streaming incremental dedup is this joined stream-static against
+    * the corpus band index (StreamingSpec proves it). */
+  def bandKeys(docs: DataFrame): DataFrame =
+    bandsOf(sigFromGrams(gramsOf(docs)))
 
   /** Corpus-level minhash signature per source via the custom
     * TypedImperativeAggregate (one buffer pass, map-side combinable) —

@@ -62,6 +62,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup runs as a stream-static band join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static side: the corpus band index (at scale: the checkpointed
+    // signature table); stream side: new docs sketched on the fly by
+    // the same stateless expressions
+    val corpus = graft.dedup.Dedup.bandKeys(Tables.documents(spark, sf))
+      .select(col("band_id"), col("bk"), col("doc_id").as("corpus_doc"))
+    val known = Tables.documents(spark, sf).select("doc_id", "text").head()
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.dedup.Dedup.bandKeys(src.toDS().toDF("doc_id", "text"))
+      .join(corpus, Seq("band_id", "bk"))
+      .select(col("doc_id"), col("corpus_doc"))
+      .writeStream.outputMode("append").format("memory").queryName("inc_out").start()
+    src.addData(
+      (1000001L, known.getString(1)), // verbatim copy of a corpus doc
+      (1000002L, "qwerty asdfgh zxcvbn uiop hjkl vbnm"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("inc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((1000001L, known.getLong(0))),
+      "an identical new doc must hit its corpus twin's band keys")
+    assert(!got.exists(_._1 == 1000002L),
+      "a junk doc must not collide with any corpus band")
+  }
+
   test("quality gate applies unchanged to a stream (stateless map-only filter)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
