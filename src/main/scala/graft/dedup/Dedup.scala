@@ -85,14 +85,6 @@ object Dedup {
   def minhashSig(spark: SparkSession, dir: String): DataFrame =
     sigDf(spark, dir).orderBy("doc_id")
 
-  /** LSH banding (4 bands × 2 rows) → candidate pairs → verify true
-    * Jaccard ≥ 0.5. The band join is an equality shuffle join on
-    * (band_id, band_key); verification touches only candidates.
-    * Signatures and shingle sets come from the session [[Caches]]
-    * (persisted once, reused by every caller): they feed the band
-    * union (4×) and both sides of the self-join, and at 100 TB they'd
-    * be checkpointed tables — recomputing the md5 sketch per branch
-    * is the single biggest avoidable cost. */
   /** The 4-band × 2-row LSH banding of a signature table — the ONE
     * source of truth for the banding scheme (pairs, incremental, and
     * the oracles all assume this exact key derivation). */
@@ -101,6 +93,14 @@ object Dedup {
       sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
     }.reduce(_ unionAll _)
 
+  /** LSH banding (4 bands × 2 rows) → candidate pairs → verify true
+    * Jaccard ≥ 0.5. The band join is an equality shuffle join on
+    * (band_id, band_key); verification touches only candidates.
+    * Signatures and shingle sets come from the session [[Caches]]
+    * (persisted once, reused by every caller): they feed the band
+    * union (4×) and both sides of the self-join, and at 100 TB they'd
+    * be checkpointed tables — recomputing the md5 sketch per branch
+    * is the single biggest avoidable cost. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The verified pair list itself is session-shared: FOUR consumers
     // (the pairs query, survivor pipeline, sketch calibration,
@@ -344,7 +344,15 @@ object Dedup {
   /** Shared core: verified shared-gram counts per candidate pair —
     * (doc_a, doc_b, c = |∩|, sza, szb) with doc_a < doc_b. Feeds both
     * the symmetric (Jaccard) and asymmetric (containment) scores. */
-  private def gramPairCounts(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame = {
+  private def gramPairCounts(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame =
+    // session-shared per (dir, cap): the Jaccard query and the
+    // containment query both read these verified counts — without the
+    // cache each rebuilds the inverted index and the double-explode
+    Caches.shared(spark, s"dedup.paircounts:$dir:$maxGramDf") {
+      gramPairCountsUncached(spark, dir, maxGramDf)
+    }
+
+  private def gramPairCountsUncached(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame = {
     // index on a 64-bit hash of the gram, not the gram string: ~5×
     // smaller shuffle keys; a collision would need two distinct grams
     // in the same length bucket at the same hash (~2⁻⁶⁴ per pair).
@@ -404,8 +412,7 @@ object Dedup {
     * misses when sizes differ. Emits (contained, container) in
     * whichever direction(s) clear the threshold. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Caches.shared(spark, s"dedup.paircounts:$dir:64")(
-      gramPairCounts(spark, dir, maxGramDf = 64))
+    val counts = gramPairCounts(spark, dir, maxGramDf = 64)
     val aInB = counts.selectExpr("doc_a AS contained_id", "doc_b AS container_id",
       "ROUND(c / sza, 4) AS cont")
     val bInA = counts.selectExpr("doc_b AS contained_id", "doc_a AS container_id",

@@ -101,12 +101,17 @@ object Ann {
     val scored = e.crossJoin(broadcast(cent))
       .selectExpr(Seq("vec_id", "cent_id") ++
         (0 until M).map(m => s"${sqL2("emb", "ce", m * sub + 1)} AS d$m"): _*)
-    val codes = scored.groupBy(col("vec_id"))
-      .agg(min(struct(col("d0"), col("cent_id"))).as("b0"),
-        min(struct(col("d1"), col("cent_id"))).as("b1"),
-        min(struct(col("d2"), col("cent_id"))).as("b2"),
-        min(struct(col("d3"), col("cent_id"))).as("b3"))
-      .selectExpr("vec_id" +: (0 until M).map(m => s"b$m.cent_id AS c$m"): _*)
+    // the corpus encode (argmin centroid per subspace) is the
+    // expensive scan both PQ queries share — session-cached, flat
+    // all-long (vec_id, c0..c3)
+    val codes = graft.Caches.shared(spark, s"ann.pq.codes:$dir") {
+      scored.groupBy(col("vec_id"))
+        .agg(min(struct(col("d0"), col("cent_id"))).as("b0"),
+          min(struct(col("d1"), col("cent_id"))).as("b1"),
+          min(struct(col("d2"), col("cent_id"))).as("b2"),
+          min(struct(col("d3"), col("cent_id"))).as("b3"))
+        .selectExpr("vec_id" +: (0 until M).map(m => s"b$m.cent_id AS c$m"): _*)
+    }
     val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"))
     val table = q.crossJoin(broadcast(cent))
