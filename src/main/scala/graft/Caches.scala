@@ -49,12 +49,21 @@ object Caches {
       case Some(df) => df
       case None =>
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        // On a concurrent race, return the winner and leave the
-        // "loser" alone: both builds produce the same logical plan,
-        // and the CacheManager keys cached data by plan — the losing
-        // persist() was a no-op against the same entry, so
-        // unpersisting it here would evict the winner's cache.
-        reg.putIfAbsent(k, df).getOrElse(df)
+        // On a concurrent race, return the winner. If the loser's plan
+        // is the SAME as the winner's (the usual case), leave it
+        // alone: the CacheManager keys cached data by plan, so the
+        // losing persist() was a no-op against the same entry and
+        // unpersisting would evict the winner's cache. If the plans
+        // DIFFER (a checkpoint-backed build embeds its own RDD, so two
+        // concurrent builds are distinct plans), the loser is a true
+        // orphan — release it.
+        reg.putIfAbsent(k, df) match {
+          case Some(winner) =>
+            if (!df.queryExecution.analyzed.sameResult(winner.queryExecution.analyzed))
+              df.unpersist(blocking = false)
+            winner
+          case None => df
+        }
     }
   }
 

@@ -54,9 +54,12 @@ object Dedup {
 
   /** Band keys for ANY (doc_id, text) relation — batch or stream. All
     * three stages (shingles, minhash, banding) are stateless native
-    * expressions, so this applies unchanged to a readStream source:
-    * streaming incremental dedup is this joined stream-static against
-    * the corpus band index (StreamingSpec proves it). */
+    * expressions, so this applies unchanged to a readStream source.
+    * Streamed incremental dedup = this joined stream-static against
+    * the corpus band index for CANDIDATES (StreamingSpec proves that
+    * stage), then the same Jaccard verification the batch form runs —
+    * itself another stream-static join against the corpus gram
+    * table — to reject band collisions below the threshold. */
   def bandKeys(docs: DataFrame): DataFrame =
     bandsOf(sigFromGrams(gramsOf(docs)))
 
@@ -302,9 +305,11 @@ object Dedup {
     val all = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
     val sizes = all.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    // unsorted on purpose: components() caches this result, and a
+    // global sort materialized into the cache is a wasted exchange —
+    // consumers apply their own ordering (the file's cache convention)
     all.join(sizes, "comp")
       .select(col("doc_id"), col("comp"), col("n_members"))
-      .orderBy("doc_id")
   }
 
   /** 16-bit SimHash over the word stream (majority vote per md5

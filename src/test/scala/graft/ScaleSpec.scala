@@ -91,8 +91,10 @@ class ScaleSpec extends AnyFunSuite {
     // chain 1-2-3 (1~2, 2~3, but NOT 1~3), pair 7-9, singletons 5, 8
     val docs = Seq(1L, 2L, 3L, 5L, 7L, 8L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    // componentsFromPairs returns unsorted (its result is cached by
+    // components(), which orders at the read) — sort here
     val got = graft.dedup.Dedup.componentsFromPairs(docs, pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(got == Seq(
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (5L, 5L, 1L), (7L, 7L, 2L), (8L, 8L, 1L), (9L, 7L, 2L)))
