@@ -54,6 +54,7 @@ object SparkEntry {
     "dlp_redact" -> DlpQueries.dlpRedact _,
     "dlp_replace_infotype" -> DlpQueries.dlpReplaceInfotype _,
     "dlp_inspect" -> DlpQueries.dlpInspect _,
+    "dlp_inspect_dictionary" -> DlpQueries.dlpInspectDictionary _,
     "dlp_crypto_hash" -> DlpQueries.dlpCryptoHash _,
     "dlp_deterministic_token" -> DlpQueries.dlpDeterministicToken _,
     "dlp_reidentify" -> DlpQueries.dlpReidentify _,
@@ -443,6 +444,13 @@ object SparkEntry {
       s"""WITH t AS (SELECT c_custkey, $ContactSql AS contact FROM customer)
          |SELECT c_custkey, regexp_replace(regexp_replace(contact, '$EmailReSql', '[EMAIL_ADDRESS]', 'g'), '$PhoneReSql', '[PHONE_NUMBER]', 'g') AS replaced
          |FROM t ORDER BY c_custkey""".stripMargin,
+    // dlp_inspect_dictionary: custom term-list infoType findings
+    // (term list mirrored verbatim from DlpQueries.dlpInspectDictionary).
+    "dlp_inspect_dictionary" ->
+      """WITH h AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |  x -> x IN ('customer', 'vector', 'stream', 'window', 'merge', 'batch'))) AS term FROM documents)
+        |SELECT doc_id, 'CUSTOM_DICTIONARY' AS info_type, term, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM h GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
     "dlp_inspect" ->
       s"""WITH t AS (SELECT c_custkey, $ContactSql AS contact FROM customer),
          |u AS (

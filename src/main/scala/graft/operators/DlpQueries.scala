@@ -52,6 +52,26 @@ object DlpQueries {
     email.unionAll(phone).filter(col("n") > 0).orderBy("c_custkey", "info_type")
   }
 
+  /** Custom-dictionary infoType inspection (DLP CustomInfoType
+    * Dictionary semantics: a user-supplied term list is an infoType;
+    * findings report term + count per record). The dictionary joins as
+    * data — at scale a large term list broadcasts or shuffle-joins
+    * instead of compiling into a regex, which is what keeps a
+    * million-term dictionary feasible. */
+  def dlpInspectDictionary(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Seq("customer", "vector", "stream", "window", "merge", "batch")
+    val inList = dict.map(t => s"'$t'").mkString(", ")
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"filter(split(lower(text), ' '), x -> x IN ($inList)) AS hits")
+      .selectExpr("doc_id", "explode(hits) AS term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), lit("CUSTOM_DICTIONARY").as("info_type"),
+        col("term"), col("n"))
+      .orderBy("doc_id", "term")
+  }
+
   def dlpCryptoHash(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .select(col("c_custkey"), Dlp.cryptoHash(col("c_name"), "graft-key").as("token"))
