@@ -59,12 +59,12 @@ object DlpQueries {
     * instead of compiling into a regex, which is what keeps a
     * million-term dictionary feasible. */
   def dlpInspectDictionary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val dict = Seq("customer", "vector", "stream", "window", "merge", "batch")
-    val inList = dict.map(t => s"'$t'").mkString(", ")
+      .toDF("term")
     Tables.documents(spark, dir)
-      .selectExpr("doc_id",
-        s"filter(split(lower(text), ' '), x -> x IN ($inList)) AS hits")
-      .selectExpr("doc_id", "explode(hits) AS term")
+      .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
+      .join(broadcast(dict), "term")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("n"))
       .select(col("doc_id"), lit("CUSTOM_DICTIONARY").as("info_type"),
