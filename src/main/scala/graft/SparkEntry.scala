@@ -117,6 +117,7 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.frameSample _,
     "mm_modality_route" -> Multimodal.modalityRoute _,
     "mm_decode_batch_plan" -> Multimodal.decodeBatchPlan _,
+    "mm_feature_extract" -> Multimodal.featureExtract _,
     // §2.G (cont.)
     "text_normalize" -> TextOps.normalize _,
     "text_ngram_freq" -> TextOps.ngramFreq _,
@@ -1008,6 +1009,15 @@ object SparkEntry {
         |SELECT doc_id, modality, shard, n_bytes,
         |  CAST((cum - n_bytes) // 4096 AS BIGINT) AS batch_in_shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // mm_feature_extract: the mapPartitions decode produces
+    // md5/byte-derived features the oracle recomputes in SQL.
+    "mm_feature_extract" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS fake_width,
+        |  CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // §2.H
     "mm_binary_meta" ->
       """SELECT doc_id,

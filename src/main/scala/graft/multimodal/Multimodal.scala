@@ -110,11 +110,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The per-partition "codec": a real decoder library handle (libjpeg
+    * / ffmpeg binding) is expensive to construct and NOT serializable,
+    * so it must be created once per partition inside mapPartitions —
+    * this fake has exactly that lifecycle (MessageDigest is the
+    * stand-in native handle) and derives deterministic features so
+    * the plumbing is oracle-checkable end to end. */
+  private final class FakeCodec {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(id: Long, payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      md.reset()
+      val hex = md.digest(payload).map(b => f"$b%02x").mkString
+      (id, payload.length.toLong,
+        128L + hex.charAt(0).toLong, 128L + hex.charAt(1).toLong,
+        (payload.head & 0xffL))
+    }
+  }
+
+  /** Batch feature extraction over the binary column — the
+    * mapPartitions decode shape a real multimodal pipeline runs: the
+    * codec initializes ONCE per partition (a native decoder handle is
+    * costly and unserializable), then streams the partition's payloads
+    * through it. Typed Dataset in/out keeps Tungsten encoders on both
+    * sides; only the per-row decode itself is JVM-imperative. The
+    * codec here is the deterministic fake (no codec libraries in this
+    * environment) — a real decoder replaces FakeCodec.decode and
+    * nothing else changes. */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new FakeCodec // once per partition, not per row
+        it.map { case (id, bytes) => codec.decode(id, bytes) }
+      }
+      .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "head_byte")
+      .orderBy("doc_id")
+  }
+
   /** Decode stub: where a real implementation would run a codec over
-    * each partition's payload batch (mapPartitions so the codec is
-    * initialized once per partition, not per row). Deliberately
-    * unimplemented — no codecs in this environment. */
+    * each partition's payload batch. Deliberately unimplemented — no
+    * codecs in this environment; [[featureExtract]] carries the real
+    * mapPartitions plumbing with the deterministic fake. */
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) =
     throw new NotImplementedError(
-      "image decode requires a codec library; use binaryMeta's deterministic fake features")
+      "image decode requires a codec library; featureExtract carries the plumbing with a deterministic fake")
 }

@@ -125,7 +125,7 @@ class ScaleSpec extends AnyFunSuite {
     val keys = Seq("dedup_minhash_pairs", "dedup_ngram_jaccard",
       "dedup_components", "q_topk_native", "ann_pq_topk", "stream_sessionize",
       "q_histogram", "embed_centroid_update",
-      "dedup_incremental", "split_decontaminate")
+      "dedup_incremental", "split_decontaminate", "mm_feature_extract")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       // newSession() forks SHARE the CacheManager, and Caches.shared is
       // keyed by it — without clearing, the second run would collect
