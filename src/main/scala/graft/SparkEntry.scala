@@ -1016,7 +1016,7 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS fake_width,
         |  CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height,
-        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_cp
         |FROM documents ORDER BY doc_id""".stripMargin,
     // §2.H
     "mm_binary_meta" ->

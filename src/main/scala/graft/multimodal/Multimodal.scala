@@ -119,11 +119,15 @@ object Multimodal {
   private final class FakeCodec {
     val md = java.security.MessageDigest.getInstance("MD5")
     def decode(id: Long, payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
-      md.reset()
-      val hex = md.digest(payload).map(b => f"$b%02x").mkString
+      // only digest byte 0 feeds the two fake dimensions — format just
+      // that byte, not all 16 (this is the per-row hot loop)
+      val hex = f"${md.digest(payload)(0)}%02x"
+      val headCp =
+        if (payload.isEmpty) 0L
+        else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePointAt(0).toLong
       (id, payload.length.toLong,
-        128L + hex.charAt(0).toLong, 128L + hex.charAt(1).toLong,
-        (payload.head & 0xffL))
+        128L + hex.charAt(0).toLong, 128L + hex.charAt(1).toLong, headCp)
     }
   }
 
@@ -138,14 +142,13 @@ object Multimodal {
     * nothing else changes. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+    binaryView(spark, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val codec = new FakeCodec // once per partition, not per row
         it.map { case (id, bytes) => codec.decode(id, bytes) }
       }
-      .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "head_byte")
+      .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "head_cp")
       .orderBy("doc_id")
   }
 
