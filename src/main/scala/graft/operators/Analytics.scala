@@ -231,7 +231,11 @@ object Analytics {
 
   /** Salted fact-fact join (Skew.saltedJoin) — result must equal the
     * plain join, so the oracle is the plain SQL join: validates that
-    * the salt/replicate/drop pipeline is distribution-only. */
+    * the hot-key detect/salt/replicate/drop pipeline is
+    * distribution-only. Threshold 5 marks orderkeys with 6-7 lineitems
+    * "hot" (~20% here) so both the salted and constant-salt branches
+    * are exercised by the gate; production thresholds are far higher
+    * and mark a broadcast-small set. */
   def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -239,7 +243,7 @@ object Analytics {
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("l_orderkey"),
         cents(col("o_totalprice"), 2).as("total"))
-    Skew.saltedJoin(li, ord, "l_orderkey", 8)
+    Skew.saltedJoin(li, ord, "l_orderkey", 8, hotThreshold = 5L)
       .orderBy("l_orderkey", "l_linenumber")
   }
 

@@ -14,12 +14,40 @@ class ScaleSpec extends AnyFunSuite {
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
       .toDF("l_orderkey", "o_totalprice")
     val plain = li.join(ord, "l_orderkey")
-    val salted = Skew.saltedJoin(li, ord, "l_orderkey", 8)
+    // threshold 5 marks a real subset of orderkeys hot (6-7 lineitems)
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", 8, hotThreshold = 5L)
     assert(salted.count() == plain.count())
     assert(salted.columns.toSeq == plain.columns.toSeq)
     val a = plain.orderBy(plain.columns.map(col): _*).collect().toSeq
     val b = salted.orderBy(salted.columns.map(col): _*).collect().toSeq
     assert(a == b)
+  }
+
+  test("salted join replicates ONLY hot-key build rows") {
+    import spark.implicits._
+    // 1 hot key (100 probe rows) + 50 cold keys (1 row each); build has
+    // one row per key. Targeted salting must expand the build side by
+    // exactly (saltFactor-1) rows — the hot key's — not 8× everything.
+    val probe = ((0 until 100).map(_ => 1L) ++ (2L to 51L)).toDF("k")
+    val build = (1L to 51L).map(k => (k, s"v$k")).toDF("k", "v")
+    val saltFactor = 8
+    val out = Skew.saltedJoin(probe, build, "k", saltFactor, hotThreshold = 10L)
+    val plain = probe.join(build, "k")
+    assert(out.count() == plain.count())
+    // white-box: rebuild the replicated side the operator constructs and
+    // count it — cold rows must stay single, hot rows fan out saltFactor×
+    val hot = probe.groupBy("k").count().filter(col("count") > 10).select("k")
+    assert(hot.count() == 1)
+    val replicatedRows = build.join(hot, Seq("k"), "left_semi").count() * saltFactor +
+      build.join(hot, Seq("k"), "left_anti").count()
+    assert(replicatedRows == build.count() + (saltFactor - 1),
+      "replication must be confined to the hot key")
+    // plan shape: the hot list reaches both sides through broadcast
+    // joins, and the big join itself shuffles on (key, salt)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-list should attach via broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("__salt"), "join must carry the salt key")
   }
 
   test("ngramJaccard: df cap bounds index fan-out without changing scores") {
