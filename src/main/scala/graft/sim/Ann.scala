@@ -41,19 +41,25 @@ object Ann {
     * 2× probe cost — the standard IVF recall knob). Cell assignment is
     * an aggregate over the broadcast-centroid scores (map-side
     * combinable: the 8 scored rows per vector collapse to one ≤2-cell
-    * list before the exchange), not a per-vector sort window. */
+    * list before the exchange), not a per-vector sort window. The
+    * aggregate keys on `vec_id` ALONE over flat (vec_id, cent_id, c)
+    * rows — the 64-double vector never enters an exchange key; it
+    * rejoins afterwards as payload on the long key (the
+    * `ann.ivfpq.cells` pattern in [[ivfPqTopk]]). */
   def ivfTopkProbe2(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
     val ranked = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"), col("emb"))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"))
       .agg(slice(array_sort(collect_list(
         struct((-col("c")).as("nc"), col("cent_id").as("cid")))), 1, 2).as("top2"))
-    val cells = ranked
-      .select(col("vec_id"), col("emb"), col("top2").getItem(0).getField("cid").as("cell"))
-    val q = ranked.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+    val cells = e.join(ranked
+        .select(col("vec_id"), col("top2").getItem(0).getField("cid").as("cell")),
+      "vec_id")
+      .select(col("vec_id"), col("emb"), col("cell"))
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18).join(ranked, "vec_id")
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         explode(col("top2")).as("t"))
       .select(col("query_id"), col("qe"), col("t.cid").as("cell"))
@@ -235,13 +241,22 @@ object Ann {
     val e = embDf(spark, dir)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    // one aggregate, fully flat: the 4 leading dims ride the scored
+    // rows as plain doubles (identical within a vec_id group, so
+    // min() recovers them deterministically) — no array column ever
+    // reaches an exchange, as key OR payload, and no rejoin is needed
     val cells = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"), col("emb"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("emb"), col("best.cid").as("cell"))
+      .select(Seq(col("vec_id"), col("cent_id"),
+        cosineSim(col("emb"), col("ce")).as("c")) ++
+        (1 to 4).map(d => element_at(col("emb"), d).as(s"e$d")): _*)
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"),
+        min(col("e1")).as("e1"), min(col("e2")).as("e2"),
+        min(col("e3")).as("e3"), min(col("e4")).as("e4"))
+      .select(col("best.cid").as("cell"),
+        col("e1"), col("e2"), col("e3"), col("e4"))
     def dimSum(d: Int) =
-      sum((element_at(col("emb"), d).cast("decimal(9,6)") * 1000000).cast("long"))
+      sum((col(s"e$d").cast("decimal(9,6)") * 1000000).cast("long"))
         .cast("long").as(s"s$d")
     cells.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), dimSum(1), dimSum(2), dimSum(3), dimSum(4))
@@ -256,12 +271,17 @@ object Ann {
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
     // cell assignment as an aggregate (min over (-cos, cent_id)
-    // structs) — map-side combinable, no per-vector sort window
-    val cells = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"), col("emb"))
+    // structs) — map-side combinable, no per-vector sort window, and
+    // keyed on `vec_id` ALONE over flat (vec_id, cent_id, c) rows:
+    // the vector array stays out of the exchange keys and rejoins as
+    // payload on the long key (the ann.ivfpq.cells pattern below)
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"))
       .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("vec_id"), col("emb"), col("best.cid").as("cell"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+    val cells = e.join(assign, "vec_id")
+      .select(col("vec_id"), col("emb"), col("cell"))
     val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))

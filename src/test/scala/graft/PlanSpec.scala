@@ -153,6 +153,45 @@ class PlanSpec extends AnyFunSuite {
       s"missing group-limit pushdown:\n${physical.take(1500)}")
   }
 
+  test("ANN family: no array-typed expression in any Exchange or grouping key") {
+    // SURVEY §5 rule: array payloads never enter a shuffle KEY — array
+    // hashing/comparison falls out of codegen and canonicalizes
+    // per-element. Vectors may ride exchanges as payload (rejoined on
+    // the long vec_id), but no partitioning or grouping expression may
+    // be array-typed anywhere in the ANN plans.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.types.ArrayType
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false") // real ShuffleExchangeExec nodes
+    val targets = Seq(
+      "ann_ivf_topk" -> Ann.ivfTopk(s, sf),
+      "ann_ivf_probe2" -> Ann.ivfTopkProbe2(s, sf),
+      "embed_centroid_update" -> Ann.centroidUpdate(s, sf),
+      "ann_pq_topk" -> Ann.pqTopk(s, sf),
+      "ann_ivfpq_topk" -> Ann.ivfPqTopk(s, sf))
+    targets.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan
+      val offenders = plan.collect {
+        case ex: ShuffleExchangeExec => ex.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.filter(_.dataType.isInstanceOf[ArrayType]).map(e => s"exchange: $e")
+          case _ => Seq.empty[String]
+        }
+        case a: HashAggregateExec =>
+          a.groupingExpressions.filter(_.dataType.isInstanceOf[ArrayType]).map(e => s"hashagg: $e")
+        case a: ObjectHashAggregateExec =>
+          a.groupingExpressions.filter(_.dataType.isInstanceOf[ArrayType]).map(e => s"objagg: $e")
+        case a: SortAggregateExec =>
+          a.groupingExpressions.filter(_.dataType.isInstanceOf[ArrayType]).map(e => s"sortagg: $e")
+      }.flatten
+      assert(offenders.isEmpty, s"$name keys a shuffle on an array: $offenders")
+      // sanity: the traversal actually saw the plan (non-empty tree)
+      assert(plan.collectLeaves().nonEmpty)
+    }
+  }
+
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
     val plan = Analytics.q6ForecastRevenue(spark, sf).queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
