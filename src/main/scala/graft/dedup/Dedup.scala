@@ -272,7 +272,8 @@ object Dedup {
     * the loop (their component is trivially themselves and joins back
     * in at the end), so per-round work is O(|paired docs|) even when
     * the corpus is 10⁹ docs with a sliver of duplicates. */
-  def componentsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def componentsFromPairs(docs: DataFrame, pairs: DataFrame,
+                          maxRounds: Int = 50): DataFrame = {
     val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -282,7 +283,7 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       rounds += 1
       val msgs = edges.join(
           labels.select(col("doc_id").as("src"), col("comp")), "src")
@@ -302,6 +303,16 @@ object Dedup {
       labels = next.select("doc_id", "comp")
     }
     edges.unpersist()
+    // label propagation converges in O(graph diameter) rounds; hitting
+    // the cap mid-flight means the labels are WRONG (a component would
+    // silently split), so fail loudly — a 50-diameter near-dup chain
+    // is a data pathology the caller must see, not absorb
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxRounds rounds " +
+          s"($changed labels still changing) — graph diameter exceeds the " +
+          "round cap; raise maxRounds or inspect the pair list for " +
+          "pathological chains")
     val all = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
     val sizes = all.groupBy("comp").agg(count(lit(1)).as("n_members"))

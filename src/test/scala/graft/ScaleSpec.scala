@@ -128,6 +128,23 @@ class ScaleSpec extends AnyFunSuite {
       (5L, 5L, 1L), (7L, 7L, 2L), (8L, 8L, 1L), (9L, 7L, 2L)))
   }
 
+  test("components: non-convergence at the round cap throws, never silently splits") {
+    import spark.implicits._
+    // a 12-node path graph has diameter 11: min-label propagation moves
+    // label 1 one hop per round, so a cap of 3 cannot converge — the
+    // guard must throw rather than return split components
+    val docs = (1L to 12L).toDF("doc_id")
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      graft.dedup.Dedup.componentsFromPairs(docs, pairs, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with sufficient rounds the same graph collapses to one component
+    val ok = graft.dedup.Dedup.componentsFromPairs(docs, pairs, maxRounds = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(ok == (1L to 12L).map(i => (i, 1L, 12L)))
+  }
+
   test("bucketed range join is result-identical to the direct interval join") {
     val e = Tables.events(spark, sf)
       .selectExpr("event_id", "event_type", "value", "unix_micros(ts) AS us")
