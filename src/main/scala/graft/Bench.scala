@@ -84,9 +84,16 @@ object Bench {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 60 // reserve room for the closing elision fields
     var keptSec = 0.0
-    byTime.foreach { case (k, v) =>
+    // stop at the FIRST entry that doesn't fit so the printed set is a
+    // true slowest-first prefix — skipping past a long-named slow query
+    // to append short-named fast ones would misrepresent the tail
+    val it = byTime.iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (k, v) = it.next()
       val e = s"\"$k\":${fmt(v)}"
       if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1; keptSec += v }
+      else full = true
     }
     val elided = results.size - entries.size
     val elidedSec = total - keptSec

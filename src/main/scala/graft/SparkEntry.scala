@@ -78,7 +78,8 @@ object SparkEntry {
     // §2.E deduplication
     "dedup_exact" -> Dedup.exact _,
     "dedup_minhash_sig" -> Dedup.minhashSig _,
-    "dedup_minhash_pairs" -> Dedup.minhashPairs _,
+    "dedup_minhash_pairs" ->
+      ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_containment" -> Dedup.containment _,

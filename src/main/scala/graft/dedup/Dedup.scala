@@ -125,8 +125,11 @@ object Dedup {
         .selectExpr("doc_a", "doc_b",
           "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
         .filter(col("jacc") >= 0.5)
+        // unsorted on purpose (the file's cache convention): a global
+        // sort materialized into the InMemoryRelation is a wasted
+        // exchange — the entry-point read orders, consumers here
+        // (components, decontaminate, survivors, estimate) don't care
         .select(col("doc_a"), col("doc_b"), col("jacc"))
-        .orderBy("doc_a", "doc_b")
     }
   }
 

@@ -77,14 +77,20 @@ object Multimodal {
       .orderBy("modality")
   }
 
-  /** Decode-batch planning: pack each decode-pool shard's payloads
-    * into byte-budgeted batches (the GPU-decoder feeding pattern —
-    * a batch is bounded by device memory, so the planner packs by
-    * cumulative payload bytes, not row count; compare the reference's
-    * row-count DLP batching, DLPProperties batchSize). Shard key =
-    * (modality, doc_id DIV 1000): batching is per decode-pool shard,
-    * so the cumulative window is bounded at 1000 rows and the plan is
-    * embarrassingly parallel — never a corpus-wide window. */
+  /** Decode-batch planning: assign each decode-pool shard's payloads
+    * a batch index from cumulative payload bytes (the GPU-decoder
+    * feeding pattern — batches are sized by device memory, not row
+    * count; compare the reference's row-count DLP batching,
+    * DLPProperties batchSize). The assignment is FIXED-OFFSET
+    * bucketing: batch = start-offset DIV 4096, so a payload straddling
+    * a 4 KiB boundary overflows its batch by up to one payload and a
+    * payload larger than the budget skips indices — the cheap
+    * window-expressible form; exact greedy packing needs a running
+    * reset per batch (sequential within a shard) and buys little when
+    * payloads ≪ budget. Shard key = (modality, doc_id DIV 1000):
+    * batching is per decode-pool shard, so the cumulative window is
+    * bounded at 1000 rows and the plan is embarrassingly parallel —
+    * never a corpus-wide window. */
   def decodeBatchPlan(spark: SparkSession, dir: String): DataFrame = {
     val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
     val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)

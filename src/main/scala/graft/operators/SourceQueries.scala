@@ -228,11 +228,15 @@ object SourceQueries {
     // from concurrent driver threads (the Migration.runImport shape):
     // Spark interleaves their stages, so one table's Derby staging
     // overlaps the other's extract instead of serializing.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // blocking{} tells the fork-join pool to grow past its core size
+    // while Derby/JDBC and Spark actions block a thread, and the
+    // finite Await bounds a wedged connection instead of hanging the
+    // query forever
     val rows = Await.result(Future.sequence(
-      tables.map { case (dbTable, name, ddl, deid) => Future {
+      tables.map { case (dbTable, name, ddl, deid) => Future { blocking {
         val src = Tables.load(spark, dir, name)
         Jdbc.createAndLoad(src.toDF(src.columns.map(_.toUpperCase).toIndexedSeq: _*),
           url, dbTable, ddl)
@@ -247,7 +251,7 @@ object SourceQueries {
         Sources.writeWarehouse(deided, out, "imported", name, "WRITE_TRUNCATE")
         val n = spark.read.parquet(s"$out/imported/$name").count()
         (name, n, pk.toLowerCase, 4L, if (deid) 1L else 0L)
-      }}), Duration.Inf)
+      }}}), 10.minutes)
     rows.toDF("table_name", "n_rows", "pk_col", "n_splits", "deid_applied")
       .orderBy("table_name")
   }

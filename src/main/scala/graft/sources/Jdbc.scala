@@ -154,18 +154,22 @@ object Jdbc {
     * probes, the same paging statement the reference issues per chunk
     * (TableToDbRowFn.java:155-170) but issued once per BOUNDARY here;
     * the bulk rows then move through sargable range predicates that an
-    * index on `column` serves without scanning past skipped rows. */
+    * index on `column` serves without scanning past skipped rows.
+    * Cost caveat: the probes assume an index on `column` — without
+    * one each ORDER BY/OFFSET probe is a scan, O(partitions × n)
+    * total DB work at planning time. */
   def stringSplitPoints(url: String, table: String, column: String,
                         numPartitions: Int): Seq[String] =
     withConn(url) { conn =>
       val st = conn.createStatement()
-      val rsN = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+      val (t, c) = (quoteIdent(table), quoteIdent(column))
+      val rsN = st.executeQuery(s"SELECT COUNT(*) FROM $t")
       rsN.next(); val n = rsN.getLong(1); rsN.close()
       val step = math.max(1L, n / math.max(1, numPartitions))
       val pts = (1L until numPartitions.toLong).map(_ * step)
         .filter(_ < n).flatMap { off =>
           val rs = st.executeQuery(
-            s"SELECT $column FROM $table ORDER BY $column OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
+            s"SELECT $c FROM $t ORDER BY $c OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
           val v = if (rs.next()) Option(rs.getString(1)) else None
           rs.close(); v
         }
@@ -175,6 +179,14 @@ object Jdbc {
 
   private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"
 
+  /** ANSI double-quoted identifier (Derby/Postgres/standard dialects):
+    * values are escaped by [[sqlQuote]], identifiers by this — an
+    * ordering column named with a reserved word or mixed case must not
+    * break the extract. Identifier names discovered through
+    * DatabaseMetaData are exact-case, which quoting preserves. */
+  private def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
   /** Disjoint covering WHERE clauses over string boundaries: the first
     * range also claims NULLs (Derby orders NULLs last, but a NULL never
     * satisfies either comparison, so it must be claimed explicitly or
@@ -182,11 +194,12 @@ object Jdbc {
   def rangePredicates(column: String, points: Seq[String]): Array[String] =
     if (points.isEmpty) Array("1=1")
     else {
-      val first = s"$column < ${sqlQuote(points.head)} OR $column IS NULL"
+      val c = quoteIdent(column)
+      val first = s"$c < ${sqlQuote(points.head)} OR $c IS NULL"
       val mids = points.sliding(2).collect { case Seq(a, b) =>
-        s"$column >= ${sqlQuote(a)} AND $column < ${sqlQuote(b)}"
+        s"$c >= ${sqlQuote(a)} AND $c < ${sqlQuote(b)}"
       }.toSeq
-      val last = s"$column >= ${sqlQuote(points.last)}"
+      val last = s"$c >= ${sqlQuote(points.last)}"
       (first +: mids :+ last).toArray
     }
 

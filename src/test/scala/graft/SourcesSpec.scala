@@ -36,9 +36,11 @@ class SourcesSpec extends AnyFunSuite {
   test("rangePredicates covers NULLs, escapes quotes, and stays disjoint") {
     val preds = Jdbc.rangePredicates("C", Seq("b", "d'Arc"))
     assert(preds.length == 3)
-    assert(preds(0).contains("C IS NULL"))
-    assert(preds(1) == "C >= 'b' AND C < 'd''Arc'")
-    assert(preds(2) == "C >= 'd''Arc'")
+    // identifiers are dialect-quoted (a reserved-word or mixed-case
+    // ordering column must not break the extract), values escaped
+    assert(preds(0).contains("\"C\" IS NULL"))
+    assert(preds(1) == "\"C\" >= 'b' AND \"C\" < 'd''Arc'")
+    assert(preds(2) == "\"C\" >= 'd''Arc'")
     assert(Jdbc.rangePredicates("C", Nil).sameElements(Array("1=1")))
   }
 
