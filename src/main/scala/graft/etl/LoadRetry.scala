@@ -82,4 +82,16 @@ object LoadRetry {
       }
     } finally { routed.unpersist(); () }
   }
+
+  /** Sink-shaped form: retry-load a batch into a
+    * [[graft.sources.WarehouseSink]] table — the exact composition the
+    * reference runs against BigQuery (insert with
+    * retryTransientErrors, failures tagged to the dead letter). Swap
+    * the sink for a BigQuery adapter and this IS the reference's load
+    * path; the retry/dead-letter machinery doesn't change. */
+  def writeWithRetry(batch: DataFrame, sink: graft.sources.WarehouseSink,
+                     dataset: String, table: String, deadDir: String,
+                     maxAttempts: Int): Unit =
+    writeWithRetry(batch, deadDir, maxAttempts)(
+      sink.write(_, dataset, table, "WRITE_APPEND"))
 }

@@ -3,7 +3,6 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sources.Sources
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -18,10 +17,18 @@ import scala.concurrent.duration.Duration
   */
 object Migration {
 
-  /** Run a full import pass. Returns the manifest:
-    * (table_name, n_rows, deid_applied, n_dead). */
+  /** Run a full import pass into the local parquet warehouse layout.
+    * Returns the manifest: (table_name, n_rows, deid_applied, n_dead). */
   def runImport(spark: SparkSession, dir: String, configJson: String,
-                outBase: String, dataset: String = "imported"): DataFrame = {
+                outBase: String, dataset: String = "imported"): DataFrame =
+    runImport(spark, dir, configJson,
+      new graft.sources.ParquetWarehouseSink(outBase), dataset)
+
+  /** Sink-parameterized form: the import program is identical whether
+    * the warehouse is the local parquet layout or a real BigQuery
+    * adapter — only the [[graft.sources.WarehouseSink]] differs. */
+  def runImport(spark: SparkSession, dir: String, configJson: String,
+                sink: graft.sources.WarehouseSink, dataset: String): DataFrame = {
     import spark.implicits._
     implicit val ec: ExecutionContext = ExecutionContext.global
     val cfgs = DlpConfig.parse(configJson).map(c => c.tableName -> c).toMap
@@ -42,18 +49,18 @@ object Migration {
             val routed = Ingest.deadLetterRoute(raw)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val deadObs = new Observation(s"mig_dead_$t${System.nanoTime()}")
-            Sources.writeWarehouse(
+            sink.write(
               routed.filter(col("status") === "dead").drop("status")
                 .observe(deadObs, count(lit(1)).as("n")),
-              outBase, dataset, s"${t}_dead_letter", "WRITE_TRUNCATE")
+              dataset, s"${t}_dead_letter", "WRITE_TRUNCATE")
             val okIds = routed.filter(col("status") === "ok").select("event_id")
             (raw.join(okIds, "event_id"),
               deadObs.get("n").asInstanceOf[Long], Some(routed))
           } else (raw, 0L, None)
         val deid = DlpConfig.applyTable(ok, cfg)
         val obs = new Observation(s"mig_$t${System.nanoTime()}")
-        Sources.writeWarehouse(deid.observe(obs, count(lit(1)).as("n")),
-          outBase, dataset, t, "WRITE_TRUNCATE")
+        sink.write(deid.observe(obs, count(lit(1)).as("n")),
+          dataset, t, "WRITE_TRUNCATE")
         val n = obs.get("n").asInstanceOf[Long]
         cached.foreach(_.unpersist())
         (t, n, if (cfg.isDefined) 1L else 0L, nDead)

@@ -55,4 +55,13 @@ object Reid {
         ceil(col("n_rows") / batchSize.toDouble).cast("long").as("n_batches"))
       .orderBy("headers")
   }
+
+  /** The reid publish step (BQReidentificationPipeline.java:240-265:
+    * row → JSON payload → topic): payloads are built by pure Catalyst
+    * expressions (see DlpQueries.reidPublishFormat), the transport is
+    * a [[graft.sources.MessageSink]] — a Pub/Sub adapter drops in
+    * without touching the payload format. */
+  def publish(payloads: DataFrame, sink: graft.sources.MessageSink,
+              topic: String): Unit =
+    sink.publish(payloads, topic)
 }
