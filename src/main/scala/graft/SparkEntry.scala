@@ -101,6 +101,7 @@ object SparkEntry {
     "ann_pq_rerank" -> Ann.pqRerank _,
     "ann_ivfpq_topk" -> Ann.ivfPqTopk _,
     "embed_centroid_update" -> Ann.centroidUpdate _,
+    "embed_kmeans_train" -> ((s: SparkSession, d: String) => Ann.kmeansTrain(s, d)),
     // §2.I streaming (batch-equivalent forms; streaming forms in specs)
     "stream_window_agg" -> Streams.windowAggBatch _,
     "stream_sessionize" -> Streams.sessionizeBatch _,
@@ -185,6 +186,32 @@ object SparkEntry {
   private def duckSqL2Full(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> " +
       s"($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
+
+  /** Unrolled Lloyd iterations mirroring Ann.kmeansTrain: quantize
+    * once to micro-unit BIGINTs, then per round an exact integer
+    * distance argmin and a shifted integer-division mean. All integer
+    * math, so fold order and division semantics agree exactly
+    * (positive dividend: DuckDB // floor == Spark DIV truncation). */
+  private def duckKmeansCte(rounds: Int): String = {
+    val S = 4000000L
+    val init =
+      s"""q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |  x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cent_id, xq AS cq FROM q WHERE vec_id < 8)""".stripMargin
+    val iters = (1 to rounds).map { t =>
+      s"""d$t AS (SELECT q.vec_id, cent_id, list_reduce(list_transform(range(1, 65),
+         |  i -> (xq[i] - cq[i]) * (xq[i] - cq[i])), (acc, v) -> acc + v) AS dist
+         |  FROM q CROSS JOIN cent${t - 1}),
+         |a$t AS (SELECT vec_id, cent_id AS cell FROM (SELECT vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn FROM d$t) WHERE rn = 1),
+         |s$t AS (SELECT cell, pos, SUM(xq[pos + 1]) AS s, COUNT(*) AS n
+         |  FROM a$t JOIN q USING (vec_id) CROSS JOIN (SELECT unnest(range(0, 64)) AS pos)
+         |  GROUP BY cell, pos),
+         |cent$t AS (SELECT cell AS cent_id, list((s + n * $S) // n - $S ORDER BY pos) AS cq,
+         |  MIN(n) AS n_members FROM s$t GROUP BY cell)""".stripMargin
+    }
+    (init +: iters).mkString(",\n")
+  }
 
   /** PQ ADC scan — (query_id, vec_id, approximate distance): the CTE
     * chain both PQ oracles share (top-k and exact re-rank). Mirrors
@@ -834,6 +861,10 @@ object SparkEntry {
          |  CAST(SUM(CAST(CAST(emb[3] AS DECIMAL(9,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s3,
          |  CAST(SUM(CAST(CAST(emb[4] AS DECIMAL(9,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s4
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin),
+    "embed_kmeans_train" ->
+      (s"""WITH ${duckKmeansCte(3)}
+         |SELECT cent_id, n_members, cq[1] AS c1, cq[2] AS c2, cq[3] AS c3, cq[4] AS c4
+         |FROM cent3 ORDER BY cent_id""".stripMargin),
     "ann_ivfpq_topk" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),

@@ -263,6 +263,55 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Iterated Lloyd k-means — the actual IVF codebook TRAINING loop
+    * ([[centroidUpdate]] is one M-step; this runs assign→update for
+    * `rounds` full iterations from the deterministic vec 0-7 seed).
+    * All iteration math lives in integer micro-unit space: vectors
+    * quantize ONCE (floor(x·10⁶) — exact and identical on any
+    * engine), distances are exact long sums, and the centroid mean is
+    * a shifted integer division (adding n·S makes the dividend
+    * positive, so truncating and flooring division agree), which
+    * makes every round associative, partition-order independent, and
+    * bit-reproducible in DuckDB — floats never survive past the
+    * quantize. Per round: one broadcast of the ≤8-row codebook, one
+    * flat (vec_id)-keyed aggregate for assignment, one flat
+    * (cell, pos)-keyed aggregate for the sums — arrays ride only as
+    * payload, and localCheckpoint truncates the growing lineage (the
+    * iterative-algorithm contract, as in Dedup.componentsFromPairs).
+    * At 100 TB this is exactly distributed k-means: model broadcast
+    * down, partial sums up, driver holds nothing but the loop. */
+  def kmeansTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val S = 4000000L // > max|dim sum|/n, keeps every dividend positive
+    val q = embDf(spark, dir)
+      .selectExpr("vec_id",
+        "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
+    var cent = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("xq").as("cq"), lit(0L).as("n_members"))
+    for (_ <- 1 to rounds) {
+      val assign = q.crossJoin(broadcast(cent.select("cent_id", "cq")))
+        .selectExpr("vec_id", "cent_id",
+          "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v) AS dist")
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cell"))
+      cent = q.join(assign, "vec_id")
+        .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .selectExpr("cell", "pos", "n", s"(s + n * ${S}L) DIV n - ${S}L AS cv")
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cq"),
+          min(col("n")).as("n_members"))
+        .select(col("cell").as("cent_id"), col("cq"), col("n_members"))
+        .localCheckpoint(true)
+    }
+    cent.selectExpr("cent_id", "n_members",
+        "element_at(cq, 1) AS c1", "element_at(cq, 2) AS c2",
+        "element_at(cq, 3) AS c3", "element_at(cq, 4) AS c4")
+      .orderBy("cent_id")
+  }
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */
