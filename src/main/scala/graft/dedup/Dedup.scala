@@ -392,31 +392,45 @@ object Dedup {
           "explode_outer(grams) AS gram")
         .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
     }
-    // inverted index: ONE exchange builds the per-gram posting list
-    // (partial-aggregated map-side); candidate pairs are emitted from
-    // each capped list by a double explode — max cap·(cap−1)/2
-    // surviving pairs per gram, no self-join, no second corpus pass.
-    // (Deliberately NOT a nested-lambda pair expression: deep lambda
-    // trees cost seconds of driver-side canonicalization per query.)
-    val byGram = x.groupBy(col("gh"), col("lb"))
-      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
-      .filter(col("df") <= maxGramDf)
-      .select("docs")
-    val cand = byGram
-      .select(explode_outer(col("docs")).as("doc_a"), col("docs"))
-      .select(col("doc_a"), explode_outer(col("docs")).as("doc_b"))
+    // per-gram document frequency: a count-only flat aggregate
+    // (partial-aggregated map-side). Deliberately NOT collect_list:
+    // posting lists in aggregation buffers forced the sort-based
+    // fallback here, and at corpus scale a stop-gram's full posting
+    // would materialize in ONE buffer — unbounded. The df table is
+    // all-long and bounded per key.
+    val dfTab = x.groupBy(col("gh"), col("lb")).agg(count(lit(1)).as("df"))
+    val xCap = x.join(dfTab.filter(col("df") <= maxGramDf), Seq("gh", "lb"))
+    // candidate pairs AND their capped intersection counts fall out of
+    // ONE equality self-join on the gram key (co-partitioned with the
+    // df aggregate, so the exchange is shared): fan-out stays bounded
+    // at cap² rows per gram, and counting shared grams per pair
+    // replaces the old distinct + full-index re-verification joins.
+    val cCap = xCap.select(col("gh"), col("lb"), col("doc_id").as("doc_a"))
+      .join(xCap.select(col("gh"), col("lb"), col("doc_id").as("doc_b")),
+        Seq("gh", "lb"))
       .filter(col("doc_a") < col("doc_b"))
-      .distinct()
-    // exact verification on the candidates only (scores never depend
-    // on the cap): re-join the UNCAPPED flat index per side and count
-    // shared gram hashes — |∩| = c, |∪| = sza + szb − c. Long-only
-    // join keys and payloads, codegen end to end.
-    val xa = x.select(col("doc_id").as("doc_a"), col("gh"), col("sz").as("sza"))
-    val xb = x.select(col("doc_id").as("doc_b"), col("gh"), col("sz").as("szb"))
-    cand.join(xa, "doc_a")
-      .join(xb, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"), max(col("sza")).as("sza"), max(col("szb")).as("szb"))
+      .agg(count(lit(1)).as("c_cap"))
+    // hot-gram completion: grams OVER the cap are dropped from the
+    // index but still count toward |∩| (scores must not depend on the
+    // cap) — rejoin only those against the candidate pairs. A doc
+    // carries few over-cap grams (boilerplate), and when the corpus
+    // max df is under the cap this side is empty, so the completion
+    // joins cost nothing.
+    val xHot = x.join(dfTab.filter(col("df") > maxGramDf), Seq("gh", "lb"))
+    val cHot = cCap.select("doc_a", "doc_b")
+      .join(xHot.select(col("doc_id").as("doc_a"), col("gh")), "doc_a")
+      .join(xHot.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c_hot"))
+    // |∩| = capped + hot shared grams; |∪| = sza + szb − c downstream
+    val sizes = x.groupBy(col("doc_id")).agg(min(col("sz")).as("sz"))
+    cCap.join(cHot, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c_cap") + coalesce(col("c_hot"), lit(0L))).as("c"),
+        col("sza"), col("szb"))
   }
 
   def ngramJaccard(spark: SparkSession, dir: String, maxGramDf: Int): DataFrame =
