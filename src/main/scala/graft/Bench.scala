@@ -68,13 +68,29 @@ object Bench {
     // stdout line stays under 1800 chars: total + the slowest queries
     // that fit, with an explicit elision count so nothing is dropped
     // silently.
+    val mode = if (isolate) "isolate" else "shared"
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cache_mode":"${if (isolate) "isolate" else "shared"}","queries":{""", ",", "}}")
+      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cache_mode":"$mode","queries":{""", ",", "}}")
+    // Per-mode snapshot file, then a combined BENCH_FULL.json holding
+    // BOTH cache modes so round-over-round diffs can adjudicate
+    // shared-session noise vs real operator regressions without
+    // depending on stdout tail capture. Only a full (un-filtered) run
+    // refreshes the snapshots — a SPARK_GRAFT_ONLY iteration run must
+    // not clobber the committed 115-query numbers.
     try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
+      import java.nio.file.{Files, Paths}
+      if (only.isEmpty) {
+        Files.write(Paths.get(s"BENCH_FULL_$mode.json"), (fullJson + "\n").getBytes("UTF-8"))
+        val combined = Seq("shared", "isolate").flatMap { m =>
+          val p = Paths.get(s"BENCH_FULL_$m.json")
+          if (Files.exists(p)) Some(s""""$m":${new String(Files.readAllBytes(p), "UTF-8").trim}""")
+          else None
+        }.mkString("{", ",", "}")
+        Files.write(Paths.get("BENCH_FULL.json"), (combined + "\n").getBytes("UTF-8"))
+      } else {
+        Files.write(Paths.get("BENCH_PARTIAL.json"), (fullJson + "\n").getBytes("UTF-8"))
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
     }

@@ -153,6 +153,15 @@ object SparkEntry {
     "dlp_k_map" -> DlpQueries.dlpKMap _,
     "source_json_roundtrip" -> SourceQueries.jsonRoundtrip _,
     "source_orc_roundtrip" -> SourceQueries.orcRoundtrip _,
+    // §2.E/F/G (round 7): chunking, corpus-fluency scoring, tf-idf
+    // keywords, training-free LSH ANN, int8 quantization, semantic
+    // dedup clusters
+    "text_chunking" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
+    "text_ngram_coverage" -> ((s: SparkSession, d: String) => TextOps.ngramCoverage(s, d)),
+    "text_tfidf" -> TextOps.tfidfTopTerms _,
+    "ann_lsh_topk" -> Ann.lshTopk _,
+    "embed_quantize_int8" -> Ann.quantizeInt8 _,
+    "dedup_semantic_cluster" -> Dedup.semanticClusters _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1338,5 +1347,94 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // §2.G (round 7): sliding token-window chunks — 32-token window,
+    // stride 24; DuckDB list slice w[a:b] is 1-based inclusive =
+    // Spark slice(w, a, 32)
+    "text_chunking" ->
+      """WITH doc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) <= 32 THEN 1 ELSE 1 + (len(w) - 32 + 23) // 24 END AS nchunks FROM doc),
+        |c AS (SELECT doc_id, w, unnest(range(1, nchunks + 1)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST((chunk_idx - 1) * 24 + 1 AS BIGINT) AS start_tok,
+        |  CAST(len(w[(chunk_idx - 1) * 24 + 1 : (chunk_idx - 1) * 24 + 32]) AS BIGINT) AS n_tok,
+        |  array_to_string(w[(chunk_idx - 1) * 24 + 1 : (chunk_idx - 1) * 24 + 32], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_ngram_coverage" ->
+      """WITH g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |top AS (SELECT gram FROM
+        |  (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 50))
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |  CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+        |    // COUNT(*) AS BIGINT) AS coverage_bp
+        |FROM g LEFT JOIN top t USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wds GROUP BY doc_id, word),
+        |dfx AS (SELECT word, COUNT(*) AS df_docs FROM tf GROUP BY word),
+        |s AS (SELECT doc_id, word, tf, df_docs, tf * 1000000 // df_docs AS score_u
+        |  FROM tf JOIN dfx USING (word)),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score_u DESC, word) AS BIGINT) AS rank FROM s)
+        |SELECT doc_id, word, tf, df_docs, CAST(score_u AS BIGINT) AS score_u, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // §2.F (round 7)
+    "ann_lsh_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM eb WHERE vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT query_id, eb.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN eb USING (bucket) WHERE eb.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+    // int8 quantization replayed in the same integer micro-unit space:
+    // the shifted division keeps every dividend positive, so DuckDB's
+    // // and Spark's DIV agree exactly
+    "embed_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT vec_id,
+        |  list_transform(emb, v -> CAST(FLOOR(v * 1000000) AS BIGINT)) AS xq FROM e),
+        |m AS (SELECT vec_id, xq,
+        |  list_aggregate(list_transform(xq, v -> abs(v)), 'max') AS s FROM x),
+        |q AS (SELECT vec_id, xq, s,
+        |  CASE WHEN s = 0 THEN list_transform(xq, v -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(xq, v -> (254 * v + 257 * s) // (2 * s) - 128) END AS qc
+        |  FROM m)
+        |SELECT vec_id, CAST(s AS BIGINT) AS scale_u,
+        |  CAST(qc[1] AS BIGINT) AS q1, CAST(qc[2] AS BIGINT) AS q2,
+        |  CAST(qc[3] AS BIGINT) AS q3, CAST(qc[4] AS BIGINT) AS q4,
+        |  CAST(list_reduce(list_transform(range(1, len(xq) + 1),
+        |    i -> abs(127 * xq[i] - qc[i] * s)), (acc, v) -> acc + v) AS BIGINT) AS err_u
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // §2.E (round 7): components over the embedding-cosine pair graph
+    "dedup_semantic_cluster" ->
+      (s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${duckCos("a.emb", "b.emb")}, 4) >= 0.35),
+         |ed AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |       UNION ALL SELECT vec_b, vec_a FROM p),
+         |reach(vec_id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.dst, reach.r FROM reach JOIN ed ON ed.src = reach.vec_id),
+         |comp AS (SELECT vec_id, MIN(r) AS cluster FROM reach GROUP BY vec_id),
+         |sizes AS (SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster)
+         |SELECT c.vec_id, c.cluster, s.n_members
+         |FROM comp c JOIN sizes s USING (cluster) ORDER BY vec_id""".stripMargin),
   )
 }

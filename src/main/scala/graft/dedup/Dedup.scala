@@ -472,4 +472,23 @@ object Dedup {
       .filter(col("cos") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Semantic duplicate clusters (the SemDeDup shape — Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): connected components over the
+    * embedding-cosine near-dup graph, so transitively-similar
+    * documents collapse into one cluster even when the endpoints'
+    * pairwise cosine is below threshold. Reuses the LSH-gated pair
+    * list and the same label-propagation core as the text-level
+    * components — per-round work is O(|paired vectors|), never the
+    * corpus. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingCosine(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"))
+    componentsFromPairs(nodes, pairs)
+      .select(col("doc_id").as("vec_id"), col("comp").as("cluster"),
+        col("n_members"))
+      .orderBy("vec_id")
+  }
 }

@@ -312,6 +312,56 @@ object Ann {
       .orderBy("cent_id")
   }
 
+  /** Sign-LSH bucketed ANN (Charikar, "Similarity estimation
+    * techniques from rounding algorithms", STOC 2002): an 8-bit
+    * sign signature over the leading dims buckets the corpus into
+    * ≤256 cells, queries scan only their own bucket. Unlike IVF this
+    * needs NO training pass — the index is one map-only scan — which
+    * is the right first index for a corpus whose distribution is
+    * still shifting (ingest-time ANN). Bucket key is a flat string;
+    * the vector array stays payload-only. */
+  def lshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = "concat(" + (1 to 8).map(i =>
+      s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket"
+    val e = embDf(spark, dir).selectExpr("vec_id", "emb", bucketExpr)
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("bucket"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Symmetric int8 vector quantization — the storage half of a
+    * serving index (8× over float64, and the layout PQ-free ANN
+    * serving actually ships). All math in integer micro-unit space:
+    * vectors quantize once to longs (floor(x·10⁶)), the per-vector
+    * scale is max|dim|, and the int8 code is round-half-up(127·v/s)
+    * via a shifted integer division (adding 128·2s keeps the dividend
+    * positive so truncation IS floor — identical on any engine).
+    * err_u = Σ|127·v − q·s| is the exact integer reconstruction
+    * error. Map-only: no shuffle, no UDF, codegen throughout. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    embDf(spark, dir)
+      .selectExpr("vec_id",
+        "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
+      .selectExpr("vec_id", "xq",
+        "array_max(transform(xq, v -> abs(v))) AS s")
+      .selectExpr("vec_id", "xq", "s",
+        // all-zero vector: scale 0, codes 0 — guard the division
+        "CASE WHEN s = 0 THEN transform(xq, v -> 0L) " +
+          "ELSE transform(xq, v -> (254 * v + 257 * s) DIV (2 * s) - 128) END AS q")
+      .selectExpr("vec_id", "s AS scale_u",
+        "element_at(q, 1) AS q1", "element_at(q, 2) AS q2",
+        "element_at(q, 3) AS q3", "element_at(q, 4) AS q4",
+        "aggregate(zip_with(xq, q, (v, c) -> abs(127 * v - c * s)), 0L, (a, x) -> a + x) AS err_u")
+      .orderBy("vec_id")
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */

@@ -251,6 +251,87 @@ object TextOps {
         "CAST(CASE WHEN normalized = text THEN 0 ELSE 1 END AS BIGINT) AS changed")
       .orderBy("doc_id")
 
+  /** Sliding token-window chunking — the unit-of-work transform every
+    * LLM data pipeline runs before tokenization (context-length-sized
+    * chunks with overlap so no span is split across a boundary without
+    * a copy that contains it whole). Pure per-row explode: chunk count
+    * and boundaries are integer functions of the token count, so the
+    * op is a map-only codegen'd scan — at 100 TB it parallelizes
+    * per-document with zero shuffle, and the chunk rows inherit the
+    * scan's partitioning for the downstream tokenizer. */
+  def chunk(spark: SparkSession, dir: String,
+            window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val start = s"(chunk_idx - 1) * $stride + 1"
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      // last chunk may be short but never empty; every token is
+      // covered because stride <= window
+      .selectExpr("doc_id", "w",
+        s"CASE WHEN size(w) <= $window THEN 1 " +
+          s"ELSE 1 + (size(w) - $window + ${stride - 1}) DIV $stride END AS nchunks")
+      .selectExpr("doc_id", "w", "explode(sequence(1, nchunks)) AS chunk_idx")
+      .selectExpr("doc_id",
+        "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+        s"CAST($start AS BIGINT) AS start_tok",
+        s"CAST(size(slice(w, $start, $window)) AS BIGINT) AS n_tok",
+        s"concat_ws(' ', slice(w, $start, $window)) AS chunk")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** The corpus bigram model + per-document coverage against its top
+    * slice — a cheap KenLM-style fluency proxy (documents whose
+    * n-grams are mostly corpus-frequent read like the corpus; spam /
+    * boilerplate / wrong-language text scores low). Two-phase shape:
+    * the model is a bounded top-K aggregate (TakeOrderedAndProject —
+    * per-partition heaps) broadcast against the per-document gram
+    * stream, so the corpus is scanned twice and shuffled never for
+    * the scoring side. Integer basis points — exact on any engine. */
+  def ngramCoverage(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, greatest(size(w) - 1, 1)), " +
+          "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))) AS gram")
+    val top = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(topK)
+      .select(col("gram"), lit(1L).as("hit"))
+    grams.join(broadcast(top), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_top"))
+      .selectExpr("doc_id", "n_grams", "CAST(n_top AS BIGINT) AS n_top",
+        "n_top * 10000 DIV n_grams AS coverage_bp")
+      .orderBy("doc_id")
+  }
+
+  /** Integer TF-IDF keyword extraction: top-3 terms per document by
+    * tf/df (the corpus-size numerator is constant per corpus, so
+    * tf·10⁶ DIV df ranks identically to tf·log(N/df) up to the log's
+    * monotone flattening — and stays exact integer arithmetic). Shape:
+    * one (doc_id, word) aggregate, a vocabulary-sized df aggregate off
+    * it, a sort-merge join back on the word key (both sides already
+    * word-clustered), and a per-document top-3 window — every stage
+    * partial-aggregates before its exchange. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("word"))
+    tf.join(df, "word")
+      .selectExpr("doc_id", "word", "tf", "df_docs",
+        "tf * 1000000 DIV df_docs AS score_u")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "word", "tf", "df_docs", "score_u", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Winnowing-style fingerprint (Schleimer/Wilkerson/Aiken,
     * "Winnowing: local algorithms for document fingerprinting",
     * SIGMOD 2003): min rolling-hash (md5 of each 5-char window) +

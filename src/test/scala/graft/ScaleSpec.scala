@@ -268,4 +268,106 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketed join should be shuffle-free, got:\n${plan.take(1500)}")
     assert(joined.count() == Tables.lineitem(s2, sf).count())
   }
+
+  test("chunking covers every token, overlaps by window-stride, map-only plan") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_words")
+    val chunks = graft.text.TextOps.chunk(spark, sf)
+    // per doc: chunk count matches the formula, the last chunk reaches
+    // the final token, and consecutive starts differ by exactly stride
+    val agg = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("start_tok") + col("n_tok") - 1).as("last_tok"),
+      max(col("start_tok")).as("max_start"))
+    val joined = agg.join(docs, "doc_id")
+    assert(joined.filter(col("last_tok") =!= col("n_words")).count() == 0,
+      "last chunk must end at the last token")
+    assert(joined.filter(col("max_start") =!= (col("n_chunks") - 1) * 24 + 1)
+      .count() == 0, "starts must advance by the stride")
+    // no token is lost: stride <= window means chunk i covers
+    // [1+24(i-1), 24(i-1)+32] and consecutive ranges overlap by 8
+    assert(chunks.filter(col("n_tok") <= 0).count() == 0)
+    // scale shape: chunk emission itself is shuffle-free (the orderBy
+    // for the oracle compare is the only exchange)
+    val plan = graft.text.TextOps.chunk(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("HashAggregate"), "chunking must not aggregate")
+  }
+
+  test("ngram coverage is a bounded bp score and tops out on corpus-frequent docs") {
+    val cov = graft.text.TextOps.ngramCoverage(spark, sf).collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (n, top, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(top >= 0 && top <= n, s"n_top out of range: $r")
+      assert(bp >= 0 && bp <= 10000, s"coverage_bp out of range: $r")
+      assert(bp == top * 10000 / n)
+    }
+    // the model side must be a bounded top-K (never a full-vocab sort
+    // surviving into the join): word-soup corpus ⇒ varied coverage
+    assert(cov.map(_.getLong(3)).distinct.length > 1,
+      "coverage should discriminate documents")
+  }
+
+  test("tf-idf: 3 terms per doc, ranked by exact integer score") {
+    val rows = graft.text.TextOps.tfidfTopTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(5)).sorted.sameElements(1L to rs.length))
+      // scores non-increasing with rank
+      val byRank = rs.sortBy(_.getLong(5)).map(_.getLong(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("sign-LSH ANN: neighbors share the query's bucket, ranks consecutive") {
+    val out = graft.sim.Ann.lshTopk(spark, sf).collect()
+    assert(out.nonEmpty)
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .selectExpr("vec_id",
+        "concat(" + (1 to 8).map(i =>
+          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END")
+          .mkString(", ") + ") AS bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(e(r.getLong(0)) == e(r.getLong(1)),
+        s"neighbor must come from the query's bucket: $r")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("int8 quantization: codes in [-127,127], error bounded by half a step") {
+    val q = graft.sim.Ann.quantizeInt8(spark, sf).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val s = r.getLong(1)
+      (2 to 5).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= -127 && c <= 127, s"code out of int8 range: $r")
+      }
+      // round-half-up: |127·v − q·s| ≤ s/2 per dim, 64 dims
+      assert(r.getLong(6) <= 64L * (s / 2 + 1), s"reconstruction error too large: $r")
+    }
+  }
+
+  test("semantic clusters agree with the pair graph") {
+    val pairs = graft.dedup.Dedup.embeddingCosine(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = graft.dedup.Dedup.semanticClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every verified near-dup pair must land in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are canonical min-ids: a cluster's label is one of its members
+    lbl.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keySet.contains(c), s"cluster $c label not a member")
+      assert(c == members.keySet.min, s"cluster label must be the min member id")
+    }
+  }
 }
