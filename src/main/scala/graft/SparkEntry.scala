@@ -162,6 +162,8 @@ object SparkEntry {
     "ann_lsh_topk" -> Ann.lshTopk _,
     "embed_quantize_int8" -> Ann.quantizeInt8 _,
     "dedup_semantic_cluster" -> Dedup.semanticClusters _,
+    "dlp_time_extract" -> DlpQueries.dlpTimeExtract _,
+    "ann_recall_eval" -> Ann.recallEval _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1415,6 +1417,34 @@ object SparkEntry {
         |  CAST(list_reduce(list_transform(range(1, len(xq) + 1),
         |    i -> abs(127 * xq[i] - qc[i] * s)), (acc, v) -> acc + v) AS BIGINT) AS err_u
         |FROM q ORDER BY vec_id""".stripMargin,
+    "dlp_time_extract" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // recall@5 of the IVF index vs exact brute-force ground truth
+    "ann_recall_eval" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, emb, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM cells WHERE vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s),
+         |ivf AS (SELECT query_id, vec_id AS neighbor_id, 1 AS hit FROM r WHERE rank <= 5),
+         |qx AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |sx AS (SELECT query_id, e2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM qx JOIN e e2 ON e2.vec_id <> query_id),
+         |rx AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM sx),
+         |ex AS (SELECT query_id, vec_id AS neighbor_id FROM rx WHERE rank <= 5)
+         |SELECT ex.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN i.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN i.hit IS NOT NULL THEN 1 ELSE 0 END) * 10000
+         |    // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM ex LEFT JOIN ivf i ON i.query_id = ex.query_id AND i.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
     // §2.E (round 7): components over the embedding-cosine pair graph
     "dedup_semantic_cluster" ->
       (s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -62,6 +62,18 @@ object Dlp {
     timestamp_add("DAY", days, ts)
   }
 
+  /** TimePartConfig: replace a date with ONE extracted part — the DLP
+    * generalization that keeps only the analytically-needed component
+    * (publish birth YEAR, drop the exact date). Codegen'd date
+    * functions; part names follow the DLP enum. */
+  def timePart(ts: Column, part: String): Column = part match {
+    case "YEAR"         => year(ts).cast("long")
+    case "MONTH"        => month(ts).cast("long")
+    case "DAY_OF_MONTH" => dayofmonth(ts).cast("long")
+    case "WEEK_OF_YEAR" => weekofyear(ts).cast("long")
+    case other => throw new IllegalArgumentException(s"unsupported time part: $other")
+  }
+
   /** FixedSizeBucketingConfig: numeric generalization to width-sized
     * buckets labeled "lo_hi". */
   def bucketize(c: Column, width: Int): Column = {

@@ -105,6 +105,16 @@ object DlpQueries {
         Dlp.dateShift(col("o_orderdate"), col("o_custkey"), 30).as("shifted"))
       .orderBy("o_orderkey")
 
+  /** TimePartConfig generalization: order dates reduced to year +
+    * month (reference: the DLP date/time primitive transformations
+    * alongside DateShiftConfig). */
+  def dlpTimeExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        Dlp.timePart(col("o_orderdate"), "YEAR").as("order_year"),
+        Dlp.timePart(col("o_orderdate"), "MONTH").as("order_month"))
+      .orderBy("o_orderkey")
+
   def dlpBucketing(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .select(col("c_custkey"),

@@ -362,6 +362,35 @@ object Ann {
         "aggregate(zip_with(xq, q, (v, c) -> abs(127 * v - c * s)), 0L, (a, x) -> a + x) AS err_u")
       .orderBy("vec_id")
 
+  /** Index-quality monitoring — recall@5 of the IVF index against
+    * exact brute-force ground truth, per query, in integer basis
+    * points. This is the evaluation loop any production ANN deploy
+    * runs on a sampled query set before/after reindexing: ground
+    * truth costs one corpus scan for the SAMPLE only (queries are
+    * broadcast), the index answers come from the index path itself,
+    * and the comparison is a tiny (queries × k) join. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val ivf = ivfTopk(spark, dir).select("query_id", "neighbor_id")
+      .withColumn("hit", lit(1L))
+    exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("query_id", "n_exact", "CAST(n_hit AS BIGINT) AS n_hit",
+        "n_hit * 10000 DIV n_exact AS recall_bp")
+      .orderBy("query_id")
+  }
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */

@@ -354,6 +354,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("recall eval: 5 ground-truth rows per query, bp in range") {
+    val r = graft.sim.Ann.recallEval(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) == 5, s"ground truth must be top-5: $row")
+      assert(row.getLong(2) >= 0 && row.getLong(2) <= 5)
+      assert(row.getLong(3) == row.getLong(2) * 10000 / 5)
+    }
+    // probe-1 IVF on clustered data should recall most true neighbors
+    assert(r.map(_.getLong(2)).sum > 0, "IVF should hit some true neighbors")
+  }
+
   test("semantic clusters agree with the pair graph") {
     val pairs = graft.dedup.Dedup.embeddingCosine(spark, sf)
       .select("vec_a", "vec_b").collect()
