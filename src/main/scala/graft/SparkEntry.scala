@@ -164,6 +164,7 @@ object SparkEntry {
     "dedup_semantic_cluster" -> Dedup.semanticClusters _,
     "dlp_time_extract" -> DlpQueries.dlpTimeExtract _,
     "ann_recall_eval" -> Ann.recallEval _,
+    "stream_late_audit" -> ((s: SparkSession, d: String) => Streams.lateAuditBatch(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1417,6 +1418,20 @@ object SparkEntry {
         |  CAST(list_reduce(list_transform(range(1, len(xq) + 1),
         |    i -> abs(127 * xq[i] - qc[i] * s)), (acc, v) -> acc + v) AS BIGINT) AS err_u
         |FROM q ORDER BY vec_id""".stripMargin,
+    // late-data audit: per-key high-water-mark replay in arrival
+    // (event_id) order — 10-minute tolerance in microseconds
+    "stream_late_audit" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |h AS (SELECT event_type, us,
+        |  MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN hwm IS NOT NULL AND us < hwm - 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(SUM(CASE WHEN hwm IS NOT NULL AND us < hwm - 600000000 THEN 1 ELSE 0 END) * 10000
+        |    // COUNT(*) AS BIGINT) AS late_bp,
+        |  CAST(MAX(CASE WHEN hwm IS NULL THEN 0 ELSE GREATEST(hwm - us, 0) END) AS BIGINT) AS max_skew_us,
+        |  CAST(MAX(CASE WHEN hwm IS NULL THEN 0 ELSE GREATEST(us - hwm, 0) END) AS BIGINT) AS max_jump_us
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dlp_time_extract" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS order_year,

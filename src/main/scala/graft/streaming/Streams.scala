@@ -47,6 +47,40 @@ object Streams {
       .select(ntz(col("window.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Late-data audit — the watermark-ops metric a streaming deploy
+    * monitors before choosing its watermark delay ("how out-of-order
+    * is this stream per key, and what would a 10-minute watermark
+    * drop?"). Arrival order = event_id (the ingest sequence); an
+    * event is LATE when its event time lags the per-key high-water
+    * mark of everything that arrived before it by more than the
+    * tolerance. Per event_type: volume, late count/bp, worst skew.
+    * Scale shape: one per-user running-max window (keys partition the
+    * stream exactly as the streaming state store would), then an
+    * ordinary partial-agg rollup — no global ordering anywhere. */
+  def lateAuditBatch(spark: SparkSession, dir: String,
+                     toleranceMin: Int = 10): DataFrame = {
+    val tolUs = toleranceMin.toLong * 60 * 1000 * 1000
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("hwm", max(col("us")).over(w))
+      .selectExpr("event_type",
+        s"CASE WHEN hwm IS NOT NULL AND us < hwm - ${tolUs}L THEN 1L ELSE 0L END AS late",
+        "CASE WHEN hwm IS NULL THEN 0L ELSE GREATEST(hwm - us, 0L) END AS skew_us",
+        // forward jumps (inter-event gaps in arrival order) size how
+        // fast the watermark would advance; a clean in-order stream
+        // has zero skew but real jumps
+        "CASE WHEN hwm IS NULL THEN 0L ELSE GREATEST(us - hwm, 0L) END AS jump_us")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+        max(col("skew_us")).as("max_skew_us"), max(col("jump_us")).as("max_jump_us"))
+      .selectExpr("event_type", "n_events", "CAST(n_late AS BIGINT) AS n_late",
+        "n_late * 10000 DIV n_events AS late_bp", "max_skew_us", "max_jump_us")
+      .orderBy("event_type")
+  }
+
   /** 30-min-gap sessionization, batch form (gaps-and-islands). */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

@@ -366,6 +366,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.map(_.getLong(2)).sum > 0, "IVF should hit some true neighbors")
   }
 
+  test("late audit flags exactly the events behind the per-key high-water mark") {
+    import spark.implicits._
+    val min = 60L * 1000 * 1000 * 1000 // a minute in nanos (raw parquet unit)
+    // user 1 arrival order: t0, t0+30m, then t0+10m (20m behind hwm ->
+    // late at 10m tolerance) and t0+25m (5m behind -> on time);
+    // user 2 strictly in order -> nothing late
+    val rows = Seq(
+      (1L, 0 * min, 1L, "click"), (2L, 30 * min, 1L, "click"),
+      (3L, 10 * min, 1L, "click"), (4L, 25 * min, 1L, "click"),
+      (5L, 0 * min, 2L, "view"), (6L, 5 * min, 2L, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.Streams.lateAuditBatch(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("click") == ((4L, 1L, 20L * 60 * 1000 * 1000, 30L * 60 * 1000 * 1000)),
+      s"click: expected 1 late of 4, 20min worst skew, 30min worst jump, got ${out("click")}")
+    assert(out("view") == ((2L, 0L, 0L, 5L * 60 * 1000 * 1000)))
+  }
+
   test("semantic clusters agree with the pair graph") {
     val pairs = graft.dedup.Dedup.embeddingCosine(spark, sf)
       .select("vec_a", "vec_b").collect()
