@@ -170,7 +170,10 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivf_probe2" -> Ann.ivfTopkProbe2(s, sf),
       "embed_centroid_update" -> Ann.centroidUpdate(s, sf),
       "ann_pq_topk" -> Ann.pqTopk(s, sf),
-      "ann_ivfpq_topk" -> Ann.ivfPqTopk(s, sf))
+      "ann_ivfpq_topk" -> Ann.ivfPqTopk(s, sf),
+      "ann_lsh_topk" -> Ann.lshTopk(s, sf),
+      "embed_quantize_int8" -> Ann.quantizeInt8(s, sf),
+      "ann_recall_eval" -> Ann.recallEval(s, sf))
     targets.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan
       val offenders = plan.collect {
@@ -190,6 +193,29 @@ class PlanSpec extends AnyFunSuite {
       // sanity: the traversal actually saw the plan (non-empty tree)
       assert(plan.collectLeaves().nonEmpty)
     }
+  }
+
+  test("round-7 top-k plans push a partial group-limit below the shuffle") {
+    // lshTopk and tfidfTopTerms both end in a per-group row_number
+    // filter: the WindowGroupLimit pushdown must appear in Partial
+    // form before the exchange so each map task ships at most k rows
+    // per group — the difference between shuffling k×groups and
+    // shuffling the corpus.
+    Seq(
+      "ann_lsh_topk" -> Ann.lshTopk(spark, sf),
+      "text_tfidf" -> graft.text.TextOps.tfidfTopTerms(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: missing group-limit pushdown:\n${plan.take(1200)}")
+    }
+  }
+
+  test("int8 quantization is a map-only scan (no aggregate, no join)") {
+    val plan = Ann.quantizeInt8(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"quantize must not join:\n${plan.take(1200)}")
+    assert(!plan.contains("HashAggregate"),
+      s"quantize must not aggregate:\n${plan.take(1200)}")
   }
 
   test("column pruning reaches the scan (q6 reads 4 columns, not 11)") {
