@@ -170,7 +170,12 @@ class ScaleSpec extends AnyFunSuite {
     val keys = Seq("dedup_minhash_pairs", "dedup_ngram_jaccard",
       "dedup_components", "q_topk_native", "ann_pq_topk", "stream_sessionize",
       "q_histogram", "embed_centroid_update",
-      "dedup_incremental", "split_decontaminate", "mm_feature_extract")
+      "dedup_incremental", "split_decontaminate", "mm_feature_extract",
+      // round 7: chunk boundaries, integer tf-idf ranks, int8 codes,
+      // cluster labels, kmeans codebook — all must be bit-stable at
+      // any parallelism
+      "text_chunking", "text_tfidf", "embed_quantize_int8",
+      "dedup_semantic_cluster", "embed_kmeans_train", "stream_late_audit")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       // newSession() forks SHARE the CacheManager, and Caches.shared is
       // keyed by it — without clearing, the second run would collect
