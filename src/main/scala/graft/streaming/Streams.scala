@@ -144,6 +144,40 @@ object Streams {
       }
   }
 
+  case class LateEv(user_id: Long, event_id: Long, event_type: String, us: Long)
+  case class LateFlag(event_id: Long, event_type: String, late: Long,
+                      skew_us: Long, jump_us: Long)
+
+  /** Streaming form of [[lateAuditBatch]]: per-key event-time
+    * high-water mark as flatMapGroupsWithState state (one Long per
+    * key — exactly the state a watermark tracker holds), events
+    * replayed in arrival (event_id) order within each trigger, flags
+    * emitted per event. The spec aggregates the flags and matches the
+    * batch audit exactly. */
+  def lateAuditStreaming(events: Dataset[LateEv],
+                         toleranceMin: Int = 10): Dataset[LateFlag] = {
+    import events.sparkSession.implicits._
+    val tolUs = toleranceMin.toLong * 60 * 1000 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, LateFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, evs, state: GroupState[Long]) =>
+          val sorted = evs.toSeq.sortBy(_.event_id)
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = sorted.map { e =>
+            val seen = hwm != Long.MinValue
+            val flag = LateFlag(e.event_id, e.event_type,
+              late = if (seen && e.us < hwm - tolUs) 1L else 0L,
+              skew_us = if (seen) math.max(hwm - e.us, 0L) else 0L,
+              jump_us = if (seen) math.max(e.us - hwm, 0L) else 0L)
+            if (e.us > hwm) hwm = e.us
+            flag
+          }
+          state.update(hwm)
+          out.iterator
+      }
+  }
+
   case class EvT(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 
   /** Event-time-timeout sessionization: unlike [[sessionizeStreaming]]

@@ -62,6 +62,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming late audit matches the batch high-water-mark replay") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[Streams.LateEv]
+    // per-type rollup of the stateful per-event flags must equal the
+    // batch audit (same replay, same tolerance)
+    val viaState = Streams.lateAuditStreaming(evs).groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+        max(col("skew_us")).as("max_skew_us"), max(col("jump_us")).as("max_jump_us"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val batch = Streams.lateAuditBatch(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(viaState.nonEmpty)
+    assert(viaState == batch, s"stateful audit $viaState != batch $batch")
+  }
+
   test("incremental dedup runs as a stream-static band join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
