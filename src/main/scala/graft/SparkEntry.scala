@@ -165,6 +165,7 @@ object SparkEntry {
     "dlp_time_extract" -> DlpQueries.dlpTimeExtract _,
     "ann_recall_eval" -> Ann.recallEval _,
     "stream_late_audit" -> ((s: SparkSession, d: String) => Streams.lateAuditBatch(s, d)),
+    "text_search_rank" -> ((s: SparkSession, d: String) => TextOps.searchRank(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1418,6 +1419,16 @@ object SparkEntry {
         |  CAST(list_reduce(list_transform(range(1, len(xq) + 1),
         |    i -> abs(127 * xq[i] - qc[i] * s)), (acc, v) -> acc + v) AS BIGINT) AS err_u
         |FROM q ORDER BY vec_id""".stripMargin,
+    // conjunctive keyword retrieval over the tf/df statistics
+    "text_search_rank" ->
+      """WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wds GROUP BY doc_id, word),
+        |dfx AS (SELECT word, COUNT(*) AS df_docs FROM tf GROUP BY word),
+        |s AS (SELECT doc_id, tf * 1000000 // df_docs AS score_u
+        |  FROM tf JOIN dfx USING (word) WHERE word IN ('spark', 'table')),
+        |m AS (SELECT doc_id, SUM(score_u) AS score FROM s GROUP BY doc_id HAVING COUNT(*) = 2)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score_u
+        |FROM m ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin,
     // late-data audit: per-key high-water-mark replay in arrival
     // (event_id) order — 10-minute tolerance in microseconds
     "stream_late_audit" ->

@@ -332,6 +332,35 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Conjunctive keyword retrieval — the search primitive over the
+    * same tf/df statistics as [[tfidfTopTerms]]: documents containing
+    * ALL query terms, ranked by summed integer tf·idf. Shape: the
+    * per-(doc, word) aggregate filters to the query terms FIRST (the
+    * scan's pushed predicate — at 100 TB this is the posting-list
+    * lookup, touching only matching rows), the df dim for 2 terms is
+    * broadcast-sized, and the conjunctive check is a count over the
+    * ≤|terms| surviving rows per doc. Top-20 by (score, doc_id) ends
+    * in TakeOrderedAndProject. */
+  def searchRank(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("spark", "table")): DataFrame = {
+    require(terms.nonEmpty)
+    val tf = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df_docs"))
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    tf.filter(col("word").isInCollection(terms))
+      .join(df.filter(expr(s"word IN ($termList)")), "word")
+      .selectExpr("doc_id", "word", "tf * 1000000 DIV df_docs AS score_u")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_u")).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .selectExpr("doc_id", "CAST(score AS BIGINT) AS score_u")
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Winnowing-style fingerprint (Schleimer/Wilkerson/Aiken,
     * "Winnowing: local algorithms for document fingerprinting",
     * SIGMOD 2003): min rolling-hash (md5 of each 5-char window) +

@@ -359,6 +359,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("search rank returns only docs containing every term, scores descending") {
+    val hits = graft.text.TextOps.searchRank(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val scores = hits.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val ids = hits.map(_.getLong(0)).toSet
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id").isInCollection(ids.toSeq))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      val words = texts(id).split(" ").toSet
+      assert(words.contains("spark") && words.contains("table"),
+        s"doc $id missing a query term")
+    }
+  }
+
   test("recall eval: 5 ground-truth rows per query, bp in range") {
     val r = graft.sim.Ann.recallEval(spark, sf).collect()
     assert(r.nonEmpty)
