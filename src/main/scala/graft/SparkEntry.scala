@@ -166,6 +166,7 @@ object SparkEntry {
     "ann_recall_eval" -> Ann.recallEval _,
     "stream_late_audit" -> ((s: SparkSession, d: String) => Streams.lateAuditBatch(s, d)),
     "text_search_rank" -> ((s: SparkSession, d: String) => TextOps.searchRank(s, d)),
+    "mm_shard_skew" -> Multimodal.shardSkew _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1054,6 +1055,21 @@ object SparkEntry {
         |SELECT doc_id, modality, shard, n_bytes,
         |  CAST((cum - n_bytes) // 4096 AS BIGINT) AS batch_in_shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // decoder-pool balance audit over the decode_batch_plan layout
+    "mm_shard_skew" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS modality,
+        |  CAST(octet_length(encode(text)) + CASE doc_id % 3 WHEN 0 THEN 3 ELSE 4 END AS BIGINT) AS n_bytes,
+        |  CAST(doc_id // 1000 AS BIGINT) AS shard
+        |  FROM documents),
+        |p AS (SELECT modality, shard, COUNT(*) AS n_payloads,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes FROM m GROUP BY modality, shard),
+        |t AS (SELECT modality, CAST(SUM(total_bytes) AS BIGINT) AS mod_bytes,
+        |  COUNT(*) AS n_shards FROM p GROUP BY modality)
+        |SELECT p.modality, shard, n_payloads, total_bytes,
+        |  CAST(total_bytes * 10000 * n_shards // mod_bytes AS BIGINT) AS load_bp
+        |FROM p JOIN t ON p.modality = t.modality
+        |ORDER BY p.modality, shard""".stripMargin,
     // mm_feature_extract: the mapPartitions decode produces
     // md5/byte-derived features the oracle recomputes in SQL.
     "mm_feature_extract" ->

@@ -116,6 +116,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Decoder-pool balance audit over the same (modality, shard)
+    * layout as [[decodeBatchPlan]]: per-shard payload count and byte
+    * volume plus the shard's imbalance against its modality's mean in
+    * integer basis points (10000 = exactly mean). An imbalanced shard
+    * is a straggling GPU — this is the metric that decides when to
+    * re-shard. Two partial-agg exchanges (per-shard rollup, then a
+    * broadcast-joined per-modality mean) — no window over the corpus. */
+  def shardSkew(spark: SparkSession, dir: String): DataFrame = {
+    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val riff = "RIFF".getBytes("UTF-8")
+    val payload = when(col("doc_id") % 3 === 0, concat(lit(jpeg), col("bin")))
+      .when(col("doc_id") % 3 === 1, concat(lit(png), col("bin")))
+      .otherwise(concat(lit(riff), col("bin")))
+    val perShard = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(col("doc_id"), payload.as("payload"))
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'audio/wav' END AS modality",
+        "CAST(octet_length(payload) AS BIGINT) AS n_bytes",
+        "doc_id DIV 1000 AS shard")
+      .groupBy("modality", "shard")
+      .agg(count(lit(1)).as("n_payloads"), sum(col("n_bytes")).as("total_bytes"))
+    val mean = perShard.groupBy("modality")
+      .agg(sum(col("total_bytes")).as("mod_bytes"), count(lit(1)).as("n_shards"))
+    perShard.join(broadcast(mean), "modality")
+      .selectExpr("modality", "shard", "n_payloads",
+        "CAST(total_bytes AS BIGINT) AS total_bytes",
+        // all-integer bp vs the modality mean (mean = mod/shards, so
+        // bytes/mean = bytes*shards/mod): exact on any engine
+        "total_bytes * 10000 * n_shards DIV mod_bytes AS load_bp")
+      .orderBy("modality", "shard")
+  }
+
   /** The per-partition "codec": a real decoder library handle (libjpeg
     * / ffmpeg binding) is expensive to construct and NOT serializable,
     * so it must be created once per partition inside mapPartitions —
