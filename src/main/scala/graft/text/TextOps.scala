@@ -349,9 +349,8 @@ object TextOps {
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df_docs"))
-    val termList = terms.map(t => s"'$t'").mkString(", ")
     tf.filter(col("word").isInCollection(terms))
-      .join(df.filter(expr(s"word IN ($termList)")), "word")
+      .join(df.filter(col("word").isInCollection(terms)), "word")
       .selectExpr("doc_id", "word", "tf * 1000000 DIV df_docs AS score_u")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("score_u")).as("score"))
