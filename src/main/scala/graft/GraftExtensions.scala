@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, MinHashArray, WordNGrams}
+import graft.functions.{CosineSim, MinHashArray, SqL2Sub, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions. Enable with
@@ -43,7 +43,12 @@ object GraftExtensions {
     ("minhash_array",
       new ExpressionInfo(classOf[MinHashArray].getName, "minhash_array"),
       (exprs: Seq[Expression]) =>
-        MinHashArray(exprs(0), intArg(exprs(1), "minhash_array"))))
+        MinHashArray(exprs(0), intArg(exprs(1), "minhash_array"))),
+    ("sq_l2",
+      new ExpressionInfo(classOf[SqL2Sub].getName, "sq_l2"),
+      (exprs: Seq[Expression]) =>
+        SqL2Sub(exprs(0), exprs(1),
+          intArg(exprs(2), "sq_l2"), intArg(exprs(3), "sq_l2"))))
 
   /** Register everything on an already-running session (extensions
     * only apply at session build time). */

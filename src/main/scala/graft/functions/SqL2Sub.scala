@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftInternal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native squared-L2 distance over a 1-based subvector window of two
+  * ARRAY<DOUBLE> columns — the product-quantization inner loop (per
+  * subspace distance of corpus/query vectors against codebook
+  * entries). One fused loop inside whole-stage codegen, replacing the
+  * interpreted `aggregate(zip_with(slice, slice, ...))` HOF chain the
+  * PQ paths previously evaluated per row-pair. Bit-identical to the
+  * HOF form: ascending index order, 0.0 seed, (x−y)·(x−y) per
+  * element — so the DuckDB oracle math is unchanged.
+  *
+  * `len < 0` means "to the end of the shorter array" (the full-vector
+  * distance used for IVF cell assignment).
+  */
+case class SqL2Sub(left: Expression, right: Expression, lo: Int, len: Int)
+    extends BinaryExpression {
+  require(lo >= 1, "lo is 1-based")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) =
+      dt == ArrayType(DoubleType, false) || dt == ArrayType(DoubleType, true)
+    if (!ok(left.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"left must be array<double>, got ${left.dataType}")
+    else if (!ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"right must be array<double>, got ${right.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var end = math.min(x.numElements(), y.numElements())
+    if (len >= 0) end = math.min(end, lo - 1 + len)
+    var acc = 0.0
+    var i = lo - 1
+    while (i < end) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val end = ctx.freshName("end")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val clamp =
+        if (len >= 0) s"$end = java.lang.Math.min($end, ${lo - 1 + len});" else ""
+      s"""
+         |int $end = java.lang.Math.min($a.numElements(), $b.numElements());
+         |$clamp
+         |double $acc = 0.0;
+         |for (int $i = ${lo - 1}; $i < $end; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqL2Sub {
+  /** Column API: squared L2 over the window [lo, lo+len-1] (1-based). */
+  def sqL2(a: Column, b: Column, lo: Int, len: Int): Column =
+    GraftInternal.column(SqL2Sub(
+      GraftInternal.expression(a), GraftInternal.expression(b), lo, len))
+
+  /** Full-vector squared L2 (to the end of the shorter array). */
+  def sqL2Full(a: Column, b: Column): Column =
+    GraftInternal.column(SqL2Sub(
+      GraftInternal.expression(a), GraftInternal.expression(b), 1, -1))
+}

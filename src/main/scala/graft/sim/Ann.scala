@@ -99,14 +99,17 @@ object Ann {
     val e = embDf(spark, dir)
     val M = 4
     val sub = 16
-    def sqL2(a: String, b: String, lo: Int): String =
-      s"aggregate(zip_with(slice($a, $lo, $sub), slice($b, $lo, $sub), " +
-        s"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    // native fused subspace distance (graft.functions.SqL2Sub): one
+    // codegen'd loop per (row-pair, subspace) instead of interpreted
+    // aggregate(zip_with(slice, slice)) HOF chains — bit-identical
+    // accumulation, so the oracle replay is unchanged
+    def sqL2(a: String, b: String, lo: Int) =
+      graft.functions.SqL2Sub.sqL2(col(a), col(b), lo, sub)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
     val scored = e.crossJoin(broadcast(cent))
-      .selectExpr(Seq("vec_id", "cent_id") ++
-        (0 until M).map(m => s"${sqL2("emb", "ce", m * sub + 1)} AS d$m"): _*)
+      .select(Seq(col("vec_id"), col("cent_id")) ++
+        (0 until M).map(m => sqL2("emb", "ce", m * sub + 1).as(s"d$m")): _*)
     // the corpus encode (argmin centroid per subspace) is the
     // expensive scan both PQ queries share — session-cached, flat
     // all-long (vec_id, c0..c3)
@@ -121,8 +124,8 @@ object Ann {
     val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"))
     val table = q.crossJoin(broadcast(cent))
-      .selectExpr(Seq("query_id", "cent_id") ++
-        (0 until M).map(m => s"${sqL2("qe", "ce", m * sub + 1)} AS t$m"): _*)
+      .select(Seq(col("query_id"), col("cent_id")) ++
+        (0 until M).map(m => sqL2("qe", "ce", m * sub + 1).as(s"t$m")): _*)
     var dists = codes
     for (m <- 0 until M) {
       val tm = table.select(col("query_id"), col("cent_id").as(s"c$m"), col(s"t$m"))
@@ -171,11 +174,10 @@ object Ann {
   def ivfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
     val sub = 16
-    def sqL2(a: String, b: String, lo: Int): String =
-      s"aggregate(zip_with(slice($a, $lo, $sub), slice($b, $lo, $sub), " +
-        s"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-    val sqL2Full =
-      "aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    // native fused distances (SqL2Sub): codegen'd loops, bit-identical
+    // to the interpreted HOF folds they replace
+    def sqL2(a: String, b: String, lo: Int) =
+      graft.functions.SqL2Sub.sqL2(col(a), col(b), lo, sub)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
     // assignment shuffles ONCE into a flat all-long (vec_id, cell)
@@ -185,7 +187,8 @@ object Ann {
     // joins only — no repeated aggregation, no array columns in the cache
     val cells = graft.Caches.shared(spark, s"ann.ivfpq.cells:$dir") {
       e.crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "cent_id", s"$sqL2Full AS d")
+        .select(col("vec_id"), col("cent_id"),
+          graft.functions.SqL2Sub.sqL2Full(col("emb"), col("ce")).as("d"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d"), col("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cell"))
@@ -196,8 +199,8 @@ object Ann {
     val book = withRes.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select(col("vec_id").as("code_id"), col("res").as("bce"))
     val scored = withRes.crossJoin(broadcast(book))
-      .selectExpr(Seq("vec_id", "cell", "code_id") ++
-        (0 until 4).map(m => s"${sqL2("res", "bce", m * sub + 1)} AS d$m"): _*)
+      .select(Seq(col("vec_id"), col("cell"), col("code_id")) ++
+        (0 until 4).map(m => sqL2("res", "bce", m * sub + 1).as(s"d$m")): _*)
     val codes = scored.groupBy(col("vec_id"), col("cell"))
       .agg(min(struct(col("d0"), col("code_id"))).as("b0"),
         min(struct(col("d1"), col("code_id"))).as("b1"),
@@ -209,8 +212,8 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
         col("res").as("qres"))
     val table = q.crossJoin(broadcast(book))
-      .selectExpr(Seq("query_id", "qcell", "code_id") ++
-        (0 until 4).map(m => s"${sqL2("qres", "bce", m * sub + 1)} AS t$m"): _*)
+      .select(Seq(col("query_id"), col("qcell"), col("code_id")) ++
+        (0 until 4).map(m => sqL2("qres", "bce", m * sub + 1).as(s"t$m")): _*)
     var dists = codes
     for (m <- 0 until 4) {
       val tm = table.select(col("query_id"), col("qcell"),

@@ -27,6 +27,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SqL2Sub native expression matches the HOF slice formula bitwise") {
+    val df = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .limit(50)
+    val pairs = df.as("a").crossJoin(df.as("b").limit(3)
+      .select(col("vec_id").as("bid"), col("emb").as("be")))
+    val a = pairs.select(col("vec_id"), col("bid"),
+      graft.functions.SqL2Sub.sqL2(col("emb"), col("be"), 17, 16).as("d"),
+      graft.functions.SqL2Sub.sqL2Full(col("emb"), col("be")).as("df"))
+    val hofSub = "aggregate(zip_with(slice(emb, 17, 16), slice(be, 17, 16), " +
+      "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    val hofFull = "aggregate(zip_with(emb, be, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (acc, v) -> acc + v)"
+    val b = pairs.selectExpr("vec_id", "bid", s"$hofSub AS d", s"$hofFull AS df")
+    val got = a.orderBy("vec_id", "bid").collect()
+    val exp = b.orderBy("vec_id", "bid").collect()
+    got.zip(exp).foreach { case (x, y) =>
+      (2 to 3).foreach { i =>
+        assert(java.lang.Double.doubleToLongBits(x.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(y.getDouble(i)),
+          s"bitwise mismatch at col $i: $x vs $y")
+      }
+    }
+  }
+
   test("CosineSim participates in whole-stage codegen") {
     val df = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
@@ -125,10 +150,12 @@ class PlanSpec extends AnyFunSuite {
     val row = spark.sql(
       """SELECT cosine_sim(array(1D, 0D), array(1D, 0D)) AS cs,
         |  word_ngrams(array('a', 'b', 'c'), 2) AS ng,
-        |  minhash_array(array('a', 'b'), 2) AS mh""".stripMargin).head()
+        |  minhash_array(array('a', 'b'), 2) AS mh,
+        |  sq_l2(array(1D, 2D, 4D), array(1D, 0D, 1D), 2, 2) AS sq""".stripMargin).head()
     assert(row.getDouble(0) == 1.0)
     assert(row.getSeq[String](1) == Seq("a b", "b c"))
     assert(row.getSeq[String](2).length == 2)
+    assert(row.getDouble(3) == 13.0) // (2-0)² + (4-1)²
   }
 
   test("q_lateral decorrelates: ranked join, no per-row nested loop") {
