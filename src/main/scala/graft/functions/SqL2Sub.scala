@@ -77,7 +77,71 @@ case class SqL2Sub(left: Expression, right: Expression, lo: Int, len: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[SqL2Sub]] over ARRAY<BIGINT>: exact long
+  * squared-L2 for the micro-unit k-means loop (quantized vectors).
+  * Integer adds are associative, so this is exactly the HOF fold. */
+case class SqL2Long(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (!ok(left.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"left must be array<bigint>, got ${left.dataType}")
+    else if (!ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"right must be array<bigint>, got ${right.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SqL2Sub {
+  /** Column API: exact long squared-L2 over two ARRAY<BIGINT>. */
+  def sqL2Long(a: Column, b: Column): Column =
+    GraftInternal.column(SqL2Long(
+      GraftInternal.expression(a), GraftInternal.expression(b)))
+
   /** Column API: squared L2 over the window [lo, lo+len-1] (1-based). */
   def sqL2(a: Column, b: Column, lo: Int, len: Int): Column =
     GraftInternal.column(SqL2Sub(

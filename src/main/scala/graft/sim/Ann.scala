@@ -292,8 +292,10 @@ object Ann {
       .select(col("vec_id").as("cent_id"), col("xq").as("cq"), lit(0L).as("n_members"))
     for (_ <- 1 to rounds) {
       val assign = q.crossJoin(broadcast(cent.select("cent_id", "cq")))
-        .selectExpr("vec_id", "cent_id",
-          "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v) AS dist")
+        .select(col("vec_id"), col("cent_id"),
+          // native exact long L2 (SqL2Long) — integer adds are
+          // associative, so this IS the HOF fold
+          graft.functions.SqL2Sub.sqL2Long(col("xq"), col("cq")).as("dist"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cell"))
