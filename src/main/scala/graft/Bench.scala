@@ -53,6 +53,19 @@ object Bench {
         System.err.println(s"[bench] warm-up failed for table $t: $e")
       }
     }
+    // Block-manager storage telemetry: with the family-scoped cache
+    // lifetime, storage must return to (near) zero at every family
+    // boundary — a growing floor here is a leak (the r7 checkpoint-
+    // block leak was exactly this signature, invisible until the
+    // driver's bench collapsed 9.4×). Logged per boundary so the next
+    // adjudication has data instead of forensics.
+    def logStorage(tag: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      System.err.println(f"[bench] rdd-storage after $tag: " +
+        f"${infos.length} rdds, ${infos.map(_.numCachedPartitions).sum} blocks, " +
+        f"${infos.map(_.memSize).sum / (1L << 20)} MB mem, " +
+        f"${infos.map(_.diskSize).sum / (1L << 20)} MB disk")
+    }
     // Deterministic family-grouped order (families alphabetical,
     // queries alphabetical inside) so cache reuse and round-over-round
     // diffs are stable regardless of Map iteration order.
@@ -61,6 +74,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       if (prevFamily != null && family(name) != prevFamily && !isolate) {
         Caches.clearAll(); spark.catalog.clearCache()
+        logStorage(s"family $prevFamily")
       }
       prevFamily = family(name)
       val times = (1 to repeat).map { _ =>
@@ -80,6 +94,7 @@ object Bench {
       name -> times.min
     }.toMap
     Caches.clearAll()
+    logStorage("all queries")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Locale.ROOT: f"%.3f" uses the default locale, and a comma
     // decimal separator would corrupt both JSON outputs
@@ -93,9 +108,18 @@ object Bench {
     // that fit, with an explicit elision count so nothing is dropped
     // silently.
     val mode = if (isolate) "isolate" else "shared"
+    // Stamp each per-mode snapshot with the git rev it measured, so a
+    // combined file can never silently merge halves from different
+    // commits or sf dirs (the halves are written by separate runs).
+    val rev = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      p.waitFor()
+      if (out.nonEmpty) out else "unknown"
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cache_mode":"$mode","queries":{""", ",", "}}")
+      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","rev":"$rev","cache_mode":"$mode","queries":{""", ",", "}}")
     // Per-mode snapshot file, then a combined BENCH_FULL.json holding
     // BOTH cache modes so round-over-round diffs can adjudicate
     // shared-session noise vs real operator regressions without
@@ -106,11 +130,21 @@ object Bench {
       import java.nio.file.{Files, Paths}
       if (only.isEmpty) {
         Files.write(Paths.get(s"BENCH_FULL_$mode.json"), (fullJson + "\n").getBytes("UTF-8"))
-        val combined = Seq("shared", "isolate").flatMap { m =>
+        def stamp(json: String, field: String): Option[String] =
+          s""""$field":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        val halves = Seq("shared", "isolate").flatMap { m =>
           val p = Paths.get(s"BENCH_FULL_$m.json")
-          if (Files.exists(p)) Some(s""""$m":${new String(Files.readAllBytes(p), "UTF-8").trim}""")
+          if (Files.exists(p)) Some(m -> new String(Files.readAllBytes(p), "UTF-8").trim)
           else None
-        }.mkString("{", ",", "}")
+        }
+        // warn when the halves disagree on rev or sf — the combined
+        // file stays self-describing (each half embeds its own stamp),
+        // but a mixed snapshot must never pass silently as one run
+        for (Seq((_, a), (_, b)) <- halves.sliding(2) if halves.size == 2;
+             f <- Seq("rev", "sf") if stamp(a, f) != stamp(b, f))
+          System.err.println(s"[bench] WARNING: combined halves disagree on $f " +
+            s"(${stamp(a, f)} vs ${stamp(b, f)}) — re-run both modes at one commit/sf")
+        val combined = halves.map { case (m, j) => s""""$m":$j""" }.mkString("{", ",", "}")
         Files.write(Paths.get("BENCH_FULL.json"), (combined + "\n").getBytes("UTF-8"))
       } else {
         Files.write(Paths.get("BENCH_PARTIAL.json"), (fullJson + "\n").getBytes("UTF-8"))

@@ -67,13 +67,17 @@ object Caches {
     }
   }
 
-  /** Unpersist every registered intermediate and forget it. Safe to
-    * call with stopped sessions in the registry. */
+  /** Unpersist every registered intermediate and forget it, and drain
+    * the deferred checkpoint-release queue ([[Checkpoints]]) — local
+    * checkpoint blocks never enter the CacheManager, so without this
+    * they'd survive every cache-clearing path and rot the session.
+    * Safe to call with stopped sessions in the registry. */
   def clearAll(): Unit = {
     reg.values.foreach { df =>
       try df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     reg.clear()
+    Checkpoints.releasePending()
   }
 }

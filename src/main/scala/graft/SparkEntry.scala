@@ -205,24 +205,33 @@ object SparkEntry {
     * once to micro-unit BIGINTs, then per round an exact integer
     * distance argmin and a shifted integer-division mean. All integer
     * math, so fold order and division semantics agree exactly
-    * (positive dividend: DuckDB // floor == Spark DIV truncation). */
+    * (positive dividend: DuckDB // floor == Spark DIV truncation).
+    *
+    * Deliberately version-insensitive SQL: everything is flat
+    * per-(cent_id, pos) ROWS — no list construction, no list_reduce,
+    * no list(... ORDER BY ...) — joined positionally, with every
+    * aggregate explicitly CAST back to BIGINT (DuckDB's SUM(BIGINT)
+    * widens to HUGEINT, whose client-side representation is the kind
+    * of thing that shifts across releases; the r7 driver gate hashed
+    * this query differently than every local run). */
   private def duckKmeansCte(rounds: Int): String = {
     val S = 4000000L
     val init =
-      s"""q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-         |  x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq FROM embeddings),
-         |cent0 AS (SELECT vec_id AS cent_id, xq AS cq FROM q WHERE vec_id < 8)""".stripMargin
+      s"""qp AS (SELECT vec_id, pos, CAST(FLOOR(emb[pos + 1] * 1000000) AS BIGINT) AS v
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS pos)),
+         |centp0 AS (SELECT vec_id AS cent_id, pos, v AS cv FROM qp WHERE vec_id < 8)""".stripMargin
     val iters = (1 to rounds).map { t =>
-      s"""d$t AS (SELECT q.vec_id, cent_id, list_reduce(list_transform(range(1, 65),
-         |  i -> (xq[i] - cq[i]) * (xq[i] - cq[i])), (acc, v) -> acc + v) AS dist
-         |  FROM q CROSS JOIN cent${t - 1}),
+      s"""d$t AS (SELECT qp.vec_id, cp.cent_id,
+         |  CAST(SUM((qp.v - cp.cv) * (qp.v - cp.cv)) AS BIGINT) AS dist
+         |  FROM qp JOIN centp${t - 1} cp ON cp.pos = qp.pos
+         |  GROUP BY qp.vec_id, cp.cent_id),
          |a$t AS (SELECT vec_id, cent_id AS cell FROM (SELECT vec_id, cent_id,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn FROM d$t) WHERE rn = 1),
-         |s$t AS (SELECT cell, pos, SUM(xq[pos + 1]) AS s, COUNT(*) AS n
-         |  FROM a$t JOIN q USING (vec_id) CROSS JOIN (SELECT unnest(range(0, 64)) AS pos)
-         |  GROUP BY cell, pos),
-         |cent$t AS (SELECT cell AS cent_id, list((s + n * $S) // n - $S ORDER BY pos) AS cq,
-         |  MIN(n) AS n_members FROM s$t GROUP BY cell)""".stripMargin
+         |centp$t AS (SELECT cell AS cent_id, pos,
+         |  CAST((SUM(v) + COUNT(*) * $S) // COUNT(*) - $S AS BIGINT) AS cv,
+         |  COUNT(*) AS n
+         |  FROM a$t JOIN qp USING (vec_id) GROUP BY cell, pos)""".stripMargin
     }
     (init +: iters).mkString(",\n")
   }
@@ -877,8 +886,13 @@ object SparkEntry {
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin),
     "embed_kmeans_train" ->
       (s"""WITH ${duckKmeansCte(3)}
-         |SELECT cent_id, n_members, cq[1] AS c1, cq[2] AS c2, cq[3] AS c3, cq[4] AS c4
-         |FROM cent3 ORDER BY cent_id""".stripMargin),
+         |SELECT p1.cent_id, p1.n AS n_members,
+         |  p1.cv AS c1, p2.cv AS c2, p3.cv AS c3, p4.cv AS c4
+         |FROM centp3 p1
+         |JOIN centp3 p2 ON p2.cent_id = p1.cent_id AND p2.pos = 1
+         |JOIN centp3 p3 ON p3.cent_id = p1.cent_id AND p3.pos = 2
+         |JOIN centp3 p4 ON p4.cent_id = p1.cent_id AND p4.pos = 3
+         |WHERE p1.pos = 0 ORDER BY p1.cent_id""".stripMargin),
     "ann_ivfpq_topk" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),

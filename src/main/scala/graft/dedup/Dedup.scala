@@ -281,9 +281,18 @@ object Dedup {
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LAZY checkpoint throughout the loop: round 1's convergence count
+    // is the first action that touches this RDD, so it materializes
+    // the blocks as a side effect — no separate eager-checkpoint job.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // the checkpointed handle for the CURRENT round — its blocks are
+    // released the moment the next round is materialized; without the
+    // explicit release, every round's blocks survive Caches.clearAll /
+    // clearCache (checkpoints never enter the CacheManager) and rot
+    // the whole session's block manager (the r7 9.4× bench collapse)
+    var cp = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -292,20 +301,25 @@ object Dedup {
           labels.select(col("doc_id").as("src"), col("comp")), "src")
         .select(col("dst").as("doc_id"), col("comp"))
       // The previous label rides through the same aggregate (each doc
-      // has exactly ONE label row, so min(old) IS its old label) —
-      // the convergence check is then a shuffle-free scan of the
-      // checkpointed result instead of a second join+shuffle per
-      // round, halving the per-round work.
+      // has exactly ONE label row, so min(old) IS its old label), and
+      // the checkpoint is lazy — so the convergence count below is the
+      // ONE job per round: it computes the aggregate, persists the
+      // checkpoint blocks as they stream past, and returns the count.
       val next = labels.select(col("doc_id"), col("comp"), col("comp").as("old"))
         .unionAll(msgs.select(col("doc_id"), col("comp"),
           lit(null).cast("long").as("old")))
         .groupBy("doc_id")
         .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("comp") < col("old")).count()
+      graft.Checkpoints.release(cp) // superseded round: blocks go NOW
+      cp = next
       labels = next.select("doc_id", "comp")
     }
     edges.unpersist()
+    // the final round's blocks back the returned plan — released with
+    // the rest of the session's persisted state at Caches.clearAll
+    graft.Checkpoints.releaseOnClear(cp)
     // label propagation converges in O(graph diameter) rounds; hitting
     // the cap mid-flight means the labels are WRONG (a component would
     // silently split), so fail loudly — a 50-diameter near-dup chain

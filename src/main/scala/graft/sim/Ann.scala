@@ -290,6 +290,12 @@ object Ann {
         "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
     var cent = q.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("xq").as("cq"), lit(0L).as("n_members"))
+    // previous round's checkpoint handle: its blocks are released the
+    // moment the next round materializes — localCheckpoint blocks
+    // survive every cache-clearing path otherwise (they never enter
+    // the CacheManager) and each kmeans run would permanently bloat
+    // the session's block manager
+    var cp: DataFrame = null
     for (_ <- 1 to rounds) {
       val assign = q.crossJoin(broadcast(cent.select("cent_id", "cq")))
         .select(col("vec_id"), col("cent_id"),
@@ -310,7 +316,12 @@ object Ann {
           min(col("n")).as("n_members"))
         .select(col("cell").as("cent_id"), col("cq"), col("n_members"))
         .localCheckpoint(true)
+      if (cp != null) graft.Checkpoints.release(cp)
+      cp = cent
     }
+    // the final round's blocks back the returned plan — released with
+    // the rest of the session's persisted state at Caches.clearAll
+    if (cp != null) graft.Checkpoints.releaseOnClear(cp)
     cent.selectExpr("cent_id", "n_members",
         "element_at(cq, 1) AS c1", "element_at(cq, 2) AS c2",
         "element_at(cq, 3) AS c3", "element_at(cq, 4) AS c4")

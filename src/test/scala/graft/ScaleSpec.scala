@@ -408,6 +408,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(out("view") == ((2L, 0L, 0L, 5L * 60 * 1000 * 1000)))
   }
 
+  test("family cache lifetime: iterative operators leave ZERO rdd storage after clearAll") {
+    // The production contract Bench runs (and the regression test for
+    // the r7 checkpoint-block leak): after a family finishes and the
+    // session clears its state, NOTHING the family persisted may
+    // survive — shared caches, the edges persist, and every label-
+    // propagation / kmeans round's localCheckpoint blocks. Checkpoint
+    // blocks are invisible to catalog.clearCache (they never enter the
+    // CacheManager), so this asserts the explicit release paths in
+    // componentsFromPairs/kmeansTrain + Checkpoints.releasePending.
+    Caches.clearAll(); spark.catalog.clearCache()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    // family 1 (dedup): components runs the checkpointed loop; keepBest
+    // consumes the shared label cache on top
+    graft.dedup.Dedup.components(spark, sf).count()
+    graft.dedup.Dedup.keepBest(spark, sf).count()
+    assert(spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before).nonEmpty,
+      "sanity: the family persists state while running")
+    Caches.clearAll(); spark.catalog.clearCache()
+    val leakedDedup = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before)
+    assert(leakedDedup.isEmpty,
+      s"dedup family leaked rdd storage (ids ${leakedDedup.mkString(",")})")
+    // family 2 (ann): the iterated Lloyd loop checkpoints per round
+    graft.sim.Ann.kmeansTrain(spark, sf).count()
+    Caches.clearAll(); spark.catalog.clearCache()
+    val leakedKmeans = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before)
+    assert(leakedKmeans.isEmpty,
+      s"kmeans family leaked rdd storage (ids ${leakedKmeans.mkString(",")})")
+  }
+
   test("semantic clusters agree with the pair graph") {
     val pairs = graft.dedup.Dedup.embeddingCosine(spark, sf)
       .select("vec_a", "vec_b").collect()
