@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+import scala.concurrent.duration._
 
 /** The reference's whole program as one composed operation
   * (DBImportPipeline.java:69-165): enumerate tables, apply the
@@ -38,7 +38,10 @@ object Migration {
     // Row counts ride the write itself via observe() — a second
     // count() action would recompute the whole de-id pipeline.
     val futures = Tables.all.map { t =>
-      Future {
+      // blocking{}: each future parks on Spark actions (sink.write,
+      // Observation.get), so tell the global pool to grow past its
+      // core size rather than starve sibling table imports
+      Future { blocking {
         val raw = Tables.load(spark, dir, t)
         val cfg = cfgs.get(t)
         // dead-letter validation applies to the event stream (the only
@@ -64,9 +67,12 @@ object Migration {
         val n = obs.get("n").asInstanceOf[Long]
         cached.foreach(_.unpersist())
         (t, n, if (cfg.isDefined) 1L else 0L, nDead)
-      }
+      } }
     }
-    val rows = Await.result(Future.sequence(futures), Duration.Inf)
+    // finite timeout: a wedged table import must surface as a failed
+    // import, not hang the driver forever (per-table writes at this
+    // scale finish in minutes; 2h is generous headroom, not Inf)
+    val rows = Await.result(Future.sequence(futures), 2.hours)
     rows.toDF("table_name", "n_rows", "deid_applied", "n_dead")
       .orderBy("table_name")
   }

@@ -24,6 +24,18 @@ case class SqL2Sub(left: Expression, right: Expression, lo: Int, len: Int)
 
   override def dataType: DataType = DoubleType
 
+  // NULL element semantics match the HOF chain this replaces
+  // (aggregate(zip_with(...)): any null element nulls the whole fold)
+  // and the DuckDB oracle — so a null element in the window yields a
+  // NULL distance, never a silent read-as-zero.
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) =
       dt == ArrayType(DoubleType, false) || dt == ArrayType(DoubleType, true)
@@ -44,6 +56,7 @@ case class SqL2Sub(left: Expression, right: Expression, lo: Int, len: Int)
     var acc = 0.0
     var i = lo - 1
     while (i < end) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
@@ -59,11 +72,20 @@ case class SqL2Sub(left: Expression, right: Expression, lo: Int, len: Int)
       val d = ctx.freshName("d")
       val clamp =
         if (len >= 0) s"$end = java.lang.Math.min($end, ${lo - 1 + len});" else ""
+      // the per-element null branch is emitted only when the array
+      // TYPE admits null elements — containsNull=false arrays keep the
+      // branch-free hot loop (and `ev.isNull` is a variable exactly
+      // when a check is emitted, since nullable covers elemNullable)
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $end = java.lang.Math.min($a.numElements(), $b.numElements());
          |$clamp
          |double $acc = 0.0;
          |for (int $i = ${lo - 1}; $i < $end; $i++) {
+         |  $nullCheck
          |  double $d = $a.getDouble($i) - $b.getDouble($i);
          |  $acc += $d * $d;
          |}
@@ -84,6 +106,15 @@ case class SqL2Long(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  // same NULL-element contract as SqL2Sub: null element ⇒ NULL result
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -106,6 +137,7 @@ case class SqL2Long(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
       i += 1
@@ -119,10 +151,15 @@ case class SqL2Long(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  long $d = $a.getLong($i) - $b.getLong($i);
          |  $acc += $d * $d;
          |}

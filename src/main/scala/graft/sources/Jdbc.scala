@@ -130,8 +130,9 @@ object Jdbc {
     * metadata-sized round-trip, no data movement. */
   def columnBounds(url: String, table: String, column: String): (Long, Long) =
     withConn(url) { conn =>
+      val (t, c) = (quoteIdent(table), quoteIdent(column))
       val rs = conn.createStatement()
-        .executeQuery(s"SELECT MIN($column), MAX($column) FROM $table")
+        .executeQuery(s"SELECT MIN($c), MAX($c) FROM $t")
       rs.next()
       val b = (rs.getLong(1), rs.getLong(2))
       rs.close(); b

@@ -153,7 +153,16 @@ object Streams {
     * key — exactly the state a watermark tracker holds), events
     * replayed in arrival (event_id) order within each trigger, flags
     * emitted per event. The spec aggregates the flags and matches the
-    * batch audit exactly. */
+    * batch audit exactly.
+    *
+    * Memory caveat: the CROSS-trigger state is one Long, but WITHIN a
+    * trigger each key's delivered batch is materialized and sorted to
+    * restore arrival order (`evs.toSeq.sortBy`) — a trigger carrying a
+    * very large per-key batch buffers it on the executor. Size
+    * triggers (maxOffsetsPerTrigger or the source's equivalent) so a
+    * hot key's per-trigger slice stays bounded; with bounded triggers
+    * the sort is over a small batch and the one-Long state bound
+    * holds. */
   def lateAuditStreaming(events: Dataset[LateEv],
                          toleranceMin: Int = 10): Dataset[LateFlag] = {
     import events.sparkSession.implicits._

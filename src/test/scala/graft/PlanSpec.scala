@@ -156,6 +156,38 @@ class PlanSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("a b", "b c"))
     assert(row.getSeq[String](2).length == 2)
     assert(row.getDouble(3) == 13.0) // (2-0)² + (4-1)²
+    // wrong arity fails at analysis with the signature, not an
+    // IndexOutOfBoundsException from exprs(3)
+    val ex = intercept[Exception](spark.sql("SELECT sq_l2(array(1D), array(1D))"))
+    assert(ex.getMessage.contains("sq_l2(a, b, lo, len)"), ex.getMessage)
+  }
+
+  test("SqL2 null elements propagate NULL like the HOF form") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    // non-foldable inputs (column-derived arrays) so the CODEGEN path
+    // runs, not constant folding's interpreted eval
+    val r = Seq((1.0, 2.0)).toDF("x", "y").selectExpr(
+      "sq_l2(array(x, CAST(NULL AS DOUBLE)), array(y, 1D), 1, 2) AS spans_null",
+      "sq_l2(array(x, CAST(NULL AS DOUBLE)), array(y, 1D), 1, 1) AS misses_null",
+      // the HOF contract being matched: null element ⇒ null fold
+      "aggregate(zip_with(array(x, CAST(NULL AS DOUBLE)), array(y, 1D), " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v) AS hof").head()
+    assert(r.isNullAt(0), "window covering a null element must yield NULL")
+    assert(r.getDouble(1) == 1.0, "window excluding the null is unaffected")
+    assert(r.isNullAt(2), "HOF reference semantics: null element nulls the fold")
+    // interpreted eval path (foldable literals) agrees
+    val lit = spark.sql(
+      "SELECT sq_l2(array(1D, NULL), array(1D, 1D), 1, 2) AS n").head()
+    assert(lit.isNullAt(0))
+    // integer sibling through the typed API
+    val li = Seq((1L, 2L)).toDF("x", "y").select(
+      graft.functions.SqL2Sub.sqL2Long(
+        expr("array(x, CAST(NULL AS BIGINT))"), expr("array(y, 3L)")).as("d"),
+      graft.functions.SqL2Sub.sqL2Long(
+        expr("array(x)"), expr("array(y, 3L)")).as("ok")).head()
+    assert(li.isNullAt(0), "null long element must yield NULL")
+    assert(li.getLong(1) == 1L)
   }
 
   test("q_lateral decorrelates: ranked join, no per-row nested loop") {

@@ -87,6 +87,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(Jdbc.columnBounds(url, "BOUNDS_T", "ID") == (5L, 42L))
   }
 
+  test("probe SQL quotes reserved-word / mixed-case identifiers end-to-end") {
+    val url = Jdbc.derbyUrl()
+    // "Order" / "Year" / "Desc" are reserved words AND mixed-case:
+    // an unquoted probe either throws a Derby syntax error or
+    // case-folds to a different identifier — either way the extract
+    // breaks on a perfectly legal schema
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE \"Order\"")
+      catch { case _: java.sql.SQLException => () }
+      st.executeUpdate(
+        "CREATE TABLE \"Order\" (\"Year\" BIGINT NOT NULL, \"Desc\" VARCHAR(8))")
+      (1L to 20L).foreach(i =>
+        st.executeUpdate(f"INSERT INTO \"Order\" VALUES ($i, 'd$i%02d')"))
+      st.close()
+    } finally conn.close()
+    // driver-side MIN/MAX probe round-trips the quoted names
+    assert(Jdbc.columnBounds(url, "Order", "Year") == (1L, 20L))
+    // boundary probes likewise, and the derived predicates cover every
+    // row exactly once when executed against the quoted schema
+    val pts = Jdbc.stringSplitPoints(url, "Order", "Desc", 4)
+    assert(pts.nonEmpty && pts.length <= 3)
+    val preds = Jdbc.rangePredicates("Desc", pts)
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn2.createStatement()
+      val total = preds.map { p =>
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM \"Order\" WHERE $p")
+        rs.next(); val c = rs.getLong(1); rs.close(); c
+      }.sum
+      st.close()
+      assert(total == 20L, "range predicates must cover every row exactly once")
+    } finally conn2.close()
+  }
+
   test("primary-key discovery: declared single, declared composite, inferred fallback") {
     val url = Jdbc.derbyUrl()
     Jdbc.createTable(url, "PK_ONE",
