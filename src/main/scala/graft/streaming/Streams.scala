@@ -399,11 +399,14 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val routed = graft.etl.Ingest.deadLetterRoute(batch).persist()
-        routed.filter(col("status") === "ok").drop("status", "reason")
-          .write.mode("append").parquet(okDir)
-        routed.filter(col("status") === "dead").drop("status")
-          .write.mode("append").parquet(deadDir)
-        routed.unpersist()
+        // finally: a failed micro-batch is retried by the stream — it
+        // must not ALSO leave its routed batch pinned in storage
+        try {
+          routed.filter(col("status") === "ok").drop("status", "reason")
+            .write.mode("append").parquet(okDir)
+          routed.filter(col("status") === "dead").drop("status")
+            .write.mode("append").parquet(deadDir)
+        } finally { routed.unpersist(); () }
         ()
       }
       .start()
