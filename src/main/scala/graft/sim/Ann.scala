@@ -39,22 +39,36 @@ object Ann {
 
   /** IVF probe-2: queries search their top-2 cells (higher recall at
     * 2× probe cost — the standard IVF recall knob). Cell assignment is
-    * an aggregate over the broadcast-centroid scores (map-side
-    * combinable: the 8 scored rows per vector collapse to one ≤2-cell
-    * list before the exchange), not a per-vector sort window. The
-    * aggregate keys on `vec_id` ALONE over flat (vec_id, cent_id, c)
-    * rows — the 64-double vector never enters an exchange key; it
+    * an aggregate over the broadcast-centroid scores, PIVOTED per
+    * centroid — one conditional `min(struct)` column per cent_id —
+    * then the top-2 fall out of a SCALAR array_sort over those 8
+    * struct columns. Unlike a collect_list buffer this stays inside
+    * whole-stage codegen, is map-side combinable, and its buffer is
+    * fixed-width (one struct per centroid) regardless of row fan-in;
+    * the sort is per-ROW over 8 elements, not an aggregation buffer.
+    * The aggregate keys on `vec_id` ALONE over flat (vec_id, cent_id,
+    * c) rows — the 64-double vector never enters an exchange key; it
     * rejoins afterwards as payload on the long key (the
-    * `ann.ivfpq.cells` pattern in [[ivfPqTopk]]). */
+    * `ann.ivfpq.cells` pattern in [[ivfPqTopk]]). No distinct is
+    * needed on the probe join: each corpus vector lives in exactly one
+    * cell, so a (query, vector) pair can appear at most once. */
   def ivfTopkProbe2(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    // every vector scores all 8 centroids, so each pivot column is
+    // non-null and the 8-element sort sees the same (nc, cid) structs
+    // the old per-group list sort did — selection order is identical
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
       .groupBy(col("vec_id"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("c")).as("nc"), col("cent_id").as("cid")))), 1, 2).as("top2"))
+      .agg(min(when(col("cent_id") === 0,
+          struct((-col("c")).as("nc"), col("cent_id").as("cid")))).as("s0"),
+        (1 until 8).map(i =>
+          min(when(col("cent_id") === i,
+            struct((-col("c")).as("nc"), col("cent_id").as("cid")))).as(s"s$i")): _*)
+      .select(col("vec_id"),
+        slice(array_sort(array((0 until 8).map(i => col(s"s$i")): _*)), 1, 2).as("top2"))
     val cells = e.join(ranked
         .select(col("vec_id"), col("top2").getItem(0).getField("cid").as("cell")),
       "vec_id")
@@ -68,7 +82,6 @@ object Ann {
     cells.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
-      .distinct()
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
