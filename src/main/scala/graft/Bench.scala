@@ -117,9 +117,12 @@ object Bench {
       p.waitFor()
       if (out.nonEmpty) out else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    // bench_schema 2 = family-grouped shared mode with per-family cache
+    // release (r7+); totals are NOT comparable with schema-1 (r1-r6
+    // shared-everything) snapshots query-by-query
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","rev":"$rev","cache_mode":"$mode","queries":{""", ",", "}}")
+      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","rev":"$rev","bench_schema":2,"cache_mode":"$mode","queries":{""", ",", "}}")
     // Per-mode snapshot file, then a combined BENCH_FULL.json holding
     // BOTH cache modes so round-over-round diffs can adjudicate
     // shared-session noise vs real operator regressions without
