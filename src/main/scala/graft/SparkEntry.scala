@@ -113,6 +113,11 @@ object SparkEntry {
     "stream_latest_state" -> Streams.latestState _,
     "stream_windowed_topk" -> Streams.windowedTopkBatch _,
     "q_histogram" -> Analytics.qHistogram _,
+    // §2.D/C (round 8): skew-staged distinct, z-order layout audit,
+    // bucketed co-located join
+    "q_distinct_skew" -> Analytics.qDistinctSkew _,
+    "layout_zorder" -> Analytics.layoutZorder _,
+    "source_bucketed_join" -> SourceQueries.bucketedJoin _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1381,6 +1386,34 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // round 8: the oracle joins the SOURCE parquet — a row lost or
+    // re-keyed in the bucketed write/read path breaks the hash
+    "source_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_distinct_skew" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // round 8: bit-interleave in portable integer ops; DuckDB's
+    // date_part('day', ...) = Spark's dayofmonth
+    "layout_zorder" ->
+      """WITH dims AS (
+        |  SELECT o_custkey % 16 AS cb,
+        |    CAST(date_part('day', o_orderdate) - 1 AS BIGINT) % 16 AS db
+        |  FROM orders),
+        |z AS (
+        |  SELECT cb, db,
+        |    ((cb >> 0) & 1) * 2   + ((db >> 0) & 1) * 1 +
+        |    ((cb >> 1) & 1) * 8   + ((db >> 1) & 1) * 4 +
+        |    ((cb >> 2) & 1) * 32  + ((db >> 2) & 1) * 16 +
+        |    ((cb >> 3) & 1) * 128 + ((db >> 3) & 1) * 64 AS zkey
+        |  FROM dims)
+        |SELECT CAST(zkey >> 4 AS BIGINT) AS zbucket, COUNT(*) AS n,
+        |  MIN(cb) AS cb_min, MAX(cb) AS cb_max,
+        |  MIN(db) AS db_min, MAX(db) AS db_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // §2.G (round 7): sliding token-window chunks — 32-token window,
     // stride 24; DuckDB list slice w[a:b] is 1-based inclusive =
     // Spark slice(w, a, 32)

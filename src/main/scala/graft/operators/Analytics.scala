@@ -452,4 +452,54 @@ object Analytics {
           .cast("long").as("within_5pct"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** EXACT distinct-count under key skew, staged explicitly: phase 1
+    * deduplicates (event_type, user_id) pairs — that shuffle is keyed
+    * on the PAIR, so a hot event_type's rows spread across partitions
+    * by user_id and partial aggregation combines map-side — and
+    * phase 2 counts survivors per key, where every group is already
+    * collapsed to one row per distinct value. Spark's COUNT(DISTINCT)
+    * plans the same two-aggregate shape through Expand, but the
+    * explicit staging is what composes when the pipeline needs the
+    * deduplicated pairs AGAIN downstream (e.g. a per-day rollup over
+    * the same distinct set reuses phase 1 instead of re-expanding) —
+    * the shape a 100 TB unique-users job actually ships. */
+  def qDistinctSkew(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
+  /** Z-ORDER clustering audit — the multi-dimensional data-layout
+    * technique behind data-skipping file pruning: interleave the bits
+    * of two scan dimensions (customer bucket, order day-of-month
+    * bucket, 4 bits each) into one z-key, range-bucket rows by its
+    * high bits (zkey >> 4 IS a fixed-boundary range partitioning into
+    * 16 z-squares), and report each bucket's min/max span in BOTH
+    * dimensions. Under z-order every bucket spans ≤ 4 of 16 values in
+    * EACH dimension, so a predicate on EITHER dimension prunes ~3/4
+    * of buckets from file min/max stats alone; a 1-D sort gets that
+    * for one dimension and nothing for the other. At scale the z-key
+    * feeds `repartitionByRange(zkey).sortWithinPartitions(zkey)`
+    * before the warehouse write; the audit here is the layout-quality
+    * check a table-maintenance job runs after compaction. */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    def bit(c: Column, i: Int): Column =
+      shiftright(c, i).bitwiseAND(lit(1L))
+    val dims = Tables.orders(spark, dir)
+      .select((col("o_custkey") % 16).as("cb"),
+        ((dayofmonth(col("o_orderdate")) - 1).cast("long") % 16).as("db"))
+    val zkey = (0 until 4).map { i =>
+      bit(col("cb"), i) * lit(1L << (2 * i + 1)) +
+        bit(col("db"), i) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    dims.select(col("cb"), col("db"), zkey.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 4).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cb")).as("cb_min"), max(col("cb")).as("cb_max"),
+        min(col("db")).as("db_min"), max(col("db")).as("db_max"))
+      .orderBy("zbucket")
+  }
 }

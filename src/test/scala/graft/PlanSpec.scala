@@ -283,4 +283,42 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_returnflag"),
       s"scan schema not pruned: $readSchema")
   }
+
+  test("bucketed join consumes both tables' layout: zero shuffle exchanges") {
+    // The point of bucketBy at 100 TB: the join-key shuffle is paid
+    // once at write time. With broadcast and AQE off (so the bucketed
+    // SMJ path is the only one available and exchange nodes are real),
+    // the join of the two co-bucketed tables must contain NO
+    // ShuffleExchangeExec at all.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.operators.SourceQueries.bucketedTables(s, sf)
+    val j = s.table("graft_buck_orders")
+      .join(s.table("graft_buck_customer"), col("o_custkey") === col("c_custkey"))
+    val exchanges = j.queryExecution.executedPlan.collect {
+      case ex: ShuffleExchangeExec => ex
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join must not shuffle, found: ${exchanges.mkString("; ")}")
+    assert(j.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "bucketed join should sort-merge on the bucket layout")
+    assert(j.count() > 0)
+  }
+
+  test("z-order buckets are tight in BOTH dimensions (span ≤ 4 of 16)") {
+    // The layout claim behind layout_zorder: a 1-D sort gives tight
+    // file ranges in one dimension only; the z-key's 16 buckets each
+    // cover a 4×4 square, so min/max file stats prune on EITHER
+    // dimension. (Bucket spans can be < 4 when data is sparse.)
+    val rows = Analytics.layoutZorder(spark, sf).collect()
+    assert(rows.length == 16, s"expected 16 z-buckets, got ${rows.length}")
+    rows.foreach { r =>
+      val (cbSpan, dbSpan) =
+        (r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4))
+      assert(cbSpan <= 3 && dbSpan <= 3,
+        s"z-bucket ${r.getLong(0)} spans cb=$cbSpan db=$dbSpan (must be ≤ 3)")
+    }
+  }
 }
