@@ -118,6 +118,8 @@ object SparkEntry {
     "q_distinct_skew" -> Analytics.qDistinctSkew _,
     "layout_zorder" -> Analytics.layoutZorder _,
     "source_bucketed_join" -> SourceQueries.bucketedJoin _,
+    "load_agg_upsert" -> SourceQueries.aggUpsert _,
+    "sample_weighted" -> TextOps.sampleWeighted _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1396,6 +1398,20 @@ object SparkEntry {
     "q_distinct_skew" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // round 8: the oracle is the FULL recompute over raw events — the
+    // hash match proves the incremental stored-state + batch merge in
+    // aggUpsert is lossless
+    "load_agg_upsert" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+        |  MAX(ts) AS last_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sample_weighted" ->
+      (s"""SELECT doc_id, source, n_chars, priority FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(FLOOR(CAST(${TextOps.Hash24Sql} AS DOUBLE) * 1000000 / GREATEST(n_chars, 1)) AS BIGINT) AS priority
+         |  FROM documents ORDER BY priority, doc_id LIMIT 50) t
+         |ORDER BY doc_id""".stripMargin),
     // round 8: bit-interleave in portable integer ops; DuckDB's
     // date_part('day', ...) = Spark's dayofmonth
     "layout_zorder" ->

@@ -225,6 +225,35 @@ object SourceQueries {
       .mode("overwrite").saveAsTable("graft_buck_customer")
   }
 
+  /** Incremental aggregate maintenance — the daily-refresh rollup
+    * shape: yesterday's STORED per-key aggregate state (count, cents
+    * sum, last-event timestamp over the historic slice) is merged
+    * with today's batch partial aggregate by re-aggregating the
+    * union, touching only rollup-sized state and the new batch —
+    * never the historic raw events. Works because every aggregate
+    * here is re-aggregable (sums of counts/cents, max of max): the
+    * same algebra Spark's own partial aggregation exploits within a
+    * query, applied ACROSS days. The oracle is the full recompute
+    * over all raw events, so the hash match PROVES the incremental
+    * merge is lossless — the invariant a 100 TB rollup service must
+    * hold, since it can never afford the full rescan. */
+  def aggUpsert(spark: SparkSession, dir: String): DataFrame = {
+    def roll(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("total_cents"),
+        max(col("ts")).as("last_ts"))
+    val ev = Tables.events(spark, dir)
+    val stored = roll(ev.filter(col("event_id") % 5 =!= 0)) // historic state
+    val batch = roll(ev.filter(col("event_id") % 5 === 0))  // today's partial
+    stored.unionAll(batch)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("total_cents")).cast("long").as("total_cents"),
+        max(col("last_ts")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
   /** Partitioned warehouse layout + partition pruning: write orders
     * partitioned by status (the warehouse layout the reference's
     * date-partitioned BQ tables imply), then read ONE partition back —

@@ -226,6 +226,37 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("h").as("hash_bucket"))
       .orderBy("doc_id")
 
+  /** Portable 24-bit key hash (six md5 hex digits, same
+    * digit-by-digit conversion as [[HashBucketSql]]) — the uniform
+    * variate behind weighted sampling; identical SQL text runs on
+    * Spark and DuckDB. */
+  val Hash24Sql: String = {
+    def hv(i: Int) =
+      s"(ascii(substring(md5(CAST(doc_id AS STRING)), $i, 1)) - " +
+        s"CASE WHEN substring(md5(CAST(doc_id AS STRING)), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    s"CAST(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) * 16 + ${hv(6)} AS BIGINT)"
+  }
+
+  /** Weighted (probability-proportional-to-size) deterministic
+    * sample: top-50 documents by the priority `floor(h24 * 1e6 /
+    * n_chars)` — the integer proxy of Efraimidis–Spirakis exponential
+    * priority sampling (u^(1/w) ranking), with the 24-bit key hash as
+    * the uniform variate and document length as the weight. Longer
+    * documents draw proportionally smaller priorities, so the sample
+    * over-represents them by weight while staying a pure function of
+    * the key: reproducible at any parallelism, stable under corpus
+    * reshuffles, and computable as one scan + one top-k — no
+    * rand(), no global sort of the corpus. The double division is
+    * IEEE-exact-rounded in both engines, so floor agrees bitwise. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "n_chars", s"$Hash24Sql AS h")
+      .selectExpr("doc_id", "source", "n_chars",
+        "CAST(FLOOR(CAST(h AS DOUBLE) * 1000000 / GREATEST(n_chars, 1)) AS BIGINT) AS priority")
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(50)
+      .orderBy("doc_id")
+
   /** Hash-based train/val/test split (80/10/10 by the same key hash):
     * per (source, split) counts plus min/max ids — the assignment is a
     * pure function of the key, so a document never migrates between
