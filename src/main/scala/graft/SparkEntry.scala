@@ -120,6 +120,8 @@ object SparkEntry {
     "source_bucketed_join" -> SourceQueries.bucketedJoin _,
     "load_agg_upsert" -> SourceQueries.aggUpsert _,
     "sample_weighted" -> TextOps.sampleWeighted _,
+    "ingest_gap_audit" -> SourceQueries.gapAudit _,
+    "dedup_paragraph" -> Dedup.paragraphDedup _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1412,6 +1414,30 @@ object SparkEntry {
          |    CAST(FLOOR(CAST(${TextOps.Hash24Sql} AS DOUBLE) * 1000000 / GREATEST(n_chars, 1)) AS BIGINT) AS priority
          |  FROM documents ORDER BY priority, doc_id LIMIT 50) t
          |ORDER BY doc_id""".stripMargin),
+    // round 8: the oracle is the NAIVE single global window; the Spark
+    // side runs the two-level (bucketed + boundary) decomposition, so
+    // the hash match proves the decomposition exact
+    "ingest_gap_audit" ->
+      """WITH e AS (SELECT o_orderkey FROM orders
+        |  WHERE CAST(FLOOR(o_orderkey / 512) AS BIGINT) % 17 <> 5),
+        |g AS (SELECT o_orderkey, LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+        |  FROM e),
+        |gaps AS (SELECT prev + 1 AS gap_start, o_orderkey - 1 AS gap_end,
+        |    o_orderkey - prev - 1 AS n_missing
+        |  FROM g WHERE prev IS NOT NULL AND o_orderkey - prev > 1
+        |  ORDER BY n_missing DESC, gap_start LIMIT 25)
+        |SELECT gap_start, gap_end, n_missing FROM gaps ORDER BY gap_start""".stripMargin,
+    // round 8: DuckDB list slice ws[a:b] is 1-based inclusive =
+    // Spark slice(ws, a, 8); range(0,16) covers the ≤100-word docs
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id, md5(array_to_string(ws[i*8+1 : i*8+8], ' ')) AS h
+        |  FROM w, (SELECT unnest(range(0, 16)) AS i) g
+        |  WHERE len(ws) >= (i+1)*8)
+        |SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occ, MIN(doc_id) AS min_doc
+        |FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY h""".stripMargin,
     // round 8: bit-interleave in portable integer ops; DuckDB's
     // date_part('day', ...) = Spark's dayofmonth
     "layout_zorder" ->

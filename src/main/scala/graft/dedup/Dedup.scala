@@ -353,6 +353,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SEGMENT-level exact dedup (the paragraph-dedup of C4 / the
+    * aligned-granularity proxy of exact-substring dedup, Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): each document splits into consecutive 8-word segments,
+    * each segment hashes once, and a hash-groupBy reports every
+    * segment text shared by MORE THAN ONE document — the boilerplate
+    * spans document-level near-dup never catches (two mostly-distinct
+    * docs sharing one licensed paragraph). Map-side explode (one pass,
+    * ~len/8 rows per doc) into a partial-aggregated count — the same
+    * linear shape as dedup_exact, just at sub-document granularity;
+    * no pairwise work at any scale. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), (size(col("ws")) / 8).cast("int") - 1)).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("ws"), col("i") * 8 + 1, lit(8)))).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("h")
+
   /** Blocked n-gram Jaccard: candidates share a 32-char length bucket
     * (cheap blocking key), verified on distinct word-3-gram Jaccard
     * ≥ 0.5. Pairs that straddle a bucket boundary are missed — the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.{LoadRetry, Reid}
@@ -223,6 +224,48 @@ object SourceQueries {
       .write.format("parquet").option("path", s"$wh/customer")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .mode("overwrite").saveAsTable("graft_buck_customer")
+  }
+
+  /** PK-sequence GAP audit — the integrity check a migration runs
+    * after a partitioned extract: row counts alone (the reference's
+    * validation, ServerUtil.getRowCount) can't say WHERE rows went
+    * missing; the gap list can. The naive form is one global-order
+    * window (lag over the whole key space) — a single-partition
+    * bottleneck at scale — so this runs TWO-LEVEL: keys bucket by
+    * `key div 8192` and each bucket finds its internal gaps under a
+    * PARTITIONED window (fully parallel), then per-bucket (min, max)
+    * — sketch-scale, one row per present bucket — feeds one tiny
+    * global window that emits the cross-boundary gaps (including
+    * whole missing buckets). Every gap lies within one bucket or
+    * between two consecutive present buckets, so the union is exactly
+    * the global gap list. The audited extract uses the same
+    * deterministic fault model as the dead-letter path: 512-key
+    * splits whose id ≡ 5 (mod 17) are "dropped", so the audit must
+    * recover exactly those ranges — a 0-gap pass on pristine data
+    * would check nothing. Top 25 largest gaps keeps the report
+    * bounded at any corpus size. */
+  def gapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = 8192L
+    val keys = Tables.orders(spark, dir)
+      .filter(floor(col("o_orderkey") / 512) % 17 =!= 5)
+      .select(col("o_orderkey").as("k"), (col("o_orderkey") / bucket).cast("long").as("b"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("k"))
+    val inner = keys
+      .withColumn("prev", lag(col("k"), 1).over(wIn))
+      .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"))
+    val wEdge = Window.orderBy(col("b")) // rows = present buckets only
+    val boundary = keys.groupBy(col("b"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .withColumn("prev_hi", lag(col("hi"), 1).over(wEdge))
+      .filter(col("prev_hi").isNotNull && col("lo") - col("prev_hi") > 1)
+      .select((col("prev_hi") + 1).as("gap_start"), (col("lo") - 1).as("gap_end"))
+    inner.unionAll(boundary)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+      .orderBy(col("n_missing").desc, col("gap_start"))
+      .limit(25)
+      .orderBy("gap_start")
   }
 
   /** Incremental aggregate maintenance — the daily-refresh rollup
