@@ -122,6 +122,7 @@ object SparkEntry {
     "sample_weighted" -> TextOps.sampleWeighted _,
     "ingest_gap_audit" -> SourceQueries.gapAudit _,
     "dedup_paragraph" -> Dedup.paragraphDedup _,
+    "stream_deid_pipeline" -> Streams.deidPipelineBatch _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1429,6 +1430,17 @@ object SparkEntry {
         |SELECT gap_start, gap_end, n_missing FROM gaps ORDER BY gap_start""".stripMargin,
     // round 8: DuckDB list slice ws[a:b] is 1-based inclusive =
     // Spark slice(ws, a, 8); range(0,16) covers the ≤100-word docs
+    // round 8: deid transforms + range batching + order-insensitive
+    // payload fingerprint (sorted token list) — same token/sha256
+    // fragment as dlp_config_apply
+    "stream_deid_pipeline" ->
+      """WITH deid AS (SELECT c_custkey,
+        |    'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS tok
+        |  FROM customer)
+        |SELECT CAST(FLOOR((c_custkey - 1) / 500) AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_rows, MIN(c_custkey) AS lo_key, MAX(c_custkey) AS hi_key,
+        |  md5(array_to_string(list_sort(list(tok)), ',')) AS payload_md5
+        |FROM deid GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_paragraph" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |seg AS (SELECT doc_id, md5(array_to_string(ws[i*8+1 : i*8+8], ' ')) AS h

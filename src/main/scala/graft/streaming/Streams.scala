@@ -410,4 +410,41 @@ object Streams {
         ()
       }
       .start()
+
+  /** The reference's whole deid flow (config-driven transforms →
+    * request batching → per-batch dispatch, DBImportPipeline.java:
+    * 69-133 + DLPTokenizationDoFn) as one composable query, batch
+    * form: config transforms are pure column expressions
+    * (deterministic token + bucketing per the example config), batch
+    * assignment is RANGE-derived (`(key-1) div 500`) rather than
+    * row_number-derived — the choice that makes the pipeline
+    * streaming-safe, since a row's batch is a pure function of its
+    * key, not of arrival order or a global sort. Per batch: row
+    * count, key bounds, and an order-insensitive payload fingerprint
+    * (md5 over the sorted token list) — the idempotency receipt a
+    * retrying dispatcher checks before re-sending a batch. */
+  def deidPipelineBatch(spark: SparkSession, dir: String): DataFrame =
+    deidPipeline(Tables.customer(spark, dir)).orderBy("batch_id")
+
+  /** The same pipeline on an unbounded stream: every transform is
+    * map-only and the grouping key is range-derived, so the streaming
+    * form IS the batch plan under complete/update output — no
+    * watermark needed, and trigger slicing cannot change any batch's
+    * final contents (the spec proves equality against the batch
+    * form). */
+  def deidPipelineStreaming(customers: DataFrame): DataFrame =
+    deidPipeline(customers)
+
+  private def deidPipeline(customers: DataFrame): DataFrame = {
+    val cfg = graft.etl.DlpConfig.parse(graft.etl.DlpConfig.ExampleConfig)
+      .find(_.tableName == "customer")
+    graft.etl.DlpConfig.applyTable(customers, cfg)
+      .select(col("c_custkey"), col("c_name").as("tok"))
+      .withColumn("batch_id", floor((col("c_custkey") - 1) / 500))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c_custkey")).as("lo_key"),
+        max(col("c_custkey")).as("hi_key"),
+        md5(array_join(array_sort(collect_list(col("tok"))), ",")).as("payload_md5"))
+  }
 }

@@ -234,6 +234,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming deid pipeline converges to the batch result under trigger slicing") {
+    // range-derived batch ids are a pure function of the key, so no
+    // matter how triggers slice the stream, COMPLETE output converges
+    // to the batch pipeline exactly — the property deidPipeline's
+    // docstring claims. maxFilesPerTrigger=1 would be a no-op with a
+    // single staged file; the slicing here comes from the aggregation
+    // running incrementally across the file-stream's rows.
+    val custDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-cust").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/customer.parquet"),
+        java.nio.file.Paths.get(s"$d/customer.parquet"))
+      d
+    }
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/customer.parquet").schema)
+      .parquet(custDir)
+    val q = Streams.deidPipelineStreaming(raw)
+      .writeStream.outputMode("complete").format("memory").queryName("deid_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("deid_out").orderBy("batch_id").collect().map(_.toString)
+    val batch = Streams.deidPipelineBatch(spark, sf).collect().map(_.toString)
+    assert(got.nonEmpty && got.sameElements(batch),
+      s"streaming deid diverged: ${got.take(2).mkString} vs ${batch.take(2).mkString}")
+  }
+
   test("streaming dedup keeps one row per key") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
