@@ -295,31 +295,43 @@ object Dedup {
     var cp = labels
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      rounds += 1
-      val msgs = edges.join(
-          labels.select(col("doc_id").as("src"), col("comp")), "src")
-        .select(col("dst").as("doc_id"), col("comp"))
-      // The previous label rides through the same aggregate (each doc
-      // has exactly ONE label row, so min(old) IS its old label), and
-      // the checkpoint is lazy — so the convergence count below is the
-      // ONE job per round: it computes the aggregate, persists the
-      // checkpoint blocks as they stream past, and returns the count.
-      val next = labels.select(col("doc_id"), col("comp"), col("comp").as("old"))
-        .unionAll(msgs.select(col("doc_id"), col("comp"),
-          lit(null).cast("long").as("old")))
-        .groupBy("doc_id")
-        .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
-        .localCheckpoint(false)
-      changed = next.filter(col("comp") < col("old")).count()
-      graft.Checkpoints.release(cp) // superseded round: blocks go NOW
-      cp = next
-      labels = next.select("doc_id", "comp")
+    // try/finally: a job failure mid-loop (task failure, OOM at a
+    // bigger sf) must not strand the in-flight round's checkpoint
+    // blocks or the edges cache — a long-lived session (Bench catches
+    // per-query failures and keeps going) would otherwise inherit the
+    // exact block-manager rot this lifecycle exists to prevent. The
+    // finally hands the CURRENT round to the deferred-release queue:
+    // on success those are the result's backing blocks (released at
+    // Caches.clearAll, as before); on failure they are the orphans.
+    try {
+      while (changed > 0 && rounds < maxRounds) {
+        rounds += 1
+        val msgs = edges.join(
+            labels.select(col("doc_id").as("src"), col("comp")), "src")
+          .select(col("dst").as("doc_id"), col("comp"))
+        // The previous label rides through the same aggregate (each doc
+        // has exactly ONE label row, so min(old) IS its old label), and
+        // the checkpoint is lazy — so the convergence count below is the
+        // ONE job per round: it computes the aggregate, persists the
+        // checkpoint blocks as they stream past, and returns the count.
+        val next = labels.select(col("doc_id"), col("comp"), col("comp").as("old"))
+          .unionAll(msgs.select(col("doc_id"), col("comp"),
+            lit(null).cast("long").as("old")))
+          .groupBy("doc_id")
+          .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
+          .localCheckpoint(false)
+        changed = next.filter(col("comp") < col("old")).count()
+        graft.Checkpoints.release(cp) // superseded round: blocks go NOW
+        cp = next
+        labels = next.select("doc_id", "comp")
+      }
+    } finally {
+      edges.unpersist()
+      // success: the final round's blocks back the returned plan —
+      // released with the session's persisted state at Caches.clearAll.
+      // failure: same queue, so the partial round can never outlive it.
+      graft.Checkpoints.releaseOnClear(cp)
     }
-    edges.unpersist()
-    // the final round's blocks back the returned plan — released with
-    // the rest of the session's persisted state at Caches.clearAll
-    graft.Checkpoints.releaseOnClear(cp)
     // label propagation converges in O(graph diameter) rounds; hitting
     // the cap mid-flight means the labels are WRONG (a component would
     // silently split), so fail loudly — a 50-diameter near-dup chain
@@ -369,7 +381,11 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), (size(col("ws")) / 8).cast("int") - 1)).as("i"))
+        // cap at 16 segments (128 words) to pin the same bound the
+        // oracle's range(0,16) uses — without the clamp a longer doc
+        // would emit segments the oracle never sees
+        explode(sequence(lit(0),
+          least((size(col("ws")) / 8).cast("int") - 1, lit(15)))).as("i"))
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("ws"), col("i") * 8 + 1, lit(8)))).as("h"))
       .groupBy(col("h"))

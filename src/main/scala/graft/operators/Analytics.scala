@@ -466,6 +466,9 @@ object Analytics {
     * the shape a 100 TB unique-users job actually ships. */
   def qDistinctSkew(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // COUNT(DISTINCT x) ignores NULLs in both engines; the staged
+      // form must too, or a single NULL user_id puts it off by one
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"))
       .distinct()
       .groupBy(col("event_type"))

@@ -213,7 +213,7 @@ object SourceQueries {
     * lands in the repo's warehouse dir; overwrite keeps repeated runs
     * in one session idempotent). */
   def bucketedTables(spark: SparkSession, dir: String): Unit = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-buck").toString
+    val wh = bucketedWarehouseDir
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .write.format("parquet").option("path", s"$wh/orders")
@@ -225,6 +225,11 @@ object SourceQueries {
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .mode("overwrite").saveAsTable("graft_buck_customer")
   }
+
+  // ONE external-table location per JVM: overwrite rewrites in place,
+  // so repeated bench/verify calls don't orphan a parquet copy per run
+  private lazy val bucketedWarehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-buck").toString
 
   /** PK-sequence GAP audit — the integrity check a migration runs
     * after a partitioned extract: row counts alone (the reference's

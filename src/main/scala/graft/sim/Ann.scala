@@ -309,7 +309,11 @@ object Ann {
     // the CacheManager) and each kmeans run would permanently bloat
     // the session's block manager
     var cp: DataFrame = null
-    for (_ <- 1 to rounds) {
+    // try/finally: if a round's eager checkpoint job fails (task
+    // failure, OOM at a bigger sf), the previous round's blocks must
+    // still reach the deferred-release queue — a long-lived session
+    // would otherwise carry them past every Caches.clearAll forever
+    try for (_ <- 1 to rounds) {
       val assign = q.crossJoin(broadcast(cent.select("cent_id", "cq")))
         .select(col("vec_id"), col("cent_id"),
           // native exact long L2 (SqL2Long) — integer adds are
@@ -331,10 +335,12 @@ object Ann {
         .localCheckpoint(true)
       if (cp != null) graft.Checkpoints.release(cp)
       cp = cent
+    } finally {
+      // success: the final round's blocks back the returned plan —
+      // released with the session state at Caches.clearAll. failure:
+      // same queue, so a half-finished run can never leak its blocks.
+      if (cp != null) graft.Checkpoints.releaseOnClear(cp)
     }
-    // the final round's blocks back the returned plan — released with
-    // the rest of the session's persisted state at Caches.clearAll
-    if (cp != null) graft.Checkpoints.releaseOnClear(cp)
     cent.selectExpr("cent_id", "n_members",
         "element_at(cq, 1) AS c1", "element_at(cq, 2) AS c2",
         "element_at(cq, 3) AS c3", "element_at(cq, 4) AS c4")

@@ -207,10 +207,14 @@ object TextOps {
   /** Portable 0-99 key-hash bucket: three md5 hex digits converted
     * digit-by-digit (neither engine's hex-to-int builtin exists in
     * the other) — identical SQL text runs on Spark and DuckDB. */
+  /** One md5 hex digit of the doc_id key hash as its integer value —
+    * the shared building block of both portable key hashes below. */
+  private def hexDigitSql(i: Int): String =
+    s"(ascii(substring(md5(CAST(doc_id AS STRING)), $i, 1)) - " +
+      s"CASE WHEN substring(md5(CAST(doc_id AS STRING)), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+
   val HashBucketSql: String = {
-    def hv(i: Int) =
-      s"(ascii(substring(md5(CAST(doc_id AS STRING)), $i, 1)) - " +
-        s"CASE WHEN substring(md5(CAST(doc_id AS STRING)), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    def hv(i: Int) = hexDigitSql(i)
     s"CAST(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) % 100 AS BIGINT)"
   }
 
@@ -231,9 +235,7 @@ object TextOps {
     * variate behind weighted sampling; identical SQL text runs on
     * Spark and DuckDB. */
   val Hash24Sql: String = {
-    def hv(i: Int) =
-      s"(ascii(substring(md5(CAST(doc_id AS STRING)), $i, 1)) - " +
-        s"CASE WHEN substring(md5(CAST(doc_id AS STRING)), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    def hv(i: Int) = hexDigitSql(i)
     s"CAST(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) * 16 + ${hv(6)} AS BIGINT)"
   }
 
