@@ -437,6 +437,29 @@ class ScaleSpec extends AnyFunSuite {
       s"kmeans family leaked rdd storage (ids ${leakedKmeans.mkString(",")})")
   }
 
+  test("a FAILING iterative loop still releases its checkpoint blocks at clearAll") {
+    // the error-path half of the lifecycle contract: a job failure
+    // mid-loop (here: raise_error when the edges materialize) must not
+    // strand the in-flight round's blocks or the edges persist — a
+    // long-lived session catches per-query failures and keeps going,
+    // so anything the failed run pinned has to drain at clearAll
+    import spark.implicits._
+    Caches.clearAll(); spark.catalog.clearCache()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val docs = (1L to 8L).toDF("doc_id")
+    val poison = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+      .withColumn("doc_a",
+        when(col("doc_a") > 0, expr("raise_error('injected failure')").cast("long"))
+          .otherwise(col("doc_a")))
+    intercept[Throwable] {
+      graft.dedup.Dedup.componentsFromPairs(docs, poison).count()
+    }
+    Caches.clearAll(); spark.catalog.clearCache()
+    val leaked = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before)
+    assert(leaked.isEmpty,
+      s"failed loop leaked rdd storage (ids ${leaked.mkString(",")})")
+  }
+
   test("semantic clusters agree with the pair graph") {
     val pairs = graft.dedup.Dedup.embeddingCosine(spark, sf)
       .select("vec_a", "vec_b").collect()
