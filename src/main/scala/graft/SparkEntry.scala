@@ -123,6 +123,7 @@ object SparkEntry {
     "ingest_gap_audit" -> SourceQueries.gapAudit _,
     "dedup_paragraph" -> Dedup.paragraphDedup _,
     "stream_deid_pipeline" -> Streams.deidPipelineBatch _,
+    "ann_cell_balance" -> Ann.cellBalance _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -855,6 +856,19 @@ object SparkEntry {
          |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
          |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
          |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // round 8: per-cell population share vs the uniform ideal (1250 bp
+    // for 8 cells) — same cell assignment CTE as ann_ivf_topk
+    "ann_cell_balance" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+         |g AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell),
+         |t AS (SELECT cell, n, SUM(n) OVER () AS tot FROM g)
+         |SELECT cell, n, CAST((n * 10000) // tot AS BIGINT) AS share_bp,
+         |  CAST(abs((n * 10000) // tot - 1250) AS BIGINT) AS dev_bp
+         |FROM t ORDER BY cell""".stripMargin),
     "ann_ivf_probe2" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),

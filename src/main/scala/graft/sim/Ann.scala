@@ -426,6 +426,35 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** IVF index-BALANCE audit — the index-maintenance metric that
+    * decides when to retrain the coarse quantizer: probe latency at
+    * scale is governed by the LARGEST cell a query can land in (a
+    * 10×-overweight cell makes every probe into it 10× the scan), so
+    * a production deploy tracks per-cell population share against the
+    * uniform ideal and re-clusters when drift exceeds budget — the
+    * same audit shape as [[graft.multimodal.Multimodal.shardSkew]],
+    * applied to the ANN index. One aggregate over the (long, long)
+    * assignment table; the share math rides a window over the 8
+    * result rows (cell-count-sized, never data-sized). */
+  def cellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+    assign.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      // integer DIV throughout: `/` on longs is double division and
+      // double→int casts round differently across engines
+      .selectExpr("cell", "n", "n * 10000 DIV tot AS share_bp",
+        "abs(n * 10000 DIV tot - 1250) AS dev_bp")
+      .orderBy("cell")
+  }
+
   /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
     * (8 ≤ vec_id < 18) search only their own cell, top 5. */
