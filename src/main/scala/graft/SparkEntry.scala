@@ -1442,8 +1442,6 @@ object SparkEntry {
         |  FROM g WHERE prev IS NOT NULL AND o_orderkey - prev > 1
         |  ORDER BY n_missing DESC, gap_start LIMIT 25)
         |SELECT gap_start, gap_end, n_missing FROM gaps ORDER BY gap_start""".stripMargin,
-    // round 8: DuckDB list slice ws[a:b] is 1-based inclusive =
-    // Spark slice(ws, a, 8); range(0,16) covers the ≤100-word docs
     // round 8: deid transforms + range batching + order-insensitive
     // payload fingerprint (sorted token list) — same token/sha256
     // fragment as dlp_config_apply
@@ -1455,6 +1453,8 @@ object SparkEntry {
         |  COUNT(*) AS n_rows, MIN(c_custkey) AS lo_key, MAX(c_custkey) AS hi_key,
         |  md5(array_to_string(list_sort(list(tok)), ',')) AS payload_md5
         |FROM deid GROUP BY 1 ORDER BY 1""".stripMargin,
+    // round 8: DuckDB list slice ws[a:b] is 1-based inclusive =
+    // Spark slice(ws, a, 8); range(0,16) covers the ≤100-word docs
     "dedup_paragraph" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |seg AS (SELECT doc_id, md5(array_to_string(ws[i*8+1 : i*8+8], ' ')) AS h

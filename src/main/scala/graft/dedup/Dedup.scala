@@ -320,7 +320,13 @@ object Dedup {
           .groupBy("doc_id")
           .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
           .localCheckpoint(false)
-        changed = next.filter(col("comp") < col("old")).count()
+        // guard the materializing action: a mid-job failure leaves the
+        // partitions that already completed persisted as blocks with no
+        // handle anywhere (the finally below covers only the PREVIOUS
+        // round) — release the in-flight round before propagating
+        changed =
+          try next.filter(col("comp") < col("old")).count()
+          catch { case t: Throwable => graft.Checkpoints.release(next); throw t }
         graft.Checkpoints.release(cp) // superseded round: blocks go NOW
         cp = next
         labels = next.select("doc_id", "comp")

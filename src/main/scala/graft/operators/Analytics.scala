@@ -466,13 +466,15 @@ object Analytics {
     * the shape a 100 TB unique-users job actually ships. */
   def qDistinctSkew(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      // COUNT(DISTINCT x) ignores NULLs in both engines; the staged
-      // form must too, or a single NULL user_id puts it off by one
-      .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"))
       .distinct()
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"))
+      // COUNT(user_id), not COUNT(*): COUNT(DISTINCT x) ignores NULLs
+      // in both engines, but a pre-distinct isNotNull FILTER would
+      // also drop an event_type whose user_ids are ALL null — the
+      // oracle still emits that group with 0. distinct() collapses
+      // the nulls to one row per group, which count(col) then skips.
+      .agg(count(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
   /** Z-ORDER clustering audit — the multi-dimensional data-layout

@@ -322,7 +322,7 @@ object Ann {
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
         .select(col("vec_id"), col("best.cent_id").as("cell"))
-      cent = q.join(assign, "vec_id")
+      val next = q.join(assign, "vec_id")
         .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -332,9 +332,18 @@ object Ann {
             x => x.getField("cv")).as("cq"),
           min(col("n")).as("n_members"))
         .select(col("cell").as("cent_id"), col("cq"), col("n_members"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // LAZY checkpoint + guarded materialize: an eager checkpoint
+      // that fails mid-job offers no handle to its already-persisted
+      // partitions (the method throws before returning), and on a
+      // round-1 failure cp is still null so the finally releases
+      // nothing — holding the lazy handle lets the catch drop the
+      // partial blocks instead of stranding them in the block manager
+      try next.count()
+      catch { case t: Throwable => graft.Checkpoints.release(next); throw t }
       if (cp != null) graft.Checkpoints.release(cp)
-      cp = cent
+      cent = next
+      cp = next
     } finally {
       // success: the final round's blocks back the returned plan —
       // released with the session state at Caches.clearAll. failure:

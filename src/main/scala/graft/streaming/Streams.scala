@@ -438,9 +438,13 @@ object Streams {
   private def deidPipeline(customers: DataFrame): DataFrame = {
     val cfg = graft.etl.DlpConfig.parse(graft.etl.DlpConfig.ExampleConfig)
       .find(_.tableName == "customer")
+    // batch size comes FROM the config — the literal lives in exactly
+    // one place (ExampleConfig), so an edited batchSize changes the
+    // pipeline rather than silently diverging from it
+    val batch = cfg.map(_.batchSize).getOrElse(500)
     graft.etl.DlpConfig.applyTable(customers, cfg)
       .select(col("c_custkey"), col("c_name").as("tok"))
-      .withColumn("batch_id", floor((col("c_custkey") - 1) / 500))
+      .withColumn("batch_id", floor((col("c_custkey") - 1) / batch))
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("c_custkey")).as("lo_key"),

@@ -204,15 +204,15 @@ object TextOps {
         "CAST(CASE WHEN gate = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS pass")
   }
 
-  /** Portable 0-99 key-hash bucket: three md5 hex digits converted
-    * digit-by-digit (neither engine's hex-to-int builtin exists in
-    * the other) — identical SQL text runs on Spark and DuckDB. */
   /** One md5 hex digit of the doc_id key hash as its integer value —
     * the shared building block of both portable key hashes below. */
   private def hexDigitSql(i: Int): String =
     s"(ascii(substring(md5(CAST(doc_id AS STRING)), $i, 1)) - " +
       s"CASE WHEN substring(md5(CAST(doc_id AS STRING)), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
 
+  /** Portable 0-99 key-hash bucket: three md5 hex digits converted
+    * digit-by-digit (neither engine's hex-to-int builtin exists in
+    * the other) — identical SQL text runs on Spark and DuckDB. */
   val HashBucketSql: String = {
     def hv(i: Int) = hexDigitSql(i)
     s"CAST(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) % 100 AS BIGINT)"

@@ -439,17 +439,20 @@ class ScaleSpec extends AnyFunSuite {
 
   test("a FAILING iterative loop still releases its checkpoint blocks at clearAll") {
     // the error-path half of the lifecycle contract: a job failure
-    // mid-loop (here: raise_error when the edges materialize) must not
-    // strand the in-flight round's blocks or the edges persist — a
-    // long-lived session catches per-query failures and keeps going,
-    // so anything the failed run pinned has to drain at clearAll
-    import spark.implicits._
+    // mid-loop must not strand the in-flight round's blocks or the
+    // edges persist — a long-lived session catches per-query failures
+    // and keeps going, so anything the failed run pinned has to drain
+    // at clearAll. The poison fires on ONE key of a many-partition
+    // input, so sibling tasks complete (and persist their edge-cache
+    // partitions) before the abort — the partial-persist state a real
+    // task failure leaves, not the zero-blocks instant-abort case.
     Caches.clearAll(); spark.catalog.clearCache()
     val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
-    val docs = (1L to 8L).toDF("doc_id")
-    val poison = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val docs = spark.range(1, 65).toDF("doc_id")
+    val poison = spark.range(0, 63).repartition(8)
+      .selectExpr("id + 1 AS doc_a", "id + 2 AS doc_b")
       .withColumn("doc_a",
-        when(col("doc_a") > 0, expr("raise_error('injected failure')").cast("long"))
+        when(col("doc_a") === 37, expr("raise_error('injected failure')").cast("long"))
           .otherwise(col("doc_a")))
     intercept[Throwable] {
       graft.dedup.Dedup.componentsFromPairs(docs, poison).count()
@@ -458,6 +461,31 @@ class ScaleSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before)
     assert(leaked.isEmpty,
       s"failed loop leaked rdd storage (ids ${leaked.mkString(",")})")
+  }
+
+  test("releasing a partially materialized lazy checkpoint drops its blocks") {
+    // unit form of the in-loop catch path: when the materializing
+    // action of a round dies mid-job, the partitions that DID complete
+    // are already persisted; Checkpoints.release on the lazy handle
+    // must drop exactly that partial state. Simulated precisely by
+    // computing a subset of the checkpoint RDD's partitions.
+    import org.apache.spark.sql.execution.LogicalRDD
+    Caches.clearAll(); spark.catalog.clearCache()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val df = spark.range(0, 1024, 1, 8).toDF("id").localCheckpoint(false)
+    val rdd = df.queryExecution.analyzed
+      .collect { case lr: LogicalRDD => lr.rdd }.head
+    spark.sparkContext.runJob(rdd, (it: Iterator[_]) => it.size, 0 until 3)
+    val during = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before)
+    assert(during.nonEmpty, "sanity: the partial job persisted checkpoint blocks")
+    Checkpoints.release(df)
+    // release is non-blocking; give the async block removal a moment
+    def leaked = spark.sparkContext.getRDDStorageInfo
+      .filter(i => during.contains(i.id) && i.numCachedPartitions > 0)
+    val deadline = System.nanoTime() + 5000000000L
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty,
+      s"partial checkpoint blocks survived release (${leaked.mkString(",")})")
   }
 
   test("semantic clusters agree with the pair graph") {
