@@ -124,6 +124,10 @@ object SparkEntry {
     "dedup_paragraph" -> Dedup.paragraphDedup _,
     "stream_deid_pipeline" -> Streams.deidPipelineBatch _,
     "ann_cell_balance" -> Ann.cellBalance _,
+    "text_lm_score" -> TextOps.lmScore _,
+    "ingest_checksum_reconcile" -> SourceQueries.checksumReconcile _,
+    "load_cdc_apply" -> SourceQueries.cdcApply _,
+    "embed_random_projection" -> Ann.randomProjection _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1623,5 +1627,84 @@ object SparkEntry {
          |sizes AS (SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster)
          |SELECT c.vec_id, c.cluster, s.n_members
          |FROM comp c JOIN sizes s USING (cluster) ORDER BY vec_id""".stripMargin),
+    // round 8 (cont): unigram-LM scoring — integer counts, total
+    // tie-break at the LIMIT boundary; SUM casts back to BIGINT
+    // (DuckDB sum(int) is HUGEINT)
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |cnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY word),
+        |lm AS (SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT 20)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(lm.n) AS lm_hits,
+        |  CAST(SUM(COALESCE(lm.n, 0)) AS BIGINT) AS score_sum,
+        |  CAST(SUM(COALESCE(lm.n, 0)) // COUNT(*) AS BIGINT) AS score_avg
+        |FROM toks t LEFT JOIN lm ON t.word = lm.word
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // round 8 (cont): per-bucket checksum reconcile — the row hash is
+    // the SAME SQL text the Spark side evaluates (ascii of md5 hex
+    // chars, BIGINT-weighted), so the checksums agree bit-for-bit
+    "ingest_checksum_reconcile" -> {
+      val h = "md5(CAST(o_orderkey AS STRING) || '|' || o_orderstatus || " +
+        "'|' || CAST(CAST(o_orderdate AS DATE) AS STRING))"
+      val rowHash = s"CAST(ascii(substring($h, 1, 1)) AS BIGINT) * 16777619 + " +
+        s"CAST(ascii(substring($h, 9, 1)) AS BIGINT) * 65599 + " +
+        s"CAST(ascii(substring($h, 17, 1)) AS BIGINT) * 257 + " +
+        s"CAST(ascii(substring($h, 25, 1)) AS BIGINT)"
+      s"""WITH src AS (SELECT o_orderkey % 97 AS bucket, COUNT(*) AS n,
+         |    CAST(SUM($rowHash) AS BIGINT) AS s
+         |  FROM orders GROUP BY 1),
+         |dst AS (SELECT o_orderkey % 97 AS bucket, COUNT(*) AS n,
+         |    CAST(SUM($rowHash) AS BIGINT) AS s
+         |  FROM orders WHERE o_orderkey % 509 <> 0 GROUP BY 1)
+         |SELECT COALESCE(src.bucket, dst.bucket) AS bucket,
+         |  COALESCE(src.n, 0) AS n_src, COALESCE(dst.n, 0) AS n_dst,
+         |  CAST(CASE WHEN COALESCE(src.n, 0) = COALESCE(dst.n, 0)
+         |    AND COALESCE(src.s, 0) = COALESCE(dst.s, 0)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok
+         |FROM src FULL OUTER JOIN dst ON src.bucket = dst.bucket
+         |ORDER BY bucket""".stripMargin
+    },
+    // round 8 (cont): CDC apply — row_number over seq DESC is the
+    // oracle's form of the Spark side's max_by struct compaction
+    "load_cdc_apply" ->
+      """WITH snap AS (SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS snap_cents
+        |  FROM customer),
+        |lg AS (SELECT (event_id % 1800) + 1 AS k, event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cdc_cents
+        |  FROM events),
+        |lst AS (SELECT k, op, cdc_cents FROM (
+        |    SELECT k, op, cdc_cents,
+        |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM lg) t
+        |  WHERE rn = 1)
+        |SELECT COALESCE(snap.k, lst.k) AS k,
+        |  CASE WHEN lst.op = 'U' THEN 'cdc' ELSE 'snapshot' END AS src,
+        |  CASE WHEN lst.op = 'U' THEN lst.cdc_cents ELSE snap.snap_cents END AS val_cents
+        |FROM snap FULL OUTER JOIN lst ON snap.k = lst.k
+        |WHERE COALESCE(lst.op, 'U') <> 'D'
+        |ORDER BY k""".stripMargin,
+    // round 8 (cont): ±1 random projection in integer space — the
+    // sign is md5 parity of (i*8+j), identical text both engines;
+    // unnest+SUM replaces list_reduce (version-fragile, the r7
+    // kmeans lesson)
+    "embed_random_projection" -> {
+      val pivot = (0 until 8)
+        .map(j => s"MAX(CASE WHEN j = $j THEN p END) AS p$j").mkString(",\n  ")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |cells AS (SELECT vec_id, i, xq[CAST(i + 1 AS INTEGER)] AS v
+         |  FROM q, (SELECT unnest(range(0, 64)) AS i) g),
+         |proj AS (SELECT vec_id, j,
+         |    CAST(SUM(v * (CASE WHEN ascii(substring(md5(CAST(i * 8 + j AS STRING)), 1, 1)) % 2 = 0
+         |      THEN 1 ELSE -1 END)) AS BIGINT) AS p
+         |  FROM cells, (SELECT unnest(range(0, 8)) AS j) h
+         |  GROUP BY vec_id, j)
+         |SELECT vec_id,
+         |  $pivot
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
   )
 }

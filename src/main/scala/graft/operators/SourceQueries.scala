@@ -432,4 +432,74 @@ object SourceQueries {
           .cast("long").as("total"))
       .orderBy("p_brand")
   }
+
+  /** Source↔warehouse reconciliation by per-bucket content checksum —
+    * the strengthening of the reference's row-count-only validation
+    * (ServerUtil.java:140): equal counts cannot catch silently
+    * corrupted or swapped rows, an order-insensitive per-bucket
+    * checksum can. Each side is one scan + one 97-row aggregate
+    * (SUM of a per-row md5-derived integer commutes, so partial
+    * aggregation combines map-side and the compare never shuffles
+    * data — at 100 TB the audit moves 2×97 rows). The "loaded" side
+    * here simulates a load that dropped a dead-letter slice
+    * (o_orderkey % 509 = 0), so mismatched buckets localize the loss
+    * to 1/97th of the keyspace — the re-extract granularity. */
+  def checksumReconcile(spark: SparkSession, dir: String): DataFrame = {
+    // portable row hash: ascii of 4 md5 hex chars, weighted — the
+    // identical SQL text evaluates bit-equal on Spark and DuckDB
+    val h = "md5(CAST(o_orderkey AS STRING) || '|' || o_orderstatus || " +
+      "'|' || CAST(CAST(o_orderdate AS DATE) AS STRING))"
+    val rowHash = s"CAST(ascii(substring($h, 1, 1)) AS BIGINT) * 16777619 + " +
+      s"CAST(ascii(substring($h, 9, 1)) AS BIGINT) * 65599 + " +
+      s"CAST(ascii(substring($h, 17, 1)) AS BIGINT) * 257 + " +
+      s"CAST(ascii(substring($h, 25, 1)) AS BIGINT)"
+    def sideSum(df: DataFrame, n: String, s: String) = df
+      .selectExpr("o_orderkey % 97 AS bucket", s"$rowHash AS rh")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(n), sum(col("rh")).as(s))
+    val src = sideSum(Tables.orders(spark, dir), "n_src", "sum_src")
+    val dst = sideSum(Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 509 =!= 0), "n_dst", "sum_dst")
+    src.join(dst, Seq("bucket"), "full_outer")
+      .selectExpr("bucket",
+        "COALESCE(n_src, 0) AS n_src", "COALESCE(n_dst, 0) AS n_dst",
+        "CAST(CASE WHEN COALESCE(n_src, 0) = COALESCE(n_dst, 0) " +
+          "AND COALESCE(sum_src, 0) = COALESCE(sum_dst, 0) " +
+          "THEN 1 ELSE 0 END AS BIGINT) AS ok")
+      .orderBy("bucket")
+  }
+
+  /** CDC log apply — the incremental-refresh story of an RDB import
+    * (the reference re-imports full tables on a schedule;
+    * DBImportPipeline.java:69-133): a change log (insert/update =
+    * upsert 'U', delete = tombstone 'D', totally ordered per key by
+    * sequence number) is applied onto the last snapshot. The log is
+    * COMPACTED FIRST — one max_by-shaped aggregate collapses it to
+    * its final op per key, with map-side combine, so the snapshot
+    * join touches one row per changed key no matter how hot the key
+    * was in the log (the property that keeps a 100 TB snapshot
+    * refresh proportional to DISTINCT keys changed, not log volume).
+    * Events stand in as the log: key folded onto the customer
+    * keyspace plus an insert-only range, 'error' events as deletes,
+    * event_id as the sequence. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS k",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS snap_cents")
+    val log = Tables.events(spark, dir)
+      .selectExpr("(event_id % 1800) + 1 AS k", "event_id AS seq",
+        "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cdc_cents")
+    // log compaction: last op wins (seq is unique, so the struct max
+    // IS max_by(seq)); partial aggregation eats the per-key fan-in
+    val last = log.groupBy("k")
+      .agg(max(struct(col("seq"), col("op"), col("cdc_cents"))).as("m"))
+      .select(col("k"), col("m.op").as("op"), col("m.cdc_cents").as("cdc_cents"))
+    snap.join(last, Seq("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("U")) =!= "D")
+      .selectExpr("k",
+        "CASE WHEN op = 'U' THEN 'cdc' ELSE 'snapshot' END AS src",
+        "CASE WHEN op = 'U' THEN cdc_cents ELSE snap_cents END AS val_cents")
+      .orderBy("k")
+  }
 }

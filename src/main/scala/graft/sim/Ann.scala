@@ -495,4 +495,32 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** Random-projection dimensionality reduction (Achlioptas,
+    * "Database-friendly random projections", PODS 2001): 64-dim
+    * vectors down to 8 via a ±1 sign matrix, the cheap JL-transform
+    * that preserves pairwise distances within (1±ε) and feeds
+    * LSH/clustering stages at an 8× smaller shuffle footprint. The
+    * sign matrix is a pure function of (i, j) — md5 parity, derived
+    * identically on any engine and any executor, so the "matrix" is
+    * never materialized, broadcast, or synchronized: the whole
+    * projection is ONE codegen'd map-only scan (per-row HOF fold in
+    * fixed index order), shuffling nothing at any corpus size.
+    * Integer-quantized space (floor(x·10⁶), the kmeansTrain
+    * convention) keeps the sums order-insensitive and cross-engine
+    * exact. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    def sign(i: String, j: Int) =
+      s"(CASE WHEN ascii(substring(md5(CAST($i * 8 + $j AS STRING)), 1, 1)) % 2 = 0 " +
+        "THEN 1 ELSE -1 END)"
+    val cols = (0 until 8).map { j =>
+      s"aggregate(sequence(0, 63), CAST(0 AS BIGINT), " +
+        s"(acc, i) -> acc + element_at(xq, i + 1) * ${sign("i", j)}) AS p$j"
+    }
+    embDf(spark, dir)
+      .selectExpr("vec_id",
+        "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
+      .selectExpr("vec_id" +: cols: _*)
+      .orderBy("vec_id")
+  }
 }

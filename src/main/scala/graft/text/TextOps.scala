@@ -393,6 +393,43 @@ object TextOps {
       .limit(20)
   }
 
+  /** Unigram-LM quality score (integer form of the CCNet / Wenzek et
+    * al. 2020 perplexity filter): score each document by how much of
+    * its token mass falls in the corpus's head vocabulary. The LM is
+    * the top-K corpus unigrams (K=20 at test scale; ~50k in
+    * production — still broadcastable), so scoring is one map-side
+    * broadcast join + per-doc aggregate: no shuffle grows with the
+    * corpus, the exact shape a 100 TB quality-filter pass needs.
+    * Integer corpus counts stand in for log-probs (order-insensitive
+    * sums; cross-engine exact), ranking documents the same way:
+    * rare-token/OOV-heavy docs score low.
+    *
+    * Reference analogue: the quality gates a training-data pipeline
+    * runs before DLP/dedup (no direct reference class; complements
+    * pipeline_quality_gate). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    // same shared corpus-count cache as vocab() — one scan serves both
+    val counts = Caches.shared(spark, s"text.vocabCounts:$dir") {
+      Tables.documents(spark, dir)
+        .selectExpr("explode(split(text, ' ')) AS word")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+    }
+    // deterministic head cut: total tie-break (n desc, word) so the
+    // LIMIT boundary is engine-independent
+    val lm = counts.orderBy(col("n").desc, col("word")).limit(20)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(lm), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("n")).as("lm_hits"),
+        sum(coalesce(col("n"), lit(0L))).as("score_sum"))
+      .selectExpr("doc_id", "n_tokens", "lm_hits", "score_sum",
+        "score_sum DIV n_tokens AS score_avg")
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style fingerprint (Schleimer/Wilkerson/Aiken,
     * "Winnowing: local algorithms for document fingerprinting",
     * SIGMOD 2003): min rolling-hash (md5 of each 5-char window) +

@@ -307,6 +307,27 @@ class PlanSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("random projection is one map-only scan (no join, no aggregate, no matrix)") {
+    // the scale claim: the ±1 sign matrix is a pure function of
+    // (i, j), so the projection never materializes, broadcasts, or
+    // joins a matrix — a single codegen'd scan plus the final sort
+    val plan = Ann.randomProjection(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"projection must not join:\n${plan.take(1200)}")
+    assert(!plan.contains("HashAggregate"),
+      s"projection must not aggregate:\n${plan.take(1200)}")
+  }
+
+  test("lm score joins the corpus against a BROADCAST head vocabulary") {
+    // the LM must reach every token map-side: a sort-merge join here
+    // would shuffle the exploded corpus (token-count rows) by word
+    val plan = graft.text.TextOps.lmScore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lm join must broadcast the head vocab:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in lm score:\n${plan.take(1500)}")
+  }
+
   test("z-order buckets are tight in BOTH dimensions (span ≤ 4 of 16)") {
     // The layout claim behind layout_zorder: a 1-D sort gives tight
     // file ranges in one dimension only; the z-key's 16 buckets each

@@ -221,4 +221,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(dead.filter(col("reason").startsWith("retry_exhausted:")).count() > 0,
       "exhausted rows must carry the terminal cause in the reason")
   }
+
+  test("cdcApply: tombstones delete, log-only keys insert, untouched keys survive") {
+    import graft.operators.SourceQueries
+    val out = SourceQueries.cdcApply(spark, sf)
+    val events = Tables.events(spark, sf)
+      .selectExpr("(event_id % 1800) + 1 AS k", "event_id AS seq",
+        "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op")
+    // final op per key, recomputed independently via a window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq").desc)
+    val lastOp = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("k", "op")
+    val deleted = lastOp.filter(col("op") === "D").select("k")
+    assert(deleted.count() > 0, "sanity: the log contains tombstones")
+    assert(out.join(deleted, "k").count() == 0,
+      "keys whose final op is a tombstone must be absent")
+    // log-only inserts (k above the snapshot keyspace) surface as src='cdc'
+    val maxSnap = Tables.customer(spark, sf)
+      .agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    val inserted = out.filter(col("k") > maxSnap)
+    assert(inserted.count() > 0, "sanity: log-only keys exist")
+    assert(inserted.filter(col("src") =!= "cdc").count() == 0,
+      "log-only keys must carry the cdc payload")
+    // keys never touched by the log keep their snapshot value
+    val untouched = out.join(events.select("k").distinct(), Seq("k"), "left_anti")
+    assert(untouched.filter(col("src") =!= "snapshot").count() == 0,
+      "untouched keys must keep the snapshot payload")
+  }
+
+  test("checksumReconcile: mismatches exactly localize the dropped keys' buckets") {
+    import graft.operators.SourceQueries
+    val out = SourceQueries.checksumReconcile(spark, sf)
+    val expectBad = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 509 === 0)
+      .selectExpr("o_orderkey % 97 AS bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(expectBad.nonEmpty, "sanity: the simulated loss drops rows")
+    val flagged = out.filter(col("ok") === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == expectBad,
+      s"flagged buckets $flagged != buckets with dropped keys $expectBad")
+    // counts must localize the loss too, not just the checksum bit
+    val lost = out.selectExpr("sum(n_src - n_dst) AS d").collect()(0).getLong(0)
+    val dropped = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 509 === 0).count()
+    assert(lost == dropped, s"count delta $lost != dropped rows $dropped")
+  }
 }
