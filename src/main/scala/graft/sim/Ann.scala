@@ -505,17 +505,26 @@ object Ann {
     * identically on any engine and any executor, so the "matrix" is
     * never materialized, broadcast, or synchronized: the whole
     * projection is ONE codegen'd map-only scan (per-row HOF fold in
-    * fixed index order), shuffling nothing at any corpus size.
-    * Integer-quantized space (floor(x·10⁶), the kmeansTrain
-    * convention) keeps the sums order-insensitive and cross-engine
-    * exact. */
+    * fixed index order), shuffling nothing at any corpus size. The
+    * signs are evaluated ONCE at plan build and embedded as a
+    * foldable literal array (512 md5 calls per ROW otherwise — the
+    * lambda index blocks constant folding); the oracle derives them
+    * inline in SQL from the same definition, so the verify hash
+    * proves the two derivations agree. Integer-quantized space
+    * (floor(x·10⁶), the kmeansTrain convention) keeps the sums
+    * order-insensitive and cross-engine exact. */
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
-    def sign(i: String, j: Int) =
-      s"(CASE WHEN ascii(substring(md5(CAST($i * 8 + $j AS STRING)), 1, 1)) % 2 = 0 " +
-        "THEN 1 ELSE -1 END)"
+    // sign(i, j) = parity of the first hex char of md5(i*8+j) —
+    // the first hex char is the high nibble of the first digest byte
+    def sign(i: Int, j: Int): Int = {
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(i * 8 + j).getBytes("UTF-8"))(0)
+      if ("0123456789abcdef".charAt((b0 >> 4) & 0xF).toInt % 2 == 0) 1 else -1
+    }
     val cols = (0 until 8).map { j =>
+      val sgn = (0 until 64).map(i => sign(i, j)).mkString(", ")
       s"aggregate(sequence(0, 63), CAST(0 AS BIGINT), " +
-        s"(acc, i) -> acc + element_at(xq, i + 1) * ${sign("i", j)}) AS p$j"
+        s"(acc, i) -> acc + element_at(xq, i + 1) * element_at(array($sgn), i + 1)) AS p$j"
     }
     embDf(spark, dir)
       .selectExpr("vec_id",
