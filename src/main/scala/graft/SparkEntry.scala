@@ -128,6 +128,7 @@ object SparkEntry {
     "ingest_checksum_reconcile" -> SourceQueries.checksumReconcile _,
     "load_cdc_apply" -> SourceQueries.cdcApply _,
     "embed_random_projection" -> Ann.randomProjection _,
+    "stream_rate_anomaly" -> Streams.rateAnomalyBatch _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1706,5 +1707,24 @@ object SparkEntry {
          |  $pivot
          |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+    // round 8 (cont): rate-spike detection — lag-sum trailing window
+    // (nulls propagate through +, so <4 priors filters itself);
+    // integer compare n*4 > 3*trail, same epoch-bucket idiom as
+    // stream_window_agg
+    "stream_rate_anomaly" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |    INTERVAL ((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900) SECOND AS ws,
+        |  event_type FROM e),
+        |c AS (SELECT ws, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |t AS (SELECT event_type, ws, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY ws) +
+        |    lag(n, 2) OVER (PARTITION BY event_type ORDER BY ws) +
+        |    lag(n, 3) OVER (PARTITION BY event_type ORDER BY ws) +
+        |    lag(n, 4) OVER (PARTITION BY event_type ORDER BY ws) AS trail
+        |  FROM c)
+        |SELECT event_type, ws, n, trail,
+        |  CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM t WHERE trail IS NOT NULL ORDER BY event_type, ws""".stripMargin,
   )
 }

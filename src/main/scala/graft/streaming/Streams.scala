@@ -387,6 +387,68 @@ object Streams {
       }
   }
 
+  /** Rate-spike detection over 15-minute tumbling windows — the
+    * monitoring query a long-running import/event pipeline runs on
+    * itself (the reference surfaces only per-run row counts;
+    * DBImportPipeline.java:140-160's dead-letter tags are the events
+    * you'd watch): per event_type, a window is anomalous when its
+    * count exceeds 3× the trailing-4-window average, in pure integer
+    * arithmetic (n·4 > 3·Σ prev4 — no doubles cross the compare
+    * boundary). Only windows with 4 OBSERVED priors are judged
+    * (gap-agnostic: lag over present windows), so sparse keys never
+    * divide by an imagined denominator. Scale shape: the corpus-sized
+    * work is the windowed count (partial-aggregated map-side); the
+    * lag window runs over the tiny (key × window) aggregate, so the
+    * sort-window never sees raw events. */
+  def rateAnomalyBatch(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.events(spark, dir)
+      .selectExpr("timestamp_seconds((unix_seconds(ts) DIV 900) * 900) AS ws",
+        "event_type")
+      .groupBy("ws", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+    wins
+      // null lag (fewer than 4 priors) nulls the sum — filtered below
+      .withColumn("trail", lag(col("n"), 1).over(w) + lag(col("n"), 2).over(w) +
+        lag(col("n"), 3).over(w) + lag(col("n"), 4).over(w))
+      .filter(col("trail").isNotNull)
+      .selectExpr("event_type", "ws", "n", "trail",
+        "CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT) AS anomaly")
+      .orderBy("event_type", "ws")
+  }
+
+  case class WinCount(event_type: String, wsUs: Long, n: Long)
+  case class RateFlag(event_type: String, wsUs: Long, n: Long,
+    trail: Long, anomaly: Long)
+
+  /** Streaming form of the rate anomaly: consumes the CLOSED-window
+    * count stream (what windowAggStreaming's append mode emits once
+    * the watermark passes) keyed by event_type, holding exactly the
+    * last four window counts as state — O(1) per key, no window sort
+    * anywhere. Contract: per-key windows arrive in ws order, which
+    * append-mode watermark emission provides; a spec proves equality
+    * with the batch form on the same windows. */
+  def rateAnomalyStreaming(wins: Dataset[WinCount]): Dataset[RateFlag] = {
+    import wins.sparkSession.implicits._
+    wins.groupByKey(_.event_type)
+      .flatMapGroupsWithState[List[(Long, Long)], RateFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, ws, state: GroupState[List[(Long, Long)]]) =>
+          var last = state.getOption.getOrElse(Nil) // newest first, ≤ 4
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateFlag]
+          ws.toSeq.sortBy(_.wsUs).foreach { w =>
+            if (last.size == 4) {
+              val trail = last.map(_._2).sum
+              out += RateFlag(key, w.wsUs, w.n, trail,
+                if (w.n * 4 > 3 * trail) 1L else 0L)
+            }
+            last = ((w.wsUs, w.n) :: last).take(4)
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** Streaming load with dead-letter routing — the reference's BQ
     * write path (DBImportPipeline.java:116-160: failed inserts retried
     * then logged to a dead-letter tag). foreachBatch validates each

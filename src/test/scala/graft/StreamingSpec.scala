@@ -171,6 +171,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaState.nonEmpty)
   }
 
+  test("streaming rate anomaly (O(1) trailing state) equals the batch lag-window form") {
+    import spark.implicits._
+    val wins = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "unix_micros(timestamp_seconds((unix_seconds(ts) DIV 900) * 900)) AS wsUs")
+      .groupBy("event_type", "wsUs").agg(count(lit(1)).as("n"))
+      .as[Streams.WinCount]
+    val got = Streams.rateAnomalyStreaming(wins).collect()
+      .map(r => (r.event_type, r.wsUs, r.n, r.trail, r.anomaly)).toSet
+    val batch = Streams.rateAnomalyBatch(spark, sf)
+      .selectExpr("event_type", "unix_micros(ws) AS wsUs", "n", "trail", "anomaly")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got.nonEmpty, "no judged windows")
+    assert(got == batch)
+    assert(got.exists(_._5 == 1L) || got.forall(_._5 == 0L)) // anomaly bit well-formed
+  }
+
   test("streaming windowed top-k matches the batch form on closed windows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft-wtopk").toString
