@@ -1450,14 +1450,19 @@ object SparkEntry {
     // round 8: deid transforms + range batching + order-insensitive
     // payload fingerprint (sorted token list) — same token/sha256
     // fragment as dlp_config_apply
-    "stream_deid_pipeline" ->
-      """WITH deid AS (SELECT c_custkey,
-        |    'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS tok
-        |  FROM customer)
-        |SELECT CAST(FLOOR((c_custkey - 1) / 500) AS BIGINT) AS batch_id,
-        |  COUNT(*) AS n_rows, MIN(c_custkey) AS lo_key, MAX(c_custkey) AS hi_key,
-        |  md5(array_to_string(list_sort(list(tok)), ',')) AS payload_md5
-        |FROM deid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_deid_pipeline" -> {
+      // batch size interpolated FROM the config, like the Spark side —
+      // ExampleConfig is the single source for both engines
+      val batch = graft.etl.DlpConfig.parse(graft.etl.DlpConfig.ExampleConfig)
+        .find(_.tableName == "customer").map(_.batchSize).getOrElse(500)
+      s"""WITH deid AS (SELECT c_custkey,
+         |    'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS tok
+         |  FROM customer)
+         |SELECT CAST(FLOOR((c_custkey - 1) / $batch) AS BIGINT) AS batch_id,
+         |  COUNT(*) AS n_rows, MIN(c_custkey) AS lo_key, MAX(c_custkey) AS hi_key,
+         |  md5(array_to_string(list_sort(list(tok)), ',')) AS payload_md5
+         |FROM deid GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // round 8: DuckDB list slice ws[a:b] is 1-based inclusive =
     // Spark slice(ws, a, 8); range(0,16) covers the ≤100-word docs
     "dedup_paragraph" ->
@@ -1642,15 +1647,10 @@ object SparkEntry {
         |FROM toks t LEFT JOIN lm ON t.word = lm.word
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // round 8 (cont): per-bucket checksum reconcile — the row hash is
-    // the SAME SQL text the Spark side evaluates (ascii of md5 hex
-    // chars, BIGINT-weighted), so the checksums agree bit-for-bit
+    // the SAME SQL text the Spark side evaluates (the shared
+    // OrdersRowHashSql val), so the checksums agree bit-for-bit
     "ingest_checksum_reconcile" -> {
-      val h = "md5(CAST(o_orderkey AS STRING) || '|' || o_orderstatus || " +
-        "'|' || CAST(CAST(o_orderdate AS DATE) AS STRING))"
-      val rowHash = s"CAST(ascii(substring($h, 1, 1)) AS BIGINT) * 16777619 + " +
-        s"CAST(ascii(substring($h, 9, 1)) AS BIGINT) * 65599 + " +
-        s"CAST(ascii(substring($h, 17, 1)) AS BIGINT) * 257 + " +
-        s"CAST(ascii(substring($h, 25, 1)) AS BIGINT)"
+      val rowHash = SourceQueries.OrdersRowHashSql
       s"""WITH src AS (SELECT o_orderkey % 97 AS bucket, COUNT(*) AS n,
          |    CAST(SUM($rowHash) AS BIGINT) AS s
          |  FROM orders GROUP BY 1),

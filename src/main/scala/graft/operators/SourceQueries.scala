@@ -444,17 +444,23 @@ object SourceQueries {
     * here simulates a load that dropped a dead-letter slice
     * (o_orderkey % 509 = 0), so mismatched buckets localize the loss
     * to 1/97th of the keyspace — the re-extract granularity. */
-  def checksumReconcile(spark: SparkSession, dir: String): DataFrame = {
-    // portable row hash: ascii of 4 md5 hex chars, weighted — the
-    // identical SQL text evaluates bit-equal on Spark and DuckDB
+  /** Portable per-row content hash over (key, status, date): ascii of
+    * four md5 hex chars, BIGINT-weighted — the identical SQL text
+    * evaluates bit-equal on Spark and DuckDB (the TextOps.HashBucketSql
+    * convention). ONE definition shared by checksumReconcile and its
+    * oracle, so the two sides cannot drift. */
+  val OrdersRowHashSql: String = {
     val h = "md5(CAST(o_orderkey AS STRING) || '|' || o_orderstatus || " +
       "'|' || CAST(CAST(o_orderdate AS DATE) AS STRING))"
-    val rowHash = s"CAST(ascii(substring($h, 1, 1)) AS BIGINT) * 16777619 + " +
+    s"CAST(ascii(substring($h, 1, 1)) AS BIGINT) * 16777619 + " +
       s"CAST(ascii(substring($h, 9, 1)) AS BIGINT) * 65599 + " +
       s"CAST(ascii(substring($h, 17, 1)) AS BIGINT) * 257 + " +
       s"CAST(ascii(substring($h, 25, 1)) AS BIGINT)"
+  }
+
+  def checksumReconcile(spark: SparkSession, dir: String): DataFrame = {
     def sideSum(df: DataFrame, n: String, s: String) = df
-      .selectExpr("o_orderkey % 97 AS bucket", s"$rowHash AS rh")
+      .selectExpr("o_orderkey % 97 AS bucket", s"$OrdersRowHashSql AS rh")
       .groupBy("bucket")
       .agg(count(lit(1)).as(n), sum(col("rh")).as(s))
     val src = sideSum(Tables.orders(spark, dir), "n_src", "sum_src")

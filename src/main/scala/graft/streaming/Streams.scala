@@ -412,8 +412,9 @@ object Streams {
       .withColumn("trail", lag(col("n"), 1).over(w) + lag(col("n"), 2).over(w) +
         lag(col("n"), 3).over(w) + lag(col("n"), 4).over(w))
       .filter(col("trail").isNotNull)
-      .selectExpr("event_type", "ws", "n", "trail",
-        "CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT) AS anomaly")
+      .select(col("event_type"), ntz(col("ws")).as("ws"), col("n"), col("trail"),
+        expr("CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT)")
+          .as("anomaly"))
       .orderBy("event_type", "ws")
   }
 

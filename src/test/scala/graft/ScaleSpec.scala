@@ -466,18 +466,36 @@ class ScaleSpec extends AnyFunSuite {
   test("releasing a partially materialized lazy checkpoint drops its blocks") {
     // unit form of the in-loop catch path: when the materializing
     // action of a round dies mid-job, the partitions that DID complete
-    // are already persisted; Checkpoints.release on the lazy handle
-    // must drop exactly that partial state. Simulated precisely by
-    // computing a subset of the checkpoint RDD's partitions.
+    // are persisted but the checkpoint is never FINALIZED (a failed
+    // job skips rdd.doCheckpoint). A successful runJob — even over a
+    // partition subset — would finalize ALL partitions, so the partial
+    // state must be produced the way production produces it: a task
+    // failure inside the materializing job.
     import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.TaskContext
     Caches.clearAll(); spark.catalog.clearCache()
     val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
-    val df = spark.range(0, 1024, 1, 8).toDF("id").localCheckpoint(false)
+    val df = spark.range(0, 65536, 1, 32).toDF("id").localCheckpoint(false)
     val rdd = df.queryExecution.analyzed
       .collect { case lr: LogicalRDD => lr.rdd }.head
-    spark.sparkContext.runJob(rdd, (it: Iterator[_]) => it.size, 0 until 3)
-    val during = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before)
-    assert(during.nonEmpty, "sanity: the partial job persisted checkpoint blocks")
+    def during = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet.diff(before)
+    // one poisoned task (which consumes — and therefore persists — its
+    // partition before throwing); sibling tasks persist theirs unless
+    // the abort kills them first, so retry the race a bounded number
+    // of times (already-persisted partitions replay from cache)
+    var attempts = 0
+    while (during.isEmpty && attempts < 5) {
+      attempts += 1
+      intercept[Throwable] {
+        spark.sparkContext.runJob(rdd, (it: Iterator[_]) => {
+          val n = it.size
+          if (TaskContext.get.partitionId == 31)
+            throw new RuntimeException(s"injected failure after $n rows")
+          n
+        })
+      }
+    }
+    assert(during.nonEmpty, "sanity: the failed job persisted no partition blocks")
     Checkpoints.release(df)
     // release is non-blocking; give the async block removal a moment
     def leaked = spark.sparkContext.getRDDStorageInfo

@@ -181,13 +181,28 @@ class StreamingSpec extends AnyFunSuite {
     val got = Streams.rateAnomalyStreaming(wins).collect()
       .map(r => (r.event_type, r.wsUs, r.n, r.trail, r.anomaly)).toSet
     val batch = Streams.rateAnomalyBatch(spark, sf)
-      .selectExpr("event_type", "unix_micros(ws) AS wsUs", "n", "trail", "anomaly")
+      .selectExpr("event_type", "unix_micros(CAST(ws AS TIMESTAMP)) AS wsUs",
+        "n", "trail", "anomaly")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
     assert(got.nonEmpty, "no judged windows")
     assert(got == batch)
-    assert(got.exists(_._5 == 1L) || got.forall(_._5 == 0L)) // anomaly bit well-formed
+    // the sf0.001 corpus is spike-free; prove the anomaly path FIRES
+    // on a synthetic spike through the streaming form (and that the
+    // first four windows are withheld, not judged against a short
+    // baseline)
+    val synth = Seq(
+      Streams.WinCount("x", 1L, 10), Streams.WinCount("x", 2L, 10),
+      Streams.WinCount("x", 3L, 10), Streams.WinCount("x", 4L, 10),
+      Streams.WinCount("x", 5L, 31), // 31*4 = 124 > 3*40 — spike
+      Streams.WinCount("x", 6L, 10)  // trail now 10+10+10+31 = 61 — calm
+    ).toDS()
+    val flags = Streams.rateAnomalyStreaming(synth).collect()
+      .map(r => r.wsUs -> ((r.trail, r.anomaly))).toMap
+    assert(!flags.contains(4L), "window with only 3 priors must not be judged")
+    assert(flags(5L) == ((40L, 1L)), s"spike not flagged: ${flags.get(5L)}")
+    assert(flags(6L) == ((61L, 0L)), s"calm window misflagged: ${flags.get(6L)}")
   }
 
   test("streaming windowed top-k matches the batch form on closed windows") {
