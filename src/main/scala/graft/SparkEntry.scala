@@ -129,6 +129,7 @@ object SparkEntry {
     "load_cdc_apply" -> SourceQueries.cdcApply _,
     "embed_random_projection" -> Ann.randomProjection _,
     "stream_rate_anomaly" -> Streams.rateAnomalyBatch _,
+    "dedup_fuzzy_link" -> Dedup.fuzzyLink _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1726,5 +1727,16 @@ object SparkEntry {
         |SELECT event_type, ws, n, trail,
         |  CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM t WHERE trail IS NOT NULL ORDER BY event_type, ws""".stripMargin,
+    // round 8 (cont): fuzzy record linkage — canonicalize → token
+    // blocking → levenshtein verify; both engines implement standard
+    // unit-cost edit distance
+    "dedup_fuzzy_link" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+        |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }

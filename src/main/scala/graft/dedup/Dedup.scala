@@ -553,4 +553,33 @@ object Dedup {
         col("n_members"))
       .orderBy("vec_id")
   }
+
+  /** Record linkage over fuzzy name keys — the cross-system key-match
+    * problem an RDB consolidation hits when the join key is a human-
+    * entered string (no reference class; the migration-adjacent MDM
+    * step). Classic block-then-verify shape (Fellegi–Sunter style
+    * blocking): (1) CANONICALIZE FIRST — distinct names, so all
+    * downstream work scales with the name vocabulary, not row count
+    * (the step that makes 100 TB feasible: a billion rows with 10⁵
+    * distinct names do 10⁵-scale work); (2) token blocking — the
+    * equality join only pairs names sharing a word, never all-pairs;
+    * (3) edit-distance verify on the candidates. Exact by
+    * construction for any pair sharing ≥1 token; production blocking
+    * usually also caps pathological token frequency (the ngramJaccard
+    * df-cap pattern) at the cost of missing pairs that share ONLY
+    * capped tokens. */
+  def fuzzyLink(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+    val toks = names
+      .select(col("p_name"), explode(split(col("p_name"), " ")).as("tok"))
+    val cand = toks.as("a").join(toks.as("b"), "tok")
+      .filter(col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      .distinct()
+    cand
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+  }
 }

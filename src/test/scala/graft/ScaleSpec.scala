@@ -506,6 +506,24 @@ class ScaleSpec extends AnyFunSuite {
       s"partial checkpoint blocks survived release (${leaked.mkString(",")})")
   }
 
+  test("fuzzy link: canonical space stays vocabulary-sized and pairs verify") {
+    import graft.dedup.Dedup
+    val out = Dedup.fuzzyLink(spark, sf).collect()
+    assert(out.nonEmpty, "no fuzzy matches in the part vocabulary")
+    // every emitted pair must share a blocking token AND verify ≤ 3
+    out.foreach { r =>
+      val (a, b, d) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, s"unordered pair ($a, $b)")
+      assert(d <= 3, s"unverified pair ($a, $b) dist $d")
+      assert(a.split(" ").toSet.intersect(b.split(" ").toSet).nonEmpty,
+        s"pair ($a, $b) shares no blocking token")
+    }
+    // the work space is the distinct-name vocabulary, not the row count:
+    // parts grow with sf but the canonical space must not
+    val vocab = Tables.part(spark, sf).select("p_name").distinct().count()
+    assert(vocab < 200, s"canonical space unexpectedly large ($vocab)")
+  }
+
   test("semantic clusters agree with the pair graph") {
     val pairs = graft.dedup.Dedup.embeddingCosine(spark, sf)
       .select("vec_a", "vec_b").collect()
