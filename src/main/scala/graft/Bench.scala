@@ -71,7 +71,7 @@ object Bench {
     // diffs are stable regardless of Map iteration order.
     val ordered = selected.toSeq.sortBy { case (n, _) => (family(n), n) }
     var prevFamily: String = null
-    val results = ordered.map { case (name, fn) =>
+    val firstPass = ordered.map { case (name, fn) =>
       if (prevFamily != null && family(name) != prevFamily && !isolate) {
         Caches.clearAll(); spark.catalog.clearCache()
         logStorage(s"family $prevFamily")
@@ -93,6 +93,37 @@ object Bench {
       }
       name -> times.min
     }.toMap
+    // One-shot retry for extreme outliers: this host shows rare
+    // minute-scale co-tenant stalls that land on one arbitrary query
+    // per run (r8 observed 48 s / 371 s / 79 s on queries that run
+    // 1-4 s clean) and would otherwise dominate a whole snapshot. A
+    // query whose time exceeds max(20 s, 25× the run median) is
+    // re-run ONCE on a cold cache and the min reported; the first
+    // measurement is preserved under "retried" in the snapshot so the
+    // correction is never silent. A genuine regression survives the
+    // retry (both passes slow); only transient stalls are corrected.
+    val median = {
+      val s = firstPass.values.toSeq.sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val outlierCut = math.max(20.0, 25 * median)
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = firstPass.map { case (name, t) =>
+      if (t <= outlierCut) name -> t
+      else {
+        Caches.clearAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try selected(name)(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name retry failed: $e")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s " +
+          f"(outlier retry; first pass $t%.2f s, cut ${outlierCut}%.1f s)")
+        retried(name) = t
+        name -> math.min(t, dt)
+      }
+    }
     Caches.clearAll()
     logStorage("all queries")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -119,10 +150,16 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
     // bench_schema 2 = family-grouped shared mode with per-family cache
     // release (r7+); totals are NOT comparable with schema-1 (r1-r6
-    // shared-everything) snapshots query-by-query
+    // shared-everything) snapshots query-by-query. Schema 3 = 2 plus
+    // the one-shot outlier retry: totals use the per-query min, and
+    // any corrected query's first measurement is under "retried".
+    val retriedJson =
+      if (retried.isEmpty) ""
+      else retried.toSeq.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+        .mkString(""","retried":{""", ",", "}")
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","rev":"$rev","bench_schema":2,"cache_mode":"$mode","queries":{""", ",", "}}")
+      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","rev":"$rev","bench_schema":3,"cache_mode":"$mode"$retriedJson,"queries":{""", ",", "}}")
     // Per-mode snapshot file, then a combined BENCH_FULL.json holding
     // BOTH cache modes so round-over-round diffs can adjudicate
     // shared-session noise vs real operator regressions without

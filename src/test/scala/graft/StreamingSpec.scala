@@ -205,6 +205,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(flags(6L) == ((61L, 0L)), s"calm window misflagged: ${flags.get(6L)}")
   }
 
+  test("rate anomaly state survives trigger boundaries (true micro-batch run)") {
+    // the batch-mode equality above proves the math; this proves the
+    // STATE: the trailing-4 deque must carry across triggers, so a
+    // spike arriving four triggers after its baseline is still judged
+    // against it
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streams.WinCount]
+    val q = Streams.rateAnomalyStreaming(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_out").start()
+    // trigger 1: the baseline only — nothing judged yet
+    src.addData(Streams.WinCount("x", 1L, 10), Streams.WinCount("x", 2L, 10),
+      Streams.WinCount("x", 3L, 10), Streams.WinCount("x", 4L, 10))
+    q.processAllAvailable()
+    assert(spark.table("rate_out").count() == 0,
+      "baseline windows must not be judged")
+    // trigger 2: the spike, judged against state built in trigger 1
+    src.addData(Streams.WinCount("x", 5L, 31))
+    q.processAllAvailable()
+    // trigger 3: calm window whose trail includes the spike
+    src.addData(Streams.WinCount("x", 6L, 10))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("rate_out").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(5L -> ((40L, 1L)), 6L -> ((61L, 0L))),
+      s"cross-trigger state broken: $got")
+  }
+
   test("streaming windowed top-k matches the batch form on closed windows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft-wtopk").toString
