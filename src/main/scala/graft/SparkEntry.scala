@@ -130,6 +130,7 @@ object SparkEntry {
     "embed_random_projection" -> Ann.randomProjection _,
     "stream_rate_anomaly" -> Streams.rateAnomalyBatch _,
     "dedup_fuzzy_link" -> Dedup.fuzzyLink _,
+    "q_interval_union" -> Analytics.qIntervalUnion _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1738,5 +1739,28 @@ object SparkEntry {
         |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+    // round 8 (cont): interval union — identical windows both engines;
+    // tie rows are identical tuples so island numbering is stable;
+    // epoch floor-cast per the stream_window_agg idiom
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 AS e
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cm AS (SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |fl AS (SELECT user_id, s, e,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM cm),
+        |isl AS (SELECT user_id, s, e,
+        |    SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |g AS (SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(ie - is_) AS BIGINT) AS covered_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

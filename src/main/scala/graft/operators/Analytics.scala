@@ -507,4 +507,36 @@ object Analytics {
         min(col("db")).as("db_min"), max(col("db")).as("db_max"))
       .orderBy("zbucket")
   }
+
+  /** Interval union per key (gaps-and-islands): each event opens a
+    * 5-minute activity interval; overlapping/adjacent intervals merge,
+    * and the output is each user's island count and total covered
+    * seconds — the interval-algebra primitive behind billing meters,
+    * uptime/SLA windows, and session coverage. ONE shuffle on the
+    * key, then two per-key windows (running max-end marks island
+    * starts, running sum numbers them) and two aggregates; all
+    * integer seconds. Tie rows are identical (same s, e), so island
+    * numbering is order-stable at any parallelism. Skew note: a
+    * pathologically hot key serializes its own window — at 100 TB the
+    * standard fix composes here (pre-split hot keys by day, union the
+    * day boundaries through a second merge pass). */
+  def qIntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_seconds(ts) AS s", "unix_seconds(ts) + 300 AS e")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("pme", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("is_"), max(col("e")).as("ie"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is_")).as("covered_sec"))
+      .orderBy("user_id")
+  }
 }

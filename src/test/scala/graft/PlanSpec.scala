@@ -328,6 +328,25 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side shuffle join in lm score:\n${plan.take(1500)}")
   }
 
+  test("cdc apply compacts the log below the snapshot join, map-side combined") {
+    // the scale claim: the full-outer merge must consume an AGGREGATED
+    // log side (one row per changed key), with a partial aggregate
+    // eating per-key fan-in before the exchange — join work scales
+    // with distinct keys changed, never log volume
+    val plan = graft.operators.SourceQueries.cdcApply(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"missing full-outer merge:\n${plan.take(1200)}")
+    assert(plan.contains("partial_max"),
+      s"log compaction not map-side combined:\n${plan.take(1500)}")
+  }
+
+  test("checksum reconcile aggregates each side map-side before the 97-row join") {
+    val plan = graft.operators.SourceQueries.checksumReconcile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"bucket checksums not partial-aggregated:\n${plan.take(1500)}")
+  }
+
   test("z-order buckets are tight in BOTH dimensions (span ≤ 4 of 16)") {
     // The layout claim behind layout_zorder: a 1-D sort gives tight
     // file ranges in one dimension only; the z-key's 16 buckets each
