@@ -131,6 +131,7 @@ object SparkEntry {
     "stream_rate_anomaly" -> Streams.rateAnomalyBatch _,
     "dedup_fuzzy_link" -> Dedup.fuzzyLink _,
     "q_interval_union" -> Analytics.qIntervalUnion _,
+    "pipeline_training_mix" -> Dedup.trainingMix _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1762,5 +1763,45 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_islands,
         |  CAST(SUM(ie - is_) AS BIGINT) AS covered_sec
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // round 8 (cont): the full funnel — composed from the SAME proven
+    // fragments as its standalone stages (pairs/bands from the dedup
+    // oracles, gate from pipeline_quality_gate, split/token count
+    // from the shared portable fragments)
+    "pipeline_training_mix" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |p AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |und AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |s AS (SELECT doc_id, CASE WHEN ${TextOps.HashBucketSql} < 80 THEN 'train'
+         |  WHEN ${TextOps.HashBucketSql} < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+         |contaminated AS (SELECT DISTINCT u.doc_id FROM und u
+         |  JOIN s ON s.doc_id = u.doc_id AND s.split <> 'train'
+         |  JOIN s t ON t.doc_id = u.nbr AND t.split = 'train'),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  ${TextOps.LangMarkers.map { case (_, ws) => langHits(ws) }.mkString(" + ")} AS marker_hits,
+         |  CAST((len(w) - len(list_distinct(w))) * 10000 // len(w) AS BIGINT) AS dup_word_bp
+         |FROM tw),
+         |ok AS (SELECT doc_id FROM q
+         |  WHERE n_words >= 5 AND marker_hits <> 0 AND dup_word_bp <= 3000)
+         |SELECT d.source, s.split, COUNT(*) AS n_docs,
+         |  CAST(SUM(q.n_words) AS BIGINT) AS total_tokens
+         |FROM documents d
+         |JOIN s ON s.doc_id = d.doc_id
+         |JOIN q ON q.doc_id = d.doc_id
+         |JOIN ok ON ok.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_b FROM p)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY d.source, s.split ORDER BY d.source, s.split""".stripMargin),
   )
 }

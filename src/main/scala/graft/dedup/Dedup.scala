@@ -554,6 +554,37 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** The WHOLE training-data funnel as one query — the composition
+    * this engine exists for: quality gate (Gopher-style filters) ∩
+    * dedup survivors (LSH-verified near-dup removal) ∩ decontaminated
+    * (no eval/test doc with a train near-dup) → deterministic
+    * hash-split assignment → per-(source, split) document and token
+    * budget. Every stage reuses its standalone operator's session-
+    * cached core (one pair-list build serves dedup AND
+    * decontamination), the three membership checks are independent
+    * joins Catalyst can reorder freely, and the output is the
+    * sketch-sized table a training launch actually consumes ("how
+    * many tokens of train data per source survive the pipeline?"). */
+  def trainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ok = graft.text.TextOps.qualityGateCols(docs)
+      .filter(col("pass") === 1).select("doc_id")
+    val removed = minhashPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val contaminated = decontaminate(spark, dir).select("doc_id")
+    val bucket = graft.text.TextOps.HashBucketSql
+    docs.selectExpr("doc_id", "source",
+        s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' " +
+          "ELSE 'test' END AS split",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .join(ok, "doc_id")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("source", "split")
+  }
+
   /** Record linkage over fuzzy name keys — the cross-system key-match
     * problem an RDB consolidation hits when the join key is a human-
     * entered string (no reference class; the migration-adjacent MDM
