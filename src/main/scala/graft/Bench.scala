@@ -113,15 +113,19 @@ object Bench {
       else {
         Caches.clearAll(); spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try selected(name)(spark, sfDir).count()
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name retry failed: $e")
-        }
+        // a FAILED retry must not report its time-to-failure as the
+        // query's time — keep the completed first-pass measurement
+        val ok =
+          try { selected(name)(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name retry failed: $e"); false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2f s " +
-          f"(outlier retry; first pass $t%.2f s, cut ${outlierCut}%.1f s)")
+          f"(outlier retry${if (ok) "" else " FAILED"}; " +
+          f"first pass $t%.2f s, cut ${outlierCut}%.1f s)")
         retried(name) = t
-        name -> math.min(t, dt)
+        name -> (if (ok) math.min(t, dt) else t)
       }
     }
     Caches.clearAll()

@@ -770,8 +770,7 @@ object SparkEntry {
          |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
          |und AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM p
          |  UNION ALL SELECT doc_b, doc_a FROM p),
-         |s AS (SELECT doc_id, CASE WHEN ${TextOps.HashBucketSql} < 80 THEN 'train'
-         |  WHEN ${TextOps.HashBucketSql} < 90 THEN 'val' ELSE 'test' END AS split FROM documents)
+         |s AS (SELECT doc_id, ${TextOps.SplitCaseSql} AS split FROM documents)
          |SELECT u.doc_id, s.split, MIN(u.nbr) AS train_dup, CAST(COUNT(*) AS BIGINT) AS n_train_dups
          |FROM und u JOIN s ON s.doc_id = u.doc_id AND s.split <> 'train'
          |JOIN s t ON t.doc_id = u.nbr AND t.split = 'train'
@@ -1281,9 +1280,7 @@ object SparkEntry {
          |FROM documents WHERE ${TextOps.HashBucketSql} < 20
          |ORDER BY doc_id""".stripMargin),
     "split_train_eval" ->
-      (s"""WITH t AS (SELECT doc_id, source, ${TextOps.HashBucketSql} AS h FROM documents),
-         |s AS (SELECT doc_id, source,
-         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM t)
+      (s"""WITH s AS (SELECT doc_id, source, ${TextOps.SplitCaseSql} AS split FROM documents)
          |SELECT source, split, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin),
     // §2.G (round 4): Gopher-style repetition filters.
@@ -1736,9 +1733,10 @@ object SparkEntry {
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         |toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
         |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name)
-        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name),
+        |d AS (SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist FROM cand)
+        |SELECT name_a, name_b, dist FROM d WHERE dist <= 3
         |ORDER BY name_a, name_b""".stripMargin,
     // round 8 (cont): interval union — identical windows both engines;
     // tie rows are identical tuples so island numbering is stable;
@@ -1781,8 +1779,7 @@ object SparkEntry {
          |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
          |und AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM p
          |  UNION ALL SELECT doc_b, doc_a FROM p),
-         |s AS (SELECT doc_id, CASE WHEN ${TextOps.HashBucketSql} < 80 THEN 'train'
-         |  WHEN ${TextOps.HashBucketSql} < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+         |s AS (SELECT doc_id, ${TextOps.SplitCaseSql} AS split FROM documents),
          |contaminated AS (SELECT DISTINCT u.doc_id FROM und u
          |  JOIN s ON s.doc_id = u.doc_id AND s.split <> 'train'
          |  JOIN s t ON t.doc_id = u.nbr AND t.split = 'train'),

@@ -180,9 +180,7 @@ object Dedup {
     val directed = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
     val split = Tables.documents(spark, dir)
-      .selectExpr("doc_id", s"${graft.text.TextOps.HashBucketSql} AS h")
-      .selectExpr("doc_id",
-        "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split")
+      .selectExpr("doc_id", s"${graft.text.TextOps.SplitCaseSql} AS split")
     directed
       .join(split, "doc_id").filter(col("split") =!= "train")
       .join(split.select(col("doc_id").as("nbr"), col("split").as("nbr_split")), "nbr")
@@ -572,10 +570,8 @@ object Dedup {
     val removed = minhashPairs(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     val contaminated = decontaminate(spark, dir).select("doc_id")
-    val bucket = graft.text.TextOps.HashBucketSql
     docs.selectExpr("doc_id", "source",
-        s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' " +
-          "ELSE 'test' END AS split",
+        s"${graft.text.TextOps.SplitCaseSql} AS split",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
       .join(ok, "doc_id")
       .join(removed, Seq("doc_id"), "left_anti")
@@ -607,10 +603,11 @@ object Dedup {
       .filter(col("a.p_name") < col("b.p_name"))
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
       .distinct()
+    // compute the O(|a|·|b|) edit distance ONCE — Filter and Project
+    // are separate operators, so Catalyst does not CSE across them
     cand
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
       .orderBy("name_a", "name_b")
   }
 }

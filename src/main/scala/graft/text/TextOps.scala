@@ -218,6 +218,14 @@ object TextOps {
     s"CAST(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) % 100 AS BIGINT)"
   }
 
+  /** 80/10/10 deterministic split assignment over [[HashBucketSql]] —
+    * ONE definition for every operator AND oracle that assigns splits
+    * (splitTrainEval, decontaminate, trainingMix), so the thresholds
+    * can never drift between the split and its consumers. */
+  val SplitCaseSql: String =
+    s"CASE WHEN $HashBucketSql < 80 THEN 'train' " +
+      s"WHEN $HashBucketSql < 90 THEN 'val' ELSE 'test' END"
+
   /** Deterministic stratified sample: ~20% of documents per source,
     * selected by content-independent key hash (md5 of doc_id) — the
     * reproducible-at-any-parallelism sampling a train/eval pipeline
@@ -265,9 +273,7 @@ object TextOps {
     * splits across runs, partitions, or corpus growth. */
   def splitTrainEval(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", "source", s"$HashBucketSql AS h")
-      .selectExpr("doc_id", "source",
-        "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split")
+      .selectExpr("doc_id", "source", s"$SplitCaseSql AS split")
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))

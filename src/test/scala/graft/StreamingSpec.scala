@@ -217,18 +217,20 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streams.rateAnomalyStreaming(src.toDS())
       .writeStream.outputMode("append").format("memory")
       .queryName("rate_out").start()
-    // trigger 1: the baseline only — nothing judged yet
-    src.addData(Streams.WinCount("x", 1L, 10), Streams.WinCount("x", 2L, 10),
-      Streams.WinCount("x", 3L, 10), Streams.WinCount("x", 4L, 10))
-    q.processAllAvailable()
-    assert(spark.table("rate_out").count() == 0,
-      "baseline windows must not be judged")
-    // trigger 2: the spike, judged against state built in trigger 1
-    src.addData(Streams.WinCount("x", 5L, 31))
-    q.processAllAvailable()
-    // trigger 3: calm window whose trail includes the spike
-    src.addData(Streams.WinCount("x", 6L, 10))
-    q.processAllAvailable(); q.stop()
+    try {
+      // trigger 1: the baseline only — nothing judged yet
+      src.addData(Streams.WinCount("x", 1L, 10), Streams.WinCount("x", 2L, 10),
+        Streams.WinCount("x", 3L, 10), Streams.WinCount("x", 4L, 10))
+      q.processAllAvailable()
+      assert(spark.table("rate_out").count() == 0,
+        "baseline windows must not be judged")
+      // trigger 2: the spike, judged against state built in trigger 1
+      src.addData(Streams.WinCount("x", 5L, 31))
+      q.processAllAvailable()
+      // trigger 3: calm window whose trail includes the spike
+      src.addData(Streams.WinCount("x", 6L, 10))
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("rate_out").collect()
       .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
     assert(got == Map(5L -> ((40L, 1L)), 6L -> ((61L, 0L))),
