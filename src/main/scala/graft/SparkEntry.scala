@@ -132,6 +132,7 @@ object SparkEntry {
     "dedup_fuzzy_link" -> Dedup.fuzzyLink _,
     "q_interval_union" -> Analytics.qIntervalUnion _,
     "pipeline_training_mix" -> Dedup.trainingMix _,
+    "mm_binary_ingest" -> Multimodal.binaryIngest _,
     "ingest_incremental" -> ((s: SparkSession, d: String) => graft.etl.Ingest.incrementalPlan(s, d)),
     // §2.H multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
@@ -1800,5 +1801,13 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_b FROM p)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
          |GROUP BY d.source, s.split ORDER BY d.source, s.split""".stripMargin),
+    // round 8 (cont): binaryFile ingest — the oracle recomputes each
+    // staged file's size and md5 from the source-of-truth table, so a
+    // lost/truncated/mis-keyed payload file fails the hash
+    "mm_binary_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -22,6 +22,52 @@ object Multimodal {
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
 
+  /** The REAL multimodal ingest path: payload FILES → Spark's
+    * built-in `binaryFile` source → consolidated metadata rows. A
+    * 100 TB image/audio corpus arrives as billions of small files; the
+    * first pipeline stage reads them with `binaryFile` (path, length,
+    * content) and consolidates into parquet with extracted metadata —
+    * exactly what this runs end-to-end: payload files are staged
+    * EXECUTOR-SIDE (foreachPartition — the write is distributed, no
+    * driver collect), read back through the binaryFile format, and
+    * verified by content hash against the source-of-truth table. At
+    * cluster scale the staging dir is DFS and the consolidation fixes
+    * the small-files problem once; the oracle recomputes each file's
+    * expected size and md5 from the documents table, so a lost,
+    * truncated, or mis-keyed file fails the hash. */
+  def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = binaryStageDir(dir)
+    val marker = new java.io.File(out, "_STAGED")
+    if (!marker.exists()) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          rows.forEachRemaining { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out.getPath, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        }
+      marker.createNewFile()
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(out.getPath)
+      .selectExpr(
+        raw"CAST(regexp_extract(path, 'doc_(\\d+)\\.bin', 1) AS BIGINT) AS doc_id",
+        "CAST(length AS BIGINT) AS n_bytes",
+        "md5(content) AS payload_md5")
+      .orderBy("doc_id")
+  }
+
+  // one staging dir per (JVM, sf dir): repeated verify/bench calls
+  // reuse the staged files instead of re-writing per run
+  private val stageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+  private def binaryStageDir(dir: String): java.io.File =
+    stageDirs.computeIfAbsent(dir, _ =>
+      java.nio.file.Files.createTempDirectory("graft-binfiles").toFile)
+
   /** Metadata extraction over the binary column — byte length, base64
     * head (wire format sample), and decode-stub features: fake
     * width/height derived deterministically from the content hash

@@ -184,7 +184,7 @@ class ScaleSpec extends AnyFunSuite {
       "sample_weighted", "stream_deid_pipeline", "text_lm_score",
       "ingest_checksum_reconcile", "load_cdc_apply",
       "embed_random_projection", "stream_rate_anomaly", "dedup_fuzzy_link",
-      "q_interval_union", "pipeline_training_mix")
+      "q_interval_union", "pipeline_training_mix", "mm_binary_ingest")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       // newSession() forks SHARE the CacheManager, and Caches.shared is
       // keyed by it — without clearing, the second run would collect
