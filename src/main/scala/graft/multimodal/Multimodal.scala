@@ -22,33 +22,43 @@ object Multimodal {
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
 
-  /** The REAL multimodal ingest path: payload FILES → Spark's
-    * built-in `binaryFile` source → consolidated metadata rows. A
-    * 100 TB image/audio corpus arrives as billions of small files; the
-    * first pipeline stage reads them with `binaryFile` (path, length,
-    * content) and consolidates into parquet with extracted metadata —
-    * exactly what this runs end-to-end: payload files are staged
-    * EXECUTOR-SIDE (foreachPartition — the write is distributed, no
-    * driver collect), read back through the binaryFile format, and
-    * verified by content hash against the source-of-truth table. At
-    * cluster scale the staging dir is DFS and the consolidation fixes
-    * the small-files problem once; the oracle recomputes each file's
-    * expected size and md5 from the documents table, so a lost,
-    * truncated, or mis-keyed file fails the hash. */
+  /** Multimodal small-files ingest through Spark's built-in
+    * `binaryFile` source: a 100 TB image/audio corpus arrives as
+    * billions of files ALREADY ON shared storage, and the first
+    * pipeline stage reads them (path, length, content) and
+    * consolidates into parquet with extracted metadata. THAT read →
+    * extract → consolidate path is what runs here for real; the
+    * staging write that fabricates the files is local-mode test
+    * scaffolding (foreachPartition over a filesystem shared between
+    * driver and executors — true in local mode, where a production
+    * corpus would instead pre-exist on DFS). The oracle recomputes
+    * each file's expected size and md5 from the source-of-truth
+    * table, so a lost, truncated, or mis-keyed file fails the hash.
+    * Each payload file is written to a temp name and ATOMIC_MOVEd
+    * into place, so a concurrent reader can never observe a partial
+    * file; staging is memoized per sf dir ACROSS JVMs (deterministic
+    * dir + marker), so repeated bench/verify runs reuse one staged
+    * copy instead of leaking a new temp dir per process. */
   def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
     val out = binaryStageDir(dir)
     val marker = new java.io.File(out, "_STAGED")
-    if (!marker.exists()) {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"))
-        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-          rows.forEachRemaining { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out.getPath, s"doc_${r.getLong(0)}.bin"),
-              r.getString(1).getBytes("UTF-8"))
+    stageLock.synchronized {
+      if (!marker.exists()) {
+        Tables.documents(spark, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+          .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+            import java.nio.file.{Files, Paths, StandardCopyOption}
+            rows.forEachRemaining { r =>
+              val tmp = Paths.get(out.getPath,
+                s".doc_${r.getLong(0)}.tmp-${Thread.currentThread().getId}")
+              Files.write(tmp, r.getString(1).getBytes("UTF-8"))
+              Files.move(tmp, Paths.get(out.getPath, s"doc_${r.getLong(0)}.bin"),
+                StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+            }
           }
-        }
-      marker.createNewFile()
+        marker.createNewFile()
+      }
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
@@ -60,13 +70,19 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  // one staging dir per (JVM, sf dir): repeated verify/bench calls
-  // reuse the staged files instead of re-writing per run
-  private val stageDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
-  private def binaryStageDir(dir: String): java.io.File =
-    stageDirs.computeIfAbsent(dir, _ =>
-      java.nio.file.Files.createTempDirectory("graft-binfiles").toFile)
+  // ONE deterministic staging dir per sf dir, shared ACROSS JVMs:
+  // repeated bench/verify/test processes reuse the staged files via
+  // the marker instead of leaking a fresh temp dir each run (content
+  // is a pure function of the source table, so reuse is always valid)
+  private val stageLock = new Object
+  private def binaryStageDir(dir: String): java.io.File = {
+    val name = "graft-binfiles-" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), name)
+    f.mkdirs()
+    f
+  }
 
   /** Metadata extraction over the binary column — byte length, base64
     * head (wire format sample), and decode-stub features: fake

@@ -184,6 +184,9 @@ class ScaleSpec extends AnyFunSuite {
       "sample_weighted", "stream_deid_pipeline", "text_lm_score",
       "ingest_checksum_reconcile", "load_cdc_apply",
       "embed_random_projection", "stream_rate_anomaly", "dedup_fuzzy_link",
+      // mm_binary_ingest: only the READ path varies here — staging is
+      // memoized on disk across runs, so both parallelisms scan the
+      // same staged files (the write is local-mode scaffolding)
       "q_interval_union", "pipeline_training_mix", "mm_binary_ingest")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       // newSession() forks SHARE the CacheManager, and Caches.shared is
