@@ -107,9 +107,33 @@ object Bench {
       if (s.isEmpty) 0.0 else s(s.size / 2)
     }
     val outlierCut = math.max(20.0, 25 * median)
+    // Second trigger (r8 lesson: a 16.6 s stall on a 1 s query slipped
+    // UNDER the 20 s floor and shipped un-adjudicated): compare each
+    // query against ITS OWN time in the other cache mode's last
+    // snapshot. A query ≥ 8× its other-mode time AND ≥ 5 s absolute is
+    // a stall candidate regardless of the run-median floor — the same
+    // operator on the same data cannot legitimately be 8× slower just
+    // because the cache mode changed. The 5 s floor keeps sub-second
+    // jitter from churning retries. Cross-commit staleness is fine
+    // here: this only decides whether to RE-RUN once, never what to
+    // report.
+    val otherModeTimes: Map[String, Double] = try {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(s"BENCH_FULL_${if (isolate) "shared" else "isolate"}.json")
+      if (!Files.exists(p)) Map.empty
+      else {
+        val j = new String(Files.readAllBytes(p), "UTF-8")
+        val body = j.substring(j.indexOf("\"queries\":{"))
+        """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    def isOutlier(name: String, t: Double): Boolean =
+      t > outlierCut ||
+        (t >= 5.0 && otherModeTimes.get(name).exists(o => o > 0 && t >= 8 * o))
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = firstPass.map { case (name, t) =>
-      if (t <= outlierCut) name -> t
+      if (!isOutlier(name, t)) name -> t
       else {
         Caches.clearAll(); spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -121,9 +145,12 @@ object Bench {
             System.err.println(s"[bench] $name retry failed: $e"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val why =
+          if (t > outlierCut) f"cut ${outlierCut}%.1f s"
+          else f"8x other-mode ${otherModeTimes.getOrElse(name, 0.0)}%.2f s"
         System.err.println(f"[bench] $name%-28s $dt%8.2f s " +
           f"(outlier retry${if (ok) "" else " FAILED"}; " +
-          f"first pass $t%.2f s, cut ${outlierCut}%.1f s)")
+          f"first pass $t%.2f s, $why)")
         retried(name) = t
         name -> (if (ok) math.min(t, dt) else t)
       }

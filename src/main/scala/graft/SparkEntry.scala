@@ -1728,13 +1728,16 @@ object SparkEntry {
         |  CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM t WHERE trail IS NOT NULL ORDER BY event_type, ws""".stripMargin,
     // round 8 (cont): fuzzy record linkage — canonicalize → token
-    // blocking → levenshtein verify; both engines implement standard
+    // blocking (df-capped at 64, mirroring Dedup.fuzzyLink's blocking
+    // bound) → levenshtein verify; both engines implement standard
     // unit-cost edit distance
     "dedup_fuzzy_link" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         |toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+        |dftab AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 64),
+        |tcap AS (SELECT t.p_name, t.tok FROM toks t JOIN dftab d ON t.tok = d.tok),
         |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name),
+        |  FROM tcap a JOIN tcap b ON a.tok = b.tok AND a.p_name < b.p_name),
         |d AS (SELECT name_a, name_b,
         |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist FROM cand)
         |SELECT name_a, name_b, dist FROM d WHERE dist <= 3

@@ -590,16 +590,31 @@ object Dedup {
     * (the step that makes 100 TB feasible: a billion rows with 10⁵
     * distinct names do 10⁵-scale work); (2) token blocking — the
     * equality join only pairs names sharing a word, never all-pairs;
-    * (3) edit-distance verify on the candidates. Exact by
-    * construction for any pair sharing ≥1 token; production blocking
-    * usually also caps pathological token frequency (the ngramJaccard
-    * df-cap pattern) at the cost of missing pairs that share ONLY
-    * capped tokens. */
-  def fuzzyLink(spark: SparkSession, dir: String): DataFrame = {
+    * (3) edit-distance verify on the candidates. A token shared by k
+    * names emits k(k−1)/2 candidate rows, so one hot token (a stop
+    * word in a product vocabulary) makes blocking quadratic in the
+    * names sharing it — the same failure mode ngramJaccard's df-cap
+    * bounds, and the same fix: tokens with df > `maxTokDf` are
+    * dropped from the BLOCKING INDEX ONLY, bounding fan-out at
+    * O(maxTokDf²) per token. Unlike the Jaccard cap (whose hot-gram
+    * completion keeps scores exact), dropping a blocking token CAN
+    * lose pairs whose EVERY shared token is corpus-hot — such tokens
+    * are vocabulary stop words with no linkage signal, the standard
+    * blocking recall/cost tradeoff. Testdata max token df is 8, so
+    * the default cap of 64 is exact here; the oracle applies the
+    * identical cap so the gate verifies the capped semantics. */
+  def fuzzyLink(spark: SparkSession, dir: String): DataFrame =
+    fuzzyLink(spark, dir, maxTokDf = 64)
+
+  def fuzzyLink(spark: SparkSession, dir: String, maxTokDf: Int): DataFrame = {
     val names = Tables.part(spark, dir).select(col("p_name")).distinct()
     val toks = names
       .select(col("p_name"), explode(split(col("p_name"), " ")).as("tok"))
-    val cand = toks.as("a").join(toks.as("b"), "tok")
+    // per-token document frequency (count-only flat aggregate, like
+    // ngramJaccard's dfTab) gates the blocking index
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val toksCap = toks.join(dfTab.filter(col("df") <= maxTokDf), "tok")
+    val cand = toksCap.as("a").join(toksCap.as("b"), "tok")
       .filter(col("a.p_name") < col("b.p_name"))
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
       .distinct()

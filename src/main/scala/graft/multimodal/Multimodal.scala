@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -36,9 +36,10 @@ object Multimodal {
     * table, so a lost, truncated, or mis-keyed file fails the hash.
     * Each payload file is written to a temp name and ATOMIC_MOVEd
     * into place, so a concurrent reader can never observe a partial
-    * file; staging is memoized per sf dir ACROSS JVMs (deterministic
-    * dir + marker), so repeated bench/verify runs reuse one staged
-    * copy instead of leaking a new temp dir per process. */
+    * file; staging is memoized per (sf dir, source fingerprint) ACROSS
+    * JVMs (deterministic dir + marker), so repeated bench/verify runs
+    * reuse one staged copy instead of leaking a new temp dir per
+    * process, while a regenerated source table restages. */
   def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
     val out = binaryStageDir(dir)
     val marker = new java.io.File(out, "_STAGED")
@@ -70,18 +71,68 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  // ONE deterministic staging dir per sf dir, shared ACROSS JVMs:
-  // repeated bench/verify/test processes reuse the staged files via
-  // the marker instead of leaking a fresh temp dir each run (content
-  // is a pure function of the source table, so reuse is always valid)
+  // ONE deterministic staging dir per (sf dir, source content), shared
+  // ACROSS JVMs: repeated bench/verify/test processes reuse the staged
+  // files via the marker instead of leaking a fresh temp dir each run.
+  // The dir name embeds a CONTENT fingerprint of the source parquet
+  // (file count + total bytes + max mtime), so regenerating test data
+  // at the same path — or a dir.hashCode collision between two source
+  // paths — lands in a DIFFERENT dir and restages instead of silently
+  // reusing stale .bin files. Retention rule: at most one live staging
+  // per source path (≤ the corpus text size on disk) — when the
+  // fingerprint changes, the superseded sibling stagings for the same
+  // source path are deleted below, so a long-lived host never
+  // accumulates stale sf-dir stagings. Trust: the dir is created with
+  // owner-only POSIX perms, and a pre-existing dir owned by ANOTHER
+  // user (a /tmp pre-creation trap feeding arbitrary payloads into the
+  // query) is refused loudly rather than reused.
   private val stageLock = new Object
   private def binaryStageDir(dir: String): java.io.File = {
-    val name = "graft-binfiles-" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val f = new java.io.File(
-      System.getProperty("java.io.tmpdir"), name)
-    f.mkdirs()
-    f
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.PosixFilePermissions
+    val srcTag = java.lang.Integer.toHexString(dir.hashCode)
+    val name = s"graft-binfiles-$srcTag-${stageFingerprint(dir)}"
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    // drop superseded stagings of the SAME source path (older
+    // fingerprints) — the retention rule that bounds tmp usage
+    Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"graft-binfiles-$srcTag-") &&
+        f.getName != name && f.isDirectory)
+      .foreach(deleteRecursively)
+    val p = tmp.resolve(name)
+    val perms = PosixFilePermissions.fromString("rwx------")
+    if (!Files.exists(p))
+      try Files.createDirectory(p, PosixFilePermissions.asFileAttribute(perms))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val owner = Files.getOwner(p).getName
+    val me = System.getProperty("user.name")
+    require(owner == me,
+      s"refusing staging dir $p owned by '$owner' (expected '$me') — " +
+        "possible pre-created trap in a shared tmpdir")
+    Files.setPosixFilePermissions(p, perms)
+    p.toFile
+  }
+
+  /** Cheap content fingerprint of the source documents parquet: file
+    * count, total bytes, and max mtime folded into one hex token. Any
+    * rewrite of the source (even same-size, because parquet writers
+    * refresh mtimes) changes the token and forces a restage. */
+  private def stageFingerprint(dir: String): String = {
+    def walk(f: java.io.File): (Long, Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk)
+          .foldLeft((0L, 0L, 0L)) { case ((n, b, m), (n2, b2, m2)) =>
+            (n + n2, b + b2, math.max(m, m2))
+          }
+      else (1L, f.length(), f.lastModified())
+    val (n, bytes, mtime) = walk(new java.io.File(dir, "documents.parquet"))
+    java.lang.Long.toHexString(n * 1000003L ^ bytes * 2862933555777941757L ^ mtime)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Metadata extraction over the binary column — byte length, base64
@@ -109,6 +160,33 @@ object Multimodal {
         "md5(substr(text, 1 + frame_idx * 64, 16)) AS frame_hash")
       .orderBy("doc_id", "frame_idx")
 
+  // Magic-byte headers for the three synthetic container formats.
+  private val JpegMagic = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+  private val PngMagic = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+  private val RiffMagic = "RIFF".getBytes("UTF-8")
+
+  /** THE synthetic-payload rule, defined once (three operators share
+    * it, and two hand-copies WILL drift — SURVEY §5): magic header
+    * chosen by doc_id % 3, prepended to the text bytes in column
+    * `bin`. The oracle derives modality from the same % 3 rule, so a
+    * drifted copy fails the hash gate immediately. */
+  private def syntheticPayload: Column =
+    when(col("doc_id") % 3 === 0, concat(lit(JpegMagic), col("bin")))
+      .when(col("doc_id") % 3 === 1, concat(lit(PngMagic), col("bin")))
+      .otherwise(concat(lit(RiffMagic), col("bin")))
+
+  /** Generator-rule modality (the % 3 rule as SQL) — what the payloads
+    * above were GENERATED as, used by the operators that shard/batch by
+    * modality without re-sniffing bytes. */
+  private val GeneratorModalitySql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'audio/wav' END AS modality"
+
+  /** documents → (doc_id, payload) with the synthetic container bytes. */
+  private def payloadView(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(col("doc_id"), syntheticPayload.as("payload"))
+
   /** Container-format routing by magic bytes — the first step of any
     * mixed-modality ingest (route JPEG payloads to the image decoder
     * pool, RIFF/WAV to audio, etc.). The payload is synthesized here
@@ -118,19 +196,11 @@ object Multimodal {
     * derives modality from the generator rule, so the two must agree
     * independently. */
   def modalityRoute(spark: SparkSession, dir: String): DataFrame = {
-    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
-    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
-    val riff = "RIFF".getBytes("UTF-8")
-    val payload = when(col("doc_id") % 3 === 0, concat(lit(jpeg), col("bin")))
-      .when(col("doc_id") % 3 === 1, concat(lit(png), col("bin")))
-      .otherwise(concat(lit(riff), col("bin")))
-    val sniffed = when(substring(col("payload"), 1, 3) === lit(jpeg), "image/jpeg")
-      .when(substring(col("payload"), 1, 4) === lit(png), "image/png")
-      .when(substring(col("payload"), 1, 4) === lit(riff), "audio/wav")
+    val sniffed = when(substring(col("payload"), 1, 3) === lit(JpegMagic), "image/jpeg")
+      .when(substring(col("payload"), 1, 4) === lit(PngMagic), "image/png")
+      .when(substring(col("payload"), 1, 4) === lit(RiffMagic), "audio/wav")
       .otherwise("application/octet-stream")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      .select(col("doc_id"), payload.as("payload"))
+    payloadView(spark, dir)
       .select(col("doc_id"), sniffed.as("modality"),
         (length(col("payload"))).cast("long").as("n_bytes"))
       .groupBy(col("modality"))
@@ -154,22 +224,13 @@ object Multimodal {
     * bounded at 1000 rows and the plan is embarrassingly parallel —
     * never a corpus-wide window. */
   def decodeBatchPlan(spark: SparkSession, dir: String): DataFrame = {
-    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
-    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
-    val riff = "RIFF".getBytes("UTF-8")
-    val payload = when(col("doc_id") % 3 === 0, concat(lit(jpeg), col("bin")))
-      .when(col("doc_id") % 3 === 1, concat(lit(png), col("bin")))
-      .otherwise(concat(lit(riff), col("bin")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("modality"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      .select(col("doc_id"), payload.as("payload"))
-      .selectExpr("doc_id",
-        "CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'audio/wav' END AS modality",
+    payloadView(spark, dir)
+      .selectExpr("doc_id", GeneratorModalitySql,
         "CAST(octet_length(payload) AS BIGINT) AS n_bytes",
         "doc_id DIV 1000 AS shard")
       .withColumn("cum", sum(col("n_bytes")).over(w))
@@ -186,17 +247,8 @@ object Multimodal {
     * re-shard. Two partial-agg exchanges (per-shard rollup, then a
     * broadcast-joined per-modality mean) — no window over the corpus. */
   def shardSkew(spark: SparkSession, dir: String): DataFrame = {
-    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
-    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
-    val riff = "RIFF".getBytes("UTF-8")
-    val payload = when(col("doc_id") % 3 === 0, concat(lit(jpeg), col("bin")))
-      .when(col("doc_id") % 3 === 1, concat(lit(png), col("bin")))
-      .otherwise(concat(lit(riff), col("bin")))
-    val perShard = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      .select(col("doc_id"), payload.as("payload"))
-      .selectExpr("doc_id",
-        "CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'audio/wav' END AS modality",
+    val perShard = payloadView(spark, dir)
+      .selectExpr("doc_id", GeneratorModalitySql,
         "CAST(octet_length(payload) AS BIGINT) AS n_bytes",
         "doc_id DIV 1000 AS shard")
       .groupBy("modality", "shard")

@@ -146,7 +146,7 @@ object Streams {
 
   case class LateEv(user_id: Long, event_id: Long, event_type: String, us: Long)
   case class LateFlag(event_id: Long, event_type: String, late: Long,
-                      skew_us: Long, jump_us: Long)
+                      skew_us: Long, jump_us: Long, reorder_overflow: Long)
 
   /** Streaming form of [[lateAuditBatch]]: per-key event-time
     * high-water mark as flatMapGroupsWithState state (one Long per
@@ -155,35 +155,54 @@ object Streams {
     * emitted per event. The spec aggregates the flags and matches the
     * batch audit exactly.
     *
-    * Memory caveat: the CROSS-trigger state is one Long, but WITHIN a
-    * trigger each key's delivered batch is materialized and sorted to
-    * restore arrival order (`evs.toSeq.sortBy`) — a trigger carrying a
-    * very large per-key batch buffers it on the executor. Size
-    * triggers (maxOffsetsPerTrigger or the source's equivalent) so a
-    * hot key's per-trigger slice stays bounded; with bounded triggers
-    * the sort is over a small batch and the one-Long state bound
-    * holds. */
+    * Memory bound (r8 fix — this used to be `evs.toSeq.sortBy`, which
+    * buffers a hot key's ENTIRE trigger slice): arrival order is
+    * restored by a BOUNDED streaming reorder — a min-heap on event_id
+    * holding at most `reorderBuffer` events. Input is pulled lazily
+    * from the state-store iterator, the heap fills to capacity, and
+    * each emission pops the current minimum, so per-key memory is
+    * O(reorderBuffer) regardless of trigger size. The reorder is
+    * EXACT whenever an event's displacement from arrival order within
+    * the slice is ≤ reorderBuffer (a shuffle-delivered slice of an
+    * ordered log is locally disordered, not globally); an event popped
+    * with an id BELOW an already-emitted id was displaced beyond
+    * capacity and is processed out of order — counted and surfaced in
+    * the `reorder_overflow` audit column, never silently dropped, so
+    * downstream knows exactly how many flags to distrust. */
   def lateAuditStreaming(events: Dataset[LateEv],
-                         toleranceMin: Int = 10): Dataset[LateFlag] = {
+                         toleranceMin: Int = 10,
+                         reorderBuffer: Int = 4096): Dataset[LateFlag] = {
     import events.sparkSession.implicits._
     val tolUs = toleranceMin.toLong * 60 * 1000 * 1000
+    require(reorderBuffer > 0, "reorderBuffer must be positive")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Long, LateFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, evs, state: GroupState[Long]) =>
-          val sorted = evs.toSeq.sortBy(_.event_id)
+          // min-heap on event_id (PriorityQueue is a max-heap; reverse)
+          val heap = scala.collection.mutable.PriorityQueue.empty[LateEv](
+            Ordering.by[LateEv, Long](_.event_id).reverse)
           var hwm = state.getOption.getOrElse(Long.MinValue)
-          val out = sorted.map { e =>
-            val seen = hwm != Long.MinValue
-            val flag = LateFlag(e.event_id, e.event_type,
-              late = if (seen && e.us < hwm - tolUs) 1L else 0L,
-              skew_us = if (seen) math.max(hwm - e.us, 0L) else 0L,
-              jump_us = if (seen) math.max(e.us - hwm, 0L) else 0L)
-            if (e.us > hwm) hwm = e.us
-            flag
+          var lastId = Long.MinValue
+          // lazy pull → bounded heap → lazy emit; GroupState.update is
+          // a cheap in-memory set, committed by the exec operator when
+          // this iterator completes, so updating per pop is safe
+          new Iterator[LateFlag] {
+            def hasNext: Boolean = evs.hasNext || heap.nonEmpty
+            def next(): LateFlag = {
+              while (evs.hasNext && heap.size < reorderBuffer) heap.enqueue(evs.next())
+              val e = heap.dequeue()
+              val seen = hwm != Long.MinValue
+              val flag = LateFlag(e.event_id, e.event_type,
+                late = if (seen && e.us < hwm - tolUs) 1L else 0L,
+                skew_us = if (seen) math.max(hwm - e.us, 0L) else 0L,
+                jump_us = if (seen) math.max(e.us - hwm, 0L) else 0L,
+                reorder_overflow = if (e.event_id < lastId) 1L else 0L)
+              lastId = math.max(lastId, e.event_id)
+              if (e.us > hwm) { hwm = e.us; state.update(hwm) }
+              flag
+            }
           }
-          state.update(hwm)
-          out.iterator
       }
   }
 

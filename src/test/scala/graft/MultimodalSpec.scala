@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Staging-dir lifecycle for the binaryFile ingest: content
+  * fingerprinting (restage when the source table changes), the
+  * one-staging-per-source retention rule (stale siblings deleted, so
+  * a long-lived host never accumulates old stagings), and owner-only
+  * permissions on the world-writable-tmpdir scaffolding. */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+
+  /** The staging dirs binaryIngest owns for source path `dir`. */
+  private def stagingsFor(dir: String): Seq[java.io.File] = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"graft-binfiles-$tag-"))
+      .toSeq
+  }
+
+  /** A private copy of the sf documents table whose mtime/content the
+    * test may change (testdata itself is read-only). */
+  private def copyCorpus(): java.nio.file.Path = {
+    val d = Files.createTempDirectory("graft-mmspec")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    d
+  }
+
+  test("restage on source change; stale sibling stagings are deleted") {
+    val dir = copyCorpus().toString
+    val n1 = Multimodal.binaryIngest(spark, dir).count()
+    val first = stagingsFor(dir)
+    assert(first.size == 1, s"expected one staging dir, got $first")
+    assert(n1 > 0)
+    // same source, second run: memoized — same dir, no new staging
+    Multimodal.binaryIngest(spark, dir).count()
+    assert(stagingsFor(dir).map(_.getName) == first.map(_.getName))
+    // rewrite the source in place (fresh mtime ⇒ new fingerprint):
+    // the next ingest must stage into a NEW dir and delete the stale
+    // sibling — the retention rule that bounds tmp usage to one live
+    // staging per source path
+    val doc = Paths.get(dir, "documents.parquet")
+    val bytes = Files.readAllBytes(doc)
+    Thread.sleep(1100) // mtime granularity can be 1 s on some filesystems
+    Files.write(doc, bytes)
+    val n2 = Multimodal.binaryIngest(spark, dir).count()
+    val second = stagingsFor(dir)
+    assert(n2 == n1)
+    assert(second.size == 1, s"stale staging not reaped: $second")
+    assert(second.map(_.getName) != first.map(_.getName),
+      "fingerprint did not change on source rewrite")
+  }
+
+  test("staging dir is owner-only") {
+    val dir = copyCorpus().toString
+    Multimodal.binaryIngest(spark, dir).count()
+    val staged = stagingsFor(dir).head
+    import scala.jdk.CollectionConverters._
+    val perms = Files.getPosixFilePermissions(staged.toPath).asScala.toSet
+    import java.nio.file.attribute.PosixFilePermission._
+    assert(Set(OWNER_READ, OWNER_WRITE, OWNER_EXECUTE).subsetOf(perms))
+    assert(perms.intersect(Set(GROUP_READ, GROUP_WRITE, GROUP_EXECUTE,
+      OTHERS_READ, OTHERS_WRITE, OTHERS_EXECUTE)).isEmpty,
+      s"staging dir $staged is not owner-only: $perms")
+  }
+}

@@ -70,7 +70,8 @@ class StreamingSpec extends AnyFunSuite {
       .as[Streams.LateEv]
     // per-type rollup of the stateful per-event flags must equal the
     // batch audit (same replay, same tolerance)
-    val viaState = Streams.lateAuditStreaming(evs).groupBy("event_type")
+    val flags = Streams.lateAuditStreaming(evs)
+    val viaState = flags.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
         max(col("skew_us")).as("max_skew_us"), max(col("jump_us")).as("max_jump_us"))
       .collect()
@@ -81,6 +82,39 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(viaState.nonEmpty)
     assert(viaState == batch, s"stateful audit $viaState != batch $batch")
+    // the default 4096-event reorder buffer covers this corpus's
+    // per-key disorder entirely — the exact-replay case has zero
+    // beyond-capacity emissions
+    val overflow = flags.agg(sum(col("reorder_overflow"))).head().getLong(0)
+    assert(overflow == 0L, s"unexpected reorder overflow: $overflow")
+  }
+
+  test("late audit bounded reorder: hot key through a fat trigger") {
+    import spark.implicits._
+    // ONE key, 50k events in a single trigger slice (the hot-key/
+    // fat-trigger shape that used to buffer-and-sort the whole slice):
+    // event time mostly in order, arrival ids locally shuffled within
+    // blocks of 32 — displacement ≤ 32, so a 64-slot buffer replays
+    // EXACTLY while holding at most 64 events in memory.
+    val n = 50000
+    val rng = new scala.util.Random(42)
+    val evs = (0 until n).grouped(32).flatMap(b => rng.shuffle(b.toList)).toSeq
+      .map(i => Streams.LateEv(1L, i.toLong, "hot", 1000000L * i))
+    val small = Streams.lateAuditStreaming(spark.createDataset(evs), 10, 64)
+      .agg(count(lit(1)), sum(col("late")), sum(col("reorder_overflow"))).head()
+    assert(small.getLong(0) == n.toLong, "every event must be flagged")
+    assert(small.getLong(1) == 0L, "in-order event times ⇒ nothing late")
+    assert(small.getLong(2) == 0L, "displacement ≤ buffer ⇒ exact replay")
+    // displacement BEYOND capacity must be counted, not silently
+    // dropped or buffered without bound: same stream through a 8-slot
+    // buffer with block-256 shuffling overflows and says so, and every
+    // event is still emitted exactly once
+    val coarse = (0 until n).grouped(256).flatMap(b => rng.shuffle(b.toList)).toSeq
+      .map(i => Streams.LateEv(1L, i.toLong, "hot", 1000000L * i))
+    val tiny = Streams.lateAuditStreaming(spark.createDataset(coarse), 10, 8)
+      .agg(count(lit(1)), sum(col("reorder_overflow"))).head()
+    assert(tiny.getLong(0) == n.toLong, "overflow must never drop events")
+    assert(tiny.getLong(1) > 0L, "beyond-capacity disorder must be surfaced")
   }
 
   test("incremental dedup runs as a stream-static band join") {
