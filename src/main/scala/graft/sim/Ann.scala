@@ -20,6 +20,15 @@ object Ann {
     Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
 
+  /** Deterministic coarse codebook: the first k corpus vectors. Every
+    * IVF operator takes k as a parameter (default 8 — the oracle's
+    * fixed codebook) — at corpus scale k is the primary probe-latency
+    * knob (cells ≈ corpus/k per probe) and a trained codebook from
+    * [[kmeansCodebook]] can replace this seed via [[ivfTopkWith]]. */
+  private def seedCentroids(e: DataFrame, k: Int): DataFrame =
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+
   /** Exact cosine top-10 for query vectors (vec_id < 10): broadcast
     * the tiny query set against the full corpus — one scan, no
     * quadratic blowup. */
@@ -41,39 +50,43 @@ object Ann {
     * 2× probe cost — the standard IVF recall knob). Cell assignment is
     * an aggregate over the broadcast-centroid scores, PIVOTED per
     * centroid — one conditional `min(struct)` column per cent_id —
-    * then the top-2 fall out of a SCALAR array_sort over those 8
-    * struct columns. Unlike a collect_list buffer this stays inside
+    * then the top-2 fall out of a SCALAR array_sort over those k
+    * struct columns (GENERATED from k, not hand-written: the k=8
+    * default matches the oracle, and the ScaleSpec proves the same
+    * shape at k=32). Unlike a collect_list buffer this stays inside
     * whole-stage codegen, is map-side combinable, and its buffer is
     * fixed-width (one struct per centroid) regardless of row fan-in;
-    * the sort is per-ROW over 8 elements, not an aggregation buffer.
+    * the sort is per-ROW over k elements, not an aggregation buffer.
     * The aggregate keys on `vec_id` ALONE over flat (vec_id, cent_id,
     * c) rows — the 64-double vector never enters an exchange key; it
     * rejoins afterwards as payload on the long key (the
     * `ann.ivfpq.cells` pattern in [[ivfPqTopk]]). No distinct is
     * needed on the probe join: each corpus vector lives in exactly one
     * cell, so a (query, vector) pair can appear at most once. */
-  def ivfTopkProbe2(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopkProbe2(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkProbe2(spark, dir, k = 8)
+
+  def ivfTopkProbe2(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    // every vector scores all 8 centroids, so each pivot column is
-    // non-null and the 8-element sort sees the same (nc, cid) structs
+    val cent = seedCentroids(e, k)
+    // every vector scores all k centroids, so each pivot column is
+    // non-null and the k-element sort sees the same (nc, cid) structs
     // the old per-group list sort did — selection order is identical
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
       .groupBy(col("vec_id"))
       .agg(min(when(col("cent_id") === 0,
           struct((-col("c")).as("nc"), col("cent_id").as("cid")))).as("s0"),
-        (1 until 8).map(i =>
+        (1 until k).map(i =>
           min(when(col("cent_id") === i,
             struct((-col("c")).as("nc"), col("cent_id").as("cid")))).as(s"s$i")): _*)
       .select(col("vec_id"),
-        slice(array_sort(array((0 until 8).map(i => col(s"s$i")): _*)), 1, 2).as("top2"))
+        slice(array_sort(array((0 until k).map(i => col(s"s$i")): _*)), 1, 2).as("top2"))
     val cells = e.join(ranked
         .select(col("vec_id"), col("top2").getItem(0).getField("cid").as("cell")),
       "vec_id")
       .select(col("vec_id"), col("emb"), col("cell"))
-    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18).join(ranked, "vec_id")
+    val q = e.filter(col("vec_id") >= k && col("vec_id") < k + 10).join(ranked, "vec_id")
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         explode(col("top2")).as("t"))
       .select(col("query_id"), col("qe"), col("t.cid").as("cell"))
@@ -296,12 +309,23 @@ object Ann {
     * iterative-algorithm contract, as in Dedup.componentsFromPairs).
     * At 100 TB this is exactly distributed k-means: model broadcast
     * down, partial sums up, driver holds nothing but the loop. */
-  def kmeansTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  def kmeansTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    kmeansCodebook(spark, dir, rounds, k = 8)
+      .selectExpr("cent_id", "n_members",
+        "element_at(cq, 1) AS c1", "element_at(cq, 2) AS c2",
+        "element_at(cq, 3) AS c3", "element_at(cq, 4) AS c4")
+      .orderBy("cent_id")
+
+  /** The full trained codebook — (cent_id, cq: array<long> in integer
+    * micro-units, n_members) — for feeding the production probe path:
+    * `ivfTopkWith(spark, dir, trainedCentroids(codebook), k)`.
+    * [[kmeansTrain]] is the oracle-facing projection of this. */
+  def kmeansCodebook(spark: SparkSession, dir: String, rounds: Int, k: Int): DataFrame = {
     val S = 4000000L // > max|dim sum|/n, keeps every dividend positive
     val q = embDf(spark, dir)
       .selectExpr("vec_id",
         "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
-    var cent = q.filter(col("vec_id") < 8)
+    var cent = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("xq").as("cq"), lit(0L).as("n_members"))
     // previous round's checkpoint handle: its blocks are released the
     // moment the next round materializes — localCheckpoint blocks
@@ -350,11 +374,15 @@ object Ann {
       // same queue, so a half-finished run can never leak its blocks.
       if (cp != null) graft.Checkpoints.releaseOnClear(cp)
     }
-    cent.selectExpr("cent_id", "n_members",
-        "element_at(cq, 1) AS c1", "element_at(cq, 2) AS c2",
-        "element_at(cq, 3) AS c3", "element_at(cq, 4) AS c4")
-      .orderBy("cent_id")
+    cent
   }
+
+  /** Adapt a [[kmeansCodebook]] result to the (cent_id, ce) double
+    * form [[ivfTopkWith]] probes against — micro-units back to
+    * doubles, exact (long → double is lossless at this magnitude). */
+  def trainedCentroids(codebook: DataFrame): DataFrame =
+    codebook.selectExpr("cent_id",
+      "transform(cq, v -> CAST(v AS DOUBLE) / 1000000) AS ce")
 
   /** Sign-LSH bucketed ANN (Charikar, "Similarity estimation
     * techniques from rounding algorithms", STOC 2002): an 8-bit
@@ -445,32 +473,43 @@ object Ann {
     * applied to the ANN index. One aggregate over the (long, long)
     * assignment table; the share math rides a window over the 8
     * result rows (cell-count-sized, never data-sized). */
-  def cellBalance(spark: SparkSession, dir: String): DataFrame = {
+  def cellBalance(spark: SparkSession, dir: String): DataFrame =
+    cellBalance(spark, dir, k = 8)
+
+  def cellBalance(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val cent = seedCentroids(e, k)
     val assign = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"))
+    val idealBp = 10000 / k // uniform share in bp (1250 at the k=8 default)
     assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"))
       .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
       // integer DIV throughout: `/` on longs is double division and
       // double→int casts round differently across engines
       .selectExpr("cell", "n", "n * 10000 DIV tot AS share_bp",
-        "abs(n * 10000 DIV tot - 1250) AS dev_bp")
+        s"abs(n * 10000 DIV tot - $idealBp) AS dev_bp")
       .orderBy("cell")
   }
 
-  /** IVF probe-1: centroids = vec_id < 8 (deterministic codebook);
+  /** IVF probe-1: centroids = vec_id < k (deterministic codebook);
     * every vector is assigned to its max-cosine cell; queries
-    * (8 ≤ vec_id < 18) search only their own cell, top 5. */
-  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    * (k ≤ vec_id < k+10) search only their own cell, top 5. */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopk(spark, dir, k = 8)
+
+  def ivfTopk(spark: SparkSession, dir: String, k: Int): DataFrame =
+    ivfTopkWith(spark, dir, seedCentroids(embDf(spark, dir), k), k)
+
+  /** The production IVF probe path against ANY coarse codebook —
+    * `cent` is (cent_id, ce: array<double>), either the deterministic
+    * seed or a TRAINED codebook from [[kmeansCodebook]] (the
+    * train-then-serve composition a real deploy runs). */
+  def ivfTopkWith(spark: SparkSession, dir: String, cent: DataFrame, k: Int): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
     // cell assignment as an aggregate (min over (-cos, cent_id)
     // structs) — map-side combinable, no per-vector sort window, and
     // keyed on `vec_id` ALONE over flat (vec_id, cent_id, c) rows:
@@ -483,7 +522,7 @@ object Ann {
       .select(col("vec_id"), col("best.cid").as("cell"))
     val cells = e.join(assign, "vec_id")
       .select(col("vec_id"), col("emb"), col("cell"))
-    val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+    val q = cells.filter(col("vec_id") >= k && col("vec_id") < k + 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("vec_id"))

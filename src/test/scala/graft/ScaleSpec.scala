@@ -556,4 +556,135 @@ class ScaleSpec extends AnyFunSuite {
       assert(c == members.keySet.min, s"cluster label must be the min member id")
     }
   }
+
+  test("IVF k is a parameter: probe-2 pivot shape holds at k=32") {
+    import graft.sim.Ann
+    // k=32: the 32 pivot columns are GENERATED (nothing hand-written
+    // caps k at 8), queries are vecs 32..41
+    val p2 = Ann.ivfTopkProbe2(spark, sf, 32)
+    // the assignment aggregate must stay a flat pivoted min(struct) —
+    // a collect_list buffer would fall out of codegen and grow with
+    // fan-in; the pivot's buffer is fixed-width at any k
+    val plan = p2.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), "probe-2 must not buffer posting lists")
+    val rows = p2.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet.forall(q => q >= 32 && q < 42), s"queries ${byQ.keySet}")
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_.getLong(2)).sorted
+      assert(ranks.head == 1L && ranks.last == ranks.length.toLong &&
+        ranks.length <= 5, s"ranks not a consecutive top-5 prefix: ${ranks.toSeq}")
+    }
+    // probe-2 candidates ⊇ probe-1 candidates (same codebook, superset
+    // of probed cells), so probe-2's best neighbor is at least as
+    // close as probe-1's: compare the two rank-1 cosines exactly
+    val p1Top = Ann.ivfTopk(spark, sf, 32).filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2Top = rows.filter(_.getLong(2) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = (p1Top.keySet ++ p1Top.values ++ p2Top.values).toSeq
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .filter(col("vec_id").isin(ids: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    p1Top.foreach { case (q, n1) =>
+      val c1 = cos(emb(q), emb(n1))
+      val c2 = cos(emb(q), emb(p2Top(q)))
+      assert(c2 >= c1 - 1e-12,
+        s"query $q: probe-2 best $c2 worse than probe-1 best $c1")
+    }
+  }
+
+  test("trained kmeans codebook feeds the production IVF probe path") {
+    import graft.sim.Ann
+    val book = Ann.kmeansCodebook(spark, sf, rounds = 2, k = 32)
+    val res = Ann.ivfTopkWith(spark, sf, Ann.trainedCentroids(book), 32).collect()
+    assert(res.nonEmpty, "trained-codebook probe returned nothing")
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet.forall(q => q >= 32 && q < 42))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.head == 1L, "missing rank 1")
+      assert(rs.length <= 5)
+    }
+    // drain the kmeans loop's checkpoint blocks (the family-lifetime
+    // invariant every iterative caller owes the session)
+    Caches.clearAll()
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "trained-codebook path leaked storage blocks")
+  }
+
+  test("10x corpus with a hot band bucket: LSH, components, incremental hold shape") {
+    import graft.dedup.Dedup
+    // Synthesize a 10× corpus (5000 docs) from the sf0.001 documents
+    // table: 9 salted variants per base doc (distinct texts — band
+    // keys spread) plus ONE text duplicated over 500 doc_ids — a
+    // deliberately SKEWED band-key distribution (every copy lands in
+    // the same 4 band buckets), the hot-bucket shape that breaks
+    // naive all-pairs dedup at corpus scale.
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val spread = base
+      .crossJoin(spark.range(1, 10).toDF("rep"))
+      .selectExpr("doc_id + 500 * rep AS doc_id",
+        "concat(text, ' v', CAST(rep AS STRING), '-', CAST(doc_id AS STRING)) AS text")
+    val hotText = base.orderBy("doc_id").select("text").head().getString(0)
+    val hot = spark.range(10000, 10500).toDF("doc_id")
+      .selectExpr("doc_id", s"'${hotText.replace("'", "''")}' AS text")
+    // materialize through parquet and read back: the corpus under test
+    // must look like INGESTED data (scan leaves), not a literal-foldable
+    // construction plan — a constant-folded band key would join branch
+    // pairs on nothing but doc_id < doc_id and fake a nested-loop shape
+    // no real corpus produces
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    base.unionAll(spread).unionAll(hot)
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val t0 = System.nanoTime()
+    val bands = Dedup.bandKeys(corpus)
+    // the minhashPairs band-join shape, inline over the synthetic
+    // corpus: equality join on (band_id, bk) — never a cartesian
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand.count() // materialize so the executed plan is final
+    val exec = cand.queryExecution.executedPlan.toString
+    assert(exec.contains("AdaptiveSparkPlan"),
+      "band self-join must run under AQE (runtime skew handling)")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoop"),
+      "band join degenerated to a cross product")
+    // the hot bucket emits its full pair set (500 copies + the base
+    // doc agree on every band): candidates must cover it, and the
+    // component loop must collapse it to ONE cluster
+    val comp = Dedup.componentsFromPairs(corpus.select("doc_id"), cand)
+    val hotComp = comp.filter(col("doc_id") >= 10000).select("comp").distinct().collect()
+    assert(hotComp.length == 1, s"hot cluster split: ${hotComp.toSeq}")
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"10x skew stress (5500 docs, 500-dup hot bucket): $dt%.1f s")
+    // incremental shape: a NEW batch of 100 hot-text docs against the
+    // 10× corpus index joins batch-vs-corpus only (candidate work is
+    // O(batch × collisions), never corpus²)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-skew-batch").toString
+    spark.range(20000, 20100).toDF("doc_id")
+      .selectExpr("doc_id", s"'${hotText.replace("'", "''")}' AS text")
+      .write.mode("overwrite").parquet(batchDir)
+    val batch = spark.read.parquet(batchDir)
+    val hits = Dedup.bandKeys(batch).as("n")
+      .join(bands.as("c"), col("n.band_id") === col("c.band_id") &&
+        col("n.bk") === col("c.bk"))
+      .select(col("n.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    val perDoc = hits.groupBy("new_doc").count().collect()
+    assert(perDoc.length == 100, "every hot batch doc must hit the corpus index")
+    assert(perDoc.forall(_.getLong(1) >= 500), "hot batch docs must see the full hot bucket")
+    Caches.clearAll()
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "skew stress leaked storage blocks")
+  }
 }
