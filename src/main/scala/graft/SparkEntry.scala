@@ -187,6 +187,12 @@ object SparkEntry {
     "stream_late_audit" -> ((s: SparkSession, d: String) => Streams.lateAuditBatch(s, d)),
     "text_search_rank" -> ((s: SparkSession, d: String) => TextOps.searchRank(s, d)),
     "mm_shard_skew" -> Multimodal.shardSkew _,
+    // §2.I (round 9): the streaming STATE MACHINES themselves run in
+    // batch execution and land in the gate — stream/batch equivalence
+    // as oracle-checked rows, not just spec assertions
+    "stream_sessionize_replay" -> Streams.sessionizeReplay _,
+    "stream_latest_state_replay" -> Streams.latestStateReplay _,
+    "stream_rate_anomaly_replay" -> Streams.rateAnomalyReplay _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1727,6 +1733,42 @@ object SparkEntry {
         |SELECT event_type, ws, n, trail,
         |  CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM t WHERE trail IS NOT NULL ORDER BY event_type, ws""".stripMargin,
+    // round 9: batch REPLAYS of the streaming state machines. The
+    // sessionize replay emits only CLOSED sessions (each user's final
+    // session stays open in flatMapGroupsWithState state), so the
+    // oracle is the islands SQL minus every user's last session; all
+    // timestamps stay BIGINT micros (the portable compare contract).
+    "stream_sessionize_replay" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, us, SUM(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s),
+        |g AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us FROM t GROUP BY 1, 2),
+        |m AS (SELECT user_id, MAX(session_id) AS last_s FROM g GROUP BY 1)
+        |SELECT g.user_id, g.session_id, g.n_events, g.start_us, g.end_us
+        |FROM g JOIN m ON g.user_id = m.user_id AND g.session_id < m.last_s
+        |ORDER BY g.user_id, g.session_id""".stripMargin,
+    "stream_latest_state_replay" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id AS last_event_id FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "stream_rate_anomaly_replay" ->
+      """WITH e AS (SELECT event_type,
+        |  (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 900) * 900 * 1000000 AS ws_us FROM events),
+        |c AS (SELECT event_type, ws_us, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, ws_us, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY ws_us) +
+        |    lag(n, 2) OVER (PARTITION BY event_type ORDER BY ws_us) +
+        |    lag(n, 3) OVER (PARTITION BY event_type ORDER BY ws_us) +
+        |    lag(n, 4) OVER (PARTITION BY event_type ORDER BY ws_us) AS trail
+        |  FROM c)
+        |SELECT event_type, ws_us, n, CAST(trail AS BIGINT) AS trail,
+        |  CAST(CASE WHEN n * 4 > 3 * trail THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM t WHERE trail IS NOT NULL ORDER BY event_type, ws_us""".stripMargin,
     // round 8 (cont): fuzzy record linkage — canonicalize → token
     // blocking (df-capped at 64, mirroring Dedup.fuzzyLink's blocking
     // bound) → levenshtein verify; both engines implement standard

@@ -437,9 +437,61 @@ object Streams {
       .orderBy("event_type", "ws")
   }
 
+  /** Driver-visible REPLAY of [[sessionizeStreaming]] — the SAME
+    * flatMapGroupsWithState state machine the stream runs, executed in
+    * batch mode over the events table (batch execution of a stateful
+    * Dataset operator is Spark's own single-trigger semantics; the
+    * trigger-SLICED equivalence is proven in StreamingSpec). Emits
+    * exactly the CLOSED sessions — each user's final session stays
+    * open in state — so the oracle is the islands SQL minus every
+    * user's last session: the stream/batch equivalence itself becomes
+    * an oracle-checked row set. */
+  def sessionizeReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Ev]
+    sessionizeStreaming(evs).toDF()
+      .selectExpr("user_id", "session_id", "n_events",
+        "session_start AS start_us", "session_end AS end_us")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Driver-visible REPLAY of [[latestStateStreaming]]: the
+    * mapGroupsWithState upsert view in batch execution — one (user,
+    * latest event) row per key, oracle-checked against the window
+    * form ([[latestState]]'s core). */
+  def latestStateReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Ev]
+    latestStateStreaming(evs).toDF("user_id", "last_event_id")
+      .orderBy("user_id")
+  }
+
   case class WinCount(event_type: String, wsUs: Long, n: Long)
   case class RateFlag(event_type: String, wsUs: Long, n: Long,
     trail: Long, anomaly: Long)
+
+  /** Driver-visible REPLAY of [[rateAnomalyStreaming]]: the closed-
+    * window count stream is reconstructed from the events table (the
+    * rows append-mode emission would deliver), then the four-count
+    * state machine runs in batch execution. Window starts stay BIGINT
+    * micros end to end — nothing timestamp-typed crosses the compare
+    * boundary. */
+  def rateAnomalyReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "(unix_seconds(ts) DIV 900) * 900 * 1000000 AS wsUs")
+      .groupBy("event_type", "wsUs")
+      .agg(count(lit(1)).as("n"))
+      .as[WinCount]
+    rateAnomalyStreaming(wins).toDF()
+      .selectExpr("event_type", "wsUs AS ws_us", "n", "trail", "anomaly")
+      .orderBy("event_type", "ws_us")
+  }
 
   /** Streaming form of the rate anomaly: consumes the CLOSED-window
     * count stream (what windowAggStreaming's append mode emits once
