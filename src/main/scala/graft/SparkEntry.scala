@@ -193,6 +193,17 @@ object SparkEntry {
     "stream_sessionize_replay" -> Streams.sessionizeReplay _,
     "stream_latest_state_replay" -> Streams.latestStateReplay _,
     "stream_rate_anomaly_replay" -> Streams.rateAnomalyReplay _,
+    // round 9: funnel-sequence match, lakehouse maintenance (column
+    // stats + compaction planning), tokenizer/corpus statistics,
+    // training-mix allocation, truncated-embedding eval, dup-mass curve
+    "q_sequence_match" -> Analytics.qSequenceMatch _,
+    "layout_column_stats" -> Analytics.layoutColumnStats _,
+    "layout_compaction_plan" -> ((s: SparkSession, d: String) => Analytics.layoutCompactionPlan(s, d)),
+    "text_bpe_pairs" -> TextOps.bpePairs _,
+    "text_length_outliers" -> TextOps.lengthOutliers _,
+    "pipeline_mix_weights" -> TextOps.mixWeights _,
+    "embed_matryoshka_eval" -> ((s: SparkSession, d: String) => Ann.matryoshkaEval(s, d)),
+    "dedup_component_stats" -> Dedup.componentStats _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1854,5 +1865,161 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // round 9: ordered funnel match — three chained running-min
+    // windows over ONE (us, event_id) order; strictly-after = the
+    // PRECEDING-rows frame, identical text on both engines
+    "q_sequence_match" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IN ('signup', 'click', 'purchase')),
+        |s1 AS (SELECT *, CASE WHEN event_type = 'signup' THEN us END AS s_q FROM e),
+        |s2 AS (SELECT *, MIN(s_q) OVER w AS s_prev FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s3 AS (SELECT *, CASE WHEN event_type = 'click' AND s_prev IS NOT NULL THEN us END AS c_q FROM s2),
+        |s4 AS (SELECT *, MIN(c_q) OVER w AS c_prev FROM s3
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s5 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL THEN us END AS p_q FROM s4)
+        |SELECT user_id, MIN(s_q) AS signup_us, MIN(c_q) AS click_us, MIN(p_q) AS purchase_us,
+        |  CAST(CASE WHEN MIN(p_q) IS NOT NULL THEN 3 WHEN MIN(c_q) IS NOT NULL THEN 2
+        |            WHEN MIN(s_q) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM s5 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // layout_column_stats: ANALYZE-shaped per-month per-column stats;
+    // DuckDB SUM/COUNT DISTINCT outputs cast to BIGINT per the
+    // HUGEINT portability rule
+    "layout_column_stats" ->
+      """WITH o AS (SELECT
+        |  CAST(date_part('year', o_orderdate) * 100 + date_part('month', o_orderdate) AS BIGINT) AS part_month,
+        |  o_orderstatus, o_orderpriority, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c FROM orders),
+        |a AS (SELECT part_month, COUNT(*) AS n_rows,
+        |  MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+        |  MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_prio,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_prio,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_cust, CAST(MAX(o_custkey) AS VARCHAR) AS max_cust,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+        |  CAST(MIN(price_c) AS VARCHAR) AS min_price, CAST(MAX(price_c) AS VARCHAR) AS max_price,
+        |  CAST(COUNT(DISTINCT price_c) AS BIGINT) AS ndv_price,
+        |  CAST(SUM(CASE WHEN price_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price
+        |  FROM o GROUP BY part_month)
+        |SELECT part_month, col_name, min_s, max_s, ndv, n_null, n_rows FROM (
+        |  SELECT part_month, n_rows, 'o_orderstatus' AS col_name, min_status AS min_s, max_status AS max_s, ndv_status AS ndv, null_status AS n_null FROM a
+        |  UNION ALL SELECT part_month, n_rows, 'o_orderpriority', min_prio, max_prio, ndv_prio, null_prio FROM a
+        |  UNION ALL SELECT part_month, n_rows, 'o_custkey', min_cust, max_cust, ndv_cust, null_cust FROM a
+        |  UNION ALL SELECT part_month, n_rows, 'o_totalprice_c', min_price, max_price, ndv_price, null_price FROM a)
+        |ORDER BY part_month, col_name""".stripMargin,
+    // layout_compaction_plan: cumulative-byte next-fit packing at a
+    // 64 KiB target; `//` (DuckDB) = DIV (Spark) on non-negative longs
+    "layout_compaction_plan" ->
+      """WITH f AS (SELECT
+        |  CAST(date_part('year', l_shipdate) * 10000 + date_part('month', l_shipdate) * 100
+        |    + date_part('day', l_shipdate) AS BIGINT) AS file_key,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(len(l_returnflag) + len(l_linestatus)) + COUNT(*) * 64 AS BIGINT) AS bytes
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT *, COALESCE(CAST(SUM(bytes) OVER
+        |  (ORDER BY file_key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before FROM f)
+        |SELECT file_key, n_rows, bytes,
+        |  cum_before // 65536 AS bin_id, cum_before % 65536 AS bin_offset
+        |FROM c ORDER BY file_key""".stripMargin,
+    // text_bpe_pairs: vocabulary-weighted adjacent char pairs;
+    // word[i:i+1] (1-based inclusive slice) = substring(word, i, 2)
+    "text_bpe_pairs" ->
+      """WITH v AS (SELECT word, COUNT(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 2 GROUP BY word),
+        |p AS (SELECT n, unnest(list_transform(range(1, len(word)), i -> word[i:i+1])) AS pair FROM v)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS weight FROM p GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 50""".stripMargin,
+    // text_length_outliers: exact integer lower-median + MAD per
+    // source, rank-selected under a (value, doc_id) total order
+    "text_length_outliers" ->
+      """WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n_src FROM d),
+        |m1 AS (SELECT *, MAX(CASE WHEN rn = (n_src + 1) // 2 THEN len END)
+        |  OVER (PARTITION BY source) AS med FROM r1),
+        |a AS (SELECT doc_id, source, len, med, ABS(len - med) AS adev FROM m1),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY adev, doc_id) AS rn2,
+        |  COUNT(*) OVER (PARTITION BY source) AS n2 FROM a),
+        |m2 AS (SELECT *, MAX(CASE WHEN rn2 = (n2 + 1) // 2 THEN adev END)
+        |  OVER (PARTITION BY source) AS mad FROM r2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(MIN(med) AS BIGINT) AS med_len, CAST(MIN(mad) AS BIGINT) AS mad_len,
+        |  CAST(SUM(CASE WHEN adev >= 3 * GREATEST(mad, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN adev >= 3 * GREATEST(mad, 1) THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS outlier_bp
+        |FROM m2 GROUP BY source ORDER BY source""".stripMargin,
+    // pipeline_mix_weights: temperature-0.5 allocation over the gated
+    // supply; FLOOR(SQRT(x)) is engine-exact (correctly-rounded IEEE
+    // sqrt, x < 2^53), everything else integer
+    "pipeline_mix_weights" ->
+      (s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  ${TextOps.LangMarkers.map { case (_, ws) => langHits(ws) }.mkString(" + ")} AS marker_hits,
+         |  CAST((len(w) - len(list_distinct(w))) * 10000 // len(w) AS BIGINT) AS dup_word_bp
+         |FROM tw),
+         |ok AS (SELECT doc_id, n_words FROM q
+         |  WHERE n_words >= 5 AND marker_hits <> 0 AND dup_word_bp <= 3000),
+         |av AS (SELECT d.source, CAST(SUM(ok.n_words) AS BIGINT) AS avail_tokens
+         |  FROM documents d JOIN ok ON ok.doc_id = d.doc_id GROUP BY d.source),
+         |ww AS (SELECT source, avail_tokens,
+         |  CAST(FLOOR(SQRT(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS weight FROM av),
+         |t AS (SELECT *, CAST(SUM(avail_tokens) OVER () AS BIGINT) AS tot_tokens,
+         |  CAST(SUM(weight) OVER () AS BIGINT) AS tot_weight FROM ww),
+         |al AS (SELECT source, avail_tokens, weight,
+         |  (tot_tokens // 2) * weight // tot_weight AS alloc_tokens FROM t)
+         |SELECT source, avail_tokens, weight, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+         |  CAST(alloc_tokens * 10000 // avail_tokens AS BIGINT) AS epochs_bp
+         |FROM al ORDER BY source""".stripMargin),
+    // embed_matryoshka_eval: recall@5 of first-16-dim cosine vs the
+    // full-dimension exact top-5; the sliced fold matches
+    // Ann.cosineSim on 16 elements bit-for-bit (same left fold)
+    "embed_matryoshka_eval" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, emb[1:16] AS qt FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |x AS (SELECT query_id, vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |ex AS (SELECT query_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk FROM x) WHERE rk <= 5),
+         |e2 AS (SELECT vec_id, emb[1:16] AS et FROM e),
+         |t AS (SELECT query_id, vec_id, ${duckCos("qt", "et")} AS ct
+         |  FROM e2 CROSS JOIN q WHERE vec_id <> query_id),
+         |tr AS (SELECT query_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ct DESC, vec_id) AS rk FROM t) WHERE rk <= 5)
+         |SELECT ex.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM ex LEFT JOIN tr ON tr.query_id = ex.query_id AND tr.vec_id = ex.vec_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
+    // dedup_component_stats: the components CTE regrouped into the
+    // duplication-mass curve; share denominator = the full corpus
+    "dedup_component_stats" ->
+      (s"""WITH RECURSIVE $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jacc >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
+         |comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp)
+         |SELECT n_members AS csize, CAST(COUNT(*) AS BIGINT) AS n_components,
+         |  CAST(SUM(n_members) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_members) * 10000 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS doc_share_bp
+         |FROM sizes GROUP BY n_members ORDER BY csize""".stripMargin),
   )
 }

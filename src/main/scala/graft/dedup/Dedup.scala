@@ -244,6 +244,27 @@ object Dedup {
         minhashPairs(spark, dir).select("doc_a", "doc_b"))
     }.orderBy("doc_id")
 
+  /** Component-size histogram — the duplication-mass curve corpus
+    * curation reads before choosing a dedup policy: for each cluster
+    * size, how many near-dup components exist and how many documents
+    * (and how much of the corpus, in basis points) they hold. A fat
+    * tail here (few giant components holding a big doc share) means
+    * boilerplate explosion and argues for aggressive keep-one; a flat
+    * curve means organic near-dups. Reads the session-cached label
+    * table — the histogram costs one component-count-sized aggregate
+    * on top of it, never a rescan of the corpus. */
+  def componentStats(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(spark, dir)
+    val w = Window.partitionBy()
+    comp.groupBy(col("n_members").as("csize"))
+      .agg(countDistinct(col("comp")).as("n_components"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("tot_docs", sum(col("n_docs")).over(w))
+      .selectExpr("csize", "n_components", "n_docs",
+        "n_docs * 10000 DIV tot_docs AS doc_share_bp")
+      .orderBy("csize")
+  }
+
   /** Cluster-representative selection — the dedup POLICY step: inside
     * every near-dup component keep the highest-quality document
     * (quality basis points, doc_id tiebreak), not the arbitrary

@@ -539,4 +539,116 @@ object Analytics {
         sum(col("ie") - col("is_")).as("covered_sec"))
       .orderBy("user_id")
   }
+
+  /** Ordered funnel-sequence match (MATCH_RECOGNIZE-lite): per user,
+    * the earliest signup → first click STRICTLY AFTER it (arrival
+    * order) → first purchase strictly after that. The naive form is
+    * two self-joins on an inequality (quadratic per hot user); this is
+    * the single-sort form: ONE shuffle on user_id, then three chained
+    * running-min windows over the same (us, event_id) order — each
+    * stage's qualifier reads the PRECEDING-rows frame of the stage
+    * before it, so "after" is arrival-order-strict and tie-safe at any
+    * parallelism. Per-user state is O(1); a hot user costs one sorted
+    * pass, never a pairwise product. */
+  def qSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val staged = e
+      .withColumn("s_q", when(col("event_type") === "signup", col("us")))
+      .withColumn("s_prev", min(col("s_q")).over(prev))
+      .withColumn("c_q", when(col("event_type") === "click" &&
+        col("s_prev").isNotNull, col("us")))
+      .withColumn("c_prev", min(col("c_q")).over(prev))
+      .withColumn("p_q", when(col("event_type") === "purchase" &&
+        col("c_prev").isNotNull, col("us")))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("s_q")).as("signup_us"),
+        min(col("c_q")).as("click_us"),
+        min(col("p_q")).as("purchase_us"))
+      .withColumn("stage",
+        when(col("purchase_us").isNotNull, 3L)
+          .when(col("click_us").isNotNull, 2L)
+          .when(col("signup_us").isNotNull, 1L).otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  /** Per-partition column statistics — the data-skipping index a
+    * lakehouse maintains (parquet footer min/max, ANALYZE ndv/null
+    * counts): for each month partition of orders × each tracked
+    * column, min/max (stringified), exact distinct count, null count,
+    * row count. ONE shuffle (groupBy month with map-side partials;
+    * the multi-column exact distinct rides Spark's Expand, the
+    * standard ANALYZE shape), then a tiny stack-unpivot over the
+    * per-month aggregate rows — stats output is partition-count-sized,
+    * never data-sized. Feeds partition pruning: a filter on any
+    * tracked column consults this table to skip whole months. */
+  def layoutColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("part_month"),
+      col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
+      cents(col("o_totalprice"), 2).as("price_c"))
+    val agg = o.groupBy(col("part_month")).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderstatus")).as("min_status"), max(col("o_orderstatus")).as("max_status"),
+      countDistinct(col("o_orderstatus")).as("ndv_status"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+      min(col("o_orderpriority")).as("min_prio"), max(col("o_orderpriority")).as("max_prio"),
+      countDistinct(col("o_orderpriority")).as("ndv_prio"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_prio"),
+      min(col("o_custkey")).cast("string").as("min_cust"),
+      max(col("o_custkey")).cast("string").as("max_cust"),
+      countDistinct(col("o_custkey")).as("ndv_cust"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      min(col("price_c")).cast("string").as("min_price"),
+      max(col("price_c")).cast("string").as("max_price"),
+      countDistinct(col("price_c")).as("ndv_price"),
+      sum(when(col("price_c").isNull, 1L).otherwise(0L)).as("null_price"))
+    agg.selectExpr("part_month", "n_rows",
+      """stack(4,
+        |'o_orderstatus',   min_status, max_status, ndv_status, null_status,
+        |'o_orderpriority', min_prio,   max_prio,   ndv_prio,   null_prio,
+        |'o_custkey',       min_cust,   max_cust,   ndv_cust,   null_cust,
+        |'o_totalprice_c',  min_price,  max_price,  ndv_price,  null_price
+        |) AS (col_name, min_s, max_s, ndv, n_null)""".stripMargin)
+      .select(col("part_month"), col("col_name"), col("min_s"), col("max_s"),
+        col("ndv"), col("n_null"), col("n_rows"))
+      .orderBy("part_month", "col_name")
+  }
+
+  /** Small-file compaction planner — the OPTIMIZE/maintenance step a
+    * 100 TB lakehouse runs continuously: the file listing (here one
+    * "file" per ship-date day of lineitem, sized by its real string
+    * payload) is grouped into target-size compaction bins by
+    * cumulative-byte division — exactly how Spark's own file-scan
+    * coalescing packs splits. The file inventory is aggregated
+    * DISTRIBUTED (one groupBy day, map-side partials over the raw
+    * rows); only the day-level inventory (thousands of rows at any
+    * scale — it is partition-count-sized) flows through the single
+    * global cumulative window, and the emitted plan is what the
+    * rewrite job executes bin-by-bin. Integer bytes throughout. */
+  def layoutCompactionPlan(spark: SparkSession, dir: String,
+                           targetBytes: Long = 1L << 16): DataFrame = {
+    val files = Tables.lineitem(spark, dir)
+      .groupBy((year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+        dayofmonth(col("l_shipdate"))).cast("long").as("file_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        // deterministic size model: fixed 64B/row + real var-width payload
+        (sum(length(col("l_returnflag")) + length(col("l_linestatus")))
+          + count(lit(1)) * 64L).as("bytes"))
+    val w = Window.orderBy(col("file_key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      // integer DIV, not `/`: long / long is double division in Spark
+      .selectExpr("file_key", "n_rows", "bytes",
+        s"cum_before DIV ${targetBytes}L AS bin_id",
+        s"cum_before % ${targetBytes}L AS bin_offset")
+      .orderBy("file_key")
+  }
 }

@@ -463,6 +463,48 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Matryoshka-truncation evaluation — the embedding-efficiency
+    * knob (Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS 2022): score retrieval with only the first 16 of 64
+    * dimensions and report recall@5 against full-dimension exact
+    * ground truth, per query, in basis points. This is the
+    * measurement that licenses shipping truncated vectors — a 4×
+    * cut in index bytes, scan work, and shuffle width across the
+    * WHOLE ANN stack — before committing the corpus re-encode.
+    * Same shape as [[recallEval]]: ground truth costs one corpus
+    * scan for the broadcast query sample, the truncated answers one
+    * more, and the comparison is a (queries × k) join. */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaEval(spark, dir, dims = 16)
+
+  def matryoshkaEval(spark: SparkSession, dir: String, dims: Int): DataFrame = {
+    val e = embDf(spark, dir)
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        slice(col("emb"), 1, dims).as("qt"))
+    def ranked(scoreEmb: DataFrame, simCol: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(simCol).desc, col("vec_id"))
+      scoreEmb.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    }
+    val exact = ranked(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c")),
+      "c").select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val trunc = ranked(
+      e.withColumn("et", slice(col("emb"), 1, dims))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineSim(col("qt"), col("et")).as("ct")),
+      "ct").select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1L).as("hit"))
+    exact.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("query_id", "n_exact", "CAST(n_hit AS BIGINT) AS n_hit",
+        "n_hit * 10000 DIV n_exact AS recall_bp")
+      .orderBy("query_id")
+  }
+
   /** IVF index-BALANCE audit — the index-maintenance metric that
     * decides when to retrain the coarse quantizer: probe latency at
     * scale is governed by the LARGEST cell a query can land in (a

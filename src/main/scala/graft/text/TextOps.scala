@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Caches, Tables}
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -449,4 +450,98 @@ object TextOps {
         "array_min(hs) AS fp",
         "CAST(size(array_distinct(hs)) AS BIGINT) AS n_windows")
       .orderBy("doc_id")
+
+  /** The core BPE-training statistic: adjacent-character-pair counts
+    * over the corpus, weighted by word frequency — the table whose
+    * argmax IS the next BPE merge. Tokenizer training at corpus scale
+    * is exactly this shape: collapse the corpus to its VOCABULARY
+    * first (one word-count aggregate — work then scales with distinct
+    * words, not corpus tokens), then explode each distinct word's
+    * ≤len-1 adjacent pairs weighted by its count. Top 50 by weight. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    vocab
+      .selectExpr("n",
+        "explode(transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))) AS pair")
+      .groupBy("pair").agg(sum(col("n")).as("weight"))
+      .orderBy(col("weight").desc, col("pair")).limit(50)
+  }
+
+  /** Robust per-source document-length QA profile — the
+    * anomaly-detection pass a corpus ingest runs before training:
+    * lower-median and MAD (median absolute deviation) of the
+    * whitespace token count per source, plus how many documents sit
+    * ≥ 3 MAD from their source's median (truncation / concatenation /
+    * boilerplate-explosion casualties). Median/MAD, not mean/stddev:
+    * the outliers being hunted would poison the very moments a
+    * Gaussian test needs. Exact integer medians (lower-median =
+    * percentile_disc semantics, rank-selected under a deterministic
+    * (len, doc_id) order) — no floating point anywhere, so the result
+    * is engine- and parallelism-exact. Two windowed passes over the
+    * per-source partitions; per-source state is its sorted partition,
+    * the standard window shape at any scale. */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "CAST(size(split(text, ' ')) AS BIGINT) AS len")
+    def lowerMedian(in: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(valueCol), col("doc_id"))
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn(outCol,
+          // integer DIV: `/` on longs is double division in Spark, and
+          // an even-n (n+1)/2 = x.5 would match no rank at all
+          max(when(col("rn") === expr("(n_src + 1) DIV 2"), col(valueCol)))
+            .over(Window.partitionBy(col("source"))))
+        .drop("rn", "n_src")
+    }
+    val withMed = lowerMedian(docs, "len", "med")
+      .withColumn("adev", abs(col("len") - col("med")))
+    val withMad = lowerMedian(withMed, "adev", "mad")
+    withMad
+      .withColumn("is_out",
+        when(col("adev") >= lit(3L) * greatest(col("mad"), lit(1L)), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("med")).as("med_len"), min(col("mad")).as("mad_len"),
+        sum(col("is_out")).as("n_outliers"))
+      .selectExpr("source", "n_docs", "med_len", "mad_len", "n_outliers",
+        "n_outliers * 10000 DIV n_docs AS outlier_bp")
+      .orderBy("source")
+  }
+
+  /** Training-mix allocation — the data-mixing step between corpus
+    * curation and the training run: given each source's quality-gated
+    * token supply, allocate a total token budget (half the gated
+    * supply here) across sources by temperature-0.5 sampling
+    * (weight ∝ √tokens, the standard multilingual-LM rebalance that
+    * upweights small sources without letting a giant source dominate).
+    * Outputs per source: supply, weight, allocated tokens, epochs over
+    * the source in basis points (>10000 ⇒ the source repeats), and
+    * budget share. Everything integer except the isqrt, which is
+    * exact: IEEE-754 sqrt is correctly rounded in both engines and
+    * √(perfect square) is representable, so FLOOR(SQRT(x)) is the true
+    * integer sqrt for any x < 2⁵³. One aggregate over the corpus, then
+    * windows over the per-source rows (source-count-sized). */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ok = qualityGateCols(docs).filter(col("pass") === 1).select("doc_id")
+    val avail = docs
+      .selectExpr("doc_id", "source", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .join(ok, "doc_id")
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("avail_tokens"))
+    val w = Window.partitionBy()
+    avail
+      .selectExpr("source", "avail_tokens",
+        "CAST(FLOOR(SQRT(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS weight")
+      .withColumn("tot_tokens", sum(col("avail_tokens")).over(w))
+      .withColumn("tot_weight", sum(col("weight")).over(w))
+      .selectExpr("source", "avail_tokens", "weight",
+        "(tot_tokens DIV 2) * weight DIV tot_weight AS alloc_tokens")
+      .selectExpr("source", "avail_tokens", "weight", "alloc_tokens",
+        "alloc_tokens * 10000 DIV avail_tokens AS epochs_bp")
+      .orderBy("source")
+  }
 }

@@ -361,4 +361,122 @@ class PlanSpec extends AnyFunSuite {
         s"z-bucket ${r.getLong(0)} spans cb=$cbSpan db=$dbSpan (must be ≤ 3)")
     }
   }
+
+  test("sequence match is ONE shuffle: three chained windows share the user sort") {
+    // the scale claim vs the naive two-self-joins-on-inequality form
+    // (quadratic per hot user): all three stage windows and the final
+    // aggregate ride a single hash exchange on user_id
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE hides exchanges inside AdaptiveSparkPlanExec until runtime;
+    // a non-adaptive session makes the exchange count inspectable
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val qe = Analytics.qSequenceMatch(s, sf).queryExecution.executedPlan
+    // exclude the terminal orderBy's range exchange — that is the
+    // oracle's deterministic-order contract, not operator work
+    val exchanges = qe.collect {
+      case ex: ShuffleExchangeExec
+        if !ex.outputPartitioning.toString.contains("range") => ex
+    }
+    assert(exchanges.length == 1,
+      s"expected 1 hash shuffle (shared user_id partitioning), got ${exchanges.length}")
+    assert(!qe.toString.contains("Join"),
+      s"sequence match must not self-join:\n${qe.toString.take(1200)}")
+  }
+
+  test("sequence match stages are monotone and strictly ordered") {
+    val rows = Analytics.qSequenceMatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getLong(4)
+      val (s, c, p) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+      // a reached stage implies every earlier stage, in time order
+      if (stage >= 1) assert(s.nonEmpty)
+      if (stage >= 2) assert(c.nonEmpty && c.get >= s.get,
+        s"click ${c.get} before signup ${s.get}")
+      if (stage == 3) assert(p.nonEmpty && p.get >= c.get,
+        s"purchase ${p.get} before click ${c.get}")
+    }
+  }
+
+  test("compaction plan: offsets stay under target, bins are contiguous") {
+    val rows = Analytics.layoutCompactionPlan(spark, sf).collect()
+    val target = 1L << 16
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(4) < target,
+      s"bin_offset ${r.getLong(4)} outside [0, $target)"))
+    val bins = rows.map(_.getLong(3)).distinct.sorted
+    assert(bins.head == 0 && bins.zipWithIndex.forall { case (b, i) => b == i },
+      s"bin ids must be contiguous from 0: ${bins.take(10).mkString(",")}")
+    // exact next-fit invariant: every non-last bin is CLOSED only once
+    // the cumulative stream has covered its right edge — bin b's last
+    // file ends at cumulative ≥ (b+1)·target (bins underfill by at
+    // most one trailing file's bytes, never more)
+    val ordered = rows.sortBy(_.getLong(0))
+    var cum = 0L
+    var cumEnd = Map.empty[Long, Long] // bin -> cumulative at its close
+    ordered.foreach { r => cum += r.getLong(2); cumEnd += (r.getLong(3) -> cum) }
+    cumEnd.toSeq.sortBy(_._1).dropRight(1).foreach { case (b, end) =>
+      assert(end >= (b + 1) * target,
+        s"bin $b closed at cumulative $end before covering ${(b + 1) * target}")
+    }
+  }
+
+  test("matryoshka eval at full width is exact (recall 10000 bp on every query)") {
+    // truncating to all 64 dims IS the exact ranking — a structural
+    // self-check that the truncated scoring path and the ground-truth
+    // path agree when the knob is turned off
+    val full = graft.sim.Ann.matryoshkaEval(spark, sf, dims = 64).collect()
+    assert(full.length == 10)
+    full.foreach(r => assert(r.getLong(3) == 10000L,
+      s"query ${r.getLong(0)}: full-width recall ${r.getLong(3)} != 10000"))
+  }
+
+  test("mix weights: temperature sampling upweights the scarce source") {
+    val rows = graft.text.TextOps.mixWeights(spark, sf).collect()
+    assert(rows.length > 1)
+    val byAvail = rows.sortBy(_.getLong(1))
+    val (scarce, rich) = (byAvail.head, byAvail.last)
+    // √-weighting: the scarcest source trains more epochs over its own
+    // supply than the richest source does over its (strictly, when
+    // supplies differ; equal-supply ties share the same epochs)
+    if (scarce.getLong(1) < rich.getLong(1))
+      assert(scarce.getLong(4) >= rich.getLong(4),
+        s"scarce source epochs_bp ${scarce.getLong(4)} < rich ${rich.getLong(4)}")
+    // allocation never exceeds the budget (integer flooring only loses)
+    val totAlloc = rows.map(_.getLong(3)).sum
+    val budget = rows.map(_.getLong(1)).sum / 2
+    assert(totAlloc <= budget, s"allocated $totAlloc over budget $budget")
+  }
+
+  test("length outliers: lower-median/MAD match a driver-side recompute") {
+    // the rank-selected integer median must equal the textbook
+    // definition on the real data (the oracle proves engine parity;
+    // this proves the DEFINITION)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source", "CAST(size(split(text, ' ')) AS BIGINT) AS len")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    def lowerMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val expected = docs.groupBy(_._1).map { case (src, rs) =>
+      val med = lowerMed(rs.map(_._3).toSeq)
+      val mad = lowerMed(rs.map(x => math.abs(x._3 - med)).toSeq)
+      src -> ((med, mad))
+    }
+    graft.text.TextOps.lengthOutliers(spark, sf).collect().foreach { r =>
+      val (med, mad) = expected(r.getString(0))
+      assert(r.getLong(2) == med && r.getLong(3) == mad,
+        s"source ${r.getString(0)}: got (${r.getLong(2)}, ${r.getLong(3)}), expected ($med, $mad)")
+    }
+  }
+
+  test("component stats conserve the corpus (sum of n_docs = all documents)") {
+    val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      s"histogram mass ${rows.map(_.getLong(2)).sum} != corpus $total")
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1),
+      s"size ${r.getLong(0)}: n_docs ${r.getLong(2)} != csize*n_components"))
+  }
 }
