@@ -204,6 +204,10 @@ object SparkEntry {
     "pipeline_mix_weights" -> TextOps.mixWeights _,
     "embed_matryoshka_eval" -> ((s: SparkSession, d: String) => Ann.matryoshkaEval(s, d)),
     "dedup_component_stats" -> Dedup.componentStats _,
+    "q_skyline" -> Analytics.qSkyline _,
+    "ingest_snapshot_diff" -> SourceQueries.snapshotDiff _,
+    "embed_dim_stats" -> Ann.dimStats _,
+    "sample_group_topk" -> ((s: SparkSession, d: String) => TextOps.sampleGroupTopk(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -1994,6 +1998,64 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
          |FROM ex LEFT JOIN tr ON tr.query_id = ex.query_id AND tr.vec_id = ex.vec_id
          |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
+    // q_skyline: the oracle is the DEFINITION (quadratic NOT EXISTS
+    // dominance); the Spark side is the two-phase linear window
+    // decomposition — the hash match proves the decomposition exact
+    "q_skyline" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS date_us FROM orders)
+        |SELECT o_orderkey, price_c, date_us FROM o b
+        |WHERE NOT EXISTS (SELECT 1 FROM o a WHERE
+        |  (a.price_c < b.price_c AND a.date_us >= b.date_us) OR
+        |  (a.price_c <= b.price_c AND a.date_us > b.date_us))
+        |ORDER BY price_c, o_orderkey""".stripMargin,
+    // ingest_snapshot_diff: v2 reconstructed from the same snapshot by
+    // the identical deterministic rule, then full-outer diff on PK
+    "ingest_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c FROM orders),
+        |v2 AS (SELECT k, o_custkey, o_orderstatus,
+        |    CASE WHEN k % 89 = 0 THEN price_c + 100 ELSE price_c END AS price_c
+        |  FROM base WHERE k % 97 <> 0
+        |  UNION ALL SELECT k + 100000000, o_custkey, o_orderstatus, price_c
+        |  FROM base WHERE k % 83 = 0),
+        |j AS (SELECT b.k AS k1, b.o_custkey AS ck1, b.o_orderstatus AS st1, b.price_c AS p1,
+        |    v2.k AS k2, v2.o_custkey AS ck2, v2.o_orderstatus AS st2, v2.price_c AS p2
+        |  FROM base b FULL OUTER JOIN v2 ON v2.k = b.k)
+        |SELECT COALESCE(k1, k2) AS order_key,
+        |  CASE WHEN k1 IS NULL THEN 'added'
+        |       WHEN k2 IS NULL THEN 'removed'
+        |       WHEN ck1 <> ck2 OR st1 <> st2 OR p1 <> p2 THEN 'changed'
+        |       ELSE 'same' END AS diff_type,
+        |  p1 AS v1_price_c, p2 AS v2_price_c
+        |FROM j WHERE (CASE WHEN k1 IS NULL THEN 'added'
+        |       WHEN k2 IS NULL THEN 'removed'
+        |       WHEN ck1 <> ck2 OR st1 <> st2 OR p1 <> p2 THEN 'changed'
+        |       ELSE 'same' END) <> 'same'
+        |ORDER BY order_key""".stripMargin,
+    // embed_dim_stats: per-dimension micro-unit stats; the floor-mean
+    // offset keeps DIV (trunc) and // (floor) in agreement
+    "embed_dim_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |d AS (SELECT CAST(i AS BIGINT) AS dim,
+        |    CAST(CAST(emb[i] AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |a AS (SELECT dim, COUNT(*) AS n_vecs, CAST(SUM(vu) AS BIGINT) AS sum_u,
+        |    CAST(MIN(vu) AS BIGINT) AS min_u, CAST(MAX(vu) AS BIGINT) AS max_u
+        |  FROM d GROUP BY dim)
+        |SELECT dim, n_vecs, sum_u,
+        |  (sum_u + n_vecs * 1000000) // n_vecs - 1000000 AS mean_u,
+        |  min_u, max_u, max_u - min_u AS range_u
+        |FROM a ORDER BY dim""".stripMargin,
+    // sample_group_topk: fixed-k hash-priority sample per source over
+    // the shared portable 24-bit key hash
+    "sample_group_topk" ->
+      (s"""WITH h AS (SELECT doc_id, source, ${TextOps.Hash24Sql} AS h FROM documents),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk FROM h)
+         |SELECT doc_id, source, h, rk FROM r WHERE rk <= 5
+         |ORDER BY source, rk""".stripMargin),
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

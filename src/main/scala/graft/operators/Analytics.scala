@@ -577,6 +577,40 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Pareto frontier (2-D skyline) of orders — cheapest-and-most-
+    * recent: rows no other row beats on BOTH price (minimize) and
+    * order date (maximize). The naive form is a quadratic NOT EXISTS
+    * self-join (the oracle states exactly that, as the definition);
+    * this is the two-phase linear decomposition that scales: skyline
+    * is distributive over ANY partition of the data (a global skyline
+    * point must be a skyline point of its own bucket), so phase 1
+    * computes per-bucket skylines in parallel — each bucket one sort,
+    * two running-max windows over (price ASC) — and phase 2 re-runs
+    * the same window pair globally over the few survivors.
+    * Dominated iff a strictly-cheaper row has date ≥ mine (window
+    * over RANGE ..-1) or a cheaper-or-equal row has date > mine
+    * (window over RANGE ..CURRENT). Integer cents/micros. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), cents(col("o_totalprice"), 2).as("price_c"),
+      // parquet ms-timestamps surface as TIMESTAMP_NTZ; unix_micros
+      // needs the session-TZ (UTC) instant
+      unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"))
+    def survivors(in: DataFrame, parts: Seq[Column]): DataFrame = {
+      val base = Window.partitionBy(parts: _*).orderBy(col("price_c"))
+      in.withColumn("m_lt", max(col("date_us")).over(
+          base.rangeBetween(Window.unboundedPreceding, -1)))
+        .withColumn("m_le", max(col("date_us")).over(
+          base.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter((col("m_lt").isNull || col("m_lt") < col("date_us")) &&
+          col("m_le") <= col("date_us"))
+        .select(col("o_orderkey"), col("price_c"), col("date_us"))
+    }
+    val local = survivors(
+      o.withColumn("bucket", col("o_orderkey") % 16), Seq(col("bucket")))
+    survivors(local, Seq.empty).orderBy("price_c", "o_orderkey")
+  }
+
   /** Per-partition column statistics — the data-skipping index a
     * lakehouse maintains (parquet footer min/max, ANALYZE ndv/null
     * counts): for each month partition of orders × each tracked

@@ -391,6 +391,38 @@ object SourceQueries {
     graft.etl.SchemaMapper.drift(spark, v1, v2)
   }
 
+  /** Row-level snapshot diff between two extract versions — the
+    * reconciliation a scheduled re-import runs to turn "full table
+    * copy every night" into an audited change report: full-outer join
+    * on the PK, classify added / removed / changed (any compared
+    * column differs), emit only the differences. The next version is
+    * simulated deterministically from the same snapshot (keys ≡ 0 mod
+    * 97 dropped, mod 89 repriced, mod 83 re-keyed as inserts), so the
+    * oracle replays the construction bit-for-bit. One key-shuffle
+    * join; the report is change-rate-sized, never table-sized.
+    * Complements [[schemaDrift]] (column-level) with the row level. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).selectExpr(
+      "o_orderkey AS k", "o_custkey", "o_orderstatus",
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c")
+    val v2 = base.filter(col("k") % 97 =!= 0)
+      .selectExpr("k", "o_custkey", "o_orderstatus",
+        "CASE WHEN k % 89 = 0 THEN price_c + 100 ELSE price_c END AS price_c")
+      .unionAll(base.filter(col("k") % 83 === 0)
+        .selectExpr("k + 100000000 AS k", "o_custkey", "o_orderstatus", "price_c"))
+    val l = base.selectExpr("k AS k1", "o_custkey AS ck1", "o_orderstatus AS st1", "price_c AS p1")
+    val r = v2.selectExpr("k AS k2", "o_custkey AS ck2", "o_orderstatus AS st2", "price_c AS p2")
+    l.join(r, col("k1") === col("k2"), "full_outer")
+      .selectExpr("COALESCE(k1, k2) AS order_key",
+        """CASE WHEN k1 IS NULL THEN 'added'
+          |     WHEN k2 IS NULL THEN 'removed'
+          |     WHEN ck1 <> ck2 OR st1 <> st2 OR p1 <> p2 THEN 'changed'
+          |     ELSE 'same' END AS diff_type""".stripMargin.replace("\n", " "),
+        "p1 AS v1_price_c", "p2 AS v2_price_c")
+      .filter(col("diff_type") =!= "same")
+      .orderBy("order_key")
+  }
+
   /** SCD2 merge (the warehouse MERGE INTO / slowly-changing-dimension
     * pattern the reference's append-only dispositions lack): apply a
     * deterministic change set to the customer dimension — changed keys

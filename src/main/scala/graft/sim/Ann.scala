@@ -463,6 +463,29 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Per-dimension embedding health statistics — the dead/collapsed-
+    * dimension audit run before building any index on a new encoder
+    * drop: per dimension, exact integer micro-unit sum, floor-mean,
+    * min/max and range. A near-zero range flags a collapsed dimension
+    * (wasted index bytes); a drifted mean flags a normalization bug
+    * upstream. Map-side explode (×dims) straight into a partial
+    * aggregate over the dims-sized key space — no corpus-sized
+    * shuffle. The floor-mean is computed through a non-negative
+    * offset ((sum + n·10⁶) DIV n − 10⁶) because DuckDB `//` floors
+    * while Spark DIV truncates — they agree only above zero. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    embDf(spark, dir)
+      .select(posexplode(col("emb")))
+      .selectExpr("CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(CAST(col AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS vu")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vu")).as("sum_u"),
+        min(col("vu")).as("min_u"), max(col("vu")).as("max_u"))
+      .selectExpr("dim", "n_vecs", "sum_u",
+        "(sum_u + n_vecs * 1000000) DIV n_vecs - 1000000 AS mean_u",
+        "min_u", "max_u", "max_u - min_u AS range_u")
+      .orderBy("dim")
+
   /** Matryoshka-truncation evaluation — the embedding-efficiency
     * knob (Kusupati et al., "Matryoshka Representation Learning",
     * NeurIPS 2022): score retrieval with only the first 16 of 64

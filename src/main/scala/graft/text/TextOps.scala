@@ -268,6 +268,22 @@ object TextOps {
       .limit(50)
       .orderBy("doc_id")
 
+  /** Fixed-k per-group sample — the distributed equivalent of a
+    * per-source reservoir sample, deterministic at any parallelism:
+    * each source keeps its k documents of smallest 24-bit key hash
+    * (hash-priority sampling — uniform over the source, reproducible
+    * across runs and corpus growth for the surviving keys). The
+    * window's partial group-limit pushes the top-k below the shuffle,
+    * so each map task forwards at most k rows per source. */
+  def sampleGroupTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", s"$Hash24Sql AS h")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("source", "rk")
+  }
+
   /** Hash-based train/val/test split (80/10/10 by the same key hash):
     * per (source, split) counts plus min/max ids — the assignment is a
     * pure function of the key, so a document never migrates between

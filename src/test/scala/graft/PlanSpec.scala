@@ -471,6 +471,60 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline two-phase decomposition matches the brute-force definition") {
+    // phase-1 bucketing must lose nothing: recompute the frontier by
+    // the quadratic definition driver-side and compare sets
+    val pts = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, p2, d2) =>
+        (p2 < p && d2 >= d) || (p2 <= p && d2 > d)
+      }
+    }.map(_._1).toSet
+    val got = Analytics.qSkyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"skyline mismatch: extra=${got -- brute}, missing=${brute -- got}")
+  }
+
+  test("snapshot diff counts match the deterministic change rules") {
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val expRemoved = keys.count(_ % 97 == 0)
+    val expAdded = keys.count(_ % 83 == 0)
+    val expChanged = keys.count(k => k % 89 == 0 && k % 97 != 0)
+    val byType = graft.operators.SourceQueries.snapshotDiff(spark, sf)
+      .groupBy("diff_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("removed", 0L) == expRemoved)
+    assert(byType.getOrElse("added", 0L) == expAdded)
+    assert(byType.getOrElse("changed", 0L) == expChanged)
+  }
+
+  test("dim stats cover every dimension with full corpus counts") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = graft.sim.Ann.dimStats(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, s"dim ${r.getLong(0)}: n_vecs ${r.getLong(1)} != $n")
+      val (mean, mn, mx) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mean >= mn && mean <= mx, s"dim ${r.getLong(0)}: mean $mean outside [$mn, $mx]")
+    }
+  }
+
+  test("group top-k sample picks exactly the k smallest hashes per source") {
+    val all = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source", s"${graft.text.TextOps.Hash24Sql} AS h")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    val expected = all.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (t._2, t._3)).take(5).map(_._3).toSet).toMap
+    val got = graft.text.TextOps.sampleGroupTopk(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(got == expected.toMap)
+    got.values.foreach(s => assert(s.size == 5))
+  }
+
   test("component stats conserve the corpus (sum of n_docs = all documents)") {
     val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
