@@ -208,6 +208,10 @@ object SparkEntry {
     "ingest_snapshot_diff" -> SourceQueries.snapshotDiff _,
     "embed_dim_stats" -> Ann.dimStats _,
     "sample_group_topk" -> ((s: SparkSession, d: String) => TextOps.sampleGroupTopk(s, d)),
+    "text_bm25" -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
+    "dedup_lsh_tuning" -> Dedup.lshTuning _,
+    "dedup_source_dup_rate" -> Dedup.sourceDupRate _,
+    "mm_payload_dedup" -> Multimodal.payloadDedup _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2056,6 +2060,86 @@ object SparkEntry {
          |  (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk FROM h)
          |SELECT doc_id, source, h, rk FROM r WHERE rk <= 5
          |ORDER BY source, rk""".stripMargin),
+    // text_bm25: integer Okapi BM25 — k1=1.2, b=0.75 cleared to the
+    // rational form 22·A·tf / (10·A·tf + 3·A + 9·dl_m); identical
+    // formula text on both engines, everything non-negative
+    "text_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |s AS (SELECT CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS a FROM dl),
+        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word IN ('spark', 'table') GROUP BY doc_id, word),
+        |dfx AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY word),
+        |sc AS (SELECT tf.doc_id,
+        |  (1000000 // df_docs) * 22 * a * tf // (10 * a * tf + 3 * a + 9 * dl.dl * 1000) AS score_t
+        |  FROM tf JOIN dfx USING (word) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(score_t) AS BIGINT) AS score_u
+        |FROM sc GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin,
+    // dedup_lsh_tuning: the three banding configs replayed over the
+    // same signature CTE; per config candidates, verified, precision
+    "dedup_lsh_tuning" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |b1 AS (${(0 until 8).map(b => s"SELECT doc_id, $b AS band_id, md5(concat(h$b)) AS bk FROM sig").mkString(" UNION ALL ")}),
+         |b2 AS (${(0 until 4).map(b => s"SELECT doc_id, $b AS band_id, md5(concat(h${2 * b}, h${2 * b + 1})) AS bk FROM sig").mkString(" UNION ALL ")}),
+         |b4 AS (${(0 until 2).map(b => s"SELECT doc_id, $b AS band_id, md5(concat(h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS bk FROM sig").mkString(" UNION ALL ")}),
+         |c1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b1 a JOIN b1 b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |c2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b2 a JOIN b2 b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |c4 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM b4 a JOIN b4 b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |v1 AS (SELECT COUNT(*) AS nc, CAST(SUM(CASE WHEN $JaccExpr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS nv
+         |  FROM c1 JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |v2 AS (SELECT COUNT(*) AS nc, CAST(SUM(CASE WHEN $JaccExpr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS nv
+         |  FROM c2 JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |v4 AS (SELECT COUNT(*) AS nc, CAST(SUM(CASE WHEN $JaccExpr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS nv
+         |  FROM c4 JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS rows_per_band, CAST(8 AS BIGINT) AS n_bands, nc AS n_candidates, nv AS n_verified,
+         |    CASE WHEN nc = 0 THEN 0 ELSE nv * 10000 // nc END AS precision_bp FROM v1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT), nc, nv,
+         |    CASE WHEN nc = 0 THEN 0 ELSE nv * 10000 // nc END FROM v2
+         |  UNION ALL SELECT CAST(4 AS BIGINT), CAST(2 AS BIGINT), nc, nv,
+         |    CASE WHEN nc = 0 THEN 0 ELSE nv * 10000 // nc END FROM v4)
+         |ORDER BY rows_per_band""".stripMargin),
+    // dedup_source_dup_rate: components CTE joined back to sources
+    "dedup_source_dup_rate" ->
+      (s"""WITH RECURSIVE $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jacc >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
+         |comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp),
+         |lab AS (SELECT c.doc_id, s.n_members FROM comp c JOIN sizes s USING (comp))
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN lab.n_members > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(SUM(CASE WHEN lab.n_members > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+         |FROM documents d JOIN lab ON lab.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    // mm_payload_dedup: content-addressable-storage audit; md5 over
+    // the text bytes equals md5 over the cast binary payload
+    "mm_payload_dedup" ->
+      """WITH g AS (SELECT md5(text) AS h, COUNT(*) AS n_copies,
+        |    CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes_each
+        |  FROM documents GROUP BY md5(text))
+        |SELECT CAST(SUM(n_copies) AS BIGINT) AS total_payloads,
+        |  COUNT(*) AS distinct_payloads,
+        |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+        |  CAST(SUM(n_copies - 1) AS BIGINT) AS dup_copies,
+        |  CAST(SUM((n_copies - 1) * bytes_each) AS BIGINT) AS bytes_reclaimable
+        |FROM g""".stripMargin,
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

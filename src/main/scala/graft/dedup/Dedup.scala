@@ -244,6 +244,61 @@ object Dedup {
         minhashPairs(spark, dir).select("doc_a", "doc_b"))
     }.orderBy("doc_id")
 
+  /** LSH banding S-curve audit — the tuning table that picks the
+    * banding scheme: over the SAME cached k=8 signature, evaluate
+    * (8 bands × 1 row), (4 × 2, the production scheme) and (2 × 4),
+    * reporting candidate volume, verified near-dups (true Jaccard ≥
+    * 0.5) and precision per config. More rows per band ⇒ fewer, more
+    * precise candidates (the collision probability s-curve sharpens) —
+    * this measures the recall/cost trade on the actual corpus before
+    * committing a reindex. Verification touches candidates only;
+    * signatures and gram sets come from the session caches. */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sigDf(spark, dir)
+    val g = gramsDf(spark, dir)
+    val cfgs = Seq(1, 2, 4).map { rows =>
+      val nb = 8 / rows
+      val bands = (0 until nb).map { b =>
+        val cols = (0 until rows).map(j => s"h${rows * b + j}").mkString(", ")
+        sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat($cols)) AS bk")
+      }.reduce(_ unionAll _)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+        .selectExpr("doc_a",
+          "ROUND(CAST(size(array_intersect(ga, gb)) AS BIGINT) / CAST(size(array_distinct(concat(ga, gb))) AS BIGINT), 4) AS jacc")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_verified"))
+        .selectExpr(s"${rows}L AS rows_per_band", s"${nb}L AS n_bands",
+          "n_candidates", "CAST(n_verified AS BIGINT) AS n_verified",
+          "CASE WHEN n_candidates = 0 THEN 0L ELSE n_verified * 10000 DIV n_candidates END AS precision_bp")
+    }
+    cfgs.reduce(_ unionAll _).orderBy("rows_per_band")
+  }
+
+  /** Per-source duplication-rate audit — "which crawl is garbage":
+    * the fraction of each source's documents that sit in a multi-
+    * member near-dup component, in basis points. Reads the cached
+    * label table; one join to the (doc_id, source) projection and a
+    * source-count-sized aggregate. The curation signal that decides
+    * which ingest to deprioritize before paying for its tokens. */
+  def sourceDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(spark, dir)
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(comp.select(col("doc_id"), col("n_members")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_members") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .selectExpr("source", "n_docs", "CAST(n_dup AS BIGINT) AS n_dup",
+        "n_dup * 10000 DIV n_docs AS dup_bp")
+      .orderBy("source")
+  }
+
   /** Component-size histogram — the duplication-mass curve corpus
     * curation reads before choosing a dedup policy: for each cluster
     * size, how many near-dup components exist and how many documents

@@ -148,6 +148,31 @@ object Multimodal {
         "CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height")
       .orderBy("doc_id")
 
+  /** Binary-asset storage-dedup audit — what content-addressable
+    * storage would save on this corpus: identical payloads (same
+    * bytes ⇒ same md5) stored once. One summary row: total vs
+    * distinct payloads, duplicate groups/copies, reclaimable bytes.
+    * The multimodal face of [[graft.dedup.Dedup.exact]]: a CDN/
+    * image-store dedup is precisely this hash-groupBy over opaque
+    * bytes — map-side md5, one shuffle on the 16-byte digest (never
+    * the payload widths), then a second partial-aggregated collapse
+    * to the single audit row. Linear at any corpus size. */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame =
+    binaryView(spark, dir)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        max(length(col("payload"))).cast("long").as("bytes_each"))
+      .agg(sum(col("n_copies")).as("total_payloads"),
+        count(lit(1)).as("distinct_payloads"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(col("n_copies") - 1).as("dup_copies"),
+        sum((col("n_copies") - 1) * col("bytes_each")).as("bytes_reclaimable"))
+      .selectExpr("CAST(total_payloads AS BIGINT) AS total_payloads",
+        "distinct_payloads",
+        "CAST(dup_groups AS BIGINT) AS dup_groups",
+        "CAST(dup_copies AS BIGINT) AS dup_copies",
+        "CAST(bytes_reclaimable AS BIGINT) AS bytes_reclaimable")
+
   /** Frame sampling plan over binary payloads: every 64 bytes emit a
     * 16-byte frame slice with its index and content hash — the Spark
     * plumbing (explode over computed offsets, per-frame rows) of a

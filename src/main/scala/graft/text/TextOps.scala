@@ -467,6 +467,39 @@ object TextOps {
         "CAST(size(array_distinct(hs)) AS BIGINT) AS n_windows")
       .orderBy("doc_id")
 
+  /** BM25 ranked retrieval (Robertson/Walker Okapi weighting) in
+    * EXACT integer arithmetic: k1 = 1.2 and b = 0.75 are rational, so
+    * the per-term score tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl)) clears
+    * to 22·A·tf / (10·A·tf + 3·A + 9·dl_m) with A = corpus mean doc
+    * length in milli-tokens — one integer DIV per (doc, term), no
+    * floats anywhere, so ranks are engine- and parallelism-exact.
+    * Unlike [[searchRank]] (conjunctive tf-idf), this is disjunctive
+    * (any term matches) with the doc-length normalization that stops
+    * long documents winning on raw tf. The corpus statistic A is one
+    * 1-row broadcast; term postings are filtered BEFORE the join. */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = Seq("spark", "table")): DataFrame = {
+    require(terms.nonEmpty)
+    val dl = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
+    val stats = dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("n"))
+      .selectExpr("t * 1000 DIV n AS a")
+    val tf = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .filter(col("word").isInCollection(terms))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("word").agg(count(lit(1)).as("df_docs"))
+    tf.join(broadcast(dfx), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        "(1000000 DIV df_docs) * 22 * a * tf DIV (10 * a * tf + 3 * a + 9 * dl * 1000) AS score_t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_t")).as("score"))
+      .selectExpr("doc_id", "n_terms", "CAST(score AS BIGINT) AS score_u")
+      .orderBy(col("score_u").desc, col("doc_id")).limit(20)
+  }
+
   /** The core BPE-training statistic: adjacent-character-pair counts
     * over the corpus, weighted by word frequency — the table whose
     * argmax IS the next BPE merge. Tokenizer training at corpus scale

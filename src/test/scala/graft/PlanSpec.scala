@@ -525,6 +525,63 @@ class PlanSpec extends AnyFunSuite {
     got.values.foreach(s => assert(s.size == 5))
   }
 
+  test("bm25 scores match the exact integer formula recomputed driver-side") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val dl = docs.map { case (id, w) => id -> w.length.toLong }.toMap
+    val a = dl.values.sum * 1000 / dl.size
+    val terms = Seq("spark", "table")
+    val tf = docs.flatMap { case (id, w) =>
+      terms.flatMap(t => { val n = w.count(_ == t); if (n > 0) Some((id, t, n.toLong)) else None })
+    }
+    val dfx = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = tf.groupBy(_._1).map { case (id, ts) =>
+      id -> (ts.length.toLong, ts.map { case (_, t, n) =>
+        (1000000L / dfx(t)) * 22 * a * n / (10 * a * n + 3 * a + 9 * dl(id) * 1000)
+      }.sum)
+    }
+    val got = graft.text.TextOps.bm25(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, s) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s,
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}), expected ($n, $s)")
+    }
+  }
+
+  test("lsh tuning: candidates shrink as rows-per-band grow; r=2 matches production") {
+    val rows = graft.dedup.Dedup.lshTuning(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val (c1, c2, c4) = (rows(1L)._1, rows(2L)._1, rows(4L)._1)
+    assert(c1 >= c2 && c2 >= c4,
+      s"candidate volume must shrink with sharper banding: $c1, $c2, $c4")
+    // the r=2 config IS the production 4×2 scheme — its verified count
+    // must equal the cached minhashPairs list exactly
+    val prod = graft.dedup.Dedup.minhashPairs(spark, sf).count()
+    assert(rows(2L)._2 == prod,
+      s"r=2 verified ${rows(2L)._2} != production pair list $prod")
+  }
+
+  test("source dup rate mass equals the multi-member component population") {
+    val rows = graft.dedup.Dedup.sourceDupRate(spark, sf).collect()
+    val expDup = graft.dedup.Dedup.components(spark, sf)
+      .filter(col("n_members") > 1).count()
+    assert(rows.map(_.getLong(2)).sum == expDup)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("payload dedup audit is self-consistent and covers the corpus") {
+    val r = graft.multimodal.Multimodal.payloadDedup(spark, sf).collect().head
+    val total = Tables.documents(spark, sf).count()
+    assert(r.getLong(0) == total, s"total_payloads ${r.getLong(0)} != $total")
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(3),
+      "distinct + dup_copies must equal total")
+    assert((r.getLong(3) == 0) == (r.getLong(4) == 0),
+      "reclaimable bytes iff duplicate copies")
+  }
+
   test("component stats conserve the corpus (sum of n_docs = all documents)") {
     val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
