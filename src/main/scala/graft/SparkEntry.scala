@@ -212,6 +212,9 @@ object SparkEntry {
     "dedup_lsh_tuning" -> Dedup.lshTuning _,
     "dedup_source_dup_rate" -> Dedup.sourceDupRate _,
     "mm_payload_dedup" -> Multimodal.payloadDedup _,
+    "ann_probe_curve" -> Ann.probeCurve _,
+    "ann_reassign_drift" -> Ann.reassignDrift _,
+    "q_funnel_conversion" -> Analytics.qFunnelConversion _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2140,6 +2143,90 @@ object SparkEntry {
         |  CAST(SUM(n_copies - 1) AS BIGINT) AS dup_copies,
         |  CAST(SUM((n_copies - 1) * bytes_each) AS BIGINT) AS bytes_reclaimable
         |FROM g""".stripMargin,
+    // ann_probe_curve: probe-1 and probe-2 recall vs exact ground
+    // truth, summarized — same CTE bodies as the ivf/probe2/recall
+    // oracles, two summary rows
+    "ann_probe_curve" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a),
+         |cells AS (SELECT vec_id, emb, cent_id AS cell FROM r2 WHERE rn = 1),
+         |q1 AS (SELECT vec_id AS query_id, emb AS qe, cell FROM cells WHERE vec_id >= 8 AND vec_id < 18),
+         |s1 AS (SELECT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q1 JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
+         |i1 AS (SELECT query_id, vec_id AS neighbor_id FROM
+         |  (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s1) WHERE rank <= 5),
+         |q2 AS (SELECT vec_id AS query_id, emb AS qe, cent_id AS cell FROM r2
+         |  WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 18),
+         |s2 AS (SELECT DISTINCT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q2 JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
+         |i2 AS (SELECT query_id, vec_id AS neighbor_id FROM
+         |  (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s2) WHERE rank <= 5),
+         |qx AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |sx AS (SELECT query_id, e2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM qx JOIN e e2 ON e2.vec_id <> query_id),
+         |ex AS (SELECT query_id, vec_id AS neighbor_id FROM
+         |  (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM sx) WHERE rank <= 5),
+         |rec1 AS (SELECT ex.query_id,
+         |  CAST(SUM(CASE WHEN i1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |  FROM ex LEFT JOIN i1 ON i1.query_id = ex.query_id AND i1.neighbor_id = ex.neighbor_id
+         |  GROUP BY ex.query_id),
+         |rec2 AS (SELECT ex.query_id,
+         |  CAST(SUM(CASE WHEN i2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |  FROM ex LEFT JOIN i2 ON i2.query_id = ex.query_id AND i2.neighbor_id = ex.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS probe, COUNT(*) AS n_queries,
+         |    CAST(SUM(recall_bp) // COUNT(*) AS BIGINT) AS mean_recall_bp,
+         |    CAST(MIN(recall_bp) AS BIGINT) AS min_recall_bp FROM rec1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*),
+         |    CAST(SUM(recall_bp) // COUNT(*) AS BIGINT),
+         |    CAST(MIN(recall_bp) AS BIGINT) FROM rec2)
+         |ORDER BY probe""".stripMargin),
+    // ann_reassign_drift: assignment under the seed (round-0) codebook
+    // vs the 3-round-trained one, both by the kmeans pipeline's exact
+    // integer L2 — per trained cell, migration and churn
+    "ann_reassign_drift" ->
+      (s"""WITH ${duckKmeansCte(3)},
+         |d4 AS (SELECT qp.vec_id, cp.cent_id,
+         |  CAST(SUM((qp.v - cp.cv) * (qp.v - cp.cv)) AS BIGINT) AS dist
+         |  FROM qp JOIN centp3 cp ON cp.pos = qp.pos
+         |  GROUP BY qp.vec_id, cp.cent_id),
+         |a4 AS (SELECT vec_id, cent_id AS cell FROM (SELECT vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn FROM d4) WHERE rn = 1),
+         |j AS (SELECT a1.vec_id, a1.cell AS old_cell, a4.cell AS new_cell
+         |  FROM a1 JOIN a4 USING (vec_id)),
+         |inc AS (SELECT new_cell AS cell, COUNT(*) AS n_new,
+         |  CAST(SUM(CASE WHEN old_cell = new_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed
+         |  FROM j GROUP BY 1),
+         |outg AS (SELECT old_cell AS cell, COUNT(*) AS n_old FROM j GROUP BY 1)
+         |SELECT cell, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+         |  CAST(COALESCE(n_stayed, 0) AS BIGINT) AS n_stayed,
+         |  CASE WHEN COALESCE(n_new, 0) = 0 THEN 0
+         |       ELSE (n_new - n_stayed) * 10000 // n_new END AS churn_bp
+         |FROM inc FULL OUTER JOIN outg USING (cell)
+         |ORDER BY cell""".stripMargin),
+    // q_funnel_conversion: the sequence-match CTE regrouped into the
+    // conversion-latency summary (exact lower-median, min, max)
+    "q_funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IN ('signup', 'click', 'purchase')),
+        |s1 AS (SELECT *, CASE WHEN event_type = 'signup' THEN us END AS s_q FROM e),
+        |s2 AS (SELECT *, MIN(s_q) OVER w AS s_prev FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s3 AS (SELECT *, CASE WHEN event_type = 'click' AND s_prev IS NOT NULL THEN us END AS c_q FROM s2),
+        |s4 AS (SELECT *, MIN(c_q) OVER w AS c_prev FROM s3
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s5 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL THEN us END AS p_q FROM s4),
+        |u AS (SELECT user_id, MIN(s_q) AS s, MIN(p_q) AS p FROM s5 GROUP BY user_id),
+        |conv AS (SELECT user_id, p - s AS conv_us FROM u WHERE p IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (ORDER BY conv_us, user_id) AS rn,
+        |  COUNT(*) OVER () AS n FROM conv)
+        |SELECT COUNT(*) AS n_converted,
+        |  MIN(CASE WHEN rn = (n + 1) // 2 THEN conv_us END) AS med_conv_us,
+        |  MIN(conv_us) AS min_conv_us, MAX(conv_us) AS max_conv_us
+        |FROM r""".stripMargin,
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

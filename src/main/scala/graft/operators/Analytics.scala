@@ -577,6 +577,28 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Funnel conversion-latency summary — the product-analytics read
+    * on top of [[qSequenceMatch]]: over users who completed
+    * signup → click → purchase, the count, exact integer lower-median
+    * (rank-selected under a (latency, user_id) total order, the same
+    * engine-exact median as the corpus QA ops), min and max of
+    * signup→purchase latency in micros. The converted set is
+    * funnel-completion-sized, so the single global ranking window is
+    * survivor-sized, never event-volume-sized. */
+  def qFunnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val conv = qSequenceMatch(spark, dir)
+      .filter(col("stage") === 3)
+      .select(col("user_id"), (col("purchase_us") - col("signup_us")).as("conv_us"))
+    conv
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy(col("conv_us"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .agg(count(lit(1)).as("n_converted"),
+        min(when(col("rn") === expr("(n + 1) DIV 2"), col("conv_us"))).as("med_conv_us"),
+        min(col("conv_us")).as("min_conv_us"),
+        max(col("conv_us")).as("max_conv_us"))
+  }
+
   /** Pareto frontier (2-D skyline) of orders — cheapest-and-most-
     * recent: rows no other row beats on BOTH price (minimize) and
     * order date (maximize). The naive form is a quadratic NOT EXISTS

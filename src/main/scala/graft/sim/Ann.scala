@@ -442,16 +442,7 @@ object Ann {
     * broadcast), the index answers come from the index path itself,
     * and the comparison is a tiny (queries × k) join. */
   def recallEval(spark: SparkSession, dir: String): DataFrame = {
-    val e = embDf(spark, dir)
-    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("vec_id"))
-    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val exact = exactTop5(spark, dir)
     val ivf = ivfTopk(spark, dir).select("query_id", "neighbor_id")
       .withColumn("hit", lit(1L))
     exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
@@ -485,6 +476,89 @@ object Ann {
         "(sum_u + n_vecs * 1000000) DIV n_vecs - 1000000 AS mean_u",
         "min_u", "max_u", "max_u - min_u AS range_u")
       .orderBy("dim")
+
+  /** IVF probe sweep — the index-tuning curve that picks nprobe (the
+    * ANN analogue of [[graft.dedup.Dedup.lshTuning]]): recall@5 of
+    * the probe-1 and probe-2 configurations against exact ground
+    * truth, summarized to (probe, n_queries, mean and worst recall in
+    * bp). Probe-2 doubles scanned cells for its recall gain — this
+    * table is the evidence for paying that; reuses the exact shipped
+    * search paths ([[ivfTopk]], [[ivfTopkProbe2]]), so it measures
+    * the production configs, not an idealization. */
+  def probeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactTop5(spark, dir)
+    def arm(res: DataFrame, probe: Int): DataFrame =
+      exact.join(
+          res.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .selectExpr("query_id", "n_hit * 10000 DIV n_exact AS recall_bp")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_bp")).as("s"), min(col("recall_bp")).as("min_recall_bp"))
+        .selectExpr(s"${probe}L AS probe", "n_queries",
+          "s DIV n_queries AS mean_recall_bp", "min_recall_bp")
+    arm(ivfTopk(spark, dir), 1)
+      .unionAll(arm(ivfTopkProbe2(spark, dir), 2))
+      .orderBy("probe")
+  }
+
+  /** Exact cosine top-5 ground truth for the standard query sample
+    * (vec_id 8..17) — shared by every recall evaluation: one corpus
+    * scan against the broadcast queries. */
+  private def exactTop5(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Codebook-retrain migration audit — how many vectors change cell
+    * when the seed coarse quantizer is replaced by the 3-round-trained
+    * one: per trained cell, incoming population vs seed population,
+    * how many stayed, and churn in bp. At corpus scale this IS the
+    * reindex bill (every migrating vector rewrites its posting), so
+    * the retrain decision reads this table against the balance gain
+    * ([[cellBalance]]). Both assignments use the kmeans pipeline's
+    * exact integer-L2 metric over quantized vectors — the trained
+    * codebook's own geometry, bit-identical on any engine. */
+  def reassignDrift(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val q = embDf(spark, dir).selectExpr("vec_id",
+      "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
+    def assignTo(cent: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cent_id"),
+          graft.functions.SqL2Sub.sqL2Long(col("xq"), col("cq")).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cent_id"))).as("b"))
+        .select(col("vec_id"), col("b.cent_id").as("cell"))
+    val seed = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("xq").as("cq"))
+    val trained = kmeansCodebook(spark, dir, rounds = 3, k = k)
+      .select(col("cent_id"), col("cq"))
+    val j = assignTo(seed).withColumnRenamed("cell", "old_cell")
+      .join(assignTo(trained).withColumnRenamed("cell", "new_cell"), "vec_id")
+    val incoming = j.groupBy(col("new_cell").as("cell"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("old_cell") === col("new_cell"), 1L).otherwise(0L)).as("n_stayed"))
+    val outgoing = j.groupBy(col("old_cell").as("cell"))
+      .agg(count(lit(1)).as("n_old"))
+    incoming.join(outgoing, Seq("cell"), "full_outer")
+      .selectExpr("cell",
+        "COALESCE(n_old, 0) AS n_old", "COALESCE(n_new, 0) AS n_new",
+        "CAST(COALESCE(n_stayed, 0) AS BIGINT) AS n_stayed",
+        """CASE WHEN COALESCE(n_new, 0) = 0 THEN 0L
+          | ELSE (n_new - n_stayed) * 10000 DIV n_new END AS churn_bp""".stripMargin.replace("\n", " "))
+      .orderBy("cell")
+  }
 
   /** Matryoshka-truncation evaluation — the embedding-efficiency
     * knob (Kusupati et al., "Matryoshka Representation Learning",

@@ -582,6 +582,40 @@ class PlanSpec extends AnyFunSuite {
       "reclaimable bytes iff duplicate copies")
   }
 
+  test("probe curve: probe-2 recall dominates probe-1 (superset candidates)") {
+    val rows = graft.sim.Ann.probeCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    // probe-2 searches a superset of probe-1's cells, so its top-5 can
+    // only be closer to exact
+    assert(rows(2L)._1 >= rows(1L)._1,
+      s"probe-2 mean recall ${rows(2L)._1} < probe-1 ${rows(1L)._1}")
+    rows.values.foreach { case (mean, mn) =>
+      assert(mean <= 10000 && mn <= mean)
+    }
+  }
+
+  test("reassign drift conserves the corpus population on both sides") {
+    val rows = graft.sim.Ann.reassignDrift(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "old-side population lost")
+    assert(rows.map(_.getLong(2)).sum == total, "new-side population lost")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2),
+      s"cell ${r.getLong(0)}: stayed > incoming"))
+  }
+
+  test("funnel conversion summary agrees with the sequence-match stages") {
+    val sm = Analytics.qSequenceMatch(spark, sf)
+    val conv = sm.filter(col("stage") === 3)
+      .selectExpr("purchase_us - signup_us AS c").collect().map(_.getLong(0)).sorted
+    val r = Analytics.qFunnelConversion(spark, sf).collect().head
+    assert(r.getLong(0) == conv.length)
+    if (conv.nonEmpty) {
+      assert(r.getLong(2) == conv.head && r.getLong(3) == conv.last)
+      assert(r.getLong(1) >= conv.head && r.getLong(1) <= conv.last)
+    }
+  }
+
   test("component stats conserve the corpus (sum of n_docs = all documents)") {
     val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
