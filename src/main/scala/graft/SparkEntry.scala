@@ -215,6 +215,7 @@ object SparkEntry {
     "ann_probe_curve" -> Ann.probeCurve _,
     "ann_reassign_drift" -> Ann.reassignDrift _,
     "q_funnel_conversion" -> Analytics.qFunnelConversion _,
+    "stream_funnel_match_replay" -> Streams.funnelStagesReplay _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2227,6 +2228,25 @@ object SparkEntry {
         |  MIN(CASE WHEN rn = (n + 1) // 2 THEN conv_us END) AS med_conv_us,
         |  MIN(conv_us) AS min_conv_us, MAX(conv_us) AS max_conv_us
         |FROM r""".stripMargin,
+    // stream_funnel_match_replay: the per-user funnel STATE MACHINE
+    // in batch execution; the oracle is the WINDOW form's stage
+    // table, so the hash proves state machine ≡ chained windows
+    "stream_funnel_match_replay" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IN ('signup', 'click', 'purchase')),
+        |s1 AS (SELECT *, CASE WHEN event_type = 'signup' THEN us END AS s_q FROM e),
+        |s2 AS (SELECT *, MIN(s_q) OVER w AS s_prev FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s3 AS (SELECT *, CASE WHEN event_type = 'click' AND s_prev IS NOT NULL THEN us END AS c_q FROM s2),
+        |s4 AS (SELECT *, MIN(c_q) OVER w AS c_prev FROM s3
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s5 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL THEN us END AS p_q FROM s4),
+        |u AS (SELECT user_id, MIN(s_q) AS s, MIN(c_q) AS c, MIN(p_q) AS p FROM s5 GROUP BY user_id)
+        |SELECT user_id, stage, at_us FROM (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS stage, s AS at_us FROM u WHERE s IS NOT NULL
+        |  UNION ALL SELECT user_id, CAST(2 AS BIGINT), c FROM u WHERE c IS NOT NULL
+        |  UNION ALL SELECT user_id, CAST(3 AS BIGINT), p FROM u WHERE p IS NOT NULL)
+        |ORDER BY user_id, stage""".stripMargin,
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

@@ -521,6 +521,66 @@ object Streams {
       }
   }
 
+  case class FunnelEv(user_id: Long, event_id: Long, us: Long, event_type: String)
+  // public: the state encoder's generated deserializer instantiates it
+  // reflectively in true streaming mode (private breaks codegen there)
+  case class FunnelSt(s: Long, c: Long, p: Long)
+  case class FunnelAdv(user_id: Long, stage: Long, at_us: Long)
+
+  /** Streaming funnel-stage state machine — the real-time form of
+    * [[graft.operators.Analytics.qSequenceMatch]]: per user, O(1)
+    * state (the three first-qualifying timestamps), emitting an
+    * advance row the moment a stage is first reached. Processing each
+    * trigger slice in (us, event_id) order makes "strictly after"
+    * mean exactly the window form's PRECEDING-rows frame: a stage
+    * event qualifies iff the prior stage was set by an earlier row —
+    * whether that row arrived in this trigger or three triggers ago
+    * is invisible to the state. Per-trigger buffering shares
+    * [[sessionizeStreaming]]'s convention (sort the slice; a hot key
+    * under a fat trigger pays its own slice, state stays O(1)). */
+  def funnelStagesStreaming(evs: Dataset[FunnelEv]): Dataset[FunnelAdv] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, FunnelAdv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[FunnelSt]) =>
+          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelAdv]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "signup" if st.s < 0 =>
+                st = st.copy(s = e.us); out += FunnelAdv(uid, 1L, e.us)
+              case "click" if st.s >= 0 && st.c < 0 =>
+                st = st.copy(c = e.us); out += FunnelAdv(uid, 2L, e.us)
+              case "purchase" if st.c >= 0 && st.p < 0 =>
+                st = st.copy(p = e.us); out += FunnelAdv(uid, 3L, e.us)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Driver-visible REPLAY of [[funnelStagesStreaming]]: the same
+    * state machine in batch execution over the events table. The
+    * oracle is the WINDOW form's stage table (first signup, first
+    * click strictly after, first purchase strictly after) — so the
+    * gate hash proves state machine ≡ three chained running-min
+    * windows, the stream/batch duality of the funnel operator. */
+  def funnelStagesReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[FunnelEv]
+    funnelStagesStreaming(evs).toDF()
+      .orderBy("user_id", "stage")
+  }
+
   /** Streaming load with dead-letter routing — the reference's BQ
     * write path (DBImportPipeline.java:116-160: failed inserts retried
     * then logged to a dead-letter tag). foreachBatch validates each

@@ -361,6 +361,38 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming deid diverged: ${got.take(2).mkString} vs ${batch.take(2).mkString}")
   }
 
+  test("funnel state machine advances across triggers, arrival-order strict") {
+    // the stage-qualification rule must read STATE, not the trigger
+    // slice: a click qualifies against a signup from a previous
+    // trigger, and a purchase that sorts BEFORE the first qualifying
+    // click inside its own slice must not advance
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streams.FunnelEv]
+    val q = Streams.funnelStagesStreaming(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      // trigger 1: click before any signup (no advance), then signup
+      src.addData(Streams.FunnelEv(1L, 10L, 10L, "click"),
+        Streams.FunnelEv(1L, 11L, 20L, "signup"))
+      q.processAllAvailable()
+      // trigger 2: purchase sorts before the qualifying click in the
+      // same slice — it must NOT advance; the click does
+      src.addData(Streams.FunnelEv(1L, 12L, 25L, "purchase"),
+        Streams.FunnelEv(1L, 13L, 30L, "click"))
+      q.processAllAvailable()
+      // trigger 3: purchase now qualifies against trigger-2 state
+      src.addData(Streams.FunnelEv(1L, 14L, 40L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 20L), (1L, 2L, 30L), (1L, 3L, 40L)),
+      s"funnel advances wrong: $got")
+  }
+
   test("streaming dedup keeps one row per key") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
