@@ -687,4 +687,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
       "skew stress leaked storage blocks")
   }
+
+  test("10x events with one hot user: funnel state machine matches the window form") {
+    // the sequence-match scale claim under skew: a hot user (50% of a
+    // 10× event stream) costs ONE sorted pass — no inequality
+    // self-join to go quadratic. Prove the state machine and window
+    // form still agree on skewed synthetic data, end to end.
+    import spark.implicits._
+    val hotN = 30000
+    val hot = (0 until hotN).map { i =>
+      val t = Seq("view", "click", "signup", "purchase", "click")(i % 5)
+      (1L, 100000L + i, i.toLong * 1000, t)
+    }
+    val cold = (0 until 3000).flatMap { u =>
+      Seq((u + 10L, 200000L + u * 3, u * 7L, "signup"),
+        (u + 10L, 200001L + u * 3, u * 7L + 3, "click"),
+        (u + 10L, 200002L + u * 3, u * 7L + 9, "purchase"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel10x").toString
+    // ts as raw nanos (plain INT64), the shape Tables.events expects
+    (hot ++ cold).toDF("user_id", "event_id", "usr", "event_type")
+      .selectExpr("user_id", "event_id",
+        "usr * 1000 AS ts", "event_type",
+        "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sm = graft.streaming.Streams.funnelStagesReplay(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val win = graft.operators.Analytics.qSequenceMatch(spark, dir).collect()
+      .flatMap { r =>
+        Seq(1 -> Option(r.get(1)), 2 -> Option(r.get(2)), 3 -> Option(r.get(3)))
+          .collect { case (st, Some(us)) => (r.getLong(0), st.toLong, us.asInstanceOf[Long]) }
+      }.toSet
+    assert(sm == win, s"state machine diverged from window form: " +
+      s"only-sm=${(sm -- win).take(3)}, only-win=${(win -- sm).take(3)}")
+    // every cold user completes; the hot user completes exactly once
+    assert(sm.count(_._2 == 3) == 3001)
+  }
 }
