@@ -216,6 +216,7 @@ object SparkEntry {
     "ann_reassign_drift" -> Ann.reassignDrift _,
     "q_funnel_conversion" -> Analytics.qFunnelConversion _,
     "stream_funnel_match_replay" -> Streams.funnelStagesReplay _,
+    "pipeline_mm_curation" -> Multimodal.mmCuration _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2247,6 +2248,34 @@ object SparkEntry {
         |  UNION ALL SELECT user_id, CAST(2 AS BIGINT), c FROM u WHERE c IS NOT NULL
         |  UNION ALL SELECT user_id, CAST(3 AS BIGINT), p FROM u WHERE p IS NOT NULL)
         |ORDER BY user_id, stage""".stripMargin,
+    // pipeline_mm_curation: dedup key (modality, md5(text)) ≡ Spark's
+    // md5(magic || text) — the three magics differ in byte 1 and are
+    // a pure function of doc_id % 3, so the groups coincide; payload
+    // bytes = text bytes + magic length (3 for jpeg, 4 for png/riff)
+    "pipeline_mm_curation" ->
+      (s"""WITH p AS (SELECT doc_id, doc_id % 3 AS m3, md5(text) AS h,
+         |  CAST(octet_length(CAST(text AS BLOB)) +
+         |    CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |canon AS (SELECT m3, h, MIN(doc_id) AS doc_id, CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
+         |  FROM p GROUP BY m3, h),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  ${TextOps.LangMarkers.map { case (_, ws) => langHits(ws) }.mkString(" + ")} AS marker_hits,
+         |  CAST((len(w) - len(list_distinct(w))) * 10000 // len(w) AS BIGINT) AS dup_word_bp
+         |FROM tw),
+         |ok AS (SELECT doc_id FROM q
+         |  WHERE n_words >= 5 AND marker_hits <> 0 AND dup_word_bp <= 3000),
+         |modal AS (SELECT 0 AS m3, 'image/jpeg' AS modality
+         |  UNION ALL SELECT 1, 'image/png' UNION ALL SELECT 2, 'audio/wav'),
+         |tot AS (SELECT modality, COUNT(*) AS n_total FROM p JOIN modal USING (m3) GROUP BY modality),
+         |can AS (SELECT modality, COUNT(*) AS n_canonical FROM canon JOIN modal USING (m3) GROUP BY modality),
+         |cur AS (SELECT modality, COUNT(*) AS n_curated, CAST(SUM(n_bytes) AS BIGINT) AS curated_bytes
+         |  FROM canon JOIN ok USING (doc_id) JOIN modal USING (m3) GROUP BY modality)
+         |SELECT modality, n_total, n_canonical, n_curated, curated_bytes
+         |FROM tot JOIN can USING (modality) JOIN cur USING (modality)
+         |ORDER BY modality""".stripMargin),
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

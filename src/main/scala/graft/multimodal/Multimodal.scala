@@ -173,6 +173,34 @@ object Multimodal {
         "CAST(dup_copies AS BIGINT) AS dup_copies",
         "CAST(bytes_reclaimable AS BIGINT) AS bytes_reclaimable")
 
+  /** The multimodal curation funnel composed end-to-end — the binary
+    * face of [[graft.dedup.Dedup.trainingMix]]: container payloads →
+    * exact content dedup (canonical = min doc per payload hash; the
+    * digest-keyed shuffle of [[payloadDedup]]) → text-side quality
+    * gate on the canonical document → per modality, the totals a
+    * decode-pool budget reads: all payloads, canonical survivors,
+    * curated (deduped ∧ quality-passing) count and bytes. The three
+    * stage counts join on the 3-row modality key; every stage reuses
+    * its standalone operator's definition, so drift between this
+    * composition and the stages is impossible. */
+  def mmCuration(spark: SparkSession, dir: String): DataFrame = {
+    val p = payloadView(spark, dir)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val canon = p.groupBy(md5(col("payload")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("n_bytes")).as("n_bytes"))
+    val ok = graft.text.TextOps.qualityGateCols(Tables.documents(spark, dir))
+      .filter(col("pass") === 1).select("doc_id")
+    def byModality(in: DataFrame): DataFrame =
+      in.selectExpr(GeneratorModalitySql, "n_bytes").groupBy("modality")
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
+    byModality(p).selectExpr("modality", "n AS n_total")
+      .join(byModality(canon).selectExpr("modality", "n AS n_canonical"), "modality")
+      .join(byModality(canon.join(ok, "doc_id"))
+        .selectExpr("modality", "n AS n_curated", "bytes AS curated_bytes"), "modality")
+      .orderBy("modality")
+  }
+
   /** Frame sampling plan over binary payloads: every 64 bytes emit a
     * 16-byte frame slice with its index and content hash — the Spark
     * plumbing (explode over computed offsets, per-frame rows) of a

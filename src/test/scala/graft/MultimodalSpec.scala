@@ -69,4 +69,17 @@ class MultimodalSpec extends AnyFunSuite {
       OTHERS_READ, OTHERS_WRITE, OTHERS_EXECUTE)).isEmpty,
       s"staging dir $staged is not owner-only: $perms")
   }
+
+  test("mm curation funnel narrows monotonically and covers the corpus") {
+    val rows = Multimodal.mmCuration(spark, SparkTestSession.sf).collect()
+    assert(rows.length == 3, "one row per modality")
+    rows.foreach { r =>
+      val (tot, can, cur) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cur <= can && can <= tot,
+        s"${r.getString(0)}: funnel must narrow ($tot -> $can -> $cur)")
+      assert((cur == 0) == (r.getLong(4) == 0), "curated bytes iff curated docs")
+    }
+    val corpus = Tables.documents(spark, SparkTestSession.sf).count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "stage 1 must cover the corpus")
+  }
 }
