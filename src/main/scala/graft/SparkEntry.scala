@@ -217,6 +217,7 @@ object SparkEntry {
     "q_funnel_conversion" -> Analytics.qFunnelConversion _,
     "stream_funnel_match_replay" -> Streams.funnelStagesReplay _,
     "pipeline_mm_curation" -> Multimodal.mmCuration _,
+    "dedup_corpus_matrix" -> Dedup.corpusMatrix _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2276,6 +2277,19 @@ object SparkEntry {
          |SELECT modality, n_total, n_canonical, n_curated, curated_bytes
          |FROM tot JOIN can USING (modality) JOIN cur USING (modality)
          |ORDER BY modality""".stripMargin),
+    // dedup_corpus_matrix: exact pairwise vocabulary Jaccard between
+    // sources over the distinct (source, word) relation
+    "dedup_corpus_matrix" ->
+      """WITH ws AS (SELECT DISTINCT source, word FROM
+        |  (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)),
+        |sz AS (SELECT source, COUNT(*) AS n FROM ws GROUP BY source),
+        |it AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        |  FROM ws a JOIN ws b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  CAST(n_common * 10000 // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_bp
+        |FROM it JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

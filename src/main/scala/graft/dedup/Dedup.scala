@@ -244,6 +244,30 @@ object Dedup {
         minhashPairs(spark, dir).select("doc_a", "doc_b"))
     }.orderBy("doc_id")
 
+  /** Pairwise corpus-resemblance matrix — "which crawls look alike":
+    * exact vocabulary Jaccard between every source pair, the
+    * corpus-level read (complementing [[corpusSig]]'s sketch) that
+    * drives source dedup/merge decisions before any document-level
+    * work. The corpus collapses to its DISTINCT (source, word) pairs
+    * first — from there every cost is vocabulary-sized, and the
+    * word-keyed self-join fans out at most sources² rows per word
+    * (bounded by the source count, never the corpus; a 100 TB corpus
+    * with 50 sources pays 50²-bounded pair rows per shared word). */
+  def corpusMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(spark, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS word").distinct()
+    val sizes = ws.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ws.as("a").join(ws.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .selectExpr("src_a", "src_b", "n_a", "n_b", "n_common",
+        "n_common * 10000 DIV (n_a + n_b - n_common) AS jaccard_bp")
+      .orderBy("src_a", "src_b")
+  }
+
   /** LSH banding S-curve audit — the tuning table that picks the
     * banding scheme: over the SAME cached k=8 signature, evaluate
     * (8 bands × 1 row), (4 × 2, the production scheme) and (2 × 4),

@@ -616,6 +616,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus matrix: complete pair coverage, Jaccard bounds hold") {
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    val rows = graft.dedup.Dedup.corpusMatrix(spark, sf).collect()
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      s"expected all ${nSources * (nSources - 1) / 2} pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (na, nb, common, bp) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(common <= math.min(na, nb), "intersection exceeds a side")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getString(0) < r.getString(1), "pairs must be canonical (a < b)")
+    }
+  }
+
   test("component stats conserve the corpus (sum of n_docs = all documents)") {
     val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()

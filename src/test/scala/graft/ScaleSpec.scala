@@ -187,7 +187,18 @@ class ScaleSpec extends AnyFunSuite {
       // mm_binary_ingest: only the READ path varies here — staging is
       // memoized on disk across runs, so both parallelisms scan the
       // same staged files (the write is local-mode scaffolding)
-      "q_interval_union", "pipeline_training_mix", "mm_binary_ingest")
+      "q_interval_union", "pipeline_training_mix", "mm_binary_ingest",
+      // round 9: funnel stages (window AND state-machine forms),
+      // skyline membership, compaction bins, median/MAD, mix
+      // allocations, BPE pair ranks, BM25 ranks, sample selection,
+      // tuning-table counts, drift cells, curation funnels — all
+      // bit-stable at any parallelism
+      "q_sequence_match", "stream_funnel_match_replay", "q_skyline",
+      "layout_compaction_plan", "layout_column_stats",
+      "text_length_outliers", "pipeline_mix_weights", "text_bpe_pairs",
+      "text_bm25", "sample_group_topk", "dedup_lsh_tuning",
+      "ann_reassign_drift", "embed_dim_stats", "pipeline_mm_curation",
+      "ingest_snapshot_diff")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       // newSession() forks SHARE the CacheManager, and Caches.shared is
       // keyed by it — without clearing, the second run would collect
