@@ -218,6 +218,8 @@ object SparkEntry {
     "stream_funnel_match_replay" -> Streams.funnelStagesReplay _,
     "pipeline_mm_curation" -> Multimodal.mmCuration _,
     "dedup_corpus_matrix" -> Dedup.corpusMatrix _,
+    "dedup_lsh_recall" -> Dedup.lshRecall _,
+    "text_cooccurrence" -> ((s: SparkSession, d: String) => TextOps.cooccurrence(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2290,6 +2292,49 @@ object SparkEntry {
         |  CAST(n_common * 10000 // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_bp
         |FROM it JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    // dedup_lsh_recall: the two candidate strategies cross-audited —
+    // LSH band pairs vs length-bucket blocked pairs, overlap, and
+    // each one's recall against the other
+    "dedup_lsh_recall" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |lsh AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM lcand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |bcand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON a.n_chars // 32 = b.n_chars // 32 AND a.doc_id < b.doc_id),
+         |blocked AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM bcand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |cnts AS (SELECT
+         |  (SELECT COUNT(*) FROM blocked) AS n_blocked,
+         |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         |  (SELECT COUNT(*) FROM blocked JOIN lsh USING (doc_a, doc_b)) AS n_common)
+         |SELECT CAST(n_blocked AS BIGINT) AS n_blocked, CAST(n_lsh AS BIGINT) AS n_lsh,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(CASE WHEN n_blocked = 0 THEN 0 ELSE n_common * 10000 // n_blocked END AS BIGINT) AS lsh_recall_bp,
+         |  CAST(CASE WHEN n_lsh = 0 THEN 0 ELSE n_common * 10000 // n_lsh END AS BIGINT) AS block_recall_bp
+         |FROM cnts""".stripMargin),
+    // text_cooccurrence: integer lift collocations over the top-50
+    // df words; incidence is DISTINCT (doc, word), pair key unique
+    "text_cooccurrence" ->
+      """WITH inc AS (SELECT DISTINCT doc_id, word FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+        |dfx AS (SELECT word, COUNT(*) AS df FROM inc GROUP BY word),
+        |top AS (SELECT word, CAST(df AS BIGINT) AS df FROM dfx ORDER BY df DESC, word LIMIT 50),
+        |it AS (SELECT i.doc_id, i.word FROM inc i JOIN top USING (word)),
+        |pr AS (SELECT a.word AS w_a, b.word AS w_b, COUNT(*) AS n_ab
+        |  FROM it a JOIN it b ON a.doc_id = b.doc_id AND a.word < b.word GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS nd FROM documents)
+        |SELECT w_a, w_b, CAST(n_ab AS BIGINT) AS n_ab, ta.df AS n_a, tb.df AS n_b,
+        |  CAST(n_ab * nd * 1000000 // (ta.df * tb.df) AS BIGINT) AS lift_u
+        |FROM pr JOIN top ta ON ta.word = w_a JOIN top tb ON tb.word = w_b CROSS JOIN n
+        |ORDER BY lift_u DESC, w_a, w_b LIMIT 100""".stripMargin,
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

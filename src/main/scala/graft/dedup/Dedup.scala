@@ -244,6 +244,28 @@ object Dedup {
         minhashPairs(spark, dir).select("doc_a", "doc_b"))
     }.orderBy("doc_id")
 
+  /** Candidate-strategy cross-audit — the recall side of the LSH
+    * story ([[lshTuning]] measures precision): the two independent
+    * candidate generators this engine ships — MinHash LSH banding and
+    * 32-char length-bucket blocking — each miss pairs the other
+    * finds (LSH by signature collision chance, blocking at bucket
+    * boundaries). One summary row: each strategy's verified pair
+    * count, the overlap, and each one's recall against the other in
+    * bp. Both pair lists come from the session caches; the audit
+    * costs one join over two candidate-sized tables. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(spark, dir).select("doc_a", "doc_b")
+    val lsh = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val nT = truth.agg(count(lit(1)).as("n_blocked"))
+    val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nC = truth.join(lsh, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    nT.crossJoin(nL).crossJoin(nC)
+      .selectExpr("n_blocked", "n_lsh", "n_common",
+        "CASE WHEN n_blocked = 0 THEN 0L ELSE n_common * 10000 DIV n_blocked END AS lsh_recall_bp",
+        "CASE WHEN n_lsh = 0 THEN 0L ELSE n_common * 10000 DIV n_lsh END AS block_recall_bp")
+  }
+
   /** Pairwise corpus-resemblance matrix — "which crawls look alike":
     * exact vocabulary Jaccard between every source pair, the
     * corpus-level read (complementing [[corpusSig]]'s sketch) that

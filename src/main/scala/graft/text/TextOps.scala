@@ -467,6 +467,34 @@ object TextOps {
         "CAST(size(array_distinct(hs)) AS BIGINT) AS n_windows")
       .orderBy("doc_id")
 
+  /** Collocation mining by integer lift (the exponent-free core of
+    * PMI): over the top-50 document-frequency words, document-level
+    * co-occurrence lift = P(ab)/(P(a)·P(b)) = n_ab·N/(n_a·n_b) in
+    * micro-units — the phrase/collocation statistic tokenizer and
+    * query-expansion pipelines mine. The vocabulary cap is the scale
+    * contract: incidence is DISTINCT (doc, word) for the top-K only,
+    * so the within-doc pair fan-out is K²-bounded per document, never
+    * vocabulary-quadratic; the top-K list broadcasts. Top 100 pairs
+    * by lift, ties impossible (pair key is unique). */
+  def cooccurrence(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val inc = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS word")
+    val top = inc.groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word")).limit(topK)
+    val it = inc.join(broadcast(top.select("word")), "word")
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    it.as("a").join(it.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("w_a"), col("b.word").as("w_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(top.select(col("word").as("w_a"), col("df").as("n_a"))), "w_a")
+      .join(broadcast(top.select(col("word").as("w_b"), col("df").as("n_b"))), "w_b")
+      .crossJoin(broadcast(nd))
+      .selectExpr("w_a", "w_b", "n_ab", "n_a", "n_b",
+        "n_ab * nd * 1000000 DIV (n_a * n_b) AS lift_u")
+      .orderBy(col("lift_u").desc, col("w_a"), col("w_b")).limit(100)
+  }
+
   /** BM25 ranked retrieval (Robertson/Walker Okapi weighting) in
     * EXACT integer arithmetic: k1 = 1.2 and b = 0.75 are rational, so
     * the per-term score tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl)) clears

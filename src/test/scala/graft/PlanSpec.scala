@@ -629,6 +629,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh recall audit is consistent with both cached pair lists") {
+    val r = graft.dedup.Dedup.lshRecall(spark, sf).collect().head
+    val (nb, nl, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc <= math.min(nb, nl), "overlap exceeds a side")
+    assert(nl == graft.dedup.Dedup.minhashPairs(spark, sf).count(),
+      "n_lsh must equal the cached production pair list")
+    assert(r.getLong(3) <= 10000 && r.getLong(4) <= 10000)
+  }
+
+  test("cooccurrence lift matches a driver-side recompute of the top pair") {
+    val rows = graft.text.TextOps.cooccurrence(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach(r => assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+      s"${r.getString(0)}/${r.getString(1)}: co-count exceeds a marginal"))
+    // recompute the first returned pair's lift from raw incidence
+    val (wa, wb) = (rows.head.getString(0), rows.head.getString(1))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "array_distinct(split(text, ' ')) AS w").collect()
+    val nd = docs.length.toLong
+    val na = docs.count(_.getSeq[String](1).contains(wa)).toLong
+    val nb = docs.count(_.getSeq[String](1).contains(wb)).toLong
+    val nab = docs.count(r => { val s = r.getSeq[String](1); s.contains(wa) && s.contains(wb) }).toLong
+    assert(rows.head.getLong(2) == nab && rows.head.getLong(3) == na && rows.head.getLong(4) == nb)
+    assert(rows.head.getLong(5) == nab * nd * 1000000L / (na * nb))
+  }
+
   test("component stats conserve the corpus (sum of n_docs = all documents)") {
     val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
