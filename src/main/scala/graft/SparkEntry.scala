@@ -220,6 +220,7 @@ object SparkEntry {
     "dedup_corpus_matrix" -> Dedup.corpusMatrix _,
     "dedup_lsh_recall" -> Dedup.lshRecall _,
     "text_cooccurrence" -> ((s: SparkSession, d: String) => TextOps.cooccurrence(s, d)),
+    "dlp_quantile_bucketing" -> DlpQueries.dlpQuantileBucketing _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2335,6 +2336,24 @@ object SparkEntry {
         |  CAST(n_ab * nd * 1000000 // (ta.df * tb.df) AS BIGINT) AS lift_u
         |FROM pr JOIN top ta ON ta.word = w_a JOIN top tb ON tb.word = w_b CROSS JOIN n
         |ORDER BY lift_u DESC, w_a, w_b LIMIT 100""".stripMargin,
+    // dlp_quantile_bucketing: exact integer lower-quartile bounds
+    // rank-selected under a (value, key) total order
+    "dlp_quantile_bucketing" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c FROM customer),
+        |r AS (SELECT *, row_number() OVER (ORDER BY acctbal_c, c_custkey) AS rn,
+        |  COUNT(*) OVER () AS n FROM c),
+        |qs AS (SELECT
+        |  MIN(CASE WHEN rn = GREATEST((n + 1) // 4, 1) THEN acctbal_c END) AS q1_c,
+        |  MIN(CASE WHEN rn = GREATEST((n + 1) // 2, 1) THEN acctbal_c END) AS q2_c,
+        |  MIN(CASE WHEN rn = GREATEST((3 * (n + 1)) // 4, 1) THEN acctbal_c END) AS q3_c FROM r)
+        |SELECT c_custkey, acctbal_c,
+        |  CASE WHEN acctbal_c <= q1_c THEN 'q1'
+        |       WHEN acctbal_c <= q2_c THEN 'q2'
+        |       WHEN acctbal_c <= q3_c THEN 'q3'
+        |       ELSE 'q4' END AS bucket,
+        |  q1_c, q2_c, q3_c
+        |FROM c CROSS JOIN qs ORDER BY c_custkey""".stripMargin,
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

@@ -124,6 +124,38 @@ object DlpQueries {
   def dlpRowBatches(spark: SparkSession, dir: String): DataFrame =
     Ingest.rowBatches(Tables.customer(spark, dir), 500L)
 
+  /** Quantile-based generalization — the data-derived sibling of
+    * [[dlpBucketing]]'s fixed-size config: bucket bounds are the
+    * EXACT integer lower-quartiles of the column itself (rank-
+    * selected under a (value, key) total order), so each disclosure
+    * bucket holds ≈25% of records regardless of the value
+    * distribution — what fixed-width buckets can't guarantee under
+    * skew, and the k-anonymity-friendly way to generalize a numeric
+    * quasi-identifier. Exactness here is the oracle contract; at
+    * corpus scale the same shape runs off approx_percentile bounds
+    * (the engine ships that contract as q_approx_quantile). */
+  def dlpQuantileBucketing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, dir).selectExpr("c_custkey",
+      "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c")
+    val ranked = c
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("acctbal_c"), col("c_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val qs = ranked.agg(
+      min(when(col("rn") === expr("GREATEST((n + 1) DIV 4, 1)"), col("acctbal_c"))).as("q1_c"),
+      min(when(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"), col("acctbal_c"))).as("q2_c"),
+      min(when(col("rn") === expr("GREATEST((3 * (n + 1)) DIV 4, 1)"), col("acctbal_c"))).as("q3_c"))
+    c.crossJoin(broadcast(qs))
+      .selectExpr("c_custkey", "acctbal_c",
+        """CASE WHEN acctbal_c <= q1_c THEN 'q1'
+          |     WHEN acctbal_c <= q2_c THEN 'q2'
+          |     WHEN acctbal_c <= q3_c THEN 'q3'
+          |     ELSE 'q4' END AS bucket""".stripMargin.replace("\n", " "),
+        "q1_c", "q2_c", "q3_c")
+      .orderBy("c_custkey")
+  }
+
   /** Whole-table config-driven de-identification (the reference's
     * dlpconfigs.json flow): customer per the example config. */
   def dlpConfigApply(spark: SparkSession, dir: String): DataFrame = {

@@ -655,6 +655,21 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.head.getLong(5) == nab * nd * 1000000L / (na * nb))
   }
 
+  test("quantile bucketing balances the buckets where fixed-width cannot") {
+    val rows = graft.operators.DlpQueries.dlpQuantileBucketing(spark, sf).collect()
+    val n = rows.length
+    val byBucket = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byBucket.keySet == Set("q1", "q2", "q3", "q4"))
+    byBucket.foreach { case (b, cnt) =>
+      // each data-derived bucket holds ~25% (ties can shift a few rows)
+      assert(math.abs(cnt - n / 4) <= math.max(2, n / 20),
+        s"bucket $b holds $cnt of $n — not quantile-balanced")
+    }
+    val r0 = rows.head
+    assert(r0.getLong(3) <= r0.getLong(4) && r0.getLong(4) <= r0.getLong(5),
+      "quartile bounds must be ordered")
+  }
+
   test("component stats conserve the corpus (sum of n_docs = all documents)") {
     val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
