@@ -221,6 +221,7 @@ object SparkEntry {
     "dedup_lsh_recall" -> Dedup.lshRecall _,
     "text_cooccurrence" -> ((s: SparkSession, d: String) => TextOps.cooccurrence(s, d)),
     "dlp_quantile_bucketing" -> DlpQueries.dlpQuantileBucketing _,
+    "stream_reorder_depth" -> Streams.reorderDepthBatch _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2354,6 +2355,23 @@ object SparkEntry {
         |       ELSE 'q4' END AS bucket,
         |  q1_c, q2_c, q3_c
         |FROM c CROSS JOIN qs ORDER BY c_custkey""".stripMargin,
+    // stream_reorder_depth: |arrival rank − event-time rank| per
+    // event; rank-at-position median is tie-insensitive
+    "stream_reorder_depth" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT event_type,
+        |  ABS(CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+        |    - CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)) AS depth
+        |  FROM e),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY depth) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM d)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN depth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inorder,
+        |  CAST(SUM(CASE WHEN depth = 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS inorder_bp,
+        |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN depth END) AS BIGINT) AS med_depth,
+        |  CAST(MAX(depth) AS BIGINT) AS max_depth
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

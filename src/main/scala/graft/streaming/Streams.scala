@@ -81,6 +81,45 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Disorder-depth profile — the statistic that SIZES a reorder
+    * buffer or watermark before deploying one (the design input
+    * behind [[lateAuditStreaming]]'s bounded reorder capacity): per
+    * (user, event), depth = |arrival rank − event-time rank| — how
+    * far each event sits from its in-order position; summarized per
+    * event_type as the in-order share, exact integer lower-median
+    * depth and worst depth. A buffer of capacity ≥ max_depth restores
+    * order exactly; the median says what a smaller buffer catches.
+    * Two rank windows per user partition (one sort each under the
+    * same partitioning — one shuffle total), then a tiny aggregate.
+    * Arrival order = event_id, the same proxy [[lateAuditBatch]]
+    * uses. */
+  def reorderDepthBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .filter(col("user_id").isNotNull)
+    val byArrival = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val depths = e
+      .withColumn("ra", row_number().over(byArrival).cast("long"))
+      .withColumn("rt", row_number().over(byTime).cast("long"))
+      .selectExpr("event_type", "abs(ra - rt) AS depth")
+    val wMed = Window.partitionBy(col("event_type")).orderBy(col("depth"))
+    depths
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("depth") === 0L, 1L).otherwise(0L)).as("n_inorder"),
+        min(when(col("rn") === expr("(n + 1) DIV 2"), col("depth"))).as("med_depth"),
+        max(col("depth")).as("max_depth"))
+      .selectExpr("event_type", "n_events",
+        "CAST(n_inorder AS BIGINT) AS n_inorder",
+        "n_inorder * 10000 DIV n_events AS inorder_bp",
+        "med_depth", "max_depth")
+      .orderBy("event_type")
+  }
+
   /** 30-min-gap sessionization, batch form (gaps-and-islands). */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)

@@ -393,6 +393,30 @@ class StreamingSpec extends AnyFunSuite {
       s"funnel advances wrong: $got")
   }
 
+  test("reorder depth matches a driver-side rank recompute") {
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getString(2), r.getLong(3)))
+    val depths = evs.groupBy(_._1).values.flatMap { rows =>
+      val byArrival = rows.sortBy(_._2).zipWithIndex.map { case (r, i) => r._2 -> (i + 1) }.toMap
+      val byTime = rows.sortBy(r => (r._4, r._2)).zipWithIndex.map { case (r, i) => r._2 -> (i + 1) }.toMap
+      rows.map(r => r._3 -> math.abs(byArrival(r._2) - byTime(r._2)).toLong)
+    }.toSeq
+    val expected = depths.groupBy(_._1).map { case (t, ds) =>
+      val sorted = ds.map(_._2).sorted
+      t -> ((ds.size.toLong, sorted.count(_ == 0L).toLong,
+        sorted((ds.size + 1) / 2 - 1), sorted.last))
+    }
+    Streams.reorderDepthBatch(spark, sf).collect().foreach { r =>
+      val (n, zero, med, mx) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == zero &&
+        r.getLong(4) == med && r.getLong(5) == mx,
+        s"${r.getString(0)}: got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(4)}, ${r.getLong(5)}), " +
+          s"expected ($n, $zero, $med, $mx)")
+    }
+  }
+
   test("streaming dedup keeps one row per key") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
