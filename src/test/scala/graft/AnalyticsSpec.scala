@@ -35,11 +35,17 @@ class AnalyticsSpec extends AnyFunSuite {
     SparkEntry.queries.keys.foreach { k =>
       assert(SparkEntry.oracleSql.contains(k), s"query $k has no oracleSql entry")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Silent-empty net: a refactor that turns a result empty would
+    // still hash-match an empty oracle — every query must return rows
+    // at sf0.001 except the documented fault-model exception, whose
+    // injected fault lies beyond the tiny keyspace
+    val mayBeEmptyAtTinySf = Set("ingest_gap_audit")
+    val empties = SparkEntry.queries.flatMap { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
-      df.count() // must execute
+      if (df.count() == 0 && !mayBeEmptyAtTinySf(name)) Some(name) else None
     }
+    assert(empties.isEmpty, s"unexpectedly empty at sf0.001: ${empties.mkString(", ")}")
   }
 
   test("no DECIMAL column crosses the compare boundary (money = long cents)") {
