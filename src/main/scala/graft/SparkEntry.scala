@@ -222,6 +222,7 @@ object SparkEntry {
     "text_cooccurrence" -> ((s: SparkSession, d: String) => TextOps.cooccurrence(s, d)),
     "dlp_quantile_bucketing" -> DlpQueries.dlpQuantileBucketing _,
     "stream_reorder_depth" -> Streams.reorderDepthBatch _,
+    "embed_pair_hist" -> Ann.pairHist _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2372,6 +2373,17 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN depth END) AS BIGINT) AS med_depth,
         |  CAST(MAX(depth) AS BIGINT) AS max_depth
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // embed_pair_hist: pairwise-cosine histogram over the first-64
+    // sample; identical FLOOR bucket math on bit-identical cosines
+    "embed_pair_hist" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 64),
+         |pp AS (SELECT a.emb AS ea, b.emb AS eb FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |p AS (SELECT ${duckCos("ea", "eb")} AS c FROM pp),
+         |bk AS (SELECT LEAST(CAST(FLOOR((c + 1) * 5) AS BIGINT), 9) AS bucket FROM p),
+         |g AS (SELECT bucket, COUNT(*) AS n_pairs FROM bk GROUP BY bucket)
+         |SELECT bucket, n_pairs,
+         |  CAST(n_pairs * 10000 // (SELECT COUNT(*) FROM p) AS BIGINT) AS share_bp
+         |FROM g ORDER BY bucket""".stripMargin),
     // dedup_component_stats: the components CTE regrouped into the
     // duplication-mass curve; share denominator = the full corpus
     "dedup_component_stats" ->

@@ -477,6 +477,30 @@ object Ann {
         "min_u", "max_u", "max_u - min_u AS range_u")
       .orderBy("dim")
 
+  /** Embedding-space geometry histogram — the anisotropy/collapse
+    * check run on every new encoder drop before ANN indexing: the
+    * distribution of pairwise cosine over a deterministic sample
+    * (all pairs among the first 64 vectors — 2016 pairs, sample-
+    * bounded at any corpus size), bucketed into ten [-1, 1) bins.
+    * Healthy spaces spread mass across mid buckets; a collapsed/
+    * anisotropic space piles into the top bins, where every ANN
+    * structure (IVF cells, LSH buckets, PQ cells) degrades toward a
+    * single cell. Bit-identical cosines (the proven fold) make the
+    * FLOOR bucket assignment engine-exact. */
+  def pairHist(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir).filter(col("vec_id") < 64)
+    val pairs = e.as("a")
+      .join(e.as("b").selectExpr("vec_id AS vb", "emb AS eb"), col("vec_id") < col("vb"))
+      .select(cosineSim(col("emb"), col("eb")).as("c"))
+    val w = Window.partitionBy()
+    pairs
+      .selectExpr("LEAST(CAST(FLOOR((c + 1) * 5) AS BIGINT), 9) AS bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("tot", sum(col("n_pairs")).over(w))
+      .selectExpr("bucket", "n_pairs", "n_pairs * 10000 DIV tot AS share_bp")
+      .orderBy("bucket")
+  }
+
   /** IVF probe sweep — the index-tuning curve that picks nprobe (the
     * ANN analogue of [[graft.dedup.Dedup.lshTuning]]): recall@5 of
     * the probe-1 and probe-2 configurations against exact ground

@@ -670,6 +670,18 @@ class PlanSpec extends AnyFunSuite {
       "quartile bounds must be ordered")
   }
 
+  test("pair histogram covers the exact sample mass with valid buckets") {
+    val rows = graft.sim.Ann.pairHist(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 64).count()
+    assert(rows.map(_.getLong(1)).sum == n * (n - 1) / 2,
+      "histogram must cover every sampled pair exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000)
+    }
+  }
+
   test("component stats conserve the corpus (sum of n_docs = all documents)") {
     val rows = graft.dedup.Dedup.componentStats(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
