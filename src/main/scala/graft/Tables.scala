@@ -29,12 +29,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and truncate to micros
-      // (exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP cast does).
+      // events.ts encoding varies by generator version: either parquet
+      // TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so
+      // it's read as raw nanos and truncated to micros (exactly what
+      // DuckDB's TIMESTAMP_NS → TIMESTAMP cast does) — or plain
+      // TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ and is cast
+      // to the session-UTC instant type the operators were written
+      // against. Dispatch on the resolved type so both corpora load to
+      // an identical `ts: timestamp` column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

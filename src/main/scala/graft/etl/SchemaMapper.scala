@@ -87,9 +87,17 @@ object SchemaMapper {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     // fetch footers concurrently — schema discovery is driver-side
-    // metadata I/O, serializing 10 tables' footer reads is pure wait
+    // metadata I/O, serializing 10 tables' footer reads is pure wait.
+    // Pin the active session on each pool thread: active-session is an
+    // InheritableThreadLocal captured at THREAD creation, so a pool
+    // thread born before this session existed would silently read
+    // SQLConf defaults (dropping e.g. the events nanosAsLong conf) and
+    // resolve schemas differently than the session it serves.
     val schemas = Await.result(
-      Future.sequence(tables.map(t => Future(t -> Tables.schema(spark, dir, t)))),
+      Future.sequence(tables.map(t => Future {
+        SparkSession.setActiveSession(spark)
+        t -> Tables.schema(spark, dir, t)
+      })),
       Duration.Inf).toMap
     val rows = tables.flatMap { t =>
       schemas(t).fields.zipWithIndex.map {

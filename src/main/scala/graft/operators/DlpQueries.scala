@@ -133,16 +133,39 @@ object DlpQueries {
     * skew, and the k-anonymity-friendly way to generalize a numeric
     * quasi-identifier. Exactness here is the oracle contract; at
     * corpus scale the same shape runs off approx_percentile bounds
-    * (the engine ships that contract as q_approx_quantile). */
+    * (the engine ships that contract as q_approx_quantile).
+    *
+    * The global rank is derived DISTRIBUTIVELY (the ingest_gap_audit
+    * two-level decomposition, SourceQueries.gapAudit): rows range-
+    * bucket on the value itself (truncating division is monotone, so
+    * buckets are contiguous value intervals), each bucket ranks its
+    * own rows under a PARTITIONED window, and a bucket-count-sized
+    * boundary pass turns per-bucket counts into cumulative offsets —
+    * global rank = bucket offset + within-bucket rank, exact, with no
+    * unpartitioned window ever seeing table-sized input. The one
+    * ORDER-BY-only window left runs over one row per present bucket
+    * (value-domain/width ≈ 70 rows at ANY table size). */
   def dlpQuantileBucketing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = Tables.customer(spark, dir).selectExpr("c_custkey",
       "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c")
-    val ranked = c
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("acctbal_c"), col("c_custkey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val qs = ranked.agg(
+      .withColumn("b", expr("acctbal_c DIV 16384"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("acctbal_c"), col("c_custkey"))
+    val ranked = c.withColumn("rb", row_number().over(wIn))
+    // one row per PRESENT bucket: cumulative offset of all earlier
+    // buckets + the grand total, via a window bounded by the value
+    // domain (not the row count)
+    val wB = Window.orderBy(col("b"))
+    val offs = c.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("cnt")
+    val qs = ranked.join(broadcast(offs), "b")
+      .withColumn("rn", col("off") + col("rb"))
+      .agg(
       min(when(col("rn") === expr("GREATEST((n + 1) DIV 4, 1)"), col("acctbal_c"))).as("q1_c"),
       min(when(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"), col("acctbal_c"))).as("q2_c"),
       min(when(col("rn") === expr("GREATEST((3 * (n + 1)) DIV 4, 1)"), col("acctbal_c"))).as("q3_c"))

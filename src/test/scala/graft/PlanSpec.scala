@@ -670,6 +670,68 @@ class PlanSpec extends AnyFunSuite {
       "quartile bounds must be ordered")
   }
 
+  test("two-level quantile rank equals the naive global-window form exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.DlpQueries.dlpQuantileBucketing(spark, sf).collect()
+    // the oracle shape: one unpartitioned window over the whole table
+    val c = Tables.customer(spark, sf).selectExpr("c_custkey",
+      "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c")
+    val naive = c
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("acctbal_c"), col("c_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .agg(
+        min(when(col("rn") === expr("GREATEST((n + 1) DIV 4, 1)"), col("acctbal_c"))).as("q1_c"),
+        min(when(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"), col("acctbal_c"))).as("q2_c"),
+        min(when(col("rn") === expr("GREATEST((3 * (n + 1)) DIV 4, 1)"), col("acctbal_c"))).as("q3_c"))
+      .collect().head
+    got.foreach { r =>
+      assert(r.getLong(3) == naive.getLong(0) && r.getLong(4) == naive.getLong(1) &&
+        r.getLong(5) == naive.getLong(2), "quartile bounds diverge from the global-window oracle")
+    }
+  }
+
+  // The r9 lesson: dlp_quantile_bucketing shipped a full-table
+  // unpartitioned WindowExec for a round because its plan was never
+  // audited. This sweep walks EVERY SparkEntry query's optimized plan
+  // and fails on any Window with an empty partitionSpec, unless the
+  // query is whitelisted here with a justification for why that
+  // window's input is provably bounded (sketch-/group-/survivor-sized,
+  // never table-sized). Adding a name here requires writing the bound.
+  val boundedGlobalWindows: Map[String, String] = Map(
+    "ann_cell_balance" -> "window input = k IVF cell rows (k fixed by config)",
+    "dedup_component_stats" -> "window input = component-SIZE histogram rows (distinct sizes)",
+    "dlp_quantile_bucketing" -> "window input = one row per present value bucket (domain DIV 16384 ~ 70 rows at any table size)",
+    "embed_pair_hist" -> "window input = 10 histogram bucket rows (64-vector deterministic sample)",
+    "ingest_gap_audit" -> "window input = one row per present 8192-key bucket (two-level gap decomposition)",
+    "layout_compaction_plan" -> "window input = file inventory rows (one per planned file), not data rows",
+    "pipeline_mix_weights" -> "window input = one row per corpus source (~20)",
+    "q_funnel_conversion" -> "window input = funnel survivor counts per stage (3 rows)",
+    "q_skyline" -> "phase-2 window input = union of 16 per-bucket Pareto frontiers (survivor-sized)",
+    "text_vocab" -> "window input = top-200 vocabulary rows after TakeOrdered")
+
+  test("no query ships an unpartitioned window over table-sized input") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val globals =
+        try {
+          val df = fn(spark, sf)
+          df.queryExecution.optimizedPlan.collect {
+            case w: logical.Window if w.partitionSpec.isEmpty => w
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          fail(s"query $name failed to build/analyze in the sweep: $e")
+        }
+      if (globals.nonEmpty && !boundedGlobalWindows.contains(name)) Some(name) else None
+    }
+    Caches.clearAll(); spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"unpartitioned windows without a boundedness justification: ${offenders.mkString(", ")}")
+    // the whitelist must not drift: every justified name must still be a query
+    val stale = boundedGlobalWindows.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"whitelist names no longer in SparkEntry.queries: $stale")
+  }
+
   test("pair histogram covers the exact sample mass with valid buckets") {
     val rows = graft.sim.Ann.pairHist(spark, sf).collect()
     val n = Tables.embeddings(spark, sf)

@@ -18,13 +18,25 @@ class StreamingSpec extends AnyFunSuite {
     d
   }
 
+  /** events as a file stream with `ts` normalized exactly as
+    * [[Tables.load]] does for the batch side: nanos-as-long corpora
+    * truncate to micros, micros corpora cast the NTZ to the
+    * session-UTC instant type — so stream≡batch comparisons never
+    * diverge on the corpus generator's timestamp encoding. */
+  private def eventsStream: org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   test("streaming window agg matches batch form") {
     // feed the parquet dir as a file stream (one batch), memory sink
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream
     val q = Streams.windowAggStreaming(raw)
       .writeStream.outputMode("append").format("memory").queryName("win_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -272,12 +284,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming windowed top-k matches the batch form on closed windows") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft-wtopk").toString
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream
     val q = Streams.windowedTopkStreaming(raw, s"$out/topk", s"$out/ckpt")
     q.processAllAvailable(); q.stop()
     val got = spark.read.parquet(s"$out/topk")
@@ -291,12 +299,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("foreachBatch dead-letter sink routes ok/dead to separate dirs") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft-dl").toString
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream
     val q = Streams.writeWithDeadLetter(raw, s"$out/ok", s"$out/dead", s"$out/ckpt")
     q.processAllAvailable(); q.stop()
     val ok = spark.read.parquet(s"$out/ok").count()
@@ -310,11 +314,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream join matches the batch time-band join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def stream(t: String, uCol: String, tsCol: String) = spark.readStream
-      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def stream(t: String, uCol: String, tsCol: String) = eventsStream
       .filter(col("event_type") === t)
       .select(col("event_id").as(s"${uCol.head}_id"),
         col("user_id").as(uCol), col("ts").as(tsCol))
@@ -418,11 +418,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming dedup keeps one row per key") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream
     val q = Streams.dedupStreaming(raw)
       .writeStream.outputMode("append").format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
