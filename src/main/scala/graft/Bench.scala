@@ -208,15 +208,26 @@ object Bench {
           if (Files.exists(p)) Some(m -> new String(Files.readAllBytes(p), "UTF-8").trim)
           else None
         }
-        // warn when the halves disagree on rev or sf — the combined
-        // file stays self-describing (each half embeds its own stamp),
-        // but a mixed snapshot must never pass silently as one run
-        for (Seq((_, a), (_, b)) <- halves.sliding(2) if halves.size == 2;
-             f <- Seq("rev", "sf") if stamp(a, f) != stamp(b, f))
-          System.err.println(s"[bench] WARNING: combined halves disagree on $f " +
-            s"(${stamp(a, f)} vs ${stamp(b, f)}) — re-run both modes at one commit/sf")
-        val combined = halves.map { case (m, j) => s""""$m":$j""" }.mkString("{", ",", "}")
-        Files.write(Paths.get("BENCH_FULL.json"), (combined + "\n").getBytes("UTF-8"))
+        // REFUSE to combine halves that disagree on rev or sf: a mixed
+        // snapshot read as one run has repeatedly mis-adjudicated
+        // round-over-round diffs (r8, r9 driver reruns). On mismatch
+        // the per-mode halves stand alone and any stale combined file
+        // is REMOVED, so no combined artifact can ever exist with
+        // disagreeing stamps.
+        val mismatches =
+          if (halves.size < 2) Seq.empty
+          else for (f <- Seq("rev", "sf")
+                    if stamp(halves(0)._2, f) != stamp(halves(1)._2, f))
+            yield s"$f (${stamp(halves(0)._2, f)} vs ${stamp(halves(1)._2, f)})"
+        if (mismatches.nonEmpty) {
+          Files.deleteIfExists(Paths.get("BENCH_FULL.json"))
+          System.err.println(s"[bench] REFUSED to combine: halves disagree on " +
+            s"${mismatches.mkString(", ")} — re-run both modes at one commit/sf; " +
+            "BENCH_FULL.json removed, per-mode halves kept")
+        } else {
+          val combined = halves.map { case (m, j) => s""""$m":$j""" }.mkString("{", ",", "}")
+          Files.write(Paths.get("BENCH_FULL.json"), (combined + "\n").getBytes("UTF-8"))
+        }
       } else {
         Files.write(Paths.get("BENCH_PARTIAL.json"), (fullJson + "\n").getBytes("UTF-8"))
       }

@@ -122,6 +122,7 @@ object SparkEntry {
     "sample_weighted" -> TextOps.sampleWeighted _,
     "ingest_gap_audit" -> SourceQueries.gapAudit _,
     "dedup_paragraph" -> Dedup.paragraphDedup _,
+    "dedup_substring" -> Dedup.substringDedup _,
     "stream_deid_pipeline" -> Streams.deidPipelineBatch _,
     "ann_cell_balance" -> Ann.cellBalance _,
     "text_lm_score" -> TextOps.lmScore _,
@@ -1511,6 +1512,29 @@ object SparkEntry {
         |  COUNT(*) AS n_occ, MIN(doc_id) AS min_doc
         |FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY h""".stripMargin,
+    // round 10: character-granularity exact-substring dedup — 64-char
+    // windows anchored where md5 of the 8-gram ends in '0' (winnowing-
+    // style content-defined anchors, alignment-invariant); window texts
+    // in >1 doc mark their anchors, overlapping windows merge to spans
+    "dedup_substring" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 64),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len - 63)) AS o, text FROM d),
+        |a AS (SELECT doc_id, o, md5(substr(text, o, 64)) AS h FROM pos
+        |  WHERE substr(md5(substr(text, o, 8)), 32, 1) = '0'),
+        |dup AS (SELECT h FROM a GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |f AS (SELECT doc_id, o,
+        |    MAX(o + 63) OVER (PARTITION BY doc_id ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM a WHERE h IN (SELECT h FROM dup)),
+        |g AS (SELECT doc_id, o,
+        |    SUM(CASE WHEN prev_end IS NULL OR o > prev_end + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY o) AS grp
+        |  FROM f)
+        |SELECT doc_id, CAST(MIN(o) AS BIGINT) AS span_start,
+        |  CAST(MAX(o) + 64 - MIN(o) AS BIGINT) AS span_chars,
+        |  COUNT(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // round 8: bit-interleave in portable integer ops; DuckDB's
     // date_part('day', ...) = Spark's dayofmonth
     "layout_zorder" ->
@@ -2249,7 +2273,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |s5 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL THEN us END AS p_q FROM s4),
         |u AS (SELECT user_id, MIN(s_q) AS s, MIN(c_q) AS c, MIN(p_q) AS p FROM s5 GROUP BY user_id)
-        |SELECT user_id, stage, at_us FROM (
+        |SELECT user_id, stage, at_us, CAST(0 AS BIGINT) AS reorder_overflow FROM (
         |  SELECT user_id, CAST(1 AS BIGINT) AS stage, s AS at_us FROM u WHERE s IS NOT NULL
         |  UNION ALL SELECT user_id, CAST(2 AS BIGINT), c FROM u WHERE c IS NOT NULL
         |  UNION ALL SELECT user_id, CAST(3 AS BIGINT), p FROM u WHERE p IS NOT NULL)

@@ -521,6 +521,67 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("h")
 
+  /** Exact-substring dedup at CHARACTER granularity — the suffix-
+    * array-free approximation of Lee et al. 2022 §4.1 ("Deduplicating
+    * Training Data Makes Language Models Better", ExactSubstr), built
+    * on CONTENT-DEFINED window anchoring (the winnowing idea,
+    * Schleimer/Wilkerson/Aiken, SIGMOD 2003): a position anchors a
+    * 64-char window iff the md5 of its 8-char gram ends in hex '0'
+    * (expected density 1/16). Anchor positions are a pure function of
+    * LOCAL CONTENT, so two copies of a shared block at ANY alignment
+    * produce the same in-block anchors and therefore identical window
+    * texts — the alignment invariance a fixed stride grid cannot give
+    * (a grid only matches shifts ≡ 0 mod stride), and what
+    * [[paragraphDedup]]'s aligned 8-word segments structurally miss.
+    * A window text appearing in MORE THAN ONE document marks its
+    * anchors duplicated; per document, overlapping/adjacent duplicated
+    * windows merge into maximal SPANS (start, chars, window count).
+    *
+    * Scale shape, all linear: the anchor scan explodes one row per
+    * character position but each pays only an 8-char hash and filters
+    * to ~len/16 anchors before the 64-char window hash (a production
+    * build swaps the md5 gram for a codegen'd rolling-hash Expression;
+    * md5 here is the primitive BOTH engines share, which is what makes
+    * the operator oracle-checkable). Duplicate detection is a hash
+    * groupBy with map-side partials; the flag-back is an EQUI-join on
+    * the window hash (docs never pair with docs — a window shared by
+    * k docs costs k join rows, not k²); span merging is an interval
+    * union under a window PARTITIONED by doc_id. No suffix array, no
+    * global sort, no pairwise work at any scale. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val winLen = 64
+    val gram = 8
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= winLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("len") - (winLen - 1))).as("oi"),
+        col("text"))
+      .filter(expr(s"substring(md5(substring(text, oi, $gram)), 32, 1) = '0'"))
+      .select(col("doc_id"), col("oi").cast("long").as("o"),
+        md5(expr(s"substring(text, oi, $winLen)")).as("h"))
+    val dup = w.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val flagged = w.join(dup, "h")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("o"))
+    flagged
+      // interval union: a window starts a new span iff it begins past
+      // every earlier window's end (+1 keeps touching intervals merged)
+      .withColumn("prev_end", max(col("o") + (winLen - 1))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("o") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("o")).as("span_start"),
+        (max(col("o")) + winLen - min(col("o"))).as("span_chars"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Blocked n-gram Jaccard: candidates share a 32-char length bucket
     * (cheap blocking key), verified on distinct word-3-gram Jaccard
     * ≥ 0.5. Pairs that straddle a bucket boundary are missed — the

@@ -564,7 +564,7 @@ object Streams {
   // public: the state encoder's generated deserializer instantiates it
   // reflectively in true streaming mode (private breaks codegen there)
   case class FunnelSt(s: Long, c: Long, p: Long)
-  case class FunnelAdv(user_id: Long, stage: Long, at_us: Long)
+  case class FunnelAdv(user_id: Long, stage: Long, at_us: Long, reorder_overflow: Long)
 
   /** Streaming funnel-stage state machine — the real-time form of
     * [[graft.operators.Analytics.qSequenceMatch]]: per user, O(1)
@@ -574,31 +574,65 @@ object Streams {
     * mean exactly the window form's PRECEDING-rows frame: a stage
     * event qualifies iff the prior stage was set by an earlier row —
     * whether that row arrived in this trigger or three triggers ago
-    * is invisible to the state. Per-trigger buffering shares
-    * [[sessionizeStreaming]]'s convention (sort the slice; a hot key
-    * under a fat trigger pays its own slice, state stays O(1)). */
-  def funnelStagesStreaming(evs: Dataset[FunnelEv]): Dataset[FunnelAdv] = {
+    * is invisible to the state.
+    *
+    * Per-trigger reordering is the [[lateAuditStreaming]] bounded lazy
+    * min-heap on (us, event_id), NOT a buffer-the-slice sort: input is
+    * pulled lazily from the state-store iterator, the heap holds at
+    * most `reorderBuffer` events, and each pop feeds the state machine
+    * — so a hot user inside one fat trigger costs O(reorderBuffer)
+    * memory, never its whole slice. The replay is EXACT whenever an
+    * event's displacement within the slice is ≤ reorderBuffer; an
+    * advance caused by an event that popped BELOW an already-processed
+    * (us, event_id) was displaced beyond capacity and is surfaced in
+    * the `reorder_overflow` audit column — never silently dropped —
+    * so downstream knows exactly which advances to distrust. */
+  def funnelStagesStreaming(evs: Dataset[FunnelEv],
+                            reorderBuffer: Int = 4096): Dataset[FunnelAdv] = {
     import evs.sparkSession.implicits._
+    require(reorderBuffer > 0, "reorderBuffer must be positive")
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelSt, FunnelAdv](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[FunnelSt]) =>
-          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+          val heap = scala.collection.mutable.PriorityQueue.empty[FunnelEv](
+            Ordering.by[FunnelEv, (Long, Long)](e => (e.us, e.event_id)).reverse)
           var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
-          val out = Seq.newBuilder[FunnelAdv]
-          sorted.foreach { e =>
-            e.event_type match {
-              case "signup" if st.s < 0 =>
-                st = st.copy(s = e.us); out += FunnelAdv(uid, 1L, e.us)
-              case "click" if st.s >= 0 && st.c < 0 =>
-                st = st.copy(c = e.us); out += FunnelAdv(uid, 2L, e.us)
-              case "purchase" if st.c >= 0 && st.p < 0 =>
-                st = st.copy(p = e.us); out += FunnelAdv(uid, 3L, e.us)
-              case _ =>
+          var lastUs = Long.MinValue
+          var lastId = Long.MinValue
+          // lazy pull → bounded heap → lazy emit; GroupState.update is
+          // a cheap in-memory set, committed by the exec operator when
+          // this iterator completes, so updating per advance is safe
+          new Iterator[FunnelAdv] {
+            private var pending: FunnelAdv = null
+            private def pump(): Unit = {
+              while (pending == null && (it.hasNext || heap.nonEmpty)) {
+                while (it.hasNext && heap.size < reorderBuffer) heap.enqueue(it.next())
+                val e = heap.dequeue()
+                val ooo =
+                  if (e.us < lastUs || (e.us == lastUs && e.event_id < lastId)) 1L else 0L
+                if (ooo == 0L) { lastUs = e.us; lastId = e.event_id }
+                e.event_type match {
+                  case "signup" if st.s < 0 =>
+                    st = st.copy(s = e.us); state.update(st)
+                    pending = FunnelAdv(uid, 1L, e.us, ooo)
+                  case "click" if st.s >= 0 && st.c < 0 =>
+                    st = st.copy(c = e.us); state.update(st)
+                    pending = FunnelAdv(uid, 2L, e.us, ooo)
+                  case "purchase" if st.c >= 0 && st.p < 0 =>
+                    st = st.copy(p = e.us); state.update(st)
+                    pending = FunnelAdv(uid, 3L, e.us, ooo)
+                  case _ =>
+                }
+              }
+            }
+            def hasNext: Boolean = { pump(); pending != null }
+            def next(): FunnelAdv = {
+              pump()
+              val r = pending; pending = null
+              r
             }
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -607,7 +641,11 @@ object Streams {
     * oracle is the WINDOW form's stage table (first signup, first
     * click strictly after, first purchase strictly after) — so the
     * gate hash proves state machine ≡ three chained running-min
-    * windows, the stream/batch duality of the funnel operator. */
+    * windows, the stream/batch duality of the funnel operator. The
+    * oracle also pins `reorder_overflow = 0` on every advance: the
+    * default 4096-slot reorder heap covers any per-user slice of this
+    * corpus, so a nonzero flag (bounded-heap inexactness) would fail
+    * the gate hash, not hide. */
   def funnelStagesReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = Tables.events(spark, dir)

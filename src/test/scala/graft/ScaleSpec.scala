@@ -198,7 +198,10 @@ class ScaleSpec extends AnyFunSuite {
       "text_length_outliers", "pipeline_mix_weights", "text_bpe_pairs",
       "text_bm25", "sample_group_topk", "dedup_lsh_tuning",
       "ann_reassign_drift", "embed_dim_stats", "pipeline_mm_curation",
-      "ingest_snapshot_diff")
+      "ingest_snapshot_diff",
+      // round 10: sliding-window substring spans — offsets, span merges
+      // and window counts must be bit-stable at any parallelism
+      "dedup_substring")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       // newSession() forks SHARE the CacheManager, and Caches.shared is
       // keyed by it — without clearing, the second run would collect
@@ -222,6 +225,55 @@ class ScaleSpec extends AnyFunSuite {
       assert(a(k) == b(k), s"$k differs across partition counts")
       assert(a(k).nonEmpty || mayBeEmptyAtTinySf(k), s"$k returned nothing")
     }
+  }
+
+  test("substring dedup: spans match a driver-side anchored-window recompute") {
+    val rows = graft.dedup.Dedup.substringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side oracle: same anchors, same dup rule, same merge
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wins = docs.flatMap { case (id, t) =>
+      (1 to t.length - 63)
+        .filter(o => md5hex(t.substring(o - 1, o - 1 + 8)).last == '0')
+        .map(o => (id, o.toLong, t.substring(o - 1, o - 1 + 64)))
+    }
+    val dupTexts = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val expected = wins.filter(w => dupTexts(w._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, ws) =>
+        val sorted = ws.map(_._2).sorted
+        // interval union: extend while the next window overlaps/touches
+        val spans = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((s, e, n) :: rest, o) if o <= e + 64 => (s, math.max(e, o), n + 1) :: rest
+          case (acc, o) => (o, o, 1L) :: acc
+        }
+        spans.map { case (s, e, n) => (id, s, e + 64 - s, n) }
+    }.toSet
+    assert(rows.toSet == expected, s"spans diverge: got ${rows.size}, expected ${expected.size}")
+    assert(rows.nonEmpty, "corpus duplicates must produce at least one span")
+  }
+
+  test("substring dedup catches misaligned boilerplate that paragraph dedup misses") {
+    import spark.implicits._
+    // one 200-char boilerplate block inserted at offsets differing by
+    // 44 (≠ 0 mod any word/segment grid) — aligned segment hashing
+    // (dedup_paragraph) and a fixed stride grid both miss it; content-
+    // defined anchors land at the same in-block positions regardless
+    // of the enclosing offset, so the windows match exactly
+    val boiler = ("the quick brown fox jumps over the lazy dog again and again " * 4).take(200)
+    val docs = Seq((1L, "x" * 37 + boiler + "tail one"), (2L, "y" * 81 + boiler + "other tail"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.dedup.Dedup.substringDedup(spark, dir).collect()
+    assert(spans.map(_.getLong(0)).toSet == Set(1L, 2L),
+      "both docs must report a duplicated span")
+    // every reported span must cover most of the 200-char block
+    spans.foreach(r => assert(r.getLong(2) >= 128,
+      s"span too short for a 200-char shared block: ${r.getLong(2)}"))
   }
 
   test("PQ recalls clustered neighbors (codebook-resolvable structure)") {

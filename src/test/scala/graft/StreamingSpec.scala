@@ -393,6 +393,42 @@ class StreamingSpec extends AnyFunSuite {
       s"funnel advances wrong: $got")
   }
 
+  test("funnel bounded reorder: hot key through a fat trigger") {
+    import spark.implicits._
+    // ONE user, 30k events in a single slice, arrival locally shuffled
+    // within blocks of 32: displacement ≤ 32, so a 64-slot heap replays
+    // the sorted-slice semantics EXACTLY while holding ≤ 64 events.
+    // Funnel stages hide at fixed event times; everything else is noise.
+    val n = 30000
+    val rng = new scala.util.Random(7)
+    def mkEvs(block: Int) = (0 until n).grouped(block).flatMap(b => rng.shuffle(b.toList)).toSeq
+      .map { i =>
+        val t = i match {
+          case 1000 => "signup"; case 2000 => "click"; case 3000 => "purchase"
+          case _ => "view"
+        }
+        Streams.FunnelEv(1L, i.toLong, 1000L * i, t)
+      }
+    val got = Streams.funnelStagesStreaming(spark.createDataset(mkEvs(32)), 64)
+      .collect().map(a => (a.stage, a.at_us, a.reorder_overflow)).toSet
+    assert(got == Set((1L, 1000000L, 0L), (2L, 2000000L, 0L), (3L, 3000000L, 0L)),
+      s"bounded replay diverged: $got")
+    // displacement beyond capacity may reorder the state machine's
+    // input (an advance can be missed if its prerequisite pops late),
+    // but the invariants that survive ANY disorder must hold: each
+    // stage advances at most once, stages only ever advance in order,
+    // and out-of-order pops are surfaced via the audit column rather
+    // than silently absorbed
+    val coarse = Streams.funnelStagesStreaming(spark.createDataset(mkEvs(4096)), 8)
+      .collect()
+    val stages = coarse.map(_.stage)
+    assert(stages.distinct.length == stages.length, "duplicate stage advance")
+    assert(stages.toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert((1L to stages.size.toLong).toSet == stages.toSet,
+      "a stage advanced without its prerequisite stage")
+    coarse.foreach(a => assert(a.reorder_overflow == 0L || a.reorder_overflow == 1L))
+  }
+
   test("reorder depth matches a driver-side rank recompute") {
     val evs = Tables.events(spark, sf)
       .filter(col("user_id").isNotNull)
