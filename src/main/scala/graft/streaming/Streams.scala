@@ -150,36 +150,80 @@ object Streams {
       .orderBy("user_id", "session_start")
 
   case class Ev(user_id: Long, event_id: Long, us: Long)
+  /** `reorder_overflow` = how many beyond-displacement-bound pops the
+    * bounded streaming reorder absorbed into this session (always 0
+    * from the engine-sorted replay and whenever displacement stays
+    * within the buffer) — the uniform audit contract shared with
+    * [[LateFlag]]/[[FunnelAdv]]: absorbed disorder is counted on the
+    * row it touched, never silent. */
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
-                        session_start: Long, session_end: Long)
+                        session_start: Long, session_end: Long,
+                        reorder_overflow: Long)
   // public: the state encoder's generated deserializer instantiates it
   // reflectively in true streaming mode (private breaks codegen there)
-  case class SessState(lastUs: Long, sessionId: Long, start: Long, n: Long)
+  case class SessState(lastUs: Long, sessionId: Long, start: Long, n: Long,
+                       ooo: Long)
+
+  private val SessZero = SessState(Long.MinValue, 0L, 0L, 0L, 0L)
+
+  /** The ONE session-gap step both streaming forms and the batch
+    * replay run: fold an event (already in (us, event_id) order — or
+    * flagged `ooo` when the bounded reorder could not restore that
+    * order) into the open-session state, emitting the closed session
+    * when a gap ends it. Under exact order `max`/`min` reduce to
+    * plain assignment (events ascend within a session); under
+    * absorbed disorder they keep the closed row's bounds faithful and
+    * the state's clock monotone. */
+  private def sessionStep(uid: Long, st: SessState, us: Long,
+                          ooo: Boolean): (SessState, Option[SessionOut]) = {
+    val inc = if (ooo) 1L else 0L
+    if (st.lastUs == Long.MinValue)
+      (SessState(us, 1L, us, 1L, inc), None)
+    else if (us - st.lastUs > SessionGapUs)
+      (SessState(us, st.sessionId + 1, us, 1L, inc),
+        Some(SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs, st.ooo)))
+    else
+      (SessState(math.max(st.lastUs, us), st.sessionId, math.min(st.start, us),
+        st.n + 1, st.ooo + inc), None)
+  }
 
   /** Streaming sessionization via flatMapGroupsWithState. Each user's
     * state is O(1): last event time + open session accumulator;
-    * completed sessions are emitted as soon as the gap closes them. */
-  def sessionizeStreaming(events: Dataset[Ev]): Dataset[SessionOut] = {
+    * completed sessions are emitted as soon as the gap closes them.
+    * Within-trigger order is restored by the shared BOUNDED reorder
+    * ([[Reorder.bounded]] — O(reorderBuffer) per key, never the whole
+    * slice); an event displaced beyond the bound is absorbed into the
+    * session it lands in and counted in that session's
+    * `reorder_overflow`, or — under `strict` — fails the query, the
+    * mode to run when the buffer is sized from a watermark contract. */
+  def sessionizeStreaming(events: Dataset[Ev], reorderBuffer: Int = 4096,
+                          strict: Boolean = false): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, evs, state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            if (st.lastUs == Long.MinValue) {
-              st = SessState(e.us, 1L, e.us, 1L)
-            } else if (e.us - st.lastUs > SessionGapUs) {
-              out += SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs)
-              st = SessState(e.us, st.sessionId + 1, e.us, 1L)
-            } else {
-              st = SessState(e.us, st.sessionId, st.start, st.n + 1)
+          val reordered = Reorder.bounded(evs, reorderBuffer, strict)(
+            Ordering.by(e => (e.us, e.event_id)))
+          var st = state.getOption.getOrElse(SessZero)
+          // lazy pull → bounded heap → lazy emit; GroupState.update is
+          // a cheap in-memory set, committed when the iterator completes
+          new Iterator[SessionOut] {
+            private var pending: Option[SessionOut] = None
+            private def pump(): Unit =
+              while (pending.isEmpty && reordered.hasNext) {
+                val (e, ooo) = reordered.next()
+                val (s2, closed) = sessionStep(uid, st, e.us, ooo)
+                st = s2
+                state.update(st)
+                pending = closed
+              }
+            def hasNext: Boolean = { pump(); pending.isDefined }
+            def next(): SessionOut = {
+              pump()
+              val r = pending.get; pending = None; r
             }
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -196,64 +240,59 @@ object Streams {
     *
     * Memory bound (r8 fix — this used to be `evs.toSeq.sortBy`, which
     * buffers a hot key's ENTIRE trigger slice): arrival order is
-    * restored by a BOUNDED streaming reorder — a min-heap on event_id
-    * holding at most `reorderBuffer` events. Input is pulled lazily
-    * from the state-store iterator, the heap fills to capacity, and
-    * each emission pops the current minimum, so per-key memory is
-    * O(reorderBuffer) regardless of trigger size. The reorder is
-    * EXACT whenever an event's displacement from arrival order within
-    * the slice is ≤ reorderBuffer (a shuffle-delivered slice of an
-    * ordered log is locally disordered, not globally); an event popped
-    * with an id BELOW an already-emitted id was displaced beyond
-    * capacity and is processed out of order — counted and surfaced in
-    * the `reorder_overflow` audit column, never silently dropped, so
+    * restored by the shared bounded reorder ([[Reorder.bounded]] —
+    * O(reorderBuffer) per key, lazy pull, lazy emit). The reorder is
+    * exact whenever an event's displacement within the slice is under
+    * the capacity (a shuffle-delivered slice of an ordered log is
+    * locally disordered, not globally); an event displaced beyond it
+    * is processed out of order — counted and surfaced in the
+    * `reorder_overflow` audit column, never silently dropped, so
     * downstream knows exactly how many flags to distrust. */
   def lateAuditStreaming(events: Dataset[LateEv],
                          toleranceMin: Int = 10,
                          reorderBuffer: Int = 4096): Dataset[LateFlag] = {
     import events.sparkSession.implicits._
     val tolUs = toleranceMin.toLong * 60 * 1000 * 1000
-    require(reorderBuffer > 0, "reorderBuffer must be positive")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Long, LateFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, evs, state: GroupState[Long]) =>
-          // min-heap on event_id (PriorityQueue is a max-heap; reverse)
-          val heap = scala.collection.mutable.PriorityQueue.empty[LateEv](
-            Ordering.by[LateEv, Long](_.event_id).reverse)
           var hwm = state.getOption.getOrElse(Long.MinValue)
-          var lastId = Long.MinValue
-          // lazy pull → bounded heap → lazy emit; GroupState.update is
-          // a cheap in-memory set, committed by the exec operator when
-          // this iterator completes, so updating per pop is safe
-          new Iterator[LateFlag] {
-            def hasNext: Boolean = evs.hasNext || heap.nonEmpty
-            def next(): LateFlag = {
-              while (evs.hasNext && heap.size < reorderBuffer) heap.enqueue(evs.next())
-              val e = heap.dequeue()
+          // iterator .map is lazy; GroupState.update is a cheap
+          // in-memory set, committed when the iterator completes
+          Reorder.bounded(evs, reorderBuffer)(Ordering.by(_.event_id))
+            .map { case (e, ooo) =>
               val seen = hwm != Long.MinValue
               val flag = LateFlag(e.event_id, e.event_type,
                 late = if (seen && e.us < hwm - tolUs) 1L else 0L,
                 skew_us = if (seen) math.max(hwm - e.us, 0L) else 0L,
                 jump_us = if (seen) math.max(e.us - hwm, 0L) else 0L,
-                reorder_overflow = if (e.event_id < lastId) 1L else 0L)
-              lastId = math.max(lastId, e.event_id)
+                reorder_overflow = if (ooo) 1L else 0L)
               if (e.us > hwm) { hwm = e.us; state.update(hwm) }
               flag
             }
-          }
       }
   }
 
   case class EvT(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  /** exact micros: getTime's ms + the sub-ms part of nanos (getTime *
+    * 1000 would truncate away sub-millisecond event-time and disagree
+    * with the batch micros contract). */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
 
   /** Event-time-timeout sessionization: unlike [[sessionizeStreaming]]
     * (whose open sessions close only when a LATER event from the same
     * user arrives), state here registers an event-time timeout at
     * last-event + gap; when the watermark passes it, the session emits
     * and its state is freed — the property that bounds state size on a
-    * real cluster (idle keys cannot accumulate forever). */
-  def sessionizeStreamingEventTime(events: Dataset[EvT]): Dataset[SessionOut] = {
+    * real cluster (idle keys cannot accumulate forever). Same shared
+    * session step and bounded-reorder contract as
+    * [[sessionizeStreaming]]. */
+  def sessionizeStreamingEventTime(events: Dataset[EvT],
+                                   reorderBuffer: Int = 4096,
+                                   strict: Boolean = false): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", "0 seconds")
       .groupByKey(_.user_id)
@@ -263,24 +302,17 @@ object Streams {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            Iterator.single(SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs))
+            Iterator.single(
+              SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs, st.ooo))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L))
+            var st = state.getOption.getOrElse(SessZero)
             val out = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              // exact micros: getTime's ms + the sub-ms part of nanos
-              // (getTime * 1000 would truncate away sub-millisecond
-              // event-time and disagree with the batch micros contract)
-              val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
-              if (st.lastUs == Long.MinValue) {
-                st = SessState(us, 1L, us, 1L)
-              } else if (us - st.lastUs > SessionGapUs) {
-                out += SessionOut(uid, st.sessionId, st.n, st.start, st.lastUs)
-                st = SessState(us, st.sessionId + 1, us, 1L)
-              } else {
-                st = SessState(us, st.sessionId, st.start, st.n + 1)
-              }
+            Reorder.bounded(evs, reorderBuffer, strict)(
+              Ordering.by(e => (tsMicros(e.ts), e.event_id))).foreach {
+              case (e, ooo) =>
+                val (s2, closed) = sessionStep(uid, st, tsMicros(e.ts), ooo)
+                st = s2
+                closed.foreach(out += _)
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastUs / 1000 + SessionGapUs / 1000)
@@ -477,20 +509,30 @@ object Streams {
   }
 
   /** Driver-visible REPLAY of [[sessionizeStreaming]] — the SAME
-    * flatMapGroupsWithState state machine the stream runs, executed in
-    * batch mode over the events table (batch execution of a stateful
-    * Dataset operator is Spark's own single-trigger semantics; the
-    * trigger-SLICED equivalence is proven in StreamingSpec). Emits
-    * exactly the CLOSED sessions — each user's final session stays
-    * open in state — so the oracle is the islands SQL minus every
-    * user's last session: the stream/batch equivalence itself becomes
-    * an oracle-checked row set. */
+    * [[sessionStep]] state machine the stream runs, executed in batch
+    * with order taken from the ENGINE (`repartition` +
+    * `sortWithinPartitions` + [[Reorder.foldRuns]] over contiguous
+    * per-user runs — external sort, exact at ANY disorder, O(1) state
+    * per key; same rationale as [[funnelStagesReplay]]: no bounded
+    * heap belongs in a batch replay). Emits exactly the CLOSED
+    * sessions — each user's final session stays open (flushless), so
+    * the oracle is the islands SQL minus every user's last session:
+    * the stream/batch equivalence itself becomes an oracle-checked
+    * row set. */
   def sessionizeReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .as[Ev]
-    sessionizeStreaming(evs).toDF()
+    evs.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .mapPartitions { it =>
+        Reorder.foldRuns[Ev, Long, SessState, SessionOut](
+          it, _.user_id, _ => SessZero) { (uid, st, e) =>
+          sessionStep(uid, st, e.us, ooo = false)
+        } { (_, _) => None } // final session stays open — CLOSED only
+      }
+      .toDF()
       .selectExpr("user_id", "session_id", "n_events",
         "session_start AS start_us", "session_end AS end_us")
       .orderBy("user_id", "session_id")
@@ -566,6 +608,18 @@ object Streams {
   case class FunnelSt(s: Long, c: Long, p: Long)
   case class FunnelAdv(user_id: Long, stage: Long, at_us: Long, reorder_overflow: Long)
 
+  /** The ONE funnel step both the streaming form and the batch replay
+    * run: fold an event (in (us, event_id) order) into the
+    * three-timestamp state; returns the advanced stage (1/2/3) or 0. */
+  private def funnelStep(st: FunnelSt, us: Long,
+                         eventType: String): (FunnelSt, Long) =
+    eventType match {
+      case "signup" if st.s < 0                 => (st.copy(s = us), 1L)
+      case "click" if st.s >= 0 && st.c < 0     => (st.copy(c = us), 2L)
+      case "purchase" if st.c >= 0 && st.p < 0  => (st.copy(p = us), 3L)
+      case _                                    => (st, 0L)
+    }
+
   /** Streaming funnel-stage state machine — the real-time form of
     * [[graft.operators.Analytics.qSequenceMatch]]: per user, O(1)
     * state (the three first-qualifying timestamps), emitting an
@@ -576,53 +630,50 @@ object Streams {
     * whether that row arrived in this trigger or three triggers ago
     * is invisible to the state.
     *
-    * Per-trigger reordering is the [[lateAuditStreaming]] bounded lazy
-    * min-heap on (us, event_id), NOT a buffer-the-slice sort: input is
-    * pulled lazily from the state-store iterator, the heap holds at
-    * most `reorderBuffer` events, and each pop feeds the state machine
-    * — so a hot user inside one fat trigger costs O(reorderBuffer)
-    * memory, never its whole slice. The replay is EXACT whenever an
-    * event's displacement within the slice is ≤ reorderBuffer; an
-    * advance caused by an event that popped BELOW an already-processed
-    * (us, event_id) was displaced beyond capacity and is surfaced in
-    * the `reorder_overflow` audit column — never silently dropped —
-    * so downstream knows exactly which advances to distrust. */
+    * Per-trigger reordering is the shared bounded lazy min-heap on
+    * (us, event_id) ([[Reorder.bounded]]), NOT a buffer-the-slice
+    * sort — a hot user inside one fat trigger costs O(reorderBuffer)
+    * memory, never its whole slice. The replay is exact whenever
+    * every event's displacement within the slice stays under the
+    * capacity; beyond it the machine's input IS reordered and
+    * advances can be early, late, or missed. That disorder is never
+    * silent: EVERY beyond-bound pop yields a row — the advance it
+    * caused flagged `reorder_overflow = 1`, or a marker row
+    * (`stage = 0`) when it advanced nothing — so downstream sees
+    * each absorbed violation even when the wrongly-taken advance
+    * itself popped cleanly. Under `strict` a beyond-bound pop fails
+    * the query instead — the mode to run when `reorderBuffer` is
+    * sized from an upstream watermark/disorder contract. For batch
+    * replay use [[funnelStagesReplay]], which takes EXACT order from
+    * the engine and needs no buffer at all. */
   def funnelStagesStreaming(evs: Dataset[FunnelEv],
-                            reorderBuffer: Int = 4096): Dataset[FunnelAdv] = {
+                            reorderBuffer: Int = 4096,
+                            strict: Boolean = false): Dataset[FunnelAdv] = {
     import evs.sparkSession.implicits._
-    require(reorderBuffer > 0, "reorderBuffer must be positive")
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelSt, FunnelAdv](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[FunnelSt]) =>
-          val heap = scala.collection.mutable.PriorityQueue.empty[FunnelEv](
-            Ordering.by[FunnelEv, (Long, Long)](e => (e.us, e.event_id)).reverse)
+          val reordered = Reorder.bounded(it, reorderBuffer, strict)(
+            Ordering.by(e => (e.us, e.event_id)))
           var st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
-          var lastUs = Long.MinValue
-          var lastId = Long.MinValue
           // lazy pull → bounded heap → lazy emit; GroupState.update is
           // a cheap in-memory set, committed by the exec operator when
           // this iterator completes, so updating per advance is safe
           new Iterator[FunnelAdv] {
             private var pending: FunnelAdv = null
             private def pump(): Unit = {
-              while (pending == null && (it.hasNext || heap.nonEmpty)) {
-                while (it.hasNext && heap.size < reorderBuffer) heap.enqueue(it.next())
-                val e = heap.dequeue()
-                val ooo =
-                  if (e.us < lastUs || (e.us == lastUs && e.event_id < lastId)) 1L else 0L
-                if (ooo == 0L) { lastUs = e.us; lastId = e.event_id }
-                e.event_type match {
-                  case "signup" if st.s < 0 =>
-                    st = st.copy(s = e.us); state.update(st)
-                    pending = FunnelAdv(uid, 1L, e.us, ooo)
-                  case "click" if st.s >= 0 && st.c < 0 =>
-                    st = st.copy(c = e.us); state.update(st)
-                    pending = FunnelAdv(uid, 2L, e.us, ooo)
-                  case "purchase" if st.c >= 0 && st.p < 0 =>
-                    st = st.copy(p = e.us); state.update(st)
-                    pending = FunnelAdv(uid, 3L, e.us, ooo)
-                  case _ =>
+              while (pending == null && reordered.hasNext) {
+                val (e, ooo) = reordered.next()
+                val (s2, stage) = funnelStep(st, e.us, e.event_type)
+                if (stage > 0L) {
+                  st = s2; state.update(st)
+                  pending = FunnelAdv(uid, stage, e.us, if (ooo) 1L else 0L)
+                } else if (ooo) {
+                  // beyond-bound pop that advanced nothing: marker row,
+                  // so absorbed disorder is visible even when the
+                  // advance it perturbed popped cleanly
+                  pending = FunnelAdv(uid, 0L, e.us, 1L)
                 }
               }
             }
@@ -637,15 +688,20 @@ object Streams {
   }
 
   /** Driver-visible REPLAY of [[funnelStagesStreaming]]: the same
-    * state machine in batch execution over the events table. The
-    * oracle is the WINDOW form's stage table (first signup, first
-    * click strictly after, first purchase strictly after) — so the
-    * gate hash proves state machine ≡ three chained running-min
-    * windows, the stream/batch duality of the funnel operator. The
-    * oracle also pins `reorder_overflow = 0` on every advance: the
-    * default 4096-slot reorder heap covers any per-user slice of this
-    * corpus, so a nonzero flag (bounded-heap inexactness) would fail
-    * the gate hash, not hide. */
+    * [[funnelStep]] state machine in batch execution over the events
+    * table, with order taken from the ENGINE — `repartition(user)` +
+    * `sortWithinPartitions(user, us, event_id)` (external sort:
+    * spills, exact at ANY disorder) and [[Reorder.foldRuns]] walking
+    * the contiguous per-user runs with O(1) state. No bounded heap:
+    * a batch group iterator is concatenated shuffle runs, so
+    * displacement can approach the whole per-user slice and no fixed
+    * capacity is safe — the hot-user ScaleSpec proves this path exact
+    * where the r10 heap replay silently diverged. The oracle is the
+    * WINDOW form's stage table (first signup, first click strictly
+    * after, first purchase strictly after) — the gate hash proves
+    * state machine ≡ three chained running-min windows, the
+    * stream/batch duality of the funnel operator; `reorder_overflow`
+    * is identically 0 here because engine order is exact. */
   def funnelStagesReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = Tables.events(spark, dir)
@@ -654,7 +710,16 @@ object Streams {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("event_type"))
       .as[FunnelEv]
-    funnelStagesStreaming(evs).toDF()
+    evs.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .mapPartitions { it =>
+        Reorder.foldRuns[FunnelEv, Long, FunnelSt, FunnelAdv](
+          it, _.user_id, _ => FunnelSt(-1L, -1L, -1L)) { (uid, st, e) =>
+          val (s2, stage) = funnelStep(st, e.us, e.event_type)
+          (s2, if (stage > 0L) Some(FunnelAdv(uid, stage, e.us, 0L)) else None)
+        } { (_, _) => None }
+      }
+      .toDF()
       .orderBy("user_id", "stage")
   }
 

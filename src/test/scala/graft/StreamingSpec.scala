@@ -417,16 +417,21 @@ class StreamingSpec extends AnyFunSuite {
     // input (an advance can be missed if its prerequisite pops late),
     // but the invariants that survive ANY disorder must hold: each
     // stage advances at most once, stages only ever advance in order,
-    // and out-of-order pops are surfaced via the audit column rather
-    // than silently absorbed
+    // and EVERY beyond-bound pop yields a row — a flagged advance or
+    // a stage-0 marker — so disorder is never silently absorbed
     val coarse = Streams.funnelStagesStreaming(spark.createDataset(mkEvs(4096)), 8)
       .collect()
-    val stages = coarse.map(_.stage)
+    val advances = coarse.filter(_.stage > 0L)
+    val stages = advances.map(_.stage)
     assert(stages.distinct.length == stages.length, "duplicate stage advance")
     assert(stages.toSet.subsetOf(Set(1L, 2L, 3L)))
     assert((1L to stages.size.toLong).toSet == stages.toSet,
       "a stage advanced without its prerequisite stage")
-    coarse.foreach(a => assert(a.reorder_overflow == 0L || a.reorder_overflow == 1L))
+    val markers = coarse.filter(_.stage == 0L)
+    assert(markers.forall(_.reorder_overflow == 1L),
+      "a marker row exists only to surface an out-of-order pop")
+    assert(markers.nonEmpty || advances.exists(_.reorder_overflow == 1L),
+      "block-4096 shuffle through an 8-slot heap must surface overflow")
   }
 
   test("reorder depth matches a driver-side rank recompute") {
