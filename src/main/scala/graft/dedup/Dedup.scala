@@ -537,27 +537,31 @@ object Dedup {
     * anchors duplicated; per document, overlapping/adjacent duplicated
     * windows merge into maximal SPANS (start, chars, window count).
     *
-    * Scale shape, all linear: the anchor scan explodes one row per
-    * character position but each pays only an 8-char hash and filters
-    * to ~len/16 anchors before the 64-char window hash (a production
-    * build swaps the md5 gram for a codegen'd rolling-hash Expression;
-    * md5 here is the primitive BOTH engines share, which is what makes
-    * the operator oracle-checkable). Duplicate detection is a hash
-    * groupBy with map-side partials; the flag-back is an EQUI-join on
-    * the window hash (docs never pair with docs — a window shared by
-    * k docs costs k join rows, not k²); span merging is an interval
-    * union under a window PARTITIONED by doc_id. No suffix array, no
-    * global sort, no pairwise work at any scale. */
+    * Scale shape, all linear: the anchor scan is ONE pass per
+    * document through the codegen'd [[graft.functions.ContentAnchors]]
+    * expression — a tight byte loop emitting only the ~len/16 anchor
+    * positions as an array (no row per character, no len-sized
+    * `sequence` array, no hex-string compares), then a ~len/16-row
+    * explode for the 64-char window hash. The anchor PREDICATE stays
+    * md5-low-nibble — the primitive BOTH engines share, which is what
+    * makes the operator oracle-checkable; the expression also carries
+    * the true Karp–Rabin rolling mode (`poly`) for production corpora
+    * where the digest per position is the bottleneck and no SQL oracle
+    * needs to agree. Duplicate detection is a hash groupBy with
+    * map-side partials; the flag-back is an EQUI-join on the window
+    * hash (docs never pair with docs — a window shared by k docs
+    * costs k join rows, not k²); span merging is an interval union
+    * under a window PARTITIONED by doc_id. No suffix array, no global
+    * sort, no pairwise work at any scale. */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val winLen = 64
     val gram = 8
     val w = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      .filter(col("len") >= winLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), col("len") - (winLen - 1))).as("oi"),
-        col("text"))
-      .filter(expr(s"substring(md5(substring(text, oi, $gram)), 32, 1) = '0'"))
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= winLen)
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.AnchorExprs.md5Anchors(
+          col("text"), gram, winLen)).as("oi"))
       .select(col("doc_id"), col("oi").cast("long").as("o"),
         md5(expr(s"substring(text, oi, $winLen)")).as("h"))
     val dup = w.groupBy(col("h"))

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftInternal, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined anchor scan for exact-substring dedup
+  * ([[graft.dedup.Dedup.substringDedup]]): ONE pass over a document
+  * emits the ~len/16 window-anchor positions as ARRAY<INT>, replacing
+  * the explode-a-row-per-character pipeline (len rows, a len-sized
+  * `sequence` array per document, one UTF8String slice + hex-string
+  * md5 + substring compare per position) with a tight byte-array loop
+  * — the codegen'd scan the substringDedup docstring promises.
+  *
+  * Two anchor predicates, same selection density (1/16):
+  *  - `md5` — md5(gram)'s low nibble == 0: EXACTLY the predicate the
+  *    DuckDB oracle computes (`substring(md5(substring(text,oi,g)),32,1)
+  *    = '0'`), which is what keeps the operator oracle-checkable; the
+  *    per-position digest remains, but over raw bytes with a reused
+  *    thread-local MessageDigest and no row or string materialization.
+  *  - `poly` — a Karp–Rabin ROLLING polynomial over the gram's bytes
+  *    (O(1) per position: subtract the outgoing byte's term, multiply,
+  *    add the incoming byte) finished with murmur's fmix64 before the
+  *    density test, so low-entropy grams still select uniformly. The
+  *    100 TB production path: ~30 ns/position of pure arithmetic vs a
+  *    digest call, same alignment-invariance property (anchors are a
+  *    pure function of local content), different anchor SET — so it is
+  *    deliberately NOT the gate predicate.
+  *
+  * Positions are 1-based CHARACTER indices in [1, len−winLen+1], the
+  * contract of SQL `substring` on both engines; non-ASCII text walks
+  * code-point starts so char and byte offsets stay aligned. */
+case class ContentAnchors(child: Expression, gram: Int, winLen: Int,
+                          mode: String)
+    extends UnaryExpression {
+  require(gram > 0 && winLen >= gram, "need winLen >= gram > 0")
+  require(mode == "md5" || mode == "poly", s"unknown anchor mode $mode")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"content_anchors needs STRING input, got ${child.dataType}")
+
+  private val poly = mode == "poly"
+
+  override def nullSafeEval(t: Any): Any =
+    AnchorScan.scan(t.asInstanceOf[UTF8String], gram, winLen, poly)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // one static call keeps the stage inside whole-stage codegen while
+    // the digest loop lives in compiled Scala (inlining a MessageDigest
+    // loop into generated Java buys nothing — the digest dominates)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AnchorScan.scan($c, $gram, $winLen, $poly);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AnchorScan {
+  private val localMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** murmur3 fmix64 — full-avalanche finisher over the rolling hash. */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  private val P = 1000000007L
+
+  /** One-pass anchor scan (see [[ContentAnchors]]); public + static so
+    * generated code calls it directly. */
+  def scan(t: UTF8String, gram: Int, winLen: Int, poly: Boolean): GenericArrayData = {
+    val nChars = t.numChars()
+    if (nChars < winLen) return new GenericArrayData(Array.emptyIntArray)
+    val bytes = t.getBytes
+    // char k starts at offs(k); ASCII skips the table (identity)
+    val offs: Array[Int] =
+      if (bytes.length == nChars) null
+      else {
+        val o = new Array[Int](nChars + 1)
+        var b = 0
+        var k = 0
+        while (k < nChars) {
+          o(k) = b
+          b += UTF8String.numBytesForFirstByte(bytes(b))
+          k += 1
+        }
+        o(nChars) = bytes.length
+        o
+      }
+    @inline def off(k: Int): Int = if (offs == null) k else offs(k)
+    val last = nChars - winLen // inclusive 0-based last anchor start
+    val acc = new scala.collection.mutable.ArrayBuilder.ofInt
+    acc.sizeHint(nChars / 12)
+    if (poly) {
+      // p^(gram_bytes-1) must track the BYTE width of the gram, which
+      // varies on non-ASCII text — recompute per position only when the
+      // width changes; ASCII keeps the hot O(1) roll.
+      var h = 0L
+      var width = -1
+      var pTop = 0L
+      var i = 0
+      while (i <= last) {
+        val lo = off(i)
+        val hi = off(i + gram)
+        val w = hi - lo
+        if (w != width) { // first position or width change: full recompute
+          width = w
+          pTop = 1L
+          var j = 1
+          while (j < w) { pTop *= P; j += 1 }
+          h = 0L
+          var b = lo
+          while (b < hi) { h = h * P + (bytes(b) & 0xffL); b += 1 }
+        }
+        if ((fmix64(h) >>> 60) == 0L) acc += (i + 1)
+        // roll to the next position (skipped when the width changes
+        // next round anyway — the recompute branch rebuilds h)
+        if (i < last) {
+          val nLo = off(i + 1)
+          val nHi = off(i + 1 + gram)
+          if (nHi - nLo == w) {
+            h = (h - (bytes(lo) & 0xffL) * pTop) * P + (bytes(nHi - 1) & 0xffL)
+            // multi-byte boundary chars shift lo by >1 byte: only the
+            // 1-byte-step roll is valid; otherwise recompute
+            if (nLo != lo + 1 || nHi != hi + 1) width = -1
+          } else width = -1
+        }
+        i += 1
+      }
+    } else {
+      val md = localMd5.get()
+      var i = 0
+      while (i <= last) {
+        md.update(bytes, off(i), off(i + gram) - off(i))
+        val d = md.digest() // digest() resets for the next position
+        if ((d(15) & 0x0f) == 0) acc += (i + 1)
+        i += 1
+      }
+    }
+    new GenericArrayData(acc.result())
+  }
+}
+
+object AnchorExprs {
+  /** Column API: 1-based anchor positions of `winLen`-char windows
+    * whose leading `gram`-char gram passes the md5 low-nibble test —
+    * the oracle-shared predicate of [[graft.dedup.Dedup.substringDedup]]. */
+  def md5Anchors(text: Column, gram: Int, winLen: Int): Column =
+    GraftInternal.column(
+      ContentAnchors(GraftInternal.expression(text), gram, winLen, "md5"))
+
+  /** Column API: the Karp–Rabin rolling-hash anchor set (production
+    * predicate — NOT oracle-shared; see [[ContentAnchors]]). */
+  def polyAnchors(text: Column, gram: Int, winLen: Int): Column =
+    GraftInternal.column(
+      ContentAnchors(GraftInternal.expression(text), gram, winLen, "poly"))
+
+  /** Make `content_anchors(text, gram, winLen, mode)` callable from SQL. */
+  def register(spark: SparkSession): Unit =
+    GraftInternal.registerFunction(spark, "content_anchors", exprs =>
+      ContentAnchors(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().toString))
+}

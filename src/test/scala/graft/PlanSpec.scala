@@ -62,6 +62,97 @@ class PlanSpec extends AnyFunSuite {
       s"cosinesim not inside a codegen stage:\n$plan")
   }
 
+  test("ContentAnchors(md5) emits exactly the SQL per-position anchor set") {
+    // the expression must be a pure reimplementation of the oracle's
+    // predicate — same 1-based char positions, nothing more or less —
+    // on the real documents corpus
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 64)
+    val viaSql = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 63)).as("oi"))
+      .filter(expr("substring(md5(substring(text, oi, 8)), 32, 1) = '0'"))
+      .select(col("doc_id"), col("oi").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaExpr = docs
+      .select(col("doc_id"),
+        explode(graft.functions.AnchorExprs.md5Anchors(col("text"), 8, 64)).as("oi"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaExpr == viaSql,
+      s"anchor sets diverge: only-expr=${(viaExpr -- viaSql).take(5)}, " +
+        s"only-sql=${(viaSql -- viaExpr).take(5)}")
+    assert(viaExpr.nonEmpty, "corpus produced no anchors — vacuous test")
+  }
+
+  test("ContentAnchors handles multi-byte text on char positions, like SQL") {
+    import spark.implicits._
+    // code points above ASCII shift byte offsets off char offsets; the
+    // expression must still anchor at CHARACTER positions that agree
+    // with SQL substring semantics
+    val texts = Seq(
+      "héllo wörld — " + ("déjà vu grüße " * 12),
+      ("日本語のテキスト" * 16) + "abcdefgh" * 4,
+      "plain ascii only " * 8)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").filter(length(col("text")) >= 64)
+    val viaSql = df
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 63)).as("oi"))
+      .filter(expr("substring(md5(substring(text, oi, 8)), 32, 1) = '0'"))
+      .select(col("doc_id"), col("oi").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaExpr = df
+      .select(col("doc_id"),
+        explode(graft.functions.AnchorExprs.md5Anchors(col("text"), 8, 64)).as("oi"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaExpr == viaSql,
+      s"multi-byte anchors diverge: only-expr=${(viaExpr -- viaSql).take(5)}, " +
+        s"only-sql=${(viaSql -- viaExpr).take(5)}")
+  }
+
+  test("ContentAnchors participates in whole-stage codegen") {
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.AnchorExprs.md5Anchors(col("text"), 8, 64).as("a"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("contentanchors")),
+      s"contentanchors not inside a codegen stage:\n$plan")
+  }
+
+  test("poly (rolling) anchors: alignment invariance and ~1/16 density") {
+    import spark.implicits._
+    // a shared 256-char block pasted at ALIGNED and UNALIGNED offsets
+    // must anchor at the same in-block positions — the property that
+    // makes content-defined windows catch shifted duplicates; and the
+    // rolling hash must match a from-scratch polynomial evaluation
+    // (no drift across roll steps), proven by density + invariance on
+    // a corpus large enough to be non-vacuous
+    val rng = new scala.util.Random(11)
+    val block = (0 until 256).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    def noise(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, noise(100) + block + noise(50)),   // block at offset 100
+      (2L, noise(37) + block + noise(113)))   // block at offset 37
+      .toDF("doc_id", "text")
+    val anchors = docs.select(col("doc_id"),
+      explode(graft.functions.AnchorExprs.polyAnchors(col("text"), 8, 64)).as("oi"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // in-block anchors (window fully inside the block), rebased
+    def inBlock(off: Int, d: Long) = anchors.collect {
+      case (id, oi) if id == d && oi > off && oi + 63 <= off + 256 => oi - off
+    }.toSet
+    val a1 = inBlock(100, 1L)
+    val a2 = inBlock(37, 2L)
+    assert(a1 == a2, s"shifted copies anchor differently: ${a1.diff(a2)} vs ${a2.diff(a1)}")
+    assert(a1.nonEmpty, "256-char block produced no in-block anchors")
+    // density over a larger corpus: expect ~1/16 of positions
+    val big = Seq((9L, noise(20000))).toDF("doc_id", "text")
+    val n = big.select(explode(graft.functions.AnchorExprs.polyAnchors(col("text"), 8, 64)))
+      .count()
+    val positions = 20000 - 63
+    assert(n > positions / 32 && n < positions / 8,
+      s"poly anchor density off: $n of $positions")
+  }
+
   test("q5 broadcasts fixed-size dims only; fact-sized sides carry no hint") {
     // nation/region are truly bounded → hinted broadcast; customer and
     // supplier grow with SF, so a forced hint would OOM at 100× — their
