@@ -682,108 +682,4 @@ class ScaleSpec extends AnyFunSuite {
       "trained-codebook path leaked storage blocks")
   }
 
-  test("10x corpus with a hot band bucket: LSH, components, incremental hold shape") {
-    import graft.dedup.Dedup
-    // Synthesize a 10× corpus (5000 docs) from the sf0.001 documents
-    // table: 9 salted variants per base doc (distinct texts — band
-    // keys spread) plus ONE text duplicated over 500 doc_ids — a
-    // deliberately SKEWED band-key distribution (every copy lands in
-    // the same 4 band buckets), the hot-bucket shape that breaks
-    // naive all-pairs dedup at corpus scale.
-    val base = Tables.documents(spark, sf).select("doc_id", "text")
-    val spread = base
-      .crossJoin(spark.range(1, 10).toDF("rep"))
-      .selectExpr("doc_id + 500 * rep AS doc_id",
-        "concat(text, ' v', CAST(rep AS STRING), '-', CAST(doc_id AS STRING)) AS text")
-    val hotText = base.orderBy("doc_id").select("text").head().getString(0)
-    val hot = spark.range(10000, 10500).toDF("doc_id")
-      .selectExpr("doc_id", s"'${hotText.replace("'", "''")}' AS text")
-    // materialize through parquet and read back: the corpus under test
-    // must look like INGESTED data (scan leaves), not a literal-foldable
-    // construction plan — a constant-folded band key would join branch
-    // pairs on nothing but doc_id < doc_id and fake a nested-loop shape
-    // no real corpus produces
-    val corpusDir = java.nio.file.Files.createTempDirectory("graft-skew").toString
-    base.unionAll(spread).unionAll(hot)
-      .write.mode("overwrite").parquet(corpusDir)
-    val corpus = spark.read.parquet(corpusDir)
-    val t0 = System.nanoTime()
-    val bands = Dedup.bandKeys(corpus)
-    // the minhashPairs band-join shape, inline over the synthetic
-    // corpus: equality join on (band_id, bk) — never a cartesian
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand.count() // materialize so the executed plan is final
-    val exec = cand.queryExecution.executedPlan.toString
-    assert(exec.contains("AdaptiveSparkPlan"),
-      "band self-join must run under AQE (runtime skew handling)")
-    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoop"),
-      "band join degenerated to a cross product")
-    // the hot bucket emits its full pair set (500 copies + the base
-    // doc agree on every band): candidates must cover it, and the
-    // component loop must collapse it to ONE cluster
-    val comp = Dedup.componentsFromPairs(corpus.select("doc_id"), cand)
-    val hotComp = comp.filter(col("doc_id") >= 10000).select("comp").distinct().collect()
-    assert(hotComp.length == 1, s"hot cluster split: ${hotComp.toSeq}")
-    val dt = (System.nanoTime() - t0) / 1e9
-    info(f"10x skew stress (5500 docs, 500-dup hot bucket): $dt%.1f s")
-    // incremental shape: a NEW batch of 100 hot-text docs against the
-    // 10× corpus index joins batch-vs-corpus only (candidate work is
-    // O(batch × collisions), never corpus²)
-    val batchDir = java.nio.file.Files.createTempDirectory("graft-skew-batch").toString
-    spark.range(20000, 20100).toDF("doc_id")
-      .selectExpr("doc_id", s"'${hotText.replace("'", "''")}' AS text")
-      .write.mode("overwrite").parquet(batchDir)
-    val batch = spark.read.parquet(batchDir)
-    val hits = Dedup.bandKeys(batch).as("n")
-      .join(bands.as("c"), col("n.band_id") === col("c.band_id") &&
-        col("n.bk") === col("c.bk"))
-      .select(col("n.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
-      .distinct()
-    val perDoc = hits.groupBy("new_doc").count().collect()
-    assert(perDoc.length == 100, "every hot batch doc must hit the corpus index")
-    assert(perDoc.forall(_.getLong(1) >= 500), "hot batch docs must see the full hot bucket")
-    Caches.clearAll()
-    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
-      "skew stress leaked storage blocks")
-  }
-
-  test("10x events with one hot user: funnel state machine matches the window form") {
-    // the sequence-match scale claim under skew: a hot user (50% of a
-    // 10× event stream) costs ONE sorted pass — no inequality
-    // self-join to go quadratic. Prove the state machine and window
-    // form still agree on skewed synthetic data, end to end.
-    import spark.implicits._
-    val hotN = 30000
-    val hot = (0 until hotN).map { i =>
-      val t = Seq("view", "click", "signup", "purchase", "click")(i % 5)
-      (1L, 100000L + i, i.toLong * 1000, t)
-    }
-    val cold = (0 until 3000).flatMap { u =>
-      Seq((u + 10L, 200000L + u * 3, u * 7L, "signup"),
-        (u + 10L, 200001L + u * 3, u * 7L + 3, "click"),
-        (u + 10L, 200002L + u * 3, u * 7L + 9, "purchase"))
-    }
-    val dir = java.nio.file.Files.createTempDirectory("graft-funnel10x").toString
-    // ts as raw nanos (plain INT64), the shape Tables.events expects
-    (hot ++ cold).toDF("user_id", "event_id", "usr", "event_type")
-      .selectExpr("user_id", "event_id",
-        "usr * 1000 AS ts", "event_type",
-        "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val sm = graft.streaming.Streams.funnelStagesReplay(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val win = graft.operators.Analytics.qSequenceMatch(spark, dir).collect()
-      .flatMap { r =>
-        Seq(1 -> Option(r.get(1)), 2 -> Option(r.get(2)), 3 -> Option(r.get(3)))
-          .collect { case (st, Some(us)) => (r.getLong(0), st.toLong, us.asInstanceOf[Long]) }
-      }.toSet
-    assert(sm == win, s"state machine diverged from window form: " +
-      s"only-sm=${(sm -- win).take(3)}, only-win=${(win -- sm).take(3)}")
-    // every cold user completes; the hot user completes exactly once
-    assert(sm.count(_._2 == 3) == 3001)
-  }
 }

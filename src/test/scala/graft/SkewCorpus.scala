@@ -53,11 +53,14 @@ object SkewCorpus {
       .selectExpr("doc_id", "text", "lang", "source",
         "CAST(length(text) AS BIGINT) AS n_chars")
     val hotText = docs.orderBy("doc_id").select("text").head().getString(0)
-    val hotLit = hotText.replace("'", "''")
     val hotBase = hotDocBase(nDocs, docMult)
+    // typed lit(), NOT selectExpr interpolation: Spark SQL literals
+    // treat backslash as an escape, so interpolated text containing
+    // '\' would corrupt or fail to parse
     val hot = spark.range(hotBase, hotBase + hotDocCopies).toDF("doc_id")
-      .selectExpr("doc_id", s"'$hotLit' AS text", "'en' AS lang",
-        "'hotdup' AS source", s"CAST(${hotText.length} AS BIGINT) AS n_chars")
+      .select(col("doc_id"), lit(hotText).as("text"), lit("en").as("lang"),
+        lit("hotdup").as("source"),
+        lit(hotText.length.toLong).as("n_chars"))
     docs.unionAll(reps).unionAll(hot)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
@@ -85,7 +88,12 @@ object SkewCorpus {
         s"CAST($HotUserId AS BIGINT) AS user_id",
         "element_at(array('view', 'click', 'signup', 'purchase', 'click'), CAST(i % 5 AS INT) + 1) AS event_type",
         "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props")
+    // scramble on-disk order deterministically (xxhash64 — no RNG):
+    // the hot user's 30k-event run must NOT sit time-sorted in one
+    // file, or a bounded per-key reorder buffer would never see the
+    // beyond-capacity displacement this corpus exists to exercise
     ev.unionAll(evReps).unionAll(hotEv)
+      .orderBy(xxhash64(col("event_id")))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
