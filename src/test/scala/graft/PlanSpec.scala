@@ -153,6 +153,23 @@ class PlanSpec extends AnyFunSuite {
       s"poly anchor density off: $n of $positions")
   }
 
+  test("committed PLANS.md carries exactly one section per SparkEntry query") {
+    // the generator asserts parity at write time; this pins the
+    // COMMITTED artifact so a new operator can't ship without its
+    // executed plan rendered (the r9 global-window shape shipped
+    // precisely because its plan was never rendered)
+    val plansPath = java.nio.file.Paths.get("PLANS.md")
+    assert(java.nio.file.Files.exists(plansPath), "PLANS.md missing — run graft.Plans")
+    val sections = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.lines(plansPath).iterator()).asScala
+      .filter(_.startsWith("## ")).map(_.drop(3).trim).toSet
+    val missing = SparkEntry.queries.keySet -- sections
+    val stale = sections -- SparkEntry.queries.keySet
+    assert(missing.isEmpty && stale.isEmpty,
+      s"PLANS.md stale: missing=${missing.toSeq.sorted.take(10)} " +
+        s"stale=${stale.toSeq.sorted.take(10)} — regenerate with graft.Plans")
+  }
+
   test("q5 broadcasts fixed-size dims only; fact-sized sides carry no hint") {
     // nation/region are truly bounded → hinted broadcast; customer and
     // supplier grow with SF, so a forced hint would OOM at 100× — their
