@@ -224,6 +224,34 @@ object SparkEntry {
     "dlp_quantile_bucketing" -> DlpQueries.dlpQuantileBucketing _,
     "stream_reorder_depth" -> Streams.reorderDepthBatch _,
     "embed_pair_hist" -> Ann.pairHist _,
+    // round 11: coverage widening — sketch-gated dedup, 13-gram
+    // benchmark contamination, int8-recall + threshold tuning tables,
+    // risk-delta / token-FK DLP audits, sweep-line overlap, zone-map
+    // skipping eval, write planning, heartbeat liveness, cross-modal
+    // alignment, Zipf corpus health
+    "dedup_bloom_prefilter" -> Dedup.bloomPrefilter _,
+    "dedup_ngram13_contain" -> Dedup.ngram13Contamination _,
+    "ann_int8_recall" -> Ann.int8Recall _,
+    "embed_threshold_curve" -> Ann.thresholdCurve _,
+    "text_zipf_fit" -> TextOps.zipfFit _,
+    "dlp_risk_delta" -> DlpQueries.dlpRiskDelta _,
+    "dlp_token_consistency" -> DlpQueries.dlpTokenConsistency _,
+    "q_session_overlap" -> Analytics.qSessionOverlap _,
+    "layout_skipping_eval" -> Analytics.layoutSkippingEval _,
+    "load_partition_plan" -> ((s: SparkSession, d: String) => SourceQueries.loadPartitionPlan(s, d)),
+    "stream_heartbeat_gap" -> ((s: SparkSession, d: String) => Streams.heartbeatGap(s, d)),
+    "mm_embedding_align" -> Multimodal.embeddingAlign _,
+    // round 11 batch 2: FK inference, surrogate/shift DLP audits,
+    // schema-evolution merge, staged cumulative uniques, norm-outlier
+    // index health, language confusion, at-least-once replay audit
+    "ingest_fk_discovery" -> SourceQueries.fkDiscovery _,
+    "dlp_surrogate_annotate" -> DlpQueries.dlpSurrogateAnnotate _,
+    "dlp_shift_consistency" -> DlpQueries.dlpShiftConsistency _,
+    "load_schema_evolve" -> SourceQueries.loadSchemaEvolve _,
+    "q_running_distinct" -> Analytics.qRunningDistinct _,
+    "embed_norm_outliers" -> Ann.normOutliers _,
+    "text_lang_confusion" -> TextOps.langConfusion _,
+    "stream_replay_dedup" -> Streams.replayDedup _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2435,5 +2463,260 @@ object SparkEntry {
          |  CAST(SUM(n_members) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_members) * 10000 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS doc_share_bp
          |FROM sizes GROUP BY n_members ORDER BY csize""".stripMargin),
+    // round 11 widening. dedup_bloom_prefilter: the oracle is the
+    // PLAIN content-hash join — the bloom gate must change nothing
+    // (no false negatives), so the hash match proves the sketch exact
+    "dedup_bloom_prefilter" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |c AS (SELECT h AS hc, MIN(doc_id) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_corpus
+        |  FROM h WHERE doc_id % 2 = 0 GROUP BY h)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+        |  COALESCE(dup_of, -1) AS dup_of, COALESCE(n_corpus, 0) AS n_corpus
+        |FROM h b LEFT JOIN c ON b.h = c.hc WHERE b.doc_id % 2 = 1
+        |ORDER BY b.doc_id""".stripMargin,
+    "dedup_ngram13_contain" ->
+      (s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 13),
+         |g AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i+1 : i+13], ' ')) AS g
+         |  FROM w, (SELECT unnest(range(0, 64)) AS i) r WHERE i <= len(ws) - 13),
+         |s AS (SELECT doc_id, ${graft.text.TextOps.SplitCaseSql} AS split FROM documents),
+         |t AS (SELECT g.g AS g, MIN(g.doc_id) AS train_doc
+         |  FROM g JOIN s USING (doc_id) WHERE s.split = 'train' GROUP BY g.g)
+         |SELECT g.doc_id, s.split, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_shared,
+         |  MIN(t.train_doc) AS train_doc
+         |FROM g JOIN s USING (doc_id) JOIN t ON g.g = t.g
+         |WHERE s.split <> 'train' GROUP BY g.doc_id, s.split ORDER BY g.doc_id""".stripMargin),
+    // ann_int8_recall: the whole int8 pipeline replayed (quantize rule
+    // = embed_quantize_int8's oracle verbatim) + exact ground truth,
+    // compared at rank 5 — codes are integer-valued doubles, so every
+    // dot product is exact and the cosines bit-match cross-engine
+    "ann_int8_recall" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |x AS (SELECT vec_id, list_transform(emb, v -> CAST(FLOOR(v * 1000000) AS BIGINT)) AS xq FROM e),
+         |m AS (SELECT vec_id, xq, list_aggregate(list_transform(xq, v -> abs(v)), 'max') AS s FROM x),
+         |qz AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(xq, v -> CAST(0 AS DOUBLE))
+         |  ELSE list_transform(xq, v -> CAST((254 * v + 257 * s) // (2 * s) - 128 AS DOUBLE)) END AS q FROM m),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id >= 8 AND vec_id < 18),
+         |sc AS (SELECT query_id, qz.vec_id AS vec_id, ${duckCos("qq", "q")} AS c
+         |  FROM qs JOIN qz ON qz.vec_id <> query_id),
+         |qt AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn FROM sc) WHERE rn <= 5),
+         |eq AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |es AS (SELECT query_id, e.vec_id AS vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM eq JOIN e ON e.vec_id <> query_id),
+         |et AS (SELECT query_id, vec_id AS neighbor_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn FROM es) WHERE rn <= 5)
+         |SELECT et.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN qt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN qt.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM et LEFT JOIN qt ON et.query_id = qt.query_id AND et.neighbor_id = qt.vec_id
+         |GROUP BY et.query_id ORDER BY et.query_id""".stripMargin),
+    "embed_threshold_curve" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, ${(1 to 8).map(i =>
+             s"(CASE WHEN emb[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS bucket FROM e),
+         |p AS (SELECT ROUND(${duckCos("ba.emb", "bb.emb")}, 4) AS cos
+         |  FROM b ba JOIN b bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
+         |SELECT CAST(t.threshold_bp AS BIGINT) AS threshold_bp,
+         |  CAST((SELECT COUNT(*) FROM p WHERE cos >= t.cut) AS BIGINT) AS n_pairs
+         |FROM (VALUES (2000, 0.2), (3500, 0.35), (5000, 0.5), (7000, 0.7), (9000, 0.9))
+         |  t(threshold_bp, cut)
+         |ORDER BY threshold_bp""".stripMargin),
+    "text_zipf_fit" ->
+      """WITH c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word),
+        |t AS (SELECT word, n, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank FROM c)
+        |SELECT rank, word, n AS freq, rank * n AS zipf_c FROM t WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "dlp_risk_delta" ->
+      """WITH raw AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |gen AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS lo, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST((SELECT SUM(CASE WHEN n < k THEN n ELSE 0 END) FROM raw) AS BIGINT) AS exposed_raw,
+        |  CAST((SELECT SUM(CASE WHEN n < k THEN n ELSE 0 END) FROM gen) AS BIGINT) AS exposed_gen
+        |FROM ks ORDER BY k""".stripMargin,
+    "dlp_token_consistency" ->
+      """WITH tc AS (SELECT c_custkey,
+        |    'TOK_' || substr(sha256('fk-key:' || CAST(c_custkey AS VARCHAR)), 1, 32) AS tok
+        |  FROM customer),
+        |ot AS (SELECT 'TOK_' || substr(sha256('fk-key:' || CAST(o_custkey AS VARCHAR)), 1, 32) AS tok,
+        |    CAST(COUNT(*) AS BIGINT) AS n_via_token FROM orders GROUP BY 1),
+        |okk AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_via_raw FROM orders GROUP BY 1)
+        |SELECT tc.tok, COALESCE(ot.n_via_token, 0) AS n_via_token,
+        |  COALESCE(okk.n_via_raw, 0) AS n_via_raw,
+        |  CAST(CASE WHEN COALESCE(ot.n_via_token, 0) = COALESCE(okk.n_via_raw, 0)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        |FROM tc LEFT JOIN ot ON tc.tok = ot.tok
+        |LEFT JOIN okk ON tc.c_custkey = okk.o_custkey
+        |ORDER BY tc.tok""".stripMargin,
+    "q_session_overlap" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 AS e
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT user_id, s AS p, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL SELECT user_id, e, CAST(-1 AS BIGINT) FROM iv),
+        |dep AS (SELECT user_id, SUM(d) OVER (PARTITION BY user_id ORDER BY p, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth FROM p)
+        |SELECT user_id, MAX(depth) AS max_concurrent,
+        |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+        |FROM dep GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "layout_skipping_eval" ->
+      """WITH li AS (SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS sd FROM lineitem),
+        |bounds AS (SELECT MIN(sd) AS lo, MAX(sd) AS hi FROM li),
+        |z AS (SELECT (sd - lo) * 16 // (hi - lo + 1) AS bucket,
+        |    MIN(sd) AS zmin, MAX(sd) AS zmax, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM li, bounds GROUP BY 1),
+        |preds AS (SELECT * FROM (VALUES
+        |  (1, epoch_us(TIMESTAMP '1997-01-01'), epoch_us(TIMESTAMP '2100-01-01')),
+        |  (2, 0, epoch_us(TIMESTAMP '1993-06-01')),
+        |  (3, epoch_us(TIMESTAMP '1994-01-01'), epoch_us(TIMESTAMP '1995-01-01')),
+        |  (4, epoch_us(TIMESTAMP '1998-09-01'), epoch_us(TIMESTAMP '2100-01-01'))
+        |  ) t(pred_id, plo, phi))
+        |SELECT CAST(pred_id AS BIGINT) AS pred_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CASE WHEN zmax < plo OR zmin >= phi THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |  CAST(SUM(CASE WHEN zmax < plo OR zmin >= phi THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+        |FROM z, preds GROUP BY pred_id ORDER BY pred_id""".stripMargin,
+    "load_partition_plan" ->
+      """WITH p AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS part_month,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(length(o_orderstatus) + length(o_orderpriority)) + COUNT(*) * 24 AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT *, (bytes + 65535) // 65536 AS n_files FROM p)
+        |SELECT part_month, n_rows, bytes, CAST(n_files AS BIGINT) AS n_files,
+        |  CAST((n_rows + n_files - 1) // n_files AS BIGINT) AS rows_per_file
+        |FROM f ORDER BY part_month""".stripMargin,
+    "stream_heartbeat_gap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+        |  CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mm_embedding_align" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+        |    WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'audio/wav' END AS modality FROM documents),
+        |j AS (SELECT d.modality, d.doc_id, e.vec_id, e.label
+        |  FROM d LEFT JOIN embeddings e ON d.doc_id = e.vec_id),
+        |cov AS (SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_paired
+        |  FROM j GROUP BY modality),
+        |bl AS (SELECT modality, label, CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM j WHERE vec_id IS NOT NULL GROUP BY modality, label),
+        |mj AS (SELECT modality, label, nl,
+        |    row_number() OVER (PARTITION BY modality ORDER BY nl DESC, label ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY modality) AS n_labels FROM bl)
+        |SELECT cov.modality, n_docs, n_paired,
+        |  COALESCE(CAST(n_labels AS BIGINT), 0) AS n_labels,
+        |  COALESCE(CAST(label AS BIGINT), -1) AS maj_label,
+        |  CAST(CASE WHEN n_paired = 0 THEN 0 ELSE nl * 10000 // n_paired END AS BIGINT) AS maj_share_bp
+        |FROM cov LEFT JOIN mj ON cov.modality = mj.modality AND mj.rn = 1
+        |ORDER BY cov.modality""".stripMargin,
+    // round 11 batch 2. ingest_fk_discovery: CTEs generated from the
+    // SAME candidate list the operator iterates (one val, no drift)
+    "ingest_fk_discovery" -> {
+      val rs = SourceQueries.FkCandidates.zipWithIndex.map {
+        case ((name, (ct, cc), (pt, pc)), i) =>
+          s"""c$i AS (SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct WHERE $cc IS NOT NULL),
+             |p$i AS (SELECT DISTINCT CAST($pc AS BIGINT) AS v FROM $pt WHERE $pc IS NOT NULL),
+             |r$i AS (SELECT '$name' AS candidate,
+             |  CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+             |  CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contained
+             |  FROM c$i c LEFT JOIN p$i p ON c.v = p.v)""".stripMargin
+      }
+      val union = SourceQueries.FkCandidates.indices
+        .map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+      s"""WITH ${rs.mkString(",\n")},
+         |u AS ($union)
+         |SELECT candidate, n_child_distinct, n_contained,
+         |  CAST(n_contained * 10000 // n_child_distinct AS BIGINT) AS containment_bp,
+         |  CAST(CASE WHEN n_contained = n_child_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_fk
+         |FROM u ORDER BY candidate""".stripMargin
+    },
+    "dlp_surrogate_annotate" ->
+      (s"""WITH c AS (SELECT c_custkey, $ContactSql AS contact FROM customer),
+         |m AS (SELECT c_custkey, contact,
+         |  regexp_extract(contact, '$EmailReSql') AS e,
+         |  regexp_extract(contact, '$PhoneReSql') AS p FROM c)
+         |SELECT c_custkey,
+         |  replace(replace(contact, e,
+         |    'EMAIL_ADDRESS(16):' || substr(sha256('sur-key:' || e), 1, 16)), p,
+         |    'PHONE_NUMBER(16):' || substr(sha256('sur-key:' || p), 1, 16)) AS surrogated
+         |FROM m ORDER BY c_custkey""".stripMargin),
+    "dlp_shift_consistency" ->
+      """WITH d AS (SELECT o_custkey,
+        |    date_diff('day', o_orderdate, o_orderdate + INTERVAL (o_custkey % 61 - 30) DAY) AS delta
+        |  FROM orders)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(MIN(delta) AS BIGINT) AS shift_days,
+        |  CAST(CASE WHEN MIN(delta) = MAX(delta) THEN 1 ELSE 0 END AS BIGINT) AS coherent
+        |FROM d GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // load_schema_evolve: presence derived from the version rule alone
+    // — independent of the union-by-name machinery under test
+    "load_schema_evolve" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_year
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_running_distinct" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT event_type, user_id, MIN(us) // 86400000000 AS day FROM e GROUP BY 1, 2),
+        |d AS (SELECT event_type, CAST(day AS BIGINT) AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "embed_norm_outliers" ->
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  list_reduce(list_transform(list_transform(CAST(embedding AS DOUBLE[]),
+        |    v -> CAST(FLOOR(v * 1000000) AS BIGINT)), q -> q * q), (acc, x) -> acc + x) AS nsq
+        |  FROM embeddings),
+        |m1 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY nsq, vec_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY label) AS n_l FROM v),
+        |m2 AS (SELECT *, MAX(CASE WHEN rn = (n_l + 1) // 2 THEN nsq END)
+        |  OVER (PARTITION BY label) AS med FROM m1),
+        |a AS (SELECT label, vec_id, nsq, med, abs(nsq - med) AS adev FROM m2),
+        |d1 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY adev, vec_id) AS rn2,
+        |  COUNT(*) OVER (PARTITION BY label) AS n2 FROM a),
+        |d2 AS (SELECT *, MAX(CASE WHEN rn2 = (n2 + 1) // 2 THEN adev END)
+        |  OVER (PARTITION BY label) AS mad FROM d1)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(MIN(med) AS BIGINT) AS med_nsq,
+        |  CAST(MIN(mad) AS BIGINT) AS mad_nsq,
+        |  CAST(SUM(CASE WHEN adev >= 3 * GREATEST(mad, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN adev >= 3 * GREATEST(mad, 1) THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS outlier_bp
+        |FROM d2 GROUP BY label ORDER BY label""".stripMargin,
+    "text_lang_confusion" ->
+      (s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, labeled_lang,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("en"))} AS s_en,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("de"))} AS s_de,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("es"))} AS s_es,
+         |  ${langHits(TextOps.LangMarkers.toMap.apply("fr"))} AS s_fr FROM t),
+         |p AS (SELECT labeled_lang,
+         |  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+         |       WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+         |       WHEN s_en >= s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+         |       WHEN s_es >= s_en AND s_es >= s_de AND s_es > s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted FROM s),
+         |g AS (SELECT labeled_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+         |SELECT labeled_lang, predicted, n,
+         |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS share_bp
+         |FROM g ORDER BY labeled_lang, predicted""".stripMargin),
+    "stream_replay_dedup" ->
+      """WITH d AS (SELECT event_id, event_type FROM events
+        |  UNION ALL SELECT event_id, event_type FROM events WHERE event_id % 10 = 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_delivered,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_dropped
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

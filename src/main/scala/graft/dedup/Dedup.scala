@@ -812,4 +812,89 @@ object Dedup {
       .filter(col("dist") <= 3)
       .orderBy("name_a", "name_b")
   }
+
+  /** Bloom-gated incremental exact dedup — the membership-sketch form
+    * of [[incremental]]'s band-index join (reference analog: the
+    * pre-write existence check a streaming-insert loader runs;
+    * DBImportPipeline.java:100-133 re-imports blind, this is the
+    * cheap "have we loaded this row before" gate). The corpus half
+    * (even doc_ids) is sketched ONCE into a bloom filter over the
+    * content hash — a bounded byte-array artifact like Spark's own
+    * runtime-filter broadcast, shipped to every executor instead of
+    * shuffling the corpus. The batch half (odd doc_ids) probes the
+    * sketch map-side: only candidate rows (true dups + the filter's
+    * bounded false-positive residue) reach the exact verification
+    * join, so at 100 TB the join's left side is batch-dup-sized, not
+    * batch-sized. Bloom filters have NO false negatives, so the
+    * verified output is exact — the oracle is the plain content-hash
+    * join, and the hash match proves the sketch dropped nothing. */
+  private def contentHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+
+  /** Batch rows with the bloom verdict attached (`cand`): the sketch
+    * is built once over the corpus half and probed map-side. */
+  private def batchWithGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomJoin.{bloomAgg, mightContain}
+    val sketch = contentHashes(spark, dir).filter(col("doc_id") % 2 === 0)
+      .agg(bloomAgg(col("h"), 1000000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    contentHashes(spark, dir).filter(col("doc_id") % 2 === 1)
+      .withColumn("cand", mightContain(sketch, col("h")))
+  }
+
+  /** The bloom gate alone: batch rows surviving the corpus sketch —
+    * exposed so the spec can measure selectivity and prove the
+    * no-false-negative contract independently of the verified join. */
+  def bloomCandidates(spark: SparkSession, dir: String): DataFrame =
+    batchWithGate(spark, dir).filter(col("cand")).drop("cand")
+
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val corpusIdx = contentHashes(spark, dir).filter(col("doc_id") % 2 === 0)
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_corpus"))
+      .withColumnRenamed("h", "hc")
+    // only gate survivors probe the corpus index — rows the sketch
+    // rejects take the null side without joining
+    batchWithGate(spark, dir)
+      .join(corpusIdx, col("cand") && col("h") === col("hc"), "left")
+      .selectExpr("doc_id",
+        "CAST(CASE WHEN dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup",
+        "coalesce(dup_of, -1) AS dup_of",
+        "coalesce(n_corpus, 0) AS n_corpus")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination by 13-gram overlap — the exact n-gram
+    * collision check the GPT-3 / PaLM training reports run between
+    * eval sets and the training corpus (Brown et al. 2020, app. C:
+    * a 13-gram shared with train marks the eval doc contaminated).
+    * [[decontaminate]] catches whole-document near-dups; this catches
+    * a single memorized PASSAGE. Grams are hashed map-side (shuffle
+    * carries 32-byte digests, never text), the train side collapses
+    * to one row per distinct gram before the join, and per-doc gram
+    * positions are capped at 64 (first 76 words — mirrored in the
+    * oracle) so a pathological giant doc cannot fan out unboundedly. */
+  def ngram13Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 13)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          least(size(col("ws")) - 13, lit(63)))).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("ws"), col("i") + 1, lit(13)))).as("g"))
+      .distinct()
+    val split_ = Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"${graft.text.TextOps.SplitCaseSql} AS split")
+    val train = grams.join(split_, "doc_id")
+      .filter(col("split") === "train")
+      .groupBy(col("g")).agg(min(col("doc_id")).as("train_doc"))
+    grams.join(split_, "doc_id").filter(col("split") =!= "train")
+      .join(train, "g")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        min(col("train_doc")).as("train_doc"))
+      .orderBy("doc_id")
+  }
 }

@@ -359,6 +359,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Cross-modal alignment audit — the pairing integrity check a
+    * (payload, embedding) training set needs before contrastive
+    * training (a CLIP-style pipeline trains on pairs; an orphaned
+    * payload or a modality whose embeddings collapse to one label is
+    * a data bug that poisons the batch): per modality, document
+    * count, embedding-store coverage (left join on the shared id —
+    * orphans surface as unpaired), distinct label count and the
+    * majority label with its share in bp (a share near 10000 means
+    * the embedding space degenerated for that modality). Two
+    * aggregates over modality-sized keys; the join ships ids+labels,
+    * never payloads or vectors. */
+  def embeddingAlign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", GeneratorModalitySql)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val j = docs.join(vecs, col("doc_id") === col("vec_id"), "left")
+    val cov = j.groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_paired"))
+    val maj = j.filter(col("vec_id").isNotNull)
+      .groupBy(col("modality"), col("label")).agg(count(lit(1)).as("nl"))
+      .groupBy(col("modality"))
+      .agg(max(struct(col("nl"), (-col("label")).cast("long").as("negl"))).as("m"),
+        countDistinct(col("label")).as("n_labels"))
+      .selectExpr("modality", "CAST(n_labels AS BIGINT) AS n_labels",
+        "CAST(-m.negl AS BIGINT) AS maj_label", "m.nl AS maj_n")
+    cov.join(maj, Seq("modality"), "left")
+      .selectExpr("modality", "n_docs", "n_paired",
+        "coalesce(n_labels, 0) AS n_labels",
+        "coalesce(maj_label, -1) AS maj_label",
+        "CASE WHEN n_paired = 0 THEN 0 ELSE maj_n * 10000 DIV n_paired END AS maj_share_bp")
+      .orderBy("modality")
+  }
+
   /** Decode stub: where a real implementation would run a codec over
     * each partition's payload batch. Deliberately unimplemented — no
     * codecs in this environment; [[featureExtract]] carries the real

@@ -707,4 +707,99 @@ object Analytics {
         s"cum_before % ${targetBytes}L AS bin_offset")
       .orderBy("file_key")
   }
+
+  /** Max-concurrency interval analytics — the sweep-line complement
+    * of [[qIntervalUnion]] (same 5-minute activity intervals): per
+    * user, the PEAK number of simultaneously-open intervals. The
+    * classic sweep: every interval contributes a +1 at its start and
+    * a −1 at its end, order endpoints (−1 before +1 at the same
+    * instant — half-open [s,e) intervals touch without overlapping),
+    * running sum = live depth, max = answer. ONE shuffle on the user
+    * key; the window is per-user, never global. The same shape prices
+    * concurrent-session licensing, peak connection counts, and
+    * decoder-pool contention. */
+  def qSessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_seconds(ts) AS s", "unix_seconds(ts) + 300 AS e")
+    val pts = iv.selectExpr("user_id", "s AS p", "CAST(1 AS BIGINT) AS d")
+      .unionAll(iv.selectExpr("user_id", "e AS p", "CAST(-1 AS BIGINT) AS d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("p"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("depth", sum(col("d")).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("depth")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  /** Cumulative-unique-users curve per event type — the "distinct so
+    * far" dashboard metric, staged so NO hot global window exists:
+    * running count-distinct is not distributive, but first-seen flags
+    * are — each (type, user) collapses to its first-event day
+    * map-side (well-distributed two-column key), days aggregate to
+    * new-user counts, and the only cumulative window runs over the
+    * per-DAY summary (days × types rows — bounded at any corpus
+    * size). The naive form (running distinct over a per-type window)
+    * would put the whole table through ~5 window partitions. */
+  def qRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("event_type", "user_id", "unix_micros(ts) AS us")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("us")).as("first_us"))
+      .selectExpr("event_type", "first_us DIV 86400000000 AS day")
+    val daily = firstDay.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("event_type", "day")
+  }
+
+  /** Zone-map data-skipping evaluation — the measured answer to "is
+    * this layout worth it": per 16 ship-date-range buckets (width
+    * buckets over [min,max] from one broadcast 1-row aggregate — no
+    * global sort), a zone map (min/max ship-date micros + row count),
+    * then four range predicates evaluated AGAINST THE ZONE MAPS ONLY:
+    * buckets whose [min,max] is disjoint from the predicate are
+    * skipped, survivors bill their full row count. This is exactly
+    * how parquet row-group pruning and lakehouse file skipping cost a
+    * clustered layout (the evaluation loop behind Delta/Iceberg
+    * OPTIMIZE decisions, and the measurable half of
+    * [[layoutZorder]]'s clustering claim). Output: per predicate, the
+    * bucket/skip counts and rows scanned — 4 rows at any scale. */
+  def layoutSkippingEval(spark: SparkSession, dir: String): DataFrame = {
+    // l_shipdate arrives TIMESTAMP_NTZ; session is pinned UTC, so the
+    // cast to the instant type is identity and matches epoch_us
+    val li = Tables.lineitem(spark, dir)
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
+    val bounds = li.agg(min(col("sd")).as("lo"), max(col("sd")).as("hi"))
+    val zones = li.crossJoin(broadcast(bounds))
+      .selectExpr("sd", "(sd - lo) * 16 DIV (hi - lo + 1) AS bucket")
+      .groupBy(col("bucket"))
+      .agg(min(col("sd")).as("zmin"), max(col("sd")).as("zmax"),
+        count(lit(1)).as("n_rows"))
+    // predicate table: [plo, phi) half-open micro ranges
+    def us(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    // finite sentinels for the unbounded ends (0 / 2100-01-01) so the
+    // oracle can write them as plain timestamp literals
+    val preds = Seq(
+      (1L, us("1997-01-01"), us("2100-01-01")),
+      (2L, 0L, us("1993-06-01")),
+      (3L, us("1994-01-01"), us("1995-01-01")),
+      (4L, us("1998-09-01"), us("2100-01-01")))
+    val pdf = spark.createDataFrame(preds).toDF("pred_id", "plo", "phi")
+    zones.crossJoin(broadcast(pdf))
+      .selectExpr("pred_id", "n_rows",
+        // zone [zmin,zmax] disjoint from [plo,phi) ⇒ skip
+        "CAST(CASE WHEN zmax < plo OR zmin >= phi THEN 1 ELSE 0 END AS BIGINT) AS skipped")
+      .groupBy(col("pred_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("skipped")).as("n_skipped"),
+        sum(expr("CASE WHEN skipped = 0 THEN n_rows ELSE 0 END")).as("rows_scanned"))
+      .orderBy("pred_id")
+  }
 }

@@ -294,4 +294,109 @@ object DlpQueries {
           lit("\",\"c_mktsegment\":\""), col("c_mktsegment"),
           lit("\"}")).as("message"))
       .orderBy("c_custkey")
+
+  /** InfoType-annotated surrogate replacement — DLP's reversible
+    * in-place format (`INFO_TYPE(length):token`, the surrogate
+    * convention CryptoReplaceConfig documents so a later re-identify
+    * can LOCATE tokens inside free text without a schema): each
+    * email/phone match is replaced inside the contact string by its
+    * annotated keyed token. Pure codegen'd string expressions — the
+    * match is extracted, tokenized, and substituted per row with no
+    * UDF; one map-only scan. */
+  def dlpSurrogateAnnotate(spark: SparkSession, dir: String): DataFrame = {
+    def surrogate(m: org.apache.spark.sql.Column, infoType: String) =
+      concat(lit(infoType + "(16):"),
+        substring(sha2(concat(lit("sur-key:"), m), 256), 1, 16))
+    withContact(spark, dir)
+      .withColumn("e", regexp_extract(col("contact"), Dlp.EmailRe, 0))
+      .withColumn("p", regexp_extract(col("contact"), Dlp.PhoneRe, 0))
+      .withColumn("se", surrogate(col("e"), "EMAIL_ADDRESS"))
+      .withColumn("sp", surrogate(col("p"), "PHONE_NUMBER"))
+      .selectExpr("c_custkey", "replace(replace(contact, e, se), p, sp) AS surrogated")
+      .orderBy("c_custkey")
+  }
+
+  /** Date-shift coherence audit — the property DLP's
+    * date-shift-WITH-CONTEXT exists to provide (all records of one
+    * entity shift by the same delta, so within-entity intervals
+    * survive de-identification; an incoherent shift silently destroys
+    * durations, the #1 analytic casualty of naive date noise): per
+    * context key, the observed shift and a coherence bit proving
+    * min(delta) == max(delta) across all the entity's orders. One
+    * aggregate; the deltas are computed row-local. */
+  def dlpShiftConsistency(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        datediff(Dlp.dateShift(col("o_orderdate"), col("o_custkey"), 30),
+          col("o_orderdate")).cast("long").as("delta"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("delta")).as("shift_days"), max(col("delta")).as("max_delta"))
+      .selectExpr("o_custkey", "n_orders", "shift_days",
+        "CAST(CASE WHEN shift_days = max_delta THEN 1 ELSE 0 END AS BIGINT) AS coherent")
+      .orderBy("o_custkey")
+
+  /** Generalization-benefit curve: records exposed (in an equivalence
+    * class smaller than k) BEFORE vs AFTER the acctbal bucketing
+    * generalization, for k ∈ {2,5,10,25} — the before/after risk
+    * delta a privacy review reads to decide whether the
+    * generalization bought enough k-anonymity to release (DLP's
+    * RiskAnalysis is run on both sides of a deid config for exactly
+    * this comparison; [[dlpKAnonymity]] is the after-side histogram
+    * alone). Raw side keys on exact cents; both sides collapse to
+    * class-size tables before the threshold fold, so the output is
+    * 4 rows at any corpus size. */
+  def dlpRiskDelta(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ks = Seq(2, 5, 10, 25)
+    def exposed(classes: DataFrame, alias: String): DataFrame =
+      classes.selectExpr(
+        ks.map(k =>
+          s"CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS ${alias}_$k"): _*)
+        .selectExpr(s"stack(${ks.size}, " +
+          ks.map(k => s"${k}L, ${alias}_$k").mkString(", ") + s") AS (k, $alias)")
+    val raw = exposed(
+      cust.select(col("c_mktsegment"), col("c_nationkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy("c_mktsegment", "c_nationkey", "cents")
+        .agg(count(lit(1)).as("n")),
+      "exposed_raw")
+    val gen = exposed(
+      cust.select(col("c_mktsegment"), col("c_nationkey"),
+          Dlp.bucketize(col("c_acctbal"), 2000).as("bal_bucket"))
+        .groupBy("c_mktsegment", "c_nationkey", "bal_bucket")
+        .agg(count(lit(1)).as("n")),
+      "exposed_gen")
+    raw.join(gen, "k").orderBy("k")
+  }
+
+  /** Referential-integrity audit of deterministic tokenization —
+    * THE property that makes CryptoDeterministicConfig the right
+    * transform for join keys (DLP docs recommend it over random
+    * surrogates exactly so FKs keep joining): customer and orders
+    * tokenize their custkey columns independently, and the join done
+    * IN TOKEN SPACE must reproduce the raw-key join's cardinalities.
+    * Output: per token, the order count via the token join next to
+    * the order count via the raw join + a consistency bit — any 0
+    * means a token collision or a drifted key derivation broke a
+    * foreign key. Both sides are one aggregate + a dim-sized join. */
+  def dlpTokenConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val tokCust = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        Dlp.deterministicToken(col("c_custkey").cast("string"), "fk-key").as("tok"))
+    val ordByTok = Tables.orders(spark, dir)
+      .select(Dlp.deterministicToken(col("o_custkey").cast("string"), "fk-key").as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_via_token"))
+    val ordByKey = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_via_raw"))
+    tokCust
+      .join(ordByTok, Seq("tok"), "left")
+      .join(ordByKey, col("c_custkey") === col("o_custkey"), "left")
+      .selectExpr("tok",
+        "coalesce(n_via_token, 0) AS n_via_token",
+        "coalesce(n_via_raw, 0) AS n_via_raw",
+        "CAST(CASE WHEN coalesce(n_via_token, 0) = coalesce(n_via_raw, 0) " +
+          "THEN 1 ELSE 0 END AS BIGINT) AS consistent")
+      .orderBy("tok")
+  }
 }

@@ -540,4 +540,89 @@ object SourceQueries {
         "CASE WHEN op = 'U' THEN cdc_cents ELSE snap_cents END AS val_cents")
       .orderBy("k")
   }
+
+  /** Dynamic-partition write planning — the sizing pass a warehouse
+    * writer runs BEFORE the write (the reference streams rows at BQ
+    * blind, DBImportPipeline.java:100-133; a partitioned-parquet
+    * writer must instead pick file counts per partition or it ships
+    * the small-files problem [[Analytics.layoutCompactionPlan]]
+    * cleans up after the fact): per order-month, row count, modeled
+    * bytes (fixed 24 B/row + the real var-width payload — the same
+    * size-model convention as the compaction planner), target-sized
+    * file count (64 KiB ceil-division) and rows per file. ONE
+    * aggregate with map-side partials; output is partition-count-
+    * sized at any scale. */
+  def loadPartitionPlan(spark: SparkSession, dir: String,
+                        targetBytes: Long = 1L << 16): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("part_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(length(col("o_orderstatus")) + length(col("o_orderpriority")))
+          + count(lit(1)) * 24L).as("bytes"))
+      .selectExpr("part_month", "n_rows", "bytes",
+        s"(bytes + ${targetBytes - 1}L) DIV ${targetBytes}L AS n_files")
+      .selectExpr("part_month", "n_rows", "bytes", "n_files",
+        "(n_rows + n_files - 1) DIV n_files AS rows_per_file")
+      .orderBy("part_month")
+
+  /** FK-candidate list shared with the oracle (ONE val — SURVEY §5's
+    * no-hand-copies rule): (candidate name, child (table, col),
+    * parent (table, col)); the last pair is the negative control. */
+  val FkCandidates: Seq[(String, (String, String), (String, String))] = Seq(
+    ("customer.c_nationkey->nation.n_nationkey", ("customer", "c_nationkey"), ("nation", "n_nationkey")),
+    ("lineitem.l_orderkey->orders.o_orderkey", ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+    ("orders.o_custkey->customer.c_custkey", ("orders", "o_custkey"), ("customer", "c_custkey")),
+    ("orders.o_orderkey->customer.c_custkey", ("orders", "o_orderkey"), ("customer", "c_custkey")),
+    ("supplier.s_nationkey->nation.n_nationkey", ("supplier", "s_nationkey"), ("nation", "n_nationkey")))
+
+  /** Foreign-key DISCOVERY by inclusion coefficient — the schema-
+    * inference step after the reference's PK discovery
+    * (ServerUtil.java:166-205 reads declared keys; a staged lake has
+    * none, so relationships must be INFERRED before migration
+    * planning): for each candidate (child, parent) column pair, the
+    * share of distinct child values contained in the parent's key set
+    * (Rostin et al. 2009's inclusion-dependency test). Work scales
+    * with DISTINCT key counts, never row counts — each side collapses
+    * map-side first; a full-containment pair (10000 bp) is an FK
+    * edge, the deliberate negative control stays far below. At lake
+    * scale the same query runs on HLL/bloom sketches; exact set math
+    * here keeps the oracle bit-exact. */
+  def fkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def distinctKeys(t: String, c: String): DataFrame =
+      Tables.load(spark, dir, t).select(col(c).cast("long").as("v"))
+        .filter(col("v").isNotNull).distinct()
+    FkCandidates.map { case (name, (ct, cc), (pt, pc)) =>
+      distinctKeys(ct, cc)
+        .join(distinctKeys(pt, pc).withColumn("hit", lit(1L)), Seq("v"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
+        .selectExpr(s"'$name' AS candidate",
+          "n_child_distinct", "CAST(n_contained AS BIGINT) AS n_contained",
+          "n_contained * 10000 DIV n_child_distinct AS containment_bp",
+          "CAST(CASE WHEN n_contained = n_child_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_fk")
+    }.reduce(_ unionAll _).orderBy("candidate")
+  }
+
+  /** Schema-evolution merge (the mergeSchema read path a long-lived
+    * lake needs once a column is added or retired): version 1 rows
+    * carry `o_orderpriority` but predate `o_year`; version 2 rows the
+    * reverse. `unionByName(allowMissingColumns)` aligns by NAME and
+    * null-fills the absent column — exactly parquet mergeSchema
+    * semantics — and the summary proves no row lost a value it had:
+    * the oracle derives presence from the version rule alone. */
+  def loadSchemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderpriority").isNotNull, 1L).otherwise(0L)).as("n_with_priority"),
+        sum(when(col("o_year").isNotNull, 1L).otherwise(0L)).as("n_with_year"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -734,4 +734,114 @@ object Ann {
       .selectExpr("vec_id" +: cols: _*)
       .orderBy("vec_id")
   }
+
+  /** The full int8 code vector per the [[quantizeInt8]] rule (that
+    * operator reports codes 1-4 + reconstruction error; this exposes
+    * the whole array for downstream search). Shared derivation — the
+    * two must never drift, so quantizeInt8's oracle doubles as this
+    * one's premise. */
+  private def int8Codes(spark: SparkSession, dir: String): DataFrame =
+    embDf(spark, dir)
+      .selectExpr("vec_id",
+        "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
+      .selectExpr("vec_id", "xq",
+        "array_max(transform(xq, v -> abs(v))) AS s")
+      .selectExpr("vec_id",
+        "CASE WHEN s = 0 THEN transform(xq, v -> CAST(0 AS DOUBLE)) " +
+          "ELSE transform(xq, v -> CAST((254 * v + 257 * s) DIV (2 * s) - 128 AS DOUBLE)) END AS q")
+
+  /** Retrieval-quality bill of the int8 storage decision: recall@5 of
+    * cosine over the QUANTIZED codes vs exact float ground truth, per
+    * query in basis points — [[quantizeInt8]] prices the 8× storage
+    * win in reconstruction error; this prices it in the metric that
+    * matters (did the top-5 change?). Scalar-quantization recall is
+    * the standard eval in FAISS/ScaNN deployment guides (Guo et al.
+    * 2020 §5 evaluate quantized recall@k the same way). Quantized
+    * cosine runs on integer-valued doubles (codes ≤ 128: every dot
+    * product exact, sqrt/÷ correctly rounded IEEE — cross-engine
+    * bit-identical), queries broadcast, one corpus scan. */
+  def int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val qz = int8Codes(spark, dir)
+    val q = qz.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    val qtop = qz.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qq"), col("q")).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1L).as("hit"))
+    exactTop5(spark, dir)
+      .join(qtop, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("query_id", "n_exact", "CAST(n_hit AS BIGINT) AS n_hit",
+        "n_hit * 10000 DIV n_exact AS recall_bp")
+      .orderBy("query_id")
+  }
+
+  /** Dead/exploding-vector audit by robust norm statistics — the
+    * per-label health check before ANN indexing or contrastive
+    * training (a label whose vectors collapsed to near-zero norm, or
+    * a handful of exploded outliers, wrecks both cosine buckets and
+    * the loss): per label, exact integer lower-median and MAD of the
+    * squared micro-unit norm (rank-selected — the
+    * `text_length_outliers` mechanics on embedding geometry) and the
+    * ≥3-MAD outlier count. Squared norms avoid any sqrt: all math is
+    * BIGINT, engine-exact. Windows partition by label. */
+  def normOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "aggregate(transform(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "v -> CAST(FLOOR(v * 1000000) AS BIGINT)), q -> q * q), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS nsq")
+    def lowerMedian(in: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("label")).orderBy(col(valueCol), col("vec_id"))
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n_l", count(lit(1)).over(Window.partitionBy(col("label"))))
+        .withColumn(outCol,
+          max(when(col("rn") === expr("(n_l + 1) DIV 2"), col(valueCol)))
+            .over(Window.partitionBy(col("label"))))
+        .drop("rn", "n_l")
+    }
+    val withMed = lowerMedian(v, "nsq", "med")
+      .withColumn("adev", abs(col("nsq") - col("med")))
+    val withMad = lowerMedian(withMed, "adev", "mad")
+    withMad
+      .withColumn("is_out",
+        when(col("adev") >= lit(3L) * greatest(col("mad"), lit(1L)), 1L).otherwise(0L))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("med")).as("med_nsq"),
+        min(col("mad")).as("mad_nsq"), sum(col("is_out")).as("n_outliers"))
+      .selectExpr("label", "n_vecs", "med_nsq", "mad_nsq", "n_outliers",
+        "n_outliers * 10000 DIV n_vecs AS outlier_bp")
+      .orderBy("label")
+  }
+
+  /** Semantic-dedup threshold sweep — pair volume at each candidate
+    * cosine cutoff over the sign-LSH-gated pair set (the SemDeDup
+    * tuning table: Abbas et al. 2023 pick their dedup threshold from
+    * exactly this curve — too low deletes paraphrases, too high keeps
+    * near-copies). Candidates come from the same 8-bit hyperplane
+    * buckets as `dedup_embedding_cos` (equality join, never
+    * all-pairs); each pair's cosine is computed ONCE and the five
+    * cutoffs fold into conditional sums in the same pass — one
+    * candidate-sized aggregate, then a 5-row unpivot. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+      .selectExpr("vec_id", "emb",
+        "concat(" + (1 to 8).map(i =>
+          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket")
+    val cuts = Seq(20, 35, 50, 70, 90)
+    val sums = cuts.map(t =>
+      s"CAST(sum(CASE WHEN cos >= ${t / 100.0} THEN 1 ELSE 0 END) AS BIGINT) AS ge_$t")
+    val stacked = cuts.map(t => s"${t * 100}L, ge_$t").mkString(", ")
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
+      .selectExpr(sums: _*)
+      .selectExpr(s"stack(${cuts.size}, $stacked) AS (threshold_bp, n_pairs)")
+      .orderBy("threshold_bp")
+  }
 }

@@ -787,4 +787,51 @@ object Streams {
         max(col("c_custkey")).as("hi_key"),
         md5(array_join(array_sort(collect_list(col("tok"))), ",")).as("payload_md5"))
   }
+
+  /** At-least-once delivery audit — the idempotent-sink contract
+    * check: a replayed source (here a deterministic 10% redelivery
+    * slice unioned onto the stream, the shape a checkpoint-restart
+    * produces) must collapse to exactly the original event set after
+    * keyed dedup. Per event type: delivered (with duplicates), unique
+    * survivors, and the dup count the dedup absorbed — the metric
+    * that proves `stream_dedup`'s dropDuplicates semantics end to
+    * end. Map-side-combining count-distinct on the event key; the
+    * streaming form is dropDuplicates within the watermark. */
+  def replayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_delivered"),
+        countDistinct(col("event_id")).as("n_unique"))
+      .selectExpr("event_type", "n_delivered",
+        "CAST(n_unique AS BIGINT) AS n_unique",
+        "n_delivered - n_unique AS n_dup_dropped")
+      .orderBy("event_type")
+  }
+
+  /** Missing-heartbeat / dead-feed detection: per user, the largest
+    * inter-event silence (micros) and the number of silences past the
+    * 30-minute alarm threshold — the liveness monitor every event
+    * pipeline runs beside its sessionizer (a gap past the threshold
+    * is the same signal the sessionizer's timeout fires on; this
+    * reports it instead of closing a session). Batch form: ONE lag
+    * window per user over (us, event_id) — exactly the engine-sorted
+    * per-key order the replay machines use, so the streaming form is
+    * [[sessionStep]]-shaped state (last-timestamp per key + event-
+    * time timeout) with no extra machinery. Single-event users report
+    * zero silence, not null. */
+  def heartbeatGap(spark: SparkSession, dir: String,
+                   alarmUs: Long = SessionGapUs): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_us"),
+        sum(when(col("gap") > alarmUs, 1L).otherwise(0L)).as("n_alarms"))
+      .orderBy("user_id")
+  }
 }

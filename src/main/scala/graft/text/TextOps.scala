@@ -621,4 +621,45 @@ object TextOps {
         "alloc_tokens * 10000 DIV avail_tokens AS epochs_bp")
       .orderBy("source")
   }
+
+  /** Language-label confusion matrix — declared `lang` column vs the
+    * [[langId]] detector, with per-declared-language share in bp: the
+    * metadata-QA pass a multilingual corpus runs before trusting
+    * either side (crawl-declared language headers are wrong often
+    * enough that C4/CCNet re-detect; the disagreement CELLS are where
+    * curation bugs live). Rides the langId scan; the share window
+    * runs over the grouped confusion cells (≤ langs² rows). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labeled_lang"))
+    langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(w))
+      .selectExpr("labeled_lang", "predicted", "n", "n * 10000 DIV tot AS share_bp")
+      .orderBy("labeled_lang", "predicted")
+  }
+
+  /** Zipf-fit corpus-health table: the top-50 words with rank,
+    * frequency, and the rank·frequency product — Zipf's law says the
+    * product is ≈constant in natural text, so a FLAT product column
+    * is healthy corpus and a cliff is template/boilerplate spam (the
+    * "weird vocabulary distribution" smell test tokenizer papers run
+    * before training; cf. Piantadosi 2014's review of Zipf fits).
+    * Rides [[vocab]]'s session-cached word counts (no second corpus
+    * scan); the rank window runs over the top-50 cut only — a
+    * bounded-input global window like vocab's own. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Caches.shared(spark, s"text.vocabCounts:$dir") {
+      Tables.documents(spark, dir)
+        .selectExpr("explode(split(text, ' ')) AS word")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+    }
+    val top = counts.orderBy(col("n").desc, col("word")).limit(50)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .selectExpr("rank", "word", "n AS freq", "rank * n AS zipf_c")
+      .orderBy("rank")
+  }
 }

@@ -816,7 +816,8 @@ class PlanSpec extends AnyFunSuite {
     "pipeline_mix_weights" -> "window input = one row per corpus source (~20)",
     "q_funnel_conversion" -> "window input = funnel survivor counts per stage (3 rows)",
     "q_skyline" -> "phase-2 window input = union of 16 per-bucket Pareto frontiers (survivor-sized)",
-    "text_vocab" -> "window input = top-200 vocabulary rows after TakeOrdered")
+    "text_vocab" -> "window input = top-200 vocabulary rows after TakeOrdered",
+    "text_zipf_fit" -> "window input = top-50 vocabulary rows after TakeOrdered")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical

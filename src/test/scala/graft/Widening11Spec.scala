@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Analytics
+import graft.multimodal.Multimodal
+
+/** Round-11 widening operators: cross-operator invariants the oracle
+  * hash can't see (pruning actually pruned, curves actually monotone,
+  * two independent operators agree on the same underlying quantity).
+  */
+class Widening11Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bloom prefilter: no false negatives, and the gate actually prunes") {
+    val batch = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+    val nBatch = batch.count()
+    val cand = graft.dedup.Dedup.bloomCandidates(spark, sf)
+    val nCand = cand.count()
+    // every true dup must survive the gate (bloom contract)
+    val verified = graft.dedup.Dedup.bloomPrefilter(spark, sf)
+    assert(verified.count() == nBatch, "one verdict row per batch doc")
+    val nDup = verified.filter(col("is_dup") === 1).count()
+    assert(nCand >= nDup, "gate dropped a true duplicate (false negative)")
+    // and the gate must be a gate: with 1M-slot sizing over a ≤5500-doc
+    // corpus the false-positive rate is ~0, so candidates ≈ dups
+    assert(nCand < nBatch, s"bloom gate passed everything ($nCand of $nBatch)")
+    assert(nCand <= nDup + (nBatch / 10).max(4),
+      s"false-positive residue too fat: $nCand candidates for $nDup dups")
+  }
+
+  test("13-gram contamination: only non-train docs, each with a train source") {
+    val rows = graft.dedup.Dedup.ngram13Contamination(spark, sf).collect()
+    val split = Tables.documents(spark, sf)
+      .selectExpr("doc_id", s"${graft.text.TextOps.SplitCaseSql} AS split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(split(r.getLong(0)) != "train", "a train doc flagged itself")
+      assert(r.getString(1) == split(r.getLong(0)))
+      assert(r.getLong(2) >= 1, "flagged with zero shared grams")
+      assert(split(r.getLong(3)) == "train", "canonical source not in train")
+    }
+  }
+
+  test("int8 recall: 5-exact denominator, sane bp, quantization stays useful") {
+    val rows = graft.sim.Ann.int8Recall(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+      assert(r.getLong(3) == r.getLong(2) * 10000 / 5)
+    }
+    // 254-level scalar quantization barely perturbs cosine order —
+    // if mean recall drops below half, the quantizer is broken
+    assert(rows.map(_.getLong(3)).sum / rows.length >= 5000,
+      "mean int8 recall collapsed")
+  }
+
+  test("threshold curve: monotone, and the .35 point equals dedup_embedding_cos") {
+    val curve = graft.sim.Ann.thresholdCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve.keySet == Set(2000L, 3500L, 5000L, 7000L, 9000L))
+    val sorted = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+      s"pair volume must not grow with the cutoff: $curve")
+    // the 0.35 cutoff IS dedup_embedding_cos's threshold over the same
+    // candidate buckets — two independent codepaths, one quantity
+    val prod = graft.dedup.Dedup.embeddingCosine(spark, sf).count()
+    assert(curve(3500L) == prod,
+      s"curve point ${curve(3500L)} != production pair count $prod")
+  }
+
+  test("zipf fit: dense ranks, non-increasing frequency, product consistency") {
+    val rows = graft.text.TextOps.zipfFit(spark, sf).collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1, "ranks must be dense from 1")
+      assert(r.getLong(3) == r.getLong(0) * r.getLong(2))
+    }
+    val freqs = rows.map(_.getLong(2))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("risk delta: generalization never increases exposure, exposure grows with k") {
+    val rows = graft.operators.DlpQueries.dlpRiskDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2L, 5L, 10L, 25L))
+    rows.foreach { case (k, raw, gen) =>
+      assert(gen <= raw, s"k=$k: generalized exposure $gen > raw $raw")
+    }
+    // exposed-below-k is monotone in k on both sides
+    assert(rows.map(_._2).zip(rows.map(_._2).tail).forall { case (a, b) => a <= b })
+    assert(rows.map(_._3).zip(rows.map(_._3).tail).forall { case (a, b) => a <= b })
+  }
+
+  test("token consistency: every FK cardinality survives tokenization") {
+    val rows = graft.operators.DlpQueries.dlpTokenConsistency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1,
+        s"token ${r.getString(0)}: via-token ${r.getLong(1)} != via-raw ${r.getLong(2)}")
+    }
+  }
+
+  test("session overlap equals the brute-force sweep for the smallest users") {
+    val got = Analytics.qSessionOverlap(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val evs = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_seconds(ts) AS s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    evs.toSeq.sortBy(_._2.length).take(3).foreach { case (u, starts) =>
+      val brute = starts.map(s => starts.count(t => t <= s && s < t + 300)).max
+      assert(got(u)._1 == brute, s"user $u: sweep ${got(u)._1} != brute $brute")
+      assert(got(u)._2 == starts.length)
+    }
+    // endpoint ordering: depth never exceeds the interval count
+    got.foreach { case (u, (mx, n)) => assert(mx >= 1 && mx <= n) }
+  }
+
+  test("skipping eval: zone maps prune the far-future predicate, never over-scan") {
+    val total = Tables.lineitem(spark, sf).count()
+    val rows = Analytics.layoutSkippingEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    rows.foreach { case (p, (nb, sk, scanned)) =>
+      assert(sk <= nb, s"pred $p skipped more buckets than exist")
+      assert(scanned <= total)
+    }
+    // date-bucketed zone maps are tight: the 1998-09+ predicate covers
+    // <5% of the 1992-1998 span, so most buckets must prune
+    assert(rows(4L)._2 >= rows(4L)._1 / 2,
+      s"pred 4 skipped only ${rows(4L)._2} of ${rows(4L)._1} buckets")
+  }
+
+  test("partition plan: ceil-division invariants hold per month") {
+    graft.operators.SourceQueries.loadPartitionPlan(spark, sf).collect().foreach { r =>
+      val (rows_, bytes, nf, rpf) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nf == (bytes + 65535) / 65536)
+      assert(rpf * nf >= rows_, "files under-cover the rows")
+      assert((rpf - 1) * nf < rows_, "a file tier is empty")
+    }
+  }
+
+  test("heartbeat alarms equal session splits (30-min contract shared with sessionize)") {
+    // a >30-min silence is EXACTLY what closes a session: per user,
+    // n_alarms must equal n_sessions - 1 — two independent operators,
+    // one threshold
+    val alarms = graft.streaming.Streams.heartbeatGap(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val sessions = graft.streaming.Streams.sessionizeBatch(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alarms.keySet == sessions.keySet)
+    alarms.foreach { case (u, a) =>
+      assert(a == sessions(u) - 1,
+        s"user $u: $a alarms but ${sessions(u)} sessions")
+    }
+  }
+
+  test("embedding align: corpus conserved, coverage bounded, majority sane") {
+    val rows = Multimodal.embeddingAlign(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "modalities must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "paired more than exist")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+      if (r.getLong(2) > 0) assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("fk discovery: declared FKs fully contained, negative control rejected") {
+    val rows = graft.operators.SourceQueries.fkDiscovery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == graft.operators.SourceQueries.FkCandidates.size)
+    val negative = "orders.o_orderkey->customer.c_custkey"
+    rows.foreach { case (name, (bp, isFk)) =>
+      if (name == negative)
+        assert(isFk == 0 && bp < 10000, s"negative control accepted: $bp bp")
+      else
+        assert(isFk == 1 && bp == 10000, s"$name: true FK rejected at $bp bp")
+    }
+  }
+
+  test("surrogate annotate: no raw PII survives, both annotations present") {
+    graft.operators.DlpQueries.dlpSurrogateAnnotate(spark, sf).collect().foreach { r =>
+      val s = r.getString(1)
+      assert(s.contains("EMAIL_ADDRESS(16):") && s.contains("PHONE_NUMBER(16):"))
+      assert(!s.contains("@example.com"), s"raw email leaked: $s")
+      assert(!s.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"), s"raw phone leaked: $s")
+    }
+  }
+
+  test("shift consistency: every entity shifts coherently by key % 61 - 30") {
+    graft.operators.DlpQueries.dlpShiftConsistency(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) == 1, s"custkey ${r.getLong(0)} shifted incoherently")
+      assert(r.getLong(2) == r.getLong(0) % 61 - 30,
+        s"custkey ${r.getLong(0)}: shift ${r.getLong(2)}")
+    }
+  }
+
+  test("schema evolve: the two versions partition every status group") {
+    graft.operators.SourceQueries.loadSchemaEvolve(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1),
+        s"status ${r.getString(0)}: presence counts don't partition the rows")
+    }
+  }
+
+  test("running distinct: cumulative curve ends at the true distinct count") {
+    val rows = Analytics.qRunningDistinct(spark, sf).collect()
+    val finalCum = rows.groupBy(_.getString(0))
+      .view.mapValues(_.maxBy(_.getLong(1)).getLong(3)).toMap
+    val truth = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalCum == truth, s"curve endpoints $finalCum != truth $truth")
+    // per type: monotone, and increments equal the new_users column
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.foldLeft(0L) { (prev, r) =>
+        assert(r.getLong(3) == prev + r.getLong(2)); r.getLong(3)
+      }
+    }
+  }
+
+  test("norm outliers: corpus conserved per label, outliers bounded") {
+    val rows = graft.sim.Ann.normOutliers(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1))
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+    }
+  }
+
+  test("lang confusion: cells conserve the corpus and shares stay in range") {
+    val rows = graft.text.TextOps.langConfusion(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getString(0)).values.foreach { cells =>
+      val shares = cells.map(_.getLong(3))
+      assert(shares.forall(s => s >= 0 && s <= 10000))
+      // integer DIV truncation: shares sum to ≤ 10000 per declared lang
+      assert(shares.sum <= 10000)
+    }
+  }
+
+  test("replay dedup: unique survivors equal the original stream exactly") {
+    val rows = graft.streaming.Streams.replayDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val orig = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val replayed = Tables.events(spark, sf).filter(col("event_id") % 10 === 0)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == orig.keySet)
+    rows.foreach { case (t, (delivered, unique, dropped)) =>
+      assert(unique == orig(t), s"$t: dedup lost or invented events")
+      assert(dropped == replayed.getOrElse(t, 0L), s"$t: absorbed ≠ redelivered")
+      assert(delivered == unique + dropped)
+    }
+  }
+}
