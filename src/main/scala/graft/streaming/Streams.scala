@@ -809,6 +809,50 @@ object Streams {
       .orderBy("event_type")
   }
 
+  // public: state encoder instantiates reflectively in true streaming
+  case class GapState(lastUs: Long, nAlarms: Long)
+  case class GapAlarm(user_id: Long, gap_us: Long, at_us: Long,
+                      reorder_overflow: Long)
+
+  /** Streaming form of [[heartbeatGap]]: one (last-timestamp,
+    * alarm-count) pair of state per user — the same O(1) footprint
+    * the sessionizer holds — emitting an alarm row the moment a
+    * silence past `alarmUs` is observed (the batch form summarizes
+    * after the fact; a live monitor must fire DURING the outage,
+    * which on a real deployment is the event-time-timeout callback;
+    * here the next event surfaces the closed gap). Within-trigger
+    * disorder goes through the shared bounded reorder with the same
+    * loud-overflow contract as every stateful machine here. */
+  def heartbeatGapStreaming(events: Dataset[Ev], alarmUs: Long = SessionGapUs,
+                            reorderBuffer: Int = 4096,
+                            strict: Boolean = false): Dataset[GapAlarm] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[GapState]) =>
+          val reordered = Reorder.bounded(evs, reorderBuffer, strict)(
+            Ordering.by(e => (e.us, e.event_id)))
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L))
+          new Iterator[GapAlarm] {
+            private var pending: Option[GapAlarm] = None
+            private def pump(): Unit =
+              while (pending.isEmpty && reordered.hasNext) {
+                val (e, ooo) = reordered.next()
+                val gap = if (st.lastUs == Long.MinValue) 0L else e.us - st.lastUs
+                val alarm = gap > alarmUs
+                st = GapState(math.max(st.lastUs, e.us),
+                  st.nAlarms + (if (alarm) 1L else 0L))
+                state.update(st)
+                if (alarm)
+                  pending = Some(GapAlarm(uid, gap, e.us, if (ooo) 1L else 0L))
+              }
+            def hasNext: Boolean = { pump(); pending.isDefined }
+            def next(): GapAlarm = { pump(); val r = pending.get; pending = None; r }
+          }
+      }
+  }
+
   /** Missing-heartbeat / dead-feed detection: per user, the largest
     * inter-event silence (micros) and the number of silences past the
     * 30-minute alarm threshold — the liveness monitor every event

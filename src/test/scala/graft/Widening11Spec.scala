@@ -159,6 +159,53 @@ class Widening11Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming heartbeat alarms match the batch audit per user") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[graft.streaming.Streams.Ev]
+    val streamed = graft.streaming.Streams.heartbeatGapStreaming(evs).collect()
+    val perUser = streamed.groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+    val batch = graft.streaming.Streams.heartbeatGap(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    batch.foreach { case (u, (maxGap, nAlarms)) =>
+      assert(perUser.getOrElse(u, 0L) == nAlarms,
+        s"user $u: streaming fired ${perUser.getOrElse(u, 0L)}, batch says $nAlarms")
+    }
+    // every emitted alarm is a real over-threshold gap, and the widest
+    // emitted gap equals the batch max where any alarm fired
+    streamed.foreach(a => assert(a.gap_us > graft.streaming.Streams.SessionGapUs))
+    streamed.groupBy(_.user_id).foreach { case (u, as) =>
+      assert(as.map(_.gap_us).max == batch(u)._1,
+        s"user $u: widest alarm ≠ batch max gap")
+    }
+  }
+
+  test("heartbeat alarms fire across trigger boundaries from state, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Ev]
+    val q = graft.streaming.Streams.heartbeatGapStreaming(src.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("hb_out").start()
+    val M = 60L * 1000000 // a minute in micros
+    // trigger 1: user 1 at t=0 and t=10min (no alarm); user 2 at t=0
+    src.addData(graft.streaming.Streams.Ev(1L, 1L, 0L),
+      graft.streaming.Streams.Ev(1L, 2L, 10 * M),
+      graft.streaming.Streams.Ev(2L, 3L, 0L))
+    q.processAllAvailable()
+    // trigger 2: user 1 returns 40min later -> the cross-trigger gap
+    // must fire from STATE; user 2 returns within threshold -> silent
+    src.addData(graft.streaming.Streams.Ev(1L, 4L, 50 * M),
+      graft.streaming.Streams.Ev(2L, 5L, 20 * M))
+    q.processAllAvailable()
+    q.stop()
+    val alarms = spark.table("hb_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(alarms.toSeq == Seq((1L, 40 * M, 50 * M)),
+      s"expected exactly user 1's 40-min cross-trigger alarm, got ${alarms.toSeq}")
+  }
+
   test("embedding align: corpus conserved, coverage bounded, majority sane") {
     val rows = Multimodal.embeddingAlign(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
