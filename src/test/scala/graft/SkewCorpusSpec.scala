@@ -179,4 +179,52 @@ class SkewCorpusSpec extends AnyFunSuite {
       "hot user's single open session must not be emitted as closed")
     assertNoStorage("sessionize")
   }
+
+  test("round-11 operators hold on the skew corpus: bloom gate, sweep-line, heartbeat, staged distinct") {
+    // bloom prefilter: 500 exact hot copies straddle the odd/even
+    // parity split, so the batch half carries ~250 true dups — the
+    // sketch must pass every one (oracle-law: no false negatives) and
+    // the verdict join must stay an equi-join
+    val dup = timed("bloomPrefilter (5500 docs, 500-copy hot text)") {
+      val d = Dedup.bloomPrefilter(spark, corpusDir)
+      d.count(); d
+    }
+    val exec = dup.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoop"))
+    val nDup = dup.filter(col("is_dup") === 1).count()
+    assert(nDup >= 200, s"hot-copy dups missing from the bloom-gated verify: $nDup")
+    assertNoStorage("bloom")
+    // sweep-line overlap: the hot user's 30k 1-ms-apart intervals all
+    // overlap inside one 300 s window — peak concurrency must be
+    // EXACTLY the event count, through one per-user window (no
+    // quadratic interval-vs-interval work)
+    val hot = timed("qSessionOverlap (41k events, one 30k-interval user)") {
+      graft.operators.Analytics.qSessionOverlap(spark, corpusDir)
+        .filter(col("user_id") === SkewCorpus.HotUserId).collect()
+    }
+    assert(hot.length == 1 && hot.head.getLong(1) == 30000L &&
+      hot.head.getLong(2) == 30000L,
+      s"hot user sweep wrong: ${hot.toSeq}")
+    // heartbeat: 1 ms cadence = zero alarms for the hot user in the
+    // exact batch audit, even with its slice scrambled on disk
+    val hb = timed("heartbeatGap (hot slice scrambled on disk)") {
+      Streams.heartbeatGap(spark, corpusDir)
+        .filter(col("user_id") === SkewCorpus.HotUserId).collect()
+    }
+    assert(hb.length == 1 && hb.head.getLong(3) == 0L &&
+      hb.head.getLong(2) == 1000L,
+      s"hot user heartbeat wrong: ${hb.toSeq}")
+    // staged cumulative distinct: the hot user collapses to ONE
+    // first-seen row per type map-side — curve endpoints must equal
+    // the true distinct count per type at any skew
+    val finalCum = timed("qRunningDistinct (staged first-seen)") {
+      graft.operators.Analytics.qRunningDistinct(spark, corpusDir).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.maxBy(_.getLong(1)).getLong(3)).toMap
+    }
+    val truth = Tables.events(spark, corpusDir).filter(col("user_id").isNotNull)
+      .groupBy("event_type").agg(countDistinct(col("user_id"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalCum == truth, s"curve endpoints $finalCum != $truth")
+    assertNoStorage("round-11")
+  }
 }
