@@ -252,6 +252,7 @@ object SparkEntry {
     "embed_norm_outliers" -> Ann.normOutliers _,
     "text_lang_confusion" -> TextOps.langConfusion _,
     "stream_replay_dedup" -> Streams.replayDedup _,
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) => Analytics.qHeavyHitters(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2718,5 +2719,17 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
         |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_dropped
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_heavy_hitters: the oracle is the EXACT per-month heavy set
+    // (freq > n/(cap+1), cap=2) with in_sketch pinned 1 — the MG
+    // theorem says the sketch must contain every such key, so a
+    // dropped key loses a row and fails the compare
+    "q_heavy_hitters" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS part_month,
+        |    o_orderstatus FROM orders),
+        |c AS (SELECT part_month, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS freq FROM o GROUP BY 1, 2),
+        |t AS (SELECT part_month, CAST(COUNT(*) AS BIGINT) AS n_rows FROM o GROUP BY 1)
+        |SELECT c.part_month, c.o_orderstatus, freq, n_rows, CAST(1 AS BIGINT) AS in_sketch
+        |FROM c JOIN t ON c.part_month = t.part_month WHERE freq * 3 > n_rows
+        |ORDER BY c.part_month, c.o_orderstatus""".stripMargin,
   )
 }

@@ -733,6 +733,39 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Heavy hitters per group through the [[graft.functions.SpaceSavingAgg]]
+    * Misra–Gries summary — constant memory per group where the exact
+    * form shuffles every distinct key (the sketch behind hot-key
+    * detection at unbounded cardinality; `Skew.saltedJoin`'s
+    * pre-aggregate works because TPC-H keys fit — a 100 TB stream's
+    * don't). cap = 2 over the 3-valued status column forces real MG
+    * evictions in every buffer and real cut-merges across partials;
+    * the MG theorem guarantees any status with > 1/(cap+1) of its
+    * month survives, so the gate joins the EXACT heavy set (the
+    * oracle) against sketch membership — a dropped guaranteed key
+    * loses a row and fails the hash. Counts come from the exact side;
+    * only membership crosses the boundary (sketch counters are
+    * order-dependent by construction). */
+  def qHeavyHitters(spark: SparkSession, dir: String, cap: Int = 2): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("part_month"),
+      col("o_orderstatus"))
+    val sketch = o.groupBy(col("part_month"))
+      .agg(graft.functions.SpaceSavingAgg.heavyKeys(col("o_orderstatus"), cap).as("keys"))
+      .selectExpr("part_month", "explode(keys) AS o_orderstatus")
+      .withColumn("in_sketch", lit(1L))
+    val counts = o.groupBy(col("part_month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("freq"))
+    val totals = o.groupBy(col("part_month")).agg(count(lit(1)).as("n_rows"))
+    counts.join(totals, "part_month")
+      .filter(col("freq") * (cap + 1) > col("n_rows"))
+      .join(sketch, Seq("part_month", "o_orderstatus"))
+      .select(col("part_month"), col("o_orderstatus"), col("freq"),
+        col("n_rows"), col("in_sketch"))
+      .orderBy("part_month", "o_orderstatus")
+  }
+
   /** Cumulative-unique-users curve per event type — the "distinct so
     * far" dashboard metric, staged so NO hot global window exists:
     * running count-distinct is not distributive, but first-seen flags

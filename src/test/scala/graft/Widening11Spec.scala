@@ -293,6 +293,54 @@ class Widening11Spec extends AnyFunSuite {
     }
   }
 
+  test("MG sketch: error bound and heavy-key membership on a local skewed stream") {
+    import graft.functions.SpaceSavingAgg
+    // 1000×a, 500×b, 200×c, 50 distinct tail keys × 6 — N = 2000
+    val stream = Seq.fill(1000)("a") ++ Seq.fill(500)("b") ++
+      Seq.fill(200)("c") ++ (0 until 50).flatMap(i => Seq.fill(6)(s"t$i"))
+    val n = stream.length
+    val truth = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val shuffled = new scala.util.Random(42).shuffle(stream)
+    for (cap <- Seq(2, 8, 16); order <- Seq(stream, shuffled)) {
+      val sum = SpaceSavingAgg.localSummary(order.iterator, cap)
+      assert(sum.size <= cap)
+      // guarantee: every key with freq > N/(cap+1) is present
+      truth.filter(_._2 * (cap + 1) > n).keys.foreach(k =>
+        assert(sum.contains(k), s"cap=$cap dropped guaranteed key $k"))
+      // residual counters undercount by at most N/(cap+1), never over
+      sum.foreach { case (k, c) =>
+        assert(c <= truth(k), s"cap=$cap overcounted $k")
+        assert(truth(k) - c <= n / (cap + 1), s"cap=$cap error bound broken for $k")
+      }
+    }
+  }
+
+  test("heavy hitters: guaranteed set is partitioning-invariant and eviction is real") {
+    val base = Analytics.qHeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(base.nonEmpty)
+    // same query over a deliberately different physical partitioning:
+    // the guaranteed membership must not move (merge-path coverage)
+    val o = Tables.orders(spark, sf)
+    Seq(1, 13).foreach { p =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-hh-$p").toString
+      try {
+        o.repartition(p).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        // reuse every other table from sf via the operator's own reads
+        val re = Analytics.qHeavyHitters(spark, dir.replace("file:", ""))
+        // qHeavyHitters only reads orders, so pointing it at the tmp
+        // dir (with only orders present) is the full input
+        val got = re.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == base, s"heavy set moved under $p partitions")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+    // eviction pressure is real: 3 statuses through cap-2 buffers
+    val perMonth = base.groupBy(_._1).view.mapValues(_.size)
+    assert(perMonth.values.forall(_ <= 2))
+  }
+
   test("replay dedup: unique survivors equal the original stream exactly") {
     val rows = graft.streaming.Streams.replayDedup(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
