@@ -253,6 +253,26 @@ object SparkEntry {
     "text_lang_confusion" -> TextOps.langConfusion _,
     "stream_replay_dedup" -> Streams.replayDedup _,
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => Analytics.qHeavyHitters(s, d)),
+    // round 11 batch 3: time-series gap fill, distributed argmax,
+    // pointer-doubling recursive closure, last-touch attribution,
+    // exact fixed-point decay, FK orphan audit, suppression-cost
+    // curve, sequence packing
+    "q_topk_rewrite" -> Analytics.qTopkRewrite _,
+    "q_gap_fill" -> Analytics.qGapFill _,
+    "q_mode_per_group" -> Analytics.qModePerGroup _,
+    "q_ancestor_closure" -> Analytics.qAncestorClosure _,
+    "q_attribution" -> Analytics.qAttribution _,
+    "q_decayed_sum" -> Analytics.qDecayedSum _,
+    "ingest_orphan_audit" -> SourceQueries.ingestOrphanAudit _,
+    "dlp_suppression_curve" -> DlpQueries.dlpSuppressionCurve _,
+    "pipeline_pack_sequences" -> TextOps.packSequences _,
+    // round 11 batch 4: corpus novelty, CUSUM changepoint, payload
+    // byte profile, encoder batch drift, stream-static enrichment
+    "dedup_source_novelty" -> Dedup.sourceNovelty _,
+    "q_changepoint" -> Analytics.qChangepoint _,
+    "mm_bytes_profile" -> Multimodal.bytesProfile _,
+    "embed_batch_drift" -> Ann.batchDrift _,
+    "stream_static_enrich" -> Streams.staticEnrichBatch _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2731,5 +2751,196 @@ object SparkEntry {
         |SELECT c.part_month, c.o_orderstatus, freq, n_rows, CAST(1 AS BIGINT) AS in_sketch
         |FROM c JOIN t ON c.part_month = t.part_month WHERE freq * 3 > n_rows
         |ORDER BY c.part_month, c.o_orderstatus""".stripMargin,
+    "q_topk_rewrite" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+        |  epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY epoch_us(CAST(l_shipdate AS TIMESTAMP)) DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem)
+        |WHERE rk <= 2 ORDER BY l_partkey, rk""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events),
+        |daily AS (SELECT user_id, day, v_c AS close_c FROM (
+        |    SELECT user_id, day, v_c,
+        |      row_number() OVER (PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id, CAST(UNNEST(range(d0, d1 + 1)) AS BIGINT) AS day FROM span),
+        |j AS (SELECT cal.user_id, cal.day, daily.close_c FROM cal LEFT JOIN daily USING (user_id, day))
+        |SELECT user_id, day,
+        |  CAST(LAST_VALUE(close_c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_c,
+        |  CAST(CASE WHEN close_c IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_mode_per_group" ->
+      """WITH c AS (SELECT o_orderpriority AS priority,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT priority, ym, n,
+        |    row_number() OVER (PARTITION BY priority ORDER BY n DESC, ym ASC) AS rn,
+        |    SUM(n) OVER (PARTITION BY priority) AS n_total FROM c)
+        |SELECT priority, ym AS mode_ym, n AS mode_n, CAST(n_total AS BIGINT) AS n_total
+        |FROM r WHERE rn = 1 ORDER BY priority""".stripMargin,
+    "q_ancestor_closure" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node, CAST(c_custkey // 2 AS BIGINT) AS anc,
+        |    CAST(1 AS BIGINT) AS d
+        |  FROM customer WHERE c_custkey >= 2
+        |  UNION ALL
+        |  SELECT node, anc // 2, d + 1 FROM a WHERE anc >= 2)
+        |SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_desc, CAST(MAX(d) AS BIGINT) AS max_depth
+        |FROM a GROUP BY anc ORDER BY anc""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events),
+        |a AS (SELECT *, LAST_VALUE(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lck
+        |  FROM e)
+        |SELECT CAST(COALESCE(lck % 4, -1) AS BIGINT) AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases, CAST(SUM(v_c) AS BIGINT) AS revenue_c
+        |FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decayed_sum" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events),
+        |m AS (SELECT MIN(day) AS mind FROM e)
+        |SELECT user_id, CAST(SUM(v_c << (day - mind)) AS BIGINT) AS score_sh,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM e, m GROUP BY user_id ORDER BY score_sh DESC, user_id""".stripMargin,
+    "ingest_orphan_audit" ->
+      """WITH r1 AS (SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |    CAST(COUNT(*) AS BIGINT) AS n_child,
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r2 AS (SELECT 'lineitem.l_partkey->part',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+        |r3 AS (SELECT 'lineitem.l_suppkey->supplier',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |r4 AS (SELECT 'orders.o_custkey->customer',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r5 AS (SELECT 'events.user_id->customer',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+        |ORDER BY relation""".stripMargin,
+    "dlp_suppression_curve" ->
+      """WITH sizes AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS g
+        |  FROM customer GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_total FROM sizes),
+        |ks AS (SELECT CAST(UNNEST([2, 5, 10, 20, 50]) AS BIGINT) AS k)
+        |SELECT k,
+        |  CAST(COALESCE((SELECT SUM(g) FROM sizes WHERE g < ks.k), 0) AS BIGINT) AS n_suppressed,
+        |  CAST(COALESCE((SELECT SUM(g) FROM sizes WHERE g < ks.k), 0) * 10000
+        |    // (SELECT n_total FROM tot) AS BIGINT) AS suppressed_bp
+        |FROM ks ORDER BY k""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, tok,
+        |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        |  FROM d)
+        |SELECT source, CAST(prefix // 512 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(LEAST(SUM(tok), 512) * 10000 // 512 AS BIGINT) AS fill_bp
+        |FROM p GROUP BY source, prefix // 512 ORDER BY source, pack_id""".stripMargin,
+    "dedup_source_novelty" ->
+      (s"""WITH $GramsCte,
+         |x AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+         |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM x GROUP BY 1),
+         |j AS (SELECT x.doc_id,
+         |    CASE WHEN x.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+         |  FROM x JOIN f USING (gram)),
+         |s AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(novel) AS BIGINT) AS n_novel
+         |  FROM j JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT source, n_grams, n_novel,
+         |  CAST(n_novel * 10000 // n_grams AS BIGINT) AS novelty_bp
+         |FROM s ORDER BY source""".stripMargin),
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+        |    SUM(r) OVER (PARTITION BY event_type) AS total,
+        |    SUM(r) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |s AS (SELECT event_type, day, n_days,
+        |    pref * n_days - total * rn AS cusum_sc FROM c),
+        |r AS (SELECT event_type, day, n_days, cusum_sc,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cusum_sc) DESC, day ASC) AS pick FROM s)
+        |SELECT event_type, CAST(day AS BIGINT) AS cp_day,
+        |  CAST(abs(cusum_sc) AS BIGINT) AS max_abs_cusum_sc,
+        |  CAST(n_days AS BIGINT) AS n_days
+        |FROM r WHERE pick = 1 ORDER BY event_type""".stripMargin,
+    "mm_bytes_profile" ->
+      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |x AS (SELECT doc_id, n_bytes,
+        |    list_transform(range(1, CAST(n_bytes AS INT) + 1),
+        |      i -> substring(h, (i-1)*2 + 1, 2)) AS bs
+        |  FROM b),
+        |c AS (SELECT doc_id, UNNEST(bs) AS byte FROM x),
+        |m AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes
+        |  FROM (SELECT doc_id, byte, COUNT(*) AS cnt FROM c GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_bytes, m.n_distinct_bytes,
+        |  CAST(m.top_cnt * 10000 // b.n_bytes AS BIGINT) AS top_byte_bp
+        |FROM b JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "embed_batch_drift" ->
+      """WITH e AS (SELECT vec_id % 2 AS batch, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |d AS (SELECT label, batch, CAST(i AS BIGINT) AS dim,
+        |    CAST(CAST(emb[i] AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |c AS (SELECT label, batch, dim, COUNT(*) AS n,
+        |    (CAST(SUM(vu) AS BIGINT) + COUNT(*) * 1000000) // COUNT(*) - 1000000 AS m
+        |  FROM d GROUP BY 1, 2, 3),
+        |p AS (SELECT label, dim,
+        |    MAX(CASE WHEN batch = 0 THEN m END) AS m0,
+        |    MAX(CASE WHEN batch = 1 THEN m END) AS m1,
+        |    MAX(CASE WHEN batch = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN batch = 1 THEN n END) AS n1
+        |  FROM c GROUP BY 1, 2)
+        |SELECT label, CAST(MAX(n0) AS BIGINT) AS n_even, CAST(MAX(n1) AS BIGINT) AS n_odd,
+        |  CAST(SUM((m0 - m1) * (m0 - m1)) AS BIGINT) AS drift_d2
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
+    "stream_static_enrich" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.c_nationkey, p.day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(v_c) AS BIGINT) AS revenue_c
+        |FROM p JOIN customer c ON p.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -897,4 +897,29 @@ object Dedup {
         min(col("train_doc")).as("train_doc"))
       .orderBy("doc_id")
   }
+
+  /** Per-source content novelty — "how much NEW content does each
+    * crawl/source actually add": a doc's 3-gram occurrence is novel
+    * iff this doc is the gram's FIRST appearance in corpus order
+    * (min doc_id over the whole corpus — the incremental-dedup
+    * ordering [[incrementalDedup]] uses). Sources full of
+    * already-seen shingles are re-crawls; their marginal value to a
+    * training mix is their novelty share, not their row count. Cost:
+    * the session-shared gram table, one gram-keyed first-occurrence
+    * aggregate (map-side combining), one join back — linear, and the
+    * output is source-count-sized. */
+  def sourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val occ = gramsDf(spark, dir)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val first = occ.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    occ.join(first, "gram")
+      .withColumn("novel",
+        when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("novel")).as("n_novel"))
+      .selectExpr("source", "n_grams", "n_novel",
+        "n_novel * 10000 DIV n_grams AS novelty_bp")
+      .orderBy("source")
+  }
 }

@@ -394,6 +394,35 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** Payload byte-histogram profile — the corrupt/blank-asset scan a
+    * multimodal lake runs WITHOUT decoding anything: per payload, the
+    * byte count, distinct-byte count, and the most-frequent byte's
+    * share in bp. A constant/near-constant byte stream (blank frame,
+    * zero-padded truncation, dead sensor) shows up as tiny
+    * distinct-byte counts and a top-byte share near 10000 — the
+    * cheap screen before any codec spends cycles. Pure map-side
+    * codegen'd expressions over hex pairs (bounded by payload size,
+    * no shuffle until the final order); both engines profile the
+    * SAME utf-8 byte stream so the gate is engine-exact. */
+  def bytesProfile(spark: SparkSession, dir: String): DataFrame =
+    binaryView(spark, dir)
+      .selectExpr("doc_id", "hex(payload) AS h",
+        "CAST(octet_length(payload) AS BIGINT) AS n_bytes")
+      .selectExpr("doc_id", "n_bytes",
+        "transform(sequence(1, CAST(n_bytes AS INT)), i -> substring(h, (i-1)*2+1, 2)) AS bs")
+      .selectExpr("doc_id", "n_bytes",
+        "CAST(size(array_distinct(bs)) AS BIGINT) AS n_distinct_bytes",
+        // most-frequent byte count == longest equal-run in the sorted
+        // array (the text_repetition maxFreq idiom)
+        """aggregate(array_sort(bs),
+          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  IF(x = a.prev, a.run + 1L, 1L),
+          |    'best', greatest(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+          |  a -> a.best) * 10000 DIV n_bytes AS top_byte_bp""".stripMargin.replace("\n", " "))
+      .orderBy("doc_id")
+
   /** Decode stub: where a real implementation would run a codec over
     * each partition's payload batch. Deliberately unimplemented — no
     * codecs in this environment; [[featureExtract]] carries the real

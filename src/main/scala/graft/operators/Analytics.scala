@@ -835,4 +835,196 @@ object Analytics {
         sum(expr("CASE WHEN skipped = 0 THEN n_rows ELSE 0 END")).as("rows_scanned"))
       .orderBy("pred_id")
   }
+
+  /** The [[graft.plans.TopKRewriteRule]] under the gate: the query is
+    * written in the PLAIN DataFrame window idiom — `row_number()
+    * .over(partitionBy(part).orderBy(...)) <= 2` — and the optimizer
+    * (armed on an isolated `newSession` so no other gate query's plan
+    * is perturbed) rewrites it to the bounded-heap
+    * [[graft.plans.TopKPerKeyPlan]]: no per-group sort, O(keys·k)
+    * state, one exchange on the key. The oracle checks the REWRITTEN
+    * plan's rows against the window definition in SQL — a wrong
+    * rewrite fails the hash; the spec additionally asserts the
+    * physical plan really is the heap operator and that the un-armed
+    * session agrees row-for-row. */
+  def qTopkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.TopKRewrite.enable(s2)
+    val li = Tables.lineitem(s2, dir).select(
+      col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+    li.withColumn("rk", row_number().over(
+        Window.partitionBy("l_partkey")
+          .orderBy(col("ship_us").desc, col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("rk") <= 2)
+      .withColumn("rk", col("rk").cast("long"))
+      .orderBy("l_partkey", "rk")
+  }
+
+  /** Calendar gap-fill + forward-fill — the time-series resample every
+    * metrics warehouse runs before charting or joining daily series:
+    * per user, the LAST observed event value of each active day
+    * (total-ordered by (ts, event_id)) is carried forward across the
+    * user's silent days. The calendar explode is bounded by each
+    * user's OWN [first, last] active-day span — never the corpus
+    * span — so a 100 TB corpus of short-lived users stays linear; the
+    * fill window partitions by user (no global window) and the
+    * per-day close is a plain max(struct) aggregate with map-side
+    * partials, not a sort. Fixed-point cents end to end. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      cents(col("value"), 2).as("v_c"))
+    val daily = e.groupBy(col("user_id"), col("day"))
+      .agg(max(struct(col("us"), col("event_id"), col("v_c")))
+        .getField("v_c").as("close_c"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_c", last(col("close_c"), ignoreNulls = true)
+        .over(Window.partitionBy("user_id").orderBy("day")))
+      .withColumn("is_observed", col("close_c").isNotNull.cast("long"))
+      .select(col("user_id"), col("day"), col("filled_c"), col("is_observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Modal value per group — the categorical-dictionary audit (which
+    * entry dominates each group, and by how much): per order
+    * priority, the most frequent order month with smallest-month
+    * tie-break. Shape: one groupBy to count, one max(struct) to pick
+    * the winner — both fully map-side-combining; no window, no sort
+    * until the final group-count-sized ordering. The (count, -key)
+    * struct-max is the distributed argmax idiom: associative, so it
+    * holds under any partitioning. */
+  def qModePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("priority"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+    o.groupBy(col("priority"), col("ym")).agg(count(lit(1)).as("n"))
+      .groupBy(col("priority"))
+      .agg(max(struct(col("n"), (-col("ym")).as("neg_ym"))).as("m"),
+        sum(col("n")).as("n_total"))
+      .select(col("priority"), (-col("m.neg_ym")).as("mode_ym"),
+        col("m.n").as("mode_n"), col("n_total"))
+      .orderBy("priority")
+  }
+
+  /** Hierarchy closure by pointer doubling — WITH RECURSIVE for a
+    * distributed engine: the customer key space forms a binary-tree
+    * org chart (parent(k) = k DIV 2) and the query materializes every
+    * (node, ancestor, distance) pair, then reports each ancestor's
+    * subtree size and depth. Naive iteration walks one level per
+    * round (depth rounds); pointer doubling composes the closure with
+    * itself, so round r covers every distance ≤ 2^(r-1) — 6 rounds
+    * reach depth 32, enough for 2^33 nodes. Each round is one
+    * equi-join + distinct (both shuffle on flat longs), and each
+    * round's result is lazily checkpointed so the self-referential
+    * plan does not double per round (same release discipline as
+    * [[graft.dedup.Dedup.componentsFromPairs]]). */
+  def qAncestorClosure(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("node"))
+    var c = nodes.filter(col("node") >= 2)
+      .select(col("node"), expr("node DIV 2").as("anc"), lit(1L).as("d"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 5) {
+      val j = c.as("a").join(c.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"),
+          (col("a.d") + col("b.d")).as("d"))
+      c = c.unionAll(j).distinct().localCheckpoint(false)
+    }
+    c.groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"), max(col("d")).as("max_depth"))
+      .orderBy("anc")
+  }
+
+  /** Last-touch marketing attribution — each purchase is credited to
+    * the channel (click payload `k mod 4`) of the most recent
+    * preceding click in the same user's stream; purchases with no
+    * prior click land in channel -1. The carry-forward is one
+    * `last(..., ignoreNulls)` window partitioned BY USER (funnel-
+    * style: bounded by a user's history, never the corpus), and the
+    * rollup is an ordinary map-side-combining groupBy — the exact
+    * shape that scales to a 100 TB event log shuffled once on
+    * user_id. Revenue in integer cents. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      cents(col("value"), 2).as("v_c"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("lck",
+        last(when(col("event_type") === "click", col("k")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("lck") % 4, lit(-1L)))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("revenue_c"))
+      .orderBy("channel")
+  }
+
+  /** CUSUM changepoint detection on the per-type daily value series —
+    * where did the level shift: the classic cumulative-deviation
+    * statistic S_d = Σ_{i≤d} (r_i − mean), kept EXACT by scaling
+    * (r_i·n_days − total, all integers — no float mean), with the
+    * changepoint = argmax |S_d| (earliest day on ties, via the
+    * associative max(struct) argmax). Everything after the first
+    * aggregate is DAY-COUNT-sized: the raw events collapse to (type,
+    * day) partial-aggregated rows, the CUSUM window partitions by
+    * event type over those ~30 rows, and the report is one row per
+    * type. At 100 TB the only data-sized cost is the first groupBy. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir).select(
+        col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        cents(col("value"), 2).as("v_c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v_c")).as("r"))
+    val w = Window.partitionBy("event_type")
+    val wc = w.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("total", sum(col("r")).over(w))
+      .withColumn("cusum_sc", sum(col("r") * col("n_days")).over(wc) -
+        col("total") * row_number().over(w.orderBy("day")))
+      .groupBy(col("event_type"))
+      .agg(max(struct(abs(col("cusum_sc")).as("a"), (-col("day")).as("nd")))
+          .as("m"),
+        max(col("n_days")).as("n_days"))
+      .select(col("event_type"), (-col("m.nd")).as("cp_day"),
+        col("m.a").as("max_abs_cusum_sc"), col("n_days"))
+      .orderBy("event_type")
+  }
+
+  /** Exponential-decay engagement score, EXACT: the batch oracle of
+    * every streaming decayed-counter sketch. Half-life = 1 day, so an
+    * event's weight is 2^-(age_days); scaling by 2^span keeps the
+    * whole sum in the integer domain (weight = cents << days-since-
+    * corpus-min, a left shift both engines compute exactly) — no
+    * floating-point exp(), no cross-engine ulp drift. One groupBy
+    * over events (map-side partials) plus a broadcast 1-row anchor;
+    * the span here is ≤ 30 days so shifts stay < 2^62 — a longer
+    * retention would bucket ages first (documented bound, asserted
+    * by the spec). */
+  def qDecayedSum(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      cents(col("value"), 2).as("v_c"))
+    val anchor = e.agg(min(col("day")).as("mind"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("wv", expr("shiftleft(v_c, CAST(day - mind AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("wv")).as("score_sh"), count(lit(1)).as("n_events"))
+      .orderBy(col("score_sh").desc, col("user_id"))
+  }
 }

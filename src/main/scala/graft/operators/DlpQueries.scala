@@ -214,6 +214,33 @@ object DlpQueries {
         countDistinct(col("bal_bucket")).as("l_diversity"))
       .orderBy("c_mktsegment", "c_nationkey")
 
+  /** Suppression curve — the k-anonymity ENFORCEMENT cost, swept over
+    * the k values a policy review actually debates: for each k in
+    * {2,5,10,20,50}, how many rows sit in quasi-identifier classes
+    * smaller than k (and must be suppressed to release at that k),
+    * as a count and in basis points of the table. Complements
+    * [[dlpKAnonymity]] (the class-size histogram) and
+    * [[dlpRiskDelta]] (before/after one generalization): this is the
+    * k-tuning view. One groupBy builds the class sizes; the sweep is
+    * a broadcast 5-row cross join over the CLASS table (QI-
+    * cardinality-sized, never row-sized), so 100 TB costs one
+    * shuffle. */
+  def dlpSuppressionCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("g"))
+    val total = sizes.agg(sum(col("g")).as("n_total"))
+    val ks = Seq(2L, 5L, 10L, 20L, 50L).toDF("k")
+    sizes.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(sum(when(col("g") < col("k"), col("g")).otherwise(0L)).as("n_suppressed"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_suppressed"),
+        expr("n_suppressed * 10000 DIV n_total").as("suppressed_bp"))
+      .orderBy("k")
+  }
+
   /** Format-preserving tokenization of the phone column: digits map
     * to digits, separators survive, length preserved — the output
     * still *parses* as a phone number (CryptoReplaceFfxFpeConfig's

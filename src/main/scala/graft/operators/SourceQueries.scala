@@ -625,4 +625,40 @@ object SourceQueries {
         sum(when(col("o_year").isNotNull, 1L).otherwise(0L)).as("n_with_year"))
       .orderBy("o_orderstatus")
   }
+
+  /** Referential-integrity audit — the pre-migration gate a database
+    * import runs before declaring a snapshot loadable: for each
+    * foreign-key relation, the child row count and the orphan count
+    * (child keys with no matching parent). The child side collapses
+    * to per-key counts FIRST (map-side combine), so the probe join
+    * carries one row per distinct key — at 100 TB the join input is
+    * key-cardinality-sized, never row-sized — and the parent side is
+    * its distinct key set. The fifth relation (events.user_id →
+    * customer) is the deliberate negative control: event users are
+    * synthetic and mostly keyless, so a healthy audit REPORTS orphans
+    * there rather than zero everywhere. */
+  def ingestOrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val ck = child.select(col(key).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val pkeys = parent.select(col(pk).cast("long").as("k")).distinct()
+        .withColumn("hit", lit(1))
+      ck.join(pkeys, Seq("k"), "left")
+        .agg(sum(col("n")).as("n_child"),
+          sum(when(col("hit").isNull, col("n")).otherwise(0L)).as("n_orphan"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphan"))
+    }
+    rel("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir),
+        "l_orderkey", Tables.orders(spark, dir), "o_orderkey")
+      .unionAll(rel("lineitem.l_partkey->part", Tables.lineitem(spark, dir),
+        "l_partkey", Tables.part(spark, dir), "p_partkey"))
+      .unionAll(rel("lineitem.l_suppkey->supplier", Tables.lineitem(spark, dir),
+        "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(rel("orders.o_custkey->customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .unionAll(rel("events.user_id->customer", Tables.events(spark, dir),
+        "user_id", Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("relation")
+  }
 }

@@ -844,4 +844,36 @@ object Ann {
       .selectExpr(s"stack(${cuts.size}, $stacked) AS (threshold_bp, n_pairs)")
       .orderBy("threshold_bp")
   }
+
+  /** Encoder-batch drift monitor — did two production batches of the
+    * same encoder land in the same place: per label, the squared L2
+    * distance between the per-batch centroids (batch = vec_id parity
+    * here; in production, the model version or ingest window). A
+    * re-trained or mis-versioned encoder shifts every centroid at
+    * once; a single drifted label is a labeling bug. Same integer
+    * micro-unit centroids as [[dimStats]] (offset floor-division so
+    * DuckDB `//` and Spark DIV agree), aggregated over a
+    * label×batch×dim key space — dims-bounded, never corpus-sized
+    * after the first partial aggregate. */
+  def batchDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id % 2 AS batch", "CAST(label AS BIGINT) AS label",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .select(col("label"), col("batch"), posexplode(col("emb")))
+      .selectExpr("label", "batch", "CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(CAST(col AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS vu")
+    d.groupBy(col("label"), col("batch"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vu")).as("s"))
+      .selectExpr("label", "batch", "dim", "n",
+        "(s + n * 1000000) DIV n - 1000000 AS m")
+      .groupBy(col("label"), col("dim"))
+      .agg(max(when(col("batch") === 0, col("m"))).as("m0"),
+        max(when(col("batch") === 1, col("m"))).as("m1"),
+        max(when(col("batch") === 0, col("n"))).as("n0"),
+        max(when(col("batch") === 1, col("n"))).as("n1"))
+      .groupBy(col("label"))
+      .agg(max(col("n0")).as("n_even"), max(col("n1")).as("n_odd"),
+        sum((col("m0") - col("m1")) * (col("m0") - col("m1"))).as("drift_d2"))
+      .orderBy("label")
+  }
 }

@@ -47,6 +47,45 @@ object Streams {
       .select(ntz(col("window.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream–static enrichment — the OTHER streaming join Structured
+    * Streaming supports (alongside the stream–stream
+    * [[eventJoinBatch]]): a live purchase stream joined against a
+    * SLOWLY-CHANGING dimension table (customer → nation) that Spark
+    * re-reads per micro-batch, rolled up per nation and day. The dim
+    * side is broadcast (customer is small relative to the stream —
+    * the standard star-schema stream shape), so no stateful join
+    * state at all: enrichment is map-side, the only shuffle is the
+    * windowed rollup. Orphan purchases (synthetic users with no
+    * customer row) are EXCLUDED by the inner join and accounted by
+    * [[graft.operators.SourceQueries.ingestOrphanAudit]]. Batch form
+    * below is the gate query; [[staticEnrichStreaming]] is the same
+    * plan on a readStream source, exercised by the spec. */
+  def staticEnrichBatch(spark: SparkSession, dir: String): DataFrame =
+    staticEnrichPlan(
+      Tables.events(spark, dir),
+      Tables.customer(spark, dir))
+      .orderBy("c_nationkey", "day")
+
+  /** The shared logical plan: purchases × broadcast(dim) → day rollup.
+    * Works unchanged whether `events` is a batch or streaming source
+    * (the duality every operator here maintains). */
+  def staticEnrichPlan(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"),
+        valueCents.as("v_c"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("day"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("revenue_c"))
+
+  /** Streaming form: same plan + watermark; the dimension DataFrame
+    * stays a plain batch table (re-scanned each micro-batch — exactly
+    * Spark's stream–static contract). */
+  def staticEnrichStreaming(events: DataFrame, customer: DataFrame): DataFrame =
+    staticEnrichPlan(events.withWatermark("ts", "10 minutes"), customer)
+
   /** Late-data audit — the watermark-ops metric a streaming deploy
     * monitors before choosing its watermark delay ("how out-of-order
     * is this stream per key, and what would a 10-minute watermark

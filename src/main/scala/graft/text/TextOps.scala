@@ -662,4 +662,32 @@ object TextOps {
       .selectExpr("rank", "word", "n AS freq", "rank * n AS zipf_c")
       .orderBy("rank")
   }
+
+  /** Sequence packing — the last step before a training corpus
+    * becomes model input: documents are concatenated in corpus order
+    * and cut into fixed token-budget packs (budget 512 whitespace
+    * tokens, the [[tokenCount]] convention). Packing is per SOURCE
+    * (the shard boundary real pipelines pack within), so the running
+    * token sum is a source-partitioned window — never a global sort —
+    * and a doc's pack is floor(exclusive-prefix / budget): contiguous
+    * packing with boundary-spanning docs accounted to the pack they
+    * start in. The report (docs, tokens, fill) is what a data loader
+    * needs to size epochs; at 100 TB each source packs independently
+    * in one shuffle on source. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("prefix", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"prefix DIV $budget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .withColumn("fill_bp", expr(s"least(n_tokens, $budget) * 10000 DIV $budget"))
+      .orderBy("source", "pack_id")
+  }
 }

@@ -52,6 +52,19 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(batchSet.contains(r.toString), s"streaming row $r not in batch result"))
   }
 
+  test("stream-static enrich matches the batch star join (complete mode)") {
+    val q = Streams.staticEnrichStreaming(eventsStream,
+        Tables.customer(spark, sf))
+      .writeStream.outputMode("complete").format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+      .orderBy("c_nationkey", "day").collect().map(_.toString)
+    val batch = Streams.staticEnrichBatch(spark, sf).collect().map(_.toString)
+    assert(got.nonEmpty && got.toSeq == batch.toSeq,
+      s"stream-static join diverged: ${got.length} vs ${batch.length} rows")
+  }
+
   test("streaming sessionize matches batch sessions (closed sessions)") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)
