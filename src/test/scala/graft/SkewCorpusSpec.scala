@@ -227,4 +227,51 @@ class SkewCorpusSpec extends AnyFunSuite {
     assert(finalCum == truth, s"curve endpoints $finalCum != $truth")
     assertNoStorage("round-11")
   }
+
+  test("round-11 batch-3/4 operators hold on the skew corpus: attribution, gap fill, decay, packing, novelty") {
+    // attribution: the 30k-event hot user flows through one per-user
+    // window partition; channel totals must conserve the purchase count
+    val attr = timed("qAttribution (41k events, 30k-event hot user)") {
+      graft.operators.Analytics.qAttribution(spark, corpusDir).collect()
+    }
+    val nPurch = Tables.events(spark, corpusDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(attr.map(_.getLong(1)).sum == nPurch, "purchases lost under skew")
+    // gap fill: hot user's 30s burst collapses to one observed day
+    val gf = timed("qGapFill") {
+      graft.operators.Analytics.qGapFill(spark, corpusDir)
+        .filter(col("user_id") === SkewCorpus.HotUserId).collect()
+    }
+    assert(gf.length == 1 && gf.head.getLong(3) == 1L,
+      s"hot user gap fill wrong: ${gf.toSeq}")
+    // decayed sum: every hot event counted, zero-value slice scores 0
+    val ds = timed("qDecayedSum") {
+      graft.operators.Analytics.qDecayedSum(spark, corpusDir)
+        .filter(col("user_id") === SkewCorpus.HotUserId).collect()
+    }
+    assert(ds.length == 1 && ds.head.getLong(2) == 30000L &&
+      ds.head.getLong(1) == 0L, s"hot user decay wrong: ${ds.toSeq}")
+    // sequence packing: the 500-copy hot source packs to an exact
+    // token conservation (packing is per source — the hot source
+    // cannot spill work into any other source's packs)
+    val packs = timed("packSequences (5500 docs, 500-copy hot source)") {
+      graft.text.TextOps.packSequences(spark, corpusDir)
+        .filter(col("source") === "hotdup").collect()
+    }
+    val hotText = Tables.documents(spark, sf).orderBy("doc_id")
+      .select("text").head().getString(0)
+    val hotTok = hotText.split(" ", -1).length.toLong
+    assert(packs.map(_.getLong(2)).sum == 500L, "hot source docs lost")
+    assert(packs.map(_.getLong(3)).sum == 500L * hotTok, "hot source tokens lost")
+    // source novelty: exact copies contribute ZERO novel grams — the
+    // hot source's marginal value is exactly nothing, at any copy count
+    val nov = timed("sourceNovelty (hot source = 500 exact copies)") {
+      graft.dedup.Dedup.sourceNovelty(spark, corpusDir)
+        .filter(col("source") === "hotdup").collect()
+    }
+    assert(nov.length == 1 && nov.head.getLong(2) == 0L &&
+      nov.head.getLong(3) == 0L,
+      s"exact-copy source claimed novelty: ${nov.toSeq}")
+    assertNoStorage("round-11-batch34")
+  }
 }
