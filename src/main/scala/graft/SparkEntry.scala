@@ -273,6 +273,12 @@ object SparkEntry {
     "mm_bytes_profile" -> Multimodal.bytesProfile _,
     "embed_batch_drift" -> Ann.batchDrift _,
     "stream_static_enrich" -> Streams.staticEnrichBatch _,
+    // round 11 batch 5: filtered ANN, YoY growth, cohort triangle,
+    // content-defined chunk-store dedup
+    "ann_filtered_topk" -> Ann.filteredTopk _,
+    "q_yoy_growth" -> Analytics.qYoyGrowth _,
+    "q_retention_matrix" -> Analytics.qRetentionMatrix _,
+    "mm_chunk_dedup" -> Multimodal.chunkDedup _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -2942,5 +2948,66 @@ object SparkEntry {
         |  CAST(SUM(v_c) AS BIGINT) AS revenue_c
         |FROM p JOIN customer c ON p.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ann_filtered_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.label, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, label, emb, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, label AS ql, emb AS qe, cell FROM cells WHERE vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN cells c2 USING (cell)
+         |  WHERE c2.vec_id <> query_id AND c2.label = q.ql),
+         |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "q_yoy_growth" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT y, m, rev_c,
+        |    lag(y) OVER (PARTITION BY m ORDER BY y) AS py,
+        |    lag(rev_c) OVER (PARTITION BY m ORDER BY y) AS pr
+        |  FROM m)
+        |SELECT y, m, rev_c,
+        |  CASE WHEN py = y - 1 THEN pr END AS prev_rev_c,
+        |  CAST(CASE WHEN py = y - 1 THEN
+        |    ((rev_c - pr) * 10000 + pr * 1000000) // pr - 1000000 END AS BIGINT) AS growth_bp
+        |FROM l ORDER BY y, m""".stripMargin,
+    "q_retention_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+        |s AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort_week, uw.week - c.cohort_week AS week_no,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_no AS BIGINT) AS week_no, n_active, n_cohort,
+        |  CAST(n_active * 10000 // n_cohort AS BIGINT) AS retained_bp
+        |FROM a JOIN s USING (cohort_week) ORDER BY cohort_week, week_no""".stripMargin,
+    "mm_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, source, text, len(text) AS L FROM documents),
+        |anch AS (SELECT source, text, L,
+        |    list_sort(list_distinct(list_prepend(CAST(1 AS BIGINT),
+        |      list_filter(range(1, greatest(L - 7, 0) + 1),
+        |        i -> substring(md5(substring(text, CAST(i AS INT), 8)), 32, 1) = '0')))) AS starts
+        |  FROM d),
+        |x AS (SELECT source, UNNEST(list_transform(range(1, len(starts) + 1),
+        |    i -> struct_pack(
+        |      h := md5(substring(text, CAST(starts[i] AS INT),
+        |        CAST((CASE WHEN i < len(starts) THEN starts[i+1] ELSE L + 1 END) - starts[i] AS INT))),
+        |      ln := (CASE WHEN i < len(starts) THEN starts[i+1] ELSE L + 1 END) - starts[i]))) AS ch
+        |  FROM anch),
+        |cc AS (SELECT source, ch.h AS h, CAST(ch.ln AS BIGINT) AS len FROM x),
+        |p AS (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |    CAST(MAX(len) AS BIGINT) AS len FROM cc GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n_copies * len) AS BIGINT) AS stored_bytes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(SUM(len) AS BIGINT) AS distinct_bytes,
+        |  CAST((SUM(n_copies * len) - SUM(len)) * 10000 // SUM(n_copies * len) AS BIGINT) AS reclaim_bp
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -394,6 +394,43 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** Content-defined-chunk storage dedup — what a chunk store (backup
+    * dedup, artifact CAS, FastCDC) would reclaim from this corpus at
+    * SUB-FILE granularity, where [[payloadDedup]] only catches
+    * whole-file copies: each payload is cut at content-defined
+    * boundaries (the [[graft.functions.ContentAnchors]] codegen'd
+    * scan, md5 predicate — alignment-invariant, so a shared region
+    * chunks identically regardless of its offset in the file), chunks
+    * are hashed, and per source the report is stored-vs-distinct
+    * chunk bytes and the reclaim share in bp. Map-side: one anchor
+    * scan + one bounded per-doc transform; the only shuffles are
+    * chunk-hash-keyed aggregates (32-byte digests, never payload
+    * bytes). */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.functions.AnchorExprs.md5Anchors(col("text"), 8, 8).as("a"))
+      // chunk starts: position 1 plus every anchor (dedup keeps a
+      // leading anchor at 1 from doubling)
+      .selectExpr("doc_id", "source", "text",
+        "array_distinct(concat(array(1), a)) AS starts")
+      .selectExpr("source", "text", "starts",
+        "posexplode(starts) AS (i, s)")
+      .selectExpr("source",
+        "md5(substring(text, s, IF(i + 1 < size(starts), element_at(starts, i + 2) - s, length(text) - s + 1))) AS h",
+        "CAST(IF(i + 1 < size(starts), element_at(starts, i + 2) - s, length(text) - s + 1) AS BIGINT) AS len")
+    val perChunk = chunks.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n_copies"), max(col("len")).as("len"))
+    perChunk.groupBy(col("source"))
+      .agg(sum(col("n_copies")).as("n_chunks"),
+        sum(col("n_copies") * col("len")).as("stored_bytes"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("len")).as("distinct_bytes"))
+      .withColumn("reclaim_bp",
+        expr("(stored_bytes - distinct_bytes) * 10000 DIV stored_bytes"))
+      .orderBy("source")
+  }
+
   /** Payload byte-histogram profile — the corrupt/blank-asset scan a
     * multimodal lake runs WITHOUT decoding anything: per payload, the
     * byte count, distinct-byte count, and the most-frequent byte's

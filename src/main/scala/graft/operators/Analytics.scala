@@ -969,6 +969,55 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** Year-over-year growth — the seasonality-corrected BI read every
+    * revenue dashboard leads with: monthly order revenue beside the
+    * SAME month one year earlier, and the growth in basis points.
+    * The lag-12 lookup is a lag(1) window partitioned by
+    * MONTH-OF-YEAR (12 partitions over the months-count-sized rollup
+    * — never a self-join, never data-sized); growth_bp uses the
+    * non-negative-offset floor division (numerator may be negative;
+    * DuckDB `//` floors where Spark DIV truncates — the offset keeps
+    * both above zero, the documented [[Ann.dimStats]] idiom). */
+  def qYoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        cents(col("o_totalprice"), 2).as("v_c"))
+      .groupBy(col("y"), col("m")).agg(sum(col("v_c")).as("rev_c"))
+    val w = Window.partitionBy("m").orderBy("y")
+    m.withColumn("py", lag(col("y"), 1).over(w))
+      .withColumn("prev_rev_c",
+        when(col("py") === col("y") - 1, lag(col("rev_c"), 1).over(w)))
+      .drop("py")
+      .withColumn("growth_bp", expr(
+        "((rev_c - prev_rev_c) * 10000 + prev_rev_c * 1000000) DIV prev_rev_c - 1000000"))
+      .orderBy("y", "m")
+  }
+
+  /** Cohort retention matrix — the full product-analytics triangle
+    * [[graft.streaming.Streams.retention]]'s single week-1 read is a
+    * slice of: users cohorted by first-seen week, each later week's
+    * active share of the cohort in bp. Shape: (user, week) collapses
+    * to distinct pairs map-side, one join against the user-count-
+    * sized first-seen table, then everything is cohort×offset-sized.
+    * Week 0 is by construction 10000 bp — kept in the output as the
+    * self-check row. */
+  def qRetentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 604800000000").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_no"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retained_bp", expr("n_active * 10000 DIV n_cohort"))
+      .select(col("cohort_week"), col("week_no"), col("n_active"),
+        col("n_cohort"), col("retained_bp"))
+      .orderBy("cohort_week", "week_no")
+  }
+
   /** CUSUM changepoint detection on the per-type daily value series —
     * where did the level shift: the classic cumulative-deviation
     * statistic S_d = Σ_{i≤d} (r_i − mean), kept EXACT by scaling

@@ -845,6 +845,46 @@ object Ann {
       .orderBy("threshold_bp")
   }
 
+  /** FILTERED vector search — the production ANN case plain top-k
+    * ignores: "nearest neighbors WITHIN a category" (same label here;
+    * a tenant, language, or license class in production). The filter
+    * is applied IN the cell probe join — predicate pushdown into the
+    * index walk — not as a post-filter over an unfiltered top-k,
+    * which silently starves filtered queries (the top-5 overall may
+    * contain zero same-label vectors). Same broadcast-centroid cell
+    * assignment as [[ivfTopk]]; the probe join adds the label
+    * equality to the join condition, so Catalyst evaluates it inside
+    * the hash join, and the rank window sees only qualifying rows.
+    * Queries with thin same-label cells return fewer than 5 rows —
+    * truthful, and exactly what the oracle sees. */
+  def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+    val cent = el.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val assign = el.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+    val cells = el.join(assign, "vec_id")
+    val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("label").as("ql"),
+        col("emb").as("qe"), col("cell").as("qcell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    cells.join(broadcast(q),
+        col("cell") === col("qcell") && col("label") === col("ql") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("qe"), col("emb")).as("c"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Encoder-batch drift monitor — did two production batches of the
     * same encoder land in the same place: per label, the squared L2
     * distance between the per-batch centroids (batch = vec_id parity

@@ -249,6 +249,66 @@ class Widening11bSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == rev)
   }
 
+  test("filtered ANN: every neighbor shares the query's label and cell") {
+    val rows = graft.sim.Ann.filteredTopk(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS l").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} label differs from query ${r.getLong(0)}")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 5)
+    }
+    // ranks are contiguous from 1 per query (a thin cell may stop early)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq,
+        s"query $q ranks not contiguous")
+    }
+  }
+
+  test("yoy growth: lag-12 recomputed, growth floor-division exact") {
+    val rows = Analytics.qYoyGrowth(spark, sf).collect()
+    val rev = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val prev = rev.get((r.getLong(0) - 1, r.getLong(1)))
+      prev match {
+        case Some(p) =>
+          assert(r.getLong(3) == p, s"prev_rev mismatch at $r")
+          val want = Math.floorDiv((r.getLong(2) - p) * 10000, p)
+          assert(r.getLong(4) == want, s"growth_bp at $r: want $want")
+        case None => assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+  }
+
+  test("retention matrix: week 0 is 10000 bp, shares bounded, monotone first column") {
+    val rows = Analytics.qRetentionMatrix(spark, sf).collect()
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getLong(4) == 10000L,
+        s"cohort ${r.getLong(0)} week-0 row broken: $r")
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= 10000L))
+    // cohort sizes sum to the distinct user population
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum == users)
+  }
+
+  test("chunk dedup: bytes conserved against raw text, reclaim bounded") {
+    val rows = graft.multimodal.Multimodal.chunkDedup(spark, sf).collect()
+    val rawBytes = Tables.documents(spark, sf)
+      .groupBy("source").agg(sum(length(col("text"))).as("b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == rawBytes.keySet)
+    rows.foreach { r =>
+      // chunking is a partition of each doc: stored bytes == raw bytes
+      assert(r.getLong(2) == rawBytes(r.getString(0)),
+        s"${r.getString(0)}: stored ${r.getLong(2)} != raw ${rawBytes(r.getString(0))}")
+      assert(r.getLong(3) <= r.getLong(1), "more distinct chunks than chunks")
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+    }
+  }
+
   test("sequence packing: token/doc conservation, packs start at 0, monotone") {
     val rows = TextOps.packSequences(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
