@@ -279,6 +279,10 @@ object SparkEntry {
     "q_yoy_growth" -> Analytics.qYoyGrowth _,
     "q_retention_matrix" -> Analytics.qRetentionMatrix _,
     "mm_chunk_dedup" -> Multimodal.chunkDedup _,
+    // round 11 batch 6: DLP hotword context boosting, extract-split
+    // balance audit
+    "dlp_hotword_boost" -> DlpQueries.dlpHotwordBoost _,
+    "ingest_split_balance" -> SourceQueries.ingestSplitBalance _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3009,5 +3013,36 @@ object SparkEntry {
         |  CAST(SUM(len) AS BIGINT) AS distinct_bytes,
         |  CAST((SUM(n_copies * len) - SUM(len)) * 10000 // SUM(n_copies * len) AS BIGINT) AS reclaim_bp
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "dlp_hotword_boost" ->
+      (s"""WITH c AS (SELECT c_custkey, $ContactSql AS contact FROM customer),
+         |t AS (SELECT c_custkey,
+         |    CASE WHEN c_custkey % 3 = 0 THEN replace(contact, ' call ', ' ref ')
+         |         ELSE contact END AS text FROM c),
+         |p AS (SELECT c_custkey, text, strpos(text, '555-') AS pos FROM t)
+         |SELECT c_custkey, substring(text, CAST(pos AS INT), 12) AS quote,
+         |  CAST(CASE WHEN strpos(substring(text, CAST(GREATEST(pos - 10, 1) AS INT), 10), 'call') > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS hotword_hit,
+         |  'POSSIBLE' AS base_likelihood,
+         |  CASE WHEN strpos(substring(text, CAST(GREATEST(pos - 10, 1) AS INT), 10), 'call') > 0
+         |    THEN 'VERY_LIKELY' ELSE 'POSSIBLE' END AS likelihood
+         |FROM p WHERE pos > 0 ORDER BY c_custkey""".stripMargin),
+    "ingest_split_balance" ->
+      """WITH k1 AS (SELECT CAST(event_id AS BIGINT) AS k FROM events),
+        |k2 AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS k FROM events),
+        |s1 AS (SELECT 'event_id' AS split_key,
+        |    LEAST((k - (SELECT MIN(k) FROM k1)) * 8
+        |      // ((SELECT MAX(k) FROM k1) - (SELECT MIN(k) FROM k1) + 1), 7) AS split_id
+        |  FROM k1),
+        |s2 AS (SELECT 'value_cents' AS split_key,
+        |    LEAST((k - (SELECT MIN(k) FROM k2)) * 8
+        |      // ((SELECT MAX(k) FROM k2) - (SELECT MIN(k) FROM k2) + 1), 7) AS split_id
+        |  FROM k2),
+        |a AS (SELECT split_key, CAST(split_id AS BIGINT) AS split_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY 1, 2),
+        |t AS (SELECT split_key, CAST(SUM(n_rows) AS BIGINT) AS n_total FROM a GROUP BY 1)
+        |SELECT a.split_key, a.split_id, a.n_rows,
+        |  CAST(a.n_rows * 10000 // t.n_total AS BIGINT) AS share_bp
+        |FROM a JOIN t USING (split_key) ORDER BY split_key, split_id""".stripMargin,
   )
 }

@@ -214,6 +214,32 @@ object DlpQueries {
         countDistinct(col("bal_bucket")).as("l_diversity"))
       .orderBy("c_mktsegment", "c_nationkey")
 
+  /** Hotword context boosting (DLP CustomInfoType.DetectionRule
+    * .HotwordRule): a finding's likelihood is raised when a trigger
+    * word appears within a proximity window BEFORE the match — the
+    * mechanism that tells "call 555-867-5309" (a phone) from the same
+    * digits in an order id. A third of the corpus has its " call "
+    * cue rewritten away, so the rule demonstrably fires on some rows
+    * and not others; output is the finding, the 10-char-window
+    * hotword hit, and base vs boosted likelihood. Row-local string
+    * expressions only — one codegen'd scan, the DLP-inspect scale
+    * shape. */
+  def dlpHotwordBoost(spark: SparkSession, dir: String): DataFrame =
+    withContact(spark, dir)
+      .withColumn("text", when(col("c_custkey") % 3 === 0,
+          expr("replace(contact, ' call ', ' ref ')"))
+        .otherwise(col("contact")))
+      .withColumn("pos", instr(col("text"), "555-"))
+      .filter(col("pos") > 0)
+      .select(col("c_custkey"),
+        expr("substring(text, pos, 12)").as("quote"),
+        when(expr("instr(substring(text, greatest(CAST(pos AS INT) - 10, 1), 10), 'call')") > 0, 1L)
+          .otherwise(0L).as("hotword_hit"))
+      .withColumn("base_likelihood", lit("POSSIBLE"))
+      .withColumn("likelihood",
+        when(col("hotword_hit") === 1, lit("VERY_LIKELY")).otherwise(lit("POSSIBLE")))
+      .orderBy("c_custkey")
+
   /** Suppression curve — the k-anonymity ENFORCEMENT cost, swept over
     * the k values a policy review actually debates: for each k in
     * {2,5,10,20,50}, how many rows sit in quasi-identifier classes

@@ -626,6 +626,40 @@ object SourceQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Split-plan balance audit — whether the reference's uniform
+    * OFFSET-RANGE extract splits (ServerUtil's min..max ÷ n ranges
+    * over the split column) actually balance: uniform width over a
+    * DENSE sequential key (o_orderkey) yields even partitions; the
+    * same plan over a VALUE-SKEWED column (o_totalprice) concentrates
+    * rows in a few ranges — stragglers and hot readers at extract
+    * time. Dense key here: event_id (the ingest sequence); skewed
+    * key: value cents (exponential-tailed — over half the corpus
+    * lands in the first of 8 uniform ranges). Per (key, range): row
+    * count and corpus share bp; the bounds come from one broadcast
+    * 1-row min/max aggregate, the histogram is a single map-side-
+    * combining groupBy — the audit a migration planner runs BEFORE
+    * launching a 1000-reader extract. */
+  def ingestSplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val nSplits = 8
+    def ranges(keyName: String, key: org.apache.spark.sql.Column): DataFrame = {
+      val o = Tables.events(spark, dir).select(key.cast("long").as("k"))
+      val bounds = o.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .selectExpr(
+          s"least(CAST((k - lo) * $nSplits DIV (hi - lo + 1) AS BIGINT), ${nSplits - 1}L) AS split_id")
+        .groupBy(col("split_id")).agg(count(lit(1)).as("n_rows"))
+        .select(lit(keyName).as("split_key"), col("split_id"), col("n_rows"))
+    }
+    val all = ranges("event_id", col("event_id"))
+      .unionAll(ranges("value_cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long")))
+    val totals = all.groupBy(col("split_key")).agg(sum(col("n_rows")).as("n_total"))
+    all.join(totals, "split_key")
+      .withColumn("share_bp", expr("n_rows * 10000 DIV n_total"))
+      .select(col("split_key"), col("split_id"), col("n_rows"), col("share_bp"))
+      .orderBy("split_key", "split_id")
+  }
+
   /** Referential-integrity audit — the pre-migration gate a database
     * import runs before declaring a snapshot loadable: for each
     * foreign-key relation, the child row count and the orphan count

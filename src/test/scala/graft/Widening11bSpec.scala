@@ -309,6 +309,38 @@ class Widening11bSpec extends AnyFunSuite {
     }
   }
 
+  test("hotword boost: fires exactly on the rows that kept the cue word") {
+    val rows = DlpQueries.dlpHotwordBoost(spark, sf).collect()
+    assert(rows.length == Tables.customer(spark, sf).count().toInt,
+      "every contact row carries a phone finding")
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      val expectHot = key % 3 != 0
+      assert(r.getLong(2) == (if (expectHot) 1L else 0L),
+        s"custkey $key hotword_hit ${r.getLong(2)}")
+      assert(r.getString(4) == (if (expectHot) "VERY_LIKELY" else "POSSIBLE"))
+      assert(r.getString(1).startsWith("555-867-") && r.getString(1).length == 12)
+    }
+  }
+
+  test("split balance: dense key balances, skewed key does not, shares conserve") {
+    val rows = SourceQueries.ingestSplitBalance(spark, sf).collect()
+    val byKey = rows.groupBy(_.getString(0))
+    assert(byKey.keySet == Set("event_id", "value_cents"))
+    val total = Tables.events(spark, sf).count()
+    byKey.foreach { case (k, rs) =>
+      assert(rs.map(_.getLong(2)).sum == total, s"$k lost rows")
+      assert(rs.map(_.getLong(1)).toSet.subsetOf((0L to 7L).toSet))
+    }
+    // dense sequential key: every range within 2× of ideal share
+    byKey("event_id").foreach(r =>
+      assert(r.getLong(3) <= 2500, s"dense key unbalanced: $r"))
+    // exponential-tailed value: the audit must REPORT imbalance (some
+    // range beyond 2× ideal) — that asymmetry is the operator's point
+    assert(byKey("value_cents").exists(r => r.getLong(3) > 2500),
+      "value ranges unexpectedly uniform — audit has nothing to show")
+  }
+
   test("sequence packing: token/doc conservation, packs start at 0, monotone") {
     val rows = TextOps.packSequences(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
