@@ -283,6 +283,7 @@ object SparkEntry {
     // balance audit
     "dlp_hotword_boost" -> DlpQueries.dlpHotwordBoost _,
     "ingest_split_balance" -> SourceQueries.ingestSplitBalance _,
+    "source_custom_dsv2" -> SourceQueries.customDsv2 _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3044,5 +3045,10 @@ object SparkEntry {
         |SELECT a.split_key, a.split_id, a.n_rows,
         |  CAST(a.n_rows * 10000 // t.n_total AS BIGINT) AS share_bp
         |FROM a JOIN t USING (split_key) ORDER BY split_key, split_id""".stripMargin,
+    "source_custom_dsv2" ->
+      """WITH s AS (SELECT CAST(UNNEST(range(10000, 30000)) AS BIGINT) AS id)
+        |SELECT id % 97 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(md5(CAST(id AS VARCHAR))) AS min_h
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -626,6 +626,23 @@ object SourceQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** The custom DataSource V2 table under the gate (see
+    * [[graft.sources.SeqSource]]): a range predicate on the source's
+    * key must PRUNE PARTITIONS inside the connector (planInput-
+    * Partitions materializes only overlapping slices) and the
+    * projection must reach the reader (md5 computed only for kept
+    * columns). The oracle recomputes the surviving id range from
+    * DuckDB's range() — any boundary row the pushdown drops or
+    * duplicates fails the hash; the spec asserts the physical
+    * partition count the filter leaves behind. */
+  def customDsv2(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SeqSource")
+      .option("rows", "65536").option("slices", "8").load()
+      .filter(col("id") >= 10000L && col("id") < 30000L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"))
+      .orderBy("bucket")
+
   /** Split-plan balance audit — whether the reference's uniform
     * OFFSET-RANGE extract splits (ServerUtil's min..max ÷ n ranges
     * over the split column) actually balance: uniform width over a

@@ -309,6 +309,23 @@ class Widening11bSpec extends AnyFunSuite {
     }
   }
 
+  test("custom DSv2: filter prunes partitions in the connector, boundaries exact") {
+    val base = spark.read.format("graft.sources.SeqSource")
+      .option("rows", "65536").option("slices", "8").load()
+    assert(base.rdd.getNumPartitions == 8, "unfiltered scan must plan all slices")
+    val filtered = base.filter(col("id") >= 10000L && col("id") < 30000L)
+    // width 8192: [10000, 30000) overlaps slices 1..3 only
+    assert(filtered.rdd.getNumPartitions == 3,
+      s"pushdown did not prune partitions: ${filtered.rdd.getNumPartitions}")
+    assert(filtered.count() == 20000L)
+    val mm = filtered.agg(min(col("id")), max(col("id"))).head()
+    assert(mm.getLong(0) == 10000L && mm.getLong(1) == 29999L,
+      s"boundary rows wrong: $mm")
+    // projection pruning reaches the scan (md5 column never computed)
+    val plan = base.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("cols=id"), s"column pruning missing from scan:\n$plan")
+  }
+
   test("hotword boost: fires exactly on the rows that kept the cue word") {
     val rows = DlpQueries.dlpHotwordBoost(spark, sf).collect()
     assert(rows.length == Tables.customer(spark, sf).count().toInt,
