@@ -284,6 +284,9 @@ object SparkEntry {
     "dlp_hotword_boost" -> DlpQueries.dlpHotwordBoost _,
     "ingest_split_balance" -> SourceQueries.ingestSplitBalance _,
     "source_custom_dsv2" -> SourceQueries.customDsv2 _,
+    // round 11 batch 7: bitmap set algebra, blocked edit-distance dedup
+    "q_bitmap_setops" -> Analytics.qBitmapSetops _,
+    "dedup_edit_distance" -> Dedup.editDistancePairs _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3050,5 +3053,28 @@ object SparkEntry {
         |SELECT id % 97 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(md5(CAST(id AS VARCHAR))) AS min_h
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bitmap_setops" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, user_id // 32 AS chunk,
+        |    (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS m FROM e),
+        |bm AS (SELECT event_type, chunk, bit_or(m) AS b FROM c GROUP BY 1, 2),
+        |sz AS (SELECT event_type, CAST(SUM(bit_count(b)) AS BIGINT) AS n FROM bm GROUP BY 1),
+        |ov AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |    CAST(SUM(bit_count(a.b & b2.b)) AS BIGINT) AS n_overlap
+        |  FROM bm a JOIN bm b2 ON a.chunk = b2.chunk AND a.event_type < b2.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_overlap,
+        |  CAST(n_overlap * 10000 // (sa.n + sb.n - n_overlap) AS BIGINT) AS jaccard_bp
+        |FROM ov JOIN sz sa ON sa.event_type = type_a
+        |JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text, substring(text, 1, 16) AS pfx,
+        |    len(text) // 32 AS lb FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

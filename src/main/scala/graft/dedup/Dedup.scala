@@ -898,6 +898,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Character-level fuzzy dedup by BLOCKED edit distance — the
+    * verify [[fuzzyLink]]'s token-set Jaccard can't give: Levenshtein
+    * counts actual edits, so transpositions and small in-place
+    * rewrites that keep the token multiset score 0 edits-ish here and
+    * high-Jaccard there, and vice versa. All-pairs Levenshtein is
+    * O(n²·len²) — never; candidates must share a (16-char prefix,
+    * 32-char length bucket) block, so the quadratic verify runs only
+    * inside blocks (generator near-dups share prefixes by
+    * construction; a production corpus would block on a winnowing
+    * fingerprint instead — [[substringDedup]]'s anchors). Both
+    * engines implement the classic DP, so distances are exact and
+    * hash-portable. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text", "substring(text, 1, 16) AS pfx",
+        "length(text) DIV 32 AS lb")
+    d.as("a").join(d.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
+      .filter(col("dist") <= 16)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-source content novelty — "how much NEW content does each
     * crawl/source actually add": a doc's 3-gram occurrence is novel
     * iff this doc is the gram's FIRST appearance in corpus order

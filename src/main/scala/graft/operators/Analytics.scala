@@ -969,6 +969,38 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** Audience overlap by BITMAP set algebra — the ClickHouse/Doris
+    * technique for exact distinct-set operations at scale: each event
+    * type's user set becomes per-chunk 32-bit bitmaps (chunk =
+    * user DIV 32; 32-bit masks in a BIGINT keep the shift in the
+    * positive range on every engine), |A| is a popcount sum, and
+    * |A ∩ B| is popcount(AND) summed over the chunk-aligned join —
+    * set intersection WITHOUT re-touching raw rows or a
+    * distinct-pair shuffle. Work after the first distinct is
+    * (keyspace/32)-sized; the pairwise join fans out types² per
+    * chunk, bounded by the type count. Exact Jaccard in bp. */
+  def qBitmapSetops(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .selectExpr("event_type", "user_id DIV 32 AS chunk",
+        "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)) AS m")
+    val bm = e.groupBy(col("event_type"), col("chunk"))
+      .agg(expr("bit_or(m)").as("bm"))
+    val sizes = bm.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("n"))
+    val overlap = bm.as("a").join(bm.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(sum(expr("bit_count(a.bm & b.bm)")).cast("long").as("n_overlap"))
+    overlap
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_overlap"),
+        expr("n_overlap * 10000 DIV (n_a + n_b - n_overlap)").as("jaccard_bp"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Year-over-year growth — the seasonality-corrected BI read every
     * revenue dashboard leads with: monthly order revenue beside the
     * SAME month one year earlier, and the growth in basis points.

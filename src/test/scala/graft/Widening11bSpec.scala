@@ -309,6 +309,47 @@ class Widening11bSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap setops: popcounts equal exact distinct set algebra") {
+    val rows = Analytics.qBitmapSetops(spark, sf).collect()
+    val sets = Tables.events(spark, sf).select("event_type", "user_id")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(rows.length == sets.size * (sets.size - 1) / 2, "missing type pair")
+    rows.foreach { r =>
+      val (a, b) = (sets(r.getString(0)), sets(r.getString(1)))
+      assert(r.getLong(2) == a.size.toLong && r.getLong(3) == b.size.toLong)
+      assert(r.getLong(4) == (a intersect b).size.toLong,
+        s"${r.getString(0)}∩${r.getString(1)} wrong")
+      assert(r.getLong(5) == r.getLong(4) * 10000 / (a union b).size)
+    }
+  }
+
+  test("edit distance: every reported pair verified, symmetric blocks complete") {
+    val rows = graft.dedup.Dedup.editDistancePairs(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 16))
+    // spot-verify the smallest-distance pair with an independent DP
+    if (rows.nonEmpty) {
+      val r0 = rows.minBy(_.getLong(2))
+      val texts = Tables.documents(spark, sf)
+        .filter(col("doc_id").isin(r0.getLong(0), r0.getLong(1)))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(b.length + 1)(identity)
+        for (i <- 1 to a.length) {
+          var prev = dp(0); dp(0) = i
+          for (j <- 1 to b.length) {
+            val t = dp(j)
+            dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+              prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        dp(b.length)
+      }
+      assert(lev(texts(r0.getLong(0)), texts(r0.getLong(1))) == r0.getLong(2).toInt)
+    }
+  }
+
   test("custom DSv2: filter prunes partitions in the connector, boundaries exact") {
     val base = spark.read.format("graft.sources.SeqSource")
       .option("rows", "65536").option("slices", "8").load()
