@@ -274,4 +274,38 @@ class SkewCorpusSpec extends AnyFunSuite {
       s"exact-copy source claimed novelty: ${nov.toSeq}")
     assertNoStorage("round-11-batch34")
   }
+
+  test("round-11 batch-5/7 operators hold on the skew corpus: bitmap overlap, chunk dedup") {
+    // bitmap set algebra: the hot user is in EVERY pairwise overlap
+    // (its 30k events cover all five types), and popcounts must equal
+    // exact distinct set algebra on the 10x corpus
+    val rows = timed("qBitmapSetops (41k events, 10x key space)") {
+      graft.operators.Analytics.qBitmapSetops(spark, corpusDir).collect()
+    }
+    val sets = Tables.events(spark, corpusDir).select("event_type", "user_id")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (sets(r.getString(0)), sets(r.getString(1)))
+      assert(r.getLong(4) == (a intersect b).size.toLong,
+        s"${r.getString(0)}∩${r.getString(1)} wrong at 10x")
+    }
+    // chunk-store dedup: 500 exact copies chunk identically, so the
+    // hot source's distinct bytes are ~1/500th of its stored bytes
+    val cd = timed("chunkDedup (500-copy hot source)") {
+      graft.multimodal.Multimodal.chunkDedup(spark, corpusDir)
+        .filter(col("source") === "hotdup").collect()
+    }
+    assert(cd.length == 1)
+    val r = cd.head
+    val hotLen = Tables.documents(spark, sf).orderBy("doc_id")
+      .select(length(col("text"))).head().getInt(0).toLong
+    assert(r.getLong(2) == 500L * hotLen,
+      s"hot source stored ${r.getLong(2)} != 500 × $hotLen")
+    // distinct chunks cover AT MOST one copy's bytes (within-doc
+    // repeats shrink it further) ⇒ reclaim ≥ 499/500
+    assert(r.getLong(4) <= hotLen)
+    assert(r.getLong(5) >= 9900L, s"reclaim_bp ${r.getLong(5)} < 9900 on 500 copies")
+    assertNoStorage("round-11-batch57")
+  }
 }
