@@ -287,6 +287,16 @@ object SparkEntry {
     // round 11 batch 7: bitmap set algebra, blocked edit-distance dedup
     "q_bitmap_setops" -> Analytics.qBitmapSetops _,
     "dedup_edit_distance" -> Dedup.editDistancePairs _,
+    // round 11 batch 8: Markov transition matrix, time-bounded funnel,
+    // RFM quartile segmentation, embedding-graph hubness, k-fold CV
+    // split with leakage audit, DLP column profiler, feed freshness
+    "q_transition_matrix" -> Analytics.qTransitionMatrix _,
+    "q_funnel_windowed" -> Analytics.qFunnelWindowed _,
+    "q_rfm_segments" -> Analytics.qRfmSegments _,
+    "embed_degree_hubs" -> Dedup.degreeHubs _,
+    "split_kfold" -> TextOps.splitKfold _,
+    "dlp_column_profile" -> DlpQueries.dlpColumnProfile _,
+    "ingest_freshness_lag" -> SourceQueries.ingestFreshnessLag _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3076,5 +3086,117 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 16
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // round 11 batch 8
+    "q_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |t AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type,
+        |    event_type AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, to_type, n, CAST(n * 10000 // n_from AS BIGINT) AS bp
+        |FROM c JOIN tot USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        |s1 AS (SELECT *, CASE WHEN event_type = 'signup' THEN us END AS s_q FROM e),
+        |s2 AS (SELECT *, MAX(s_q) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_last FROM s1),
+        |s3 AS (SELECT *, CASE WHEN event_type = 'click' AND s_last IS NOT NULL
+        |    AND us - s_last <= 1800000000 THEN us END AS c_q FROM s2),
+        |s4 AS (SELECT *, MAX(c_q) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_last FROM s3),
+        |s5 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_last IS NOT NULL
+        |    AND us - c_last <= 1800000000 THEN us END AS p_q FROM s4)
+        |SELECT user_id, MIN(s_q) AS signup_us, MIN(c_q) AS wclick_us, MIN(p_q) AS wpurchase_us,
+        |  CAST(CASE WHEN MIN(p_q) IS NOT NULL THEN 3 WHEN MIN(c_q) IS NOT NULL THEN 2
+        |    WHEN MIN(s_q) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM s5 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c FROM orders),
+        |a AS (SELECT MAX(day) AS maxd FROM o),
+        |rfm AS (SELECT o_custkey, CAST(MIN(maxd - day) AS BIGINT) AS recency_d,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency, CAST(SUM(price_c) AS BIGINT) AS monetary_c
+        |  FROM o, a GROUP BY o_custkey),
+        |rr AS (SELECT *, row_number() OVER (ORDER BY recency_d, o_custkey) AS rn,
+        |    COUNT(*) OVER () AS n FROM rfm),
+        |qr AS (SELECT MIN(CASE WHEN rn = GREATEST((n+1)//4, 1) THEN recency_d END) AS r1,
+        |    MIN(CASE WHEN rn = GREATEST((n+1)//2, 1) THEN recency_d END) AS r2,
+        |    MIN(CASE WHEN rn = GREATEST(3*(n+1)//4, 1) THEN recency_d END) AS r3 FROM rr),
+        |rf AS (SELECT *, row_number() OVER (ORDER BY frequency, o_custkey) AS rn,
+        |    COUNT(*) OVER () AS n FROM rfm),
+        |qf AS (SELECT MIN(CASE WHEN rn = GREATEST((n+1)//4, 1) THEN frequency END) AS f1,
+        |    MIN(CASE WHEN rn = GREATEST((n+1)//2, 1) THEN frequency END) AS f2,
+        |    MIN(CASE WHEN rn = GREATEST(3*(n+1)//4, 1) THEN frequency END) AS f3 FROM rf),
+        |rm AS (SELECT *, row_number() OVER (ORDER BY monetary_c, o_custkey) AS rn,
+        |    COUNT(*) OVER () AS n FROM rfm),
+        |qm AS (SELECT MIN(CASE WHEN rn = GREATEST((n+1)//4, 1) THEN monetary_c END) AS m1,
+        |    MIN(CASE WHEN rn = GREATEST((n+1)//2, 1) THEN monetary_c END) AS m2,
+        |    MIN(CASE WHEN rn = GREATEST(3*(n+1)//4, 1) THEN monetary_c END) AS m3 FROM rm),
+        |seg AS (SELECT o_custkey, monetary_c,
+        |    CAST((CASE WHEN recency_d <= r1 THEN 1 WHEN recency_d <= r2 THEN 2
+        |        WHEN recency_d <= r3 THEN 3 ELSE 4 END) * 100 +
+        |      (CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+        |        WHEN frequency <= f3 THEN 3 ELSE 4 END) * 10 +
+        |      (CASE WHEN monetary_c <= m1 THEN 1 WHEN monetary_c <= m2 THEN 2
+        |        WHEN monetary_c <= m3 THEN 3 ELSE 4 END) AS BIGINT) AS segment
+        |  FROM rfm, qr, qf, qm)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(monetary_c) AS BIGINT) AS sum_monetary_c
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+    "embed_degree_hubs" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.emb AS ea, b.emb AS eb2
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |c AS (SELECT vec_a, vec_b, ROUND(${duckCos("ea", "eb2")}, 4) AS cos FROM p),
+         |pr AS (SELECT vec_a, vec_b FROM c WHERE cos >= 0.35),
+         |d AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT vec_a AS vec_id FROM pr UNION ALL SELECT vec_b FROM pr) GROUP BY 1),
+         |al AS (SELECT e2.vec_id, COALESCE(d.degree, CAST(0 AS BIGINT)) AS degree
+         |  FROM embeddings e2 LEFT JOIN d USING (vec_id))
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+         |FROM al GROUP BY degree ORDER BY degree""".stripMargin),
+    "split_kfold" ->
+      (s"""WITH d AS (SELECT doc_id, source, md5(text) AS th,
+         |    ${TextOps.HashBucketSql} % 5 AS fold FROM documents),
+         |g AS (SELECT th, fold, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+         |l AS (SELECT th FROM g GROUP BY th HAVING COUNT(*) >= 2),
+         |lf AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_leaked FROM d JOIN l USING (th) GROUP BY 1),
+         |f AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM d GROUP BY 1)
+         |SELECT f.fold, n_docs, n_sources, COALESCE(n_leaked, CAST(0 AS BIGINT)) AS n_leaked
+         |FROM f LEFT JOIN lf USING (fold) ORDER BY fold""".stripMargin),
+    "dlp_column_profile" ->
+      (s"""WITH t AS (SELECT c_name, $ContactSql AS contact, c_mktsegment,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal_s FROM customer),
+         |u AS (SELECT 'c_name' AS column_name, c_name AS v FROM t
+         |  UNION ALL SELECT 'contact', contact FROM t
+         |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM t
+         |  UNION ALL SELECT 'c_acctbal', acctbal_s FROM t),
+         |a AS (SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN len(regexp_extract_all(v, '$EmailReSql')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+         |    CAST(SUM(CASE WHEN len(regexp_extract_all(v, '$PhoneReSql')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+         |    CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_number
+         |  FROM u GROUP BY 1)
+         |SELECT column_name, n_rows, n_email, n_phone, n_number,
+         |  CASE WHEN n_email > 0 AND n_email >= n_phone AND n_email >= n_number THEN 'EMAIL_ADDRESS'
+         |    WHEN n_phone > 0 AND n_phone >= n_number THEN 'PHONE_NUMBER'
+         |    WHEN n_number > 0 THEN 'NUMBER' ELSE 'NONE' END AS predicted
+         |FROM a ORDER BY column_name""".stripMargin),
+    "ingest_freshness_lag" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT MAX(us) AS hwm_us FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(us) AS last_us,
+        |  CAST((hwm_us - MAX(us)) // 60000000 AS BIGINT) AS lag_min,
+        |  CAST(SUM(CASE WHEN us > hwm_us - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
+        |  CAST(CASE WHEN hwm_us - MAX(us) > 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS stale
+        |FROM e, w GROUP BY event_type, hwm_us ORDER BY event_type""".stripMargin,
   )
 }

@@ -739,6 +739,33 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Hubness audit of the embedding near-dup graph — the degree
+    * distribution of [[embeddingCosine]]'s ε-NN graph, including the
+    * isolated mass (degree 0). High-degree "hub" vectors are the
+    * known failure mode of high-dimensional neighbor graphs
+    * (Radovanović et al., JMLR 2010): one hub chained through
+    * SemDeDup components can collapse unrelated documents into a
+    * single cluster, so the histogram's right tail is the
+    * retrain/threshold alarm. Execution: the pair list (already
+    * session-shared with the other embedding ops) explodes both
+    * endpoints IN ONE PASS (a unionAll of two selects would execute
+    * the bucket join twice — same-lineage branches do not share
+    * work), one vec-sized count, a degree-0 completion via left join
+    * against the corpus, then a degree-sized rollup — nothing here
+    * ever exceeds the pair list plus one corpus scan. */
+  def degreeHubs(spark: SparkSession, dir: String): DataFrame = {
+    val deg = embeddingCosine(spark, dir)
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy("degree")
+  }
+
   /** The WHOLE training-data funnel as one query — the composition
     * this engine exists for: quality gate (Gopher-style filters) ∩
     * dedup survivors (LSH-verified near-dup removal) ∩ decontaminated

@@ -1108,4 +1108,138 @@ object Analytics {
       .agg(sum(col("wv")).as("score_sh"), count(lit(1)).as("n_events"))
       .orderBy(col("score_sh").desc, col("user_id"))
   }
+
+  /** Behavioral transition matrix — the first-order Markov read of the
+    * event stream: for every consecutive (prev → next) event-type pair
+    * within a user's timeline, the transition count and its row-share
+    * in integer basis points. One lag window partitioned by user (the
+    * same per-key shuffle every sessionizer pays — never a global
+    * order), then a type-pair-sized aggregate; the row totals come
+    * from a window over the AGGREGATED matrix (|types|² rows,
+    * partitioned by from_type), so the event scan runs exactly once —
+    * a totals join-back would re-execute the whole lag lineage. */
+  def qTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .selectExpr("from_type", "to_type", "n", "n * 10000 DIV n_from AS bp")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Time-BOUNDED funnel — [[qSequenceMatch]]'s stages with a
+    * transition deadline: a click only advances the funnel if it lands
+    * within [[FunnelWindowUs]] of the MOST RECENT prior signup, and a
+    * purchase within the deadline of the most recent prior qualifying
+    * click (the "did the campaign convert within the session" read —
+    * the unbounded form counts a purchase a month later). Same
+    * execution shape as the unbounded funnel: one per-user window
+    * partition carrying running MAX of the previous stage's qualifying
+    * timestamps (running max, not min, because the deadline binds to
+    * the latest opportunity), then one per-user aggregate. */
+  val FunnelWindowUs: Long = 30L * 60 * 1000 * 1000
+  def qFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val staged = e
+      .withColumn("s_q", when(col("event_type") === "signup", col("us")))
+      .withColumn("s_last", max(col("s_q")).over(prev))
+      .withColumn("c_q", when(col("event_type") === "click" &&
+        col("s_last").isNotNull &&
+        col("us") - col("s_last") <= FunnelWindowUs, col("us")))
+      .withColumn("c_last", max(col("c_q")).over(prev))
+      .withColumn("p_q", when(col("event_type") === "purchase" &&
+        col("c_last").isNotNull &&
+        col("us") - col("c_last") <= FunnelWindowUs, col("us")))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("s_q")).as("signup_us"),
+        min(col("c_q")).as("wclick_us"),
+        min(col("p_q")).as("wpurchase_us"))
+      .withColumn("stage",
+        when(col("wpurchase_us").isNotNull, 3L)
+          .when(col("wclick_us").isNotNull, 2L)
+          .when(col("signup_us").isNotNull, 1L).otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  /** Exact quartile thresholds of a BIGINT column WITHOUT a global
+    * ranking window — the same two-level decomposition as
+    * `dlp_quantile_bucketing` (DlpQueries.scala:148): rows rank inside
+    * value-range buckets (partitioned window), bucket offsets come
+    * from a bucket-count-sized cumulative (bounded by the value
+    * domain, never the row count), and the three (n+1)·q DIV 4 order
+    * statistics fall out of one aggregate. Returns a 1-row frame
+    * (q1/q2/q3) meant to be broadcast. */
+  private def exactQuartiles(df: DataFrame, valueCol: String,
+                             tieCol: String, bucketWidth: Long): DataFrame = {
+    val c = df.withColumn("b", col(valueCol).divide(lit(bucketWidth)).cast("long"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col(valueCol), col(tieCol))
+    val wB = Window.orderBy(col("b"))
+    val offs = c.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt"))
+        .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("cnt")
+    c.withColumn("rb", row_number().over(wIn))
+      .join(broadcast(offs), "b")
+      .withColumn("rn", col("off") + col("rb"))
+      .agg(
+        min(when(col("rn") === expr("GREATEST((n + 1) DIV 4, 1)"), col(valueCol))).as("q1"),
+        min(when(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"), col(valueCol))).as("q2"),
+        min(when(col("rn") === expr("GREATEST((3 * (n + 1)) DIV 4, 1)"), col(valueCol))).as("q3"))
+  }
+
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quartile coding, the classic CRM cut. The per-customer triple is
+    * one orders aggregate; each dimension's quartile thresholds come
+    * from [[exactQuartiles]] (two-level rank — no global window over
+    * the customer population, which at 100 TB is itself billions of
+    * rows); the final coding is three broadcast 1-row joins and a
+    * segment-sized rollup (≤ 64 segments). Bucket 4 = highest raw
+    * value in every dimension (so r=1 is the MOST recent buyers). */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    // the customer-sized RFM core feeds FOUR consumers (three quartile
+    // probes + the final coding) — session-persist it once, or every
+    // consumer re-runs the orders scan and shuffle
+    val rfm = graft.Caches.shared(spark, s"analytics.rfm:$dir") {
+      val o = Tables.orders(spark, dir).select(
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        cents(col("o_totalprice"), 2).as("price_c"))
+      val anchor = o.agg(max(col("day")).as("maxd"))
+      o.crossJoin(broadcast(anchor))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("maxd") - col("day")).as("recency_d"),
+          count(lit(1)).as("frequency"),
+          sum(col("price_c")).as("monetary_c"))
+    }
+    val qr = exactQuartiles(rfm, "recency_d", "o_custkey", 16L)
+      .selectExpr("q1 AS r1", "q2 AS r2", "q3 AS r3")
+    val qf = exactQuartiles(rfm, "frequency", "o_custkey", 4L)
+      .selectExpr("q1 AS f1", "q2 AS f2", "q3 AS f3")
+    val qm = exactQuartiles(rfm, "monetary_c", "o_custkey", 1L << 20)
+      .selectExpr("q1 AS m1", "q2 AS m2", "q3 AS m3")
+    def bucket(v: String, t1: String, t2: String, t3: String) =
+      s"CASE WHEN $v <= $t1 THEN 1 WHEN $v <= $t2 THEN 2 WHEN $v <= $t3 THEN 3 ELSE 4 END"
+    rfm.crossJoin(broadcast(qr)).crossJoin(broadcast(qf)).crossJoin(broadcast(qm))
+      .selectExpr("o_custkey", "monetary_c",
+        s"CAST(${bucket("recency_d", "r1", "r2", "r3")} * 100 + " +
+          s"${bucket("frequency", "f1", "f2", "f3")} * 10 + " +
+          s"${bucket("monetary_c", "m1", "m2", "m3")} AS BIGINT) AS segment")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("monetary_c")).as("sum_monetary_c"))
+      .orderBy("segment")
+  }
 }

@@ -452,4 +452,37 @@ object DlpQueries {
           "THEN 1 ELSE 0 END AS BIGINT) AS consistent")
       .orderBy("tok")
   }
+
+  /** Column-level sensitivity profile — the DLP data-profiler shape
+    * (per-COLUMN infoType histogram + predicted infoType), the view a
+    * warehouse steward reads before granting access: which columns of
+    * this table hold emails, phones, bare numbers? Each row of the
+    * result is one source column with its match counts per detector
+    * and the argmax prediction (detector priority on ties:
+    * EMAIL > PHONE > NUMBER, NONE if nothing fires). Execution: the
+    * table unpivots via one `stack` (map-side, 4× rows, no shuffle),
+    * then ONE column-count-sized aggregate of conditional sums — the
+    * whole profile costs a single scan at any table size. Money
+    * values profile through their exact DECIMAL string (engine-
+    * portable), not raw double repr. */
+  def dlpColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.customer(spark, dir).select(
+      col("c_name"), contact.as("contact"), col("c_mktsegment"),
+      col("c_acctbal").cast("decimal(18,2)").cast("string").as("acctbal_s"))
+    val numRe = "^-?[0-9]+(\\.[0-9]+)?$"
+    t.selectExpr("stack(4, 'c_name', c_name, 'contact', contact, " +
+        "'c_mktsegment', c_mktsegment, 'c_acctbal', acctbal_s) AS (column_name, v)")
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(regexp_count(col("v"), lit(Dlp.EmailRe)) > 0, 1L).otherwise(0L)).as("n_email"),
+        sum(when(regexp_count(col("v"), lit(Dlp.PhoneRe)) > 0, 1L).otherwise(0L)).as("n_phone"),
+        sum(when(col("v").rlike(numRe), 1L).otherwise(0L)).as("n_number"))
+      .withColumn("predicted",
+        when(col("n_email") > 0 && col("n_email") >= col("n_phone") &&
+          col("n_email") >= col("n_number"), lit("EMAIL_ADDRESS"))
+          .when(col("n_phone") > 0 && col("n_phone") >= col("n_number"), lit("PHONE_NUMBER"))
+          .when(col("n_number") > 0, lit("NUMBER"))
+          .otherwise(lit("NONE")))
+      .orderBy("column_name")
+  }
 }

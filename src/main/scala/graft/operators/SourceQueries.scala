@@ -712,4 +712,29 @@ object SourceQueries {
         "user_id", Tables.customer(spark, dir), "c_custkey"))
       .orderBy("relation")
   }
+
+  /** Source freshness audit — the "is the feed still flowing"
+    * monitor an incremental import (reference: the watermark-driven
+    * re-import loop) runs between pulls: per event type, the last
+    * observed event time, its lag behind the global high-water mark
+    * in whole minutes, the share of the stream's most recent day the
+    * type participated in (bp), and the stale flag at a 60-minute
+    * SLA. One partial-aggregated groupBy over events plus a broadcast
+    * 1-row watermark join — no windows, no second scan. */
+  def ingestFreshnessLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val wm = e.agg(max(col("us")).as("hwm_us"))
+    val dayUs = 86400L * 1000000L
+    e.crossJoin(broadcast(wm))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"),
+        sum(when(col("us") > col("hwm_us") - dayUs, 1L).otherwise(0L)).as("n_last_day"),
+        max(col("hwm_us")).as("hwm_us"))
+      .selectExpr("event_type", "n_events", "last_us",
+        "(hwm_us - last_us) DIV 60000000 AS lag_min",
+        "n_last_day",
+        "CAST(CASE WHEN hwm_us - last_us > 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS stale")
+      .orderBy("event_type")
+  }
 }

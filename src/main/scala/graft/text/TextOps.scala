@@ -690,4 +690,36 @@ object TextOps {
       .withColumn("fill_bp", expr(s"least(n_tokens, $budget) * 10000 DIV $budget"))
       .orderBy("source", "pack_id")
   }
+
+  /** Deterministic 5-fold cross-validation assignment + leakage
+    * audit. Fold = key-hash bucket mod 5 (the [[HashBucketSql]]
+    * portable hash — reproducible at any parallelism, stable across
+    * corpus reshuffles, exactly the property rand()-folds lack), and
+    * the audit no CV split survives without: EXACT-duplicate texts
+    * that land in different folds leak the answer across the
+    * train/test boundary. Per fold: size, source spread, and the
+    * count of its documents whose text-hash group spans ≥ 2 folds.
+    * Execution is two text-hash-group-sized aggregates plus one
+    * fold-sized rollup — the dup-group detection is the same
+    * md5(text) shuffle `dedup_exact` pays, never a pairwise join. */
+  def splitKfold(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "md5(text) AS th",
+        s"$HashBucketSql % 5 AS fold")
+    val leaky = d.groupBy(col("th"), col("fold"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("th"))
+      .agg(count(lit(1)).as("n_folds"), sum(col("cnt")).as("n_docs"))
+      .filter(col("n_folds") >= 2)
+      .select(col("th"))
+    val leakPerFold = d.join(leaky, "th")
+      .groupBy(col("fold")).agg(count(lit(1)).as("n_leaked"))
+    d.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .join(leakPerFold, Seq("fold"), "left")
+      .select(col("fold"), col("n_docs"), col("n_sources"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .orderBy("fold")
+  }
 }

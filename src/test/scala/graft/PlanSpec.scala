@@ -817,7 +817,8 @@ class PlanSpec extends AnyFunSuite {
     "q_funnel_conversion" -> "window input = funnel survivor counts per stage (3 rows)",
     "q_skyline" -> "phase-2 window input = union of 16 per-bucket Pareto frontiers (survivor-sized)",
     "text_vocab" -> "window input = top-200 vocabulary rows after TakeOrdered",
-    "text_zipf_fit" -> "window input = top-50 vocabulary rows after TakeOrdered")
+    "text_zipf_fit" -> "window input = top-50 vocabulary rows after TakeOrdered",
+    "q_rfm_segments" -> "3 quartile windows, each over one row per present value bucket (the dlp_quantile_bucketing two-level decomposition, per RFM dimension)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical
