@@ -297,6 +297,13 @@ object SparkEntry {
     "split_kfold" -> TextOps.splitKfold _,
     "dlp_column_profile" -> DlpQueries.dlpColumnProfile _,
     "ingest_freshness_lag" -> SourceQueries.ingestFreshnessLag _,
+    // round 11 batch 9: winnowing fingerprints, centroid silhouette,
+    // triangle census, top session paths, hourly backfill plan
+    "text_winnowing" -> TextOps.winnowingPairs _,
+    "embed_silhouette" -> Ann.silhouette _,
+    "dedup_triangle_count" -> Dedup.triangleCount _,
+    "q_top_paths" -> Analytics.qTopPaths _,
+    "ingest_backfill_plan" -> SourceQueries.ingestBackfillPlan _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3198,5 +3205,93 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN us > hwm_us - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
         |  CAST(CASE WHEN hwm_us - MAX(us) > 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS stale
         |FROM e, w GROUP BY event_type, hwm_us ORDER BY event_type""".stripMargin,
+    // round 11 batch 9
+    "text_winnowing" ->
+      (s"""WITH pos AS (SELECT doc_id, text,
+         |    CAST(unnest(range(1, greatest(len(text) - 15, 0) + 1)) AS BIGINT) AS i FROM documents),
+         |h AS (SELECT doc_id, i, ${graft.functions.AnchorExprs.winnowHashSql("text", "i", 16)} AS hv FROM pos),
+         |mn AS (SELECT doc_id, MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS f FROM h),
+         |fp AS (SELECT DISTINCT doc_id, f FROM mn),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fp GROUP BY 1),
+         |rare AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 64),
+         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM (SELECT doc_id, f FROM fp JOIN rare USING (f)) a
+         |  JOIN (SELECT doc_id, f FROM fp JOIN rare USING (f)) b
+         |    ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, sa.nf AS na, sb.nf AS nb,
+         |  CAST(n_shared * 10000 // least(sa.nf, sb.nf) AS BIGINT) AS ov_bp
+         |FROM sh JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE n_shared * 10000 // least(sa.nf, sb.nf) >= 2500
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "embed_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |d AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+        |    CAST(CAST(emb[i] AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |c AS (SELECT label AS clabel, dim,
+        |    (CAST(SUM(vu) AS BIGINT) + COUNT(*) * 1000000) // COUNT(*) - 1000000 AS m
+        |  FROM d GROUP BY 1, 2),
+        |dist AS (SELECT d.vec_id, d.label, c.clabel,
+        |    CAST(SUM((vu - m) * (vu - m)) AS BIGINT) AS d2
+        |  FROM d JOIN c ON c.dim = d.dim GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+        |    MIN(CASE WHEN clabel <> label THEN d2 END) AS b2 FROM dist GROUP BY 1, 2),
+        |s AS (SELECT vec_id, label,
+        |    ((b2 - a2) * 10000 + 10000 * GREATEST(a2, b2, 1)) // GREATEST(a2, b2, 1) - 10000 AS s_bp
+        |  FROM ab)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST((SUM(s_bp) + 20000 * COUNT(*)) // COUNT(*) - 20000 AS BIGINT) AS mean_s_bp,
+        |  CAST(SUM(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "dedup_triangle_count" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |p0 AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.emb AS ea, b.emb AS eb2
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |cc AS (SELECT va, vb, ROUND(${duckCos("ea", "eb2")}, 4) AS cos FROM p0),
+         |pr AS (SELECT va AS a, vb AS b FROM cc WHERE cos >= 0.35),
+         |dg AS (SELECT v, COUNT(*) AS d FROM (SELECT a AS v FROM pr UNION ALL SELECT b FROM pr) GROUP BY 1),
+         |ds AS (SELECT CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+         |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM dg),
+         |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM pr e3 WHERE e3.a = e1.a AND e3.b = e2.b))
+         |SELECT n_edges, n_wedges, n_triangles,
+         |  CAST(CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 10000 // n_wedges ELSE 0 END AS BIGINT) AS closure_bp
+         |FROM ds, tr""".stripMargin),
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e),
+        |p AS (SELECT user_id,
+        |    MIN(CASE WHEN rn = 1 THEN event_type END) AS t1,
+        |    MIN(CASE WHEN rn = 2 THEN event_type END) AS t2,
+        |    MIN(CASE WHEN rn = 3 THEN event_type END) AS t3
+        |  FROM r WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT concat_ws('>', t1, t2, t3) AS path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM p GROUP BY 1)
+        |SELECT path, n_users FROM c ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "ingest_backfill_plan" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr FROM events),
+        |p AS (SELECT DISTINCT event_type, hr FROM e),
+        |b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM e),
+        |x AS (SELECT t.event_type, CAST(g.hr AS BIGINT) AS hr
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(range((SELECT h0 FROM b), (SELECT h1 FROM b) + 1)) AS hr) g),
+        |m AS (SELECT x.event_type, x.hr FROM x LEFT JOIN p
+        |    ON p.event_type = x.event_type AND p.hr = x.hr WHERE p.hr IS NULL),
+        |i AS (SELECT event_type, hr,
+        |    hr - row_number() OVER (PARTITION BY event_type ORDER BY hr) AS grp FROM m)
+        |SELECT event_type, CAST(MIN(hr) AS BIGINT) AS start_hr, CAST(MAX(hr) AS BIGINT) AS end_hr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hours
+        |FROM i GROUP BY event_type, grp ORDER BY event_type, start_hr""".stripMargin,
   )
 }

@@ -766,6 +766,37 @@ object Dedup {
       .orderBy("degree")
   }
 
+  /** Triangle census of the embedding near-dup graph — the
+    * transitivity evidence behind SemDeDup clustering: the global
+    * clustering coefficient 3·triangles/wedges says whether near-dup
+    * edges close into genuine duplicate groups (coefficient high) or
+    * chain through hubs without closing (low — the failure mode
+    * [[degreeHubs]] flags by degree alone). Counting is the standard
+    * two-join ordered-triple method (a<b<c: (a,b)⋈(b,c) wedges
+    * semi-closed by (a,c)), so work is bounded by the PAIR LIST's
+    * join fan-out, never the corpus; the pair list persists once for
+    * its three uses. Wedge totals fold out of the degree aggregate
+    * (Σ d(d−1)/2). One summary row. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val p = Caches.shared(spark, s"dedup.embpairs:$dir") {
+      embeddingCosine(spark, dir).select(col("vec_a").as("a"), col("vec_b").as("b"))
+    }
+    val degStats = p.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .agg(sum(col("dg")).as("deg_sum"),
+        sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+      .selectExpr("deg_sum DIV 2 AS n_edges", "n_wedges")
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+      .join(p.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(broadcast(tri))
+      .selectExpr("n_edges", "n_wedges", "n_triangles",
+        "CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 10000 DIV n_wedges ELSE 0 END AS closure_bp")
+  }
+
   /** The WHOLE training-data funnel as one query — the composition
     * this engine exists for: quality gate (Gopher-style filters) ∩
     * dedup survivors (LSH-verified near-dup removal) ∩ decontaminated

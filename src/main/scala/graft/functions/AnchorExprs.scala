@@ -174,4 +174,107 @@ object AnchorExprs {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int],
         exprs(3).eval().toString))
+
+  /** Column API: winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003) — the distinct trailing-window minima of the
+    * per-position gram hashes, as a sorted ARRAY<BIGINT>. One pass,
+    * no per-position rows, no shuffle; see [[WinnowFingerprints]]. */
+  def winnow(text: Column, gram: Int, window: Int): Column =
+    GraftInternal.column(
+      WinnowFingerprints(GraftInternal.expression(text), gram, window))
+
+  /** The winnowing gram hash as SQL TEXT the DuckDB oracle runs
+    * verbatim: Σ_j codepoint(char_{i+j}) · (31^j mod 2³¹), all mod
+    * 2³¹ — generated from the SAME constants [[WinnowScan]] uses, so
+    * the engines cannot drift. `i` is the 1-based position column
+    * name; `t` the text column name. */
+  def winnowHashSql(t: String, i: String, gram: Int): String = {
+    val terms = (0 until gram).map { j =>
+      s"CAST(ascii(substring($t, $i + $j, 1)) AS BIGINT) * ${WinnowScan.powMod(j)}"
+    }
+    s"((${terms.mkString(" + ")}) % ${WinnowScan.M})"
+  }
+}
+
+/** Winnowing document fingerprints in one codegen-compatible pass:
+  * for every gram start position the polynomial codepoint hash (base
+  * 31 mod 2³¹ — 16 integer mults, portable to a 16-term SQL sum the
+  * oracle runs verbatim), then the minimum over each trailing window
+  * of `window` consecutive hashes, deduplicated and sorted. The
+  * fingerprint-set property (Schleimer et al. 2003): any shared
+  * substring of length ≥ gram+window−1 contributes at least one
+  * SHARED fingerprint, so fingerprint overlap lower-bounds substring
+  * sharing — the MOSS plagiarism/near-dup primitive. Short docs
+  * (< gram chars) fingerprint to the empty array. The expression
+  * replaces an explode-per-position + partitioned-window pipeline
+  * (O(len) rows through a per-doc shuffle) with a per-row scan whose
+  * output is ~len/window values. */
+case class WinnowFingerprints(child: Expression, gram: Int, window: Int)
+    extends UnaryExpression {
+  require(gram > 0 && window > 0, "need gram > 0 and window > 0")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow needs STRING input, got ${child.dataType}")
+
+  override def nullSafeEval(t: Any): Any =
+    WinnowScan.scan(t.asInstanceOf[UTF8String], gram, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowScan.scan($c, $gram, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowScan {
+  val B = 31L
+  val M: Long = 1L << 31
+
+  /** 31^j mod 2³¹ — shared by the Scala scan and the generated oracle
+    * SQL ([[AnchorExprs.winnowHashSql]]). */
+  def powMod(j: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < j) { r = r * B % M; i += 1 }
+    r
+  }
+
+  /** One-pass winnow (see [[WinnowFingerprints]]); public + static so
+    * generated code calls it directly. Codepoint-indexed to match SQL
+    * substring/ascii semantics on both engines. */
+  def scan(t: UTF8String, gram: Int, window: Int): GenericArrayData = {
+    val cp = t.toString.codePoints().toArray
+    val n = cp.length
+    if (n < gram) return new GenericArrayData(Array.emptyLongArray)
+    val pow = new Array[Long](gram)
+    var j = 0
+    while (j < gram) { pow(j) = powMod(j); j += 1 }
+    val np = n - gram + 1
+    val ring = new Array[Long](window)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < np) {
+      var h = 0L
+      var k = 0
+      while (k < gram) { h += cp(i + k) * pow(k); k += 1 }
+      ring(i % window) = h % M
+      val filled = math.min(i + 1, window)
+      var mn = Long.MaxValue
+      var r = 0
+      while (r < filled) { if (ring(r) < mn) mn = ring(r); r += 1 }
+      seen.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
 }

@@ -1172,6 +1172,33 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Top user paths — the "how do sessions start" read of path
+    * analysis: each user's first three event types (by time,
+    * event_id tie-break) concatenated into a path signature, ranked
+    * by user count. One per-user window (row_number ≤ 3 collapses
+    * map-side via the rank pushdown), the path assembled with three
+    * conditional MINs in a single per-user aggregate — no
+    * collect_list buffers, no order-sensitive array aggregation at
+    * the compare boundary. Top 20 via TakeOrdered, never a global
+    * sort. */
+  def qTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rn") === 1, col("event_type"))).as("t1"),
+        min(when(col("rn") === 2, col("event_type"))).as("t2"),
+        min(when(col("rn") === 3, col("event_type"))).as("t3"))
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
   /** Exact quartile thresholds of a BIGINT column WITHOUT a global
     * ranking window — the same two-level decomposition as
     * `dlp_quantile_bucketing` (DlpQueries.scala:148): rows rank inside

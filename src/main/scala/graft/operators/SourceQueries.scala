@@ -713,6 +713,34 @@ object SourceQueries {
       .orderBy("relation")
   }
 
+  /** Backfill plan — gaps-and-islands over the hourly coverage grid:
+    * for each event type, the contiguous ranges of hours (since the
+    * stream's first hour) in which NO event arrived — exactly the
+    * re-pull ranges an incremental importer submits after an outage.
+    * Scale shape: events collapse to the present (type, hour) grid
+    * first (domain-bounded, never row-sized), the expected grid comes
+    * from ONE broadcast min/max row exploded per type, missing cells
+    * fall out of a left anti join, and islands form under a window
+    * PARTITIONED by type over the domain-bounded cells. */
+  def ingestBackfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hr"))
+    val present = e.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val types = present.select(col("event_type")).distinct()
+    val expected = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val missing = expected.join(present, Seq("event_type", "hr"), "left_anti")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    missing
+      .withColumn("grp", col("hr") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+        count(lit(1)).as("n_hours"))
+      .drop("grp")
+      .orderBy("event_type", "start_hr")
+  }
+
   /** Source freshness audit — the "is the feed still flowing"
     * monitor an incremental import (reference: the watermark-driven
     * re-import loop) runs between pulls: per event type, the last

@@ -916,4 +916,46 @@ object Ann {
         sum((col("m0") - col("m1")) * (col("m0") - col("m1"))).as("drift_d2"))
       .orderBy("label")
   }
+
+  /** Simplified silhouette per label — the cluster-quality score that
+    * tells "labels are real clusters" from "labels are arbitrary":
+    * per vector, a = squared L2 to the OWN label centroid, b = min
+    * squared L2 to any OTHER label centroid, s = (b−a)/max(a,b) in
+    * basis points (the medoid-free silhouette variant — Rousseeuw
+    * 1987's statistic with centroid distances, the form k-means
+    * pipelines evaluate). Everything is exact integer micro-units:
+    * centroids by the offset floor-mean ([[batchDrift]]'s rule), the
+    * ratio by the offset floor-division that keeps Spark DIV and
+    * DuckDB `//` identical on negative s. Bound: |component| ≤ 1 by
+    * the corpus contract, so (b−a)·10⁴ ≤ 64·(2·10⁶)²·10⁴ < 2⁶³.
+    * Execution: one dims×labels-sized centroid aggregate broadcast
+    * into the per-(vec,dim) join — vectors never pair with vectors;
+    * the report is label-sized. Negative-s counts (vectors closer to
+    * a foreign centroid) are the mislabel/overlap alarm. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .select(col("vec_id"), col("label"), posexplode(col("emb")))
+      .selectExpr("vec_id", "label", "CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(CAST(col AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS vu")
+    val cent = d.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("vu")).as("s"))
+      .selectExpr("clabel", "dim", "(s + n * 1000000) DIV n - 1000000 AS m")
+    val ab = d.join(broadcast(cent), Seq("dim"))
+      .withColumn("dd", (col("vu") - col("m")) * (col("vu") - col("m")))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("dd")).as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+      .selectExpr("vec_id", "label",
+        "((b2 - a2) * 10000 + 10000 * GREATEST(a2, b2, 1)) DIV GREATEST(a2, b2, 1) - 10000 AS s_bp")
+    ab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_bp")).as("ssum"),
+        sum(when(col("s_bp") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .selectExpr("label", "n_vecs",
+        "(ssum + 20000 * n_vecs) DIV n_vecs - 20000 AS mean_s_bp", "n_neg")
+      .orderBy("label")
+  }
 }

@@ -691,6 +691,43 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** Winnowing near-dup candidates (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS fingerprint): each document reduces to the
+    * DISTINCT minima of trailing 8-windows over its 16-gram
+    * polynomial hashes (guarantee: any shared run of ≥ 23 chars
+    * contributes a shared fingerprint), pairs rank by shared-
+    * fingerprint containment of the smaller doc. The fingerprint scan
+    * is ONE codegen'd pass per document
+    * ([[graft.functions.WinnowFingerprints]] — no per-position rows,
+    * no per-doc shuffle, output ~len/8 values); the oracle recomputes
+    * the identical hash from shared constants
+    * ([[graft.functions.AnchorExprs.winnowHashSql]]) the naive way.
+    * Pair fan-out is df-capped exactly like the gram index (a
+    * fingerprint shared by > 64 docs indexes nothing — boilerplate,
+    * not duplication), so candidates stay linear in the fingerprint
+    * mass at any corpus size. */
+  def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.Caches.shared(spark, s"text.winnow:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.AnchorExprs.winnow(col("text"), 16, 8)).as("f"))
+    }
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val rare = fp.groupBy(col("f")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 64)).select(col("f"))
+    val cand = fp.join(rare, "f")
+    cand.as("a").join(cand.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .selectExpr("doc_a", "doc_b", "n_shared", "na", "nb",
+        "n_shared * 10000 DIV least(na, nb) AS ov_bp")
+      .filter(col("ov_bp") >= 2500)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic 5-fold cross-validation assignment + leakage
     * audit. Fold = key-hash bucket mod 5 (the [[HashBucketSql]]
     * portable hash — reproducible at any parallelism, stable across
