@@ -304,6 +304,12 @@ object SparkEntry {
     "dedup_triangle_count" -> Dedup.triangleCount _,
     "q_top_paths" -> Analytics.qTopPaths _,
     "ingest_backfill_plan" -> SourceQueries.ingestBackfillPlan _,
+    // round 11 batch 10: b-bit minhash storage audit, hash-arm A/B
+    // lift, cohort funnel, transition state machine as a gate row
+    "dedup_bbit_minhash" -> Dedup.bbitMinhash _,
+    "q_ab_lift" -> Analytics.qAbLift _,
+    "q_cohort_funnel" -> Analytics.qCohortFunnel _,
+    "stream_transition_replay" -> Streams.transitionReplay _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3293,5 +3299,73 @@ object SparkEntry {
         |SELECT event_type, CAST(MIN(hr) AS BIGINT) AS start_hr, CAST(MAX(hr) AS BIGINT) AS end_hr,
         |  CAST(COUNT(*) AS BIGINT) AS n_hours
         |FROM i GROUP BY event_type, grp ORDER BY event_type, start_hr""".stripMargin,
+    // round 11 batch 10
+    "dedup_bbit_minhash" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5),
+         |m AS (SELECT doc_a, doc_b, jacc,
+         |  CAST((${(0 until 8).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")}) * 1250 AS BIGINT) AS est_bp,
+         |  CAST(GREATEST((${(0 until 8).map(j =>
+             s"(CASE WHEN (CASE WHEN substring(sa.h$j, 32, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END) = " +
+             s"(CASE WHEN substring(sb.h$j, 32, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END) THEN 1 ELSE 0 END)").mkString(" + ")}) * 2500 - 10000, 0) AS BIGINT) AS bbit_est_bp
+         |  FROM p JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jacc, est_bp, bbit_est_bp,
+         |  CAST(ABS(bbit_est_bp - est_bp) AS BIGINT) AS gap_bp
+         |FROM m ORDER BY doc_a, doc_b""".stripMargin),
+    "q_ab_lift" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (SELECT user_id, user_id % 2 AS arm FROM u),
+        |cv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM arms LEFT JOIN cv USING (user_id) GROUP BY arm),
+        |pv AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 0 THEN k END) AS conv_a,
+        |    MAX(CASE WHEN arm = 1 THEN k END) AS conv_b FROM g)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a * 10000 // n_a AS BIGINT) AS conv_a_bp,
+        |  CAST(conv_b * 10000 // n_b AS BIGINT) AS conv_b_bp,
+        |  CAST(((conv_b * n_a - conv_a * n_b) * 10000 + 10000 * GREATEST(conv_a * n_b, 1)) // GREATEST(conv_a * n_b, 1) - 10000 AS BIGINT) AS lift_bp,
+        |  CAST((conv_b * (n_a - conv_a)) * 10000 // GREATEST(conv_a * (n_b - conv_b), 1) AS BIGINT) AS odds_ratio_bp
+        |FROM pv""".stripMargin,
+    "q_cohort_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IN ('signup', 'click', 'purchase')),
+        |s1 AS (SELECT *, CASE WHEN event_type = 'signup' THEN us END AS s_q FROM e),
+        |s2 AS (SELECT *, MIN(s_q) OVER w AS s_prev FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s3 AS (SELECT *, CASE WHEN event_type = 'click' AND s_prev IS NOT NULL THEN us END AS c_q FROM s2),
+        |s4 AS (SELECT *, MIN(c_q) OVER w AS c_prev FROM s3
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s5 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL THEN us END AS p_q FROM s4),
+        |per_user AS (SELECT user_id, MIN(s_q) AS signup_us,
+        |    CAST(CASE WHEN MIN(p_q) IS NOT NULL THEN 3 WHEN MIN(c_q) IS NOT NULL THEN 2
+        |      WHEN MIN(s_q) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |  FROM s5 GROUP BY user_id)
+        |SELECT CAST(signup_us // 604800000000 AS BIGINT) AS week,
+        |  CAST(COUNT(*) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |  CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+        |  CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS conv_bp
+        |FROM per_user WHERE signup_us IS NOT NULL
+        |GROUP BY 1 ORDER BY week""".stripMargin,
+    "stream_transition_replay" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |t AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type,
+        |    event_type AS to_type FROM e)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
   )
 }

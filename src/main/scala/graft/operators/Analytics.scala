@@ -1172,6 +1172,54 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** A/B lift report — the experiment read on deterministic hash
+    * arms: users split by key parity (reproducible at any
+    * parallelism, the same property as the corpus split hashes),
+    * conversion = did the user ever purchase. One row: arm sizes,
+    * converter counts, per-arm conversion in bp, RELATIVE lift of B
+    * over A in bp (offset floor-division so a negative lift agrees
+    * across engines), and the odds ratio in bp. Two distinct-user
+    * aggregates and a 2-row pivot — event volume is touched exactly
+    * once per side at any scale. */
+  def qAbLift(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val conv = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("c", lit(1L))
+    arms.join(conv, Seq("user_id"), "left")
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("c"), lit(0L))).as("k"))
+      .agg(max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 0, col("k"))).as("conv_a"),
+        max(when(col("arm") === 1, col("k"))).as("conv_b"))
+      .selectExpr("n_a", "n_b", "conv_a", "conv_b",
+        "conv_a * 10000 DIV n_a AS conv_a_bp",
+        "conv_b * 10000 DIV n_b AS conv_b_bp",
+        "((conv_b * n_a - conv_a * n_b) * 10000 + 10000 * GREATEST(conv_a * n_b, 1)) DIV GREATEST(conv_a * n_b, 1) - 10000 AS lift_bp",
+        "(conv_b * (n_a - conv_a)) * 10000 DIV GREATEST(conv_a * (n_b - conv_b), 1) AS odds_ratio_bp")
+  }
+
+  /** Cohort funnel — conversion by signup week: [[qSequenceMatch]]'s
+    * per-user stages rolled up by the week the user's funnel OPENED
+    * (first signup), the "did onboarding quality drift" read. The
+    * per-user frame is funnel-survivor-sized; the report is
+    * week-count-sized. */
+  def qCohortFunnel(spark: SparkSession, dir: String): DataFrame =
+    qSequenceMatch(spark, dir)
+      .filter(col("signup_us").isNotNull)
+      .withColumn("week", expr("signup_us DIV 604800000000"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_signup"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_purchased"))
+      .selectExpr("week", "n_signup", "n_clicked", "n_purchased",
+        "n_purchased * 10000 DIV n_signup AS conv_bp")
+      .orderBy("week")
+
   /** Top user paths — the "how do sessions start" read of path
     * analysis: each user's first three event types (by time,
     * event_id tie-break) concatenated into a path signature, ranked

@@ -917,4 +917,64 @@ object Streams {
         sum(when(col("gap") > alarmUs, 1L).otherwise(0L)).as("n_alarms"))
       .orderBy("user_id")
   }
+
+  case class TransEv(from_type: String, to_type: String)
+
+  /** Streaming form of the transition matrix
+    * ([[graft.operators.Analytics.qTransitionMatrix]]): per user, ONE
+    * string of state (the last event type) emits a (from → to)
+    * transition per arrival — the state machine a live "what do users
+    * do next" dashboard feeds, with the counts maintained by any
+    * downstream windowed aggregate. Within-trigger disorder goes
+    * through the shared bounded reorder with the usual contract
+    * (beyond-capacity pops flagged via `strict`/overflow — here a
+    * transition from stale state is the damage, so `strict` is the
+    * watermark-contracted mode). Cross-trigger continuity comes from
+    * the one-string GroupState. */
+  def transitionStreaming(evs: Dataset[FunnelEv], reorderBuffer: Int = 4096,
+                          strict: Boolean = false): Dataset[TransEv] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, TransEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, events, state: GroupState[String]) =>
+          val reordered = Reorder.bounded(events, reorderBuffer, strict)(
+            Ordering.by(e => (e.us, e.event_id)))
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransEv]
+          while (reordered.hasNext) {
+            val (e, _) = reordered.next()
+            if (last != null) out += TransEv(last, e.event_type)
+            last = e.event_type
+            state.update(last)
+          }
+          out.iterator
+      }
+  }
+
+  /** Driver-visible REPLAY of [[transitionStreaming]] aggregated to
+    * the matrix: the same one-string state machine in batch execution
+    * over ENGINE-sorted per-user runs ([[Reorder.foldRuns]] — exact at
+    * any disorder, O(1) state, the post-r10 replay contract), then one
+    * types²-sized count. Oracle = the lag-window form, which proves
+    * the machine ≡ the window semantics row for row. */
+  def transitionReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[FunnelEv]
+    evs.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .mapPartitions { it =>
+        Reorder.foldRuns[FunnelEv, Long, String, TransEv](
+          it, _.user_id, _ => null) { (_, st, e) =>
+          (e.event_type, if (st != null) Some(TransEv(st, e.event_type)) else None)
+        } { (_, _) => None }
+      }
+      .toDF()
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
 }
