@@ -308,4 +308,41 @@ class SkewCorpusSpec extends AnyFunSuite {
     assert(r.getLong(5) >= 9900L, s"reclaim_bp ${r.getLong(5)} < 9900 on 500 copies")
     assertNoStorage("round-11-batch57")
   }
+
+  test("round-11 batch-8/9/10 operators hold on the skew corpus: transitions, winnowing cap, paths") {
+    // transition machine: the scrambled 30k-event hot slice folds
+    // through engine-sorted runs — exact at any disorder — and must
+    // equal the independent lag-window form on the whole corpus
+    val replay = timed("transitionReplay (41k events, 30k on one key)") {
+      Streams.transitionReplay(spark, corpusDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val window = timed("qTransitionMatrix window form (oracle)") {
+      graft.operators.Analytics.qTransitionMatrix(spark, corpusDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    }
+    assert(replay == window, "transition machine diverged from window form at 10x")
+    // winnowing df-cap: the hot text lives in 500 exact copies + the
+    // base doc + its 9 salted replicas (~510 sharers), so every
+    // hot-text fingerprint is df-capped OUT of the index — the
+    // mega-cluster indexes nothing (bounded fan-out, the gram-index
+    // rule) — while ordinary 10-member base∪replica families stay
+    // under the cap and MUST pair with high containment
+    val hotBase = SkewCorpus.hotDocBase(500L, 10)
+    val pairs = timed("winnowingPairs (5500 docs, 500-copy hot band)") {
+      graft.text.TextOps.winnowingPairs(spark, corpusDir)
+    }
+    assert(pairs.filter(col("doc_a") >= hotBase || col("doc_b") >= hotBase).count() == 0,
+      "df cap failed: the 500-copy hot band leaked into the pair list")
+    val fam = pairs.filter(col("doc_a") === 1L && col("doc_b") === 501L).collect()
+    assert(fam.length == 1 && fam.head.getLong(5) >= 2500,
+      s"base->replica family pair missing or weak: ${fam.toSeq}")
+    // path analysis on the skewed stream: the hot user's first three
+    // events are view@0, click@1000, signup@2000 by construction
+    val paths = timed("qTopPaths (41k events)") {
+      graft.operators.Analytics.qTopPaths(spark, corpusDir).collect()
+    }
+    assert(paths.nonEmpty && paths.head.getLong(1) >= paths.last.getLong(1))
+    assertNoStorage("round-11-batch8910")
+  }
 }
