@@ -310,6 +310,16 @@ object SparkEntry {
     "q_ab_lift" -> Analytics.qAbLift _,
     "q_cohort_funnel" -> Analytics.qCohortFunnel _,
     "stream_transition_replay" -> Streams.transitionReplay _,
+    // round 11 batch 11: trade-graph pagerank, spend inequality,
+    // Benford audit, market concentration, sorted-neighborhood dedup,
+    // mutual-kNN census, temporal split with leakage audit
+    "q_pagerank" -> Analytics.qPagerank _,
+    "q_gini" -> Analytics.qGini _,
+    "q_benford" -> Analytics.qBenford _,
+    "q_hhi" -> Analytics.qHhi _,
+    "dedup_sorted_neighborhood" -> Dedup.sortedNeighborhood _,
+    "embed_mutual_knn" -> Dedup.mutualKnn _,
+    "split_temporal" -> TextOps.splitTemporal _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3367,5 +3377,122 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
         |ORDER BY from_type, to_type""".stripMargin,
+    // round 11 batch 11
+    "q_pagerank" -> {
+      val iters = (1 to 3).map { t =>
+        s"""s$t AS (SELECT e.dst AS node_id, CAST(SUM(r.r // e.deg) AS BIGINT) AS s
+           |  FROM e JOIN r${t - 1} r ON r.node_id = e.src GROUP BY e.dst),
+           |r$t AS (SELECT n.node_id, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN s$t s USING (node_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+         |e AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
+         |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS node_id FROM customer
+         |  UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+         |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT r3.node_id,
+         |  CASE WHEN r3.node_id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+         |  COALESCE(deg.deg, 0) AS degree, r3.r AS rank_u
+         |FROM r3 LEFT JOIN deg ON deg.src = r3.node_id
+         |ORDER BY rank_u DESC, node_id LIMIT 20""".stripMargin
+    },
+    "q_gini" ->
+      """WITH sp AS (SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |x AS (SELECT c_mktsegment AS segment, o_custkey, spend, spend // 1000000 AS b
+        |  FROM sp JOIN customer ON o_custkey = c_custkey),
+        |rin AS (SELECT segment, o_custkey, spend, b,
+        |  CAST(row_number() OVER (PARTITION BY segment, b ORDER BY spend, o_custkey) AS BIGINT) AS rn FROM x),
+        |bc AS (SELECT segment, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY segment, b),
+        |off AS (SELECT segment, b,
+        |  CAST(COALESCE(SUM(cnt) OVER (PARTITION BY segment ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM bc),
+        |g AS (SELECT rin.segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(spend) AS BIGINT) AS total_spend,
+        |    CAST(SUM((off.off + rin.rn) * spend) AS BIGINT) AS t
+        |  FROM rin JOIN off ON off.segment = rin.segment AND off.b = rin.b
+        |  GROUP BY rin.segment)
+        |SELECT segment, n_customers, total_spend,
+        |  CAST((2 * t - (n_customers + 1) * total_spend) // GREATEST((n_customers * total_spend) // 10000, 1) AS BIGINT) AS gini_bp
+        |FROM g ORDER BY segment""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM g),
+        |exp AS (SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+        |  (6, 669), (7, 580), (8, 512), (9, 458)) AS v(digit, exp_bp))
+        |SELECT t.digit, t.n, CAST((t.n * 10000) // t.tot AS BIGINT) AS obs_bp,
+        |  CAST(exp.exp_bp AS BIGINT) AS exp_bp,
+        |  CAST(ABS((t.n * 10000) // t.tot - exp.exp_bp) AS BIGINT) AS dev_bp
+        |FROM t JOIN exp ON exp.digit = t.digit ORDER BY t.digit""".stripMargin,
+    "q_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |r2 AS (SELECT s_nationkey, rev FROM rev JOIN supplier ON l_suppkey = s_suppkey),
+        |tot AS (SELECT s_nationkey, CAST(SUM(rev) AS BIGINT) AS tot FROM r2 GROUP BY s_nationkey),
+        |sh AS (SELECT r2.s_nationkey, CAST((rev * 10000) // tot AS BIGINT) AS share_bp
+        |  FROM r2 JOIN tot USING (s_nationkey)),
+        |h AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    CAST(SUM(share_bp * share_bp) AS BIGINT) AS sq,
+        |    CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+        |  FROM sh GROUP BY s_nationkey)
+        |SELECT n_name, n_suppliers, CAST(sq // 10000 AS BIGINT) AS hhi, top_share_bp
+        |FROM h JOIN nation ON n_nationkey = s_nationkey ORDER BY n_name""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      (s"""WITH $GramsCte,
+         |blk AS (SELECT doc_id, lang, n_chars, substring(text, 1, 12) AS blk FROM documents),
+         |r AS (SELECT doc_id, lang, blk,
+         |  CAST(row_number() OVER (PARTITION BY lang, blk ORDER BY n_chars, doc_id) AS BIGINT) AS rn FROM blk),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rn - a.rn AS wdist
+         |  FROM r a JOIN r b ON a.lang = b.lang AND a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+         |j AS (SELECT doc_a, doc_b, CAST(wdist AS BIGINT) AS wdist, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, wdist, jacc FROM j WHERE jacc >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "embed_mutual_knn" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |p0 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND(${duckCos("a.emb", "b.emb")}, 4) AS cos
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |p AS (SELECT vec_a, vec_b, cos FROM p0 WHERE cos >= 0.35),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, cos FROM p
+         |  UNION ALL SELECT vec_b, vec_a, cos FROM p),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sym) WHERE rn <= 3),
+         |mutual AS (SELECT a.src AS u, a.dst AS v FROM knn a JOIN knn b
+         |  ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst),
+         |md AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS mdeg FROM (
+         |  SELECT u AS vec_id FROM mutual UNION ALL SELECT v FROM mutual) GROUP BY vec_id),
+         |alln AS (SELECT e.vec_id, COALESCE(md.mdeg, 0) AS mutual_degree
+         |  FROM e LEFT JOIN md USING (vec_id))
+         |SELECT mutual_degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM alln GROUP BY mutual_degree ORDER BY mutual_degree""".stripMargin),
+    "split_temporal" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events),
+        |b AS (SELECT MIN(us) + ((MAX(us) - MIN(us)) * 8) // 10 AS cutoff FROM e),
+        |tagged AS (SELECT CASE WHEN us < cutoff THEN 'train' ELSE 'eval' END AS split, user_id
+        |  FROM e CROSS JOIN b),
+        |pu AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+        |  FROM tagged GROUP BY user_id),
+        |span AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_span_users FROM pu WHERE n_train > 0 AND n_eval > 0),
+        |sides AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_events, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+        |    SELECT user_id, 'train' AS split, n_train AS n FROM pu WHERE n_train > 0
+        |    UNION ALL SELECT user_id, 'eval', n_eval FROM pu WHERE n_eval > 0)
+        |  GROUP BY split),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM sides)
+        |SELECT split, n_events, n_users, CAST((n_events * 10000) // tot AS BIGINT) AS share_bp, n_span_users
+        |FROM sides CROSS JOIN t CROSS JOIN span ORDER BY split""".stripMargin,
   )
 }

@@ -1049,4 +1049,81 @@ object Dedup {
         "n_novel * 10000 DIV n_grams AS novelty_bp")
       .orderBy("source")
   }
+
+  /** Blocked sorted-neighborhood dedup (Hernández & Stolfo's
+    * merge/purge, windowed form): candidates are documents whose
+    * (lang, 12-char text prefix) block puts them within 3 positions
+    * of each other in the block's (n_chars, doc_id) sort order, then
+    * verified on exact word-3-gram Jaccard ≥ 0.3. This is the
+    * complementary recall profile to the gram inverted index: prefix
+    * blocking catches near-dups whose EDITS are all past the prefix
+    * (where gram-df capping might thin the index) and pays only
+    * O(window · block) candidates — never an index fan-out.
+    *
+    * Scale shape: ranks come from windows partitioned by the
+    * (lang, prefix) block — block counts GROW with the corpus, so no
+    * partition is corpus-sized; the window join is rank-adjacency
+    * inside the block (≤ 3 rows per doc). Gram sets join back to
+    * candidates only — the array column never enters a shuffle wider
+    * than the candidate list. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", "n_chars",
+        "substring(text, 1, 12) AS blk")
+    val wB = Window.partitionBy(col("lang"), col("blk"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val r = d.withColumn("rn", row_number().over(wB).cast("long"))
+      .select(col("doc_id"), col("lang"), col("blk"), col("rn"))
+    val cand = r.as("a").join(r.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          (col("b.rn") - col("a.rn")).between(1, 3))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("b.rn") - col("a.rn")).as("wdist"))
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.WordNGrams.wordNGrams(
+          split(col("text"), " "), 3).as("grams"))
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .selectExpr("doc_a", "doc_b", "wdist",
+        "ROUND(size(array_intersect(ga, gb)) / (size(ga) + size(gb) - size(array_intersect(ga, gb))), 4) AS jacc")
+      .filter(col("jacc") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Mutual-kNN graph census over the embedding near-dup pairs — the
+    * robust-edge filter graph clustering runs before community
+    * detection: an edge survives only if each endpoint ranks the
+    * other in its top-3 by cosine (mutuality kills hub-induced
+    * one-way edges, the failure mode [[degreeHubs]] measures).
+    * Reports the mutual-degree histogram over ALL vectors (degree 0 =
+    * isolated under mutuality).
+    *
+    * Scale shape: rides the cached LSH-gated pair list, symmetrized;
+    * top-3 is a per-node window over each node's PAIR LIST (bounded
+    * by near-dup degree, never the corpus); mutuality is a self-join
+    * on the ordered pair key. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val p = Caches.shared(spark, s"dedup.embpairscos:$dir") {
+      embeddingCosine(spark, dir)
+    }
+    val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val knn = sym.withColumn("rn", row_number().over(wK)).filter(col("rn") <= 3)
+      .select(col("src"), col("dst"))
+    val mutual = knn.as("a").join(knn.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src").as("u"), col("a.dst").as("v"))
+    val mdeg = mutual.select(explode(array(col("u"), col("v"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("mdeg"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(mdeg, Seq("vec_id"), "left")
+      .select(coalesce(col("mdeg"), lit(0L)).as("mutual_degree"))
+      .groupBy(col("mutual_degree"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("mutual_degree")
+  }
 }

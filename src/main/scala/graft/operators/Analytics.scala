@@ -1317,4 +1317,146 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"), sum(col("monetary_c")).as("sum_monetary_c"))
       .orderBy("segment")
   }
+
+  /** PageRank over the supplier↔customer trade graph, three exact
+    * integer power iterations (Page et al. 1999; damping 0.85 as the
+    * rational 85/100, teleport mass 0.15 as 150 000 micro-units).
+    * Edges are the DISTINCT (supplier, customer) trade relationships
+    * out of lineitem⋈orders, symmetrized, so the walk genuinely mixes
+    * instead of draining into the bipartite sink side. Per-edge
+    * contribution is r DIV deg — all-BIGINT, so fold order and
+    * division agree across engines and parallelism.
+    *
+    * Scale shape: this is the Pregel shape without Pregel — each
+    * iteration is ONE shuffle of the edge list on dst (join with the
+    * rank table, partial-aggregated sum), the edge list + degree
+    * attach persist once across all three rounds, and the rank table
+    * stays node-sized. No iteration-count-dependent lineage blowup:
+    * three rounds is the fixed power-iteration budget (rank ordering
+    * stabilizes long before values converge — the property ranking
+    * consumers rely on). Top 20 via TakeOrdered, never a global sort. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").cast("long").as("dst"))
+      .distinct()
+    val edges = graft.Caches.shared(spark, s"analytics.tradegraph:$dir") {
+      val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      sym.join(deg, "src")
+    }
+    val nodes = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("node_id"))
+      .unionAll(Tables.supplier(spark, dir).select((col("s_suppkey") + 1000000L).as("node_id")))
+    var r = nodes.select(col("node_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val s = edges.join(r, edges("src") === r("node_id"))
+        .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("s"))
+        .select(col("dst").as("node_id"), col("s"))
+      r = nodes.join(s, Seq("node_id"), "left")
+        .selectExpr("node_id", "CAST(150000 + (85 * COALESCE(s, 0)) DIV 100 AS BIGINT) AS r")
+    }
+    val deg1 = edges.select(col("src").as("node_id"), col("deg")).distinct()
+    r.join(deg1, Seq("node_id"), "left")
+      .selectExpr("node_id",
+        "CASE WHEN node_id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type",
+        "COALESCE(deg, 0) AS degree", "r AS rank_u")
+      .orderBy(col("rank_u").desc, col("node_id"))
+      .limit(20)
+  }
+
+  /** Gini coefficient of customer spend per market segment — the
+    * inequality read of revenue concentration, in exact integer
+    * arithmetic via the rank-sum identity
+    * G = (2·Σ i·xᵢ − (n+1)·Σ x) / (n·Σ x) with i the 1-based
+    * ascending rank. Ranks come from the SAME two-level decomposition
+    * as `dlp_quantile_bucketing`: rows rank inside $10k spend-range
+    * buckets (partitioned window), bucket offsets from a
+    * bucket-count-sized cumulative — never a global or
+    * segment-global ORDER-BY window. Tie ranks are consumed as a
+    * permutation of the same index set, so Σ i·xᵢ is tie-order
+    * invariant. The final division is staged (denominator pre-scaled
+    * DIV 10000) so the numerator never exceeds Σ i·x ≈ n²·x̄ — no
+    * 10⁴ blowup before the divide. */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice"), 2).as("sp"))
+      .groupBy(col("o_custkey")).agg(sum(col("sp")).as("spend"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_custkey"), col("spend"))
+      .withColumn("b", expr("spend DIV 1000000"))
+    val wIn = Window.partitionBy(col("segment"), col("b"))
+      .orderBy(col("spend"), col("o_custkey"))
+    val bc = x.groupBy(col("segment"), col("b")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy(col("segment")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bc.withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("segment"), col("b"), col("off"))
+    x.withColumn("rin", row_number().over(wIn).cast("long"))
+      .join(off, Seq("segment", "b"))
+      .withColumn("i", col("off") + col("rin"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("total_spend"),
+        sum(col("i") * col("spend")).as("t"))
+      .selectExpr("segment", "n_customers", "total_spend",
+        "(2 * t - (n_customers + 1) * total_spend) DIV GREATEST((n_customers * total_spend) DIV 10000, 1) AS gini_bp")
+      .orderBy("segment")
+  }
+
+  /** Benford first-digit audit of order totals — the classic
+    * fabricated-data screen: observed leading-digit shares vs the
+    * Benford expectation log₁₀(1+1/d), shipped as the nine CONSTANT
+    * basis-point values (3010…458) so no engine ever evaluates a
+    * logarithm. The leading digit is taken lexically from the
+    * floored integer total (string head, never float log10 — exact
+    * and engine-identical). One row-count-sized aggregate, a 9-row
+    * broadcast of expectations, total order by digit. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expMap = "map(1,3010,2,1761,3,1249,4,969,5,792,6,669,7,580,8,512,9,458)"
+    val d = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1)
+      .selectExpr("CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("tot"))
+    d.crossJoin(broadcast(tot))
+      .selectExpr("digit", "n",
+        "(n * 10000) DIV tot AS obs_bp",
+        s"CAST(element_at($expMap, CAST(digit AS INT)) AS BIGINT) AS exp_bp")
+      .selectExpr("digit", "n", "obs_bp", "exp_bp",
+        "ABS(obs_bp - exp_bp) AS dev_bp")
+      .orderBy("digit")
+  }
+
+  /** Herfindahl–Hirschman concentration of supplier revenue per
+    * nation — the market-structure read procurement risk teams run:
+    * HHI = Σ share² over suppliers, shares in basis points (10000 =
+    * monopoly), revenue in exact integer cents of the discounted
+    * price. Two nation-partitioned aggregates (supplier revenue, then
+    * the HHI rollup) and a broadcast nation-name attach — no windows,
+    * no per-nation sorts; shares divide against a nation total
+    * carried on the row by a 25-row broadcast join. */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rev_c"))
+      .groupBy(col("l_suppkey")).agg(sum(col("rev_c")).as("rev"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val tot = rev.groupBy(col("s_nationkey")).agg(sum(col("rev")).as("tot"))
+    rev.join(broadcast(tot), "s_nationkey")
+      .selectExpr("s_nationkey", "(rev * 10000) DIV tot AS share_bp")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("share_bp") * col("share_bp")).as("sq"),
+        max(col("share_bp")).as("top_share_bp"))
+      .withColumn("hhi", expr("sq DIV 10000"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("hhi"), col("top_share_bp"))
+      .orderBy("n_name")
+  }
 }

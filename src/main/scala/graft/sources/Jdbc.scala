@@ -45,33 +45,47 @@ object Jdbc {
     try f(conn) finally conn.close()
   }
 
+  /** One monitor per (url, table): test suites sharing the JVM sweep
+    * the full query set concurrently, so two sweeps can re-stage the
+    * SAME source table at once — the DROP/CREATE pair races with
+    * itself ("table already exists") unless the whole stage
+    * (DDL + load) is serialized per table. Distinct tables still
+    * stage concurrently (the import-overlap shape is intentional). */
+  private val tableLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+  private def lockFor(url: String, table: String): Object =
+    tableLocks.getOrElseUpdate((url, table), new Object)
+
   /** Create a table from explicit DDL (Spark's JDBC writer cannot
     * declare PRIMARY KEY constraints) and append the rows. Column
     * names in the DDL are double-quoted lowercase so they match the
     * identifiers Spark's writer quotes into its INSERT statements. */
-  def createAndLoad(df: DataFrame, url: String, table: String, ddl: String): Unit = {
-    withConn(url) { conn =>
-      val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $table")
-      catch { case _: java.sql.SQLException => () } // first run: no table
-      st.executeUpdate(ddl)
-      st.close()
+  def createAndLoad(df: DataFrame, url: String, table: String, ddl: String): Unit =
+    lockFor(url, table).synchronized {
+      withConn(url) { conn =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $table")
+        catch { case _: java.sql.SQLException => () } // first run: no table
+        st.executeUpdate(ddl)
+        st.close()
+      }
+      // a handful of writer connections with large insert batches beats
+      // one connection per input partition against an embedded DB
+      df.coalesce(4).write.mode(SaveMode.Append)
+        .option("driver", DriverClass)
+        .option("batchsize", "10000")
+        .jdbc(url, table, connProps)
     }
-    // a handful of writer connections with large insert batches beats
-    // one connection per input partition against an embedded DB
-    df.coalesce(4).write.mode(SaveMode.Append)
-      .option("driver", DriverClass)
-      .option("batchsize", "10000")
-      .jdbc(url, table, connProps)
-  }
 
   def createTable(url: String, table: String, ddl: String): Unit =
-    withConn(url) { conn =>
-      val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $table")
-      catch { case _: java.sql.SQLException => () }
-      st.executeUpdate(ddl)
-      st.close()
+    lockFor(url, table).synchronized {
+      withConn(url) { conn =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $table")
+        catch { case _: java.sql.SQLException => () }
+        st.executeUpdate(ddl)
+        st.close()
+      }
     }
 
   /** Primary-key columns from JDBC metadata, in key-sequence order —

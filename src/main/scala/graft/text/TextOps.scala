@@ -759,4 +759,44 @@ object TextOps {
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
       .orderBy("fold")
   }
+
+  /** Temporal train/eval split of the event stream with the identity
+    * leakage audit — the split a forecasting/eval pipeline needs
+    * instead of [[splitKfold]]'s hash folds: cutoff at 80% of the
+    * observed time range (derived from a 1-row min/max broadcast, so
+    * the split is data-deterministic, not wall-clock), train strictly
+    * before. Per side: event count, distinct users, event share in
+    * bp, and the leakage count — users active on BOTH sides, whose
+    * per-user features computed on train would silently encode eval
+    * outcomes. Execution is one bounds aggregate, one user-grain
+    * aggregate (split membership via conditional MIN/MAX, no
+    * distinct-per-side double scan), and a 2-row rollup. */
+  def splitTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+    val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .selectExpr("lo + ((hi - lo) * 8) DIV 10 AS cutoff")
+    val tagged = e.crossJoin(broadcast(bounds))
+      .select(when(col("us") < col("cutoff"), "train").otherwise("eval").as("split"),
+        col("user_id"))
+    val perUser = tagged.groupBy(col("user_id"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval"))
+    val spanUsers = perUser
+      .filter(col("n_train") > 0 && col("n_eval") > 0)
+      .agg(count(lit(1)).as("n_span_users"))
+    val sides = perUser
+      .select(explode(array(
+        struct(lit("train").as("split"), col("n_train").as("n")),
+        struct(lit("eval").as("split"), col("n_eval").as("n")))).as("s"))
+      .select(col("s.split").as("split"), col("s.n").as("n"))
+      .filter(col("n") > 0)
+      .groupBy(col("split"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_users"))
+    val tot = sides.agg(sum(col("n_events")).as("tot"))
+    sides.crossJoin(broadcast(tot)).crossJoin(broadcast(spanUsers))
+      .selectExpr("split", "n_events", "n_users",
+        "(n_events * 10000) DIV tot AS share_bp", "n_span_users")
+      .orderBy("split")
+  }
 }
