@@ -345,4 +345,43 @@ class SkewCorpusSpec extends AnyFunSuite {
     assert(paths.nonEmpty && paths.head.getLong(1) >= paths.last.getLong(1))
     assertNoStorage("round-11-batch8910")
   }
+
+  test("round-11 batch-11 operators hold on the skew corpus: SNM linear hot block, capped mutual degree, split conservation") {
+    // sorted-neighborhood: the 500 identical hot copies all land in ONE
+    // (lang, prefix) block — the shape that makes a bucket self-join
+    // quadratic (B(B-1)/2 ≈ 125k pairs). The rank window emits only
+    // wdist ≤ 3 neighbors, so the hot block must stay LINEAR: ≤ 3B
+    // pairs, every one at jaccard 1.0. This is the SNM scale contract
+    // the gram index can't offer on identical-text floods.
+    val hotBase = SkewCorpus.hotDocBase(500L, 10)
+    val snm = timed("sortedNeighborhood (5500 docs, 500-copy hot block)") {
+      Dedup.sortedNeighborhood(spark, corpusDir)
+    }
+    val hotPairs = snm.filter(col("doc_a") >= hotBase && col("doc_b") >= hotBase)
+    val nHot = hotPairs.count()
+    assert(nHot >= 500 && nHot <= 3 * 510,
+      s"hot block pair count $nHot not linear in block size")
+    assert(hotPairs.filter(col("jacc") < 1.0).count() == 0,
+      "identical hot copies must pair at jaccard 1.0")
+    // mutual-kNN: the 10x replica space is one giant near-dup family
+    // (dim-0 perturbation only), i.e. maximal hubness — yet mutuality
+    // caps every node's surviving degree at k=3 by construction
+    val knn = timed("mutualKnn (5000 vecs, replica mega-family)") {
+      Dedup.mutualKnn(spark, corpusDir).collect()
+    }
+    val nVecs = spark.read.parquet(s"$corpusDir/embeddings.parquet").count()
+    assert(knn.map(_.getLong(1)).sum == nVecs, "census must cover the 10x space")
+    assert(knn.forall(_.getLong(0) <= 3), "mutual degree leaked past k")
+    // temporal split: conservation must survive the scrambled 41k-event
+    // stream with 30k events on one key (the split is a projection +
+    // one user-grain aggregate — skew lands on the hot user's single
+    // aggregation key, never a sort buffer)
+    val rows = timed("splitTemporal (41k events, 30k on one key)") {
+      graft.text.TextOps.splitTemporal(spark, corpusDir).collect()
+    }
+    val nEv = spark.read.parquet(s"$corpusDir/events.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nEv, "split lost events at 10x")
+    assert(rows.map(_.getLong(3)).sum >= 9998, "event shares must cover the stream")
+    assertNoStorage("round-11-batch11")
+  }
 }
