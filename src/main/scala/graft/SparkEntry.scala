@@ -320,6 +320,12 @@ object SparkEntry {
     "dedup_sorted_neighborhood" -> Dedup.sortedNeighborhood _,
     "embed_mutual_knn" -> Dedup.mutualKnn _,
     "split_temporal" -> TextOps.splitTemporal _,
+    // round 11 batch 12: market-basket lift, graph-ANN beam search,
+    // class-balanced downsampling, p95 top-coding audit
+    "q_basket_pairs" -> Analytics.qBasketPairs _,
+    "ann_graph_search" -> Ann.graphSearch _,
+    "sample_class_balance" -> Ann.classBalance _,
+    "dlp_top_coding" -> DlpQueries.dlpTopCoding _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3494,5 +3500,75 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM sides)
         |SELECT split, n_events, n_users, CAST((n_events * 10000) // tot AS BIGINT) AS share_bp, n_span_users
         |FROM sides CROSS JOIN t CROSS JOIN span ORDER BY split""".stripMargin,
+    // round 11 batch 12
+    "q_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pn AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p FROM b GROUP BY l_partkey),
+        |no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+        |pr AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab, pa.n_p AS n_a, pb.n_p AS n_b,
+        |  CAST((n_ab * 10000) // pa.n_p AS BIGINT) AS conf_a_bp,
+        |  CAST((n_ab * n_orders * 1000000) // (pa.n_p * pb.n_p) AS BIGINT) AS lift_u
+        |FROM pr JOIN pn pa ON pa.l_partkey = part_a JOIN pn pb ON pb.l_partkey = part_b
+        |CROSS JOIN no
+        |ORDER BY n_ab DESC, lift_u DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "ann_graph_search" -> {
+      val rounds = (1 to 2).map { t =>
+        s"""c$t AS (SELECT DISTINCT query_id, cand FROM (
+           |    SELECT query_id, cand FROM b${t - 1}
+           |    UNION ALL SELECT b.query_id, g.dst FROM b${t - 1} b JOIN graph g ON g.src = b.cand)
+           |  WHERE cand <> query_id),
+           |s$t AS (SELECT c$t.query_id, cand, ROUND(${duckCos("q.qe", "e.emb")}, 4) AS cos
+           |  FROM c$t JOIN e ON e.vec_id = cand JOIN q ON q.query_id = c$t.query_id),
+           |b$t AS (SELECT query_id, cand, CAST(rn AS BIGINT) AS rn FROM (
+           |  SELECT query_id, cand, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand) AS rn
+           |  FROM s$t) WHERE rn <= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |p0 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND(${duckCos("a.emb", "b.emb")}, 4) AS cos
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, cos FROM p0
+         |  UNION ALL SELECT vec_b, vec_a, cos FROM p0),
+         |graph AS (SELECT src, dst FROM (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sym) WHERE rn <= 4),
+         |entry AS (SELECT DISTINCT cand FROM (
+         |  SELECT src AS cand FROM graph WHERE src < 8
+         |  UNION ALL SELECT MIN(src) FROM graph)),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |b0 AS (SELECT query_id, cand FROM q CROSS JOIN entry),
+         |$rounds
+         |SELECT query_id, cand AS neighbor_id, rn AS rank
+         |FROM b2 ORDER BY query_id, rank""".stripMargin
+    },
+    "sample_class_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before FROM e GROUP BY label),
+        |nm AS (SELECT MIN(n_before) AS n_min FROM c),
+        |r AS (SELECT vec_id, label,
+        |  CAST(row_number() OVER (PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+        |  FROM e),
+        |k AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_after, CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+        |  FROM r CROSS JOIN nm WHERE rn <= n_min GROUP BY label)
+        |SELECT k.label, c.n_before, k.n_after,
+        |  CAST(((c.n_before - k.n_after) * 10000) // c.n_before AS BIGINT) AS drop_bp,
+        |  k.kept_id_sum
+        |FROM k JOIN c USING (label) ORDER BY label""".stripMargin,
+    "dlp_top_coding" ->
+      """WITH c AS (SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM customer),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v, c_custkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM c),
+        |thr AS (SELECT MIN(CASE WHEN rn = GREATEST((19 * (n + 1)) // 20, 1) THEN v END) AS p95_c FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(p95_c) AS BIGINT) AS p95_c,
+        |  CAST(SUM(CASE WHEN v > p95_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  CAST(SUM(CASE WHEN v > p95_c THEN v - p95_c ELSE 0 END) AS BIGINT) AS excess_c,
+        |  CAST(SUM(LEAST(v, p95_c)) AS BIGINT) AS winsor_sum_c
+        |FROM c CROSS JOIN thr""".stripMargin,
   )
 }

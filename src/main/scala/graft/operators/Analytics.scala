@@ -1318,6 +1318,38 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Market-basket affinity over order contents — the co-purchase
+    * lift report (the level-2 Apriori read): part pairs that share an
+    * order, with support, per-part confidence in bp, and lift in
+    * micro-units (n_ab·N/(n_a·n_b), exponent-free PMI — the same
+    * integer statistic as text_cooccurrence's collocations). Pair
+    * fan-out is basket-bounded: the self-join is an equality join on
+    * the order key, so an order with m parts emits m(m−1)/2 rows —
+    * bounded by basket size, NEVER part-vocabulary-quadratic. Part
+    * frequencies attach by key join (the part dimension grows with
+    * scale — no forced broadcast); top 50 via TakeOrdered. */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = graft.Caches.shared(spark, s"analytics.basket:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+    }
+    val partN = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+    val nOrders = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    b.as("a").join(b.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(partN.select(col("l_partkey").as("part_a"), col("n_p").as("n_a")), "part_a")
+      .join(partN.select(col("l_partkey").as("part_b"), col("n_p").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .selectExpr("part_a", "part_b", "n_ab", "n_a", "n_b",
+        "(n_ab * 10000) DIV n_a AS conf_a_bp",
+        "(n_ab * n_orders * 1000000) DIV (n_a * n_b) AS lift_u")
+      .orderBy(col("n_ab").desc, col("lift_u").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
   /** PageRank over the supplier↔customer trade graph, three exact
     * integer power iterations (Page et al. 1999; damping 0.85 as the
     * rational 85/100, teleport mass 0.15 as 150 000 micro-units).

@@ -179,6 +179,44 @@ object DlpQueries {
       .orderBy("c_custkey")
   }
 
+  /** Top-coding (winsorization) audit at the exact p95 — the
+    * disclosure-control companion to [[dlpQuantileBucketing]]:
+    * extreme values above the 95th percentile are clamped to it
+    * before publication (outlier balances re-identify), and the audit
+    * reports what clamping costs: the threshold, the clamped count,
+    * the excess mass removed, and the winsorized sum. The order
+    * statistic is rank-selected under the same two-level bucket
+    * decomposition (partitioned in-bucket ranks + a value-domain-
+    * bounded offset cumulative — no global window ever sees
+    * table-sized input); sums stay integer cents so nothing at the
+    * compare boundary divides a possibly-negative number. */
+  def dlpTopCoding(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, dir).selectExpr("c_custkey",
+      "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v")
+      .withColumn("b", expr("v DIV 16384"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("v"), col("c_custkey"))
+    val ranked = c.withColumn("rb", row_number().over(wIn))
+    val wB = Window.orderBy(col("b"))
+    val offs = c.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("cnt")
+    val thr = ranked.join(broadcast(offs), "b")
+      .withColumn("rn", col("off") + col("rb"))
+      .agg(min(when(col("rn") === expr("GREATEST((19 * (n + 1)) DIV 20, 1)"), col("v")))
+        .as("p95_c"))
+    c.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n"),
+        min(col("p95_c")).as("p95_c"),
+        sum(when(col("v") > col("p95_c"), 1L).otherwise(0L)).as("n_clamped"),
+        sum(when(col("v") > col("p95_c"), col("v") - col("p95_c")).otherwise(0L)).as("excess_c"),
+        sum(least(col("v"), col("p95_c"))).as("winsor_sum_c"))
+  }
+
   /** Whole-table config-driven de-identification (the reference's
     * dlpconfigs.json flow): customer per the example config. */
   def dlpConfigApply(spark: SparkSession, dir: String): DataFrame = {

@@ -958,4 +958,103 @@ object Ann {
         "(ssum + 20000 * n_vecs) DIV n_vecs - 20000 AS mean_s_bp", "n_neg")
       .orderBy("label")
   }
+
+  /** Graph-ANN beam search (the HNSW/NSG family's search step, on a
+    * flat neighbor graph): greedy best-first from a deterministic
+    * entry node over the top-4-per-node neighbor graph built from the
+    * cached near-dup pair list, two expansion rounds at beam width 4.
+    * This is the third ANN index family next to IVF and LSH — at
+    * corpus scale a navigable graph answers a query in O(hops · out-
+    * degree) distance evaluations against vectors fetched by KEY,
+    * where IVF must scan whole cells.
+    *
+    * Scale shape: the graph build is per-node windows over pair
+    * lists (bounded by near-dup degree); each expansion round is one
+    * key-join of the beam against the out-edge table plus a 10-query
+    * broadcast rescore — work per round is |beam| · 4, independent of
+    * corpus size. Rounds are unrolled (fixed search budget), so the
+    * lineage is static. */
+  def graphSearch(spark: SparkSession, dir: String): DataFrame = {
+    // neighbor graph from LSH-bucket candidates WITHOUT a cosine
+    // threshold: every node keeps its top-4 in-bucket neighbors, so
+    // the graph is navigable even where the corpus has no near-dups
+    // (an ε-threshold graph is too sparse to search). The bucket
+    // self-join is the bounded-fan-out LSH shape: pair work is
+    // Σ bucket², never corpus².
+    val eB = embDf(spark, dir).selectExpr("vec_id", "emb",
+      "concat(" + (1 to 8).map(i =>
+        s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") +
+        ") AS bucket")
+    val p = eB.as("a").join(eB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
+    val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val graph = sym.withColumn("rn", row_number().over(wK)).filter(col("rn") <= 4)
+      .select(col("src"), col("dst"))
+    // multi-entry: the 8 seed ids that exist in the graph (plus the
+    // smallest graph node as a never-empty fallback) — a single entry
+    // strands the search in that entry's connected component, the
+    // classic single-entry NSW failure
+    val entries = graph.select(col("src").as("cand")).filter(col("cand") < 8)
+      .unionAll(graph.agg(min(col("src")).as("cand")))
+      .distinct()
+    val e = embDf(spark, dir)
+    val q = embDf(spark, dir).filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val b0 = q.select(col("query_id")).crossJoin(broadcast(entries))
+    def expand(beam: DataFrame): DataFrame = {
+      val nb = beam.as("bm").join(graph.as("g"), col("bm.cand") === col("g.src"))
+        .select(col("bm.query_id").as("query_id"), col("g.dst").as("cand"))
+      val c = beam.select(col("query_id"), col("cand")).unionAll(nb)
+        .distinct()
+        .filter(col("cand") =!= col("query_id"))
+      val scored = c.join(e, c("cand") === e("vec_id"))
+        .join(broadcast(q), "query_id")
+        .withColumn("cos", round(cosineSim(col("qe"), col("emb")), 4))
+      val wQ = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand"))
+      scored.withColumn("rn", row_number().over(wQ).cast("long"))
+        .filter(col("rn") <= 4)
+        .select(col("query_id"), col("cand"), col("rn"))
+    }
+    val b1 = expand(b0)
+    val b2 = expand(b1.select(col("query_id"), col("cand")))
+    b2.select(col("query_id"), col("cand").as("neighbor_id"), col("rn").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Class-balanced downsampling to the minority-class size — the
+    * label-rebalance step a classifier-training pipeline runs before
+    * fitting: every label keeps exactly n_min vectors, selected by
+    * portable key-hash rank (md5 of the key — reproducible at any
+    * parallelism, stable under data reshuffles, the property rand()
+    * sampling lacks). Reports per label the before/after counts, the
+    * drop rate in bp, and the kept-id checksum that pins MEMBERSHIP
+    * (not just counts) across engines.
+    *
+    * Scale shape: one label-partitioned rank window (labels grow with
+    * the corpus; per-label slices are the natural unit of this
+    * operator — at extreme per-label cardinality the same contract
+    * runs approximately via per-label hash-threshold filtering, no
+    * rank needed), one label-sized aggregate, one 1-row broadcast. */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n_before"))
+    val nmin = counts.agg(min(col("n_before")).as("n_min"))
+    val wL = Window.partitionBy(col("label"))
+      .orderBy(col("hk"), col("vec_id"))
+    val kept = e.withColumn("hk", expr("md5(CAST(vec_id AS STRING))"))
+      .withColumn("rn", row_number().over(wL).cast("long"))
+      .crossJoin(broadcast(nmin))
+      .filter(col("rn") <= col("n_min"))
+    kept.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_after"), sum(col("vec_id")).as("kept_id_sum"))
+      .join(counts, "label")
+      .selectExpr("label", "n_before", "n_after",
+        "((n_before - n_after) * 10000) DIV n_before AS drop_bp", "kept_id_sum")
+      .orderBy("label")
+  }
 }
