@@ -384,4 +384,30 @@ class SkewCorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum >= 9998, "event shares must cover the stream")
     assertNoStorage("round-11-batch11")
   }
+
+  test("round-11 batch-12 operators hold on the skew corpus: navigable beams, balance floor") {
+    // graph search on the replica mega-family: replicas perturb only
+    // dim 0, so sign buckets concentrate 10x — the bucket self-join
+    // fans out ~100x per bucket but stays Σ bucket², and the beam
+    // contract (full dense ranks, no self-hits) must survive it
+    val beams = timed("graphSearch (5000 vecs, 10x-hot LSH buckets)") {
+      graft.sim.Ann.graphSearch(spark, corpusDir).collect()
+    }
+    val perQ = beams.groupBy(_.getLong(0))
+    assert(perQ.size == 10, "every query must come back with a beam at 10x")
+    perQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length), s"query $q ranks")
+      assert(!rs.exists(_.getLong(1) == q))
+    }
+    // class balance: replicas multiply every label 10x uniformly, so
+    // the minority floor scales with them and every label hits it
+    val bal = timed("classBalance (5000 vecs, 10 labels)") {
+      graft.sim.Ann.classBalance(spark, corpusDir).collect()
+    }
+    val nVecs = spark.read.parquet(s"$corpusDir/embeddings.parquet").count()
+    assert(bal.map(_.getLong(1)).sum == nVecs, "balance must account for the 10x space")
+    val floor = bal.map(_.getLong(1)).min
+    assert(bal.forall(_.getLong(2) == floor), "every label must keep exactly the floor")
+    assertNoStorage("round-11-batch12")
+  }
 }
