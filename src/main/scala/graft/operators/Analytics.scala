@@ -1368,28 +1368,49 @@ object Analytics {
     * stabilizes long before values converge — the property ranking
     * consumers rely on). Top 20 via TakeOrdered, never a global sort. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").cast("long").as("dst"))
-      .distinct()
+    // edge list and degree table persist SEPARATELY: attaching deg
+    // onto every edge row would pay an extra table-wide shuffle in the
+    // build, when the per-node contribution r DIV deg only needs the
+    // NODE-sized (rank ⋈ degree) join — edges then join one small
+    // contribution table per round (broadcastable here; co-partitioned
+    // on src at cluster scale)
     val edges = graft.Caches.shared(spark, s"analytics.tradegraph:$dir") {
-      val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      sym.join(deg, "src")
+      val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").cast("long").as("dst"))
+        .distinct()
+      // symmetrize in ONE pass: a self-union reads (and recomputes)
+      // the join+distinct lineage once per branch; the explode emits
+      // both directions from a single scan
+      e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+    val deg = graft.Caches.shared(spark, s"analytics.tradedeg:$dir") {
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     }
     val nodes = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("node_id"))
       .unionAll(Tables.supplier(spark, dir).select((col("s_suppkey") + 1000000L).as("node_id")))
     var r = nodes.select(col("node_id"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
-      val s = edges.join(r, edges("src") === r("node_id"))
-        .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("s"))
-        .select(col("dst").as("node_id"), col("s"))
-      r = nodes.join(s, Seq("node_id"), "left")
-        .selectExpr("node_id", "CAST(150000 + (85 * COALESCE(s, 0)) DIV 100 AS BIGINT) AS r")
+    for (i <- 1 to 3) {
+      val prev = r
+      // each round's rank frame persists (node-sized): without it the
+      // final plan nests every earlier round and the edge join
+      // re-executes 1+2+3 times — the iterative-lineage blowup this
+      // loop's docstring promises away
+      r = graft.Caches.shared(spark, s"analytics.pagerank.r$i:$dir") {
+        val contrib = prev.join(deg, prev("node_id") === deg("src"))
+          .selectExpr("src", "r DIV deg AS c")
+        val s = edges.join(contrib, "src")
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          .select(col("dst").as("node_id"), col("s"))
+        nodes.join(s, Seq("node_id"), "left")
+          .selectExpr("node_id", "CAST(150000 + (85 * COALESCE(s, 0)) DIV 100 AS BIGINT) AS r")
+      }
     }
-    val deg1 = edges.select(col("src").as("node_id"), col("deg")).distinct()
-    r.join(deg1, Seq("node_id"), "left")
+    r.join(deg.select(col("src").as("node_id"), col("deg")), Seq("node_id"), "left")
       .selectExpr("node_id",
         "CASE WHEN node_id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type",
         "COALESCE(deg, 0) AS degree", "r AS rank_u")

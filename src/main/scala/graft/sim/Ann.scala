@@ -981,19 +981,24 @@ object Ann {
     // (an ε-threshold graph is too sparse to search). The bucket
     // self-join is the bounded-fan-out LSH shape: pair work is
     // Σ bucket², never corpus².
-    val eB = embDf(spark, dir).selectExpr("vec_id", "emb",
-      "concat(" + (1 to 8).map(i =>
-        s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") +
-        ") AS bucket")
-    val p = eB.as("a").join(eB.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
-    val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
-      .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
-    val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val graph = sym.withColumn("rn", row_number().over(wK)).filter(col("rn") <= 4)
-      .select(col("src"), col("dst"))
+    // the finished graph persists (4 longs per node): entries and BOTH
+    // expansion rounds read it, and without the cache the bucket
+    // self-join + cosine pass would re-execute once per consumer
+    val graph = graft.Caches.shared(spark, s"ann.navgraph:$dir") {
+      val eB = embDf(spark, dir).selectExpr("vec_id", "emb",
+        "concat(" + (1 to 8).map(i =>
+          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") +
+          ") AS bucket")
+      val p = eB.as("a").join(eB.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
+      val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+        .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+      val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      sym.withColumn("rn", row_number().over(wK)).filter(col("rn") <= 4)
+        .select(col("src"), col("dst"))
+    }
     // multi-entry: the 8 seed ids that exist in the graph (plus the
     // smallest graph node as a never-empty fallback) — a single entry
     // strands the search in that entry's connected component, the
