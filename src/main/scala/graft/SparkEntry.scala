@@ -326,6 +326,11 @@ object SparkEntry {
     "ann_graph_search" -> Ann.graphSearch _,
     "sample_class_balance" -> Ann.classBalance _,
     "dlp_top_coding" -> DlpQueries.dlpTopCoding _,
+    // round 11 batch 13: growth accounting, count-min bias audit,
+    // leading principal direction by integer power iteration
+    "q_growth_accounting" -> Analytics.qGrowthAccounting _,
+    "q_countmin_audit" -> Analytics.qCountminAudit _,
+    "embed_pca_power" -> Ann.pcaPower _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3570,5 +3575,67 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN v > p95_c THEN v - p95_c ELSE 0 END) AS BIGINT) AS excess_c,
         |  CAST(SUM(LEAST(v, p95_c)) AS BIGINT) AS winsor_sum_c
         |FROM c CROSS JOIN thr""".stripMargin,
+    // round 11 batch 13
+    "q_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (SELECT week, user_id,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w
+        |  FROM uw),
+        |tagged AS (SELECT week, user_id,
+        |    CASE WHEN prev_w IS NULL THEN 'new'
+        |         WHEN prev_w = week - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS kind,
+        |    CASE WHEN next_w IS NULL OR next_w > week + 1 THEN week + 1 END AS churn_week
+        |  FROM t),
+        |active AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM tagged GROUP BY week),
+        |ch AS (SELECT churn_week AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM tagged WHERE churn_week IS NOT NULL GROUP BY churn_week)
+        |SELECT CAST(active.week AS BIGINT) AS week, n_active, n_new, n_retained, n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM active LEFT JOIN ch ON ch.week = active.week ORDER BY week""".stripMargin,
+    "q_countmin_audit" -> {
+      def bucketSql(d: Int) =
+        s"CAST(((ascii(substring(md5(CAST($d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 1)) * 256 + " +
+          s"ascii(substring(md5(CAST($d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 2, 1)))) % 64 AS BIGINT)"
+      val cells = (0 until 4).map(d => s"SELECT user_id, CAST($d AS BIGINT) AS d, ${bucketSql(d)} AS b FROM ev")
+        .mkString("\nUNION ALL ")
+      s"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |cells AS ($cells),
+         |sketch AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY d, b),
+         |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ev GROUP BY user_id
+         |  ORDER BY n_exact DESC, user_id LIMIT 10),
+         |probes AS (SELECT e.user_id, e.n_exact, c.d, c.b
+         |  FROM exact e JOIN (SELECT DISTINCT user_id, d, b FROM cells) c ON c.user_id = e.user_id),
+         |est AS (SELECT user_id, n_exact, CAST(MIN(cnt) AS BIGINT) AS n_est
+         |  FROM probes JOIN sketch USING (d, b) GROUP BY user_id, n_exact)
+         |SELECT user_id, n_exact, n_est,
+         |  CAST(((n_est - n_exact) * 10000) // n_exact AS BIGINT) AS over_bp
+         |FROM est ORDER BY n_exact DESC, user_id""".stripMargin
+    },
+    "embed_pca_power" -> {
+      def signSafe(x: String, m: String) =
+        s"CASE WHEN $x >= 0 THEN ($x * 1000) // $m ELSE -((-($x) * 1000) // $m) END"
+      s"""WITH d AS (SELECT vec_id, CAST(pos - 1 AS BIGINT) AS dim,
+         |    CAST(CAST(v AS DECIMAL(9,3)) * 1000 AS BIGINT) AS vu
+         |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos FROM embeddings)),
+         |cov AS (SELECT a.dim AS j, b.dim AS k, CAST(SUM(a.vu * b.vu) AS BIGINT) AS c
+         |  FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |x1 AS (SELECT j, CAST(SUM(c) AS BIGINT) AS x FROM cov GROUP BY j),
+         |m1 AS (SELECT CAST(MAX(ABS(x)) AS BIGINT) AS m FROM x1),
+         |x1n AS (SELECT j AS k, CAST(${signSafe("x", "GREATEST(m, 1)")} AS BIGINT) AS xn
+         |  FROM x1 CROSS JOIN m1),
+         |x2 AS (SELECT j, CAST(${signSafe("p", "1000")} AS BIGINT) AS x FROM (
+         |  SELECT j, CAST(SUM(c * xn) AS BIGINT) AS p FROM cov JOIN x1n USING (k) GROUP BY j)),
+         |m2 AS (SELECT CAST(MAX(ABS(x)) AS BIGINT) AS m FROM x2)
+         |SELECT j AS dim, CAST(${signSafe("x", "GREATEST(m, 1)")} AS BIGINT) AS loading_milli
+         |FROM x2 CROSS JOIN m2 ORDER BY dim""".stripMargin
+    },
   )
 }

@@ -1318,6 +1318,80 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Growth accounting of the event stream — the weekly
+    * new/retained/resurrected/churned decomposition every activity
+    * dashboard runs (the "quick ratio" inputs): per user-week of
+    * activity, classify by the user's previous active week (none →
+    * new; w−1 → retained; earlier → resurrected), and attribute churn
+    * to week w+1 whenever the next active week is not w+1. One
+    * user-grain distinct, one per-user lag/lead window over ACTIVE
+    * WEEKS (bounded by the user's distinct active weeks, not events),
+    * one week-sized rollup; churn rolls up from the same frame via an
+    * unpivot so the stream is scanned once. */
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) DIV 604800000000 AS week")
+      .distinct()
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val tagged = uw
+      .withColumn("prev_w", lag(col("week"), 1).over(wU))
+      .withColumn("next_w", lead(col("week"), 1).over(wU))
+      .selectExpr("week", "user_id",
+        """CASE WHEN prev_w IS NULL THEN 'new'
+          |     WHEN prev_w = week - 1 THEN 'retained'
+          |     ELSE 'resurrected' END AS kind""".stripMargin.replace("\n", " "),
+        "CASE WHEN next_w IS NULL OR next_w > week + 1 THEN week + 1 END AS churn_week")
+    val active = tagged.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val churned = tagged.filter(col("churn_week").isNotNull)
+      .groupBy(col("churn_week").as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
+  /** Count-min sketch bias audit (Cormode & Muthukrishnan 2005) over
+    * per-user event counts: a depth-4 × width-64 CMS built with the
+    * portable md5 hash family, read back for the exact top-10 users —
+    * estimate, exact count, and the overestimate in bp. The sketch is
+    * deliberately narrow so the one-sided collision bias is VISIBLE:
+    * this is the table that prices sketch width before replacing an
+    * exact group-by at 100 TB. Build = one explode(depth) + one
+    * (4·64)-cell aggregate (fixed size at any scale — the whole point
+    * of the sketch); readback joins the 256-cell table onto the
+    * top-10 probe set only. */
+  def qCountminAudit(spark: SparkSession, dir: String): DataFrame = {
+    def bucketSql(d: Int) =
+      s"CAST(((ascii(substring(md5(CAST($d AS STRING) || ':' || CAST(user_id AS STRING)), 1, 1)) * 256 + " +
+        s"ascii(substring(md5(CAST($d AS STRING) || ':' || CAST(user_id AS STRING)), 2, 1)))) % 64 AS BIGINT)"
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val sketch = ev
+      .select(explode(expr(
+        s"array(${(0 until 4).map(d => s"named_struct('d', CAST($d AS BIGINT), 'b', ${bucketSql(d)})").mkString(", ")})"
+      )).as("c"))
+      .select(col("c.d").as("d"), col("c.b").as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    val probes = exact
+      .select(col("user_id"), col("n_exact"), explode(expr(
+        s"array(${(0 until 4).map(d => s"named_struct('d', CAST($d AS BIGINT), 'b', ${bucketSql(d)})").mkString(", ")})"
+      )).as("c"))
+      .select(col("user_id"), col("n_exact"), col("c.d").as("d"), col("c.b").as("b"))
+    probes.join(broadcast(sketch), Seq("d", "b"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .selectExpr("user_id", "n_exact", "n_est",
+        "((n_est - n_exact) * 10000) DIV n_exact AS over_bp")
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
   /** Market-basket affinity over order contents — the co-purchase
     * lift report (the level-2 Apriori read): part pairs that share an
     * order, with support, per-part confidence in bp, and lift in

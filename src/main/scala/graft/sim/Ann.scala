@@ -959,6 +959,50 @@ object Ann {
       .orderBy("label")
   }
 
+  /** Leading principal direction of the embedding space by two exact
+    * integer power iterations on the uncentered second-moment matrix
+    * (the PCA direction training-data pipelines use for whitening
+    * decisions and the classic "dominant direction" anisotropy check
+    * — Mu & Viswanath ICLR 2018 strip exactly this component).
+    * Values quantize once to milli-units; the 64×64 moment matrix is
+    * ONE self-join-per-vector aggregate (fan-out dim² per vector, a
+    * fixed 4096-cell frame at any corpus size); each iteration is a
+    * 4096-row join against a 64-row vector, normalized to milli by
+    * the max component through sign-safe division (Spark DIV
+    * truncates, DuckDB // floors — they agree only on non-negative
+    * operands, so every division runs on ABS with the sign reapplied).
+    * Output: 64 loading rows. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    def signSafe(x: String, m: String) =
+      s"CASE WHEN $x >= 0 THEN ($x * 1000) DIV $m ELSE -((-($x) * 1000) DIV $m) END"
+    // quantize each vector ONCE, then expand the dim² outer product
+    // row-locally (double posexplode — no self-join, no row-keyed
+    // shuffle): partials combine map-side straight into the 4096-cell
+    // frame, so the only exchange is 4096 rows at any corpus size
+    val v = Tables.embeddings(spark, dir)
+      .selectExpr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "x -> CAST(CAST(x AS DECIMAL(9,3)) * 1000 AS BIGINT)) AS vus")
+    val cov = graft.Caches.shared(spark, s"ann.moment:$dir") {
+      v.select(posexplode(col("vus")).as(Seq("j", "vj")), col("vus"))
+        .select(col("j").cast("long").as("j"), col("vj"),
+          posexplode(col("vus")).as(Seq("k", "vk")))
+        .select(col("j"), col("k").cast("long").as("k"), col("vj"), col("vk"))
+        .groupBy(col("j"), col("k"))
+        .agg(sum(col("vj") * col("vk")).as("c"))
+    }
+    val x1 = cov.groupBy(col("j")).agg(sum(col("c")).as("x"))
+    val m1 = x1.agg(max(abs(col("x"))).as("m"))
+    val x1n = x1.crossJoin(broadcast(m1))
+      .selectExpr("j AS k", s"${signSafe("x", "GREATEST(m, 1)")} AS xn")
+    val x2 = cov.join(broadcast(x1n), "k")
+      .groupBy(col("j")).agg(sum(col("c") * col("xn")).as("p"))
+      .selectExpr("j", s"${signSafe("p", "1000")} AS x")
+    val m2 = x2.agg(max(abs(col("x"))).as("m"))
+    x2.crossJoin(broadcast(m2))
+      .selectExpr("j AS dim", s"${signSafe("x", "GREATEST(m, 1)")} AS loading_milli")
+      .orderBy("dim")
+  }
+
   /** Graph-ANN beam search (the HNSW/NSG family's search step, on a
     * flat neighbor graph): greedy best-first from a deterministic
     * entry node over the top-4-per-node neighbor graph built from the
