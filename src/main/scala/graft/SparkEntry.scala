@@ -331,6 +331,9 @@ object SparkEntry {
     "q_growth_accounting" -> Analytics.qGrowthAccounting _,
     "q_countmin_audit" -> Analytics.qCountminAudit _,
     "embed_pca_power" -> Ann.pcaPower _,
+    // round 11 batch 14: t-closeness risk, ship-latency percentiles
+    "dlp_t_closeness" -> DlpQueries.dlpTCloseness _,
+    "q_ship_latency" -> Analytics.qShipLatency _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3637,5 +3640,43 @@ object SparkEntry {
          |SELECT j AS dim, CAST(${signSafe("x", "GREATEST(m, 1)")} AS BIGINT) AS loading_milli
          |FROM x2 CROSS JOIN m2 ORDER BY dim""".stripMargin
     },
+    // round 11 batch 14
+    "dlp_t_closeness" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS sb FROM customer),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM c),
+        |gd AS (SELECT sb, CAST((COUNT(*) * 10000) // n_total AS BIGINT) AS g_bp
+        |  FROM c CROSS JOIN n GROUP BY sb, n_total),
+        |cl AS (SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS class_size
+        |  FROM c GROUP BY 1, 2),
+        |cells AS (SELECT c_mktsegment, c_nationkey, sb, CAST(COUNT(*) AS BIGINT) AS n_cs
+        |  FROM c GROUP BY 1, 2, 3),
+        |dense AS (SELECT cl.c_mktsegment, cl.c_nationkey, cl.class_size, gd.sb, gd.g_bp,
+        |    CAST((COALESCE(n_cs, 0) * 10000) // cl.class_size AS BIGINT) AS c_bp
+        |  FROM cl CROSS JOIN gd
+        |  LEFT JOIN cells ON cells.c_mktsegment = cl.c_mktsegment
+        |    AND cells.c_nationkey = cl.c_nationkey AND cells.sb = gd.sb),
+        |cum AS (SELECT c_mktsegment, c_nationkey, class_size,
+        |    SUM(c_bp - g_bp) OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY sb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dense),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets FROM gd)
+        |SELECT c_mktsegment, c_nationkey, class_size,
+        |  CAST(SUM(ABS(cum)) // GREATEST(n_buckets - 1, 1) AS BIGINT) AS t_bp
+        |FROM cum CROSS JOIN nb
+        |GROUP BY c_mktsegment, c_nationkey, class_size, n_buckets
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_ship_latency" ->
+      """WITH d AS (SELECT o_orderpriority AS prio, l_orderkey, l_linenumber,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (SELECT prio, days,
+        |    CAST(row_number() OVER (PARTITION BY prio ORDER BY days, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS n FROM d)
+        |SELECT prio AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(MIN(CASE WHEN rn = GREATEST((n + 1) // 2, 1) THEN days END) AS BIGINT) AS p50_days,
+        |  CAST(MIN(CASE WHEN rn = GREATEST((9 * (n + 1)) // 10, 1) THEN days END) AS BIGINT) AS p90_days,
+        |  CAST(MAX(days) AS BIGINT) AS max_days
+        |FROM r GROUP BY prio ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -252,6 +252,53 @@ object DlpQueries {
         countDistinct(col("bal_bucket")).as("l_diversity"))
       .orderBy("c_mktsegment", "c_nationkey")
 
+  /** t-closeness risk analysis (Li, Li & Venkatasubramanian ICDE
+    * 2007) — the third leg of the disclosure-risk family after
+    * [[dlpKAnonymity]] and [[dlpLDiversity]]: per QI class, the Earth
+    * Mover's Distance between the class's sensitive-attribute
+    * distribution and the global one, for the ORDERED sensitive
+    * attribute (acctbal in 2000-unit buckets) where EMD is the
+    * normalized sum of absolute cumulative share differences. A class
+    * can be k-anonymous and l-diverse yet leak through skew — this is
+    * the metric that catches it.
+    *
+    * Scale shape: distributions are (class × bucket)-sized with the
+    * bucket list a value-domain constant (~7 buckets), densified by a
+    * broadcast cross join so missing buckets carry zero share; the
+    * cumulative runs under a class-partitioned window over ≤ B rows.
+    * Shares in bp; |cum diff| sums are non-negative before the single
+    * normalizing division (Spark DIV ≡ DuckDB // on non-negatives). */
+  def dlpTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_mktsegment", "c_nationkey",
+        "CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS sb")
+    val n = c.agg(count(lit(1)).as("n_total"))
+    val globalDist = c.groupBy(col("sb")).agg(count(lit(1)).as("n_g"))
+      .crossJoin(broadcast(n))
+      .selectExpr("sb", "(n_g * 10000) DIV n_total AS g_bp")
+    val classes = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"))
+    val cells = c.groupBy(col("c_mktsegment"), col("c_nationkey"), col("sb"))
+      .agg(count(lit(1)).as("n_cs"))
+    val dense = classes.crossJoin(broadcast(globalDist.select(col("sb"), col("g_bp"))))
+      .join(cells, Seq("c_mktsegment", "c_nationkey", "sb"), "left")
+      .selectExpr("c_mktsegment", "c_nationkey", "class_size", "sb", "g_bp",
+        "(COALESCE(n_cs, 0) * 10000) DIV class_size AS c_bp")
+    val wC = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+      .orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nb = globalDist.agg(count(lit(1)).as("n_buckets"))
+    dense
+      .withColumn("cum", sum(col("c_bp") - col("g_bp")).over(wC))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("class_size"))
+      .agg(sum(abs(col("cum"))).as("s"))
+      .crossJoin(broadcast(nb))
+      .selectExpr("c_mktsegment", "c_nationkey", "class_size",
+        "s DIV GREATEST(n_buckets - 1, 1) AS t_bp")
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   /** Hotword context boosting (DLP CustomInfoType.DetectionRule
     * .HotwordRule): a finding's likelihood is raised when a trigger
     * word appears within a proximity window BEFORE the match — the
