@@ -334,6 +334,11 @@ object SparkEntry {
     // round 11 batch 14: t-closeness risk, ship-latency percentiles
     "dlp_t_closeness" -> DlpQueries.dlpTCloseness _,
     "q_ship_latency" -> Analytics.qShipLatency _,
+    // round 11 batch 15: DAU/MAU stickiness, cosine-band label
+    // precision, day-of-week seasonality
+    "q_dau_mau" -> Analytics.qDauMau _,
+    "embed_label_precision" -> Ann.labelPrecision _,
+    "q_dow_profile" -> Analytics.qDowProfile _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3678,5 +3683,44 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN rn = GREATEST((9 * (n + 1)) // 10, 1) THEN days END) AS BIGINT) AS p90_days,
         |  CAST(MAX(days) AS BIGINT) AS max_days
         |FROM r GROUP BY prio ORDER BY o_orderpriority""".stripMargin,
+    // round 11 batch 15
+    "q_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY day),
+        |ex AS (SELECT user_id, unnest(range(day, day + 28)) AS day FROM ud),
+        |mau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM ex GROUP BY day)
+        |SELECT CAST(dau.day AS BIGINT) AS day, dau, mau,
+        |  CAST((dau * 10000) // mau AS BIGINT) AS stickiness_bp
+        |FROM dau JOIN mau ON mau.day = dau.day ORDER BY day""".stripMargin,
+    "embed_label_precision" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, CAST(label AS BIGINT) AS label FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |p0 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND(${duckCos("a.emb", "b.emb")}, 4) AS cos
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |j AS (SELECT CASE WHEN cos >= 0.7 THEN 'a_0.70+'
+         |    WHEN cos >= 0.35 THEN 'b_0.35-0.70'
+         |    WHEN cos >= 0.0 THEN 'c_0.00-0.35'
+         |    ELSE 'd_neg' END AS band,
+         |    CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+         |  FROM p0 JOIN e la ON la.vec_id = vec_a JOIN e lb ON lb.vec_id = vec_b)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(same) AS BIGINT) AS n_same,
+         |  CAST((SUM(same) * 10000) // COUNT(*) AS BIGINT) AS precision_bp
+         |FROM j GROUP BY band ORDER BY band""".stripMargin),
+    "q_dow_profile" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM g)
+        |SELECT event_type, dow, n,
+        |  CAST((n * 10000) // tot AS BIGINT) AS share_bp,
+        |  CAST(ABS((n * 10000) // tot - 1428) AS BIGINT) AS dev_bp
+        |FROM t ORDER BY event_type, dow""".stripMargin,
   )
 }

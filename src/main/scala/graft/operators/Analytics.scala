@@ -1318,6 +1318,51 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** DAU/MAU stickiness — the engagement ratio every activity report
+    * leads with: per observed day, distinct daily actives, distinct
+    * trailing-28-day actives, and DAU/MAU in bp. The trailing
+    * distinct is EXACT without a sliding-window distinct (which no
+    * engine does distributively): each (user, active-day) row
+    * contributes itself to the 28 observation days it stays "monthly
+    * active" for — a bounded ×28 explode of the user-day grain — and
+    * the per-observation-day distinct collapses the multi-activity
+    * overlap. Work is 28 · |user-days|, shuffled once on the
+    * observation day. */
+  def qDauMau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ud.selectExpr("user_id", "explode(sequence(day, day + 27)) AS day")
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "day")
+      .selectExpr("day", "dau", "mau", "(dau * 10000) DIV mau AS stickiness_bp")
+      .orderBy("day")
+  }
+
+  /** Day-of-week seasonality profile per event type — the weekly-
+    * pattern read behind capacity planning and anomaly baselines:
+    * counts and within-type share bp per (type, dow), with the
+    * deviation from the uniform 1/7. Day-of-week derives from the
+    * epoch-day integer ((day + 4) % 7, day 0 = Thursday) — never an
+    * engine date-part function, whose week-start conventions differ.
+    * One types×7-sized aggregate with the type total carried by a
+    * window over the aggregated frame. */
+  def qDowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "(unix_micros(ts) DIV 86400000000 + 4) % 7 AS dow")
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val wT = Window.partitionBy(col("event_type"))
+    g.withColumn("tot", sum(col("n")).over(wT))
+      .selectExpr("event_type", "dow", "n",
+        "(n * 10000) DIV tot AS share_bp",
+        "ABS((n * 10000) DIV tot - 1428) AS dev_bp")
+      .orderBy("event_type", "dow")
+  }
+
   /** Order-to-ship latency percentiles per order priority — the SLA
     * read of fulfilment: exact p50/p90 of datediff(shipdate,
     * orderdate) in days, rank-selected per priority under the

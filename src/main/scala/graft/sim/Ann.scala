@@ -1003,6 +1003,52 @@ object Ann {
       .orderBy("dim")
   }
 
+  /** All in-bucket candidate pairs with rounded cosine — the shared
+    * substrate of the navigable graph and the label-precision
+    * calibration: the sign-LSH bucket self-join WITHOUT a cosine
+    * floor, so consumers see the full similarity range their
+    * thresholds will be chosen from. Pair work is Σ bucket², never
+    * corpus². */
+  private def bucketPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(spark, s"ann.bucketpairs:$dir") {
+      val eB = embDf(spark, dir).selectExpr("vec_id", "emb",
+        "concat(" + (1 to 8).map(i =>
+          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") +
+          ") AS bucket")
+      eB.as("a").join(eB.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
+    }
+
+  /** Label-precision calibration of the cosine threshold — the "what
+    * does 0.5 cosine actually buy" table an embedding-dedup rollout
+    * reads before picking its cutoff: over ALL in-bucket candidate
+    * pairs (unthresholded — the calibration must see the range the
+    * threshold will cut), the share of SAME-LABEL pairs per cosine
+    * band, labels as the relevance proxy (the standard calibration
+    * trick when no human judgments exist). Rides the shared bucket-
+    * pair cache; labels attach by two key joins; the report is 4
+    * bands. */
+  def labelPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+    bucketPairs(spark, dir)
+      .join(lab.selectExpr("vec_id AS vec_a", "label AS la"), "vec_a")
+      .join(lab.selectExpr("vec_id AS vec_b", "label AS lb"), "vec_b")
+      .selectExpr(
+        """CASE WHEN cos >= 0.7 THEN 'a_0.70+'
+          |     WHEN cos >= 0.35 THEN 'b_0.35-0.70'
+          |     WHEN cos >= 0.0 THEN 'c_0.00-0.35'
+          |     ELSE 'd_neg' END AS band""".stripMargin.replace("\n", " "),
+        "CASE WHEN la = lb THEN 1 ELSE 0 END AS same")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("same")).as("n_same"))
+      .selectExpr("band", "n_pairs", "n_same",
+        "(n_same * 10000) DIV n_pairs AS precision_bp")
+      .orderBy("band")
+  }
+
   /** Graph-ANN beam search (the HNSW/NSG family's search step, on a
     * flat neighbor graph): greedy best-first from a deterministic
     * entry node over the top-4-per-node neighbor graph built from the
@@ -1029,14 +1075,7 @@ object Ann {
     // expansion rounds read it, and without the cache the bucket
     // self-join + cosine pass would re-execute once per consumer
     val graph = graft.Caches.shared(spark, s"ann.navgraph:$dir") {
-      val eB = embDf(spark, dir).selectExpr("vec_id", "emb",
-        "concat(" + (1 to 8).map(i =>
-          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") +
-          ") AS bucket")
-      val p = eB.as("a").join(eB.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
+      val p = bucketPairs(spark, dir)
       val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
         .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
       val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
