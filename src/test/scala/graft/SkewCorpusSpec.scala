@@ -372,6 +372,13 @@ class SkewCorpusSpec extends AnyFunSuite {
     val nVecs = spark.read.parquet(s"$corpusDir/embeddings.parquet").count()
     assert(knn.map(_.getLong(1)).sum == nVecs, "census must cover the 10x space")
     assert(knn.forall(_.getLong(0) <= 3), "mutual degree leaked past k")
+    // label precision on the replica mega-family: bands must still
+    // partition the (10x-hot) in-bucket pair volume exactly
+    val prec = timed("labelPrecision (5000 vecs, 10x-hot buckets)") {
+      graft.sim.Ann.labelPrecision(spark, corpusDir).collect()
+    }
+    prec.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    assert(prec.map(_.getLong(1)).sum > 0)
     // temporal split: conservation must survive the scrambled 41k-event
     // stream with 30k events on one key (the split is a projection +
     // one user-grain aggregate — skew lands on the hot user's single
@@ -409,5 +416,34 @@ class SkewCorpusSpec extends AnyFunSuite {
     val floor = bal.map(_.getLong(1)).min
     assert(bal.forall(_.getLong(2) == floor), "every label must keep exactly the floor")
     assertNoStorage("round-11-batch12")
+  }
+
+  test("round-11 batch-13/15 operators hold on the skew corpus: growth flow, sketch bias, engagement") {
+    // growth accounting: the hot user's 30k events collapse to ONE
+    // user-week row per active week before any window touches them —
+    // the flow identities must survive the 10x multiplied user base
+    val ga = timed("qGrowthAccounting (41k events, 30k on one key)") {
+      graft.operators.Analytics.qGrowthAccounting(spark, corpusDir).collect()
+    }
+    ga.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"week ${r.getLong(0)}: kinds must partition actives at 10x")
+    }
+    // count-min: the hot user IS the heavy hitter the sketch exists
+    // for — it must surface in the audit's top-10 with a one-sided
+    // estimate despite 10x collision pressure
+    val cm = timed("qCountminAudit (41k events)") {
+      graft.operators.Analytics.qCountminAudit(spark, corpusDir).collect()
+    }
+    assert(cm.head.getLong(0) == SkewCorpus.HotUserId,
+      "the 30k-event hot user must top the count-min audit")
+    cm.foreach(r => assert(r.getLong(2) >= r.getLong(1), "CMS undercounted at 10x"))
+    // DAU/MAU: conservation under the scrambled hot stream — the hot
+    // user contributes exactly 1 to every day it touches
+    val dm = timed("qDauMau (41k events)") {
+      graft.operators.Analytics.qDauMau(spark, corpusDir).collect()
+    }
+    dm.foreach(r => assert(r.getLong(1) <= r.getLong(2), "DAU must bound below MAU"))
+    assertNoStorage("round-11-batch1315")
   }
 }
