@@ -339,6 +339,9 @@ object SparkEntry {
     "q_dau_mau" -> Analytics.qDauMau _,
     "embed_label_precision" -> Ann.labelPrecision _,
     "q_dow_profile" -> Analytics.qDowProfile _,
+    // round 11 batch 16: fixed-window rate limiting, RAKE keywords
+    "stream_rate_limit" -> ((s: SparkSession, d: String) => Streams.rateLimit(s, d)),
+    "text_keywords" -> TextOps.keywords _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3722,5 +3725,40 @@ object SparkEntry {
         |  CAST((n * 10000) // tot AS BIGINT) AS share_bp,
         |  CAST(ABS((n * 10000) // tot - 1428) AS BIGINT) AS dev_bp
         |FROM t ORDER BY event_type, dow""".stripMargin,
+    // round 11 batch 16
+    "stream_rate_limit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT user_id, us // 60000000 AS win,
+        |    CAST(row_number() OVER (PARTITION BY user_id, us // 60000000 ORDER BY us, event_id) AS BIGINT) AS rn
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled,
+        |    CAST(MAX(rn) AS BIGINT) AS peak_rate,
+        |    CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, n_events, n_throttled, peak_rate, n_windows
+        |FROM g ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
+    "text_keywords" -> {
+      val stop = TextOps.RakeStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS word FROM documents),
+         |ns AS (SELECT doc_id, pos, word FROM w WHERE word NOT IN ($stop)),
+         |g AS (SELECT doc_id, pos, word,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM ns),
+         |ph AS (SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY doc_id, grp),
+         |f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM g GROUP BY word),
+         |deg AS (SELECT g.word, CAST(SUM(ph.len) AS BIGINT) AS deg
+         |  FROM g JOIN ph ON ph.doc_id = g.doc_id AND ph.grp = g.grp GROUP BY g.word),
+         |ws AS (SELECT word, CAST((deg * 1000) // f AS BIGINT) AS s FROM f JOIN deg USING (word)),
+         |pd AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur,
+         |    CAST(MIN(len) AS BIGINT) AS n_words FROM ph GROUP BY phrase),
+         |px AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM pd),
+         |sc AS (SELECT phrase, CAST(SUM(s) AS BIGINT) AS score_milli FROM px JOIN ws USING (word) GROUP BY phrase)
+         |SELECT pd.phrase, n_words, n_occur, score_milli
+         |FROM pd JOIN sc USING (phrase)
+         |ORDER BY score_milli DESC, phrase LIMIT 20""".stripMargin
+    },
   )
 }

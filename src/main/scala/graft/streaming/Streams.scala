@@ -918,6 +918,71 @@ object Streams {
       .orderBy("user_id")
   }
 
+  case class RateState(window: Long, n: Long)
+  case class RateHit(user_id: Long, event_id: Long, window: Long, n_in_window: Long)
+
+  /** Fixed-window rate limiting per user (the API-throttle / abuse-
+    * detection shape): at most `limit` events per user per minute
+    * window; the report profiles each user's traffic — events,
+    * throttled count, peak within-window rate, windows touched — for
+    * the top-20 heaviest users. State in the streaming form is ONE
+    * (window, count) pair per user — bounded regardless of stream
+    * length, the property that makes this the canonical stateful-but-
+    * safe streaming operator (vs. unbounded dedup sets). The batch
+    * form is one (user, window)-partitioned rank — the gate query —
+    * and the streaming machine is spec-proven equivalent on the skew
+    * corpus where a 30k-event hot key actually throttles. */
+  def rateLimit(spark: SparkSession, dir: String,
+                limit: Long = 5L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("win"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .withColumn("win", expr("us DIV 60000000"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") > limit, 1L).otherwise(0L)).as("n_throttled"),
+        max(col("rn")).as("peak_rate"),
+        countDistinct(col("win")).as("n_windows"))
+      .selectExpr("user_id", "n_events", "n_throttled", "peak_rate",
+        "CAST(n_windows AS BIGINT) AS n_windows")
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Streaming form of [[rateLimit]]: one (window, count) pair of
+    * state per user, emitting a [[RateHit]] for every event the
+    * limiter would REJECT — the decision stream a gateway enforces
+    * live. Window rollover resets the count (state never grows with
+    * history); within-trigger disorder goes through the shared
+    * bounded reorder with the usual contract. */
+  def rateLimitStreaming(evs: Dataset[Ev], limit: Long = 5L,
+                         windowUs: Long = 60000000L,
+                         reorderBuffer: Int = 4096,
+                         strict: Boolean = false): Dataset[RateHit] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, events, state: GroupState[RateState]) =>
+          val reordered = Reorder.bounded(events, reorderBuffer, strict)(
+            Ordering.by(e => (e.us, e.event_id)))
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateHit]
+          while (reordered.hasNext) {
+            val (e, _) = reordered.next()
+            val win = e.us / windowUs
+            st = if (win != st.window) RateState(win, 1L)
+                 else RateState(win, st.n + 1L)
+            if (st.n > limit) out += RateHit(uid, e.event_id, win, st.n)
+            state.update(st)
+          }
+          out.iterator
+      }
+  }
+
   case class TransEv(from_type: String, to_type: String)
 
   /** Streaming form of the transition matrix

@@ -760,6 +760,52 @@ object TextOps {
       .orderBy("fold")
   }
 
+  /** Shared RAKE stoplist — phrase delimiters. ONE definition for the
+    * operator and its oracle so the candidate-phrase segmentation can
+    * never drift between them. */
+  val RakeStop: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "for", "on",
+    "with", "as", "by", "at", "from", "it", "this", "that", "are", "was")
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are
+    * maximal stopword-free word runs (gaps-and-islands over the token
+    * stream), each word scores degree/frequency (degree = Σ length of
+    * phrases containing it — co-occurrence reach; frequency penalizes
+    * ubiquity), a phrase scores the sum of its words, in exact milli
+    * integers. Top-20 distinct phrases.
+    *
+    * Scale shape: token explode is corpus-linear; the island id is a
+    * doc-partitioned window; word stats are two word-keyed aggregates;
+    * phrase text assembles ORDER-DETERMINISTICALLY (sorted (pos, word)
+    * structs — never a bare collect_list at a compare boundary); the
+    * report is TakeOrdered. */
+  def keywords(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, word)")
+      .filter(not(col("word").isin(RakeStop: _*)))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = graft.Caches.shared(spark, s"text.rakeislands:$dir") {
+      ns.withColumn("grp", col("pos") - row_number().over(wD))
+    }
+    val ph = g.groupBy(col("doc_id"), col("grp"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')").as("phrase"),
+        count(lit(1)).as("len"))
+    val f = g.groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val deg = g.join(ph.select(col("doc_id"), col("grp"), col("len")), Seq("doc_id", "grp"))
+      .groupBy(col("word")).agg(sum(col("len")).as("deg"))
+    val ws = f.join(deg, "word").selectExpr("word", "(deg * 1000) DIV f AS s")
+    val pd = ph.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), min(col("len")).as("n_words"))
+    val sc = pd.select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(ws, "word")
+      .groupBy(col("phrase")).agg(sum(col("s")).as("score_milli"))
+    pd.join(sc, "phrase")
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("score_milli"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(20)
+  }
+
   /** Temporal train/eval split of the event stream with the identity
     * leakage audit — the split a forecasting/eval pipeline needs
     * instead of [[splitKfold]]'s hash folds: cutoff at 80% of the

@@ -444,6 +444,19 @@ class SkewCorpusSpec extends AnyFunSuite {
       graft.operators.Analytics.qDauMau(spark, corpusDir).collect()
     }
     dm.foreach(r => assert(r.getLong(1) <= r.getLong(2), "DAU must bound below MAU"))
-    assertNoStorage("round-11-batch1315")
+    // rate limiter: the hot user's 30k events land in ONE minute
+    // window (i·1000 µs timestamps), so the limiter must throttle
+    // exactly 30000 − 5 of them and report peak_rate = 30000 — the
+    // abuse profile this operator exists to surface, while its
+    // streaming state stays one (window, count) pair
+    val rl = timed("rateLimit (41k events, 30k in one window)") {
+      Streams.rateLimit(spark, corpusDir).collect()
+    }
+    val hot = rl.find(_.getLong(0) == SkewCorpus.HotUserId)
+    assert(hot.isDefined, "the hot user must top the rate-limit profile")
+    assert(hot.get.getLong(1) == 30000L && hot.get.getLong(2) == 29995L &&
+      hot.get.getLong(3) == 30000L && hot.get.getLong(4) == 1L,
+      s"hot-user throttle profile off: ${hot.get}")
+    assertNoStorage("round-11-batch1316")
   }
 }
