@@ -342,6 +342,10 @@ object SparkEntry {
     // round 11 batch 16: fixed-window rate limiting, RAKE keywords
     "stream_rate_limit" -> ((s: SparkSession, d: String) => Streams.rateLimit(s, d)),
     "text_keywords" -> TextOps.keywords _,
+    // round 11 batch 17: rolling-origin forecast backtest, 7-day
+    // return rate
+    "q_forecast_backtest" -> Analytics.qForecastBacktest _,
+    "q_return_rate" -> Analytics.qReturnRate _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3760,5 +3764,30 @@ object SparkEntry {
          |FROM pd JOIN sc USING (phrase)
          |ORDER BY score_milli DESC, phrase LIMIT 20""".stripMargin
     },
+    // round 11 batch 17
+    "q_forecast_backtest" ->
+      """WITH weekly AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 604800000000 AS week,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT week, rev_c,
+        |    CAST(SUM(rev_c) OVER w AS BIGINT) AS s4,
+        |    CAST(COUNT(rev_c) OVER w AS BIGINT) AS n_hist
+        |  FROM weekly WINDOW w AS (ORDER BY week ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        |SELECT CAST(week AS BIGINT) AS week, rev_c, CAST(s4 // 4 AS BIGINT) AS pred_c,
+        |  CAST(ABS(rev_c - s4 // 4) AS BIGINT) AS abs_err_c,
+        |  CAST((ABS(rev_c - s4 // 4) * 10000) // rev_c AS BIGINT) AS err_bp
+        |FROM r WHERE n_hist = 4 ORDER BY week""".stripMargin,
+    "q_return_rate" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ret AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_returned FROM (
+        |    SELECT DISTINCT a.user_id, a.day FROM ud a JOIN ud b
+        |      ON a.user_id = b.user_id AND b.day > a.day AND b.day <= a.day + 7)
+        |  GROUP BY day),
+        |act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM ud GROUP BY day)
+        |SELECT CAST(act.day AS BIGINT) AS day, n_active,
+        |  CAST(COALESCE(n_returned, 0) AS BIGINT) AS n_returned,
+        |  CAST((COALESCE(n_returned, 0) * 10000) // n_active AS BIGINT) AS return_bp
+        |FROM act LEFT JOIN ret ON ret.day = act.day ORDER BY day""".stripMargin,
   )
 }

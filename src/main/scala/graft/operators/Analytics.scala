@@ -1318,6 +1318,58 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Rolling-origin forecast backtest — the evaluation loop every
+    * forecasting deployment runs before trusting a model: the naive
+    * seasonal-free baseline (mean of the prior 4 weeks) predicts each
+    * week's revenue, and the report shows actual, predicted, absolute
+    * error, and error bp per backtest origin. Exact integer cents
+    * throughout (the 4-week mean is one DIV). The window runs over
+    * the WEEKLY aggregate — one row per calendar week, bounded by the
+    * time domain, never the order count (whitelisted global window,
+    * the `ingest_backfill_plan` class). */
+  def qForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000000").as("week"),
+        cents(col("o_totalprice"), 2).as("c"))
+      .groupBy(col("week")).agg(sum(col("c")).as("rev_c"))
+    val wW = Window.orderBy(col("week")).rowsBetween(-4, -1)
+    weekly
+      .withColumn("s4", sum(col("rev_c")).over(wW))
+      .withColumn("pred_c", expr("s4 DIV 4"))
+      .withColumn("n_hist", count(col("rev_c")).over(wW))
+      .filter(col("n_hist") === 4)
+      .selectExpr("week", "rev_c", "pred_c",
+        "ABS(rev_c - pred_c) AS abs_err_c",
+        "(ABS(rev_c - pred_c) * 10000) DIV rev_c AS err_bp")
+      .orderBy("week")
+  }
+
+  /** 7-day rolling return rate — the short-horizon retention read
+    * next to [[qRetentionMatrix]]'s weekly cohorts: per active day,
+    * the share of that day's users seen again within the next 7 days.
+    * The "returned" set is exact via a bounded range self-join of the
+    * user-day grain (each user-day matches ≤ 7 future own-days;
+    * DISTINCT collapses multi-return) — never a sliding-window
+    * distinct. */
+  def qReturnRate(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+      .distinct()
+    val ret = ud.as("a").join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") > col("a.day") && col("b.day") <= col("a.day") + 7)
+      .select(col("a.user_id").as("user_id"), col("a.day").as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_returned"))
+    ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      .join(ret, Seq("day"), "left")
+      .selectExpr("day", "n_active",
+        "COALESCE(n_returned, 0) AS n_returned",
+        "(COALESCE(n_returned, 0) * 10000) DIV n_active AS return_bp")
+      .orderBy("day")
+  }
+
   /** DAU/MAU stickiness — the engagement ratio every activity report
     * leads with: per observed day, distinct daily actives, distinct
     * trailing-28-day actives, and DAU/MAU in bp. The trailing
