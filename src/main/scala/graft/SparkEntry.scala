@@ -346,6 +346,9 @@ object SparkEntry {
     // return rate
     "q_forecast_backtest" -> Analytics.qForecastBacktest _,
     "q_return_rate" -> Analytics.qReturnRate _,
+    // round 11 batch 18: cross-shopping spread, row-width split plan
+    "q_supplier_spread" -> Analytics.qSupplierSpread _,
+    "ingest_row_width" -> SourceQueries.rowWidth _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3789,5 +3792,43 @@ object SparkEntry {
         |  CAST(COALESCE(n_returned, 0) AS BIGINT) AS n_returned,
         |  CAST((COALESCE(n_returned, 0) * 10000) // n_active AS BIGINT) AS return_bp
         |FROM act LEFT JOIN ret ON ret.day = act.day ORDER BY day""".stripMargin,
+    // round 11 batch 18
+    "q_supplier_spread" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |    CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n_nations
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY o_custkey)
+        |SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN n_nations >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_nation,
+        |  CAST((SUM(CASE WHEN n_nations >= 2 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS multi_nation_bp
+        |FROM per GROUP BY n_suppliers ORDER BY n_suppliers""".stripMargin,
+    "ingest_row_width" -> {
+      // (table, n_cols, fixed-width bytes, string cols, float-array cols)
+      // — the PINNED expected schema per table; drift fails the gate
+      val tables = Seq(
+        ("customer", 5, 24, Seq("c_name", "c_mktsegment"), Seq.empty[String]),
+        ("documents", 5, 16, Seq("text", "lang", "source"), Seq.empty[String]),
+        ("embeddings", 3, 16, Seq.empty[String], Seq("embedding")),
+        ("events", 6, 32, Seq("event_type", "props"), Seq.empty[String]),
+        ("lineitem", 11, 72, Seq("l_returnflag", "l_linestatus"), Seq.empty[String]),
+        ("nation", 3, 16, Seq("n_name"), Seq.empty[String]),
+        ("orders", 6, 32, Seq("o_orderstatus", "o_orderpriority"), Seq.empty[String]),
+        ("part", 6, 24, Seq("p_name", "p_brand", "p_type"), Seq.empty[String]),
+        ("region", 2, 8, Seq("r_name"), Seq.empty[String]),
+        ("supplier", 4, 24, Seq("s_name"), Seq.empty[String]))
+      val selects = tables.map { case (t, nc, fixed, strs, arrs) =>
+        val b = (Seq(fixed.toString) ++
+          strs.map(c => s"COALESCE(length($c), 0)") ++
+          arrs.map(c => s"COALESCE(len($c) * 4, 0)")).mkString(" + ")
+        s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST($nc AS BIGINT) AS n_cols,
+           |  CAST(SUM($b) // GREATEST(COUNT(*), 1) AS BIGINT) AS est_row_bytes,
+           |  CAST(SUM($b) // 16777216 + 1 AS BIGINT) AS rec_splits
+           |FROM $t""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL ", "\nORDER BY table_name")
+    },
   )
 }

@@ -1318,6 +1318,31 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Customer cross-shopping spread — the supplier-diversification
+    * histogram a marketplace reads for loyalty/concentration: per
+    * customer the distinct suppliers (and supplier nations) bought
+    * from, rolled up by supplier count with the multi-nation share.
+    * One fact-scale join, one customer-grain distinct aggregate, a
+    * histogram-sized rollup. */
+  def qSupplierSpread(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("s_nationkey")).as("n_nations"))
+    per.groupBy(col("n_suppliers"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_nations") >= 2, 1L).otherwise(0L)).as("n_multi_nation"))
+      .selectExpr("CAST(n_suppliers AS BIGINT) AS n_suppliers", "n_customers",
+        "n_multi_nation",
+        "(n_multi_nation * 10000) DIV n_customers AS multi_nation_bp")
+      .orderBy("n_suppliers")
+  }
+
   /** Rolling-origin forecast backtest — the evaluation loop every
     * forecasting deployment runs before trusting a model: the naive
     * seasonal-free baseline (mean of the prior 4 weeks) predicts each

@@ -377,6 +377,40 @@ object SourceQueries {
       .orderBy("table_name")
   }
 
+  /** Per-table row-width profile for split planning — the byte-budget
+    * estimate behind the reference's count-driven split sizing
+    * (ServerUtil.getRowCount feeds offset splits by ROW count; real
+    * extract batches are bounded by BYTES): per table, row count,
+    * column count, estimated row bytes (strings at their actual mean
+    * length, float arrays at 4·|elements|, everything else a flat 8),
+    * and the 16 MiB split recommendation. The width expression is
+    * DERIVED from each table's resolved schema — the oracle pins the
+    * expected schema per table, so this doubles as a schema-drift
+    * tripwire. One aggregate per table (driver-side loop over the
+    * 10-table catalog, the ingest_catalog shape), total order by
+    * name. */
+  def rowWidth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    val perTable = Tables.all.map { t =>
+      val df = Tables.load(spark, dir, t)
+      val bytes = df.schema.fields.map { f =>
+        f.dataType match {
+          case StringType =>
+            coalesce(length(col(f.name)).cast("long"), lit(0L))
+          case ArrayType(FloatType, _) =>
+            coalesce(size(col(f.name)).cast("long") * lit(4L), lit(0L))
+          case _ => lit(8L)
+        }
+      }.reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"), sum(bytes).as("total_bytes"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          lit(df.schema.fields.length.toLong).as("n_cols"),
+          expr("total_bytes DIV GREATEST(n_rows, 1)").as("est_row_bytes"),
+          expr("total_bytes DIV 16777216 + 1").as("rec_splits"))
+    }
+    perTable.reduce(_.unionAll(_)).orderBy("table_name")
+  }
+
   /** Schema drift between the current customer schema and an evolved
     * next-import version (column dropped, column added, type changed)
     * — the pre-write check a scheduled re-import runs so drift routes
