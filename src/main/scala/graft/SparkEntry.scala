@@ -2660,7 +2660,7 @@ object SparkEntry {
         |  UNION ALL SELECT user_id, e, CAST(-1 AS BIGINT) FROM iv),
         |dep AS (SELECT user_id, SUM(d) OVER (PARTITION BY user_id ORDER BY p, d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth FROM p)
-        |SELECT user_id, MAX(depth) AS max_concurrent,
+        |SELECT user_id, CAST(MAX(depth) AS BIGINT) AS max_concurrent,
         |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
         |FROM dep GROUP BY user_id ORDER BY user_id""".stripMargin,
     "layout_skipping_eval" ->
@@ -3414,17 +3414,18 @@ object SparkEntry {
            |r$t AS (SELECT n.node_id, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
            |  FROM nodes n LEFT JOIN s$t s USING (node_id))""".stripMargin
       }.mkString(",\n")
-      s"""WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 + 1 AS src,
+         |    CAST(o_custkey AS BIGINT) * 2 AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
          |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
          |e AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
-         |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS node_id FROM customer
-         |  UNION ALL SELECT s_suppkey + 1000000 FROM supplier),
+         |nodes AS (SELECT CAST(c_custkey AS BIGINT) * 2 AS node_id FROM customer
+         |  UNION ALL SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier),
          |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
          |$iters
          |SELECT r3.node_id,
-         |  CASE WHEN r3.node_id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+         |  CASE WHEN r3.node_id % 2 = 1 THEN 'supplier' ELSE 'customer' END AS node_type,
          |  COALESCE(deg.deg, 0) AS degree, r3.r AS rank_u
          |FROM r3 LEFT JOIN deg ON deg.src = r3.node_id
          |ORDER BY rank_u DESC, node_id LIMIT 20""".stripMargin
@@ -3442,11 +3443,12 @@ object SparkEntry {
         |  FROM bc),
         |g AS (SELECT rin.segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
         |    CAST(SUM(spend) AS BIGINT) AS total_spend,
-        |    CAST(SUM((off.off + rin.rn) * spend) AS BIGINT) AS t
+        |    CAST(SUM(spend // 100) AS BIGINT) AS total_d,
+        |    CAST(SUM((off.off + rin.rn) * (spend // 100)) AS BIGINT) AS t
         |  FROM rin JOIN off ON off.segment = rin.segment AND off.b = rin.b
         |  GROUP BY rin.segment)
         |SELECT segment, n_customers, total_spend,
-        |  CAST((2 * t - (n_customers + 1) * total_spend) // GREATEST((n_customers * total_spend) // 10000, 1) AS BIGINT) AS gini_bp
+        |  CAST((2 * t - (n_customers + 1) * total_d) // GREATEST((n_customers * total_d) // 10000, 1) AS BIGINT) AS gini_bp
         |FROM g ORDER BY segment""".stripMargin,
     "q_benford" ->
       """WITH d AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
@@ -3618,9 +3620,12 @@ object SparkEntry {
         |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
         |FROM active LEFT JOIN ch ON ch.week = active.week ORDER BY week""".stripMargin,
     "q_countmin_audit" -> {
-      def bucketSql(d: Int) =
-        s"CAST(((ascii(substring(md5(CAST($d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 1)) * 256 + " +
-          s"ascii(substring(md5(CAST($d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 2, 1)))) % 64 AS BIGINT)"
+      // mirror of the Spark side: decode two md5 hex digits → byte % 64
+      def bucketSql(d: Int) = {
+        def hex(i: Int) =
+          s"(strpos('0123456789abcdef', substring(md5(CAST($d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), $i, 1)) - 1)"
+        s"CAST((${hex(1)} * 16 + ${hex(2)}) % 64 AS BIGINT)"
+      }
       val cells = (0 until 4).map(d => s"SELECT user_id, CAST($d AS BIGINT) AS d, ${bucketSql(d)} AS b FROM ev")
         .mkString("\nUNION ALL ")
       s"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),

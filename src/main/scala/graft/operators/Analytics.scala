@@ -324,18 +324,63 @@ object Analytics {
   }
 
   /** NTILE quartiles: per return flag, quantity quartile boundaries
-    * (count, min, max per quartile) over a fully-deterministic order. */
+    * (count, min, max per quartile) over a fully-deterministic order.
+    *
+    * Scale shape (r12 rework of the r11 straggler): the naive form —
+    * `ntile(4) OVER (PARTITION BY l_returnflag ORDER BY ...)` — funnels
+    * the whole fact table through a 3-partition sort window, i.e. three
+    * straggler tasks at 100×. But the output only aggregates per
+    * (flag, quartile), and the NTILE order key's value domain is tiny
+    * (quantity is integral 1..50), so NOTHING per-row is needed: a
+    * map-side-combinable groupBy(flag, qty) count, a window over the
+    * ~50 bucket rows per flag for cumulative offsets, and the exact
+    * NTILE rank→tile formula (first n%4 tiles get n/4+1 rows, the rest
+    * n/4) applied to each bucket's rank span [off+1, off+cnt]. A bucket
+    * straddling a tile boundary is exploded into the ≤4 tiles it spans
+    * with exact row counts. Tie-break columns (l_orderkey,
+    * l_linenumber) only permute rows WITHIN a qty bucket, which never
+    * moves a row across a (qty → tile-count) boundary, so the result is
+    * bit-identical to the sort-window form at any scale. */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
-    // cents() is monotonic in l_quantity, so ordering by qty is the
+    // cents() is monotonic in l_quantity, so bucket order by qty is the
     // same rank order the oracle computes over l_quantity
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), cents(col("l_quantity"), 2).as("qty"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_quantity"), 2).as("qty"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    counts
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // NTILE(4): big = n%4 leading tiles of size small+1, then size small
+      .selectExpr("l_returnflag", "qty", "cnt", "off",
+        "n % 4 AS big", "n DIV 4 AS small")
+      // tile of this bucket's first and last rank (ranks off+1 .. off+cnt)
+      .withColumn("q_lo", expr(
+        """CASE WHEN off + 1 <= big * (small + 1)
+          |     THEN off DIV (small + 1) + 1
+          |     ELSE big + (off - big * (small + 1)) DIV small + 1 END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("q_hi", expr(
+        """CASE WHEN off + cnt <= big * (small + 1)
+          |     THEN (off + cnt - 1) DIV (small + 1) + 1
+          |     ELSE big + (off + cnt - 1 - big * (small + 1)) DIV small + 1 END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("quartile", explode(expr("sequence(q_lo, q_hi)")))
+      // rank span of this tile, intersected with the bucket's span
+      .withColumn("t_lo", expr(
+        """CASE WHEN quartile <= big
+          |     THEN (quartile - 1) * (small + 1) + 1
+          |     ELSE big * (small + 1) + (quartile - 1 - big) * small + 1 END"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("t_hi", expr(
+        "t_lo + (CASE WHEN quartile <= big THEN small + 1 ELSE small END) - 1"))
+      .withColumn("rows_in",
+        expr("LEAST(off + cnt, t_hi) - GREATEST(off + 1, t_lo) + 1"))
       .groupBy(col("l_returnflag"), col("quartile"))
-      .agg(count(lit(1)).as("n"), min(col("qty")).as("min_qty"),
+      .agg(sum(col("rows_in")).as("n"), min(col("qty")).as("min_qty"),
         max(col("qty")).as("max_qty"))
       .orderBy("l_returnflag", "quartile")
   }
@@ -1528,9 +1573,17 @@ object Analytics {
     * of the sketch); readback joins the 256-cell table onto the
     * top-10 probe set only. */
   def qCountminAudit(spark: SparkSession, dir: String): DataFrame = {
-    def bucketSql(d: Int) =
-      s"CAST(((ascii(substring(md5(CAST($d AS STRING) || ':' || CAST(user_id AS STRING)), 1, 1)) * 256 + " +
-        s"ascii(substring(md5(CAST($d AS STRING) || ':' || CAST(user_id AS STRING)), 2, 1)))) % 64 AS BIGINT)"
+    // Decode the first two md5 HEX DIGITS to their 0..15 values and
+    // take the byte % 64 — all 64 buckets reachable, uniform. (The r11
+    // form used ascii() of the hex chars: ascii*256 % 64 == 0, so the
+    // first char contributed nothing and only 16 buckets were live —
+    // a width-16 sketch sold as width-64.) instr/strpos is 1-based in
+    // both Spark and DuckDB, hence the -1s.
+    def bucketSql(d: Int) = {
+      def hex(i: Int) =
+        s"(instr('0123456789abcdef', substring(md5(CAST($d AS STRING) || ':' || CAST(user_id AS STRING)), $i, 1)) - 1)"
+      s"CAST((${hex(1)} * 16 + ${hex(2)}) % 64 AS BIGINT)"
+    }
     val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
     val sketch = ev
       .select(explode(expr(
@@ -1613,7 +1666,12 @@ object Analytics {
       val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").cast("long").as("dst"))
+        // parity encoding (r12, was +1_000_000 which aliases once the
+        // customer table passes 1M rows ~ SF 7): customers take even
+        // ids (key*2), suppliers odd (key*2+1) — collision-free at any
+        // scale factor, and node_type reads back as node_id % 2
+        .select((col("l_suppkey") * 2L + 1L).as("src"),
+          (col("o_custkey").cast("long") * 2L).as("dst"))
         .distinct()
       // symmetrize in ONE pass: a self-union reads (and recomputes)
       // the join+distinct lineage once per branch; the explode emits
@@ -1626,8 +1684,10 @@ object Analytics {
     val deg = graft.Caches.shared(spark, s"analytics.tradedeg:$dir") {
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     }
-    val nodes = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("node_id"))
-      .unionAll(Tables.supplier(spark, dir).select((col("s_suppkey") + 1000000L).as("node_id")))
+    val nodes = Tables.customer(spark, dir)
+      .select((col("c_custkey").cast("long") * 2L).as("node_id"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select((col("s_suppkey").cast("long") * 2L + 1L).as("node_id")))
     var r = nodes.select(col("node_id"), lit(1000000L).as("r"))
     for (i <- 1 to 3) {
       val prev = r
@@ -1647,7 +1707,7 @@ object Analytics {
     }
     r.join(deg.select(col("src").as("node_id"), col("deg")), Seq("node_id"), "left")
       .selectExpr("node_id",
-        "CASE WHEN node_id >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type",
+        "CASE WHEN node_id % 2 = 1 THEN 'supplier' ELSE 'customer' END AS node_type",
         "COALESCE(deg, 0) AS degree", "r AS rank_u")
       .orderBy(col("rank_u").desc, col("node_id"))
       .limit(20)
@@ -1665,7 +1725,9 @@ object Analytics {
     * permutation of the same index set, so Σ i·xᵢ is tie-order
     * invariant. The final division is staged (denominator pre-scaled
     * DIV 10000) so the numerator never exceeds Σ i·x ≈ n²·x̄ — no
-    * 10⁴ blowup before the divide. */
+    * 10⁴ blowup before the divide — and the rank-weighted sum itself
+    * runs over dollars, not cents (see the inline r12 note), which
+    * holds Σ i·x inside Int64 to ~SF 500 at <1 bp cost. */
   def qGini(spark: SparkSession, dir: String): DataFrame = {
     val x = Tables.orders(spark, dir)
       .select(col("o_custkey"), cents(col("o_totalprice"), 2).as("sp"))
@@ -1682,15 +1744,25 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = bc.withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
       .select(col("segment"), col("b"), col("off"))
+    // The rank-weighted sum runs over DOLLARS (spend DIV 100), not
+    // cents (r12 overflow fix): t ~ n²·x̄ per segment, and in cents
+    // that exceeds Int64 around SF 100 (~3M customers/segment) with a
+    // silent non-ANSI wrap on BOTH sides of the differential gate. The
+    // 100× pre-scale moves the wrap point past SF ~500 and costs <1 bp
+    // on a basis-point statistic; ranks still come from exact cents, and
+    // the reported total_spend stays exact cents. ScaleSpec asserts the
+    // headroom bound on the corpus so a future re-scale is loud.
     x.withColumn("rin", row_number().over(wIn).cast("long"))
       .join(off, Seq("segment", "b"))
       .withColumn("i", col("off") + col("rin"))
+      .withColumn("spend_d", expr("spend DIV 100"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).as("total_spend"),
-        sum(col("i") * col("spend")).as("t"))
+        sum(col("spend_d")).as("total_d"),
+        sum(col("i") * col("spend_d")).as("t"))
       .selectExpr("segment", "n_customers", "total_spend",
-        "(2 * t - (n_customers + 1) * total_spend) DIV GREATEST((n_customers * total_spend) DIV 10000, 1) AS gini_bp")
+        "(2 * t - (n_customers + 1) * total_d) DIV GREATEST((n_customers * total_d) DIV 10000, 1) AS gini_bp")
       .orderBy("segment")
   }
 

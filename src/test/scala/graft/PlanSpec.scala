@@ -844,6 +844,49 @@ class PlanSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"whitelist names no longer in SparkEntry.queries: $stale")
   }
 
+  // Compare-boundary type guard (the round-1 DECIMAL and round-8/11
+  // HUGEINT lessons): the driver's hasher distinguishes physical types
+  // even at equal values, so every query output column must stay in
+  // the small closed set that DuckDB reproduces bit-identically from
+  // the oracle SQL. DecimalType (untyped arithmetic), FloatType
+  // (binary32 vs the oracle's DOUBLE), and narrow ints are banned.
+  // Schema analysis only — no jobs run. tools/check_oracle.py --sweep
+  // enforces the mirror rule on the DuckDB side (no HUGEINT/DECIMAL).
+  test("every query output schema uses only compare-safe types") {
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] =
+      Set(LongType, IntegerType, DoubleType, StringType,
+          TimestampType, TimestampNTZType, DateType, BooleanType)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad =
+        try fn(spark, sf).schema.fields.filterNot(f => allowed(f.dataType))
+        catch { case scala.util.control.NonFatal(e) =>
+          fail(s"query $name failed to build/analyze in the type sweep: $e")
+        }
+      bad.map(f => s"$name.${f.name}: ${f.dataType.simpleString}")
+    }
+    Caches.clearAll(); spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"non-compare-safe output types: ${offenders.mkString(", ")}")
+  }
+
+  // r11 straggler fix: qNtile used to sort the whole fact table inside
+  // a 3-partition (returnflag) window — three straggler tasks at 100×.
+  // The r12 shape computes NTILE from per-(flag, qty-value) counts, so
+  // every Window in the plan must consume an Aggregate (the ~50-row
+  // bucket table per flag), never the raw scan.
+  test("q_ntile windows run over the bucket-count aggregate, not the table") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = Analytics.qNtile(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, "expected the bucket-offset window in the plan")
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect { case a: logical.Aggregate => a }
+      assert(aggsBelow.nonEmpty,
+        s"q_ntile window input must be the bucket-count Aggregate, got:\n${w.child.treeString}")
+    }
+  }
+
   test("pair histogram covers the exact sample mass with valid buckets") {
     val rows = graft.sim.Ann.pairHist(spark, sf).collect()
     val n = Tables.embeddings(spark, sf)

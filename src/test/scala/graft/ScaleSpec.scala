@@ -682,4 +682,45 @@ class ScaleSpec extends AnyFunSuite {
       "trained-codebook path leaked storage blocks")
   }
 
+  test("gini matches an overflow-free BigInt recompute (dollar pre-scale holds)") {
+    // qGini's r12 contract: the rank-weighted sum runs over DOLLARS
+    // (spend DIV 100) so t ≤ n·Σx_d stays inside Int64 to ~SF 500.
+    // This spec recomputes gini_bp per segment in driver-side BigInt —
+    // arithmetic that CANNOT wrap — and requires bit-equality with the
+    // operator. A silent Int64 wrap on this corpus, or a unit drift
+    // back to cents (which shifts gini_bp via different floor points),
+    // both fail here even though the DuckDB differential gate (which
+    // mirrors the formula) would pass. Also asserts the documented
+    // headroom bound 2·n·Σx_d < Int64 from corpus stats.
+    import graft.operators.Analytics
+    val got = Analytics.qGini(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val raw = Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sp")
+      .groupBy("o_custkey").agg(sum(col("sp")).as("spend"))
+      .join(Tables.customer(spark, sf).selectExpr("c_custkey", "c_mktsegment AS segment"),
+        col("o_custkey") === col("c_custkey"))
+      .select("segment", "o_custkey", "spend")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (seg, rows) =>
+      val sorted = rows.sortBy(t => (t._3, t._2)) // (spend, custkey) rank order
+      val n = BigInt(sorted.length)
+      val totalCents = sorted.map(t => BigInt(t._3)).sum
+      val totalD = sorted.map(t => BigInt(t._3 / 100)).sum
+      val t = sorted.zipWithIndex.map { case ((_, _, sp), i) =>
+        BigInt(i + 1) * BigInt(sp / 100)
+      }.sum
+      assert(2 * n * totalD < BigInt(Long.MaxValue),
+        s"segment $seg: dollar-scale bound 2·n·Σx_d exceeds Int64 — re-derive the pre-scale")
+      val denom = ((n * totalD) / 10000).max(BigInt(1))
+      val gini = (2 * t - (n + 1) * totalD) / denom
+      assert(got(seg) == ((n.toLong, totalCents.toLong, gini.toLong)),
+        s"segment $seg: operator ${got(seg)} != BigInt recompute ($n, $totalCents, $gini)")
+    }
+    Caches.clearAll()
+  }
+
 }

@@ -26,6 +26,32 @@ class DecimalAtBoundary(Exception):
     cents / formatted strings at the compare boundary, so any Decimal
     here is a bug — fail loudly instead of normalizing it away."""
 
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def banned_cols(rel):
+    """Oracle output columns whose DuckDB type would hash-mismatch a
+    value-equal Spark column in the driver's gate. HUGEINT arises from
+    SUM(BIGINT) (round-8/round-11 lesson), DECIMAL from untyped
+    arithmetic (round-1 lesson). §6 rule: cast to BIGINT/DOUBLE/VARCHAR
+    at every compare boundary. String match also catches LIST(DECIMAL)."""
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if any(b in str(t) for b in BANNED_TYPES)]
+
+def type_sweep(con, oracle):
+    """Standalone mode: run every oracle with LIMIT 0 and fail on any
+    banned output type — catches the bug class before graft.Verify even
+    needs to run."""
+    n_bad = 0
+    for name in sorted(oracle):
+        try:
+            rel = con.sql(f"SELECT * FROM ({oracle[name]}) q LIMIT 0")
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}"); n_bad += 1; continue
+        for c, t in banned_cols(rel):
+            print(f"FAIL  {name}: column {c} types {t} — cast to BIGINT"); n_bad += 1
+    print(f"== type sweep: {len(oracle)} oracles, {n_bad} banned-type columns ==")
+    return 1 if n_bad else 0
+
 def norm(v):
     import decimal, datetime
     if isinstance(v, decimal.Decimal):
@@ -61,6 +87,12 @@ def main(sf_dir, out_dir):
         try:
             exp = con.sql(oracle[name])
             exp_cols = sorted(exp.columns)
+            bad_types = banned_cols(exp)
+            if bad_types:
+                print(f"FAIL  {name}: banned oracle output type(s) {bad_types} — "
+                      f"cast to BIGINT at the compare boundary")
+                n_fail += 1
+                continue
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
@@ -88,5 +120,15 @@ def main(sf_dir, out_dir):
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
     return 1 if n_fail else 0
 
+def sweep_main(sf_dir, oracle_json):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return type_sweep(con, json.load(open(oracle_json)))
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--sweep":
+        sys.exit(sweep_main(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

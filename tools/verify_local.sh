@@ -18,4 +18,5 @@ done
 rm -rf "$OUT"
 java $OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT" 2>&1 | grep -v "INFO\|WARN\|log4j" | tail -5
+python3 tools/check_oracle.py --sweep "$SF" "$OUT/oracle_sql.json"
 python3 tools/check_oracle.py "$SF" "$OUT"
