@@ -317,13 +317,23 @@ object Multimodal {
       .orderBy("modality", "shard")
   }
 
+  /** The decode contract [[featureExtractWith]] runs against: one
+    * instance per partition, one decode per row. Implementations are
+    * deliberately NOT Serializable — construction must happen inside
+    * the partition task (that is the whole point of the seam), and a
+    * codec accidentally captured by a closure fails loudly at job
+    * submission instead of silently shipping a broken handle. */
+  trait PayloadCodec {
+    def decode(id: Long, payload: Array[Byte]): (Long, Long, Long, Long, Long)
+  }
+
   /** The per-partition "codec": a real decoder library handle (libjpeg
     * / ffmpeg binding) is expensive to construct and NOT serializable,
     * so it must be created once per partition inside mapPartitions —
     * this fake has exactly that lifecycle (MessageDigest is the
     * stand-in native handle) and derives deterministic features so
     * the plumbing is oracle-checkable end to end. */
-  private final class FakeCodec {
+  private final class FakeCodec extends PayloadCodec {
     val md = java.security.MessageDigest.getInstance("MD5")
     def decode(id: Long, payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
       // only digest byte 0 feeds the two fake dimensions — format just
@@ -346,17 +356,26 @@ object Multimodal {
     * sides; only the per-row decode itself is JVM-imperative. The
     * codec here is the deterministic fake (no codec libraries in this
     * environment) — a real decoder replaces FakeCodec.decode and
-    * nothing else changes. */
-  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    * nothing else changes. The codec FACTORY is the injection point:
+    * only the zero-arg factory closure is serialized to executors; the
+    * codec instance itself is constructed inside each partition task
+    * and may hold unserializable native handles. MultimodalSpec proves
+    * the lifecycle (exactly one construction per input partition, one
+    * decode per row) with a counting codec through this same seam. */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame =
+    featureExtractWith(spark, dir, () => new FakeCodec)
+      .orderBy("doc_id")
+
+  def featureExtractWith(spark: SparkSession, dir: String,
+                         codec: () => PayloadCodec): DataFrame = {
     import spark.implicits._
     binaryView(spark, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val codec = new FakeCodec // once per partition, not per row
-        it.map { case (id, bytes) => codec.decode(id, bytes) }
+        val c = codec() // once per partition, not per row
+        it.map { case (id, bytes) => c.decode(id, bytes) }
       }
       .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "head_cp")
-      .orderBy("doc_id")
   }
 
   /** Cross-modal alignment audit — the pairing integrity check a

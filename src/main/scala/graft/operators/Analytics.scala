@@ -1652,10 +1652,21 @@ object Analytics {
     * rank table, partial-aggregated sum), the edge list + degree
     * attach persist once across all three rounds, and the rank table
     * stays node-sized. No iteration-count-dependent lineage blowup:
-    * three rounds is the fixed power-iteration budget (rank ordering
+    * three rounds is the default power-iteration budget (rank ordering
     * stabilizes long before values converge — the property ranking
-    * consumers rely on). Top 20 via TakeOrdered, never a global sort. */
-  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    * consumers rely on). Top 20 via TakeOrdered, never a global sort.
+    *
+    * Cost model (for bench triage): wall-time ≈ build (edge distinct +
+    * symmetrize + degree agg, paid once per session via the shared
+    * cache) + rounds × (node-sized rank⋈degree join + one edge-list
+    * shuffle on dst + node-sized persist). `rounds` is the knob: a
+    * timing regression that scales with rounds is iteration cost, one
+    * that doesn't is a build/plan regression. Default 3 = the gate's
+    * oracle contract — changing it changes results by design. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame =
+    qPagerankWith(spark, dir, rounds = 3)
+
+  def qPagerankWith(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     // edge list and degree table persist SEPARATELY: attaching deg
     // onto every edge row would pay an extra table-wide shuffle in the
     // build, when the per-node contribution r DIV deg only needs the
@@ -1689,7 +1700,7 @@ object Analytics {
       .unionAll(Tables.supplier(spark, dir)
         .select((col("s_suppkey").cast("long") * 2L + 1L).as("node_id")))
     var r = nodes.select(col("node_id"), lit(1000000L).as("r"))
-    for (i <- 1 to 3) {
+    for (i <- 1 to rounds) {
       val prev = r
       // each round's rank frame persists (node-sized): without it the
       // final plan nests every earlier round and the edge join

@@ -308,7 +308,14 @@ object Ann {
     * payload, and localCheckpoint truncates the growing lineage (the
     * iterative-algorithm contract, as in Dedup.componentsFromPairs).
     * At 100 TB this is exactly distributed k-means: model broadcast
-    * down, partial sums up, driver holds nothing but the loop. */
+    * down, partial sums up, driver holds nothing but the loop.
+    *
+    * Cost model (for bench triage): wall-time ≈ one-time quantize +
+    * rounds × (codebook broadcast + assign aggregate + centroid-sum
+    * aggregate + checkpoint). `rounds`/`k` are the knobs — a timing
+    * regression that scales with rounds is iteration budget, one that
+    * doesn't is a plan regression. Default (3, k=8) is the gate's
+    * oracle contract. */
   def kmeansTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
     kmeansCodebook(spark, dir, rounds, k = 8)
       .selectExpr("cent_id", "n_members",
@@ -1063,8 +1070,20 @@ object Ann {
     * key-join of the beam against the out-edge table plus a 10-query
     * broadcast rescore — work per round is |beam| · 4, independent of
     * corpus size. Rounds are unrolled (fixed search budget), so the
-    * lineage is static. */
-  def graphSearch(spark: SparkSession, dir: String): DataFrame = {
+    * lineage is static.
+    *
+    * Cost model (for bench triage): wall-time ≈ graph build (bucket
+    * self-join + per-node top-degree window, paid once per session via
+    * the shared cache) + rounds × (beam⋈edges key join + rescore +
+    * beam-sized window). `rounds`/`beam`/`degree` are the knobs — a
+    * regression scaling with rounds is search budget, one that doesn't
+    * is a build/plan regression. Defaults (2, 4, 4) are the gate's
+    * oracle contract. */
+  def graphSearch(spark: SparkSession, dir: String): DataFrame =
+    graphSearchWith(spark, dir, rounds = 2, beam = 4, degree = 4)
+
+  def graphSearchWith(spark: SparkSession, dir: String,
+                      rounds: Int, beam: Int, degree: Int): DataFrame = {
     // neighbor graph from LSH-bucket candidates WITHOUT a cosine
     // threshold: every node keeps its top-4 in-bucket neighbors, so
     // the graph is navigable even where the corpus has no near-dups
@@ -1074,12 +1093,12 @@ object Ann {
     // the finished graph persists (4 longs per node): entries and BOTH
     // expansion rounds read it, and without the cache the bucket
     // self-join + cosine pass would re-execute once per consumer
-    val graph = graft.Caches.shared(spark, s"ann.navgraph:$dir") {
+    val graph = graft.Caches.shared(spark, s"ann.navgraph:$dir:$degree") {
       val p = bucketPairs(spark, dir)
       val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
         .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
       val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-      sym.withColumn("rn", row_number().over(wK)).filter(col("rn") <= 4)
+      sym.withColumn("rn", row_number().over(wK)).filter(col("rn") <= degree)
         .select(col("src"), col("dst"))
     }
     // multi-entry: the 8 seed ids that exist in the graph (plus the
@@ -1093,10 +1112,10 @@ object Ann {
     val q = embDf(spark, dir).filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"))
     val b0 = q.select(col("query_id")).crossJoin(broadcast(entries))
-    def expand(beam: DataFrame): DataFrame = {
-      val nb = beam.as("bm").join(graph.as("g"), col("bm.cand") === col("g.src"))
+    def expand(front: DataFrame): DataFrame = {
+      val nb = front.as("bm").join(graph.as("g"), col("bm.cand") === col("g.src"))
         .select(col("bm.query_id").as("query_id"), col("g.dst").as("cand"))
-      val c = beam.select(col("query_id"), col("cand")).unionAll(nb)
+      val c = front.select(col("query_id"), col("cand")).unionAll(nb)
         .distinct()
         .filter(col("cand") =!= col("query_id"))
       val scored = c.join(e, c("cand") === e("vec_id"))
@@ -1104,12 +1123,13 @@ object Ann {
         .withColumn("cos", round(cosineSim(col("qe"), col("emb")), 4))
       val wQ = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand"))
       scored.withColumn("rn", row_number().over(wQ).cast("long"))
-        .filter(col("rn") <= 4)
+        .filter(col("rn") <= beam)
         .select(col("query_id"), col("cand"), col("rn"))
     }
-    val b1 = expand(b0)
-    val b2 = expand(b1.select(col("query_id"), col("cand")))
-    b2.select(col("query_id"), col("cand").as("neighbor_id"), col("rn").as("rank"))
+    var bm = expand(b0)
+    for (_ <- 2 to rounds)
+      bm = expand(bm.select(col("query_id"), col("cand")))
+    bm.select(col("query_id"), col("cand").as("neighbor_id"), col("rn").as("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -82,4 +82,56 @@ class MultimodalSpec extends AnyFunSuite {
     val corpus = Tables.documents(spark, SparkTestSession.sf).count()
     assert(rows.map(_.getLong(1)).sum == corpus, "stage 1 must cover the corpus")
   }
+
+  test("decode codec lifecycle: exactly one construction per partition, one decode per row") {
+    // The production form of featureExtract swaps FakeCodec for a real
+    // native decoder handle — unserializable and costly, so the ONLY
+    // correct lifecycle is construction inside each partition task.
+    // This drives the same featureExtractWith seam with a counting
+    // codec (itself holding an unserializable MessageDigest handle, so
+    // closure-capture regressions fail at submission) and pins the
+    // contract: inits == input partitions, decodes == input rows.
+    CodecProbe.reset()
+    val src = Multimodal.binaryView(spark, SparkTestSession.sf)
+    val nParts = src.rdd.getNumPartitions
+    val nRows = src.count()
+    val out = Multimodal.featureExtractWith(
+      spark, SparkTestSession.sf, () => new CountingCodec).collect()
+    assert(out.length == nRows.toInt)
+    assert(CodecProbe.inits.get() == nParts,
+      s"codec must construct once per partition: ${CodecProbe.inits.get()} inits, $nParts partitions")
+    assert(CodecProbe.decodes.get() == nRows,
+      s"codec must decode once per row: ${CodecProbe.decodes.get()} decodes, $nRows rows")
+    // the probe rides the same schema; features must match the default
+    // path bit-for-bit so a real-codec swap can't silently change shape
+    val dflt = Multimodal.featureExtract(spark, SparkTestSession.sf).collect()
+    assert(out.sortBy(_.getLong(0)).map(_.toString).toSeq ==
+      dflt.map(_.toString).toSeq,
+      "counting codec must reproduce the default codec's features")
+  }
+}
+
+/** Task-side counters for the codec-lifecycle spec — static, so the
+  * local-mode executor threads and the assertion read the same cells. */
+object CodecProbe {
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val decodes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { inits.set(0); decodes.set(0) }
+}
+
+/** Mirrors FakeCodec's features exactly, plus lifecycle counting; the
+  * MessageDigest field keeps it unserializable like a real handle. */
+final class CountingCodec extends Multimodal.PayloadCodec {
+  CodecProbe.inits.incrementAndGet()
+  private val md = java.security.MessageDigest.getInstance("MD5")
+  def decode(id: Long, payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    CodecProbe.decodes.incrementAndGet()
+    val hex = f"${md.digest(payload)(0)}%02x"
+    val headCp =
+      if (payload.isEmpty) 0L
+      else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        .codePointAt(0).toLong
+    (id, payload.length.toLong,
+      128L + hex.charAt(0).toLong, 128L + hex.charAt(1).toLong, headCp)
+  }
 }

@@ -682,6 +682,34 @@ class ScaleSpec extends AnyFunSuite {
       "trained-codebook path leaked storage blocks")
   }
 
+  test("pagerank rounds is a parameter: default 3 = gate contract, 1-round converges less") {
+    import graft.operators.Analytics
+    val r3 = Analytics.qPagerank(spark, sf).collect().map(_.toString).toSeq
+    val r3x = Analytics.qPagerankWith(spark, sf, rounds = 3).collect().map(_.toString).toSeq
+    assert(r3 == r3x, "default must be exactly rounds=3")
+    val r1 = Analytics.qPagerankWith(spark, sf, rounds = 1).collect()
+    assert(r1.length == 20)
+    assert(r1.map(_.schema.fieldNames.toSeq).distinct.toSeq ==
+      Seq(Seq("node_id", "node_type", "degree", "rank_u")))
+    Caches.clearAll()
+  }
+
+  test("graph search budget is parameterized: default (2,4,4) = gate contract") {
+    import graft.sim.Ann
+    val d = Ann.graphSearch(spark, sf).collect().map(_.toString).toSeq
+    val dx = Ann.graphSearchWith(spark, sf, rounds = 2, beam = 4, degree = 4)
+      .collect().map(_.toString).toSeq
+    assert(d == dx, "default must be exactly (rounds=2, beam=4, degree=4)")
+    val wide = Ann.graphSearchWith(spark, sf, rounds = 1, beam = 6, degree = 4).collect()
+    assert(wide.nonEmpty)
+    val byQ = wide.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 6, "beam=6 must cap candidates per query at 6")
+      assert(rs.map(_.getLong(2)).min == 1L, "ranks must start at 1")
+    }
+    Caches.clearAll()
+  }
+
   test("gini matches an overflow-free BigInt recompute (dollar pre-scale holds)") {
     // qGini's r12 contract: the rank-weighted sum runs over DOLLARS
     // (spend DIV 100) so t ≤ n·Σx_d stays inside Int64 to ~SF 500.
