@@ -349,6 +349,17 @@ object SparkEntry {
     // round 11 batch 18: cross-shopping spread, row-width split plan
     "q_supplier_spread" -> Analytics.qSupplierSpread _,
     "ingest_row_width" -> SourceQueries.rowWidth _,
+    // round 12 batch 1: concentration/cadence/cohort analytics
+    "q_lorenz_topshare" -> Analytics.qLorenzTopshare _,
+    "q_autocorr" -> Analytics.qAutocorr _,
+    "q_cohort_ltv" -> Analytics.qCohortLtv _,
+    "q_interorder_gap" -> Analytics.qInterorderGap _,
+    // round 12 batch 2: dedup calibration + token ledger, sample
+    // coverage, daily new users
+    "dedup_method_agreement" -> Dedup.methodAgreement _,
+    "pipeline_dedup_token_audit" -> Dedup.dedupTokenAudit _,
+    "sample_cell_coverage" -> Ann.sampleCellCoverage _,
+    "stream_new_users" -> Streams.newUsersBatch _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3835,5 +3846,153 @@ object SparkEntry {
       }
       selects.mkString("", "\nUNION ALL ", "\nORDER BY table_name")
     },
+    // ---- round 12 additions ----
+    "q_lorenz_topshare" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT spend, CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(spend // 100) OVER () AS BIGINT) AS total_d FROM sp),
+        |p AS (SELECT * FROM (VALUES (1), (5), (10), (20)) t(top_pct)),
+        |c AS (SELECT top_pct, rn, spend, n, total_d,
+        |    GREATEST((n * top_pct) // 100, 1) AS k FROM r CROSS JOIN p)
+        |SELECT CAST(top_pct AS BIGINT) AS top_pct,
+        |  CAST(SUM(CASE WHEN rn > n - k THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |  CAST(SUM(CASE WHEN rn > n - k THEN spend ELSE 0 END) AS BIGINT) AS top_spend,
+        |  CAST(SUM(CASE WHEN rn > n - k THEN spend // 100 ELSE 0 END) * 10000 // MIN(total_d) AS BIGINT) AS share_bp
+        |FROM c GROUP BY top_pct ORDER BY top_pct""".stripMargin,
+    "q_autocorr" ->
+      """WITH day AS (SELECT CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000) AS BIGINT) AS rev_k
+        |  FROM orders GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_k) AS BIGINT) AS s FROM day),
+        |dev AS (SELECT dn, rev_k - s // n AS dev FROM day CROSS JOIN stats),
+        |v AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS v FROM dev),
+        |l AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) t(k)),
+        |pairs AS (SELECT l.k, a.dev AS d1, b.dev AS d2
+        |  FROM dev a CROSS JOIN l JOIN dev b ON a.dn + l.k = b.dn),
+        |agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(d1 * d2) AS BIGINT) AS acov FROM pairs GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+        |  CAST(CASE WHEN acov >= 0 THEN (acov * 10000) // v
+        |       ELSE -((-acov * 10000) // v) END AS BIGINT) AS ac_bp
+        |FROM agg CROSS JOIN v ORDER BY lag""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT) AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sp FROM orders),
+        |f AS (SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1),
+        |rev AS (SELECT cm, o.m - cm AS age, CAST(SUM(sp) AS BIGINT) AS rev
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |cs AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_customers FROM f GROUP BY 1),
+        |c AS (SELECT rev.cm, age, n_customers, rev,
+        |    CAST(SUM(rev) OVER (PARTITION BY rev.cm ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev
+        |  FROM rev JOIN cs USING (cm))
+        |SELECT concat(CAST(cm // 12 AS VARCHAR), '-', lpad(CAST(cm % 12 + 1 AS VARCHAR), 2, '0')) AS cohort_month,
+        |  age, n_customers, rev, cum_rev,
+        |  CAST(cum_rev // n_customers AS BIGINT) AS ltv_cents
+        |FROM c ORDER BY cohort_month, age""".stripMargin,
+    "q_interorder_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn FROM orders),
+        |g AS (SELECT dn - lag(dn, 1) OVER (PARTITION BY o_custkey ORDER BY dn, o_orderkey) AS gap_days FROM o),
+        |h AS (SELECT LEAST(gap_days // 7, 12) AS gap_weeks, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM g WHERE gap_days IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM h)
+        |SELECT CAST(gap_weeks AS BIGINT) AS gap_weeks, n,
+        |  CAST((n * 10000) // tot AS BIGINT) AS share_bp
+        |FROM h CROSS JOIN t ORDER BY gap_weeks""".stripMargin,
+    "dedup_method_agreement" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |mj AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |mhf AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM mj UNION ALL SELECT doc_b FROM mj)),
+         |ncand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON a.n_chars // 32 = b.n_chars // 32 AND a.doc_id < b.doc_id),
+         |nj AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM ncand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |ngf AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM nj UNION ALL SELECT doc_b FROM nj)),
+         |exf AS (SELECT d.doc_id FROM documents d
+         |  JOIN (SELECT md5(text) AS h FROM documents GROUP BY 1 HAVING COUNT(*) > 1) dup ON md5(d.text) = dup.h),
+         |fl AS (SELECT d.doc_id,
+         |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fe,
+         |    CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fm,
+         |    CASE WHEN n2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fg
+         |  FROM documents d LEFT JOIN exf e ON e.doc_id = d.doc_id
+         |  LEFT JOIN mhf m ON m.doc_id = d.doc_id
+         |  LEFT JOIN ngf n2 ON n2.doc_id = d.doc_id),
+         |a AS (SELECT CAST(SUM(fe) AS BIGINT) AS ne, CAST(SUM(fm) AS BIGINT) AS nm, CAST(SUM(fg) AS BIGINT) AS ng,
+         |    CAST(SUM(fe * fm) AS BIGINT) AS nem, CAST(SUM(fe * fg) AS BIGINT) AS neg2, CAST(SUM(fm * fg) AS BIGINT) AS nmg,
+         |    CAST(SUM(CASE WHEN fe + fm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS uem,
+         |    CAST(SUM(CASE WHEN fe + fg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ueg,
+         |    CAST(SUM(CASE WHEN fm + fg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS umg
+         |  FROM fl)
+         |SELECT 'exact' AS method_a, 'minhash' AS method_b, ne AS n_a, nm AS n_b,
+         |  nem AS n_both, uem AS n_either,
+         |  CAST((nem * 10000) // GREATEST(uem, 1) AS BIGINT) AS agree_bp FROM a
+         |UNION ALL SELECT 'exact', 'ngram', ne, ng, neg2, ueg,
+         |  CAST((neg2 * 10000) // GREATEST(ueg, 1) AS BIGINT) FROM a
+         |UNION ALL SELECT 'minhash', 'ngram', nm, ng, nmg, umg,
+         |  CAST((nmg * 10000) // GREATEST(umg, 1) AS BIGINT) FROM a
+         |ORDER BY method_a, method_b""".stripMargin),
+    "pipeline_dedup_token_audit" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |rm AS (SELECT DISTINCT doc_b AS doc_id FROM j WHERE jacc >= 0.5),
+         |tk AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN rm.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_surv_docs,
+         |  CAST(SUM(CASE WHEN rm.doc_id IS NULL THEN tok ELSE 0 END) AS BIGINT) AS surv_tokens,
+         |  CAST(((SUM(tok) - SUM(CASE WHEN rm.doc_id IS NULL THEN tok ELSE 0 END)) * 10000) // SUM(tok) AS BIGINT) AS removed_bp
+         |FROM tk LEFT JOIN rm ON rm.doc_id = tk.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin),
+    "sample_cell_coverage" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cnt AS (SELECT label, COUNT(*) AS nb FROM lab GROUP BY 1),
+         |nm AS (SELECT MIN(nb) AS n_min FROM cnt),
+         |r AS (SELECT vec_id,
+         |    CAST(row_number() OVER (PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+         |  FROM lab),
+         |kept AS (SELECT vec_id FROM r CROSS JOIN nm WHERE rn <= n_min),
+         |bc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         |    CAST(SUM(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+         |  FROM cells LEFT JOIN kept k ON k.vec_id = cells.vec_id GROUP BY cell),
+         |t AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS tc, CAST(SUM(n_sample) AS BIGINT) AS ts FROM bc)
+         |SELECT cell, n_corpus, n_sample,
+         |  CAST((n_corpus * 10000) // tc AS BIGINT) AS corpus_bp,
+         |  CAST((n_sample * 10000) // ts AS BIGINT) AS sample_bp,
+         |  CAST((n_sample * 10000) // ts - (n_corpus * 10000) // tc AS BIGINT) AS delta_bp
+         |FROM bc CROSS JOIN t ORDER BY cell""".stripMargin),
+    "stream_new_users" ->
+      """WITH f AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |    INTERVAL ((first_us // 86400000000) * 86400) SECOND AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_new
+        |FROM f GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }

@@ -1126,4 +1126,85 @@ object Dedup {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("mutual_degree")
   }
+
+  /** Cross-method agreement matrix over the three document-level dup
+    * signals — exact (md5 group > 1), minhash (verified LSH pair
+    * membership), word-3-gram Jaccard (verified index pair membership):
+    * per method pair, flagged-set sizes, intersection, union, and
+    * set-Jaccard in bp. This is the calibration table a dedup rollout
+    * reads before trusting ONE method's flags (exact ⊂ near-dup by
+    * construction; a LOW minhash∩ngram agreement means the sketch or
+    * the index cap is mistuned — cf. [[lshRecall]]'s pairwise view,
+    * lifted to doc-level flags).
+    *
+    * Scale shape: all three flag sets ride session caches
+    * (signature/pair cores built once), flags collapse to doc-grain
+    * longs before any join, the three outer joins are doc-keyed, and
+    * the matrix falls out of ONE conditional-sum aggregate (no
+    * per-pair work beyond the cached verified lists). */
+  def methodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exactF = h.join(
+        h.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .select(col("h")), "h")
+      .select(col("doc_id"))
+    val mh = minhashPairs(spark, dir)
+    val mhF = mh.select(col("doc_a").as("doc_id"))
+      .unionAll(mh.select(col("doc_b").as("doc_id"))).distinct()
+    val ng = ngramJaccard(spark, dir)
+    val ngF = ng.select(col("doc_a").as("doc_id"))
+      .unionAll(ng.select(col("doc_b").as("doc_id"))).distinct()
+    val f = docs
+      .join(exactF.withColumn("fe", lit(1L)), Seq("doc_id"), "left")
+      .join(mhF.withColumn("fm", lit(1L)), Seq("doc_id"), "left")
+      .join(ngF.withColumn("fg", lit(1L)), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("fe", "fm", "fg"))
+    val agg = f.agg(
+      sum(col("fe")).as("ne"), sum(col("fm")).as("nm"), sum(col("fg")).as("ng"),
+      sum(col("fe") * col("fm")).as("nem"),
+      sum(col("fe") * col("fg")).as("neg"),
+      sum(col("fm") * col("fg")).as("nmg"),
+      sum(expr("IF(fe + fm > 0, 1, 0)")).as("uem"),
+      sum(expr("IF(fe + fg > 0, 1, 0)")).as("ueg"),
+      sum(expr("IF(fm + fg > 0, 1, 0)")).as("umg"))
+    agg.selectExpr(
+        """stack(3,
+          |'exact', 'minhash', ne, nm, nem, uem,
+          |'exact', 'ngram',   ne, ng, neg, ueg,
+          |'minhash', 'ngram', nm, ng, nmg, umg)
+          |AS (method_a, method_b, n_a, n_b, n_both, n_either)"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("method_a", "method_b", "n_a", "n_b", "n_both", "n_either",
+        "(n_both * 10000) DIV GREATEST(n_either, 1) AS agree_bp")
+      .orderBy("method_a", "method_b")
+  }
+
+  /** Token-budget impact of near-dup removal, per source — the bridge
+    * between the dedup policy and the training-mix ledger ("how many
+    * tokens does dedup actually take off the table, and from where"):
+    * whitespace token counts joined against the SAME removal rule as
+    * [[pipelineSurvivors]] (doc_b of every verified minhash pair),
+    * rolled up per source with the removed share in bp. A source with
+    * a high removed_bp is over-crawled or mirrored — exactly the
+    * signal [[sourceDupRate]] gives in doc counts, here in the tokens
+    * the training budget is actually denominated in. One doc-grain
+    * join against the cached pair list, one source-sized rollup. */
+  def dedupTokenAudit(spark: SparkSession, dir: String): DataFrame = {
+    val removed = minhashPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS t")
+      .join(removed.withColumn("rm", lit(1L)), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("rm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(expr("IF(rm = 0, 1, 0)")).as("n_surv_docs"),
+        sum(expr("IF(rm = 0, t, 0)")).as("surv_tokens"))
+      .selectExpr("source", "n_docs", "n_tokens", "n_surv_docs", "surv_tokens",
+        "((n_tokens - surv_tokens) * 10000) DIV n_tokens AS removed_bp")
+      .orderBy("source")
+  }
 }

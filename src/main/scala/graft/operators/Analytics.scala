@@ -1830,4 +1830,151 @@ object Analytics {
       .select(col("n_name"), col("n_suppliers"), col("hhi"), col("top_share_bp"))
       .orderBy("n_name")
   }
+
+  /** Lorenz-curve top-share concentration (the Pareto "what do the top
+    * 1/5/10/20% of customers hold" read next to [[qGini]]'s single
+    * coefficient): customers rank ascending by lifetime spend via the
+    * SAME two-level bucket decomposition as qGini (in-bucket
+    * partitioned windows + a bucket-count-sized offset cumulative —
+    * never a global data-sized sort), the top-k cut for each
+    * percentile is rank arithmetic (k = max(n·p DIV 100, 1)), and all
+    * four percentiles fold as conditional sums in ONE aggregate pass.
+    * Shares divide in dollars (the qGini r12 overflow rule: cents ×
+    * 10⁴ would pass Int64 around SF 100); reported spend stays exact
+    * cents. The only global window runs over bucket-count rows
+    * (spend-domain-bounded — whitelisted in PlanSpec with the other
+    * two-level users). */
+  def qLorenzTopshare(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice"), 2).as("sp"))
+      .groupBy(col("o_custkey")).agg(sum(col("sp")).as("spend"))
+      .withColumn("b", expr("spend DIV 1000000"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("spend"), col("o_custkey"))
+    val bc = x.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val off = bc.withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    val stats = x.agg(count(lit(1)).as("n"),
+      sum(col("spend")).as("total_c"), sum(expr("spend DIV 100")).as("total_d"))
+    val ranked = x.withColumn("rin", row_number().over(wIn).cast("long"))
+      .join(broadcast(off), Seq("b"))
+      .withColumn("rn", col("off") + col("rin"))
+      .crossJoin(broadcast(stats))
+    def cut(p: Int) = s"GREATEST((n * $p) DIV 100, 1)"
+    val one = ranked.agg(
+      max(col("n")).as("n"), max(col("total_d")).as("total_d"),
+      sum(expr(s"IF(rn > n - ${cut(1)}, 1, 0)")).as("n1"),
+      sum(expr(s"IF(rn > n - ${cut(1)}, spend, 0)")).as("s1"),
+      sum(expr(s"IF(rn > n - ${cut(1)}, spend DIV 100, 0)")).as("d1"),
+      sum(expr(s"IF(rn > n - ${cut(5)}, 1, 0)")).as("n5"),
+      sum(expr(s"IF(rn > n - ${cut(5)}, spend, 0)")).as("s5"),
+      sum(expr(s"IF(rn > n - ${cut(5)}, spend DIV 100, 0)")).as("d5"),
+      sum(expr(s"IF(rn > n - ${cut(10)}, 1, 0)")).as("n10"),
+      sum(expr(s"IF(rn > n - ${cut(10)}, spend, 0)")).as("s10"),
+      sum(expr(s"IF(rn > n - ${cut(10)}, spend DIV 100, 0)")).as("d10"),
+      sum(expr(s"IF(rn > n - ${cut(20)}, 1, 0)")).as("n20"),
+      sum(expr(s"IF(rn > n - ${cut(20)}, spend, 0)")).as("s20"),
+      sum(expr(s"IF(rn > n - ${cut(20)}, spend DIV 100, 0)")).as("d20"))
+    one.selectExpr(
+        """stack(4, 1L, n1, s1, d1, 5L, n5, s5, d5,
+          |10L, n10, s10, d10, 20L, n20, s20, d20)
+          |AS (top_pct, n_top, top_spend, top_d)""".stripMargin.replace("\n", " "),
+        "total_d")
+      .selectExpr("top_pct", "n_top", "top_spend",
+        "(top_d * 10000) DIV total_d AS share_bp")
+      .orderBy("top_pct")
+  }
+
+  /** Calendar-lag autocorrelation of daily revenue (lags 1–7 days) —
+    * the weekly-cycle fingerprint a forecasting pipeline checks before
+    * choosing seasonal terms (a spike at lag 7 = strong day-of-week
+    * structure, cf. [[qDowProfile]]'s direct read): deviations from
+    * the truncated mean in integer THOUSANDS of dollars (the qGini
+    * overflow rule squared — Σdev²·10⁴ must fit Int64, which cents or
+    * even dollars break once daily revenue passes ~$10⁷),
+    * autocovariance over calendar-day pairs (d, d+k) both present,
+    * normalized by the full-series variance in bp. The series is
+    * calendar-bounded (one row per day at ANY scale factor), so the
+    * lag self-join and both aggregates are fixed-size; only the
+    * day-rollup scan scales with data. Division truncates toward zero
+    * on both engines (oracle wraps DuckDB's floor `//` in the
+    * sign-safe CASE). */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val day = Tables.orders(spark, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+        cents(col("o_totalprice"), 2).as("sp"))
+      .groupBy(col("dn")).agg(sum(expr("sp DIV 100000")).as("rev_k"))
+    val stats = day.agg(count(lit(1)).as("n"), sum(col("rev_k")).as("s"))
+    val dev = graft.Caches.shared(spark, s"analytics.dailydev:$dir") {
+      day.crossJoin(broadcast(stats))
+        .selectExpr("dn", "rev_k - (s DIV n) AS dev")
+    }
+    val varr = dev.agg(sum(col("dev") * col("dev")).as("v"))
+    val lagged = dev.select(explode(expr("sequence(1L, 7L)")).as("k"),
+        col("dn"), col("dev"))
+      .join(dev.select(col("dn").as("dn2"), col("dev").as("dev2")),
+        col("dn") + col("k") === col("dn2"))
+    lagged.groupBy(col("k").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dev") * col("dev2")).as("acov"))
+      .crossJoin(broadcast(varr))
+      .selectExpr("lag", "n_pairs", "(acov * 10000) DIV v AS ac_bp")
+      .orderBy("lag")
+  }
+
+  /** Inter-order gap distribution — the purchase-cadence histogram
+    * behind replenishment and churn-risk models ("how long between a
+    * customer's consecutive orders"): per-customer consecutive order
+    * gaps in days via a customer-partitioned lag window (per-customer
+    * order counts are small and scale-stable), bucketed into weeks
+    * capped at 12+ (bounded output at any scale), with the share per
+    * bucket in bp against a 1-row broadcast total — no global window
+    * anywhere. Same-day repeat orders land in bucket 0 regardless of
+    * tie order, so the histogram is tie-order invariant. */
+  def qInterorderGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("dn"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"))
+      .withColumn("gap_days", col("dn") - lag(col("dn"), 1).over(w))
+      .filter(col("gap_days").isNotNull)
+    val hist = gaps
+      .groupBy(expr("LEAST(gap_days DIV 7, 12)").as("gap_weeks"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("tot"))
+    hist.crossJoin(broadcast(tot))
+      .selectExpr("gap_weeks", "n", "(n * 10000) DIV tot AS share_bp")
+      .orderBy("gap_weeks")
+  }
+
+  /** Cohort LTV curve — cumulative revenue per acquisition cohort by
+    * account age (the revenue companion to [[qRetentionMatrix]]'s
+    * activity counts): cohort = month of a customer's FIRST order
+    * (month index y·12+(m−1), exact integer), age = months since, and
+    * per (cohort, age) the month's revenue, the running cumulative,
+    * and cumulative LTV per cohort customer in cents. One
+    * customer-grain min, one (cohort, age) rollup, a cohort-sized
+    * count join, and a cumulative window partitioned per cohort over
+    * ≤ calendar-months rows — every post-scan frame is
+    * month-domain-bounded at any scale factor. */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)").as("m"),
+        cents(col("o_totalprice"), 2).as("sp"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+    val rev = o.join(first, "o_custkey")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+      .agg(sum(col("sp")).as("rev"))
+    val csize = first.groupBy(col("cm")).agg(count(lit(1)).as("n_customers"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(broadcast(csize), Seq("cm"))
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .selectExpr(
+        "concat(CAST(cm DIV 12 AS STRING), '-', lpad(CAST(cm % 12 + 1 AS STRING), 2, '0')) AS cohort_month",
+        "age", "n_customers", "rev", "cum_rev",
+        "cum_rev DIV n_customers AS ltv_cents")
+      .orderBy("cohort_month", "age")
+  }
 }

@@ -1165,4 +1165,49 @@ object Ann {
         "((n_before - n_after) * 10000) DIV n_before AS drop_bp", "kept_id_sum")
       .orderBy("label")
   }
+
+  /** Embedding-space coverage audit of the class-balanced sample —
+    * the diversity check a curation pipeline runs AFTER downsampling
+    * ([[classBalance]] fixes label balance but can silently gut a
+    * REGION of embedding space): per IVF cell (the same deterministic
+    * seed-codebook assignment the index family uses), corpus vs
+    * sample population and shares in bp, and the signed skew
+    * delta_bp = sample_bp − corpus_bp (negative = the sample
+    * under-covers that cell; both terms truncate before subtracting,
+    * so the difference is engine-identical). Cell assignment is the
+    * standard broadcast-codebook aggregate (no per-vector window);
+    * the sample flag re-derives [[classBalance]]'s md5-rank keep rule
+    * and joins doc-grain; output is k rows. */
+  def sampleCellCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val cent = seedCentroids(e, 8)
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+    val lab = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+    val nmin = lab.groupBy(col("label")).agg(count(lit(1)).as("nb"))
+      .agg(min(col("nb")).as("n_min"))
+    val wL = Window.partitionBy(col("label"))
+      .orderBy(col("hk"), col("vec_id"))
+    val kept = lab.withColumn("hk", expr("md5(CAST(vec_id AS STRING))"))
+      .withColumn("rn", row_number().over(wL).cast("long"))
+      .crossJoin(broadcast(nmin))
+      .filter(col("rn") <= col("n_min"))
+      .select(col("vec_id"))
+    val byCell = assign
+      .join(kept.withColumn("ks", lit(1L)), Seq("vec_id"), "left")
+      .na.fill(0L, Seq("ks"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_corpus"), sum(col("ks")).as("n_sample"))
+    val tot = byCell.agg(sum(col("n_corpus")).as("tc"), sum(col("n_sample")).as("ts"))
+    byCell.crossJoin(broadcast(tot))
+      .selectExpr("cell", "n_corpus", "n_sample",
+        "(n_corpus * 10000) DIV tc AS corpus_bp",
+        "(n_sample * 10000) DIV ts AS sample_bp",
+        "(n_sample * 10000) DIV ts - (n_corpus * 10000) DIV tc AS delta_bp")
+      .orderBy("cell")
+  }
 }

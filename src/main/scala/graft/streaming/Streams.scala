@@ -377,6 +377,40 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Daily new-user counter — each user counts ONCE, on the day of
+    * their first-ever event (the acquisition numerator of the
+    * new/retained/resurrected ledger [[graft.operators.Analytics
+    * .qGrowthAccounting]] keeps weekly; this is the daily stream
+    * form). Batch form (the gate query): user-grain min(ts), day
+    * truncation, day rollup — two key-partitioned aggregates, no
+    * windows. */
+  def newUsersBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .selectExpr("timestamp_micros((first_us DIV 86400000000) * 86400000000) AS day")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .select(ntz(col("day")).as("day"), col("n_new"))
+      .orderBy("day")
+
+  /** Streaming form: first-occurrence-per-user via watermarked
+    * dropDuplicates (state = one key per user inside the watermark),
+    * then a 1-day tumbling count. CONTRACT: matches the batch form
+    * when events replay in event-time order within the watermark —
+    * dropDuplicates keeps the first ARRIVAL, which is the first
+    * event-time occurrence exactly when disorder stays inside the
+    * 1-hour watermark (same bound every stateful operator here
+    * assumes; StreamingSpec replays both in-order and bounded-
+    * disorder corpora through it). */
+  def newUsersStreaming(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(ntz(col("window.start")).as("day"), col("n_new"))
+
   /** Click→purchase attribution join: purchases within 1 hour after a
     * click by the same user (equi-join on user + time-band predicate —
     * the batch form of a watermarked stream-stream join). */

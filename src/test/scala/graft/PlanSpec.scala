@@ -820,7 +820,8 @@ class PlanSpec extends AnyFunSuite {
     "text_zipf_fit" -> "window input = top-50 vocabulary rows after TakeOrdered",
     "q_rfm_segments" -> "3 quartile windows, each over one row per present value bucket (the dlp_quantile_bucketing two-level decomposition, per RFM dimension)",
     "dlp_top_coding" -> "window input = one row per present value bucket (domain DIV 16384 ~ 70 rows at any table size)",
-    "q_forecast_backtest" -> "window input = one row per calendar week (bounded by the time domain, never the order count)")
+    "q_forecast_backtest" -> "window input = one row per calendar week (bounded by the time domain, never the order count)",
+    "q_lorenz_topshare" -> "window input = one row per present spend bucket (domain DIV 10⁶ — the qGini two-level decomposition, global because the Lorenz cut is corpus-wide)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical

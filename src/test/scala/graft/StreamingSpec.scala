@@ -482,4 +482,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == expected, s"streaming dedup ${got.length} keys vs batch $expected")
     assert(got.map(r => (r.getLong(0), r.getString(1))).distinct.length == got.length)
   }
+
+  test("streaming new-users matches batch when replayed in day order") {
+    // the contract newUsersStreaming documents: first-ARRIVAL equals
+    // first-EVENT-TIME when replay respects event-time order at the
+    // window granularity. Feeding one micro-batch PER DAY makes that
+    // exact (within-day order is irrelevant to a daily window), so the
+    // closed windows must match the batch form bit-for-bit.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts")
+      .as[Streams.EvT].collect()
+    val byDay = ev.groupBy(e => e.ts.getTime / 86400000L).toSeq.sortBy(_._1)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.EvT]
+    val q = Streams.newUsersStreaming(src.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("nu_out").start()
+    byDay.foreach { case (_, rows) => src.addData(rows.toSeq); q.processAllAvailable() }
+    // sentinel far past the last day advances the watermark so every
+    // real window closes; its own window stays open and is not emitted
+    val lastTs = ev.map(_.ts.getTime).max
+    src.addData(Streams.EvT(-1L, -1L, new java.sql.Timestamp(lastTs + 30L * 86400000L)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("nu_out").orderBy("day").collect().map(_.toString).toSeq
+    val batch = Streams.newUsersBatch(spark, sf).collect().map(_.toString).toSeq
+    assert(got == batch, s"streaming new-users $got != batch $batch")
+  }
 }

@@ -19,7 +19,8 @@ class Widening11fSpec extends AnyFunSuite {
     assert(rows.length == 20)
     rows.foreach { r =>
       assert(r.getLong(3) >= 150000L, "rank can never drop below the teleport mass")
-      assert(r.getString(1) == (if (r.getLong(0) >= 1000000L) "supplier" else "customer"))
+      // r12 parity encoding: customers even (key*2), suppliers odd
+      assert(r.getString(1) == (if (r.getLong(0) % 2 == 1) "supplier" else "customer"))
     }
     assert(rows.map(_.getLong(3)).toSeq == rows.map(_.getLong(3)).sortBy(-_).toSeq)
     // a top-20 node with zero degree is impossible: it would sit at the
@@ -41,8 +42,11 @@ class Widening11fSpec extends AnyFunSuite {
     spends.foreach { case (seg, xs) =>
       val n = xs.length.toLong
       val s = xs.sum
-      val t = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
-      val expected = (2 * t - (n + 1) * s) / math.max(n * s / 10000, 1L)
+      // r12: the rank-weighted sum runs over dollars (spend DIV 100) —
+      // mirror that scale exactly (ScaleSpec holds the BigInt form)
+      val sd = xs.map(_ / 100).sum
+      val t = xs.zipWithIndex.map { case (x, i) => (i + 1) * (x / 100) }.sum
+      val expected = (2 * t - (n + 1) * sd) / math.max(n * sd / 10000, 1L)
       val (gn, gs, gb) = got(seg)
       assert(gn == n && gs == s && gb == expected, s"segment $seg")
       assert(gb >= 0 && gb < 10000)
