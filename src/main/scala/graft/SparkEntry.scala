@@ -360,6 +360,14 @@ object SparkEntry {
     "pipeline_dedup_token_audit" -> Dedup.dedupTokenAudit _,
     "sample_cell_coverage" -> Ann.sampleCellCoverage _,
     "stream_new_users" -> Streams.newUsersBatch _,
+    // round 12 batch 3: ABC class, duplicate-payment screen,
+    // generalization ladder, charset QA, assignment margin, dup ratio
+    "q_abc_class" -> Analytics.qAbcClass _,
+    "q_duplicate_orders" -> Analytics.qDuplicateOrders _,
+    "dlp_generalization_ladder" -> DlpQueries.dlpGeneralizationLadder _,
+    "text_charset_profile" -> TextOps.charsetProfile _,
+    "embed_assign_margin" -> Ann.assignMargin _,
+    "stream_dup_ratio" -> Streams.dupRatioBatch _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -3994,5 +4002,82 @@ object SparkEntry {
         |    INTERVAL ((first_us // 86400000000) * 86400) SECOND AS day,
         |  CAST(COUNT(*) AS BIGINT) AS n_new
         |FROM f GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_abc_class" ->
+      """WITH pr AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT rev,
+        |    CAST(SUM(rev // 10000) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_d,
+        |    CAST(SUM(rev // 10000) OVER () AS BIGINT) AS total_d FROM pr),
+        |c AS (SELECT rev, total_d,
+        |    CASE WHEN cum_d * 100 <= total_d * 80 THEN 'A'
+        |         WHEN cum_d * 100 <= total_d * 95 THEN 'B'
+        |         ELSE 'C' END AS abc_class FROM r)
+        |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(rev) AS BIGINT) AS revenue,
+        |  CAST(SUM(rev // 10000) * 10000 // MIN(total_d) AS BIGINT) AS share_bp
+        |FROM c GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+    "q_duplicate_orders" ->
+      """WITH g AS (SELECT o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sp,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2, 3),
+        |h AS (SELECT n AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_orders FROM g GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM h)
+        |SELECT group_size, n_groups, n_orders,
+        |  CAST((n_orders * 10000) // tot AS BIGINT) AS share_bp
+        |FROM h CROSS JOIN t ORDER BY group_size""".stripMargin,
+    "dlp_generalization_ladder" -> {
+      def level(lvl: Int, qi: String, g: String) =
+        s"""SELECT CAST($lvl AS BIGINT) AS level, '$qi' AS qi,
+           |  CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(MIN(k) AS BIGINT) AS min_k,
+           |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_suppressed,
+           |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 10000 // SUM(k) AS BIGINT) AS suppressed_bp
+           |FROM (SELECT c_mktsegment, $g AS g, CAST(COUNT(*) AS BIGINT) AS k
+           |      FROM geo GROUP BY 1, 2)""".stripMargin
+      s"""WITH geo AS (SELECT c_mktsegment, n_name, r_name
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey)
+         |${level(0, "segment+nation", "n_name")}
+         |UNION ALL ${level(1, "segment+region", "r_name")}
+         |UNION ALL ${level(2, "segment", "'*'")}
+         |ORDER BY level""".stripMargin
+    },
+    "text_charset_profile" ->
+      """WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS nd,
+        |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS ns
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(na) * 10000 // SUM(nc) AS BIGINT) AS alpha_bp,
+        |  CAST(SUM(nd) * 10000 // SUM(nc) AS BIGINT) AS digit_bp,
+        |  CAST(SUM(ns) * 10000 // SUM(nc) AS BIGINT) AS space_bp,
+        |  CAST((SUM(nc) - SUM(na) - SUM(nd) - SUM(ns)) * 10000 // SUM(nc) AS BIGINT) AS other_bp
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "embed_assign_margin" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |r AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a),
+         |m AS (SELECT vec_id,
+         |    MAX(CASE WHEN rn = 1 THEN c END) - MAX(CASE WHEN rn = 2 THEN c END) AS marg
+         |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+         |h AS (SELECT LEAST(CAST(FLOOR(marg * 1000) AS BIGINT) // 100, 9) AS margin_bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_vecs FROM m GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot FROM h)
+         |SELECT CAST(margin_bucket AS BIGINT) AS margin_bucket, n_vecs,
+         |  CAST((n_vecs * 10000) // tot AS BIGINT) AS share_bp
+         |FROM h CROSS JOIN t ORDER BY margin_bucket""".stripMargin),
+    "stream_dup_ratio" ->
+      """WITH e AS (SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |    INTERVAL ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600) * 3600) SECOND AS window_start,
+        |  user_id, event_type FROM events)
+        |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys,
+        |  CAST((COUNT(*) - COUNT(DISTINCT (user_id, event_type))) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+        |FROM e GROUP BY 1 ORDER BY window_start""".stripMargin,
   )
 }

@@ -1921,6 +1921,72 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** ABC inventory classification of parts by revenue (the Pareto
+    * cousin of [[qLorenzTopshare]], cut by MASS instead of head-count:
+    * A = parts covering the first 80% of revenue, B = next 15%, C =
+    * the tail): parts rank DESCENDING by exact discounted revenue via
+    * the two-level bucket decomposition, the cumulative revenue prefix
+    * comes from in-bucket cumsums plus bucket-offset revenue totals
+    * (both bucket-domain-bounded — never a global data sort), and the
+    * class test compares whole-dollar cumulatives (rev is exact 10⁻⁴
+    * units, so the prefix runs on rev DIV 10⁴ — cum_d·100 and
+    * share·10⁴ stay Int64-safe to ~SF 400). Output is the 3-row
+    * class rollup with part counts, exact cents, and share bp. */
+  def qAbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rc"))
+      .groupBy(col("l_partkey")).agg(sum(col("rc")).as("rev"))
+      .withColumn("b", expr("rev DIV 100000000"))
+    val wIn = Window.partitionBy(col("b"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bc = x.groupBy(col("b"))
+      .agg(sum(expr("rev DIV 10000")).as("brev_d"))
+    val wOff = Window.orderBy(col("b").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val off = bc.withColumn("off_d", coalesce(sum(col("brev_d")).over(wOff), lit(0L)))
+      .select(col("b"), col("off_d"))
+    val tot = x.agg(sum(expr("rev DIV 10000")).as("total_d"), sum(col("rev")).as("total_c"))
+    x.withColumn("cum_in_d", sum(expr("rev DIV 10000")).over(wIn))
+      .join(broadcast(off), Seq("b"))
+      .withColumn("cum_d", col("off_d") + col("cum_in_d"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("rev",
+        """CASE WHEN cum_d * 100 <= total_d * 80 THEN 'A'
+          |     WHEN cum_d * 100 <= total_d * 95 THEN 'B'
+          |     ELSE 'C' END AS abc_class""".stripMargin.replace("\n", " "),
+        "total_d")
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue"),
+        sum(expr("rev DIV 10000")).as("rev_d"), max(col("total_d")).as("total_d"))
+      .selectExpr("abc_class", "n_parts", "revenue",
+        "(rev_d * 10000) DIV total_d AS share_bp")
+      .orderBy("abc_class")
+  }
+
+  /** Duplicate-order screen — the payments-audit query every AP team
+    * runs ("same customer, same amount, same day"): orders grouped on
+    * the (custkey, exact cents, epoch-day) triple, reported as the
+    * group-size histogram (how many singletons / pairs / triples...)
+    * with the order share per size in bp. One map-side-combinable
+    * triple-keyed aggregate, one histogram-sized rollup, a 1-row
+    * broadcast — no windows, no joins; at 100 TB the triple key
+    * partitions evenly (day spreads the hot customers). */
+  def qDuplicateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice"), 2).as("sp"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"))
+      .groupBy(col("o_custkey"), col("sp"), col("dn"))
+      .agg(count(lit(1)).as("n"))
+    val hist = g.groupBy(col("n").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_orders"))
+    val tot = hist.agg(sum(col("n_orders")).as("tot"))
+    hist.crossJoin(broadcast(tot))
+      .selectExpr("group_size", "n_groups", "n_orders",
+        "(n_orders * 10000) DIV tot AS share_bp")
+      .orderBy("group_size")
+  }
+
   /** Inter-order gap distribution — the purchase-cadence histogram
     * behind replenishment and churn-risk models ("how long between a
     * customer's consecutive orders"): per-customer consecutive order

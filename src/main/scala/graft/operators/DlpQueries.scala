@@ -570,4 +570,42 @@ object DlpQueries {
           .otherwise(lit("NONE")))
       .orderBy("column_name")
   }
+
+  /** Generalization ladder for the quasi-identifier hierarchy (the
+    * DLP/Mondrian view of k-anonymity TUNING, next to
+    * [[dlpKAnonymity]]'s single-level census): the geographic QI
+    * generalizes nation → region → suppressed, and per ladder level
+    * the table reports group count, the minimum k actually achieved,
+    * and how many records a k≥5 release would have to suppress (share
+    * in bp). This is the table a privacy engineer reads to pick the
+    * cheapest level clearing the k target — generalize one more rung
+    * only when suppression at the current rung costs too much.
+    * Per level: one QI-keyed aggregate (map-side combinable) + one
+    * bounded rollup; the nation→region attach is a 25-row broadcast.
+    * Levels union by construction, so the corpus scans once per rung
+    * (3 rungs — fixed, never data-dependent). */
+  def dlpGeneralizationLadder(spark: SparkSession, dir: String): DataFrame = {
+    val geo = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_mktsegment"), col("n_name"), col("r_name"))
+    def level(lvl: Int, qiName: String, geoCol: Column): DataFrame =
+      geo.groupBy(col("c_mktsegment"), geoCol.as("g"))
+        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_groups"), min(col("k")).as("min_k"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_suppressed"),
+          sum(col("k")).as("n_total"))
+        .selectExpr(s"CAST($lvl AS BIGINT) AS level", s"'$qiName' AS qi",
+          "n_groups", "min_k", "n_suppressed",
+          "(n_suppressed * 10000) DIV n_total AS suppressed_bp")
+    level(0, "segment+nation", col("n_name"))
+      .unionAll(level(1, "segment+region", col("r_name")))
+      .unionAll(level(2, "segment", lit("*")))
+      .orderBy("level")
+  }
 }

@@ -1166,6 +1166,38 @@ object Ann {
       .orderBy("label")
   }
 
+  /** Cell-assignment margin histogram — the IVF confidence audit
+    * ("how decisively does each vector pick its cell"): per vector,
+    * the cosine gap between its best and second-best seed centroid in
+    * exact milli-units, bucketed at 0.1-cosine steps (capped ≥0.9).
+    * A mass of near-zero margins means cell boundaries cut through
+    * dense regions — exactly the vectors probe-1 loses and
+    * `ann_ivf_probe2` recovers; this table prices how many probes the
+    * corpus actually needs. The top-2 selection is a per-vector rank
+    * window over the k=8 scored centroid rows (fixed fan-in per
+    * vector at any corpus size — the `ann_ivf_probe2` shape), then a
+    * histogram-sized rollup with shares against a 1-row broadcast. */
+  def assignMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val cent = seedCentroids(e, 8)
+    val wV = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cent_id"))
+    val top2 = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .withColumn("rn", row_number().over(wV))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("c"))).as("c1"),
+        max(when(col("rn") === 2, col("c"))).as("c2"))
+    val hist = top2
+      .selectExpr("CAST(FLOOR((c1 - c2) * 1000) AS BIGINT) AS margin_mu")
+      .groupBy(expr("LEAST(margin_mu DIV 100, 9)").as("margin_bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = hist.agg(sum(col("n_vecs")).as("tot"))
+    hist.crossJoin(broadcast(tot))
+      .selectExpr("margin_bucket", "n_vecs", "(n_vecs * 10000) DIV tot AS share_bp")
+      .orderBy("margin_bucket")
+  }
+
   /** Embedding-space coverage audit of the class-balanced sample —
     * the diversity check a curation pipeline runs AFTER downsampling
     * ([[classBalance]] fixes label balance but can silently gut a

@@ -377,6 +377,49 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Hourly duplicate-fire ratio — the at-source data-quality gauge
+    * next to [[dedupBatch]]'s fix ("how much re-firing is the
+    * upstream actually doing, window by window"): per 1-hour tumbling
+    * window, raw events vs distinct (user, event_type) keys and the
+    * duplicate share in bp. Batch gate = one windowed aggregate with
+    * a distinct count (two-level under the hood — partial per key,
+    * then per window). Streaming form composes the two counters the
+    * engine already proves — a raw windowed count and a count over
+    * the watermarked [[dedupStreaming]] keys — because streaming
+    * append mode cannot run COUNT(DISTINCT) in one query; the spec
+    * joins both sinks and matches this batch table. */
+  def dupRatioBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr("timestamp_seconds((unix_seconds(ts) DIV 3600) * 3600) AS ws",
+        "user_id", "event_type")
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id"), col("event_type")).as("n_keys"))
+      .select(ntz(col("ws")).as("window_start"), col("n_events"),
+        col("n_keys").cast("long").as("n_keys"))
+      .selectExpr("window_start", "n_events", "n_keys",
+        "((n_events - n_keys) * 10000) DIV n_events AS dup_bp")
+      .orderBy("window_start")
+
+  /** Streaming half A: raw hourly counts. Half B is a windowed count
+    * over [[dedupStreamingHourly]]; the spec composes them. */
+  def rawHourlyStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(ntz(col("window.start")).as("window_start"), col("n_events"))
+
+  /** First event per (user, type, hour) — the hourly-keyed dedup whose
+    * windowed count is the streaming n_keys. */
+  def dedupStreamingHourly(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .selectExpr("ts", "user_id", "event_type",
+        "timestamp_seconds((unix_seconds(ts) DIV 3600) * 3600) AS wh")
+      .dropDuplicates("user_id", "event_type", "wh")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_keys"))
+      .select(ntz(col("window.start")).as("window_start"), col("n_keys"))
+
   /** Daily new-user counter — each user counts ONCE, on the day of
     * their first-ever event (the acquisition numerator of the
     * new/retained/resurrected ledger [[graft.operators.Analytics

@@ -845,4 +845,31 @@ object TextOps {
         "(n_events * 10000) DIV tot AS share_bp", "n_span_users")
       .orderBy("split")
   }
+
+  /** Character-class profile per source — the encoding/charset QA a
+    * crawl corpus runs before tokenizer training (a source whose
+    * digit or "other" share spikes is tables/code/mojibake, not
+    * prose; cf. the C4 length-and-punctuation screens in
+    * [[qualityGateCols]]): exact per-doc counts of alphabetic, digit,
+    * and space characters by regexp erasure (length minus the length
+    * with the class removed — one pass per class, no tokenization),
+    * rolled up per source with shares in bp of total characters.
+    * Map-side per-doc arithmetic + one source-sized aggregate; the
+    * four shares floor independently (they need not sum to 10⁴). */
+  def charsetProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("source", "CAST(length(text) AS BIGINT) AS nc",
+        "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '')) AS BIGINT) AS na",
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS BIGINT) AS nd",
+        "CAST(length(text) - length(regexp_replace(text, ' ', '')) AS BIGINT) AS ns")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("na")).as("alpha"), sum(col("nd")).as("digit"),
+        sum(col("ns")).as("space"))
+      .selectExpr("source", "n_docs", "n_chars",
+        "(alpha * 10000) DIV n_chars AS alpha_bp",
+        "(digit * 10000) DIV n_chars AS digit_bp",
+        "(space * 10000) DIV n_chars AS space_bp",
+        "((n_chars - alpha - digit - space) * 10000) DIV n_chars AS other_bp")
+      .orderBy("source")
 }

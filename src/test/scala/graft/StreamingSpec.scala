@@ -483,6 +483,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(r => (r.getLong(0), r.getString(1))).distinct.length == got.length)
   }
 
+  test("streaming dup-ratio composes from the raw and deduped window counters") {
+    // append mode cannot COUNT(DISTINCT) in one query; the streaming
+    // form is the composition of two engine-proven counters. Joining
+    // the two sinks must reproduce the batch table on closed windows.
+    val q1 = Streams.rawHourlyStreaming(eventsStream)
+      .writeStream.outputMode("append").format("memory").queryName("dr_raw")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q1.stop()
+    val q2 = Streams.dedupStreamingHourly(eventsStream)
+      .writeStream.outputMode("append").format("memory").queryName("dr_keys")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("dr_raw").join(spark.table("dr_keys"), "window_start")
+      .selectExpr("window_start", "n_events", "n_keys",
+        "((n_events - n_keys) * 10000) DIV n_events AS dup_bp")
+      .collect().map(_.toString)
+    assert(got.nonEmpty, "streaming dup-ratio produced no closed windows")
+    val batchSet = Streams.dupRatioBatch(spark, sf).collect().map(_.toString).toSet
+    got.foreach(r => assert(batchSet.contains(r), s"streaming row $r not in batch"))
+  }
+
   test("streaming new-users matches batch when replayed in day order") {
     // the contract newUsersStreaming documents: first-ARRIVAL equals
     // first-EVENT-TIME when replay respects event-time order at the
