@@ -368,6 +368,14 @@ object SparkEntry {
     "text_charset_profile" -> TextOps.charsetProfile _,
     "embed_assign_margin" -> Ann.assignMargin _,
     "stream_dup_ratio" -> Streams.dupRatioBatch _,
+    // round 12 batch 4: lifespan survival, sampling risk, shingle
+    // sweep, phash near-dup, outage audit, LSH bucket profile
+    "q_customer_lifespan" -> Analytics.qCustomerLifespan _,
+    "dlp_sampling_risk" -> DlpQueries.dlpSamplingRisk _,
+    "dedup_shingle_sweep" -> Dedup.shingleSweep _,
+    "mm_phash_neardup" -> Multimodal.phashNearDup _,
+    "stream_outage_minutes" -> Streams.outageMinutesBatch _,
+    "ann_lsh_bucket_profile" -> Ann.lshBucketProfile _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4079,5 +4087,110 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys,
         |  CAST((COUNT(*) - COUNT(DISTINCT (user_id, event_type))) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
         |FROM e GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "q_customer_lifespan" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(MAX(year(o_orderdate) * 12 + (month(o_orderdate) - 1))
+        |       - MIN(year(o_orderdate) * 12 + (month(o_orderdate) - 1)) AS BIGINT) AS lifespan_months
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT lifespan_months, CAST(COUNT(*) AS BIGINT) AS n_customers FROM s GROUP BY 1),
+        |c AS (SELECT lifespan_months, n_customers,
+        |    CAST(SUM(n_customers) OVER (ORDER BY lifespan_months DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_surviving,
+        |    CAST(SUM(n_customers) OVER () AS BIGINT) AS tot FROM h)
+        |SELECT lifespan_months, n_customers, n_surviving,
+        |  CAST((n_surviving * 10000) // tot AS BIGINT) AS surviving_bp
+        |FROM c ORDER BY lifespan_months""".stripMargin,
+    "dlp_sampling_risk" -> {
+      def census(scope: String, where: String) =
+        s"""SELECT '$scope' AS scope, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |  CAST(MIN(k) AS BIGINT) AS min_k,
+           |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+           |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS small_bp
+           |FROM (SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS k
+           |      FROM customer $where GROUP BY 1, 2)""".stripMargin
+      s"""${census("a_full", "")}
+         |UNION ALL ${census("b_sample25",
+        "WHERE strpos('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 < 4")}
+         |ORDER BY scope""".stripMargin
+    },
+    "dedup_shingle_sweep" -> {
+      def gw(w: Int) =
+        s"list_distinct(list_transform(range(1, greatest(len(w) - ${w - 1}, 1) + 1), " +
+          s"i -> concat_ws(' ', ${(0 until w).map(k => s"w[i+$k]").mkString(", ")})))"
+      def sweep(w: Int) =
+        s"""SELECT CAST($w AS BIGINT) AS w, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(CASE WHEN jbp >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge50,
+           |  CAST(SUM(jbp) // COUNT(*) AS BIGINT) AS mean_jacc_bp
+           |FROM (SELECT (CAST(len(list_intersect(ga.g$w, gb.g$w)) AS BIGINT) * 10000)
+           |        // CAST(len(list_distinct(ga.g$w || gb.g$w)) AS BIGINT) AS jbp
+           |      FROM p JOIN gw$w ga ON ga.doc_id = p.doc_a
+           |             JOIN gw$w gb ON gb.doc_id = p.doc_b)""".stripMargin
+      s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |p AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |gw2 AS (SELECT doc_id, ${gw(2)} AS g2 FROM doc),
+         |gw3 AS (SELECT doc_id, ${gw(3)} AS g3 FROM doc),
+         |gw5 AS (SELECT doc_id, ${gw(5)} AS g5 FROM doc)
+         |${sweep(2)}
+         |UNION ALL ${sweep(3)}
+         |UNION ALL ${sweep(5)}
+         |ORDER BY w""".stripMargin
+    },
+    "mm_phash_neardup" -> {
+      val bits = (0 until 16).map { j =>
+        val hexd = "0123456789abcdef".charAt(j)
+        s"(CASE WHEN 16 * len(list_filter(bs, x -> substring(x, 1, 1) = '$hexd')) >= CAST(n_bytes AS INT) THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, hex(CAST(CAST(text AS BLOB) AS BLOB)) AS h,
+         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents),
+         |bb AS (SELECT doc_id, n_bytes,
+         |    list_transform(range(1, CAST(n_bytes AS INT) + 1), i -> substring(h, (i-1)*2+1, 2)) AS bs
+         |  FROM b),
+         |ph AS (SELECT doc_id, CAST($bits AS BIGINT) AS ph FROM bb),
+         |bands AS (SELECT doc_id, ph, CAST(0 AS BIGINT) AS band, ph // 256 AS bk FROM ph
+         |  UNION ALL SELECT doc_id, ph, 1, ph % 256 FROM ph),
+         |near AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, a.ph AS pha, b2.ph AS phb
+         |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+         |nf AS (SELECT doc_a, doc_b FROM near WHERE bit_count(xor(pha, phb)) <= 3),
+         |deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM
+         |  (SELECT doc_a AS doc_id FROM nf UNION ALL SELECT doc_b FROM nf) GROUP BY 1)
+         |SELECT ph.doc_id, ph.ph, COALESCE(deg.n_near, 0) AS n_near
+         |FROM ph LEFT JOIN deg ON deg.doc_id = ph.doc_id
+         |ORDER BY ph.doc_id""".stripMargin
+    },
+    "stream_outage_minutes" ->
+      """WITH m AS (SELECT DISTINCT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60 AS mn FROM events),
+        |g AS (SELECT event_type, mn,
+        |    mn - lag(mn, 1) OVER (PARTITION BY event_type ORDER BY mn) AS gap FROM m)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+        |  CAST(SUM(CASE WHEN gap > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+        |  CAST(MAX(COALESCE(gap, 0)) AS BIGINT) AS max_gap_min,
+        |  CAST((COUNT(*) * 10000) // (MAX(mn) - MIN(mn) + 1) AS BIGINT) AS uptime_bp
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ann_lsh_bucket_profile" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |b AS (SELECT vec_id, concat(
+        |    CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END, CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END,
+        |    CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END, CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END,
+        |    CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END, CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END,
+        |    CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END, CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM e),
+        |s AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |h AS (SELECT n AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(n * COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST((n * (n - 1) // 2) * COUNT(*) AS BIGINT) AS pair_work FROM s GROUP BY 1),
+        |t AS (SELECT CAST(SUM(pair_work) AS BIGINT) AS tot FROM h)
+        |SELECT bucket_size, n_buckets, n_vecs, pair_work,
+        |  CAST((pair_work * 10000) // GREATEST(tot, 1) AS BIGINT) AS work_share_bp
+        |FROM h CROSS JOIN t ORDER BY bucket_size""".stripMargin,
   )
 }

@@ -1181,6 +1181,38 @@ object Dedup {
       .orderBy("method_a", "method_b")
   }
 
+  /** Shingle-width sensitivity sweep over the VERIFIED pair list —
+    * the w-tuning table behind every gram-based dedup threshold
+    * (Broder's resemblance is w-dependent: shorter shingles inflate
+    * Jaccard, longer ones deflate it; a 0.5 threshold chosen at w=3
+    * means a different physical similarity at w=2 or w=5): for each
+    * verified near-dup pair, the exact word-w-gram Jaccard in integer
+    * bp for w ∈ {2, 3, 5}, rolled up per w as pair count, pairs still
+    * ≥ 0.5, and the mean Jaccard bp. All pair-local: grams recompute
+    * only on the cached verified pairs (bounded by near-dup volume,
+    * never the corpus), integer bp throughout ((∩·10⁴) DIV ∪ — no
+    * doubles at the boundary). */
+  def shingleSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(spark, dir).selectExpr("doc_id", "split(text, ' ') AS w")
+    val withTexts = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+    val scored = Seq(2, 3, 5).map { w =>
+      withTexts.select(lit(w.toLong).as("w"),
+          graft.functions.WordNGrams.wordNGrams(col("wa"), w).as("ga"),
+          graft.functions.WordNGrams.wordNGrams(col("wb"), w).as("gb"))
+        .selectExpr("w",
+          "(CAST(size(array_intersect(ga, gb)) AS BIGINT) * 10000) DIV CAST(size(array_distinct(concat(ga, gb))) AS BIGINT) AS jacc_bp")
+    }.reduce(_ unionAll _)
+    scored.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jacc_bp") >= 5000, 1L).otherwise(0L)).as("n_ge50"),
+        sum(col("jacc_bp")).as("sbp"))
+      .selectExpr("w", "n_pairs", "n_ge50", "sbp DIV n_pairs AS mean_jacc_bp")
+      .orderBy("w")
+  }
+
   /** Token-budget impact of near-dup removal, per source — the bridge
     * between the dedup policy and the training-mix ledger ("how many
     * tokens does dedup actually take off the table, and from where"):

@@ -479,6 +479,49 @@ object Multimodal {
           |  a -> a.best) * 10000 DIV n_bytes AS top_byte_bp""".stripMargin.replace("\n", " "))
       .orderBy("doc_id")
 
+  /** Perceptual-hash-SHAPED near-dup over binary payloads — the image
+    * near-dup pipeline's plumbing (pHash → banded hamming join) with
+    * an honest structural stand-in for the codec-dependent hash: a
+    * 16-bit signature whose bit j says byte-class j (high nibble —
+    * character range for text-shaped payloads) is above-average
+    * frequent. Similar payloads → similar class distributions → small
+    * hamming distance, which is exactly the property a real DCT pHash
+    * supplies; swapping one in changes ONLY the signature expression.
+    * Candidates come from a 2-band LSH on the signature (high/low
+    * byte): a pair is a candidate iff some band carries ZERO of its
+    * bit flips, so hamming ≤ 3 pairs whose flips all land in one band
+    * are caught and 1+2 splits are traded away — the standard
+    * banding recall trade (more bands buy recall, cf. the minhash
+    * 4×2 banding). The exact bit_count verify runs on candidates
+    * only. Output is doc-grain (signature + near-dup partner count)
+    * — bounded at any corpus size. */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until 16).map { j =>
+      val hexd = "0123456789abcdef".charAt(j)
+      s"(CASE WHEN 16 * size(filter(bs, x -> substring(x, 1, 1) = '$hexd')) >= CAST(n_bytes AS INT) THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val ph = binaryView(spark, dir)
+      .selectExpr("doc_id", "hex(payload) AS h",
+        "CAST(octet_length(payload) AS BIGINT) AS n_bytes")
+      .selectExpr("doc_id", "n_bytes",
+        "transform(sequence(1, CAST(n_bytes AS INT)), i -> substring(h, (i-1)*2+1, 2)) AS bs")
+      .selectExpr("doc_id", s"CAST($bits AS BIGINT) AS ph")
+    val bands = ph.selectExpr("doc_id", "ph", "0L AS band", "ph DIV 256 AS bk")
+      .unionAll(ph.selectExpr("doc_id", "ph", "1L AS band", "ph % 256 AS bk"))
+    val near = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ph").as("pha"), col("b.ph").as("phb"))
+      .distinct()
+      .filter(expr("bit_count(pha ^ phb) <= 3"))
+    val deg = near.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    ph.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ph"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
   /** Decode stub: where a real implementation would run a codec over
     * each partition's payload batch. Deliberately unimplemented — no
     * codecs in this environment; [[featureExtract]] carries the real

@@ -1921,6 +1921,34 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** Customer lifespan / survival histogram — the duration read under
+    * every churn model (how long does a customer relationship last,
+    * first order to last): per customer the lifespan in months (month
+    * indices are exact integers), rolled up per lifespan value with
+    * the survival share (customers lasting ≥ that many months) in bp.
+    * One customer-grain min/max aggregate, a histogram-sized rollup,
+    * and the suffix-cumulative over lifespan VALUES — bounded by the
+    * calendar-month domain at any scale (whitelisted global window,
+    * like the other time-domain frames). */
+  def qCustomerLifespan(spark: SparkSession, dir: String): DataFrame = {
+    val span = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)").as("m"))
+      .groupBy(col("o_custkey"))
+      .agg((max(col("m")) - min(col("m"))).as("lifespan_months"))
+    val hist = span.groupBy(col("lifespan_months"))
+      .agg(count(lit(1)).as("n_customers"))
+    val wS = Window.orderBy(col("lifespan_months").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wT = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("n_surviving", sum(col("n_customers")).over(wS))
+      .withColumn("tot", sum(col("n_customers")).over(wT))
+      .selectExpr("lifespan_months", "n_customers", "n_surviving",
+        "(n_surviving * 10000) DIV tot AS surviving_bp")
+      .orderBy("lifespan_months")
+  }
+
   /** ABC inventory classification of parts by revenue (the Pareto
     * cousin of [[qLorenzTopshare]], cut by MASS instead of head-count:
     * A = parts covering the first 80% of revenue, B = next 15%, C =

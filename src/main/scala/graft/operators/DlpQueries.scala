@@ -608,4 +608,33 @@ object DlpQueries {
       .unionAll(level(2, "segment", lit("*")))
       .orderBy("level")
   }
+
+  /** Sampling risk for k-anonymity estimation (the RiskAnalysis
+    * sampling question: "can we profile k on a sample instead of the
+    * full table?"): the (segment, nation) QI census computed on the
+    * full table and on a deterministic 25% hash sample (md5 first hex
+    * digit < '4' — reproducible on any engine and parallelism, never
+    * rand()), reported side by side: class count, the minimum k each
+    * scope OBSERVES, and the share of classes under k=5. The punch
+    * line a privacy engineer needs is visible in the rows: the sample
+    * UNDERCOUNTS k (a k=8 class sampled at 25% looks like k≈2) and
+    * inflates the at-risk share — sampled risk profiles overstate
+    * re-identification risk and must be scaled before gating a
+    * release. Two QI aggregates + bounded rollups; the sample filter
+    * is a map-side hash predicate. */
+  def dlpSamplingRisk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    def census(scope: String, d: DataFrame): DataFrame =
+      d.groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_small"))
+        .selectExpr(s"'$scope' AS scope", "n_classes", "min_k", "n_small",
+          "(n_small * 10000) DIV n_classes AS small_bp")
+    val sample = c.filter(
+      expr("instr('0123456789abcdef', substring(md5(CAST(c_custkey AS STRING)), 1, 1)) - 1 < 4"))
+    census("a_full", c).unionAll(census("b_sample25", sample))
+      .orderBy("scope")
+  }
 }

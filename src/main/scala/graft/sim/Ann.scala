@@ -1166,6 +1166,31 @@ object Ann {
       .orderBy("label")
   }
 
+  /** Sign-LSH bucket-size profile — the cost model of the LSH index
+    * next to [[cellBalance]]'s IVF view: per observed bucket size,
+    * how many buckets, how many vectors they hold, the pair work a
+    * bucket self-join pays there (n·(n−1)/2 per bucket), and that
+    * work's share of the total in bp. THE number to read before an
+    * LSH deploy: one runaway bucket owning 90% of pair work means the
+    * hyperplanes don't split the corpus and the join degenerates
+    * quadratic — re-seed or add bits. One bucket aggregate + a
+    * histogram-sized rollup + a 1-row broadcast. */
+  def lshBucketProfile(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = "concat(" + (1 to 8).map(i =>
+      s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket"
+    val sizes = embDf(spark, dir).selectExpr("vec_id", bucketExpr)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val hist = sizes.groupBy(col("n").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .selectExpr("bucket_size", "n_buckets", "bucket_size * n_buckets AS n_vecs",
+        "(bucket_size * (bucket_size - 1) DIV 2) * n_buckets AS pair_work")
+    val tot = hist.agg(sum(col("pair_work")).as("tot"))
+    hist.crossJoin(broadcast(tot))
+      .selectExpr("bucket_size", "n_buckets", "n_vecs", "pair_work",
+        "(pair_work * 10000) DIV GREATEST(tot, 1) AS work_share_bp")
+      .orderBy("bucket_size")
+  }
+
   /** Cell-assignment margin histogram — the IVF confidence audit
     * ("how decisively does each vector pick its cell"): per vector,
     * the cosine gap between its best and second-best seed centroid in

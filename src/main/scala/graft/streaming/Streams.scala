@@ -377,6 +377,32 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Per-type outage audit at minute grain — the pipeline-health
+    * monitor next to [[heartbeatGap]]'s per-USER alarms (a whole
+    * event TYPE going quiet is an upstream producer outage, not a
+    * user leaving): present minutes roll up per type (calendar-
+    * bounded at any scale — this is the two-level trick: the lag runs
+    * over MINUTES, never events), consecutive-minute gaps > 5 count
+    * as outages, with the max gap and the present-minute uptime share
+    * of the observed span in bp. Streaming form is the
+    * [[heartbeatGap]] state machine at type grain (one last-minute
+    * long per type); the spec replays the minute series through a
+    * fold and matches this batch table exactly. */
+  def outageMinutesBatch(spark: SparkSession, dir: String): DataFrame = {
+    val mins = Tables.events(spark, dir)
+      .selectExpr("event_type", "unix_seconds(ts) DIV 60 AS mn").distinct()
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("mn"))
+    mins.withColumn("gap", col("mn") - lag(col("mn"), 1).over(wT))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_minutes"),
+        min(col("mn")).as("first_mn"), max(col("mn")).as("last_mn"),
+        sum(when(col("gap") > 5, 1L).otherwise(0L)).as("n_outages"),
+        max(coalesce(col("gap"), lit(0L))).as("max_gap_min"))
+      .selectExpr("event_type", "n_minutes", "n_outages", "max_gap_min",
+        "(n_minutes * 10000) DIV (last_mn - first_mn + 1) AS uptime_bp")
+      .orderBy("event_type")
+  }
+
   /** Hourly duplicate-fire ratio — the at-source data-quality gauge
     * next to [[dedupBatch]]'s fix ("how much re-firing is the
     * upstream actually doing, window by window"): per 1-hour tumbling

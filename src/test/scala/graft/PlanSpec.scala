@@ -822,7 +822,8 @@ class PlanSpec extends AnyFunSuite {
     "dlp_top_coding" -> "window input = one row per present value bucket (domain DIV 16384 ~ 70 rows at any table size)",
     "q_forecast_backtest" -> "window input = one row per calendar week (bounded by the time domain, never the order count)",
     "q_lorenz_topshare" -> "window input = one row per present spend bucket (domain DIV 10⁶ — the qGini two-level decomposition, global because the Lorenz cut is corpus-wide)",
-    "q_abc_class" -> "window input = one row per present revenue bucket (domain DIV 10⁶ — bucket-offset cumulative for the descending ABC prefix)")
+    "q_abc_class" -> "window input = one row per present revenue bucket (domain DIV 10⁶ — bucket-offset cumulative for the descending ABC prefix)",
+    "q_customer_lifespan" -> "window input = one row per present lifespan value (bounded by the calendar-month domain)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical

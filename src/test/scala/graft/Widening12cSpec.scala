@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, DlpQueries}
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+/** Round-12 batch-4 operators: lifespan survival, sampling risk,
+  * shingle sweep, phash near-dup, outage minutes, LSH bucket profile.
+  */
+class Widening12cSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("lifespan survival: suffix-cumulative identity, covers ordering customers") {
+    val rows = Analytics.qCustomerLifespan(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    // n_surviving at row i = sum of n_customers for lifespans >= this one
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      val expect = sorted.drop(i).map(_.getLong(1)).sum
+      assert(r.getLong(2) == expect, s"lifespan ${r.getLong(0)} suffix sum")
+      assert(r.getLong(3) == expect * 10000 / nCust)
+    }
+    Caches.clearAll()
+  }
+
+  test("sampling risk: sample census recomputes exactly, classes only shrink") {
+    val rows = DlpQueries.dlpSamplingRisk(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("a_full", "b_sample25"))
+    assert(rows("b_sample25")._1 <= rows("a_full")._1,
+      "sampling cannot create QI classes")
+    // driver-side exact mirror of the deterministic 25% hash sample
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "c_mktsegment", "CAST(c_nationkey AS BIGINT) AS nk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val sampled = cust.filter(c => "0123456789abcdef".indexOf(md5hex(c._1.toString).head) < 4)
+    val ks = sampled.groupBy(c => (c._2, c._3)).map(_._2.size.toLong)
+    val expect = (ks.size.toLong, ks.min, ks.count(_ < 5).toLong)
+    assert((rows("b_sample25")._1, rows("b_sample25")._2, rows("b_sample25")._3) == expect,
+      s"sample census mismatch: got ${rows("b_sample25")}, want $expect")
+    Caches.clearAll()
+  }
+
+  test("shingle sweep: one row per width over the SAME pair list; w=3 all clear 0.5") {
+    val rows = Dedup.shingleSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(2L, 3L, 5L))
+    assert(rows.values.map(_._1).toSet.size == 1,
+      "all widths score the same verified pair list")
+    // the pair list IS the w=3 jacc >= 0.5 set, so at w=3 every pair clears
+    assert(rows(3L)._2 == rows(3L)._1, "every verified pair must clear 0.5 at w=3")
+    rows.values.foreach { case (_, nGe, mean) =>
+      assert(mean >= 0 && mean <= 10000 && nGe >= 0)
+    }
+    Caches.clearAll()
+  }
+
+  test("phash near-dup: identical payloads always pair (hamming 0 through the bands)") {
+    val rows = Multimodal.phashNearDup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == Tables.documents(spark, sf).count())
+    // exact-dup groups share bytes => identical ph => both bands match
+    // => every member sees at least the rest of its group
+    val groups = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "md5(text) AS h").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+    groups.foreach { g =>
+      g.foreach { case (id, _) =>
+        assert(rows(id)._2 >= g.length - 1,
+          s"doc $id must pair with its ${g.length - 1} exact copies")
+      }
+      assert(g.map(x => rows(x._1)._1).toSet.size == 1, "identical payloads share ph")
+    }
+    Caches.clearAll()
+  }
+
+  test("outage minutes: a driver fold over the minute series reproduces the table") {
+    val mins = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_seconds(ts) DIV 60 AS mn").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Streams.outageMinutesBatch(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == mins.keySet)
+    got.foreach { r =>
+      val ms = mins(r.getString(0))
+      val gaps = ms.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      assert(r.getLong(1) == ms.length)
+      assert(r.getLong(2) == gaps.count(_ > 5))
+      assert(r.getLong(3) == (if (gaps.isEmpty) 0L else gaps.max))
+      assert(r.getLong(4) == ms.length * 10000 / (ms.max - ms.min + 1))
+    }
+    Caches.clearAll()
+  }
+
+  test("lsh bucket profile: conserves the corpus, pair-work identity holds") {
+    val rows = Ann.lshBucketProfile(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (size, nb) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == size * nb)
+      assert(r.getLong(3) == size * (size - 1) / 2 * nb)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+    Caches.clearAll()
+  }
+}
