@@ -376,6 +376,9 @@ object SparkEntry {
     "mm_phash_neardup" -> Multimodal.phashNearDup _,
     "stream_outage_minutes" -> Streams.outageMinutesBatch _,
     "ann_lsh_bucket_profile" -> Ann.lshBucketProfile _,
+    // round 12 batch 5: backlog aging, quality-rule matrix
+    "q_backlog_aging" -> Analytics.qBacklogAging _,
+    "pipeline_quality_matrix" -> TextOps.qualityMatrix _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4176,6 +4179,38 @@ object SparkEntry {
         |  CAST(MAX(COALESCE(gap, 0)) AS BIGINT) AS max_gap_min,
         |  CAST((COUNT(*) * 10000) // (MAX(mn) - MIN(mn) + 1) AS BIGINT) AS uptime_bp
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_backlog_aging" ->
+      """WITH o AS (SELECT CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sp
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |hw AS (SELECT MAX(dn) AS hw FROM o),
+        |h AS (SELECT LEAST((hw - dn) // 90, 8) AS age_quarters,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(sp) AS BIGINT) AS value_cents,
+        |    CAST(SUM(sp // 100) AS BIGINT) AS value_d
+        |  FROM o CROSS JOIN hw GROUP BY 1),
+        |t AS (SELECT CAST(SUM(value_d) AS BIGINT) AS tot FROM h)
+        |SELECT CAST(age_quarters AS BIGINT) AS age_quarters, n_orders, value_cents,
+        |  CAST((value_d * 10000) // tot AS BIGINT) AS value_share_bp
+        |FROM h CROSS JOIN t ORDER BY age_quarters""".stripMargin,
+    "pipeline_quality_matrix" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  ${TextOps.LangMarkers.map { case (_, ws) => langHits(ws) }.mkString(" + ")} AS marker_hits,
+         |  CAST((len(w) - len(list_distinct(w))) * 10000 // len(w) AS BIGINT) AS dup_word_bp
+         |FROM t),
+         |f AS (SELECT d.source,
+         |  CASE WHEN q.n_words < 5 THEN 1 ELSE 0 END AS f_short,
+         |  CASE WHEN q.marker_hits = 0 THEN 1 ELSE 0 END AS f_lang,
+         |  CASE WHEN q.dup_word_bp > 3000 THEN 1 ELSE 0 END AS f_rep
+         |  FROM q JOIN documents d ON d.doc_id = q.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(f_short) AS BIGINT) AS n_short,
+         |  CAST(SUM(f_lang) AS BIGINT) AS n_unknown_lang,
+         |  CAST(SUM(f_rep) AS BIGINT) AS n_repetitive,
+         |  CAST(SUM(CASE WHEN f_short + f_lang + f_rep > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_any_fail,
+         |  CAST((COUNT(*) - SUM(CASE WHEN f_short + f_lang + f_rep > 0 THEN 1 ELSE 0 END)) * 10000 // COUNT(*) AS BIGINT) AS pass_bp
+         |FROM f GROUP BY source ORDER BY source""".stripMargin),
     "ann_lsh_bucket_profile" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |b AS (SELECT vec_id, concat(

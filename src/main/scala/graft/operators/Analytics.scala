@@ -1921,6 +1921,31 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** Open-order backlog aging — the fulfilment-ops WIP report ("how
+    * old is what we still owe, and how much money is sitting in each
+    * age band"): open orders ('O' status) aged in days against the
+    * corpus high-water orderdate, bucketed in 90-day quarters capped
+    * at 8+ (bounded output), with order count, exact cents value, and
+    * the value share per band in bp. The status filter pushes to the
+    * scan; the high-water mark is a 1-row broadcast; one bounded
+    * histogram + share rollup after a map-side age computation. */
+  def qBacklogAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+        cents(col("o_totalprice"), 2).as("sp"))
+    val hw = o.agg(max(col("dn")).as("hw"))
+    val hist = o.crossJoin(broadcast(hw))
+      .groupBy(expr("LEAST((hw - dn) DIV 90, 8)").as("age_quarters"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("sp")).as("value_cents"),
+        sum(expr("sp DIV 100")).as("value_d"))
+    val tot = hist.agg(sum(col("value_d")).as("tot"))
+    hist.crossJoin(broadcast(tot))
+      .selectExpr("age_quarters", "n_orders", "value_cents",
+        "(value_d * 10000) DIV tot AS value_share_bp")
+      .orderBy("age_quarters")
+  }
+
   /** Customer lifespan / survival histogram — the duration read under
     * every churn model (how long does a customer relationship last,
     * first order to last): per customer the lifespan in months (month

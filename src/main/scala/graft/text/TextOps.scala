@@ -846,6 +846,33 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Quality-rule failure matrix per source — the curation dashboard
+    * behind [[qualityGate]]'s first-fail verdict: every rule evaluated
+    * INDEPENDENTLY per document (a doc can be both too-short and
+    * unknown-language; first-fail hides the second), rolled up per
+    * source as rule fail counts, any-fail count, and pass share bp.
+    * The table a corpus owner reads to see WHICH screen bites WHERE —
+    * a source failing mostly `repetitive` is template spam, mostly
+    * `unknown_language` is a mislabeled crawl slice. Same single-scan
+    * map-side rule columns as the gate, one source-sized rollup. */
+  def qualityMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cols = qualityGateCols(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .selectExpr("source",
+        "CAST(CASE WHEN n_words < 5 THEN 1 ELSE 0 END AS BIGINT) AS f_short",
+        "CAST(CASE WHEN marker_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS f_lang",
+        "CAST(CASE WHEN dup_word_bp > 3000 THEN 1 ELSE 0 END AS BIGINT) AS f_rep")
+    cols.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_short"), sum(col("f_lang")).as("n_unknown_lang"),
+        sum(col("f_rep")).as("n_repetitive"),
+        sum(expr("IF(f_short + f_lang + f_rep > 0, 1, 0)")).as("n_any_fail"))
+      .selectExpr("source", "n_docs", "n_short", "n_unknown_lang", "n_repetitive",
+        "n_any_fail", "((n_docs - n_any_fail) * 10000) DIV n_docs AS pass_bp")
+      .orderBy("source")
+  }
+
   /** Character-class profile per source — the encoding/charset QA a
     * crawl corpus runs before tokenizer training (a source whose
     * digit or "other" share spikes is tables/code/mojibake, not

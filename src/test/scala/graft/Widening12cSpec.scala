@@ -102,6 +102,36 @@ class Widening12cSpec extends AnyFunSuite {
     Caches.clearAll()
   }
 
+  test("backlog aging covers exactly the open orders, value shares floor-sum") {
+    val rows = Analytics.qBacklogAging(spark, sf).collect()
+    val open = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O").count()
+    assert(rows.map(_.getLong(1)).sum == open, "bands must cover the open orders")
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 8))
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(shareSum <= 10000 && shareSum > 10000 - rows.length)
+    Caches.clearAll()
+  }
+
+  test("quality matrix: independent rule counts bound the gate's first-fail counts") {
+    import graft.text.TextOps
+    val m = TextOps.qualityMatrix(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(m.map(_.getLong(1)).sum == nDocs)
+    // the gate's per-doc FIRST failing rule: its failure total equals
+    // the matrix's any-fail total (same three predicates), and each
+    // independent rule count is >= the gate's attribution to that rule
+    val gate = TextOps.qualityGate(spark, sf).groupBy("gate").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anyFail = m.map(_.getLong(5)).sum
+    assert(anyFail == gate.filterNot(_._1 == "ok").values.sum,
+      "any-fail must equal the gate's non-ok docs")
+    assert(m.map(_.getLong(2)).sum >= gate.getOrElse("too_short", 0L))
+    assert(m.map(_.getLong(3)).sum >= gate.getOrElse("unknown_language", 0L))
+    assert(m.map(_.getLong(4)).sum >= gate.getOrElse("repetitive", 0L))
+    m.foreach(r => assert(r.getLong(6) == (r.getLong(1) - r.getLong(5)) * 10000 / r.getLong(1)))
+    Caches.clearAll()
+  }
+
   test("lsh bucket profile: conserves the corpus, pair-work identity holds") {
     val rows = Ann.lshBucketProfile(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum == Tables.embeddings(spark, sf).count())
