@@ -170,14 +170,27 @@ object Bench {
     // that fit, with an explicit elision count so nothing is dropped
     // silently.
     val mode = if (isolate) "isolate" else "shared"
-    // Stamp each per-mode snapshot with the git rev it measured, so a
+    // Stamp each per-mode snapshot with the SOURCE-TREE object hash it
+    // measured (git rev-parse HEAD:src/main/scala — first 7 hex), so a
     // combined file can never silently merge halves from different
-    // commits or sf dirs (the halves are written by separate runs).
+    // CODE, while commits that only add artifacts (the pair commit
+    // itself, a verdict file, PLANS.md) do NOT invalidate a half. This
+    // is the r12 fix for two straight rounds of refused driver
+    // combines: stamping HEAD made the pair-recording commit itself a
+    // "different rev", so a post-commit re-run of one half could never
+    // match the committed other half even though the measured code was
+    // byte-identical.
     val rev = try {
-      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      p.waitFor()
-      if (out.nonEmpty) out else "unknown"
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        p.waitFor(); out
+      }
+      val tree = run("git", "rev-parse", "HEAD:src/main/scala")
+      // uncommitted source = the committed tree hash would lie; mark it
+      val dirty = run("git", "status", "--porcelain", "src/main/scala").nonEmpty
+      if (tree.length >= 7) "src-" + tree.take(7) + (if (dirty) "-dirty" else "")
+      else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
     // bench_schema 2 = family-grouped shared mode with per-family cache
     // release (r7+); totals are NOT comparable with schema-1 (r1-r6
