@@ -379,6 +379,12 @@ object SparkEntry {
     // round 12 batch 5: backlog aging, quality-rule matrix
     "q_backlog_aging" -> Analytics.qBacklogAging _,
     "pipeline_quality_matrix" -> TextOps.qualityMatrix _,
+    // round 12 batch 6: trade balance, weekly volatility, key-candidate
+    // profile, mix drift
+    "q_trade_balance" -> Analytics.qTradeBalance _,
+    "q_weekly_volatility" -> Analytics.qWeeklyVolatility _,
+    "ingest_distinctness_profile" -> SourceQueries.ingestDistinctnessProfile _,
+    "stream_mix_drift" -> Streams.mixDriftBatch _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4179,6 +4185,72 @@ object SparkEntry {
         |  CAST(MAX(COALESCE(gap, 0)) AS BIGINT) AS max_gap_min,
         |  CAST((COUNT(*) * 10000) // (MAX(mn) - MIN(mn) + 1) AS BIGINT) AS uptime_bp
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_trade_balance" ->
+      """WITH flow AS (SELECT CAST(s_nationkey AS BIGINT) AS sn, CAST(c_nationkey AS BIGINT) AS cn,
+        |    CAST(SUM(CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT sn AS nk,
+        |    CAST(SUM(CASE WHEN sn <> cn THEN rev ELSE 0 END) AS BIGINT) AS exports,
+        |    CAST(SUM(CASE WHEN sn = cn THEN rev ELSE 0 END) AS BIGINT) AS domestic
+        |  FROM flow GROUP BY 1),
+        |im AS (SELECT cn AS nk,
+        |    CAST(SUM(CASE WHEN sn <> cn THEN rev ELSE 0 END) AS BIGINT) AS imports
+        |  FROM flow GROUP BY 1)
+        |SELECT n_name, COALESCE(exports, 0) AS exports, COALESCE(imports, 0) AS imports,
+        |  COALESCE(domestic, 0) AS domestic,
+        |  COALESCE(exports, 0) - COALESCE(imports, 0) AS balance
+        |FROM ex FULL JOIN im USING (nk)
+        |JOIN nation ON CAST(n_nationkey AS BIGINT) = nk
+        |ORDER BY n_name""".stripMargin,
+    "q_weekly_volatility" ->
+      """WITH wk AS (SELECT CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 604800 AS wn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100) AS BIGINT) AS rev_d
+        |  FROM orders GROUP BY 1),
+        |mr AS (SELECT rev_d, CAST(row_number() OVER (ORDER BY rev_d, wn) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM wk),
+        |med AS (SELECT rev_d AS m FROM mr WHERE rn = GREATEST((n + 1) // 2, 1)),
+        |dev AS (SELECT wn, rev_d, ABS(rev_d - m) AS ad, m FROM wk CROSS JOIN med),
+        |ar AS (SELECT ad, CAST(row_number() OVER (ORDER BY ad, wn) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM dev),
+        |mad AS (SELECT ad AS mad FROM ar WHERE rn = GREATEST((n + 1) // 2, 1))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks, CAST(MAX(m) AS BIGINT) AS median_d,
+        |  CAST(MIN(mad) AS BIGINT) AS mad_d,
+        |  CAST((MIN(mad) * 10000) // GREATEST(MAX(m), 1) AS BIGINT) AS volatility_bp
+        |FROM dev CROSS JOIN mad""".stripMargin,
+    "ingest_distinctness_profile" -> {
+      def one(name: String, v: String) =
+        s"SELECT '$name' AS column_name, $v AS v FROM customer"
+      s"""WITH vals AS (
+         |${one("c_custkey", "CAST(c_custkey AS VARCHAR)")}
+         |UNION ALL ${one("c_name", "c_name")}
+         |UNION ALL ${one("c_mktsegment", "c_mktsegment")}
+         |UNION ALL ${one("c_nationkey", "CAST(c_nationkey AS VARCHAR)")}),
+         |g AS (SELECT column_name, v, CAST(COUNT(*) AS BIGINT) AS nv FROM vals GROUP BY 1, 2)
+         |SELECT column_name, CAST(SUM(nv) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(COUNT(*) * 10000 // SUM(nv) AS BIGINT) AS distinct_bp,
+         |  CAST(MAX(nv) * 10000 // SUM(nv) AS BIGINT) AS top_share_bp,
+         |  CAST(CASE WHEN COUNT(*) = SUM(nv) THEN 1 ELSE 0 END AS BIGINT) AS pk_candidate
+         |FROM g GROUP BY column_name ORDER BY column_name""".stripMargin
+    },
+    "stream_mix_drift" ->
+      """WITH e AS (SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |    INTERVAL ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600) * 3600) SECOND AS window_start,
+        |  event_type FROM events),
+        |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb FROM e GROUP BY 1),
+        |bt AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb FROM b),
+        |base AS (SELECT event_type, CAST((nb * 10000) // tb AS BIGINT) AS base_bp FROM b CROSS JOIN bt),
+        |w AS (SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |ws AS (SELECT window_start, event_type, n,
+        |    CAST((n * 10000) // SUM(n) OVER (PARTITION BY window_start) AS BIGINT) AS win_bp FROM w),
+        |d AS (SELECT ws.window_start, ws.event_type, ws.n, ws.win_bp, base.base_bp,
+        |    ws.win_bp - base.base_bp AS delta_bp FROM ws JOIN base USING (event_type))
+        |SELECT window_start, event_type, n, win_bp, base_bp, delta_bp,
+        |  CAST(SUM(ABS(delta_bp)) OVER (PARTITION BY window_start) // 2 AS BIGINT) AS tv_bp
+        |FROM d ORDER BY window_start, event_type""".stripMargin,
     "q_backlog_aging" ->
       """WITH o AS (SELECT CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sp

@@ -1921,6 +1921,78 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** Nation trade balance over the supplier→customer revenue flow —
+    * the import/export matrix read: per nation, revenue its suppliers
+    * EXPORT (sold to other nations' customers), revenue its customers
+    * IMPORT (bought from other nations' suppliers), domestic flow,
+    * and the net balance in exact cents. One fact-scale join chain
+    * (lineitem⋈orders, then two 25-row broadcast nation attaches via
+    * customer/supplier), one nation×nation-bounded rollup unioned
+    * into per-nation exports/imports — the matrix never exceeds 625
+    * rows at any scale factor. */
+  def qTradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    val flow = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rev"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT) AS sn")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS cn")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("sn"), col("cn")).agg(sum(col("rev")).as("rev"))
+    val perNation = flow
+      .groupBy(col("sn").as("nk"))
+      .agg(sum(when(col("sn") =!= col("cn"), col("rev")).otherwise(0L)).as("exports"),
+        sum(when(col("sn") === col("cn"), col("rev")).otherwise(0L)).as("domestic"))
+      .join(flow.groupBy(col("cn").as("nk"))
+        .agg(sum(when(col("sn") =!= col("cn"), col("rev")).otherwise(0L)).as("imports")),
+        Seq("nk"), "full")
+    perNation
+      .join(broadcast(Tables.nation(spark, dir)
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS nk", "n_name")), "nk")
+      .selectExpr("n_name",
+        "COALESCE(exports, 0) AS exports", "COALESCE(imports, 0) AS imports",
+        "COALESCE(domestic, 0) AS domestic",
+        "COALESCE(exports, 0) - COALESCE(imports, 0) AS balance")
+      .orderBy("n_name")
+  }
+
+  /** Weekly revenue volatility via median absolute deviation — the
+    * robust dispersion read next to [[qChangepoint]]'s level shifts
+    * (MAD ignores the single outlier weeks that wreck a stddev):
+    * weekly revenue in exact whole dollars, the median week and the
+    * median |deviation| both rank-selected from the CALENDAR-bounded
+    * weekly series (never a data-sized sort), volatility =
+    * mad·10⁴ DIV median in bp. One fact-scale rollup to weeks; every
+    * frame after it is week-count-sized (whitelisted global windows
+    * like the other time-domain frames). */
+  def qWeeklyVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.orders(spark, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000000").as("wn"),
+        cents(col("o_totalprice"), 2).as("sp"))
+      .groupBy(col("wn")).agg(sum(expr("sp DIV 100")).as("rev_d"))
+    def medianOf(d: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c), col("wn"))
+      d.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"))
+        .select(col(c).as("m"))
+    }
+    val med = medianOf(wk, "rev_d")
+    val dev = wk.crossJoin(broadcast(med))
+      .selectExpr("wn", "rev_d", "ABS(rev_d - m) AS ad", "m")
+    val mad = medianOf(dev.select(col("wn"), col("ad")), "ad")
+      .select(col("m").as("mad"))
+    dev.agg(count(lit(1)).as("n_weeks"), max(col("m")).as("median_d"))
+      .crossJoin(broadcast(mad))
+      .selectExpr("n_weeks", "median_d", "mad AS mad_d",
+        "(mad * 10000) DIV GREATEST(median_d, 1) AS volatility_bp")
+  }
+
   /** Open-order backlog aging — the fulfilment-ops WIP report ("how
     * old is what we still owe, and how much money is sitting in each
     * age band"): open orders ('O' status) aged in days against the

@@ -799,4 +799,34 @@ object SourceQueries {
         "CAST(CASE WHEN hwm_us - last_us > 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS stale")
       .orderBy("event_type")
   }
+
+  /** Column distinctness profile of the customer table — the
+    * key-candidate detector that runs BEFORE [[jdbcPkCatalog]]'s
+    * declared-key read and [[Jdbc]] FK inference: per column, exact
+    * distinct count, distinctness in bp (10⁴ = unique ⇒ PK
+    * candidate), and the top value's share in bp (a dominant value
+    * disqualifies a partitioning key even at high distinctness). One
+    * `stack` unpivot (map-side, no per-column scans) into a
+    * (column, value)-keyed count, then a column-sized rollup — two
+    * shuffles total for the whole profile at any table width. */
+  def ingestDistinctnessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.customer(spark, dir)
+      .selectExpr("""stack(4,
+        |'c_custkey', CAST(c_custkey AS STRING),
+        |'c_name', c_name,
+        |'c_mktsegment', c_mktsegment,
+        |'c_nationkey', CAST(c_nationkey AS STRING)) AS (column_name, v)"""
+        .stripMargin.replace("\n", " "))
+      .groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("nv"))
+    vals.groupBy(col("column_name"))
+      .agg(sum(col("nv")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max(col("nv")).as("top_n"))
+      .selectExpr("column_name", "n_rows", "n_distinct",
+        "(n_distinct * 10000) DIV n_rows AS distinct_bp",
+        "(top_n * 10000) DIV n_rows AS top_share_bp",
+        "CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT) AS pk_candidate")
+      .orderBy("column_name")
+  }
 }

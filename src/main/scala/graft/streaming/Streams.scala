@@ -377,6 +377,43 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Hourly event-type mix drift vs the corpus baseline — the
+    * distribution-shift monitor a streaming ingest runs on itself
+    * (an hour whose click/purchase mix diverges from baseline is an
+    * upstream change or an incident, caught before any model drifts):
+    * per 1-hour window and type, the windowed share vs the all-corpus
+    * share in bp, the signed delta, and the window's total-variation
+    * distance from baseline (Σ|delta| DIV 2 per window, folded onto
+    * each row — both terms floor before differencing, engine-exact).
+    * One windowed rollup + a type-count-sized broadcast baseline; the
+    * drift math is window-partitioned over ≤ types rows. Streaming
+    * form: the same windowed count over a watermarked stream joined
+    * per micro-batch against the static baseline (the
+    * [[staticEnrichBatch]] stream-static shape). */
+  def mixDriftBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .selectExpr("timestamp_seconds((unix_seconds(ts) DIV 3600) * 3600) AS ws",
+        "event_type")
+    val base = e.groupBy(col("event_type")).agg(count(lit(1)).as("nb"))
+    val baseTot = base.agg(sum(col("nb")).as("tb"))
+    val baseline = base.crossJoin(broadcast(baseTot))
+      .selectExpr("event_type", "(nb * 10000) DIV tb AS base_bp")
+    val win = e.groupBy(col("ws"), col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("wtot", sum(col("n")).over(
+        Window.partitionBy(col("ws"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .selectExpr("ws", "event_type", "n", "(n * 10000) DIV wtot AS win_bp")
+    win.join(broadcast(baseline), "event_type")
+      .withColumn("delta_bp", col("win_bp") - col("base_bp"))
+      .withColumn("tv2", sum(abs(col("delta_bp"))).over(
+        Window.partitionBy(col("ws"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(ntz(col("ws")).as("window_start"), col("event_type"), col("n"),
+        col("win_bp"), col("base_bp"), col("delta_bp"),
+        expr("tv2 DIV 2").as("tv_bp"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Per-type outage audit at minute grain — the pipeline-health
     * monitor next to [[heartbeatGap]]'s per-USER alarms (a whole
     * event TYPE going quiet is an upstream producer outage, not a

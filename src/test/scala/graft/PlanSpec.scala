@@ -823,7 +823,8 @@ class PlanSpec extends AnyFunSuite {
     "q_forecast_backtest" -> "window input = one row per calendar week (bounded by the time domain, never the order count)",
     "q_lorenz_topshare" -> "window input = one row per present spend bucket (domain DIV 10⁶ — the qGini two-level decomposition, global because the Lorenz cut is corpus-wide)",
     "q_abc_class" -> "window input = one row per present revenue bucket (domain DIV 10⁶ — bucket-offset cumulative for the descending ABC prefix)",
-    "q_customer_lifespan" -> "window input = one row per present lifespan value (bounded by the calendar-month domain)")
+    "q_customer_lifespan" -> "window input = one row per present lifespan value (bounded by the calendar-month domain)",
+    "q_weekly_volatility" -> "median rank windows over one row per calendar week (time-domain-bounded, the q_forecast_backtest frame)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical

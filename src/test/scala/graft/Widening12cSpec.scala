@@ -132,6 +132,67 @@ class Widening12cSpec extends AnyFunSuite {
     Caches.clearAll()
   }
 
+  test("trade balance: flows conserve (global exports == imports), balances net to 0") {
+    val rows = Analytics.qTradeBalance(spark, sf).collect()
+    val ex = rows.map(_.getLong(1)).sum
+    val im = rows.map(_.getLong(2)).sum
+    assert(ex == im, "every export is someone's import")
+    assert(rows.map(_.getLong(4)).sum == 0L, "balances must net to zero")
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(1) - r.getLong(2)))
+    val nations = Tables.nation(spark, sf).count()
+    assert(rows.length <= nations)
+    Caches.clearAll()
+  }
+
+  test("weekly volatility matches a driver-side median/MAD recompute") {
+    val got = Analytics.qWeeklyVolatility(spark, sf).collect()
+    assert(got.length == 1)
+    val wk = Tables.orders(spark, sf)
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000000 AS wn",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG) DIV 100 AS d")
+      .groupBy("wn").agg(sum(col("d")).as("rev_d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def medBy(xs: Seq[(Long, Long)]): Long = {
+      val sorted = xs.sortBy(t => (t._2, t._1))
+      sorted(((sorted.length + 1) / 2 - 1).max(0))._2
+    }
+    val m = medBy(wk.toSeq)
+    val mad = medBy(wk.toSeq.map { case (wn, r) => (wn, math.abs(r - m)) })
+    val r = got.head
+    assert(r.getLong(0) == wk.length && r.getLong(1) == m && r.getLong(2) == mad)
+    assert(r.getLong(3) == mad * 10000 / math.max(m, 1L))
+    Caches.clearAll()
+  }
+
+  test("distinctness profile: c_custkey is the only PK candidate, counts recount") {
+    import graft.operators.SourceQueries
+    val rows = SourceQueries.ingestDistinctnessProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.keySet == Set("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+    rows.values.foreach { case (rows_, _, _) => assert(rows_ == n) }
+    assert(rows("c_custkey")._3 == 1L, "the key column must flag as PK candidate")
+    assert(rows("c_mktsegment")._3 == 0L && rows("c_nationkey")._3 == 0L)
+    assert(rows("c_mktsegment")._2 ==
+      Tables.customer(spark, sf).select("c_mktsegment").distinct().count())
+    Caches.clearAll()
+  }
+
+  test("mix drift: window shares vs baseline, TV identity per window") {
+    val rows = Streams.mixDriftBatch(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+    rows.groupBy(_.get(0)).values.foreach { w =>
+      val tv = w.map(r => math.abs(r.getLong(5))).sum / 2
+      w.foreach { r =>
+        assert(r.getLong(6) == tv, "per-window TV must fold the same on every row")
+        assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+      }
+      val shareSum = w.map(_.getLong(3)).sum
+      assert(shareSum <= 10000 && shareSum > 10000 - w.length)
+    }
+    Caches.clearAll()
+  }
+
   test("lsh bucket profile: conserves the corpus, pair-work identity holds") {
     val rows = Ann.lshBucketProfile(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum == Tables.embeddings(spark, sf).count())
