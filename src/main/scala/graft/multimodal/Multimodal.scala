@@ -494,7 +494,13 @@ object Multimodal {
     * banding recall trade (more bands buy recall, cf. the minhash
     * 4×2 banding). The exact bit_count verify runs on candidates
     * only. Output is doc-grain (signature + near-dup partner count)
-    * — bounded at any corpus size. */
+    * — bounded at any corpus size. Scale note: 8-bit band keys give
+    * ≤256 buckets per band, so candidate work grows as n²/256 — fine
+    * for this container's 16-bit stand-in, but a PRODUCTION corpus
+    * runs the real 64-bit pHash with 8×8-bit bands (expected
+    * candidate work n²/2⁶⁴ per colliding band — the same widening
+    * lever as minhash band rows), changing only the signature and
+    * band-split constants here. */
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val bits = (0 until 16).map { j =>
       val hexd = "0123456789abcdef".charAt(j)

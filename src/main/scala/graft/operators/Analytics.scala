@@ -1926,21 +1926,24 @@ object Analytics {
     * EXPORT (sold to other nations' customers), revenue its customers
     * IMPORT (bought from other nations' suppliers), domestic flow,
     * and the net balance in exact cents. One fact-scale join chain
-    * (lineitem⋈orders, then two 25-row broadcast nation attaches via
-    * customer/supplier), one nation×nation-bounded rollup unioned
-    * into per-nation exports/imports — the matrix never exceeds 625
-    * rows at any scale factor. */
+    * (lineitem⋈orders, then nation-key attaches via customer and
+    * supplier — PLAIN key joins, because both dimensions grow with
+    * the scale factor and a forced broadcast would OOM the executors
+    * past ~SF 100; AQE still picks broadcast when they are actually
+    * small), one nation×nation-bounded rollup unioned into
+    * per-nation exports/imports — the matrix never exceeds 625 rows
+    * at any scale factor. */
   def qTradeBalance(spark: SparkSession, dir: String): DataFrame = {
     val flow = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         cents(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rev"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)
-        .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT) AS sn")),
+      .join(Tables.supplier(spark, dir)
+        .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT) AS sn"),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(spark, dir)
-        .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS cn")),
+      .join(Tables.customer(spark, dir)
+        .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS cn"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("sn"), col("cn")).agg(sum(col("rev")).as("rev"))
     val perNation = flow
