@@ -385,6 +385,15 @@ object SparkEntry {
     "q_weekly_volatility" -> Analytics.qWeeklyVolatility _,
     "ingest_distinctness_profile" -> SourceQueries.ingestDistinctnessProfile _,
     "stream_mix_drift" -> Streams.mixDriftBatch _,
+    // round 12 batch 7: staging type inference, composite-key
+    // discovery, bucket-pruned lookup, partition-evolution plan,
+    // OLS trend, aspect-ratio resolution bucketing
+    "ingest_type_infer" -> SourceQueries.ingestTypeInfer _,
+    "ingest_composite_key" -> SourceQueries.ingestCompositeKey _,
+    "load_bucket_pruning" -> SourceQueries.loadBucketPruning _,
+    "load_partition_evolution" -> SourceQueries.loadPartitionEvolution _,
+    "q_ols_trend" -> Analytics.qOlsTrend _,
+    "mm_resolution_bucket" -> Multimodal.resolutionBucket _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4299,5 +4308,95 @@ object SparkEntry {
         |SELECT bucket_size, n_buckets, n_vecs, pair_work,
         |  CAST((pair_work * 10000) // GREATEST(tot, 1) AS BIGINT) AS work_share_bp
         |FROM h CROSS JOIN t ORDER BY bucket_size""".stripMargin,
+    "ingest_type_infer" -> {
+      def one(name: String, v: String) =
+        s"SELECT '$name' AS column_name, $v AS v FROM orders"
+      s"""WITH vals AS (
+         |${one("o_orderkey", "CAST(o_orderkey AS VARCHAR)")}
+         |UNION ALL ${one("o_custkey", "CAST(o_custkey AS VARCHAR)")}
+         |UNION ALL ${one("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)")}
+         |UNION ALL ${one("o_orderdate", "strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')")}
+         |UNION ALL ${one("o_orderpriority", "o_orderpriority")}),
+         |c AS (SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_values,
+         |  CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+         |  CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+         |  CAST(SUM(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_date
+         |FROM vals GROUP BY 1)
+         |SELECT column_name, n_values, n_int, n_num, n_date,
+         |  CASE WHEN n_int = n_values THEN 'BIGINT'
+         |       WHEN n_num = n_values THEN 'DOUBLE'
+         |       WHEN n_date = n_values THEN 'DATE'
+         |       ELSE 'VARCHAR' END AS inferred_type
+         |FROM c ORDER BY column_name""".stripMargin
+    },
+    "ingest_composite_key" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d1,
+        |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d2,
+        |    CAST(COUNT(DISTINCT (l_orderkey, l_partkey)) AS BIGINT) AS d3,
+        |    CAST(COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey)) AS BIGINT) AS d4
+        |  FROM lineitem),
+        |u AS (SELECT 'l_orderkey' AS candidate, CAST(1 AS BIGINT) AS arity, n_rows, d1 AS n_distinct FROM a
+        |UNION ALL SELECT 'l_orderkey,l_linenumber', 2, n_rows, d2 FROM a
+        |UNION ALL SELECT 'l_orderkey,l_partkey', 2, n_rows, d3 FROM a
+        |UNION ALL SELECT 'l_orderkey,l_partkey,l_suppkey', 3, n_rows, d4 FROM a)
+        |SELECT candidate, arity, n_rows, n_distinct,
+        |  n_rows - n_distinct AS dup_rows,
+        |  CAST(((n_rows - n_distinct) * 10000) // n_rows AS BIGINT) AS dup_bp,
+        |  CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT) AS is_key
+        |FROM u ORDER BY candidate""".stripMargin,
+    "load_bucket_pruning" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE o_custkey IN (7, 77, 777)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "load_partition_evolution" ->
+      """WITH cells AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS old_part,
+        |    o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(old_part AS BIGINT) AS old_part,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_targets,
+        |  CAST(SUM(n) * 96 AS BIGINT) AS rewrite_bytes,
+        |  CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS needs_rewrite
+        |FROM cells GROUP BY old_part ORDER BY old_part""".stripMargin,
+    "q_ols_trend" ->
+      """WITH daily AS (SELECT o_orderpriority,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |a AS (SELECT MIN(dn) AS d0 FROM daily),
+        |s AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dn - d0) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM((dn - d0) * y) AS BIGINT) AS sxy,
+        |    CAST(SUM((dn - d0) * (dn - d0)) AS BIGINT) AS sxx
+        |  FROM daily CROSS JOIN a GROUP BY 1),
+        |nd AS (SELECT o_orderpriority, n_days, sy,
+        |    n_days * sxy - sx * sy AS num, n_days * sxx - sx * sx AS den FROM s),
+        |qr AS (SELECT o_orderpriority, n_days, sy, den,
+        |    CASE WHEN num >= 0 THEN num // den ELSE -((-num) // den) END AS q,
+        |    num - (CASE WHEN num >= 0 THEN num // den ELSE -((-num) // den) END) * den AS r
+        |  FROM nd)
+        |SELECT o_orderpriority, n_days, sy AS total_rev_k,
+        |  CAST(q * 1000000 + (CASE WHEN r >= 0 THEN (r * 1000000) // den
+        |    ELSE -((-r * 1000000) // den) END) AS BIGINT) AS slope_micro_k
+        |FROM qr ORDER BY o_orderpriority""".stripMargin,
+    "mm_resolution_bucket" ->
+      """WITH dims AS (SELECT CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS w,
+        |    CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS h FROM documents),
+        |byar AS (SELECT (w * 1000) // h AS ar_milli, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w * h) AS BIGINT) AS px FROM dims GROUP BY 1),
+        |ladder AS (SELECT * FROM (VALUES (750, 768, 1024), (875, 896, 1024),
+        |    (1000, 1024, 1024), (1143, 1024, 896), (1333, 1024, 768)) t(ar_t, tw, th)),
+        |ranked AS (SELECT byar.ar_milli, byar.n, byar.px, ladder.ar_t, ladder.tw, ladder.th,
+        |    row_number() OVER (PARTITION BY byar.ar_milli
+        |      ORDER BY abs(byar.ar_milli - ladder.ar_t), ladder.ar_t) AS rk
+        |  FROM byar CROSS JOIN ladder)
+        |SELECT CAST(ar_t AS BIGINT) AS bucket_ar, CAST(tw AS BIGINT) AS target_w,
+        |  CAST(th AS BIGINT) AS target_h, CAST(SUM(n) AS BIGINT) AS n_assets,
+        |  CAST(MIN(ar_milli) AS BIGINT) AS min_ar, CAST(MAX(ar_milli) AS BIGINT) AS max_ar,
+        |  CAST(SUM(px) AS BIGINT) AS src_pixels
+        |FROM ranked WHERE rk = 1
+        |GROUP BY 1, 2, 3 ORDER BY bucket_ar""".stripMargin,
   )
 }

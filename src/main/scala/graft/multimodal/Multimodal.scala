@@ -144,9 +144,60 @@ object Multimodal {
       .selectExpr("doc_id",
         "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes",
         "substr(base64(CAST(text AS BINARY)), 1, 16) AS b64_head",
-        "CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT) AS fake_width",
-        "CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT) AS fake_height")
+        s"$FakeWidthSql AS fake_width",
+        s"$FakeHeightSql AS fake_height")
       .orderBy("doc_id")
+
+  // THE stubbed-decoder dimension rule, defined once (binaryMeta and
+  // resolutionBucket share it; a real decoder replaces exactly these
+  // two expressions with header parsing — SURVEY §5's no-hand-copies
+  // rule). The oracle derives the same dims from md5 independently.
+  private val FakeWidthSql =
+    "CAST(128 + ascii(substr(md5(text), 1, 1)) AS BIGINT)"
+  private val FakeHeightSql =
+    "CAST(128 + ascii(substr(md5(text), 2, 1)) AS BIGINT)"
+
+  /** Aspect-ratio resolution bucketing — the batching pass a
+    * variable-AR image training pipeline runs before collation
+    * (mixed shapes can't share a tensor batch; resizing everything
+    * to one square destroys composition): each asset is assigned to
+    * the NEAREST bucket of a fixed aspect-ratio ladder (5 rungs,
+    * 3:4 … 4:3 in exact milli-AR units) and inherits that bucket's
+    * target decode dimensions. All integer math, and the rung
+    * assignment never touches doc-grain rows after the scan: assets
+    * collapse map-side to the AR-VALUE domain (ar_milli = w·1000 DIV
+    * h — at most ~1300 distinct values regardless of corpus size),
+    * the broadcast 5-row ladder cross-joins THAT table, the nearest
+    * rung is min(struct(|Δ|, target)) with the smaller rung on the
+    * exact midpoint tie, and the bucket rollup is ladder-sized.
+    * Output ≤ 5 rows: per bucket the asset count, observed AR span,
+    * and total source pixels (the decode-budget read). Dims come
+    * from the shared stubbed-decoder rule; a real decoder swaps in
+    * header dims and nothing else changes. */
+  def resolutionBucket(spark: SparkSession, dir: String): DataFrame = {
+    // (ar_milli target, target_w, target_h) — the SDXL-style ladder
+    val ladder = Seq(
+      (750L, 768L, 1024L), (875L, 896L, 1024L), (1000L, 1024L, 1024L),
+      (1143L, 1024L, 896L), (1333L, 1024L, 768L))
+    val ldf = spark.createDataFrame(ladder).toDF("ar_t", "target_w", "target_h")
+    val byAr = Tables.documents(spark, dir)
+      .selectExpr(s"$FakeWidthSql AS w", s"$FakeHeightSql AS h")
+      .selectExpr("w * h AS px", "w * 1000 DIV h AS ar_milli")
+      .groupBy(col("ar_milli"))
+      .agg(count(lit(1)).as("n"), sum(col("px")).as("px"))
+    byAr.crossJoin(broadcast(ldf))
+      .groupBy(col("ar_milli"))
+      .agg(min(struct(abs(col("ar_milli") - col("ar_t")), col("ar_t"),
+          col("target_w"), col("target_h"))).as("pick"),
+        first(col("n")).as("n"), first(col("px")).as("px"))
+      .selectExpr("pick.ar_t AS bucket_ar", "pick.target_w AS target_w",
+        "pick.target_h AS target_h", "ar_milli", "n", "px")
+      .groupBy(col("bucket_ar"), col("target_w"), col("target_h"))
+      .agg(sum(col("n")).as("n_assets"),
+        min(col("ar_milli")).as("min_ar"), max(col("ar_milli")).as("max_ar"),
+        sum(col("px")).as("src_pixels"))
+      .orderBy("bucket_ar")
+  }
 
   /** Binary-asset storage-dedup audit — what content-addressable
     * storage would save on this corpus: identical payloads (same

@@ -753,6 +753,50 @@ object Analytics {
       .orderBy("file_key")
   }
 
+  /** Clustering-depth histogram — the layout-health metric behind
+    * "should OPTIMIZE/recluster run" (Delta/Iceberg call it clustering
+    * or overlap depth): files written in ship-date ingest order carry
+    * min/max stats on the QUERY key (receipt day); a point predicate
+    * on that key must open every file whose [min,max] covers the
+    * point, so the overlap DEPTH at a key value IS the file-open
+    * amplification there. The classic interval sweep (same shape as
+    * [[qSessionOverlap]], at file grain): each file's key range emits
+    * +1 at min and −1 at max+1 (half-open — touching ranges don't
+    * overlap), boundaries order globally, running sum = depth over
+    * [boundary, next boundary); the histogram rolls up per depth the
+    * segment count, covered key-days, and share of the covered
+    * domain in bp. depth≈1 everywhere ⇒ clustered (skipping prunes
+    * to ~1 file); depth≈n_files ⇒ the key is unclustered and every
+    * probe reads everything — schedule the recluster. The sweep runs
+    * over FILE-COUNT-sized metadata (two rows per file — this is the
+    * stats table a lakehouse keeps per file, never the data), so the
+    * single global window is days-sized at any data scale; the only
+    * data-sized pass is the min/max-per-file aggregate feeding it. */
+  def layoutClusterDepth(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.lineitem(spark, dir)
+      .groupBy((year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+        dayofmonth(col("l_shipdate"))).cast("long").as("file_key"))
+      .agg(min(datediff(col("l_receiptdate"), lit("1992-01-01")).cast("long")).as("rmin"),
+        max(datediff(col("l_receiptdate"), lit("1992-01-01")).cast("long")).as("rmax"))
+    val pts = files.selectExpr("rmin AS p", "CAST(1 AS BIGINT) AS d")
+      .unionAll(files.selectExpr("rmax + 1 AS p", "CAST(-1 AS BIGINT) AS d"))
+      .groupBy(col("p")).agg(sum(col("d")).as("d"))
+    val wG = Window.orderBy(col("p"))
+    val segs = pts
+      .withColumn("depth", sum(col("d")).over(
+        wG.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_p", lead(col("p"), 1).over(wG))
+      .filter(col("depth") > 0 && col("next_p").isNotNull)
+      .select(col("depth"), (col("next_p") - col("p")).as("span"))
+    val tot = segs.agg(sum(col("span")).as("covered"))
+    segs.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("span")).as("span_days"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("depth", "n_segments", "span_days",
+        "(span_days * 10000) DIV covered AS span_bp")
+      .orderBy("depth")
+  }
+
   /** Max-concurrency interval analytics — the sweep-line complement
     * of [[qIntervalUnion]] (same 5-minute activity intervals): per
     * user, the PEAK number of simultaneously-open intervals. The
@@ -2170,5 +2214,54 @@ object Analytics {
         "age", "n_customers", "rev", "cum_rev",
         "cum_rev DIV n_customers AS ltv_cents")
       .orderBy("cohort_month", "age")
+  }
+
+  /** Exact-integer OLS trend per order priority — the detrending
+    * read run BEFORE [[qAutocorr]]'s seasonality terms and
+    * [[qForecastBacktest]]'s rolling baseline: which priority class
+    * is structurally growing? Slope of daily revenue (k$, the
+    * [[qAutocorr]] overflow unit) against the day index by the exact
+    * normal-equation form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * — every Σ an Int64 over integers, no float means (tie-order
+    * invariant, partitioning invariant). Day index is anchored at
+    * the global min day (slope is shift-invariant; one broadcast
+    * 1-row anchor), so x is calendar-bounded (~2.5k) and n·Σxy stays
+    * inside Int64 to ~SF 10⁵. The micro-k$/day report CANNOT scale
+    * the numerator by 10⁶ first (that caps at ~SF 7): it uses the
+    * exact split-division identity trunc(num·10⁶/den) = q·10⁶ +
+    * trunc(r·10⁶/den) with q = num DIV den, r = num − q·den — r is
+    * denominator-bounded and den is CALENDAR-only (~n⁴/12 ≈ 2.8e12),
+    * so every intermediate stays in Int64 at any revenue scale. The
+    * oracle mirrors Spark's truncating DIV with the [[qAutocorr]]
+    * sign CASE and derives r from q (never `%`, whose floor-vs-trunc
+    * pairing differs across engine versions). ONE data-sized groupBy
+    * to (priority, day) partials; the regression itself runs over
+    * ≤ 5 × calendar-days rows. */
+  def qOlsTrend(spark: SparkSession, dir: String): DataFrame = {
+    // persisted at the (priority, day) grain (≤ 5 × calendar days):
+    // the anchor min and the regression both read it, so the fact
+    // table is scanned once, not once per pass
+    val daily = graft.Caches.shared(spark, s"analytics.prioDaily:$dir") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+          cents(col("o_totalprice"), 2).as("sp"))
+        .groupBy(col("o_orderpriority"), col("dn"))
+        .agg(sum(expr("sp DIV 100000")).as("y"))
+    }
+    val anchor = daily.agg(min(col("dn")).as("d0"))
+    daily.crossJoin(broadcast(anchor))
+      .selectExpr("o_orderpriority", "dn - d0 AS x", "y")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .selectExpr("o_orderpriority", "n_days", "sy AS total_rev_k",
+        "n_days * sxy - sx * sy AS num", "n_days * sxx - sx * sx AS den")
+      .selectExpr("o_orderpriority", "n_days", "total_rev_k",
+        "num DIV den AS q", "num - (num DIV den) * den AS r", "den")
+      .selectExpr("o_orderpriority", "n_days", "total_rev_k",
+        "q * 1000000 + (r * 1000000) DIV den AS slope_micro_k")
+      .orderBy("o_orderpriority")
   }
 }

@@ -829,4 +829,123 @@ object SourceQueries {
         "CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT) AS pk_candidate")
       .orderBy("column_name")
   }
+
+  /** Narrowest-SQL-type inference over STRINGIFIED values — the
+    * staging-typing pass that runs before [[jdbcTypeMap]] when the
+    * source is a text landing zone (CSV exports, logs) and declares
+    * NO types at all: every value arrives as a string, and the loader
+    * must pick the narrowest type the whole column satisfies. Per
+    * column: counts of values parseable as BIGINT / DOUBLE / DATE,
+    * and the inferred type by precedence (BIGINT ⊂ DOUBLE; DATE and
+    * VARCHAR disjoint) — a single non-conforming value demotes the
+    * column, which is why the scan must be exhaustive, not sampled.
+    * Shape: one `stack` unpivot (map-side) + anchored-regex
+    * conditional sums into a column-count-sized aggregate — one
+    * shuffle of ≤ W rows at any table size. The stringified staging
+    * view is constructed with explicit per-type rendering (DECIMAL
+    * cast, date_format) mirrored in the oracle, so the classifier is
+    * judged on identical bytes in both engines. */
+  def ingestTypeInfer(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.orders(spark, dir)
+      .selectExpr("""stack(5,
+        |'o_orderkey', CAST(o_orderkey AS STRING),
+        |'o_custkey', CAST(o_custkey AS STRING),
+        |'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+        |'o_orderdate', date_format(o_orderdate, 'yyyy-MM-dd'),
+        |'o_orderpriority', o_orderpriority) AS (column_name, v)"""
+        .stripMargin.replace("\n", " "))
+    staged.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("v").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("v").rlike("^-?[0-9]+(\\.[0-9]+)?$"), 1L).otherwise(0L)).as("n_num"),
+        sum(when(col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1L).otherwise(0L)).as("n_date"))
+      .selectExpr("column_name", "n_values", "n_int", "n_num", "n_date",
+        """CASE WHEN n_int = n_values THEN 'BIGINT'
+          |     WHEN n_num = n_values THEN 'DOUBLE'
+          |     WHEN n_date = n_values THEN 'DATE'
+          |     ELSE 'VARCHAR' END AS inferred_type"""
+          .stripMargin.replace("\n", " "))
+      .orderBy("column_name")
+  }
+
+  /** Composite-key discovery over lineitem — the step after
+    * [[ingestDistinctnessProfile]] when NO single column is a key:
+    * candidate column sets ranked by exact duplication. The corpus
+    * makes the hazard concrete: (l_orderkey, l_partkey) reaches
+    * 99.9% distinctness — a sampled profiler would call it unique
+    * and a parallel extract keyed on it would silently drop rows —
+    * while only the full triple is a real key. Exact distinct counts
+    * for all four candidates come from ONE aggregate (Catalyst
+    * Expand: 4× map-side row expansion, the [[Analytics]]
+    * layout_column_stats multi-ndv shape — never four table scans),
+    * then a 4-row unpivot ranks them. Output is candidate-set-sized
+    * at any scale. */
+  def ingestCompositeKey(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("d1"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("d2"),
+        countDistinct(col("l_orderkey"), col("l_partkey")).as("d3"),
+        countDistinct(col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("d4"))
+    agg.selectExpr("""stack(4,
+        |'l_orderkey', 1, d1,
+        |'l_orderkey,l_linenumber', 2, d2,
+        |'l_orderkey,l_partkey', 2, d3,
+        |'l_orderkey,l_partkey,l_suppkey', 3, d4) AS (candidate, arity, n_distinct)""".stripMargin.replace("\n", " "),
+        "n_rows")
+      .selectExpr("candidate", "CAST(arity AS BIGINT) AS arity", "n_rows", "n_distinct",
+        "n_rows - n_distinct AS dup_rows",
+        "((n_rows - n_distinct) * 10000) DIV n_rows AS dup_bp",
+        "CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT) AS is_key")
+      .orderBy("candidate")
+  }
+
+  /** Bucket-pruned point lookup on the bucketed warehouse layout —
+    * the READ-side payoff of [[bucketedTables]] beyond the
+    * exchange-free join: an equality/IN predicate on the bucket key
+    * lets the scan open ONLY the matching buckets' files
+    * (SelectedBucketsCount in the scan node — asserted by the plan
+    * spec), so a point lookup on a 100 TB bucketed fact touches 1/8
+    * of the files before a single row is read. The layout is written
+    * once per session by the shared helper; the oracle aggregates the
+    * same keys straight from the source parquet, so a row landed in
+    * the wrong bucket (hash drift between write and read) fails the
+    * hash gate, not just the plan check. */
+  def loadBucketPruning(spark: SparkSession, dir: String): DataFrame = {
+    bucketedTables(spark, dir)
+    spark.table("graft_buck_orders")
+      .filter(col("o_custkey").isin(7L, 77L, 777L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("total_cents"))
+      .orderBy("o_custkey")
+  }
+
+  /** Partition-evolution rewrite plan — what an Iceberg-style
+    * `ALTER TABLE ... PARTITIONED BY` migration must move: the
+    * current month-partitioned orders layout re-keyed to
+    * (month, status). Per existing partition: rows, distinct target
+    * partitions (the split fan-out), modeled bytes to rewrite (the
+    * [[loadPartitionPlan]] size convention), and whether the
+    * partition rewrites at all (fan-out 1 = metadata-only move).
+    * Everything after the (old, new) cell count — bounded by
+    * months × statuses, never rows — is calendar-sized; the one
+    * data-sized pass is the partial-aggregated cell groupBy. The
+    * report is what the migration submits as its rewrite job list. */
+  def loadPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .selectExpr(
+        "year(o_orderdate) * 100 + month(o_orderdate) AS old_part",
+        "o_orderstatus AS status")
+      .groupBy(col("old_part"), col("status"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy(col("old_part"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_targets"))
+      .selectExpr("CAST(old_part AS BIGINT) AS old_part", "n_rows", "n_targets",
+        "n_rows * 96 AS rewrite_bytes",
+        "CAST(CASE WHEN n_targets > 1 THEN 1 ELSE 0 END AS BIGINT) AS needs_rewrite")
+      .orderBy("old_part")
+  }
 }
