@@ -394,6 +394,27 @@ object SparkEntry {
     "load_partition_evolution" -> SourceQueries.loadPartitionEvolution _,
     "q_ols_trend" -> Analytics.qOlsTrend _,
     "mm_resolution_bucket" -> Multimodal.resolutionBucket _,
+    // round 12 batch 8: outer attribution join, boilerplate screen,
+    // clustering-depth audit, vault key rotation, hard negatives
+    "stream_event_join_outer" -> Streams.eventJoinOuterBatch _,
+    "text_boilerplate" -> TextOps.boilerplate _,
+    "layout_cluster_depth" -> Analytics.layoutClusterDepth _,
+    "dlp_vault_rotation" -> DlpQueries.dlpVaultRotation _,
+    "sample_hard_negatives" -> Ann.hardNegatives _,
+    // round 12 batch 9: drawdown risk, lexical richness, residual
+    // scan, cluster medoid election, state-store sizing
+    "q_max_drawdown" -> Analytics.qMaxDrawdown _,
+    "text_hapax_ratio" -> TextOps.hapaxRatio _,
+    "dlp_residual_scan" -> DlpQueries.dlpResidualScan _,
+    "dedup_cluster_medoid" -> Dedup.clusterMedoid _,
+    "stream_state_size" -> Streams.stateSizeBatch _,
+    // round 12 batch 10: runs test, discount elasticity, audio
+    // framing plan, watermark sweep, key-space completeness
+    "q_runs_test" -> Analytics.qRunsTest _,
+    "q_discount_elasticity" -> Analytics.qDiscountElasticity _,
+    "mm_audio_window_plan" -> Multimodal.audioWindowPlan _,
+    "stream_late_sweep" -> Streams.lateSweepBatch _,
+    "ingest_pk_completeness" -> SourceQueries.ingestPkCompleteness _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4398,5 +4419,204 @@ object SparkEntry {
         |  CAST(SUM(px) AS BIGINT) AS src_pixels
         |FROM ranked WHERE rk = 1
         |GROUP BY 1, 2, 3 ORDER BY bucket_ar""".stripMargin,
+    // round 12 batch 8: outer attribution join, boilerplate screen,
+    // clustering-depth audit, vault key rotation, hard negatives
+    "stream_event_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  purchase_us - click_us AS lag_us,
+        |  CAST(CASE WHEN purchase_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+        |FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |  AND purchase_us > click_us AND purchase_us <= click_us + 3600000000
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id, md5(array_to_string(ws[i*8+1 : i*8+8], ' ')) AS h
+        |  FROM w, (SELECT unnest(range(0, 16)) AS i) g
+        |  WHERE len(ws) >= (i+1)*8),
+        |b AS (SELECT h FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |    CAST(SUM(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |  FROM seg GROUP BY doc_id)
+        |SELECT doc_id, n_segs, n_boiler,
+        |  CAST((n_boiler * 10000) // n_segs AS BIGINT) AS boiler_bp
+        |FROM d WHERE n_boiler > 0 ORDER BY doc_id""".stripMargin,
+    "layout_cluster_depth" ->
+      """WITH f AS (SELECT CAST(year(l_shipdate)*10000 + month(l_shipdate)*100 + day(l_shipdate) AS BIGINT) AS file_key,
+        |    CAST(MIN(l_orderkey) AS BIGINT) AS rmin, CAST(MAX(l_orderkey) AS BIGINT) AS rmax
+        |  FROM lineitem GROUP BY 1),
+        |pts AS (SELECT p, CAST(SUM(d) AS BIGINT) AS d FROM (
+        |    SELECT rmin AS p, 1 AS d FROM f UNION ALL SELECT rmax + 1, -1 FROM f) u GROUP BY p),
+        |sw AS (SELECT p, SUM(d) OVER (ORDER BY p) AS depth,
+        |    lead(p) OVER (ORDER BY p) AS next_p FROM pts),
+        |segs AS (SELECT depth, next_p - p AS span FROM sw WHERE depth > 0 AND next_p IS NOT NULL),
+        |t AS (SELECT SUM(span) AS covered FROM segs)
+        |SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(span) AS BIGINT) AS span_keys,
+        |  CAST((SUM(span) * 10000) // MAX(covered) AS BIGINT) AS span_bp
+        |FROM segs CROSS JOIN t GROUP BY depth ORDER BY depth""".stripMargin,
+    "dlp_vault_rotation" ->
+      """WITH rows_t AS (SELECT c_custkey, 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS old_token FROM customer),
+        |rot AS (SELECT DISTINCT 'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS old_token,
+        |    'TOK_' || substr(sha256('det-key-v2:' || c_name), 1, 32) AS new_token FROM customer),
+        |g AS (SELECT old_token, new_token, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM rows_t JOIN rot USING (old_token) GROUP BY 1, 2)
+        |SELECT old_token, new_token, n_rows,
+        |  CAST(CASE WHEN COUNT(*) OVER (PARTITION BY new_token) > 1 THEN 1 ELSE 0 END AS BIGINT) AS collided
+        |FROM g ORDER BY old_token""".stripMargin,
+    "sample_hard_negatives" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.label, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, label, emb, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, label AS ql, emb AS qe, cell FROM cells WHERE vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT query_id, c2.vec_id, c2.label, q.ql, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
+         |pos AS (SELECT query_id, MAX(c) AS c_pos FROM s WHERE label = ql GROUP BY query_id),
+         |r AS (SELECT query_id, vec_id, c, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+         |  FROM s WHERE label <> ql)
+         |SELECT query_id, vec_id AS negative_id, rank,
+         |  CAST(CASE WHEN pos.c_pos IS NULL OR r.c >= pos.c_pos THEN 1 ELSE 0 END AS BIGINT) AS is_hard,
+         |  CAST(FLOOR((r.c - pos.c_pos) * 1000000) AS BIGINT) AS margin_u
+         |FROM r LEFT JOIN pos USING (query_id) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+    // round 12 batch 9: drawdown risk, lexical richness, residual
+    // scan, cluster medoid election, state-store sizing
+    "q_max_drawdown" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS dn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT o_orderpriority, dn, rev_c,
+        |    MAX(rev_c) OVER (PARTITION BY o_orderpriority ORDER BY dn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c FROM d),
+        |dd AS (SELECT o_orderpriority, dn, peak_c,
+        |    ((peak_c - rev_c) * 10000) // peak_c AS dd_bp FROM p),
+        |dd2 AS (SELECT *, MAX(dd_bp) OVER (PARTITION BY o_orderpriority) AS mx FROM dd)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(peak_c) AS BIGINT) AS peak_rev_c,
+        |  CAST(MAX(dd_bp) AS BIGINT) AS max_dd_bp,
+        |  CAST(MIN(CASE WHEN dd_bp = mx THEN dn END) AS BIGINT) AS dd_day
+        |FROM dd2 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "text_hapax_ratio" ->
+      """WITH tf AS (SELECT source, w AS term, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) u GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS hapax_bp,
+        |  CAST((COUNT(*) * 10000) // SUM(n) AS BIGINT) AS ttr_bp
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+    "dlp_residual_scan" ->
+      (s"""WITH t AS (SELECT c_mktsegment, $ContactSql AS contact FROM customer),
+         |r AS (SELECT c_mktsegment, contact,
+         |    regexp_replace(contact, '$EmailReSql|$PhoneReSql', '[REDACTED]', 'g') AS red FROM t)
+         |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(CASE WHEN regexp_matches(red, '$EmailReSql|$PhoneReSql') THEN 1 ELSE 0 END) AS BIGINT) AS n_residual,
+         |  CAST(SUM(length(contact)) AS BIGINT) AS chars_before,
+         |  CAST(SUM(length(red)) AS BIGINT) AS chars_after,
+         |  CAST(((SUM(length(contact)) - SUM(length(red))) * 10000) // SUM(length(contact)) AS BIGINT) AS delta_bp
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    "dedup_cluster_medoid" ->
+      (s"""WITH RECURSIVE $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
+         |comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id),
+         |ed AS (SELECT doc_a AS doc_id, CAST(ROUND(jacc * 10000) AS BIGINT) AS j_bp FROM p
+         |      UNION ALL SELECT doc_b, CAST(ROUND(jacc * 10000) AS BIGINT) FROM p),
+         |sc AS (SELECT doc_id, CAST(SUM(j_bp) AS BIGINT) AS score_bp, CAST(COUNT(*) AS BIGINT) AS degree FROM ed GROUP BY 1),
+         |sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY comp HAVING COUNT(*) > 1),
+         |m AS (SELECT c.comp, sc.doc_id, sc.score_bp, sc.degree,
+         |    row_number() OVER (PARTITION BY c.comp ORDER BY sc.score_bp DESC, sc.doc_id) AS rk
+         |  FROM comp c JOIN sc USING (doc_id))
+         |SELECT m.comp AS comp_id, s.n_members, m.doc_id AS medoid_doc,
+         |  m.degree AS medoid_degree, m.score_bp AS medoid_score_bp
+         |FROM m JOIN sizes s ON s.comp = m.comp WHERE rk = 1 ORDER BY comp_id""".stripMargin),
+    "stream_state_size" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events),
+        |b AS (SELECT user_id, ((sec // 3600) + 1) * 3600 AS hb,
+        |    CASE WHEN sec % 3600 >= 1800 THEN 1 ELSE 0 END AS in_tail FROM e),
+        |g AS (SELECT user_id, hb, CAST(MAX(in_tail) AS BIGINT) AS live FROM b GROUP BY 1, 2)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (hb) SECOND AS hour_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(live) AS BIGINT) AS n_live,
+        |  CAST((SUM(live) * 10000) // COUNT(*) AS BIGINT) AS live_bp
+        |FROM g GROUP BY hb ORDER BY hour_end""".stripMargin,
+    // round 12 batch 10: runs test, discount elasticity, audio
+    // framing plan, watermark sweep, key-space completeness
+    "q_runs_test" ->
+      """WITH d AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS dn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT rev AS m FROM (SELECT rev, dn, row_number() OVER (ORDER BY rev, dn) AS rn,
+        |    COUNT(*) OVER () AS n FROM d) q WHERE rn = GREATEST((n + 1) // 2, 1)),
+        |s AS (SELECT dn, CASE WHEN rev > (SELECT m FROM med) THEN 1 ELSE 0 END AS s FROM d),
+        |c AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY dn) IS NULL THEN 1
+        |    WHEN lag(s) OVER (ORDER BY dn) <> s THEN 1 ELSE 0 END AS chg FROM s)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(s) AS BIGINT) AS n_above,
+        |  CAST(SUM(1 - s) AS BIGINT) AS n_below, CAST(SUM(chg) AS BIGINT) AS n_runs,
+        |  CAST(100 + (200 * SUM(s) * SUM(1 - s)) // COUNT(*) AS BIGINT) AS e_runs_c,
+        |  CAST(SUM(chg) * 100 - (100 + (200 * SUM(s) * SUM(1 - s)) // COUNT(*)) AS BIGINT) AS delta_c
+        |FROM c""".stripMargin,
+    "q_discount_elasticity" ->
+      """WITH l AS (SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_pct,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+        |    (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) // 100 AS rev_c
+        |  FROM lineitem),
+        |g AS (SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines, CAST(SUM(qty_c) AS BIGINT) AS qty_c,
+        |    CAST(SUM(rev_c) AS BIGINT) AS rev_c FROM l GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot FROM g)
+        |SELECT disc_pct, n_lines, qty_c, CAST(qty_c // n_lines AS BIGINT) AS avg_qty_c, rev_c,
+        |  CAST((rev_c * 10000) // tot AS BIGINT) AS rev_share_bp
+        |FROM g CROSS JOIN t ORDER BY disc_pct""".stripMargin,
+    "mm_audio_window_plan" ->
+      """WITH a AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |b AS (SELECT doc_id, data_bytes, data_bytes // 32 AS dur_ms FROM a),
+        |c AS (SELECT doc_id, data_bytes, dur_ms,
+        |    CASE WHEN dur_ms >= 25 THEN 1 + (dur_ms - 25) // 10 ELSE 0 END AS n_frames FROM b)
+        |SELECT doc_id, data_bytes, dur_ms, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST((n_frames + 63) // 64 AS BIGINT) AS n_batches
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "stream_late_sweep" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |h AS (SELECT us, MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN hwm IS NOT NULL AND us < hwm - 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+        |    CAST(SUM(CASE WHEN hwm IS NOT NULL AND us < hwm - 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d10,
+        |    CAST(SUM(CASE WHEN hwm IS NOT NULL AND us < hwm - 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS d30
+        |  FROM h)
+        |SELECT CAST(delay_min AS BIGINT) AS delay_min, n_events, n_dropped,
+        |  CAST((n_dropped * 10000) // n_events AS BIGINT) AS drop_bp
+        |FROM (SELECT 5 AS delay_min, n_events, d5 AS n_dropped FROM a
+        |  UNION ALL SELECT 10, n_events, d10 FROM a
+        |  UNION ALL SELECT 30, n_events, d30 FROM a) u
+        |ORDER BY delay_min""".stripMargin,
+    "ingest_pk_completeness" ->
+      """SELECT CAST(o_orderkey // 1024 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS k_min, CAST(MAX(o_orderkey) AS BIGINT) AS k_max,
+        |  CAST((MAX(o_orderkey) - MIN(o_orderkey) + 1) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_missing,
+        |  CAST(CASE WHEN (MAX(o_orderkey) - MIN(o_orderkey) + 1) = COUNT(DISTINCT o_orderkey) THEN 1 ELSE 0 END AS BIGINT) AS complete
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

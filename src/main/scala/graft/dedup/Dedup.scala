@@ -1239,4 +1239,41 @@ object Dedup {
         "((n_tokens - surv_tokens) * 10000) DIV n_tokens AS removed_bp")
       .orderBy("source")
   }
+
+  /** Duplicate-cluster medoid election — the canonical-copy picker
+    * that [[keepBest]]'s min-doc-id policy approximates (min-id keeps
+    * an ARBITRARY member; archival dedup and citation canonicalization
+    * want the most REPRESENTATIVE one — the member most similar to
+    * the rest of its cluster): per multi-doc component, the medoid =
+    * the member with the highest summed verified-pair Jaccard to its
+    * neighbors (basis-point integers — the gate never compares raw
+    * doubles), min-doc tie-break folded into ONE max(struct)
+    * aggregate, no second argmax pass. Scores come from the CACHED
+    * verified pair list (candidate-sized, never corpus-sized) and
+    * labels from the cached component table, so electing medoids
+    * after components costs two bounded aggregates and a dim join —
+    * at 100 TB the pair list is the dedup checkpoint that already
+    * exists. */
+  def clusterMedoid(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val edges = pairs.selectExpr("doc_a AS doc_id",
+        "CAST(ROUND(jacc * 10000) AS BIGINT) AS j_bp")
+      .unionAll(pairs.selectExpr("doc_b AS doc_id",
+        "CAST(ROUND(jacc * 10000) AS BIGINT) AS j_bp"))
+    val score = edges.groupBy(col("doc_id"))
+      .agg(sum(col("j_bp")).as("score_bp"), count(lit(1)).as("degree"))
+    val labels = components(spark, dir).select(col("doc_id"), col("comp"))
+    val sizes = labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    labels.join(score, "doc_id")
+      .groupBy(col("comp"))
+      .agg(max(struct(col("score_bp").as("s"), (-col("doc_id")).as("nd"),
+        col("degree").as("dg"))).as("best"))
+      .join(sizes, "comp")
+      .selectExpr("comp AS comp_id", "n_members",
+        "-best.nd AS medoid_doc", "best.dg AS medoid_degree",
+        "best.s AS medoid_score_bp")
+      .orderBy("comp_id")
+  }
 }

@@ -579,6 +579,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** STFT framing plan for the AUDIO slice of the corpus — the
+    * pre-decode sizing pass a speech/audio featurizer runs before
+    * committing GPU batches (frame counts, not byte counts, are what
+    * a mel-spectrogram or wav2vec batch is denominated in): per
+    * RIFF-routed asset, the modeled duration (payload bytes at the
+    * 16 kHz/16-bit/mono contract → 32 bytes per ms, header
+    * excluded), the exact frame count of a 25 ms window / 10 ms hop
+    * ladder (1 + (dur − 25) DIV 10 when the window fits, else 0 —
+    * the fence-post every framing implementation must agree on), and
+    * the 64-frame batch count (ceil). Duration comes from byte
+    * LENGTH only — the same honest no-codec boundary as
+    * [[bytesProfile]]; a real WAV parser would read the fmt-chunk
+    * rate instead of the contract constant, changing one expression.
+    * Pure map-side arithmetic on the routed slice (the magic-byte
+    * filter prunes 2/3 of payloads before any length is taken);
+    * asset-grain output. */
+  def audioWindowPlan(spark: SparkSession, dir: String): DataFrame =
+    payloadView(spark, dir)
+      .filter(substring(col("payload"), 1, 4) === lit(RiffMagic))
+      .select(col("doc_id"),
+        (length(col("payload")) - 4).cast("long").as("data_bytes"))
+      .selectExpr("doc_id", "data_bytes", "data_bytes DIV 32 AS dur_ms")
+      .selectExpr("doc_id", "data_bytes", "dur_ms",
+        "CASE WHEN dur_ms >= 25 THEN 1 + (dur_ms - 25) DIV 10 ELSE 0 END AS n_frames")
+      .selectExpr("doc_id", "data_bytes", "dur_ms", "n_frames",
+        "(n_frames + 63) DIV 64 AS n_batches")
+      .orderBy("doc_id")
+
   /** Decode stub: where a real implementation would run a codec over
     * each partition's payload batch. Deliberately unimplemented — no
     * codecs in this environment; [[featureExtract]] carries the real

@@ -756,7 +756,7 @@ object Analytics {
   /** Clustering-depth histogram — the layout-health metric behind
     * "should OPTIMIZE/recluster run" (Delta/Iceberg call it clustering
     * or overlap depth): files written in ship-date ingest order carry
-    * min/max stats on the QUERY key (receipt day); a point predicate
+    * min/max stats on the QUERY key (`l_orderkey`); a point predicate
     * on that key must open every file whose [min,max] covers the
     * point, so the overlap DEPTH at a key value IS the file-open
     * amplification there. The classic interval sweep (same shape as
@@ -764,7 +764,7 @@ object Analytics {
     * +1 at min and −1 at max+1 (half-open — touching ranges don't
     * overlap), boundaries order globally, running sum = depth over
     * [boundary, next boundary); the histogram rolls up per depth the
-    * segment count, covered key-days, and share of the covered
+    * segment count, covered key units, and share of the covered
     * domain in bp. depth≈1 everywhere ⇒ clustered (skipping prunes
     * to ~1 file); depth≈n_files ⇒ the key is unclustered and every
     * probe reads everything — schedule the recluster. The sweep runs
@@ -776,10 +776,15 @@ object Analytics {
     val files = Tables.lineitem(spark, dir)
       .groupBy((year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
         dayofmonth(col("l_shipdate"))).cast("long").as("file_key"))
-      .agg(min(datediff(col("l_receiptdate"), lit("1992-01-01")).cast("long")).as("rmin"),
-        max(datediff(col("l_receiptdate"), lit("1992-01-01")).cast("long")).as("rmax"))
-    val pts = files.selectExpr("rmin AS p", "CAST(1 AS BIGINT) AS d")
-      .unionAll(files.selectExpr("rmax + 1 AS p", "CAST(-1 AS BIGINT) AS d"))
+      .agg(min(col("l_orderkey")).as("rmin"),
+        max(col("l_orderkey")).as("rmax"))
+    // both sweep endpoints explode from the ONE min/max aggregate —
+    // a unionAll of two selects over `files` would re-plan the
+    // aggregate per branch and scan the fact twice
+    val pts = files.select(explode(array(
+        struct(col("rmin").as("p"), lit(1L).as("d")),
+        struct((col("rmax") + 1).as("p"), lit(-1L).as("d")))).as("pt"))
+      .select(col("pt.p"), col("pt.d"))
       .groupBy(col("p")).agg(sum(col("d")).as("d"))
     val wG = Window.orderBy(col("p"))
     val segs = pts
@@ -788,12 +793,15 @@ object Analytics {
       .withColumn("next_p", lead(col("p"), 1).over(wG))
       .filter(col("depth") > 0 && col("next_p").isNotNull)
       .select(col("depth"), (col("next_p") - col("p")).as("span"))
-    val tot = segs.agg(sum(col("span")).as("covered"))
+    // the covered-domain total folds over the DEPTH-LEVEL histogram
+    // (a handful of rows) — a separate aggregate branch would re-run
+    // the whole sweep pipeline, scanning the fact a second time
     segs.groupBy(col("depth"))
-      .agg(count(lit(1)).as("n_segments"), sum(col("span")).as("span_days"))
-      .crossJoin(broadcast(tot))
-      .selectExpr("depth", "n_segments", "span_days",
-        "(span_days * 10000) DIV covered AS span_bp")
+      .agg(count(lit(1)).as("n_segments"), sum(col("span")).as("span_keys"))
+      .withColumn("covered", sum(col("span_keys")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .selectExpr("depth", "n_segments", "span_keys",
+        "(span_keys * 10000) DIV covered AS span_bp")
       .orderBy("depth")
   }
 
@@ -2263,5 +2271,114 @@ object Analytics {
       .selectExpr("o_orderpriority", "n_days", "total_rev_k",
         "q * 1000000 + (r * 1000000) DIV den AS slope_micro_k")
       .orderBy("o_orderpriority")
+  }
+
+  /** Max drawdown of the daily revenue series per order priority —
+    * the worst peak-to-trough collapse, the risk statistic read next
+    * to [[qWeeklyVolatility]]'s dispersion and [[qChangepoint]]'s
+    * level shifts (volatility says how NOISY the series is; drawdown
+    * says how far it actually FELL from its best day, the number an
+    * SLA or revenue-at-risk review quotes). Per priority: the daily
+    * exact-cents series, its running peak (one ordered window over
+    * calendar-sized partitions), each day's drawdown
+    * (peak − rev)·10⁴ DIV peak in bp, rolled up to the maximum with
+    * the FIRST day it was touched (min-day tie-break via one
+    * min(struct) aggregate — no second argmax pass). Reuses the
+    * shared (priority, day) rollup, so the fact table is not
+    * re-scanned when [[qOlsTrend]] ran first; all windows partition
+    * by priority over ≤ calendar-days rows. */
+  def qMaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+          cents(col("o_totalprice"), 2).as("sp"))
+        .groupBy(col("o_orderpriority"), col("dn"))
+        .agg(sum(col("sp")).as("rev_c"))
+    }
+    val wP = Window.partitionBy(col("o_orderpriority")).orderBy(col("dn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak_c", max(col("rev_c")).over(wP))
+      .selectExpr("o_orderpriority", "dn", "peak_c",
+        "((peak_c - rev_c) * 10000) DIV peak_c AS dd_bp")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("peak_c")).as("peak_rev_c"),
+        min(struct((-col("dd_bp")).as("ndd"), col("dn").as("dn"))).as("worst"))
+      .selectExpr("o_orderpriority", "n_days", "peak_rev_c",
+        "-worst.ndd AS max_dd_bp", "worst.dn AS dd_day")
+      .orderBy("o_orderpriority")
+  }
+
+  /** Wald–Wolfowitz runs test on the daily revenue series — the
+    * randomness screen behind trend/seasonality claims (before
+    * [[qChangepoint]] flags a shift or [[qOlsTrend]] fits a slope,
+    * ask whether the above/below-median pattern could be noise: far
+    * FEWER runs than expected means clumping/trend, far MORE means
+    * oscillation): the series folds to above-median signs, runs count
+    * sign changes, and the classic expectation E[R] = 1 + 2·n₁·n₀/n
+    * reports in exact centi-units next to the observed count — the
+    * signed delta is the test statistic's numerator, integer-exact
+    * (the variance's square root is left to the reader: this repo
+    * ships no float columns across the gate). Median by exact rank
+    * selection, signs + one lag window over the CALENDAR-sized
+    * series (the [[qWeeklyVolatility]] time-domain whitelist), one
+    * summary row out. */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+        cents(col("o_totalprice"), 2).as("sp"))
+      .groupBy(col("dn")).agg(sum(col("sp")).as("rev"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("rev"), col("dn"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"))
+      .select(col("rev").as("m"))
+    val signs = daily.crossJoin(broadcast(med))
+      .selectExpr("dn", "CASE WHEN rev > m THEN 1L ELSE 0L END AS s")
+    val wD = Window.orderBy(col("dn"))
+    signs
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(wD).isNull, 1L)
+          .when(lag(col("s"), 1).over(wD) =!= col("s"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("s")).as("n_above"),
+        sum(expr("1L - s")).as("n_below"),
+        sum(col("chg")).as("n_runs"))
+      .selectExpr("n_days", "n_above", "n_below", "n_runs",
+        "100 + (200 * n_above * n_below) DIV n_days AS e_runs_c",
+        "n_runs * 100 - (100 + (200 * n_above * n_below) DIV n_days) AS delta_c")
+  }
+
+  /** Discount-elasticity profile — the promo-effectiveness read
+    * behind TPC-H Q6's what-if ("the revenue increase if discounts
+    * were eliminated" presumes demand holds; this table shows what
+    * quantity actually DID at each discount level): per discount
+    * point, line count, exact total/average quantity (centi-units),
+    * exact discounted revenue in cents via the integer identity
+    * price·(100 − d) DIV 100 applied per ROW (each line's discount
+    * is a whole-percent point, so the product is exact before the
+    * DIV), and each level's share of total revenue in bp. One
+    * map-side-combined aggregate over a 2-column scan into a
+    * ≤ 11-row rollup; the share folds over the tiny result with one
+    * unpartitioned window. */
+  def qDiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .select(cents(col("l_discount"), 2).as("disc_pct"),
+        cents(col("l_quantity"), 2).as("qty_c"),
+        cents(col("l_extendedprice"), 2).as("price_c"))
+      .selectExpr("disc_pct", "qty_c",
+        "(price_c * (100 - disc_pct)) DIV 100 AS rev_c")
+      .groupBy(col("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty_c")).as("qty_c"),
+        sum(col("rev_c")).as("rev_c"))
+      .withColumn("tot", sum(col("rev_c")).over(wAll))
+      .selectExpr("disc_pct", "n_lines", "qty_c",
+        "qty_c DIV n_lines AS avg_qty_c", "rev_c",
+        "(rev_c * 10000) DIV tot AS rev_share_bp")
+      .orderBy("disc_pct")
   }
 }

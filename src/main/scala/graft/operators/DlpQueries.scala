@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.{Dlp, DlpConfig, Ingest, SchemaMapper}
@@ -98,6 +99,67 @@ object DlpQueries {
       .select(col("c_custkey"), col("token"), col("plaintext").as("recovered"))
       .orderBy("c_custkey")
   }
+
+  /** Token-vault key rotation — the surrogate-key lifecycle job the
+    * reference's static template never needs but every long-lived
+    * tokenization deployment does (key compromise, crypto-period
+    * expiry): re-key every v1 token to the v2 key WITHOUT the fact
+    * rows ever touching plaintext. Plaintext is confined to the
+    * VAULT: the distinct (token_v1 → plaintext) map re-hashes to
+    * token_v2 dim-side, and the tokenized fact joins the rotated
+    * (old → new) map on the old TOKEN — at 100 TB the fact-side work
+    * is one broadcast-hash probe per row, no crypto, no plaintext
+    * exposure outside the vault's security boundary. Output is the
+    * rotation AUDIT at old-token grain: rows re-keyed per token and a
+    * collision flag (two old tokens mapping to one new token would
+    * mean v2 de-tokenization is ambiguous — the check that must gate
+    * the vault swap; deterministic hashing of distinct plaintexts
+    * makes it 0 everywhere, and the oracle proves it). */
+  def dlpVaultRotation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val rows = cust.select(col("c_custkey"),
+      Dlp.deterministicToken(col("c_name"), "det-key").as("old_token"))
+    val rotated = cust.select(
+        Dlp.deterministicToken(col("c_name"), "det-key").as("old_token"),
+        Dlp.deterministicToken(col("c_name"), "det-key-v2").as("new_token"))
+      .distinct()
+    val wNew = Window.partitionBy(col("new_token"))
+    rows.join(broadcast(rotated), "old_token")
+      .groupBy(col("old_token"), col("new_token"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("collided",
+        when(count(lit(1)).over(wNew) > 1, 1L).otherwise(0L))
+      .select(col("old_token"), col("new_token"), col("n_rows"), col("collided"))
+      .orderBy("old_token")
+  }
+
+  /** Post-de-identification residual scan — the verification pass a
+    * DLP deployment runs AFTER redaction and BEFORE release (the
+    * reference trusts the service call; a pipeline must PROVE the
+    * output is clean, because one un-matched phone format in a
+    * million rows is a reportable incident): redact the contact
+    * surface, re-inspect the REDACTED text with the same detectors,
+    * and report per market segment the records scanned, records
+    * still carrying any finding (must be 0 — this is the release
+    * gate), and the exact character delta of redaction (signed bp —
+    * the '[REDACTED]' tag can be longer than a short match). One
+    * map-side pass (redact + re-inspect are per-row expressions,
+    * whole-stage codegen'd) into a segment-sized rollup; nothing
+    * data-sized crosses an exchange. */
+  def dlpResidualScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), contact.as("contact"))
+      .withColumn("red", Dlp.redact(col("contact")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(Dlp.inspectCount(col("red"), Dlp.AnyPiiRe) > 0, 1L)
+          .otherwise(0L)).as("n_residual"),
+        sum(length(col("contact")).cast("long")).as("chars_before"),
+        sum(length(col("red")).cast("long")).as("chars_after"))
+      .selectExpr("c_mktsegment", "n_records", "n_residual",
+        "chars_before", "chars_after",
+        "((chars_before - chars_after) * 10000) DIV chars_before AS delta_bp")
+      .orderBy("c_mktsegment")
 
   def dlpDateShift(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -892,6 +892,58 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training sampler that
+    * turns the ANN index into a curriculum (random negatives are too
+    * easy; the negatives worth training on are the DIFFERENT-label
+    * vectors the encoder currently confuses with the anchor): per
+    * anchor, the top-5 most-similar different-label candidates from
+    * its IVF cell, each with its exact micro-cosine margin over the
+    * anchor's BEST same-label (positive) cell neighbor and the hard
+    * flag (negative ≥ positive — the pairs a triplet loss has
+    * non-zero gradient on). Complements [[filteredTopk]] (same-label
+    * search) with its label COMPLEMENT, over the same cell machinery:
+    * candidate work per anchor is cell-sized, never corpus-sized, and
+    * the positive-best is a query-count-sized aggregate joined back
+    * broadcast. Anchors whose cell holds no same-label neighbor have
+    * no positive to beat: every negative is trivially hard (flag 1,
+    * margin null — the batch composer reads that as "this anchor
+    * needs probe-2 or a labeled pool first"). Margins floor to exact
+    * micro-units (the [[assignMargin]] convention), so the gate
+    * compares integers, never raw doubles. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+    val cent = el.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val assign = el.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+    val cells = el.join(assign, "vec_id")
+    val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("label").as("ql"),
+        col("emb").as("qe"), col("cell").as("qcell"))
+    val cand = cells.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("ql"),
+        cosineSim(col("qe"), col("emb")).as("c"))
+    val posBest = cand.filter(col("label") === col("ql"))
+      .groupBy(col("query_id")).agg(max(col("c")).as("c_pos"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    cand.filter(col("label") =!= col("ql"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .join(broadcast(posBest), Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("vec_id").as("negative_id"), col("rank"),
+        when(col("c_pos").isNull || col("c") >= col("c_pos"), 1L)
+          .otherwise(0L).as("is_hard"),
+        expr("CAST(FLOOR((c - c_pos) * 1000000) AS BIGINT)").as("margin_u"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Encoder-batch drift monitor — did two production batches of the
     * same encoder land in the same place: per label, the squared L2
     * distance between the per-batch centroids (batch = vec_id parity

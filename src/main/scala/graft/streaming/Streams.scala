@@ -545,6 +545,52 @@ object Streams {
         |p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR""".stripMargin))
   }
 
+  /** LEFT-OUTER form of [[eventJoinBatch]] — the attribution join
+    * that must also account for the clicks that never converted (the
+    * inner join silently drops them; a conversion-rate reader over it
+    * is biased by construction). Every click emits: its matching
+    * purchases inside (click, click+1h] with the lag, or ONE null
+    * row when none arrived. The time bound lives in the JOIN
+    * condition, so Spark keeps the equi-key (`user_id`) for the hash
+    * join and evaluates the range as the join residual — the
+    * unmatched-click row is produced by the join itself, never by a
+    * second anti-join pass over the fact. Streaming form
+    * ([[eventJoinOuterStreaming]]): the same join as a watermarked
+    * stream-stream LEFT OUTER join — Spark REQUIRES the watermark +
+    * event-time bound here (unbounded outer state is rejected by the
+    * engine), and the null rows emit only once the watermark passes
+    * click+1h, i.e. once no matching purchase can still arrive. */
+  def eventJoinOuterBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("us").as("purchase_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_us") > col("click_us") &&
+          col("purchase_us") <= col("click_us") + 3600000000L,
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"),
+        when(col("purchase_id").isNotNull, 1L).otherwise(0L).as("matched"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  /** Streaming form of [[eventJoinOuterBatch]]: watermarked LEFT
+    * OUTER stream-stream join. The watermark delay bounds both the
+    * join state AND the null-emission latency. */
+  def eventJoinOuterStreaming(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("c_ts", "2 hours")
+    val p = purchases.withWatermark("p_ts", "2 hours")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR""".stripMargin),
+      "left_outer")
+  }
+
   /** Event funnel: per-user stage timestamps (signup → click →
     * purchase, each stage's min ts must follow the previous stage's),
     * aggregated to funnel counts — one groupBy, no self-joins. */
@@ -1181,5 +1227,68 @@ object Streams {
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** State-store size audit — the capacity-planning number a
+    * session-window deployment must know BEFORE it deploys (a
+    * 30-minute-gap sessionizer holds one state per user whose session
+    * is still open; executors are sized by the PEAK live-state count,
+    * not the event rate): at each hour boundary, how many users the
+    * sessionizer would still hold open state for (last event within
+    * the trailing 30 min), against the hour's total active users. An
+    * event keeps state alive at its NEXT hour boundary iff it falls
+    * in the boundary's trailing half-hour — a pure map-side predicate
+    * (`sec % 3600 >= 1800`) — so the whole audit is one
+    * (user, hour)-keyed aggregate with map-side combine plus an
+    * hour-sized rollup; no windows, no self-join, and the exchange
+    * key carries (user, hour), never event payloads. Streaming form:
+    * this is exactly the `numRowsTotal` the state store reports per
+    * trigger — the batch table is what you VALIDATE that metric
+    * against in a replay. */
+  def stateSizeBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_seconds(ts) AS sec")
+      .selectExpr("user_id", "((sec DIV 3600) + 1) * 3600 AS hb",
+        "CASE WHEN sec % 3600 >= 1800 THEN 1L ELSE 0L END AS in_tail")
+      .groupBy(col("user_id"), col("hb"))
+      .agg(max(col("in_tail")).as("live"))
+      .groupBy(col("hb"))
+      .agg(count(lit(1)).as("n_users"), sum(col("live")).as("n_live"))
+      .select(ntz(timestamp_seconds(col("hb"))).as("hour_end"),
+        col("n_users"), col("n_live"),
+        expr("(n_live * 10000) DIV n_users").as("live_bp"))
+      .orderBy("hour_end")
+
+  /** Watermark-delay sweep — the tuning table behind
+    * [[lateAuditBatch]]'s single-tolerance verdict (the audit says
+    * how late the stream runs at ONE delay; the DEPLOY decision needs
+    * the drop count as a FUNCTION of delay, because every extra
+    * minute of watermark is a minute of state and latency): the same
+    * per-user arrival-order high-water mark, then for each candidate
+    * delay (5 / 10 / 30 min) the events a watermark that tight would
+    * drop, in one pass — the three counts are conditional sums over
+    * the ONE windowed scan, pivoted to a row per delay by a 3-element
+    * explode of the aggregate (never three scans). Arrival order =
+    * event_id, the file's standing proxy. Reading the table: pick the
+    * smallest delay whose drop_bp is acceptable; that is the
+    * `withWatermark` argument and the state bill. */
+  def lateSweepBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def dropAt(min: Int): org.apache.spark.sql.Column =
+      sum(when(col("hwm").isNotNull &&
+        col("us") < col("hwm") - lit(min.toLong * 60000000L), 1L).otherwise(0L))
+        .as(s"d$min")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .agg(count(lit(1)).as("n_events"), dropAt(5), dropAt(10), dropAt(30))
+      .selectExpr("n_events",
+        """explode(array(struct(5L AS delay_min, d5 AS n_dropped),
+          |  struct(10L AS delay_min, d10 AS n_dropped),
+          |  struct(30L AS delay_min, d30 AS n_dropped))) AS s""".stripMargin)
+      .selectExpr("s.delay_min", "n_events", "s.n_dropped",
+        "(s.n_dropped * 10000) DIV n_events AS drop_bp")
+      .orderBy("delay_min")
   }
 }

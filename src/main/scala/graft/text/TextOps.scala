@@ -899,4 +899,71 @@ object TextOps {
         "(space * 10000) DIV n_chars AS space_bp",
         "((n_chars - alpha - digit - space) * 10000) DIV n_chars AS other_bp")
       .orderBy("source")
+
+  /** Boilerplate share per document — the template-text screen a web
+    * corpus runs BEFORE dedup and quality gating (nav bars, cookie
+    * banners, footers repeat across a site's every page; they inflate
+    * n-gram counts, poison near-dup similarity, and train the model
+    * on "accept all cookies" — cf. the segment machinery of
+    * [[graft.dedup.Dedup.paragraphDedup]], which finds the REPEATS;
+    * this op turns them into a per-DOC removal signal): a doc's 8-word
+    * segments (capped at 16 — the same bound the paragraph-dedup
+    * oracle pins) hash to md5 keys; a segment is boilerplate when its
+    * hash appears in ≥ 3 DISTINCT documents corpus-wide; each doc
+    * reports its segment count, boilerplate-segment count, and
+    * boilerplate share in bp — the downstream gate drops or strips
+    * docs above a share threshold. Two shuffles at any corpus size
+    * (segment-hash aggregate + the hash-keyed membership join back);
+    * 32-byte digests cross the exchanges, never segment text. The
+    * membership side is output-of-aggregate sized (distinct repeated
+    * hashes), NOT corpus sized — at 100 TB it stays joinable, and AQE
+    * broadcasts it when a clean corpus leaves it tiny. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          least((size(col("ws")) / 8).cast("int") - 1, lit(15)))).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("ws"), col("i") * 8 + 1, lit(8)))).as("h"))
+    val boiler = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 3)
+      .select(col("h"), lit(1L).as("is_boiler"))
+    segs.join(boiler, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .selectExpr("doc_id", "n_segs", "n_boiler",
+        "(n_boiler * 10000) DIV n_segs AS boiler_bp")
+      .filter(col("n_boiler") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Hapax-legomena / lexical-richness profile per source — the
+    * vocabulary-health read next to [[zipfFit]]'s tail-law fit (a
+    * crawl source whose hapax share collapses is template-generated
+    * or deduplicating-overdue text; one whose type-token ratio spikes
+    * is mojibake or ID soup — both poison tokenizer/vocab training
+    * before any model sees them): per source, exact token count,
+    * type count, hapax count (corpus frequency exactly 1 WITHIN the
+    * source), hapax share of the vocabulary and type-token ratio in
+    * bp. One (source, term)-keyed count with map-side combine, then a
+    * source-sized rollup — the heavy exchange ships (source, term,
+    * count) partials, never raw text; both output rollups are
+    * vocabulary-sized. */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS term")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .selectExpr("source", "n_tokens", "n_types", "n_hapax",
+        "(n_hapax * 10000) DIV n_types AS hapax_bp",
+        "(n_types * 10000) DIV n_tokens AS ttr_bp")
+      .orderBy("source")
+  }
 }

@@ -824,7 +824,10 @@ class PlanSpec extends AnyFunSuite {
     "q_lorenz_topshare" -> "window input = one row per present spend bucket (domain DIV 10⁶ — the qGini two-level decomposition, global because the Lorenz cut is corpus-wide)",
     "q_abc_class" -> "window input = one row per present revenue bucket (domain DIV 10⁶ — bucket-offset cumulative for the descending ABC prefix)",
     "q_customer_lifespan" -> "window input = one row per present lifespan value (bounded by the calendar-month domain)",
-    "q_weekly_volatility" -> "median rank windows over one row per calendar week (time-domain-bounded, the q_forecast_backtest frame)")
+    "q_weekly_volatility" -> "median rank windows over one row per calendar week (time-domain-bounded, the q_forecast_backtest frame)",
+    "layout_cluster_depth" -> "sweep windows over the file-stats boundary list (two rows per file — lakehouse metadata, never data rows)",
+    "q_discount_elasticity" -> "share window over one row per discount point (<= 11 rows: the whole-percent discount domain)",
+    "q_runs_test" -> "median-rank and lag windows over one row per calendar day (time-domain-bounded, the q_weekly_volatility frame)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical
