@@ -415,6 +415,13 @@ object SparkEntry {
     "mm_audio_window_plan" -> Multimodal.audioWindowPlan _,
     "stream_late_sweep" -> Streams.lateSweepBatch _,
     "ingest_pk_completeness" -> SourceQueries.ingestPkCompleteness _,
+    // round 12 batch 11: dynamic partition overwrite, constraint
+    // gate, order fan-out, pair-sim histogram, PQ distortion
+    "load_dynamic_overwrite" -> SourceQueries.loadDynamicOverwrite _,
+    "load_constraint_check" -> SourceQueries.loadConstraintCheck _,
+    "q_order_linecount_dist" -> Analytics.qOrderLinecountDist _,
+    "dedup_pair_sim_histogram" -> Dedup.pairSimHistogram _,
+    "ann_pq_distortion" -> Ann.pqDistortion _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4618,5 +4625,72 @@ object SparkEntry {
         |  CAST((MAX(o_orderkey) - MIN(o_orderkey) + 1) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_missing,
         |  CAST(CASE WHEN (MAX(o_orderkey) - MIN(o_orderkey) + 1) = COUNT(DISTINCT o_orderkey) THEN 1 ELSE 0 END AS BIGINT) AS complete
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // round 12 batch 11: dynamic partition overwrite, constraint
+    // gate, order fan-out, pair-sim histogram, PQ distortion
+    "load_dynamic_overwrite" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END) AS BIGINT) AS total_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "load_constraint_check" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        |  CAST(SUM(CASE WHEN o_orderdate NOT BETWEEN '1992-01-01' AND '2005-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS v6
+        | FROM orders)
+        |SELECT rule, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM (SELECT 'o_orderkey_not_null' AS rule, n_checked, v1 AS n_violations FROM a
+        |  UNION ALL SELECT 'o_totalprice_positive', n_checked, v2 FROM a
+        |  UNION ALL SELECT 'o_orderstatus_domain', n_checked, v3 FROM a
+        |  UNION ALL SELECT 'o_orderpriority_domain', n_checked, v4 FROM a
+        |  UNION ALL SELECT 'o_custkey_not_null', n_checked, v5 FROM a
+        |  UNION ALL SELECT 'o_orderdate_in_range', n_checked, v6 FROM a) u
+        |ORDER BY rule""".stripMargin,
+    "q_order_linecount_dist" ->
+      """WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1),
+        |h AS (SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot_o, CAST(SUM(n_orders * n_lines) AS BIGINT) AS tot_l FROM h)
+        |SELECT n_lines, n_orders,
+        |  CAST((n_orders * 10000) // tot_o AS BIGINT) AS order_share_bp,
+        |  CAST((n_orders * n_lines * 10000) // tot_l AS BIGINT) AS line_share_bp
+        |FROM h CROSS JOIN t ORDER BY n_lines""".stripMargin,
+    "dedup_pair_sim_histogram" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b),
+         |p AS (SELECT CAST(ROUND(jacc * 10000) AS BIGINT) AS j_bp FROM j WHERE jacc >= 0.5),
+         |b AS (SELECT LEAST(j_bp // 500, 20) AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(MIN(j_bp) AS BIGINT) AS min_bp, CAST(MAX(j_bp) AS BIGINT) AS max_bp FROM p GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM b)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(band * 500 AS BIGINT) AS band_lo_bp, n_pairs,
+         |  CAST((n_pairs * 10000) // tot AS BIGINT) AS share_bp, min_bp, max_bp
+         |FROM b CROSS JOIN t ORDER BY band""".stripMargin),
+    "ann_pq_distortion" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |d AS (SELECT e.vec_id, ${duckSqL2("emb", "ce", 1)} AS d0, ${duckSqL2("emb", "ce", 17)} AS d1,
+         |    ${duckSqL2("emb", "ce", 33)} AS d2, ${duckSqL2("emb", "ce", 49)} AS d3
+         |  FROM e CROSS JOIN cent),
+         |mins AS (SELECT vec_id, MIN(d0) AS e0, MIN(d1) AS e1, MIN(d2) AS e2, MIN(d3) AS e3 FROM d GROUP BY 1),
+         |u AS (SELECT 0 AS subspace, CAST(FLOOR(e0 * 1000000) AS BIGINT) AS err_u FROM mins
+         |  UNION ALL SELECT 1, CAST(FLOOR(e1 * 1000000) AS BIGINT) FROM mins
+         |  UNION ALL SELECT 2, CAST(FLOOR(e2 * 1000000) AS BIGINT) FROM mins
+         |  UNION ALL SELECT 3, CAST(FLOOR(e3 * 1000000) AS BIGINT) FROM mins)
+         |SELECT CAST(subspace AS BIGINT) AS subspace, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(err_u) AS BIGINT) AS sum_err_u, CAST(SUM(err_u) // COUNT(*) AS BIGINT) AS avg_err_u,
+         |  CAST(MAX(err_u) AS BIGINT) AS max_err_u
+         |FROM u GROUP BY 1 ORDER BY subspace""".stripMargin),
   )
 }

@@ -1276,4 +1276,30 @@ object Dedup {
         "best.s AS medoid_score_bp")
       .orderBy("comp_id")
   }
+
+  /** Verified-pair similarity histogram — the threshold-placement
+    * read over the dedup pipeline's OWN output (the 0.5 Jaccard gate
+    * is a config constant; this table shows what the corpus actually
+    * does around it — mass piled just above the cut means the
+    * threshold is doing work and a small change moves many pairs;
+    * an empty band above it means the corpus is bimodal and the
+    * threshold is free): verified pairs bucket at 5-point steps of
+    * basis-point Jaccard (50–54%, 55–59%, … capped at the exact-dup
+    * 100% band), each band reporting pair count, share bp, and its
+    * observed min/max. Reads the CACHED pair list — candidate-sized
+    * — so the histogram costs one bounded aggregate plus a
+    * band-count window; nothing rescans the corpus. */
+  def pairSimHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    minhashPairs(spark, dir)
+      .selectExpr("CAST(ROUND(jacc * 10000) AS BIGINT) AS j_bp")
+      .selectExpr("j_bp", "LEAST(j_bp DIV 500, 20) AS band")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j_bp")).as("min_bp"), max(col("j_bp")).as("max_bp"))
+      .withColumn("tot", sum(col("n_pairs")).over(wAll))
+      .selectExpr("band", "band * 500 AS band_lo_bp", "n_pairs",
+        "(n_pairs * 10000) DIV tot AS share_bp", "min_bp", "max_bp")
+      .orderBy("band")
+  }
 }

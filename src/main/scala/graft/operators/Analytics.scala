@@ -2381,4 +2381,30 @@ object Analytics {
         "(rev_c * 10000) DIV tot AS rev_share_bp")
       .orderBy("disc_pct")
   }
+
+  /** Order fan-out distribution — lines-per-order histogram, the
+    * denormalization planner's first read (the join multiplicity
+    * between the header and line tables decides shuffle sizing,
+    * skew exposure, and whether a pre-aggregated line rollup is
+    * worth materializing; an order with 10× the typical fan-out is
+    * also the first place a duplicated extract shows up): lines
+    * count per order (one map-side-combined aggregate on the join
+    * key), then the fan-out histogram with each level's order share
+    * and LINE share in bp — the two shares read differently under
+    * skew, which is the point. Histogram-sized output (TPC-H fan-out
+    * tops out at 7); the share fold is one window over those rows. */
+  def qOrderLinecountDist(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("tot_o", sum(col("n_orders")).over(wAll))
+      .withColumn("tot_l", sum(col("n_orders") * col("n_lines")).over(wAll))
+      .selectExpr("n_lines", "n_orders",
+        "(n_orders * 10000) DIV tot_o AS order_share_bp",
+        "(n_orders * n_lines * 10000) DIV tot_l AS line_share_bp")
+      .orderBy("n_lines")
+  }
 }

@@ -976,4 +976,73 @@ object SourceQueries {
         "(k_max - k_min + 1) - n_keys AS n_missing",
         "CAST(CASE WHEN (k_max - k_min + 1) = n_keys THEN 1 ELSE 0 END AS BIGINT) AS complete")
       .orderBy("bucket")
+
+  /** Dynamic partition overwrite — the INSERT OVERWRITE semantics a
+    * partitioned warehouse restatement needs (static overwrite mode
+    * would TRUNCATE every partition the write doesn't mention; the
+    * dynamic mode rewrites only the partitions present in the
+    * incoming frame — Spark's `partitionOverwriteMode=dynamic`,
+    * scoped per-write via the writer option, never session-wide):
+    * v1 lands the full order book partitioned by status; v2 restates
+    * ONLY the 'F' partition (prices doubled — a currency correction);
+    * the read-back per-partition rollup must show exactly one
+    * partition changed and the others byte-identical to v1. At scale
+    * this is the nightly restatement path: the corrected slice is
+    * written with its partition values, and untouched partitions are
+    * never rewritten (no read-modify-write of the whole table). The
+    * audited output is the post-state ledger the publish step
+    * compares against expectations. */
+  def loadDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-dynpart").toString
+    val orders = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    orders.filter(col("o_orderstatus") === "F")
+      .withColumn("price_c", col("price_c") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("total_c"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Pre-load constraint gate — Delta/DBMS CHECK-constraint semantics
+    * evaluated as data (the reference loads whatever the extract
+    * produced; a warehouse load must PROVE the batch satisfies the
+    * table contract first, and reject or quarantine by RULE, not by
+    * row-level crash): each declared rule evaluates independently
+    * over one shared scan (conditional sums — first-fail masking
+    * would hide co-violations, the pipeline_quality_matrix lesson),
+    * reporting checked/violation counts and the pass flag the load
+    * gates on. Rules here: NOT NULL keys, positive totals, status
+    * and priority domain membership, clerk format. One map-side pass
+    * into a rule-count-sized output at any batch size. */
+  def loadConstraintCheck(spark: SparkSession, dir: String): DataFrame =
+    constraintCheckOf(Tables.orders(spark, dir))
+
+  def constraintCheckOf(o: DataFrame): DataFrame = {
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "o_orderkey_not_null" -> col("o_orderkey").isNull,
+      "o_totalprice_positive" -> (col("o_totalprice") <= 0),
+      "o_orderstatus_domain" -> !col("o_orderstatus").isin("F", "O", "P"),
+      "o_orderpriority_domain" ->
+        !expr("o_orderpriority RLIKE '^[1-5]-'"),
+      "o_custkey_not_null" -> col("o_custkey").isNull,
+      "o_orderdate_in_range" ->
+        !col("o_orderdate").between("1992-01-01", "2005-12-31"))
+    val agg = o.agg(count(lit(1)).as("n_checked"),
+      rules.map { case (n, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"v_$n")
+      }: _*)
+    val stack = rules.map { case (n, _) =>
+      s"struct('$n' AS rule, v_$n AS n_violations)"
+    }.mkString("explode(array(", ", ", ")) AS s")
+    agg.selectExpr("n_checked", stack)
+      .selectExpr("s.rule", "n_checked", "s.n_violations",
+        "CAST(CASE WHEN s.n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass")
+      .orderBy("rule")
+  }
 }

@@ -1319,4 +1319,44 @@ object Ann {
         "(n_sample * 10000) DIV ts - (n_corpus * 10000) DIV tc AS delta_bp")
       .orderBy("cell")
   }
+
+  /** PQ quantization-distortion audit — the index-quality bill the
+    * PQ family pays and never itemizes ([[pqTopk]] ranks by
+    * approximate distances; THIS table says how approximate, per
+    * subspace): every vector's per-subspace squared error to its
+    * nearest codeword (the same seeded codebook and fused
+    * [[graft.functions.SqL2Sub]] distance the encoder uses), floored
+    * to exact micro-units PER ROW before any aggregation — so the
+    * sums are integer-exact at any parallelism where a double sum
+    * would be partition-order-dependent — then rolled up per
+    * subspace: vector count, total / average / worst error. A
+    * subspace whose distortion dwarfs the others is under-clustered
+    * (its 16 dims carry more variance than 8 codewords express) and
+    * is where another codebook bit buys the most recall. One
+    * broadcast-codebook scan + a 4-row rollup. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val M = 4
+    val sub = 16
+    def sqL2(a: String, b: String, lo: Int) =
+      graft.functions.SqL2Sub.sqL2(col(a), col(b), lo, sub)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val errs = e.crossJoin(broadcast(cent))
+      .select(Seq(col("vec_id")) ++
+        (0 until M).map(m => sqL2("emb", "ce", m * sub + 1).as(s"d$m")): _*)
+      .groupBy(col("vec_id"))
+      .agg(min(col("d0")).as("e0"), min(col("d1")).as("e1"),
+        min(col("d2")).as("e2"), min(col("d3")).as("e3"))
+    errs.selectExpr("explode(array(" + (0 until M).map(m =>
+        s"struct(${m}L AS subspace, CAST(FLOOR(e$m * 1000000) AS BIGINT) AS err_u)")
+        .mkString(", ") + ")) AS s")
+      .selectExpr("s.subspace", "s.err_u")
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err_u")).as("sum_err_u"),
+        max(col("err_u")).as("max_err_u"))
+      .selectExpr("subspace", "n_vecs", "sum_err_u",
+        "sum_err_u DIV n_vecs AS avg_err_u", "max_err_u")
+      .orderBy("subspace")
+  }
 }
