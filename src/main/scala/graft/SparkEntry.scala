@@ -422,6 +422,21 @@ object SparkEntry {
     "q_order_linecount_dist" -> Analytics.qOrderLinecountDist _,
     "dedup_pair_sim_histogram" -> Dedup.pairSimHistogram _,
     "ann_pq_distortion" -> Ann.pqDistortion _,
+    // round 12 batch 12: rank-ratio windows, activity streaks,
+    // weighted median, chi-square audit, rolling median, readability
+    "q_percent_rank" -> Analytics.qPercentRank _,
+    "q_streaks" -> Analytics.qStreaks _,
+    "q_weighted_median" -> Analytics.qWeightedMedian _,
+    "q_chi_square" -> Analytics.qChiSquare _,
+    "q_moving_median" -> Analytics.qMovingMedian _,
+    "text_readability" -> TextOps.readability _,
+    // round 12 batch 13: seasonal index, MAD outliers, degree
+    // distribution, noise-injected release, label concentration
+    "q_seasonal_index" -> Analytics.qSeasonalIndex _,
+    "q_mad_outliers" -> Analytics.qMadOutliers _,
+    "q_degree_dist" -> Analytics.qDegreeDist _,
+    "dlp_noise_counts" -> DlpQueries.dlpNoiseCounts _,
+    "embed_spherical_variance" -> Ann.sphericalVariance _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4692,5 +4707,166 @@ object SparkEntry {
          |  CAST(SUM(err_u) AS BIGINT) AS sum_err_u, CAST(SUM(err_u) // COUNT(*) AS BIGINT) AS avg_err_u,
          |  CAST(MAX(err_u) AS BIGINT) AS max_err_u
          |FROM u GROUP BY 1 ORDER BY subspace""".stripMargin),
+    // round 12 batch 12: rank-ratio windows, activity streaks,
+    // weighted median, chi-square audit, rolling median, readability
+    "q_percent_rank" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(s_nationkey AS BIGINT) AS nation, s_suppkey,
+        |    CAST(COALESCE(rev_c, 0) AS BIGINT) AS rev_c
+        |  FROM supplier LEFT JOIN rev ON s_suppkey = l_suppkey),
+        |r AS (SELECT nation, s_suppkey, rev_c,
+        |    CAST(ROUND(percent_rank() OVER (PARTITION BY nation ORDER BY rev_c) * 10000) AS BIGINT) AS pr_bp,
+        |    CAST(ROUND(cume_dist() OVER (PARTITION BY nation ORDER BY rev_c) * 10000) AS BIGINT) AS cd_bp
+        |  FROM s)
+        |SELECT nation, s_suppkey, rev_c, pr_bp, cd_bp FROM r
+        |WHERE cd_bp >= 9000 ORDER BY nation, rev_c, s_suppkey""".stripMargin,
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dn FROM events),
+        |i AS (SELECT user_id, dn,
+        |    dn - dense_rank() OVER (PARTITION BY user_id ORDER BY dn) AS isl FROM d),
+        |runs AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest,
+        |    CAST(SUM(len) AS BIGINT) AS active_days FROM runs GROUP BY 1)
+        |SELECT longest, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(active_days) AS BIGINT) AS user_days
+        |FROM u GROUP BY 1 ORDER BY longest""".stripMargin,
+    "q_weighted_median" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, price_c, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM v)
+        |SELECT l_returnflag, CAST(MIN(tot) AS BIGINT) AS total_w,
+        |  CAST(MIN(price_c) AS BIGINT) AS wmedian_price_c
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_chi_square" ->
+      """WITH cell AS (SELECT o_orderpriority, o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
+        |m AS (SELECT o_orderpriority, o_orderstatus, obs,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS rs,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS cs,
+        |    CAST(SUM(obs) OVER () AS BIGINT) AS n FROM cell),
+        |e AS (SELECT o_orderpriority, o_orderstatus, obs,
+        |    (rs * cs) // n AS exp_f FROM m),
+        |k AS (SELECT o_orderpriority, o_orderstatus, obs, exp_f,
+        |    ((obs - exp_f) * (obs - exp_f) * 1000000) // GREATEST(exp_f, 1) AS contrib_micro
+        |  FROM e)
+        |SELECT o_orderpriority, o_orderstatus, obs, CAST(exp_f AS BIGINT) AS exp_f,
+        |  CAST(contrib_micro AS BIGINT) AS contrib_micro,
+        |  CAST(SUM(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+        |FROM k ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q_moving_median" ->
+      """WITH daily AS (SELECT o_orderpriority,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, dn, rev_c,
+        |  CAST(COUNT(*) OVER w7 AS BIGINT) AS n_in,
+        |  CAST(median(rev_c * 2) OVER w7 AS BIGINT) AS med2_c
+        |FROM daily
+        |WINDOW w7 AS (PARTITION BY o_orderpriority ORDER BY dn
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, dn""".stripMargin,
+    "text_readability" ->
+      """WITH d AS (SELECT source,
+        |    GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS w,
+        |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |    GREATEST(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS v
+        |  FROM documents),
+        |sc AS (SELECT source, w,
+        |    206835 - (1015 * w) // s - (84600 * v) // w AS score_milli FROM d),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(score_milli) AS BIGINT) AS sum_milli,
+        |    CAST(SUM(CASE WHEN score_milli >= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+        |    CAST(SUM(CASE WHEN score_milli < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+        |  FROM sc GROUP BY 1)
+        |SELECT source, n_docs, n_words,
+        |  CAST(CASE WHEN sum_milli >= 0 THEN sum_milli // n_docs
+        |    ELSE -((-sum_milli) // n_docs) END AS BIGINT) AS mean_score_milli,
+        |  CAST((n_easy * 10000) // n_docs AS BIGINT) AS easy_bp,
+        |  CAST((n_hard * 10000) // n_docs AS BIGINT) AS hard_bp
+        |FROM g ORDER BY source""".stripMargin,
+    // round 12 batch 13: seasonal index, MAD outliers, degree
+    // distribution, noise-injected release, label concentration
+    "q_seasonal_index" ->
+      """WITH m AS (SELECT CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot FROM m)
+        |SELECT month, n_orders, rev_c,
+        |  CAST((rev_c * 10000) // tot AS BIGINT) AS share_bp,
+        |  CAST((rev_c * 120000) // tot AS BIGINT) AS index_bp
+        |FROM m CROSS JOIN t ORDER BY month""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH daily AS (SELECT o_orderpriority,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        |r1 AS (SELECT o_orderpriority, dn, rev_c,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY rev_c, dn) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM daily),
+        |med AS (SELECT o_orderpriority AS mp, rev_c AS med_c FROM r1
+        |  WHERE rn = GREATEST((n + 1) // 2, 1)),
+        |dev AS (SELECT o_orderpriority, dn, rev_c, med_c,
+        |    abs(rev_c - med_c) AS dev_c FROM daily JOIN med ON o_orderpriority = mp),
+        |r2 AS (SELECT o_orderpriority, dev_c,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY dev_c, dn) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM dev),
+        |mad AS (SELECT o_orderpriority AS mp2, dev_c AS mad_c FROM r2
+        |  WHERE rn = GREATEST((n + 1) // 2, 1)),
+        |j AS (SELECT dev.*, mad_c,
+        |    MAX(dev_c) OVER (PARTITION BY dev.o_orderpriority) AS mx
+        |  FROM dev JOIN mad ON o_orderpriority = mp2)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MIN(med_c) AS BIGINT) AS med_c, CAST(MIN(mad_c) AS BIGINT) AS mad_c,
+        |  CAST(SUM(CASE WHEN dev_c > mad_c * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(MIN(CASE WHEN dev_c = mx THEN dn END) AS BIGINT) AS worst_dn,
+        |  CAST(MAX(dev_c) AS BIGINT) AS worst_dev_c
+        |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_degree_dist" ->
+      """WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |p AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+        |s AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+        |h AS (SELECT 'part' AS side, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM p GROUP BY 2
+        |  UNION ALL SELECT 'supplier', degree, CAST(COUNT(*) AS BIGINT) FROM s GROUP BY 2)
+        |SELECT side, degree, n_nodes,
+        |  CAST((n_nodes * 10000) // SUM(n_nodes) OVER (PARTITION BY side) AS BIGINT) AS node_share_bp
+        |FROM h ORDER BY side, degree""".stripMargin,
+    "dlp_noise_counts" ->
+      """WITH cell AS (SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(COUNT(*) AS BIGINT) AS true_n FROM customer GROUP BY 1, 2),
+        |nz AS (SELECT segment, nation, true_n,
+        |    ((strpos('0123456789abcdef', substring(md5('noise-v1:' || segment || ':' || CAST(nation AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substring(md5('noise-v1:' || segment || ':' || CAST(nation AS VARCHAR)), 2, 1)) - 1)) % 21 - 10 AS noise
+        |  FROM cell)
+        |SELECT segment, nation, true_n, CAST(noise AS BIGINT) AS noise,
+        |  CAST(GREATEST(true_n + noise, 0) AS BIGINT) AS noisy_n,
+        |  CAST(abs(GREATEST(true_n + noise, 0) - true_n) AS BIGINT) AS abs_err,
+        |  CAST((abs(GREATEST(true_n + noise, 0) - true_n) * 10000) // GREATEST(true_n, 1) AS BIGINT) AS err_bp
+        |FROM nz ORDER BY segment, nation""".stripMargin,
+    "embed_spherical_variance" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT label, CAST(i AS BIGINT) AS pos,
+        |    CAST(CAST(emb[i] AS DECIMAL(9,3)) * 1000 AS BIGINT) AS vm
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |d AS (SELECT label, pos,
+        |    CAST(SUM(vm) AS BIGINT) AS s_d, CAST(SUM(vm * vm) AS BIGINT) AS sq_d
+        |  FROM q GROUP BY 1, 2),
+        |g AS (SELECT label, CAST(SUM(s_d * s_d) AS BIGINT) AS r2,
+        |    CAST(SUM(sq_d) AS BIGINT) AS norm2 FROM d GROUP BY 1),
+        |n AS (SELECT label AS l2, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |  FROM e GROUP BY 1)
+        |SELECT label, n_vecs, r2, norm2,
+        |  CAST((r2 * 10000) // (n_vecs * norm2) AS BIGINT) AS concentration_bp
+        |FROM g JOIN n ON label = l2 ORDER BY label""".stripMargin,
   )
 }

@@ -2407,4 +2407,277 @@ object Analytics {
         "(n_orders * n_lines * 10000) DIV tot_l AS line_share_bp")
       .orderBy("n_lines")
   }
+
+  /** Relative standing inside a group via the native rank-ratio window
+    * functions — `percent_rank` ((rank−1)/(n−1)) and `cume_dist`
+    * (rows ≤ current / n), the two normalized-rank forms a
+    * league-table or compensation-band reader wants that `ntile`'s
+    * equal-width tiles cannot express (ties share a percent_rank;
+    * a tile boundary splits them arbitrarily). Top-decile suppliers
+    * by lifetime revenue within their nation: supplier-grain revenue
+    * rollup (one map-side-combined aggregate over the fact table),
+    * then the two ratio windows partitioned by nation over
+    * DIMENSION-grain rows (suppliers — bounded by the supplier
+    * table, never by lineitem; the q_ntile lesson). Both ratios are
+    * one IEEE division of exact integers, scaled to bp with a
+    * round() both engines compute identically on the same double. */
+  def qPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice"), 2).as("p"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("p")).as("rev_c"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation"))
+    val wN = Window.partitionBy(col("nation")).orderBy(col("rev_c"))
+    sup.join(rev, sup("s_suppkey") === rev("l_suppkey"), "left")
+      .select(col("nation"), col("s_suppkey"),
+        coalesce(col("rev_c"), lit(0L)).as("rev_c"))
+      .withColumn("pr_raw", percent_rank().over(wN))
+      .withColumn("cd_raw", cume_dist().over(wN))
+      .selectExpr("nation", "s_suppkey", "rev_c",
+        "CAST(round(pr_raw * 10000) AS BIGINT) AS pr_bp",
+        "CAST(round(cd_raw * 10000) AS BIGINT) AS cd_bp")
+      // top decile by cume_dist — inclusive of ties and of singleton
+      // nations (cd=1 there), so the cut is non-empty at any SF
+      .where(col("cd_bp") >= 9000)
+      .orderBy("nation", "rev_c", "s_suppkey")
+  }
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands decomposition (day − dense_rank is constant
+    * within an unbroken run), the engagement statistic behind
+    * habit/retention dashboards that DAU/MAU and retention matrices
+    * both miss (a user active 7 days STRAIGHT is a different user
+    * from one active 7 scattered days). Distinct (user, day) grid
+    * (map-side combine), island id via one USER-partitioned window
+    * (user-grain partitions — maximal parallelism, no skew beyond a
+    * single user's calendar, which is bounded), streak lengths per
+    * island, max per user, then the corpus-level histogram: per
+    * longest-streak length, how many users and their total active
+    * days. Histogram-sized output at any SF. */
+  def qStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("dn"))
+      .distinct()
+      .withColumn("isl", col("dn") - dense_rank().over(wU))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest"), sum(col("len")).as("active_days"))
+      .groupBy(col("longest"))
+      .agg(count(lit(1)).as("n_users"), sum(col("active_days")).as("user_days"))
+      .orderBy("longest")
+  }
+
+  /** Weighted median unit price per return flag (weight = quantity):
+    * the "typical dollar's price" rather than the typical line's —
+    * the robust center a pricing review wants when line sizes vary
+    * 50×. Exact two-level decomposition, never a fact-sized sort:
+    * level 1 buckets price into $100 cells (price-RANGE-bounded cell
+    * count, SF-independent) and cumsums bucket weights per flag over
+    * those bounded rows to locate the single bucket containing the
+    * lower weighted median (smallest x with 2·cumW(x) ≥ W); level 2
+    * re-aggregates ONLY that bucket's distinct price values (≤ 10⁴
+    * cent values per bucket, bounded) with the level-1 offset to find
+    * the exact crossing value. Both windows run over bounded-cardinality
+    * rows at any SF — the same machinery as dlp_quantile_bucketing. */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val vals = graft.Caches.shared(spark, s"analytics.wmedVals:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          cents(col("l_extendedprice"), 2).as("price_c"),
+          cents(col("l_quantity"), 2).as("w"))
+        .groupBy(col("l_returnflag"), col("price_c"))
+        .agg(sum(col("w")).as("w"))
+        .withColumn("b", expr("price_c DIV 10000"))
+    }
+    val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+    val buckets = vals
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(sum(col("w")).as("wb"))
+      .withColumn("cum", sum(col("wb")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wb")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val target = buckets
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("b"), (col("cum") - col("wb")).as("off"),
+        col("tot").as("tot"))).as("t"))
+      .selectExpr("l_returnflag", "t.b AS tb", "t.off AS off", "t.tot AS tot")
+    val wV = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
+    vals.as("l").join(broadcast(target.withColumnRenamed("l_returnflag", "tf")),
+        col("l.l_returnflag") === col("tf") && col("l.b") === col("tb"))
+      .select(col("l.l_returnflag"), col("price_c"), col("w"), col("off"), col("tot"))
+      .withColumn("cum", col("off") + sum(col("w")).over(
+        wV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price_c")).as("wmedian_price_c"), min(col("tot")).as("total_w"))
+      .selectExpr("l_returnflag", "total_w", "wmedian_price_c")
+      .orderBy("l_returnflag")
+  }
+
+  /** Chi-square independence audit of order priority × order status —
+    * the contingency screen behind any "priority predicts lifecycle"
+    * claim, in EXACT integer math: observed cell counts (one
+    * 15-cell aggregate), marginals folded back as windows over the
+    * cell rows (never a second scan), floored expectation
+    * e = (rowSum·colSum) DIV n, and each cell's contribution
+    * ((o−e)²·10⁶) DIV e in micro-units — deterministic on both
+    * engines because every step is integer (the floored-expectation
+    * form is documented; d is bounded by the cell count so d²·10⁶
+    * holds in Int64 to ~SF 10⁴). The statistic Σ contrib is folded
+    * onto each row by a 15-row global window. */
+  def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wP = Window.partitionBy(col("o_orderpriority"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wS = Window.partitionBy(col("o_orderstatus"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("obs"))
+      .withColumn("rs", sum(col("obs")).over(wP))
+      .withColumn("cs", sum(col("obs")).over(wS))
+      .withColumn("n", sum(col("obs")).over(wAll))
+      .selectExpr("o_orderpriority", "o_orderstatus", "obs",
+        "(rs * cs) DIV n AS exp_f")
+      .selectExpr("o_orderpriority", "o_orderstatus", "obs", "exp_f",
+        "((obs - exp_f) * (obs - exp_f) * 1000000) DIV GREATEST(exp_f, 1) AS contrib_micro")
+      .withColumn("chi2_micro", sum(col("contrib_micro")).over(wAll))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  /** 7-day rolling median of daily revenue per order priority — the
+    * robust smoother read next to [[qWeeklyVolatility]]'s dispersion
+    * (a single flash-sale day drags a moving AVERAGE for a week; the
+    * moving median shrugs it off). Daily exact-cents rollup (one
+    * map-side-combined aggregate), then an exact windowed median
+    * over ROWS 6 PRECEDING per priority — windows run over one row
+    * per (priority, day), calendar-bounded at any SF. Exactness
+    * trick: median(2·rev) of an even frame is mid-pair SUM (integer)
+    * and of an odd frame is 2·mid — always integral, so the
+    * interpolating `percentile`/`median` of both engines agree
+    * bit-for-bit and the boundary stays BIGINT. */
+  def qMovingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+          cents(col("o_totalprice"), 2).as("sp"))
+        .groupBy(col("o_orderpriority"), col("dn"))
+        .agg(sum(col("sp")).as("rev_c"))
+    }
+    val w7 = Window.partitionBy(col("o_orderpriority")).orderBy(col("dn"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("med2", expr("percentile(rev_c * 2, 0.5)").over(w7))
+      .withColumn("n_in", count(lit(1)).over(w7))
+      .selectExpr("o_orderpriority", "dn", "rev_c",
+        "n_in", "CAST(med2 AS BIGINT) AS med2_c")
+      .orderBy("o_orderpriority", "dn")
+  }
+
+  /** Month-of-year seasonal index of order revenue — the seasonality
+    * read a forecast or capacity plan takes BEFORE trusting any
+    * trend ([[qOlsTrend]]) or change claim ([[qChangepoint]]): per
+    * calendar month (pooled across years), order count, exact-cents
+    * revenue, revenue share bp, and the seasonal index in bp
+    * (rev·12·10⁴ DIV total — par = 10000, a 10500 December is a 5%
+    * hot month). One map-side-combined aggregate into a ≤12-row
+    * rollup; the corpus total arrives by broadcast cross join (the
+    * qOlsTrend anchor pattern), never a global window. */
+  def qSeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(month(col("o_orderdate").cast("timestamp")).cast("long").as("m"),
+        cents(col("o_totalprice"), 2).as("sp"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("sp")).as("rev_c"))
+    val total = monthly.agg(sum(col("rev_c")).as("tot"))
+    monthly.crossJoin(broadcast(total))
+      .selectExpr("m AS month", "n_orders", "rev_c",
+        "(rev_c * 10000) DIV tot AS share_bp",
+        "(rev_c * 120000) DIV tot AS index_bp")
+      .orderBy("month")
+  }
+
+  /** Median-absolute-deviation outlier screen on the daily revenue
+    * series per priority — the robust alarm rule ([[qMaxDrawdown]]
+    * says how far it fell; MAD says which days were ABNORMAL without
+    * letting the abnormal days inflate their own yardstick, the
+    * classic z-score failure): exact lower rank-median of the daily
+    * series, deviations |rev − med|, exact lower rank-median of the
+    * deviations (same machinery), then the 3·MAD outlier count and
+    * the worst day via one min(struct) argmax. All rank windows run
+    * over one row per (priority, day) — calendar-bounded at any SF;
+    * the two median tables are priority-sized broadcasts. */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+          cents(col("o_totalprice"), 2).as("sp"))
+        .groupBy(col("o_orderpriority"), col("dn"))
+        .agg(sum(col("sp")).as("rev_c"))
+    }
+    // exact lower rank-median of `v` per priority (the qRunsTest rule)
+    def rankMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val wR = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col(v), col("dn"))
+      val wN = Window.partitionBy(col("o_orderpriority"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.withColumn("rn", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(wN))
+        .where(col("rn") === expr("greatest((n + 1) DIV 2, 1)"))
+        .select(col("o_orderpriority").as("mp"), col(v).as(out))
+    }
+    val med = rankMedian(daily, "rev_c", "med_c")
+    val dev = daily.join(broadcast(med), col("o_orderpriority") === col("mp"))
+      .selectExpr("o_orderpriority", "dn", "rev_c", "med_c",
+        "abs(rev_c - med_c) AS dev_c")
+    val mad = rankMedian(dev, "dev_c", "mad_c")
+      .withColumnRenamed("mp", "mp2")
+    dev.join(broadcast(mad), col("o_orderpriority") === col("mp2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_days"), min(col("med_c")).as("med_c"),
+        min(col("mad_c")).as("mad_c"),
+        sum(when(col("dev_c") > col("mad_c") * 3, 1L).otherwise(0L)).as("n_outliers"),
+        min(struct((-col("dev_c")).as("nd"), col("dn").as("dn"))).as("worst"))
+      .selectExpr("o_orderpriority", "n_days", "med_c", "mad_c",
+        "n_outliers", "worst.dn AS worst_dn", "-worst.nd AS worst_dev_c")
+      .orderBy("o_orderpriority")
+  }
+
+  /** Degree distribution of the part–supplier bipartite graph — the
+    * graph-shape read before any join-strategy or graph-algorithm
+    * choice on relationship data ([[qPagerank]] and
+    * dedup_triangle_count assume degrees are sane; this table is
+    * where a crawler loop or feed duplication first shows as a
+    * degree spike): distinct (part, supplier) edges once, then each
+    * side's degree histogram with node share bp. Two key aggregates
+    * per side over the deduplicated edge list, share fold partitioned
+    * by side over HISTOGRAM-sized rows; output is bounded by the
+    * distinct-degree domain at any SF. */
+  def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.shared(spark, s"analytics.psEdges:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+    }
+    def side(name: String, key: String): DataFrame =
+      edges.groupBy(col(key))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .selectExpr(s"'$name' AS side", "degree", "n_nodes")
+    val wS = Window.partitionBy(col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    side("part", "l_partkey").unionAll(side("supplier", "l_suppkey"))
+      .withColumn("tot", sum(col("n_nodes")).over(wS))
+      .selectExpr("side", "degree", "n_nodes",
+        "(n_nodes * 10000) DIV tot AS node_share_bp")
+      .orderBy("side", "degree")
+  }
 }

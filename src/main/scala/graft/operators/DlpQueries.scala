@@ -699,4 +699,34 @@ object DlpQueries {
     census("a_full", c).unionAll(census("b_sample25", sample))
       .orderBy("scope")
   }
+
+  /** Noise-injected release counts — the privacy-mechanism shape a
+    * DP-style publication pipeline runs on small-group aggregates
+    * (the reference's k-anonymity gate SUPPRESSES small groups; a
+    * noise mechanism PERTURBS them, trading exactness for keeping
+    * every row publishable — DLP aggregate-statistics semantics):
+    * customers per (nation, segment) cell, plus bounded integer
+    * noise in [−10, 10] derived deterministically from the salted
+    * md5 of the CELL KEY (two hex digits decoded byte-wise — the
+    * q_countmin_audit idiom — mod 21; keyed so re-releases are
+    * consistent and one cell's noise never leaks another's), a
+    * floor at 0, and the utility audit columns (signed noise, abs
+    * error, error bp) a release reviewer reads before publishing.
+    * Salt versioning models key rotation. Pure map-side after one
+    * cell aggregate; cell-domain-sized output at any SF. */
+  def dlpNoiseCounts(spark: SparkSession, dir: String): DataFrame = {
+    def hexAt(i: Int): String =
+      s"(instr('0123456789abcdef', substring(md5('noise-v1:' || segment || ':' || CAST(nation AS STRING)), $i, 1)) - 1)"
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumnRenamed("c_mktsegment", "segment")
+      .selectExpr("segment", "nation", "true_n",
+        s"CAST((${hexAt(1)} * 16 + ${hexAt(2)}) % 21 - 10 AS BIGINT) AS noise")
+      .selectExpr("segment", "nation", "true_n", "noise",
+        "GREATEST(true_n + noise, 0) AS noisy_n",
+        "abs(GREATEST(true_n + noise, 0) - true_n) AS abs_err",
+        "(abs(GREATEST(true_n + noise, 0) - true_n) * 10000) DIV GREATEST(true_n, 1) AS err_bp")
+      .orderBy("segment", "nation")
+  }
 }

@@ -1359,4 +1359,37 @@ object Ann {
         "sum_err_u DIV n_vecs AS avg_err_u", "max_err_u")
       .orderBy("subspace")
   }
+
+  /** Per-label directional concentration (mean-resultant statistic) —
+    * the label-coherence read next to [[silhouette]]'s separation
+    * score (silhouette asks "are labels APART"; concentration asks
+    * "does each label POINT one way" — a label whose vectors cancel
+    * to a near-zero resultant is an incoherent class no centroid
+    * represents, the first suspect behind a bad
+    * [[labelPrecision]]): per label, ‖Σv‖² against n·Σ‖v‖² in bp
+    * (10000 = perfectly aligned, → 0 = mutually cancelling), in
+    * EXACT integer math — elements quantized to milli units
+    * (DECIMAL ladder, engine-exact), per-dim label sums and
+    * per-vector norms as Int64, so both engines agree bit-for-bit;
+    * the milli ladder holds ‖Σv‖² in Int64 to ~10⁷ vectors/label.
+    * One posexplode aggregate to DIM×LABEL partial sums + one
+    * label-sized rollup — the exchanges ship (label, dim) partials,
+    * never vectors. */
+  def sphericalVariance(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .selectExpr("label", "pos",
+        "CAST(CAST(col AS DECIMAL(9,3)) * 1000 AS BIGINT) AS vm")
+    val dims = q.groupBy(col("label"), col("pos"))
+      .agg(sum(col("vm")).as("s_d"), sum(col("vm") * col("vm")).as("sq_d"))
+    dims.groupBy(col("label"))
+      .agg(sum(col("s_d") * col("s_d")).as("r2"),
+        sum(col("sq_d")).as("norm2"))
+      .join(Tables.embeddings(spark, dir).groupBy(col("label").cast("long").as("l2"))
+        .agg(count(lit(1)).as("n_vecs")), col("label") === col("l2"))
+      .selectExpr("label", "n_vecs", "r2", "norm2",
+        "(r2 * 10000) DIV (n_vecs * norm2) AS concentration_bp")
+      .orderBy("label")
+  }
 }

@@ -966,4 +966,37 @@ object TextOps {
         "(n_types * 10000) DIV n_tokens AS ttr_bp")
       .orderBy("source")
   }
+
+  /** Flesch-style readability profile per source — the
+    * reading-difficulty screen a curriculum or audience mix reads
+    * next to [[qualityScore]]'s surface ratios (quality says the
+    * text is INTACT; readability says who can read it). Per doc,
+    * three regexp_count passes (words = \\S+ runs, sentences =
+    * [.!?]+ runs floored at 1, syllable proxy = vowel groups — the
+    * standard heuristic), then the Flesch reading-ease in EXACT
+    * milli-units: 206835 − (1015·w) DIV s − (84600·v) DIV w, all
+    * Int64 division so both engines agree bit-for-bit (no float
+    * formula drift). Rolled up per source: docs, mean score
+    * (sum DIV n), share of easy (≥60) and hard (<30) docs in bp —
+    * source-sized output; the per-doc pass is pure map-side. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .selectExpr("source",
+        "GREATEST(regexp_count(text, '\\\\S+'), 1) AS w",
+        "GREATEST(regexp_count(text, '[.!?]+'), 1) AS s",
+        "GREATEST(regexp_count(lower(text), '[aeiou]+'), 1) AS v")
+      .selectExpr("source",
+        "206835 - (1015 * w) DIV s - (84600 * v) DIV w AS score_milli", "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("score_milli")).as("sum_milli"),
+        sum(when(col("score_milli") >= 60000, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("score_milli") < 30000, 1L).otherwise(0L)).as("n_hard"))
+      .selectExpr("source", "n_docs", "n_words",
+        "CASE WHEN sum_milli >= 0 THEN sum_milli DIV n_docs " +
+          "ELSE -((-sum_milli) DIV n_docs) END AS mean_score_milli",
+        "(n_easy * 10000) DIV n_docs AS easy_bp",
+        "(n_hard * 10000) DIV n_docs AS hard_bp")
+      .orderBy("source")
+  }
 }
