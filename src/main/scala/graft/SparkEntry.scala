@@ -437,6 +437,15 @@ object SparkEntry {
     "q_degree_dist" -> Analytics.qDegreeDist _,
     "dlp_noise_counts" -> DlpQueries.dlpNoiseCounts _,
     "embed_spherical_variance" -> Ann.sphericalVariance _,
+    // round 12 batch 14: rank correlation, quartile skewness, mix
+    // drift, infotype co-occurrence, dup-bigram screen, session
+    // concurrency curve
+    "q_spearman_rho" -> Analytics.qSpearmanRho _,
+    "q_bowley_skew" -> Analytics.qBowleySkew _,
+    "q_mix_shift" -> Analytics.qMixShift _,
+    "dlp_infotype_cooccurrence" -> DlpQueries.dlpInfotypeCooccurrence _,
+    "text_dup_ngrams" -> TextOps.dupNgrams _,
+    "stream_concurrency_curve" -> Streams.concurrencyCurveBatch _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4868,5 +4877,117 @@ object SparkEntry {
         |SELECT label, n_vecs, r2, norm2,
         |  CAST((r2 * 10000) // (n_vecs * norm2) AS BIGINT) AS concentration_bp
         |FROM g JOIN n ON label = l2 ORDER BY label""".stripMargin,
+    "q_spearman_rho" ->
+      """WITH s AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c,
+        |    CAST(COUNT(*) AS BIGINT) AS vol FROM lineitem GROUP BY 1),
+        |j AS (SELECT l_suppkey, rev_c, vol, CAST(s_nationkey AS BIGINT) AS nation
+        |  FROM s JOIN supplier ON l_suppkey = s_suppkey),
+        |r AS (SELECT nation,
+        |    CAST(row_number() OVER (PARTITION BY nation ORDER BY rev_c DESC, l_suppkey) AS BIGINT) AS r_rev,
+        |    CAST(row_number() OVER (PARTITION BY nation ORDER BY vol DESC, l_suppkey) AS BIGINT) AS r_vol
+        |  FROM j)
+        |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM((r_rev - r_vol) * (r_rev - r_vol)) AS BIGINT) AS sum_d2,
+        |  CAST(10000 - (60000 * SUM((r_rev - r_vol) * (r_rev - r_vol)))
+        |    // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT) AS rho_bp
+        |FROM r GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY nation""".stripMargin,
+    "q_bowley_skew" ->
+      """WITH daily AS (SELECT o_orderpriority,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, rev_c,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY rev_c, dn) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n FROM daily),
+        |q AS (SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN rev_c END) AS BIGINT) AS q1_c,
+        |    CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN rev_c END) AS BIGINT) AS q2_c,
+        |    CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN rev_c END) AS BIGINT) AS q3_c
+        |  FROM r WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 3) // 4
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, n_days, q1_c, q2_c, q3_c,
+        |  CAST(CASE WHEN q3_c = q1_c THEN 0
+        |    WHEN q3_c + q1_c - 2 * q2_c < 0
+        |      THEN -(((2 * q2_c - q3_c - q1_c) * 10000) // (q3_c - q1_c))
+        |    ELSE ((q3_c + q1_c - 2 * q2_c) * 10000) // (q3_c - q1_c)
+        |  END AS BIGINT) AS skew_bp
+        |FROM q ORDER BY o_orderpriority""".stripMargin,
+    "q_mix_shift" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2),
+        |s AS (SELECT yr, o_orderpriority, n,
+        |    CAST(SUM(n) OVER (PARTITION BY yr) AS BIGINT) AS n_year FROM m),
+        |sh AS (SELECT yr, o_orderpriority, n_year, (n * 10000) // n_year AS share_bp FROM s),
+        |lg AS (SELECT yr, n_year, share_bp,
+        |    lag(share_bp) OVER (PARTITION BY o_orderpriority ORDER BY yr) AS prev_bp FROM sh)
+        |SELECT yr AS year, CAST(MAX(n_year) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_priorities,
+        |  CAST(SUM(abs(share_bp - prev_bp)) // 2 AS BIGINT) AS tvd_bp
+        |FROM lg WHERE prev_bp IS NOT NULL GROUP BY 1 ORDER BY year""".stripMargin,
+    "dlp_infotype_cooccurrence" ->
+      s"""WITH subj AS (SELECT
+         |    (CASE WHEN c_custkey % 3 > 0
+         |       THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com ' ELSE '' END) ||
+         |    (CASE WHEN c_custkey % 2 > 0
+         |       THEN 'call 555-867-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END) ||
+         |    (CASE WHEN c_custkey % 5 = 0
+         |       THEN 'from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey % 97 AS VARCHAR)
+         |       ELSE '' END) AS v
+         |  FROM customer),
+         |f AS (SELECT
+         |    CASE WHEN len(regexp_extract_all(v, '$EmailReSql')) > 0 THEN 1 ELSE 0 END AS e,
+         |    CASE WHEN len(regexp_extract_all(v, '$PhoneReSql')) > 0 THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN len(regexp_extract_all(v, '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0 THEN 1 ELSE 0 END AS i
+         |  FROM subj),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+         |    CAST(SUM(e) AS BIGINT) AS n_e, CAST(SUM(p) AS BIGINT) AS n_p, CAST(SUM(i) AS BIGINT) AS n_i,
+         |    CAST(SUM(e * p) AS BIGINT) AS n_ep, CAST(SUM(e * i) AS BIGINT) AS n_ei,
+         |    CAST(SUM(p * i) AS BIGINT) AS n_pi FROM f),
+         |u AS (
+         |  SELECT 'EMAIL_ADDRESS' AS type_a, 'PHONE_NUMBER' AS type_b, n_records, n_e AS n_a, n_p AS n_b, n_ep AS n_both FROM a
+         |  UNION ALL
+         |  SELECT 'EMAIL_ADDRESS', 'IP_ADDRESS', n_records, n_e, n_i, n_ei FROM a
+         |  UNION ALL
+         |  SELECT 'PHONE_NUMBER', 'IP_ADDRESS', n_records, n_p, n_i, n_pi FROM a)
+         |SELECT type_a, type_b, n_records, n_a, n_b, n_both,
+         |  CAST((n_both * 10000) // n_records AS BIGINT) AS joint_bp,
+         |  CAST(CASE WHEN n_a * n_b = 0 THEN 0
+         |    ELSE (n_both * n_records * 10000) // (n_a * n_b) END AS BIGINT) AS lift_bp
+         |FROM u ORDER BY type_a, type_b""".stripMargin,
+    "text_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS gram
+        |  FROM w, (SELECT unnest(range(1, 256)) AS i) t WHERE len(ws) >= i + 1),
+        |c AS (SELECT doc_id, source, gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, source, CAST(SUM(n) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup_occ FROM c GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS n_grams, CAST(SUM(dup_occ) AS BIGINT) AS dup_occ,
+        |  CAST((SUM(dup_occ) * 10000) // SUM(n_grams) AS BIGINT) AS dup_bp,
+        |  CAST((SUM(CASE WHEN dup_occ * 10000 > n_grams * 2000 THEN 1 ELSE 0 END) * 10000)
+        |    // COUNT(*) AS BIGINT) AS flagged_bp
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+    "stream_concurrency_curve" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, us, SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |sess AS (SELECT user_id, session_id, MIN(us) // 60000000 AS sm, MAX(us) // 60000000 + 1 AS em
+        |  FROM t GROUP BY 1, 2),
+        |deltas AS (SELECT m, CAST(SUM(d) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |  FROM (SELECT sm AS m, 1 AS d FROM sess UNION ALL SELECT em, -1 FROM sess) u GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series((SELECT MIN(sm) FROM sess), (SELECT MAX(em) FROM sess))) AS m),
+        |cum AS (SELECT g.m, COALESCE(d.n_starts, 0) AS n_starts, SUM(COALESCE(d.d, 0)) OVER
+        |    (ORDER BY g.m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+        |  FROM grid g LEFT JOIN deltas d ON g.m = d.m)
+        |SELECT CAST((m // 60) * 3600 AS BIGINT) AS hour_start_s, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+        |  CAST(MAX(depth) AS BIGINT) AS peak, CAST(SUM(depth) // COUNT(*) AS BIGINT) AS mean_depth,
+        |  CAST(SUM(n_starts) AS BIGINT) AS n_starts
+        |FROM cum GROUP BY m // 60 ORDER BY hour_start_s""".stripMargin,
   )
 }

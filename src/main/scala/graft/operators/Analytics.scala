@@ -2680,4 +2680,129 @@ object Analytics {
         "(n_nodes * 10000) DIV tot AS node_share_bp")
       .orderBy("side", "degree")
   }
+
+  /** Spearman rank correlation between supplier revenue and supplier
+    * line volume, per nation — the monotone-association read that
+    * survives the heavy tail Pearson drowns in (one mega-supplier
+    * drags a product-moment r; ranks don't care): per supplier, exact
+    * lifetime revenue (cents) and line count out of one fact rollup,
+    * both ranked inside the nation by row_number with the supplier
+    * key as the deterministic tiebreak (documented distinct-rank
+    * Spearman — ties take adjacent ranks, not midranks, so both
+    * engines agree exactly), then ρ in bp from the classic
+    * ρ = 1 − 6·Σd²/(n(n²−1)) with every step Int64 (numerator
+    * 60000·Σd² stays inside Int64 to n ≈ 77k suppliers/nation —
+    * ~SF 190 — and is non-negative, so no negative division ever
+    * reaches a compare boundary). Nations with fewer than 2 suppliers
+    * drop (ρ is undefined on a single rank — at sf0.001's 10-supplier
+    * toy scale that is every nation; from sf0.01 up the table is
+    * populated). Rank windows run over SUPPLIER (dimension) grain
+    * partitioned by nation — the q_percent_rank rule: the fact table
+    * rolls up to dim grain BEFORE any window. */
+  def qSpearmanRho(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"), 2)).as("rev_c"),
+        count(lit(1)).as("vol"))
+      // supplier grows with SF — no forced broadcast; AQE picks the
+      // strategy (the q_trade_balance lesson)
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val wRev = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("rev_c").desc, col("l_suppkey"))
+    val wVol = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("vol").desc, col("l_suppkey"))
+    perSupp
+      .withColumn("r_rev", row_number().over(wRev).cast("long"))
+      .withColumn("r_vol", row_number().over(wVol).cast("long"))
+      .groupBy(col("s_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum((col("r_rev") - col("r_vol")) * (col("r_rev") - col("r_vol"))).as("sum_d2"))
+      .filter(col("n_suppliers") >= 2)
+      .selectExpr("nation", "n_suppliers", "sum_d2",
+        "10000 - (60000 * sum_d2) DIV (n_suppliers * (n_suppliers * n_suppliers - 1)) AS rho_bp")
+      .orderBy("nation")
+  }
+
+  /** Bowley (quartile) skewness of the daily revenue series per
+    * priority — the robust asymmetry read next to [[qMadOutliers]]'s
+    * robust dispersion (MAD says how wide the typical day wanders;
+    * Bowley says which WAY the tail leans, without a single flash-sale
+    * day owning a third moment): Q1/Q2/Q3 rank-selected from the
+    * shared daily rollup at ranks ⌈n/4⌉ / ⌈n/2⌉-lower / ⌈3n/4⌉ (exact
+    * integer rank rules mirrored on both engines), skew in bp =
+    * ((Q3 + Q1 − 2·Q2)·10⁴) / (Q3 − Q1) computed sign-safely (the
+    * numerator CAN be negative; both engines divide only the absolute
+    * value and re-attach the sign, per the §6 negative-division rule).
+    * All windows run over one row per (priority, day) — calendar-
+    * bounded at any SF. */
+  def qBowleySkew(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+          cents(col("o_totalprice"), 2).as("sp"))
+        .groupBy(col("o_orderpriority"), col("dn"))
+        .agg(sum(col("sp")).as("rev_c"))
+    }
+    val wR = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("rev_c"), col("dn"))
+    val wN = Window.partitionBy(col("o_orderpriority"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rq1", expr("(n + 3) DIV 4"))
+      .withColumn("rq2", expr("(n + 1) DIV 2"))
+      .withColumn("rq3", expr("(3 * n + 3) DIV 4"))
+      .filter(col("rn") === col("rq1") || col("rn") === col("rq2") ||
+        col("rn") === col("rq3"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rn") === col("rq1"), col("rev_c"))).as("q1_c"),
+        max(when(col("rn") === col("rq2"), col("rev_c"))).as("q2_c"),
+        max(when(col("rn") === col("rq3"), col("rev_c"))).as("q3_c"))
+      .selectExpr("o_orderpriority", "n_days", "q1_c", "q2_c", "q3_c",
+        """CASE WHEN q3_c = q1_c THEN 0L
+          |  WHEN q3_c + q1_c - 2 * q2_c < 0
+          |    THEN -(((2 * q2_c - q3_c - q1_c) * 10000) DIV (q3_c - q1_c))
+          |  ELSE ((q3_c + q1_c - 2 * q2_c) * 10000) DIV (q3_c - q1_c)
+          |END AS skew_bp""".stripMargin)
+      .orderBy("o_orderpriority")
+  }
+
+  /** Year-over-year order-priority mix shift (total-variation
+    * distance) — the composition-drift alarm behind every
+    * segmentation claim (a cohort comparison across years silently
+    * assumes the MIX held still; TVD is the one number that says by
+    * how much it didn't — it is exactly the fraction of orders that
+    * would have to change priority to reproduce last year's mix):
+    * per (year, priority), order count and share bp (share windows
+    * over the ≤5-row priority domain inside each year), prior-year
+    * share by one lag over the year axis partitioned BY priority,
+    * then the year rollup Σ|Δshare| DIV 2. Every window runs over the
+    * year × priority domain (≤ 5 rows per partition — SF-independent);
+    * TVD sums absolute values, so nothing negative meets a division. */
+  def qMixShift(spark: SparkSession, dir: String): DataFrame = {
+    val mix = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val wY = Window.partitionBy(col("yr"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wP = Window.partitionBy(col("o_orderpriority")).orderBy(col("yr"))
+    mix
+      .withColumn("n_year", sum(col("n")).over(wY))
+      .withColumn("share_bp", expr("(n * 10000) DIV n_year"))
+      .withColumn("prev_bp", lag(col("share_bp"), 1).over(wP))
+      .filter(col("prev_bp").isNotNull)
+      .groupBy(col("yr"))
+      .agg(max(col("n_year")).as("n_orders"),
+        count(lit(1)).as("n_priorities"),
+        sum(abs(col("share_bp") - col("prev_bp"))).as("abs_shift"))
+      .selectExpr("yr AS year", "n_orders", "n_priorities",
+        "abs_shift DIV 2 AS tvd_bp")
+      .orderBy("year")
+  }
 }

@@ -729,4 +729,58 @@ object DlpQueries {
         "(abs(GREATEST(true_n + noise, 0) - true_n) * 10000) DIV GREATEST(true_n, 1) AS err_bp")
       .orderBy("segment", "nation")
   }
+
+  /** InfoType co-occurrence matrix — the risk-COMPOUNDING view the
+    * per-type inspection ([[dlpInspect]]) can't see: a record holding
+    * an email alone is pseudonymous; the same record holding email AND
+    * phone AND device IP is a join key into three other datasets, so
+    * the release decision hangs on which types co-occur, not which
+    * occur. The subject column varies its PII content per record
+    * (email on 2 of 3 keys, phone on 1 of 2, internal IP on 1 of 5 —
+    * deterministic, mirrored byte-identical in the oracle), presence
+    * is decided by RE-INSPECTING the text with the same three
+    * detectors (never by peeking at the key), and the output is one
+    * row per unordered type pair with both marginals, the joint
+    * count, joint share bp, and lift bp ((n_both·N·10⁴) DIV
+    * (n_a·n_b) — lift > 10⁴ = the pair clusters, the compounding
+    * signal; the n_both·N·10⁴ numerator stays inside Int64 to
+    * N ≈ 3·10⁷ records ≈ SF 200). Execution: ONE conditional-sum scan
+    * (map-side combine into a single row) exploded to the 3-row pair
+    * domain — no joins, no shuffle beyond the 1-row aggregate, any
+    * SF. */
+  def dlpInfotypeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val subject = Tables.customer(spark, dir).selectExpr(
+      "c_custkey",
+      """CASE WHEN c_custkey % 3 > 0
+        |  THEN 'user' || CAST(c_custkey AS STRING) || '@example.com ' ELSE '' END ||
+        |CASE WHEN c_custkey % 2 > 0
+        |  THEN 'call 555-867-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0') || ' ' ELSE '' END ||
+        |CASE WHEN c_custkey % 5 = 0
+        |  THEN 'from 10.0.' || CAST(c_custkey % 256 AS STRING) || '.' || CAST(c_custkey % 97 AS STRING)
+        |  ELSE '' END AS v""".stripMargin)
+    val flags = subject.select(
+      when(regexp_count(col("v"), lit(Dlp.EmailRe)) > 0, 1L).otherwise(0L).as("e"),
+      when(regexp_count(col("v"), lit(Dlp.PhoneRe)) > 0, 1L).otherwise(0L).as("p"),
+      when(regexp_count(col("v"), lit(ipRe)) > 0, 1L).otherwise(0L).as("i"))
+    flags.agg(count(lit(1)).as("n_records"),
+        sum(col("e")).as("n_e"), sum(col("p")).as("n_p"), sum(col("i")).as("n_i"),
+        sum(col("e") * col("p")).as("n_ep"),
+        sum(col("e") * col("i")).as("n_ei"),
+        sum(col("p") * col("i")).as("n_pi"))
+      .selectExpr("n_records",
+        """explode(array(
+          |  struct('EMAIL_ADDRESS' AS type_a, 'PHONE_NUMBER' AS type_b,
+          |         n_e AS n_a, n_p AS n_b, n_ep AS n_both),
+          |  struct('EMAIL_ADDRESS' AS type_a, 'IP_ADDRESS' AS type_b,
+          |         n_e AS n_a, n_i AS n_b, n_ei AS n_both),
+          |  struct('PHONE_NUMBER' AS type_a, 'IP_ADDRESS' AS type_b,
+          |         n_p AS n_a, n_i AS n_b, n_pi AS n_both))) AS c""".stripMargin)
+      .selectExpr("c.type_a AS type_a", "c.type_b AS type_b", "n_records",
+        "c.n_a AS n_a", "c.n_b AS n_b", "c.n_both AS n_both",
+        "(c.n_both * 10000) DIV n_records AS joint_bp",
+        "CASE WHEN c.n_a * c.n_b = 0 THEN 0L " +
+          "ELSE (c.n_both * n_records * 10000) DIV (c.n_a * c.n_b) END AS lift_bp")
+      .orderBy("type_a", "type_b")
+  }
 }

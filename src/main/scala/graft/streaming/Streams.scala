@@ -1291,4 +1291,55 @@ object Streams {
         "(s.n_dropped * 10000) DIV n_events AS drop_bp")
       .orderBy("delay_min")
   }
+
+  /** Hourly concurrent-session load curve — the capacity read that
+    * sizes the session state store ([[stateSizeBatch]] counts keyed
+    * ENTRIES per hour; this counts SIMULTANEOUS sessions minute by
+    * minute, the number that decides executor memory and the
+    * shuffle-partition count for the sessionizing stage): sessions
+    * from the same 30-min-gap islands rule as [[sessionizeBatch]],
+    * each session becomes a +1 at its start minute and a −1 one
+    * minute past its end, deltas aggregate per minute, the depth
+    * cumulates over a gap-filled MINUTE GRID (generated off the
+    * 1-row min/max aggregate — depth must persist across plateau
+    * minutes with no boundary in them, or a session spanning a whole
+    * hour vanishes from that hour's peak), and the hour rollup
+    * reports peak, integer-exact mean (sum DIV minutes), and session
+    * starts. The one unpartitioned cumulative window runs over the
+    * calendar-bounded minute grid (~43k rows/month at ANY SF — the
+    * fact table never meets a global sort); everything fact-sized is
+    * user-partitioned windows and key aggregates. */
+  def concurrencyCurveBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sessions = e
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr("min(us) DIV 60000000").as("sm"),
+        expr("max(us) DIV 60000000 + 1").as("em"))
+    val deltas = sessions.selectExpr("sm AS m", "CAST(1 AS BIGINT) AS d")
+      .unionAll(sessions.selectExpr("em AS m", "CAST(-1 AS BIGINT) AS d"))
+      .groupBy(col("m")).agg(sum(col("d")).as("d"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"))
+    val grid = sessions.agg(min(col("sm")).as("lo"), max(col("em")).as("hi"))
+      .selectExpr("explode(sequence(lo, hi)) AS m")
+    val wCum = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(deltas, Seq("m"), "left_outer")
+      .withColumn("depth", sum(coalesce(col("d"), lit(0L))).over(wCum))
+      .groupBy(expr("m DIV 60").as("hr"))
+      .agg(count(lit(1)).as("n_minutes"), max(col("depth")).as("peak"),
+        sum(col("depth")).as("depth_sum"),
+        sum(coalesce(col("n_starts"), lit(0L))).as("n_starts"))
+      .selectExpr("CAST(hr * 3600 AS BIGINT) AS hour_start_s",
+        "n_minutes", "peak", "depth_sum DIV n_minutes AS mean_depth",
+        "n_starts")
+      .orderBy("hour_start_s")
+  }
 }

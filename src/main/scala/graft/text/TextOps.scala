@@ -999,4 +999,39 @@ object TextOps {
         "(n_hard * 10000) DIV n_docs AS hard_bp")
       .orderBy("source")
   }
+
+  /** Intra-document duplicate-bigram profile per source — the Gopher
+    * repetition rule at the n-gram grain ([[repetition]] catches a
+    * doc repeating one LINE; this catches the subtler loop where a
+    * generator cycles short phrases, which shows as bigram mass
+    * concentrating long before any full line repeats): per doc, all
+    * word bigrams, dup mass = occurrences of bigrams appearing ≥ 2×
+    * within the doc; per source, docs, total bigram
+    * occurrences, corpus dup share bp, and the docs a 20% dup-mass
+    * gate would reject (bp). The bigram explode is map-side off one
+    * scan; the (doc, gram) count shuffles digest-small keys with
+    * map-side combine; both rollups are doc- then source-sized. No
+    * per-doc cap is needed — bigrams per doc = words − 1, bounded by
+    * the document length the quality gate already bounds. */
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))")).as("gram"))
+      .groupBy(col("doc_id"), col("source"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_occ"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
+        sum(col("dup_occ")).as("dup_occ"),
+        sum(when(col("dup_occ") * 10000 > col("n_grams") * 2000, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .selectExpr("source", "n_docs", "n_grams", "dup_occ",
+        "(dup_occ * 10000) DIV n_grams AS dup_bp",
+        "(n_flagged * 10000) DIV n_docs AS flagged_bp")
+      .orderBy("source")
+  }
 }

@@ -830,7 +830,8 @@ class PlanSpec extends AnyFunSuite {
     "q_runs_test" -> "median-rank and lag windows over one row per calendar day (time-domain-bounded, the q_weekly_volatility frame)",
     "q_order_linecount_dist" -> "share windows over the fan-out histogram (one row per distinct lines-per-order level, ~7 at any SF)",
     "dedup_pair_sim_histogram" -> "share window over the 21 similarity bands (candidate-sized input already reduced to a bounded histogram)",
-    "q_chi_square" -> "marginal/total windows over the ~15 contingency cells (priority × status domain, SF-independent)")
+    "q_chi_square" -> "marginal/total windows over the ~15 contingency cells (priority × status domain, SF-independent)",
+    "stream_concurrency_curve" -> "cumulative depth over the gap-filled minute grid (calendar-bounded ~43k rows/month at any SF; everything fact-sized stays user-partitioned)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical
