@@ -446,6 +446,15 @@ object SparkEntry {
     "dlp_infotype_cooccurrence" -> DlpQueries.dlpInfotypeCooccurrence _,
     "text_dup_ngrams" -> TextOps.dupNgrams _,
     "stream_concurrency_curve" -> Streams.concurrencyCurveBatch _,
+    // round 12 batch 15: Simpson assortment diversity, price-volume-
+    // mix bridge, new-vs-repeat revenue, 1-bit Hamming top-k,
+    // absence/abandonment timeout, surrogate collision audit
+    "q_simpson_diversity" -> Analytics.qSimpsonDiversity _,
+    "q_price_volume_mix" -> ((s: SparkSession, d: String) => Analytics.qPriceVolumeMix(s, d)),
+    "q_new_vs_repeat" -> Analytics.qNewVsRepeat _,
+    "embed_hamming_topk" -> Ann.hammingTopk _,
+    "stream_absence_timeout" -> ((s: SparkSession, d: String) => Streams.absenceTimeout(s, d)),
+    "dlp_hash_collision_audit" -> DlpQueries.dlpHashCollisionAudit _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -4989,5 +4998,108 @@ object SparkEntry {
         |  CAST(MAX(depth) AS BIGINT) AS peak, CAST(SUM(depth) // COUNT(*) AS BIGINT) AS mean_depth,
         |  CAST(SUM(n_starts) AS BIGINT) AS n_starts
         |FROM cum GROUP BY m // 60 ORDER BY hour_start_s""".stripMargin,
+    // round 12 batch 15: Gini–Simpson brand diversity — no-log
+    // diversity stays in exact integer math (the §6 rule)
+    "q_simpson_diversity" ->
+      """WITH mix AS (SELECT CAST(s_nationkey AS BIGINT) AS nation, p_brand,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2)
+        |SELECT nation, CAST(SUM(n) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) AS BIGINT) AS n_brands,
+        |  CAST(10000 - (10000 * SUM(n * n)) // (SUM(n) * SUM(n)) AS BIGINT) AS diversity_bp,
+        |  CAST((100 * SUM(n) * SUM(n)) // SUM(n * n) AS BIGINT) AS eff_brands_x100
+        |FROM mix GROUP BY nation ORDER BY nation""".stripMargin,
+    // price-volume-mix bridge: unit price floors land in resid_c so
+    // the waterfall reconciles EXACTLY in integer arithmetic
+    "q_price_volume_mix" ->
+      """WITH by AS (SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2),
+        |s0 AS (SELECT p_brand, rev_c AS rev0, qty AS qty0, rev_c // qty AS p0
+        |  FROM by WHERE yr = 1996),
+        |s1 AS (SELECT p_brand, rev_c AS rev1, qty AS qty1, rev_c // qty AS p1
+        |  FROM by WHERE yr = 1997)
+        |SELECT p_brand,
+        |  CAST(rev1 - rev0 AS BIGINT) AS rev_delta_c,
+        |  CAST(qty0 * (p1 - p0) AS BIGINT) AS price_eff_c,
+        |  CAST(p0 * (qty1 - qty0) AS BIGINT) AS volume_eff_c,
+        |  CAST((p1 - p0) * (qty1 - qty0) AS BIGINT) AS cross_eff_c,
+        |  CAST((rev1 - rev0) - qty0 * (p1 - p0) - p0 * (qty1 - qty0)
+        |    - (p1 - p0) * (qty1 - qty0) AS BIGINT) AS resid_c
+        |FROM s0 JOIN s1 USING (p_brand) ORDER BY p_brand""".stripMargin,
+    // new-vs-repeat revenue: first order resolved by (day, orderkey)
+    // rank — deterministic same-day tiebreak on both engines
+    "q_new_vs_repeat" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+        |  FROM orders),
+        |f AS (SELECT o_custkey AS fc, o_orderkey AS first_key FROM (
+        |    SELECT o_custkey, o_orderkey,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY dn, o_orderkey) AS rn
+        |    FROM o) r WHERE rn = 1)
+        |SELECT CAST((dn // 30) * 30 AS BIGINT) AS month_start_dn,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey = first_key THEN rev_c ELSE 0 END) AS BIGINT) AS new_rev_c,
+        |  CAST(SUM(CASE WHEN o_orderkey <> first_key THEN rev_c ELSE 0 END) AS BIGINT) AS repeat_rev_c,
+        |  CAST((SUM(CASE WHEN o_orderkey <> first_key THEN rev_c ELSE 0 END) * 10000)
+        |    // SUM(rev_c) AS BIGINT) AS repeat_share_bp
+        |FROM o JOIN f ON o_custkey = fc GROUP BY dn // 30 ORDER BY month_start_dn""".stripMargin,
+    // 1-bit Hamming top-k: bit 63's place value is Long.MinValue added
+    // as a literal (1<<63 overflows DuckDB's shift); the % 63 keeps
+    // the unselected CASE branch in shift range even under eager
+    // vectorized evaluation. list_sum promotes to HUGEINT internally
+    // and the cast back to BIGINT is exact by construction.
+    "embed_hamming_topk" ->
+      """WITH p AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN embedding[i] > 0 THEN
+        |           (CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                 ELSE CAST(1 AS BIGINT) << CAST((i - 1) % 63 AS INT) END)
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bits
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, bits AS qb FROM p WHERE vec_id < 10),
+        |d AS (SELECT query_id, vec_id, CAST(bit_count(xor(bits, qb)) AS BIGINT) AS hamming
+        |  FROM p, q WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, hamming,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS BIGINT) AS rank
+        |  FROM d)
+        |SELECT query_id, rank, vec_id AS neighbor_id, hamming
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // absence timeout: purchase strictly after the view, at most 30
+    // minutes later — (vus, vus+T], per-user join fan-out only
+    "stream_absence_timeout" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id, event_id, us AS vus FROM e WHERE event_type = 'view'),
+        |b AS (SELECT user_id AS u2, us AS pus FROM e WHERE event_type = 'purchase'),
+        |per_view AS (SELECT v.user_id, v.event_id,
+        |    MAX(CASE WHEN b.pus IS NOT NULL THEN 1 ELSE 0 END) AS converted
+        |  FROM v LEFT JOIN b ON v.user_id = b.u2
+        |    AND b.pus > v.vus AND b.pus <= v.vus + 1800000000
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  CAST(COUNT(*) - SUM(converted) AS BIGINT) AS n_abandoned,
+        |  CAST(((COUNT(*) - SUM(converted)) * 10000) // COUNT(*) AS BIGINT) AS abandon_bp
+        |FROM per_view GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // truncated-surrogate collision audit: observed vs birthday-bound
+    // expected, capacity via shift (16^L = 2^(4L)) — pure integer
+    "dlp_hash_collision_audit" ->
+      """WITH h AS (SELECT md5(c_name) AS h FROM customer),
+        |x AS (SELECT CAST(pfx_len AS BIGINT) AS pfx_len, h
+        |  FROM h, (SELECT unnest([4, 6, 8]) AS pfx_len) l),
+        |g AS (SELECT pfx_len, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_plain,
+        |    CAST(COUNT(DISTINCT substr(h, 1, CAST(pfx_len AS INT))) AS BIGINT) AS n_tokens
+        |  FROM x GROUP BY 1)
+        |SELECT pfx_len, n_plain, n_tokens,
+        |  CAST(n_plain - n_tokens AS BIGINT) AS n_collisions,
+        |  CAST(((n_plain - n_tokens) * 10000) // n_plain AS BIGINT) AS collision_bp,
+        |  CAST((n_plain * (n_plain - 1) * 100)
+        |    // (2 * (CAST(1 AS BIGINT) << CAST(4 * pfx_len AS INT))) AS BIGINT) AS expected_x100
+        |FROM g ORDER BY pfx_len""".stripMargin,
   )
 }

@@ -2805,4 +2805,121 @@ object Analytics {
         "abs_shift DIV 2 AS tvd_bp")
       .orderBy("year")
   }
+
+  /** Gini–Simpson diversity of the part-brand mix each nation's
+    * suppliers ship — the assortment-concentration read (a nation
+    * whose suppliers push one brand is a supply-chain risk even when
+    * volume looks healthy): per (nation, brand) line counts out of
+    * one fact⋈part⋈supplier rollup, then per nation
+    * diversity_bp = 10⁴ − (10⁴·Σnᵢ²) DIV N² (probability two random
+    * lines share a brand, complemented) and the inverse-Simpson
+    * effective brand count ×100 = (100·N²) DIV Σnᵢ². No logs anywhere
+    * — Simpson is the diversity index that stays in exact integer
+    * math (the §6 rule that keeps every compare boundary BIGINT).
+    * Int64 bound: 10⁴·N² with N = lines/nation ≈ 24M at SF 100 →
+    * 5.8×10¹⁸, safe to ~SF 120 (documented like q_gini's dollar
+    * bound; past that, scale N to thousands first). lineitem⋈part is
+    * a fact-fact shuffle join on the part key (both grow with SF — no
+    * forced broadcast, the q_trade_balance lesson); the brand rollup
+    * reduces to ≤ 25 nations × 25 brands before anything else. */
+  def qSimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val mix = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir)
+        .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT) AS nation"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+    mix.groupBy(col("nation"))
+      .agg(sum(col("n")).as("n_lines"),
+        count(lit(1)).as("n_brands"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .selectExpr("nation", "n_lines", "n_brands",
+        "10000 - (10000 * sum_sq) DIV (n_lines * n_lines) AS diversity_bp",
+        "(100 * n_lines * n_lines) DIV sum_sq AS eff_brands_x100")
+      .orderBy("nation")
+  }
+
+  /** Price–volume–mix bridge between two full shipment years (1996 →
+    * 1997), per brand — the FP&A decomposition of WHY revenue moved:
+    * with unit price p = rev_c DIV qty per (brand, year) (integer
+    * cents — the floor is reconciled below, never hidden),
+    * Δrev = q₀·Δp (price effect) + p₀·Δq (volume effect) + Δp·Δq
+    * (cross term) + residual, where the residual is DEFINED as
+    * Δrev − the three effects, so the bridge reconciles EXACTLY in
+    * integer arithmetic — the floor error of the two unit-price DIVs
+    * lands in `resid_c` where an auditor can see it, instead of
+    * silently unbalancing the waterfall. Brands missing a year drop
+    * (no Δ to decompose). One fact⋈part shuffle join, one 25-row
+    * brand-year rollup, then a self-join of the two year slices on
+    * brand — every post-rollup stage is domain-bounded (≤25 brands)
+    * at any SF. Int64: p·q ≈ 1.5×10⁵ cents × 8.6×10⁷ units/brand at
+    * SF 100 ≈ 1.3×10¹³ — five orders of magnitude of headroom. */
+  def qPriceVolumeMix(spark: SparkSession, dir: String,
+                      yr0: Int = 1996, yr1: Int = 1997): DataFrame = {
+    val yrc = year(col("l_shipdate")).cast("long")
+    Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")).isin(yr0, yr1))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      // ONE conditional-aggregation pass pivots both years out of a
+      // single fact scan (a per-year slice-and-self-join would scan
+      // the 2-year window twice for the same 25-row result)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(yrc === yr0, cents(col("l_extendedprice"), 2)).otherwise(0L)).as("rev0"),
+        sum(when(yrc === yr0, col("l_quantity").cast("long")).otherwise(0L)).as("qty0"),
+        sum(when(yrc === yr1, cents(col("l_extendedprice"), 2)).otherwise(0L)).as("rev1"),
+        sum(when(yrc === yr1, col("l_quantity").cast("long")).otherwise(0L)).as("qty1"))
+      // brands missing a year have no Δ to decompose (and no unit
+      // price) — same drop the oracle's inner year-join performs
+      .filter(col("qty0") > 0 && col("qty1") > 0)
+      .withColumn("p0", expr("rev0 DIV qty0"))
+      .withColumn("p1", expr("rev1 DIV qty1"))
+      .selectExpr("p_brand",
+        "rev1 - rev0 AS rev_delta_c",
+        "qty0 * (p1 - p0) AS price_eff_c",
+        "p0 * (qty1 - qty0) AS volume_eff_c",
+        "(p1 - p0) * (qty1 - qty0) AS cross_eff_c",
+        "(rev1 - rev0) - qty0 * (p1 - p0) - p0 * (qty1 - qty0)" +
+          " - (p1 - p0) * (qty1 - qty0) AS resid_c")
+      .orderBy("p_brand")
+  }
+
+  /** New-vs-repeat revenue split per month — the acquisition-
+    * dependence read [[qGrowthAccounting]] doesn't give (that one
+    * counts USERS new/retained/churned; a business can retain every
+    * user and still be acquisition-dependent if newcomers carry the
+    * basket): per month, order revenue split between each customer's
+    * FIRST-EVER order and everything after, with the repeat share in
+    * bp. First-order resolution is one customer-grain min-reduce
+    * (order date + orderkey as the deterministic same-day tiebreak,
+    * folded as a single min(struct) so "first" is one total order,
+    * not two independent mins), joined back on the customer key —
+    * customer-sized broadcast candidate at low SF, AQE's call at
+    * high (no forced broadcast; the dim grows with SF). Output is
+    * calendar-bounded (one row per month with orders). */
+  def qNewVsRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
+        cents(col("o_totalprice"), 2).as("rev_c"))
+    val first = o.groupBy(col("o_custkey").as("fc"))
+      .agg(min(struct(col("dn"), col("o_orderkey"))).as("f"))
+      .select(col("fc"), col("f.o_orderkey").as("first_key"))
+    o.join(first, col("o_custkey") === col("fc"))
+      .withColumn("mo", expr("dn DIV 30"))
+      .groupBy(col("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderkey") === col("first_key"), col("rev_c"))
+          .otherwise(0L)).as("new_rev_c"),
+        sum(when(col("o_orderkey") =!= col("first_key"), col("rev_c"))
+          .otherwise(0L)).as("repeat_rev_c"))
+      .selectExpr("CAST(mo * 30 AS BIGINT) AS month_start_dn", "n_orders",
+        "new_rev_c", "repeat_rev_c",
+        "(repeat_rev_c * 10000) DIV (new_rev_c + repeat_rev_c) AS repeat_share_bp")
+      .orderBy("month_start_dn")
+  }
 }

@@ -783,4 +783,34 @@ object DlpQueries {
           "ELSE (c.n_both * n_records * 10000) DIV (c.n_a * c.n_b) END AS lift_bp")
       .orderBy("type_a", "type_b")
   }
+
+  /** Truncated-surrogate collision audit — the sizing study behind
+    * every tokenization template (reference: DLPTokenizationDoFn's
+    * crypto-hash surrogates): how short can a hash token get before
+    * distinct plaintexts start sharing one? Per prefix length
+    * L ∈ {4, 6, 8} hex chars: distinct plaintexts, distinct surviving
+    * tokens, observed collisions (plaintexts − tokens), collision
+    * rate in bp, and the birthday-bound expectation ×100
+    * (n(n−1)·100 DIV 2·16^L, capacity via shiftleft(1, 4L) — pure
+    * integer, Int64-safe to n ≈ 3×10⁸ plaintexts ≈ SF 2000) so the
+    * audit reads observed AGAINST expected, not in a vacuum. One
+    * customer-table scan exploded ×3 (the length domain), two exact
+    * count-distincts per length group — map-side partial-distinct on
+    * a 3-key exchange; no token list ever leaves the executors. */
+  def dlpHashCollisionAudit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .selectExpr("md5(c_name) AS h")
+      .selectExpr("h", "explode(array(4, 6, 8)) AS pfx_len")
+      .groupBy(col("pfx_len").cast("long").as("pfx_len"))
+      .agg(countDistinct(col("h")).as("n_plain"),
+        countDistinct(expr("substring(h, 1, pfx_len)")).as("n_tokens"))
+      .selectExpr("pfx_len",
+        "CAST(n_plain AS BIGINT) AS n_plain",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_plain - n_tokens AS BIGINT) AS n_collisions",
+        "((n_plain - n_tokens) * 10000) DIV n_plain AS collision_bp",
+        "(n_plain * (n_plain - 1) * 100) DIV " +
+          "(2 * shiftleft(CAST(1 AS BIGINT), CAST(4 * pfx_len AS INT))) AS expected_x100")
+      .orderBy("pfx_len")
+  }
 }

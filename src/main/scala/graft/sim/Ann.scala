@@ -1392,4 +1392,41 @@ object Ann {
         "(r2 * 10000) DIV (n_vecs * norm2) AS concentration_bp")
       .orderBy("label")
   }
+
+  /** 1-bit (sign) quantization + Hamming top-10 — the missing point
+    * on the repo's quantization curve (float64 exact → int8
+    * [[int8Recall]] → THIS, 1 bit/dim): each 64-dim vector packs into
+    * ONE BIGINT (bit i set iff dim i+1 > 0 — the sign-random-
+    * hyperplane sketch with the axis planes), and distance is
+    * `bit_count(a ^ b)` — one XOR + popcount per comparison, a ~64×
+    * cheaper rerank primitive than the float dot product and 512×
+    * smaller to ship (8 bytes vs 512). Packing detail that keeps BOTH
+    * engines exact: bit 63's place value is Long.MinValue, and
+    * `1 << 63` overflows DuckDB's left shift, so both sides add the
+    * literal −2⁶³ for dim 64 instead of shifting (bits 0–62 sum first
+    * — every partial sum stays in Int64). Same broadcast-the-queries
+    * scan shape as [[topkBruteforce]] (the corpus is scanned once per
+    * batch of queries, never self-joined); ties on the 65-value
+    * Hamming domain are broken by vec_id on both engines. */
+  def hammingTopk(spark: SparkSession, dir: String): DataFrame = {
+    val packBits =
+      "aggregate(zip_with(emb, sequence(0, 63), (v, i) -> " +
+        "IF(v > 0D, IF(i = 63, CAST(-9223372036854775808 AS BIGINT), " +
+        "shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val packed = embDf(spark, dir)
+      .selectExpr("vec_id", s"$packBits AS bits")
+    val q = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("bits").as("qb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    packed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        "CAST(bit_count(bits ^ qb) AS BIGINT) AS hamming")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("hamming"))
+      .orderBy("query_id", "rank")
+  }
 }

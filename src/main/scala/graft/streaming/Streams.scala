@@ -1342,4 +1342,94 @@ object Streams {
         "n_starts")
       .orderBy("hour_start_s")
   }
+
+  /** Absence detection (abandoned-intent): a `view` NOT followed by a
+    * `purchase` from the same user within 30 minutes — the timeout
+    * pattern that is fundamentally a STREAMING primitive (a match can
+    * confirm early; only the passage of event time can confirm the
+    * absence). Batch form, the oracle-checked gate: per-user
+    * view⋈purchase range join ((vus, vus+T] — strictly after, at most
+    * T later), rolled to per-user conversion stats with abandonment
+    * share in bp. The join keys on user_id so fan-out is bounded by
+    * per-user activity (views × purchases inside one user — the same
+    * bound every sessionizer here lives on), never cross-user. The
+    * streaming machine is [[absenceTimeoutStreaming]]: open views are
+    * state, a purchase resolves every open view behind it, and an
+    * event past a view's deadline expires it as abandoned — proven
+    * equivalent on the replay spec. */
+  def absenceTimeout(spark: SparkSession, dir: String,
+                     timeoutUs: Long = SessionGapUs): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("us").as("vus"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("us").as("pus"))
+    views
+      .join(buys, col("user_id") === col("u2") &&
+        col("pus") > col("vus") && col("pus") <= col("vus") + timeoutUs,
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(max(when(col("pus").isNotNull, 1L).otherwise(0L)).as("converted"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(col("converted")).as("n_converted"))
+      .selectExpr("user_id", "n_views", "n_converted",
+        "n_views - n_converted AS n_abandoned",
+        "((n_views - n_converted) * 10000) DIV n_views AS abandon_bp")
+      .orderBy("user_id")
+  }
+
+  case class AbsenceOut(user_id: Long, view_event_id: Long, converted: Long)
+  case class AbsenceState(openIds: Array[Long], openUs: Array[Long])
+
+  /** Streaming form of [[absenceTimeout]]: state per user is the OPEN
+    * view set (views younger than the timeout with no purchase yet) —
+    * bounded by per-user activity inside one timeout window, the same
+    * envelope the sessionizer's buffer lives in, NOT by stream length.
+    * On each event (engine-ordered within the trigger via the shared
+    * bounded reorder): first expire every open view whose deadline
+    * passed (emit converted=0 — event time alone confirms absence),
+    * then a purchase resolves every remaining open view strictly
+    * behind it (emit converted=1), and a view opens. Views still open
+    * at end of input stay IN STATE (unresolvable until the watermark
+    * passes their deadline) — the replay spec appends a per-user
+    * far-future flush event to close them, exactly what a final
+    * watermark does. */
+  def absenceTimeoutStreaming(events: Dataset[FunnelEv],
+                              timeoutUs: Long = SessionGapUs,
+                              reorderBuffer: Int = 4096,
+                              strict: Boolean = false): Dataset[AbsenceOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbsenceState, AbsenceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[AbsenceState]) =>
+          val reordered = Reorder.bounded(evs, reorderBuffer, strict)(
+            Ordering.by(e => (e.us, e.event_id)))
+          var open = state.getOption
+            .map(s => s.openIds.zip(s.openUs).toVector)
+            .getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AbsenceOut]
+          while (reordered.hasNext) {
+            val (e, _) = reordered.next()
+            // expiry first: a deadline strictly before this event's
+            // time is confirmed absent no matter what this event is
+            val (expired, alive) = open.partition(_._2 + timeoutUs < e.us)
+            expired.foreach { case (id, _) => out += AbsenceOut(uid, id, 0L) }
+            open = alive
+            e.event_type match {
+              case "purchase" =>
+                val (hit, miss) = open.partition(_._2 < e.us)
+                hit.foreach { case (id, _) => out += AbsenceOut(uid, id, 1L) }
+                open = miss
+              case "view" => open = open :+ (e.event_id, e.us)
+              case _ => ()
+            }
+          }
+          state.update(AbsenceState(open.map(_._1).toArray, open.map(_._2).toArray))
+          out.result().iterator
+      }
+  }
 }
