@@ -455,6 +455,13 @@ object SparkEntry {
     "embed_hamming_topk" -> Ann.hammingTopk _,
     "stream_absence_timeout" -> ((s: SparkSession, d: String) => Streams.absenceTimeout(s, d)),
     "dlp_hash_collision_audit" -> DlpQueries.dlpHashCollisionAudit _,
+    // round 12 batch 16: binned two-sample KS, Markov steady state,
+    // 1-bit recall bill, Heaps vocabulary curve, retention sweep
+    "q_ks_binned" -> ((s: SparkSession, d: String) => Analytics.qKsBinned(s, d)),
+    "q_markov_steady" -> ((s: SparkSession, d: String) => Analytics.qMarkovSteady(s, d)),
+    "ann_hamming_recall" -> Ann.hammingRecall _,
+    "text_heaps_curve" -> ((s: SparkSession, d: String) => TextOps.heapsCurve(s, d)),
+    "dlp_retention_sweep" -> ((s: SparkSession, d: String) => DlpQueries.dlpRetentionSweep(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5101,5 +5108,104 @@ object SparkEntry {
         |  CAST((n_plain * (n_plain - 1) * 100)
         |    // (2 * (CAST(1 AS BIGINT) << CAST(4 * pfx_len AS INT))) AS BIGINT) AS expected_x100
         |FROM g ORDER BY pfx_len""".stripMargin,
+    // round 12 batch 16: binned two-sample KS — exact cross-multiplied
+    // ECDF gap (no per-bin division), ties on D break to smallest bin
+    "q_ks_binned" ->
+      """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS bin,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1),
+        |c AS (SELECT bin,
+        |    SUM(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM b),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM b)
+        |SELECT n1, n2, CAST(bin AS BIGINT) AS ks_bin,
+        |  CAST((abs(cum1 * n2 - cum2 * n1) * 10000) // (n1 * n2) AS BIGINT) AS ks_bp
+        |FROM c, t ORDER BY abs(cum1 * n2 - cum2 * n1) DESC, bin LIMIT 1""".stripMargin,
+    // Markov steady state: the quantized power iteration unrolled as
+    // 8 CTE steps — every floor of the recurrence mirrored exactly
+    "q_markov_steady" -> {
+      val steps = (1 to 8).map(i =>
+        s"""it$i AS (SELECT tm.to_type AS state,
+           |  CAST(SUM(p.pi_bp * tm.p_bp) // 10000 AS BIGINT) AS pi_bp
+           |  FROM it${i - 1} p JOIN tm ON p.state = tm.from_type GROUP BY 1)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH seq AS (SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |lagd AS (SELECT event_type AS to_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type
+         |  FROM seq),
+         |cnt AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM lagd WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |tm AS (SELECT from_type, to_type, n,
+         |    CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+         |  FROM cnt),
+         |st AS (SELECT DISTINCT from_type AS state FROM tm
+         |  UNION SELECT DISTINCT to_type FROM tm),
+         |ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(state) AS first FROM st),
+         |it0 AS (SELECT state,
+         |    CAST(10000 // k + CASE WHEN state = first THEN 10000 % k ELSE 0 END AS BIGINT) AS pi_bp
+         |  FROM st, ks),
+         |$steps,
+         |nout AS (SELECT from_type AS state, CAST(SUM(n) AS BIGINT) AS n_out FROM tm GROUP BY 1)
+         |SELECT i0.state AS event_type, i0.pi_bp AS pi0_bp, i8.pi_bp AS steady_bp,
+         |  CAST(COALESCE(n_out, 0) AS BIGINT) AS n_out
+         |FROM it0 i0 JOIN it8 i8 ON i0.state = i8.state
+         |LEFT JOIN nout ON nout.state = i0.state ORDER BY event_type""".stripMargin
+    },
+    // 1-bit Hamming recall vs exact cosine — same query slice and
+    // ground truth as ann_int8_recall (the quantization recall bill)
+    "ann_hamming_recall" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |p AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN embedding[i] > 0 THEN
+         |           (CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                 ELSE CAST(1 AS BIGINT) << CAST((i - 1) % 63 AS INT) END)
+         |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bits
+         |  FROM embeddings),
+         |qh AS (SELECT vec_id AS query_id, bits AS qb FROM p WHERE vec_id >= 8 AND vec_id < 18),
+         |hd AS (SELECT query_id, p.vec_id AS vec_id, bit_count(xor(bits, qb)) AS hamming
+         |  FROM qh JOIN p ON p.vec_id <> query_id),
+         |ht AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM hd) WHERE rn <= 5),
+         |eq AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |es AS (SELECT query_id, e.vec_id AS vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM eq JOIN e ON e.vec_id <> query_id),
+         |et AS (SELECT query_id, vec_id AS neighbor_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn FROM es) WHERE rn <= 5)
+         |SELECT et.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN ht.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN ht.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM et LEFT JOIN ht ON et.query_id = ht.query_id AND et.neighbor_id = ht.vec_id
+         |GROUP BY et.query_id ORDER BY et.query_id""".stripMargin),
+    // Heaps vocabulary growth: words attributed to the ventile of
+    // their FIRST document; 20-row cumulative axis
+    "text_heaps_curve" ->
+      """WITH m AS (SELECT MAX(doc_id) AS maxd FROM documents),
+        |fw AS (SELECT word, MIN(doc_id) AS fd FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1),
+        |nw AS (SELECT CAST((fd * 20) // (maxd + 1) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS new_words FROM fw, m GROUP BY 1),
+        |nd AS (SELECT CAST((doc_id * 20) // (maxd + 1) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents, m GROUP BY 1)
+        |SELECT nd.bucket, n_docs,
+        |  CAST(SUM(n_docs) OVER (ORDER BY nd.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |  CAST(COALESCE(new_words, 0) AS BIGINT) AS new_words,
+        |  CAST(SUM(COALESCE(new_words, 0)) OVER (ORDER BY nd.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM nd LEFT JOIN nw ON nd.bucket = nw.bucket ORDER BY nd.bucket""".stripMargin,
+    // retention sweep: anchor = max order date (data-derived, both
+    // engines see the same cutoff), 4-year policy
+    "dlp_retention_sweep" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400 AS dn
+        |  FROM orders),
+        |a AS (SELECT MAX(dn) AS amax FROM o)
+        |SELECT yr AS year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN dn < amax - 1460 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+        |  CAST((SUM(CASE WHEN dn < amax - 1460 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS expired_bp,
+        |  CAST(MIN(dn) AS BIGINT) AS first_dn, CAST(MAX(dn) AS BIGINT) AS last_dn
+        |FROM o, a GROUP BY yr ORDER BY year""".stripMargin,
   )
 }

@@ -2922,4 +2922,96 @@ object Analytics {
         "(repeat_rev_c * 10000) DIV (new_rev_c + repeat_rev_c) AS repeat_share_bp")
       .orderBy("month_start_dn")
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the 1996 and 1997
+    * order-total distributions, on $100-binned ECDFs — the
+    * distribution-shift test behind every "did the basket change?"
+    * question ([[qMixShift]] reads a 5-category mix; KS reads a
+    * CONTINUOUS distribution, and its D statistic is the max ECDF
+    * gap, located at a specific spend level): per bin (totalprice
+    * cents DIV 10⁴ — a value-DOMAIN-bounded ~5.5k-row axis at any
+    * SF), both years' counts, ECDF gap in exact cross-multiplied
+    * integer form |c₁·n₂ − c₂·n₁| (no per-bin division — the floors
+    * would eat the max), D_bp = max·10⁴ DIV (n₁·n₂) (Int64 to
+    * n₁·n₂·10⁴ ≤ 9.2×10¹⁸ ≈ SF 150, documented). Binning makes the
+    * cumulative window run over the BIN domain, not the fact table —
+    * the q_ntile lesson; exact for the binned ECDF, and the bin width
+    * is the documented resolution of the test. Ties on D break to the
+    * smallest bin. */
+  def qKsBinned(spark: SparkSession, dir: String,
+                yr0: Int = 1996, yr1: Int = 1997): DataFrame = {
+    val yrc = year(col("o_orderdate")).cast("long")
+    val bins = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(yr0, yr1))
+      .select(yrc.as("yr"), (cents(col("o_totalprice"), 2).divide(lit(10000)))
+        .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("yr") === yr0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("yr") === yr1, 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .crossJoin(broadcast(bins.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
+      .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .orderBy(col("gap").desc, col("bin"))
+      .limit(1)
+      .selectExpr("n1", "n2", "CAST(bin AS BIGINT) AS ks_bin",
+        "(gap * 10000) DIV (n1 * n2) AS ks_bp")
+  }
+
+  /** Stationary distribution of the event-type Markov chain —
+    * [[qTransitionMatrix]] gives the one-step mix; the steady state
+    * answers "where does traffic SETTLE" (the long-run share each
+    * event type commands if users keep walking the chain — the
+    * equilibrium load profile a capacity planner actually needs):
+    * same lag rollup to the k×k transition matrix in row-floored bp,
+    * then `rounds` quantized power-iteration steps
+    * π′_j = (Σ_i π_i·P_ij) DIV 10⁴ in pure Int64 — every floor is
+    * part of the DOCUMENTED recurrence, mirrored step-for-step in
+    * the oracle's unrolled CTE chain, so both engines land on the
+    * identical fixed point (quantized mass may leak a few bp per
+    * step; `pi0_bp` and the final mass are both emitted so the leak
+    * is auditable, never hidden). Everything after the one fact
+    * rollup is domain-bounded (k ≤ 5 states, k² matrix) — the
+    * iteration joins move k-row frames, rounds×3 tiny stages, the
+    * honest [[qPagerank]] shape on a bounded domain. */
+  def qMarkovSteady(spark: SparkSession, dir: String,
+                    rounds: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val tm = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .selectExpr("from_type", "to_type", "n", "(n * 10000) DIV n_from AS p_bp")
+    val states = tm.select(col("from_type").as("state"))
+      .unionAll(tm.select(col("to_type")))
+      .distinct()
+    val init = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"),
+        min(col("state")).as("first"))))
+      .selectExpr("state",
+        "10000 DIV k + CASE WHEN state = first THEN 10000 % k ELSE 0 END AS pi_bp")
+    var pi = init
+    (1 to rounds).foreach { _ =>
+      pi = pi.join(tm.select(col("from_type"), col("to_type"), col("p_bp")),
+          col("state") === col("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("pi_bp") * col("p_bp")).as("num"))
+        .selectExpr("to_type AS state", "num DIV 10000 AS pi_bp")
+    }
+    val nOut = tm.groupBy(col("from_type").as("state"))
+      .agg(sum(col("n")).as("n_out"))
+    init.select(col("state"), col("pi_bp").as("pi0_bp"))
+      .join(pi.select(col("state"), col("pi_bp").as("steady_bp")), Seq("state"))
+      .join(nOut, Seq("state"), "left_outer")
+      .selectExpr("state AS event_type", "pi0_bp", "steady_bp",
+        "COALESCE(n_out, 0) AS n_out")
+      .orderBy("event_type")
+  }
 }

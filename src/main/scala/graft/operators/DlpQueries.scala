@@ -813,4 +813,33 @@ object DlpQueries {
           "(2 * shiftleft(CAST(1 AS BIGINT), CAST(4 * pfx_len AS INT))) AS expected_x100")
       .orderBy("pfx_len")
   }
+
+  /** Retention-policy sweep — the deletion side of the compliance
+    * ledger ([[dlpVaultRotation]] rotates keys; this finds the rows a
+    * retention schedule says must GO): with the policy anchor taken
+    * from the DATA (cutoff = max order date − 4·365 days — wall-clock
+    * anchors are non-reproducible and the oracle could never mirror
+    * one), per order-year: rows held, rows past retention, expired
+    * share bp, and the year's day span — the purge plan a DSAR/records
+    * officer actually schedules (whole early years drop, the boundary
+    * year splits, recent years hold zero). One fact rollup against a
+    * 1-row broadcast anchor; output is calendar-bounded (≤ 8 years)
+    * at any SF. */
+  def dlpRetentionSweep(spark: SparkSession, dir: String,
+                        retentionDays: Long = 4 * 365): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"))
+    val anchor = o.agg(max(col("dn")).as("amax"))
+    o.crossJoin(broadcast(anchor))
+      .withColumn("expired",
+        when(col("dn") < col("amax") - retentionDays, 1L).otherwise(0L))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("expired")).as("n_expired"),
+        min(col("dn")).as("first_dn"), max(col("dn")).as("last_dn"))
+      .selectExpr("yr AS year", "n_orders", "n_expired",
+        "(n_expired * 10000) DIV n_orders AS expired_bp",
+        "first_dn", "last_dn")
+      .orderBy("year")
+  }
 }

@@ -1408,14 +1408,18 @@ object Ann {
     * scan shape as [[topkBruteforce]] (the corpus is scanned once per
     * batch of queries, never self-joined); ties on the 65-value
     * Hamming domain are broken by vec_id on both engines. */
+  /** Sign-bit packing of a 64-dim `emb` into one BIGINT — shared by
+    * [[hammingTopk]] and [[hammingRecall]] (bit 63 = the −2⁶³ literal;
+    * see hammingTopk's Scaladoc for why it can't be a shift). */
+  private val PackBitsSql =
+    "aggregate(zip_with(emb, sequence(0, 63), (v, i) -> " +
+      "IF(v > 0D, IF(i = 63, CAST(-9223372036854775808 AS BIGINT), " +
+      "shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT))), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
   def hammingTopk(spark: SparkSession, dir: String): DataFrame = {
-    val packBits =
-      "aggregate(zip_with(emb, sequence(0, 63), (v, i) -> " +
-        "IF(v > 0D, IF(i = 63, CAST(-9223372036854775808 AS BIGINT), " +
-        "shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT))), " +
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     val packed = embDf(spark, dir)
-      .selectExpr("vec_id", s"$packBits AS bits")
+      .selectExpr("vec_id", s"$PackBitsSql AS bits")
     val q = packed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("bits").as("qb"))
     val w = Window.partitionBy(col("query_id"))
@@ -1428,5 +1432,37 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("hamming"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Recall@5 of the 1-bit Hamming index against exact cosine — the
+    * last line of the quantization recall bill ([[recallEval]] prices
+    * IVF probes, [[int8Recall]] prices int8; this prices the 512×
+    * compression): the same 8..18 query slice and exact-top-5 ground
+    * truth every recall operator here shares, candidate top-5 from
+    * the packed-BIGINT popcount distance (ties → vec_id, the 65-value
+    * Hamming domain ties CONSTANTLY — determinism is the tiebreak,
+    * not luck). Same broadcast-queries single-scan shape as the
+    * exact side; the recall join moves 5 rows per query. */
+  def hammingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val packed = embDf(spark, dir)
+      .selectExpr("vec_id", s"$PackBitsSql AS bits")
+    val q = packed.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("query_id"), col("bits").as("qb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val htop = packed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        "CAST(bit_count(bits ^ qb) AS BIGINT) AS hamming")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1L).as("hit"))
+    exactTop5(spark, dir)
+      .join(htop, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("query_id", "n_exact", "CAST(n_hit AS BIGINT) AS n_hit",
+        "n_hit * 10000 DIV n_exact AS recall_bp")
+      .orderBy("query_id")
   }
 }

@@ -1034,4 +1034,44 @@ object TextOps {
         "(n_flagged * 10000) DIV n_docs AS flagged_bp")
       .orderBy("source")
   }
+
+  /** Heaps'-law vocabulary growth curve — [[zipfFit]]'s companion
+    * statistic (Zipf reads the frequency SPECTRUM; Heaps reads how
+    * fast NEW vocabulary keeps arriving as the corpus grows — the
+    * number that sizes a tokenizer vocab and predicts when dedup
+    * stops paying): the doc-id axis cut into 20 ventiles
+    * (bucket = doc_id·20 DIV (max_id+1) off a 1-row broadcast max —
+    * 20 rows at ANY corpus size), each word attributed to the bucket
+    * of its FIRST document (one min-reduce per word — the only
+    * fact-sized exchange), then per ventile: docs, first-occurrence
+    * words, and both cumulated over the 20-row axis. A healthy crawl
+    * shows new_words falling ventile over ventile; a flat curve means
+    * the corpus keeps finding genuinely new text (or the tokenizer is
+    * shattering). The cumulative window runs over exactly 20 rows —
+    * domain-bounded, PlanSpec-allow-listed. */
+  def heapsCurve(spark: SparkSession, dir: String,
+                 buckets: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id")).as("maxd"))
+    def bucketOf(c: Column): Column =
+      (c * buckets).divide(col("maxd") + 1).cast("long")
+    val newWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("fd")).as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    val nDocs = docs.crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nDocs.join(newWords, Seq("bucket"), "left_outer")
+      .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_vocab", sum(col("new_words")).over(wCum))
+      .select(col("bucket"), col("n_docs"), col("cum_docs"),
+        col("new_words"), col("cum_vocab"))
+      .orderBy("bucket")
+  }
 }
