@@ -462,6 +462,11 @@ object SparkEntry {
     "ann_hamming_recall" -> Ann.hammingRecall _,
     "text_heaps_curve" -> ((s: SparkSession, d: String) => TextOps.heapsCurve(s, d)),
     "dlp_retention_sweep" -> ((s: SparkSession, d: String) => DlpQueries.dlpRetentionSweep(s, d)),
+    // round 12 batch 17: winsorized mean (two-level rank bounds),
+    // recursive (c,l)-diversity, kNN-distance density outliers
+    "q_winsorized_mean" -> Analytics.qWinsorizedMean _,
+    "dlp_cl_diversity" -> ((s: SparkSession, d: String) => DlpQueries.dlpClDiversity(s, d)),
+    "embed_knn_dist" -> ((s: SparkSession, d: String) => Ann.knnDist(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5207,5 +5212,61 @@ object SparkEntry {
         |  CAST((SUM(CASE WHEN dn < amax - 1460 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS expired_bp,
         |  CAST(MIN(dn) AS BIGINT) AS first_dn, CAST(MAX(dn) AS BIGINT) AS last_dn
         |FROM o, a GROUP BY yr ORDER BY year""".stripMargin,
+    // round 12 batch 17: winsorized mean — the oracle ranks directly
+    // (DuckDB at sf scale); the Spark side uses the two-level
+    // bucket-rank decomposition, same exact ranks
+    "q_winsorized_mean" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |r AS (SELECT prio, c,
+        |    CAST(row_number() OVER (PARTITION BY prio ORDER BY c, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS n FROM o),
+        |b AS (SELECT prio, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN rn = GREATEST((5 * (n + 1)) // 100, 1) THEN c END) AS BIGINT) AS lo_c,
+        |    CAST(MIN(CASE WHEN rn = LEAST((95 * (n + 1)) // 100, n) THEN c END) AS BIGINT) AS hi_c
+        |  FROM r GROUP BY prio)
+        |SELECT o.prio AS o_orderpriority, b.n AS n_orders, lo_c, hi_c,
+        |  CAST(SUM(LEAST(GREATEST(c, lo_c), hi_c)) // b.n AS BIGINT) AS winsor_mean_c,
+        |  CAST(SUM(c) // b.n AS BIGINT) AS raw_mean_c
+        |FROM o JOIN b ON o.prio = b.prio
+        |GROUP BY 1, b.n, lo_c, hi_c ORDER BY o_orderpriority""".stripMargin,
+    // recursive (c=3, l=2)-diversity: top sensitive band must not
+    // dominate the tail; band shifted positive before the DIV
+    "dlp_cl_diversity" ->
+      """WITH bands AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) // 200000 AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM customer GROUP BY 1, 2, 3),
+        |rk AS (SELECT nation, c_mktsegment, band, r,
+        |    row_number() OVER (PARTITION BY nation, c_mktsegment ORDER BY r DESC, band) AS rk
+        |  FROM bands)
+        |SELECT nation, c_mktsegment, CAST(SUM(r) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bands,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN r END) AS BIGINT) AS top_count,
+        |  CAST(SUM(r) - MAX(CASE WHEN rk = 1 THEN r END) AS BIGINT) AS tail_count,
+        |  CAST(CASE WHEN COUNT(*) >= 2 AND MAX(CASE WHEN rk = 1 THEN r END)
+        |      < 3 * (SUM(r) - MAX(CASE WHEN rk = 1 THEN r END)) THEN 1 ELSE 0 END AS BIGINT) AS satisfies_cl
+        |FROM rk GROUP BY 1, 2 ORDER BY nation, c_mktsegment""".stripMargin,
+    // kNN-distance density outliers: 3rd-NN similarity inside the
+    // 8-sign-bit LSH bucket, banded on the SHIFTED bp (cosine can be
+    // negative — a negative numerator never meets the DIV)
+    "embed_knn_dist" -> {
+      val bucket = (1 to 8).map(i =>
+        s"(CASE WHEN emb[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+         |pairs AS (SELECT a.vec_id AS vec_id, bb.vec_id AS nbr,
+         |    CAST(round(${duckCos("a.emb", "bb.emb")} * 10000) AS BIGINT) AS c_bp
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+         |kth AS (SELECT vec_id, c_bp FROM (SELECT vec_id, c_bp,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_bp DESC, nbr) AS rn FROM pairs)
+         |  WHERE rn = 3)
+         |SELECT CASE WHEN kth.c_bp IS NULL THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST((kth.c_bp + 10000) // 500 AS BIGINT) END AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |FROM e LEFT JOIN kth ON e.vec_id = kth.vec_id
+         |GROUP BY 1 ORDER BY band""".stripMargin
+    },
   )
 }

@@ -68,11 +68,70 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression packing the SIGNS of the first 64
+  * elements of an ARRAY<DOUBLE> into one LONG (bit i set iff
+  * element i > 0) — the 1-bit quantization primitive behind the
+  * Hamming ANN operators. One tight 64-iteration codegen loop
+  * replaces the interpreted `aggregate(zip_with(..., sequence(0,63)))`
+  * fold (which materializes two intermediate 64-element arrays per
+  * row). Bit-identical to the HOF form: Java's `1L << 63` IS
+  * Long.MinValue, the same place value the SQL form adds as a
+  * literal, and addition of distinct powers of two is order-free —
+  * so the DuckDB oracle math is unchanged; this is purely the
+  * hot-path implementation (the CosineSim pattern).
+  */
+case class PackSignBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == ArrayType(DoubleType, false) || child.dataType == ArrayType(DoubleType, true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"child must be array<double>, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(64, x.numElements())
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getDouble(i) > 0) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val bits = ctx.freshName("bits")
+      s"""
+         |int $n = java.lang.Math.min(64, $a.numElements());
+         |long $bits = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getDouble($i) > 0) $bits |= 1L << $i;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column-facing API: cosine similarity of two ARRAY<DOUBLE>. */
   def cosineSim(a: Column, b: Column): Column =
     GraftInternal.column(CosineSim(
       GraftInternal.expression(a), GraftInternal.expression(b)))
+
+  /** Column-facing API: sign-bit packing of ARRAY<DOUBLE> → LONG. */
+  def packSignBits(a: Column): Column =
+    GraftInternal.column(PackSignBits(GraftInternal.expression(a)))
 
   /** Make `cosine_sim(a, b)` callable from SQL on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -3014,4 +3014,50 @@ object Analytics {
         "COALESCE(n_out, 0) AS n_out")
       .orderBy("event_type")
   }
+
+  /** Winsorized mean of order totals per priority — the robust
+    * LOCATION statistic beside [[qMadOutliers]]' robust dispersion
+    * (a handful of mega-orders drags the raw mean; clamping at exact
+    * p5/p95 ranks reports what the typical book looks like, and the
+    * raw mean ships alongside so the gap IS the tail's weight): exact
+    * rank selection via the two-level bucket-rank decomposition
+    * ([[qShipLatency]]'s machinery — in-bucket row_number windows
+    * partitioned by (priority, $10k value bucket) + broadcast bucket
+    * offsets; NEVER a priority-partitioned table-sized sort window,
+    * the q_ntile lesson), bounds at ranks max(1, 5(n+1) DIV 100) and
+    * min(n, 95(n+1) DIV 100), then one clamped-sum pass over the fact
+    * with the 5-row bounds table broadcast. Two fact passes total —
+    * the price of exact rank bounds at any SF. */
+  def qWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        cents(col("o_totalprice"), 2).as("c"))
+      .withColumn("b", expr("c DIV 1000000"))
+    val wIn = Window.partitionBy(col("prio"), col("b"))
+      .orderBy(col("c"), col("o_orderkey"))
+    val wB = Window.partitionBy(col("prio")).orderBy(col("b"))
+    val offs = o.groupBy(col("prio"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("cnt")
+    val bounds = o.withColumn("rb", row_number().over(wIn))
+      .join(broadcast(offs), Seq("prio", "b"))
+      .withColumn("rn", col("off") + col("rb"))
+      .groupBy(col("prio"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === expr("GREATEST((5 * (n + 1)) DIV 100, 1)"), col("c"))).as("lo_c"),
+        min(when(col("rn") === expr("LEAST((95 * (n + 1)) DIV 100, n)"), col("c"))).as("hi_c"))
+    o.join(broadcast(bounds), Seq("prio"))
+      .groupBy(col("prio"))
+      .agg(max(col("n")).as("n_orders"),
+        max(col("lo_c")).as("lo_c"), max(col("hi_c")).as("hi_c"),
+        sum(least(greatest(col("c"), col("lo_c")), col("hi_c"))).as("wsum"),
+        sum(col("c")).as("rsum"))
+      .selectExpr("prio AS o_orderpriority", "n_orders", "lo_c", "hi_c",
+        "wsum DIV n_orders AS winsor_mean_c", "rsum DIV n_orders AS raw_mean_c")
+      .orderBy("o_orderpriority")
+  }
 }

@@ -842,4 +842,40 @@ object DlpQueries {
         "first_dn", "last_dn")
       .orderBy("year")
   }
+
+  /** Recursive (c, ℓ)-diversity audit — the stronger test behind
+    * [[dlpLDiversity]]'s distinct-ℓ count (distinct-ℓ passes a group
+    * where one sensitive value covers 99% of rows and two strays make
+    * up the tail; recursive (c, ℓ) demands the TOP value not dominate:
+    * r₁ < c·(r_ℓ + … + r_m) over the descending frequency spectrum):
+    * QI groups = (nation, segment), sensitive attribute = the account-
+    * balance band SHIFTED positive before the DIV ((cents + 10⁵) DIV
+    * 2·10⁵ — a negative balance must never meet integer division, the
+    * §6 rule), c = 3, ℓ = 2, so the test reads r₁ < 3·(n − r₁ −
+    * nothing) … i.e. top < 3·tail where tail = group − top. Per group:
+    * rows, distinct bands, top-band count, tail sum, pass flag — the
+    * release gate a (3,2)-diversity policy actually evaluates. All
+    * windows run over the (QI × band) rollup (≤ 25·5·6 rows at any
+    * SF). */
+  def dlpClDiversity(spark: SparkSession, dir: String,
+                     c: Long = 3L): DataFrame = {
+    val bands = Tables.customer(spark, dir)
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS nation", "c_mktsegment",
+        "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) DIV 200000 AS band")
+      .groupBy(col("nation"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("r"))
+    val wG = Window.partitionBy(col("nation"), col("c_mktsegment"))
+      .orderBy(col("r").desc, col("band"))
+    bands
+      .withColumn("rk", row_number().over(wG))
+      .groupBy(col("nation"), col("c_mktsegment"))
+      .agg(sum(col("r")).as("n_rows"),
+        count(lit(1)).as("n_bands"),
+        max(when(col("rk") === 1, col("r"))).as("top_count"))
+      .selectExpr("nation", "c_mktsegment", "n_rows", "n_bands", "top_count",
+        "n_rows - top_count AS tail_count",
+        s"CAST(CASE WHEN n_bands >= 2 AND top_count < $c * (n_rows - top_count)" +
+          " THEN 1 ELSE 0 END AS BIGINT) AS satisfies_cl")
+      .orderBy("nation", "c_mktsegment")
+  }
 }

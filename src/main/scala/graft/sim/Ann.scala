@@ -1408,18 +1408,27 @@ object Ann {
     * scan shape as [[topkBruteforce]] (the corpus is scanned once per
     * batch of queries, never self-joined); ties on the 65-value
     * Hamming domain are broken by vec_id on both engines. */
-  /** Sign-bit packing of a 64-dim `emb` into one BIGINT — shared by
-    * [[hammingTopk]] and [[hammingRecall]] (bit 63 = the −2⁶³ literal;
-    * see hammingTopk's Scaladoc for why it can't be a shift). */
-  private val PackBitsSql =
+  /** Sign-bit packing of a 64-dim `emb` into one BIGINT as a pure-SQL
+    * higher-order fold (bit 63 = the −2⁶³ literal; see hammingTopk's
+    * Scaladoc for why it can't be a shift). The OPERATORS use the
+    * codegen'd [[graft.functions.PackSignBits]] instead — this form
+    * stays as the independently-derived reference the equivalence
+    * spec checks the native expression against. */
+  private[graft] val PackBitsSql =
     "aggregate(zip_with(emb, sequence(0, 63), (v, i) -> " +
       "IF(v > 0D, IF(i = 63, CAST(-9223372036854775808 AS BIGINT), " +
       "shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT))), " +
       "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
+  /** (vec_id, bits): sign-packed corpus via the codegen expression —
+    * one tight 64-iteration loop inside whole-stage codegen, no
+    * intermediate arrays. */
+  private def packedDf(spark: SparkSession, dir: String): DataFrame =
+    embDf(spark, dir).select(col("vec_id"),
+      graft.functions.VectorExprs.packSignBits(col("emb")).as("bits"))
+
   def hammingTopk(spark: SparkSession, dir: String): DataFrame = {
-    val packed = embDf(spark, dir)
-      .selectExpr("vec_id", s"$PackBitsSql AS bits")
+    val packed = packedDf(spark, dir)
     val q = packed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("bits").as("qb"))
     val w = Window.partitionBy(col("query_id"))
@@ -1444,8 +1453,7 @@ object Ann {
     * not luck). Same broadcast-queries single-scan shape as the
     * exact side; the recall join moves 5 rows per query. */
   def hammingRecall(spark: SparkSession, dir: String): DataFrame = {
-    val packed = embDf(spark, dir)
-      .selectExpr("vec_id", s"$PackBitsSql AS bits")
+    val packed = packedDf(spark, dir)
     val q = packed.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("bits").as("qb"))
     val w = Window.partitionBy(col("query_id"))
@@ -1464,5 +1472,46 @@ object Ann {
       .selectExpr("query_id", "n_exact", "CAST(n_hit AS BIGINT) AS n_hit",
         "n_hit * 10000 DIV n_exact AS recall_bp")
       .orderBy("query_id")
+  }
+
+  /** kNN-distance density outliers (LOF-lite): each vector's
+    * 3rd-nearest-neighbor similarity, searched INSIDE its 8-sign-bit
+    * LSH bucket (the [[thresholdCurve]] blocking — pair work is
+    * bucket-bounded, never corpus²), rolled to a histogram of
+    * similarity bands plus the isolation ledger. A vector whose 3rd
+    * neighbor is far sits in thin density — the mis-embedded /
+    * out-of-distribution suspect [[normOutliers]]' norm screen can't
+    * see (a vector can have a perfectly typical norm and still sit
+    * alone); vectors with <3 in-bucket neighbors land in band −1
+    * (isolated — at corpus scale that itself is signal). Similarity
+    * quantized ONCE to bp via round(c·10⁴) (integer-valued double —
+    * exact cast on both engines) and ranked on (bp desc, neighbor id)
+    * so ties are deterministic, then band = bp DIV 500 (≤ ~40 bands
+    * + isolation at any SF). */
+  def knnDist(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = embDf(spark, dir)
+      .selectExpr("vec_id", "emb",
+        "concat(" + (1 to 8).map(i =>
+          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_bp").desc, col("nbr"))
+    val kth = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+        cosineSim(col("a.emb"), col("b.emb")).as("c"))
+      .select(col("vec_id"), col("nbr"),
+        expr("CAST(round(c * 10000) AS BIGINT)").as("c_bp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("vec_id"), col("c_bp"))
+    // band on the SHIFTED similarity (cosine can be negative; a
+    // negative numerator must never meet DIV — the §6 rule): 0..40
+    embDf(spark, dir).select(col("vec_id"))
+      .join(kth, Seq("vec_id"), "left_outer")
+      .selectExpr("CASE WHEN c_bp IS NULL THEN CAST(-1 AS BIGINT)" +
+        " ELSE (c_bp + 10000) DIV 500 END AS band")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("band")
   }
 }
