@@ -467,6 +467,12 @@ object SparkEntry {
     "q_winsorized_mean" -> Analytics.qWinsorizedMean _,
     "dlp_cl_diversity" -> ((s: SparkSession, d: String) => DlpQueries.dlpClDiversity(s, d)),
     "embed_knn_dist" -> ((s: SparkSession, d: String) => Ann.knnDist(s, d)),
+    // round 12 batch 18: watermark skew, session value, shipment
+    // spread, LSH blocking recall
+    "stream_watermark_skew" -> ((s: SparkSession, d: String) => Streams.watermarkSkew(s, d)),
+    "stream_session_value" -> Streams.sessionValue _,
+    "q_ship_spread" -> Analytics.qShipSpread _,
+    "ann_bucket_recall" -> Ann.bucketRecall _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5267,6 +5273,74 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_vectors
          |FROM e LEFT JOIN kth ON e.vec_id = kth.vec_id
          |GROUP BY 1 ORDER BY band""".stripMargin
+    },
+    // round 12 batch 18: per-partition watermark skew — the stalled-
+    // watermark diagnosis; partition proxy = user_id % 8
+    "stream_watermark_skew" ->
+      """WITH per AS (SELECT user_id % 8 AS part_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |w AS (SELECT MIN(last_us) AS wm_us FROM per)
+        |SELECT CAST(part_id AS BIGINT) AS part_id, n_events, last_us,
+        |  CAST(wm_us AS BIGINT) AS wm_us, CAST(last_us - wm_us AS BIGINT) AS lead_us
+        |FROM per, w ORDER BY part_id""".stripMargin,
+    // session depth -> conversion value: same 30-min-gap sessionizer
+    // the concurrency curve uses, with the purchase-value ledger
+    "stream_session_value" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT user_id, event_id, us, event_type, v_c,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, event_type, v_c, SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |sess AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS depth,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN v_c ELSE 0 END) AS BIGINT) AS buy_c,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM t GROUP BY 1, 2)
+        |SELECT depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  CAST((SUM(converted) * 10000) // COUNT(*) AS BIGINT) AS convert_bp,
+        |  CAST(SUM(buy_c) AS BIGINT) AS buy_c,
+        |  CAST(CASE WHEN SUM(converted) = 0 THEN 0
+        |    ELSE SUM(buy_c) // SUM(converted) END AS BIGINT) AS buy_per_conv_c
+        |FROM sess GROUP BY depth ORDER BY depth""".stripMargin,
+    // shipment-spread histogram: per-order first->last ship span,
+    // week buckets, share inside the priority
+    "q_ship_spread" ->
+      """WITH spans AS (SELECT l_orderkey,
+        |    CAST(MAX(CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) // 86400)
+        |      - MIN(CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) // 86400) AS BIGINT) AS span_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderpriority, span_days // 7 AS week_bucket, n_lines
+        |  FROM spans JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT o_orderpriority, week_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(n_lines) AS BIGINT) AS n_lines FROM j GROUP BY 1, 2)
+        |SELECT o_orderpriority, CAST(week_bucket AS BIGINT) AS week_bucket, n_orders, n_lines,
+        |  CAST((n_orders * 10000) // SUM(n_orders) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS share_bp
+        |FROM h ORDER BY o_orderpriority, week_bucket""".stripMargin,
+    // LSH blocking recall: how many exact top-5 share the query's
+    // 8-sign-bit bucket — the miss-rate the blocked operators inherit
+    "ann_bucket_recall" -> {
+      val bucket = (1 to 8).map(i =>
+        s"(CASE WHEN emb[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, $bucket AS bucket FROM e),
+         |eq AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id >= 8 AND vec_id < 18),
+         |es AS (SELECT query_id, e.vec_id AS vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM eq JOIN e ON e.vec_id <> query_id),
+         |et AS (SELECT query_id, vec_id AS neighbor_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn FROM es) WHERE rn <= 5)
+         |SELECT et.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN qb.bucket = nb.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_same_bucket,
+         |  CAST(SUM(CASE WHEN qb.bucket = nb.bucket THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS bucket_recall_bp
+         |FROM et JOIN b qb ON qb.vec_id = et.query_id
+         |JOIN b nb ON nb.vec_id = et.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin
     },
   )
 }

@@ -3060,4 +3060,33 @@ object Analytics {
         "wsum DIV n_orders AS winsor_mean_c", "rsum DIV n_orders AS raw_mean_c")
       .orderBy("o_orderpriority")
   }
+
+  /** Shipment-spread histogram — fulfillment FRAGMENTATION per order
+    * ([[qOrderLinecountDist]] reads how many lines an order has; this
+    * reads how long the order stays OPEN shipping them — the
+    * split-shipment cost driver): per order, the day span between its
+    * first and last shipped line (one fact min/max reduce on the
+    * order key — single-line orders span 0), joined to priority,
+    * rolled to a (priority × week-bucket) histogram with share bp
+    * inside the priority (share windows over HISTOGRAM-sized rows —
+    * the span domain is calendar-bounded at any SF). */
+  def qShipSpread(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000").as("dn"))
+      .groupBy(col("l_orderkey"))
+      .agg((max(col("dn")) - min(col("dn"))).as("span_days"),
+        count(lit(1)).as("n_lines"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    val wP = Window.partitionBy(col("o_orderpriority"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spans.groupBy(col("o_orderpriority"), expr("span_days DIV 7").as("week_bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"))
+      .withColumn("tot", sum(col("n_orders")).over(wP))
+      .selectExpr("o_orderpriority", "CAST(week_bucket AS BIGINT) AS week_bucket",
+        "n_orders", "n_lines", "(n_orders * 10000) DIV tot AS share_bp")
+      .orderBy("o_orderpriority", "week_bucket")
+  }
 }

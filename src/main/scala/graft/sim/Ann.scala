@@ -1514,4 +1514,32 @@ object Ann {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("band")
   }
+
+  /** Blocking recall of the 8-sign-bit LSH bucket itself — the
+    * miss-rate [[knnDist]] (and every bucket-blocked pair operator)
+    * INHERITS and must therefore be priced, not assumed: for the
+    * standard 8..18 query slice, how many of the exact cosine top-5
+    * live in the query's own bucket. A low row here doesn't fail the
+    * blocked operators — it quantifies exactly how approximate their
+    * candidate set is (the same bill recall_eval renders for IVF
+    * probes, rendered for the hash-blocking family). One bucket
+    * projection joined to the shared exact-top-5 ground truth; 5 rows
+    * per query move. */
+  def bucketRecall(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = embDf(spark, dir)
+      .selectExpr("vec_id",
+        "concat(" + (1 to 8).map(i =>
+          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket")
+    exactTop5(spark, dir)
+      .join(buckets.select(col("vec_id").as("query_id"), col("bucket").as("qb")),
+        Seq("query_id"))
+      .join(buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("nb")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("qb") === col("nb"), 1L).otherwise(0L)).as("n_same_bucket"))
+      .selectExpr("query_id", "n_exact", "n_same_bucket",
+        "(n_same_bucket * 10000) DIV n_exact AS bucket_recall_bp")
+      .orderBy("query_id")
+  }
 }

@@ -1432,4 +1432,69 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Per-partition watermark skew — the stalled-watermark diagnosis
+    * every event-time pipeline eventually runs (the watermark is the
+    * MIN over source partitions; ONE cold partition holds back every
+    * window downstream, and the fix differs by whether the partition
+    * is cold because it's slow or because it's EMPTY-ish): partitions
+    * stand in as user_id % 8 (the source-partition key a Kafka topic
+    * would give; documented proxy), per partition the event count and
+    * latest event time, the effective watermark = min of those (1-row
+    * broadcast), and each partition's LEAD over it — the number that
+    * says which partition to re-balance. Pure two-level aggregate;
+    * output is partition-domain-bounded (8 rows) at any SF. */
+  def watermarkSkew(spark: SparkSession, dir: String,
+                    partitions: Int = 8): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr(s"user_id % $partitions AS part_id", "unix_micros(ts) AS us")
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"))
+    per.crossJoin(broadcast(per.agg(min(col("last_us")).as("wm_us"))))
+      .selectExpr("part_id", "n_events", "last_us", "wm_us",
+        "last_us - wm_us AS lead_us")
+      .orderBy("part_id")
+  }
+
+  /** Session depth → conversion value — the behavioral read that
+    * prices engagement ([[sessionizeBatch]] builds sessions;
+    * this asks what a session of depth d is WORTH): sessions from the
+    * same 30-min-gap islands rule, per session the event depth,
+    * purchase presence and purchase value (dollars → exact cents via
+    * the DECIMAL ladder), rolled by exact depth: sessions, converted
+    * sessions, conversion bp, total and per-converted-session
+    * purchase cents. All windows per-user (the sessionizer shape);
+    * the depth rollup is bounded by the longest session (activity-
+    * bounded, not SF-bounded). The streaming form is the
+    * sessionizer's state machine with a value accumulator — nothing
+    * new to hold. */
+  def sessionValue(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v_c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = e
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("depth"),
+        sum(when(col("event_type") === "purchase", col("v_c")).otherwise(0L)).as("buy_c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    sess.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        sum(col("buy_c")).as("buy_c"))
+      .selectExpr("depth", "n_sessions", "n_converted",
+        "(n_converted * 10000) DIV n_sessions AS convert_bp", "buy_c",
+        "CASE WHEN n_converted = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE buy_c DIV n_converted END AS buy_per_conv_c")
+      .orderBy("depth")
+  }
 }
