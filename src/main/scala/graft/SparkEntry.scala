@@ -473,6 +473,10 @@ object SparkEntry {
     "stream_session_value" -> Streams.sessionValue _,
     "q_ship_spread" -> Analytics.qShipSpread _,
     "ann_bucket_recall" -> Ann.bucketRecall _,
+    // round 12 batch 19: DSv2 staged-commit write path, media
+    // metadata strip audit
+    "source_dsv2_write" -> SourceQueries.dsv2WriteRoundtrip _,
+    "mm_metadata_strip" -> Multimodal.metadataStrip _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5342,5 +5346,33 @@ object SparkEntry {
          |JOIN b nb ON nb.vec_id = et.neighbor_id
          |GROUP BY 1 ORDER BY query_id""".stripMargin
     },
+    // round 12 batch 19: DSv2 write roundtrip — the oracle recomputes
+    // the rollup from the source of truth, so any commit-protocol
+    // fault (lost task file, leaked temp, torn manifest) fails here
+    "source_dsv2_write" ->
+      """SELECT o_orderstatus AS val, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY val""".stripMargin,
+    // media metadata strip: injected EXIF-style header mirrored
+    // byte-identical; char positions safe (marker region is ASCII)
+    "mm_metadata_strip" ->
+      """WITH raw AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN concat('EXIF:gps=', CAST(doc_id % 180 AS VARCHAR), ';cam=X;', text)
+        |      ELSE text END AS raw
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT source, raw,
+        |    CASE WHEN substr(raw, 1, 5) = 'EXIF:' THEN 1 ELSE 0 END AS tagged,
+        |    CASE WHEN substr(raw, 1, 5) = 'EXIF:'
+        |      THEN substr(raw, strpos(raw, ';cam=X;') + 7) ELSE raw END AS stripped
+        |  FROM raw)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+        |  CAST(SUM(tagged) AS BIGINT) AS n_tagged,
+        |  CAST((SUM(tagged) * 10000) // COUNT(*) AS BIGINT) AS tagged_bp,
+        |  CAST(SUM(strlen(raw)) AS BIGINT) AS bytes_before,
+        |  CAST(SUM(strlen(stripped)) AS BIGINT) AS bytes_after,
+        |  CAST(SUM(strlen(raw)) - SUM(strlen(stripped)) AS BIGINT) AS meta_bytes,
+        |  CAST(SUM(CASE WHEN strpos(stripped, 'EXIF:') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -614,4 +614,40 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) =
     throw new NotImplementedError(
       "image decode requires a codec library; featureExtract carries the plumbing with a deterministic fake")
+
+  /** Embedded-metadata strip audit — the media-side DLP pass (an
+    * image corpus ships GPS/EXIF blocks exactly the way a text corpus
+    * ships phone numbers; a training-data release strips them and
+    * must PROVE it): payloads synthesized with a deterministic
+    * `EXIF:gps=…;cam=X;` header on every doc_id % 3 == 0 payload
+    * (injected like dlp_infotype_cooccurrence's subjects — mirrored
+    * byte-identical in the oracle), strip = remove the marker PREFIX,
+    * audit per source: payloads, tagged payloads, tagged share bp,
+    * byte totals before/after (exact byte accounting via binary
+    * length — the bytes removed ARE the metadata), and the residual
+    * count of stripped payloads still carrying the marker — the
+    * release gate, which must read 0. One scan, map-only until the
+    * source rollup. */
+  def metadataStrip(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .selectExpr("doc_id", "source",
+        "CASE WHEN doc_id % 3 = 0 THEN concat('EXIF:gps=', CAST(doc_id % 180 AS STRING), ';cam=X;', text) ELSE text END AS raw")
+      .withColumn("tagged",
+        when(expr("substring(raw, 1, 5) = 'EXIF:'"), 1L).otherwise(0L))
+      .withColumn("stripped",
+        when(col("tagged") === 1L,
+          expr("substring(raw, instr(raw, ';cam=X;') + 7)")).otherwise(col("raw")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(col("tagged")).as("n_tagged"),
+        sum(expr("length(CAST(raw AS BINARY))")).as("bytes_before"),
+        sum(expr("length(CAST(stripped AS BINARY))")).as("bytes_after"),
+        sum(when(expr("instr(stripped, 'EXIF:') > 0"), 1L).otherwise(0L)).as("n_residual"))
+      .selectExpr("source", "n_payloads", "n_tagged",
+        "(n_tagged * 10000) DIV n_payloads AS tagged_bp",
+        "bytes_before", "bytes_after",
+        "bytes_before - bytes_after AS meta_bytes", "n_residual")
+      .orderBy("source")
+  }
 }

@@ -1045,4 +1045,26 @@ object SourceQueries {
         "CAST(CASE WHEN s.n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass")
       .orderBy("rule")
   }
+
+  /** DSv2 WRITE-path roundtrip through [[graft.sources.KvSource]] —
+    * the exactly-once batch-sink contract exercised end to end on the
+    * real engine write codepath (AppendData → BatchWrite → per-task
+    * staged commit → atomic job manifest), then read back through the
+    * manifest-gated scan and aggregated; the oracle recomputes the
+    * same rollup from the source-of-truth table, so a dropped task
+    * file, an uncommitted temp leaking into the read, or a manifest
+    * torn mid-write all fail the hash. Fresh sink dir per run (the
+    * write is the thing under test — nothing to memoize). */
+  def dsv2WriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-kvsink").toString
+    Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS key", "o_orderstatus AS val")
+      .write.format(classOf[graft.sources.KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    spark.read.format(classOf[graft.sources.KvSource].getName)
+      .option("path", out).load()
+      .groupBy(col("val"))
+      .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+      .orderBy("val")
+  }
 }
