@@ -477,6 +477,9 @@ object SparkEntry {
     // metadata strip audit
     "source_dsv2_write" -> SourceQueries.dsv2WriteRoundtrip _,
     "mm_metadata_strip" -> Multimodal.metadataStrip _,
+    // round 12 batch 20: shadow-deployment diff, experiment sizing
+    "stream_shadow_diff" -> ((s: SparkSession, d: String) => Streams.shadowDiff(s, d)),
+    "q_ab_power_plan" -> Analytics.qAbPowerPlan _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5374,5 +5377,49 @@ object SparkEntry {
         |  CAST(SUM(strlen(raw)) - SUM(strlen(stripped)) AS BIGINT) AS meta_bytes,
         |  CAST(SUM(CASE WHEN strpos(stripped, 'EXIF:') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    // round 12 batch 20: shadow sessionizer diff — both gap variants
+    // out of one lag pass, per-user delta histogram
+    "stream_shadow_diff" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT user_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS s_prod,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 900000000 THEN 1 ELSE 0 END AS s_canary
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |pu AS (SELECT user_id, CAST(SUM(s_prod) AS BIGINT) AS n_prod,
+        |    CAST(SUM(s_canary) AS BIGINT) AS n_canary FROM s GROUP BY 1),
+        |h AS (SELECT n_canary - n_prod AS session_delta, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(n_prod) AS BIGINT) AS sessions_prod,
+        |    CAST(SUM(n_canary) AS BIGINT) AS sessions_canary FROM pu GROUP BY 1)
+        |SELECT CAST(session_delta AS BIGINT) AS session_delta, n_users, sessions_prod,
+        |  sessions_canary, CAST((n_users * 10000) // SUM(n_users) OVER () AS BIGINT) AS user_share_bp
+        |FROM h ORDER BY session_delta""".stripMargin,
+    // experiment sizing: n = 2(1.96+0.84)^2 p(1-p)/d^2 — the constant
+    // is EXACTLY 15.68, so the formula clears to pure Int64
+    "q_ab_power_plan" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id, event_id, us AS vus FROM e WHERE event_type = 'view'),
+        |b AS (SELECT user_id AS u2, us AS pus FROM e WHERE event_type = 'purchase'),
+        |pv AS (SELECT v.user_id, v.event_id, v.vus,
+        |    MAX(CASE WHEN b.pus IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |  FROM v LEFT JOIN b ON v.user_id = b.u2
+        |    AND b.pus > v.vus AND b.pus <= v.vus + 1800000000
+        |  GROUP BY 1, 2, 3),
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_views, CAST(SUM(conv) AS BIGINT) AS n_conv,
+        |    CAST(MAX(vus // 86400000000) - MIN(vus // 86400000000) + 1 AS BIGINT) AS n_days
+        |  FROM pv),
+        |base2 AS (SELECT (n_conv * 10000) // n_views AS p_bp,
+        |    n_views // n_days AS views_per_day FROM base),
+        |l AS (SELECT unnest([100, 200, 500, 1000]) AS lift_bp),
+        |x AS (SELECT lift_bp, p_bp, views_per_day,
+        |    (p_bp * lift_bp) // 10000 AS delta_bp FROM l, base2),
+        |y AS (SELECT lift_bp, p_bp, delta_bp,
+        |    (1568 * p_bp * (10000 - p_bp)) // (100 * delta_bp * delta_bp) AS n_per_arm,
+        |    views_per_day FROM x WHERE delta_bp > 0)
+        |SELECT CAST(lift_bp AS BIGINT) AS lift_bp, CAST(p_bp AS BIGINT) AS p_bp,
+        |  CAST(delta_bp AS BIGINT) AS delta_bp, CAST(n_per_arm AS BIGINT) AS n_per_arm,
+        |  CAST((2 * n_per_arm + views_per_day - 1) // views_per_day AS BIGINT) AS days_needed
+        |FROM y ORDER BY lift_bp""".stripMargin,
   )
 }

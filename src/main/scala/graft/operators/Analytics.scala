@@ -3089,4 +3089,54 @@ object Analytics {
         "n_orders", "n_lines", "(n_orders * 10000) DIV tot AS share_bp")
       .orderBy("o_orderpriority", "week_bucket")
   }
+
+  /** A/B experiment sizing — the design-side companion to
+    * [[qAbLift]]'s measurement (lift tells you what an experiment
+    * SAW; power analysis tells you how long the NEXT one must run
+    * before silence means anything): baseline conversion p taken
+    * from the observed view→purchase rate (the
+    * [[graft.streaming.Streams.absenceTimeout]] definition — purchase
+    * strictly within 30 min of the view), then for each target
+    * relative lift r ∈ {1%, 2%, 5%, 10%}, the per-arm sample size
+    * n = 2(z_{α/2}+z_β)²·p(1−p)/δ² at the standard α=5% two-sided /
+    * 80% power point — 2(1.96+0.84)² = 15.68 EXACTLY, so the whole
+    * formula clears to n = (1568·p_bp·(10⁴−p_bp)) DIV (100·δ_bp²)
+    * in pure Int64 (numerator ≤ 3.9×10¹⁰), plus the days to fill
+    * both arms at the observed daily view rate. One fact rollup to a
+    * 1-row baseline (broadcast), 4-row output at any SF. */
+  def qAbPowerPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("us").as("vus"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("us").as("pus"))
+    val base = views
+      .join(buys, col("user_id") === col("u2") &&
+        col("pus") > col("vus") && col("pus") <= col("vus") + lit(SessionGapUs),
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"), col("vus"))
+      .agg(max(when(col("pus").isNotNull, 1L).otherwise(0L)).as("conv"))
+      .agg(count(lit(1)).as("n_views"), sum(col("conv")).as("n_conv"),
+        (max(expr("vus DIV 86400000000")) - min(expr("vus DIV 86400000000")) + 1)
+          .as("n_days"))
+      .selectExpr("n_views", "n_conv", "n_days",
+        "(n_conv * 10000) DIV n_views AS p_bp",
+        "n_views DIV n_days AS views_per_day")
+    spark.range(1)
+      .selectExpr("explode(CAST(array(100, 200, 500, 1000) AS ARRAY<BIGINT>)) AS lift_bp")
+      .crossJoin(broadcast(base))
+      .selectExpr("lift_bp", "p_bp", "views_per_day",
+        "(p_bp * lift_bp) DIV 10000 AS delta_bp")
+      .filter(col("delta_bp") > 0)
+      .selectExpr("lift_bp", "p_bp", "delta_bp",
+        "(1568 * p_bp * (10000 - p_bp)) DIV (100 * delta_bp * delta_bp) AS n_per_arm",
+        "views_per_day")
+      .selectExpr("lift_bp", "p_bp", "delta_bp", "n_per_arm",
+        "(2 * n_per_arm + views_per_day - 1) DIV views_per_day AS days_needed")
+      .orderBy("lift_bp")
+  }
+
+  private val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 }

@@ -1497,4 +1497,41 @@ object Streams {
           " ELSE buy_c DIV n_converted END AS buy_per_conv_c")
       .orderBy("depth")
   }
+
+  /** Shadow-deployment diff — the canary evaluation every pipeline
+    * change ships behind (run the NEW sessionizer beside the old one
+    * on the same traffic; the per-user disagreement distribution is
+    * the review artifact, BEFORE the canary takes writes): prod
+    * gap = 30 min vs canary gap = 15 min, both session counts from
+    * ONE scan (the same lag window emits both new-session flags —
+    * a shadow eval must not double the read bill), per-user delta
+    * (canary ≥ prod by construction: shrinking the gap only splits
+    * sessions), rolled to a delta histogram with user share bp.
+    * Output is disagreement-domain-bounded at any SF. */
+  def shadowDiff(spark: SparkSession, dir: String,
+                 prodGapUs: Long = SessionGapUs,
+                 canaryGapUs: Long = SessionGapUs / 2): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val perUser = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .select(col("user_id"),
+        when(col("prev").isNull || col("us") - col("prev") > prodGapUs, 1L)
+          .otherwise(0L).as("s_prod"),
+        when(col("prev").isNull || col("us") - col("prev") > canaryGapUs, 1L)
+          .otherwise(0L).as("s_canary"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("s_prod")).as("n_prod"), sum(col("s_canary")).as("n_canary"))
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perUser.groupBy((col("n_canary") - col("n_prod")).as("session_delta"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_prod")).as("sessions_prod"),
+        sum(col("n_canary")).as("sessions_canary"))
+      .withColumn("tot", sum(col("n_users")).over(wAll))
+      .selectExpr("session_delta", "n_users", "sessions_prod",
+        "sessions_canary", "(n_users * 10000) DIV tot AS user_share_bp")
+      .orderBy("session_delta")
+  }
 }

@@ -833,7 +833,8 @@ class PlanSpec extends AnyFunSuite {
     "q_chi_square" -> "marginal/total windows over the ~15 contingency cells (priority × status domain, SF-independent)",
     "stream_concurrency_curve" -> "cumulative depth over the gap-filled minute grid (calendar-bounded ~43k rows/month at any SF; everything fact-sized stays user-partitioned)",
     "q_ks_binned" -> "cumulative ECDF over the $100 bin axis (value-domain-bounded ~5.5k rows at any SF — the fact table reduces to bin counts first)",
-    "text_heaps_curve" -> "cumulative vocabulary over the 20-row ventile axis (bucket count is a constant; the per-word first-doc reduce happens before any window)")
+    "text_heaps_curve" -> "cumulative vocabulary over the 20-row ventile axis (bucket count is a constant; the per-word first-doc reduce happens before any window)",
+    "stream_shadow_diff" -> "user-share window over the session-delta histogram (disagreement-domain-bounded; the lag pass stays user-partitioned)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical

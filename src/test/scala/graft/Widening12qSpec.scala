@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Analytics
+import graft.streaming.Streams
+
+/** Round-12 batch-20: shadow-deployment sessionizer diff and A/B
+  * experiment power planning.
+  */
+class Widening12qSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("shadow diff: deltas re-derive; the canary only ever splits sessions") {
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def sessions(gapUs: Long): Map[Long, Long] =
+      evs.groupBy(_._1).map { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
+        u -> (1L + sorted.zip(sorted.tail).count { case (a, b) => b - a > gapUs })
+      }
+    val prod = sessions(Streams.SessionGapUs)
+    val canary = sessions(Streams.SessionGapUs / 2)
+    val expect = prod.keys.toSeq.map(u => canary(u) - prod(u))
+      .groupBy(identity).map { case (d, us) => d -> us.size.toLong }
+    val got = Streams.shadowDiff(spark, sf).collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect,
+      "delta histogram re-derives")
+    got.foreach { r =>
+      assert(r.getLong(0) >= 0L, "shrinking the gap can only split sessions")
+      assert(r.getLong(3) >= r.getLong(2), "canary session total dominates prod")
+    }
+    assert(got.map(_.getLong(2)).sum == prod.values.sum)
+    assert(got.map(_.getLong(3)).sum == canary.values.sum)
+    Caches.clearAll()
+  }
+
+  test("ab power plan: sizes re-derive and scale inversely with the target lift") {
+    val got = Analytics.qAbPowerPlan(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 4)
+    val p = got.head.getLong(1)
+    assert(p > 0L && p < 10000L, "baseline conversion is a real rate")
+    got.foreach { r =>
+      val (lift, delta, n) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(delta == (p * lift) / 10000L)
+      assert(n == (1568L * p * (10000L - p)) / (100L * delta * delta),
+        s"lift $lift sizes by the exact 15.68 constant")
+      assert(r.getLong(4) >= 1L, "at least one day")
+    }
+    // a bigger detectable lift needs fewer samples — strictly monotone
+    val ns = got.sortBy(_.getLong(0)).map(_.getLong(3))
+    ns.zip(ns.tail).foreach { case (a, b) => assert(a > b, "n falls as lift grows") }
+    Caches.clearAll()
+  }
+}
