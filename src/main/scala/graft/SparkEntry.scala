@@ -480,6 +480,8 @@ object SparkEntry {
     // round 12 batch 20: shadow-deployment diff, experiment sizing
     "stream_shadow_diff" -> ((s: SparkSession, d: String) => Streams.shadowDiff(s, d)),
     "q_ab_power_plan" -> Analytics.qAbPowerPlan _,
+    // round 12 batch 21: sample-based stats accuracy audit
+    "ingest_sample_stats" -> SourceQueries.sampleStatsAccuracy _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5421,5 +5423,25 @@ object SparkEntry {
         |  CAST(delta_bp AS BIGINT) AS delta_bp, CAST(n_per_arm AS BIGINT) AS n_per_arm,
         |  CAST((2 * n_per_arm + views_per_day - 1) // views_per_day AS BIGINT) AS days_needed
         |FROM y ORDER BY lift_bp""".stripMargin,
+    // round 12 batch 21: sample-based stats accuracy — keyed ~1%
+    // sample (o_orderkey % 101 = 0) vs exact, modal tie by value
+    "ingest_sample_stats" ->
+      """WITH st AS (SELECT o_orderkey, 'o_orderstatus' AS col_name, o_orderstatus AS value FROM orders
+        |  UNION ALL SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders),
+        |ex AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS ndv,
+        |    MAX(CASE WHEN rk = 1 THEN value END) AS top
+        |  FROM (SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS n,
+        |      row_number() OVER (PARTITION BY col_name ORDER BY COUNT(*) DESC, value) AS rk
+        |    FROM st GROUP BY 1, 2) GROUP BY 1),
+        |sm AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_rows_s, CAST(COUNT(*) AS BIGINT) AS ndv_s,
+        |    MAX(CASE WHEN rk = 1 THEN value END) AS top_s
+        |  FROM (SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS n,
+        |      row_number() OVER (PARTITION BY col_name ORDER BY COUNT(*) DESC, value) AS rk
+        |    FROM st WHERE o_orderkey % 101 = 0 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT ex.col_name, n_rows, ndv, top, n_rows_s, ndv_s, top_s,
+        |  CAST(n_rows_s * 101 AS BIGINT) AS est_rows,
+        |  CAST((abs(n_rows_s * 101 - n_rows) * 10000) // n_rows AS BIGINT) AS row_err_bp,
+        |  CAST(CASE WHEN top = top_s THEN 1 ELSE 0 END AS BIGINT) AS top_match
+        |FROM ex JOIN sm ON ex.col_name = sm.col_name ORDER BY 1""".stripMargin,
   )
 }

@@ -1067,4 +1067,44 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
       .orderBy("val")
   }
+
+  /** Sample-based statistics accuracy audit — the meta-question every
+    * ANALYZE-on-a-sample deployment owes an answer to (at 100 TB
+    * nobody full-scans for stats; a keyed ~1% sample feeds the
+    * optimizer, and THIS op measures what that trade buys): per
+    * low-cardinality column, exact row count / ndv / modal value
+    * against the same statistics re-estimated from the deterministic
+    * o_orderkey % 101 == 0 sample (keyed, not random — reproducible
+    * on both engines and stable across runs, the property a stats
+    * cache needs), with the scaled row estimate, its error in bp, and
+    * whether the sample found the same modal value. One stacked scan
+    * feeds both paths; every rollup is domain-bounded (2 columns ×
+    * tiny value domains). Modal-value ties break by value — the
+    * [[qModePerGroup]] rule. */
+  def sampleStatsAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val stacked = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey",
+        "stack(2, 'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority)" +
+          " AS (col_name, value)")
+    def stats(df: DataFrame, suffix: String): DataFrame = {
+      val counts = df.groupBy(col("col_name"), col("value"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("col_name"))
+        .orderBy(col("n").desc, col("value"))
+      counts
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("col_name"))
+        .agg(sum(col("n")).as(s"n_rows$suffix"),
+          count(lit(1)).as(s"ndv$suffix"),
+          max(when(col("rk") === 1, col("value"))).as(s"top$suffix"))
+    }
+    stats(stacked, "")
+      .join(stats(stacked.filter(col("o_orderkey") % 101 === 0), "_s"), Seq("col_name"))
+      .selectExpr("col_name", "n_rows", "ndv", "top",
+        "n_rows_s", "ndv_s", "top_s",
+        "n_rows_s * 101 AS est_rows",
+        "(abs(n_rows_s * 101 - n_rows) * 10000) DIV n_rows AS row_err_bp",
+        "CAST(CASE WHEN top = top_s THEN 1 ELSE 0 END AS BIGINT) AS top_match")
+      .orderBy("col_name")
+  }
 }

@@ -54,4 +54,31 @@ class Widening12qSpec extends AnyFunSuite {
     ns.zip(ns.tail).foreach { case (a, b) => assert(a > b, "n falls as lift grows") }
     Caches.clearAll()
   }
+
+  test("sample stats: exact side re-derives and the sample is the keyed 1/101 slice") {
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def expectFor(vals: Seq[String]) = {
+      val byV = vals.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      (vals.length.toLong, byV.size.toLong,
+        byV.toSeq.map { case (v, n) => (-n, v) }.sorted.head._2)
+    }
+    val got = graft.operators.SourceQueries.sampleStatsAccuracy(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("o_orderstatus", "o_orderpriority"))
+    Seq(("o_orderstatus", rows.map(_._2).toSeq, rows.filter(_._1 % 101 == 0).map(_._2).toSeq),
+      ("o_orderpriority", rows.map(_._3).toSeq, rows.filter(_._1 % 101 == 0).map(_._3).toSeq))
+      .foreach { case (cn, all, sampled) =>
+        val (n, ndv, top) = expectFor(all)
+        val (ns2, ndvS, topS) = expectFor(sampled)
+        val r = got(cn)
+        assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((n, ndv, top)), s"$cn exact")
+        assert((r.getLong(4), r.getLong(5), r.getString(6)) == ((ns2, ndvS, topS)), s"$cn sample")
+        assert(r.getLong(7) == ns2 * 101, "scaled estimate")
+        assert(r.getLong(8) == math.abs(ns2 * 101 - n) * 10000L / n, "error bp")
+        assert(r.getLong(9) == (if (top == topS) 1L else 0L))
+      }
+    Caches.clearAll()
+  }
 }
