@@ -482,6 +482,8 @@ object SparkEntry {
     "q_ab_power_plan" -> Analytics.qAbPowerPlan _,
     // round 12 batch 21: sample-based stats accuracy audit
     "ingest_sample_stats" -> SourceQueries.sampleStatsAccuracy _,
+    // round 12 batch 22: IDF-weighted Jaccard rerank
+    "dedup_idf_jaccard" -> Dedup.idfJaccard _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5443,5 +5445,35 @@ object SparkEntry {
         |  CAST((abs(n_rows_s * 101 - n_rows) * 10000) // n_rows AS BIGINT) AS row_err_bp,
         |  CAST(CASE WHEN top = top_s THEN 1 ELSE 0 END AS BIGINT) AS top_match
         |FROM ex JOIN sm ON ex.col_name = sm.col_name ORDER BY 1""".stripMargin,
+    // round 12 batch 22: IDF-weighted Jaccard over the verified pair
+    // list — integer IDF surrogate w = (N*100) // df, no logs
+    "dedup_idf_jaccard" ->
+      (s"""WITH $GramsCte,
+         |$SigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b, $JaccExpr AS jacc
+         |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b) WHERE jacc >= 0.5),
+         |fg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM fg GROUP BY 1),
+         |gw AS (SELECT doc_id, fg.gram, CAST((n * 100) // df AS BIGINT) AS w
+         |  FROM fg JOIN dfq ON fg.gram = dfq.gram, nd),
+         |dw AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw FROM gw GROUP BY 1),
+         |sh AS (SELECT p.doc_a, p.doc_b, CAST(SUM(a.w) AS BIGINT) AS w_shared,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM pairs p JOIN gw a ON a.doc_id = p.doc_a
+         |  JOIN gw b ON b.doc_id = p.doc_b AND b.gram = a.gram
+         |  GROUP BY 1, 2)
+         |SELECT sh.doc_a, sh.doc_b, n_shared, w_shared,
+         |  CAST(wa.tw + wb.tw - w_shared AS BIGINT) AS w_union,
+         |  CAST((w_shared * 10000) // (wa.tw + wb.tw - w_shared) AS BIGINT) AS wj_bp
+         |FROM sh JOIN dw wa ON wa.doc_id = sh.doc_a JOIN dw wb ON wb.doc_id = sh.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }

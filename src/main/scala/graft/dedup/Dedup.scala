@@ -1302,4 +1302,51 @@ object Dedup {
         "(n_pairs * 10000) DIV tot AS share_bp", "min_bp", "max_bp")
       .orderBy("band")
   }
+
+  /** IDF-weighted Jaccard re-score of the verified candidate pairs —
+    * the boilerplate-blind similarity plain Jaccard can't give (two
+    * docs sharing a common header tie at the same |∩|/|∪| as two
+    * sharing a RARE paragraph; weighting each shingle by corpus
+    * rarity separates them — the content-aware rerank a dedup policy
+    * applies before choosing survivors): shingle weight
+    * w = (N·100) DIV df in pure Int64 (a monotone integer IDF
+    * surrogate — no logs, the §6 rule), per-doc weight totals from
+    * one rollup of the session-shared flat gram index, shared-weight
+    * per pair from a pair⋈grams⋈grams join that moves only candidate
+    * docs' grams (pair-list-sized, never corpus²), weighted Jaccard
+    * = w(∩)·10⁴ DIV (w(a)+w(b)−w(∩)). Same hash-keyed gram index
+    * every dedup operator shares; the unweighted count ships
+    * alongside so the rerank's effect is visible per pair. */
+  def idfJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Caches.shared(spark, s"dedup.flatgrams:$dir") {
+      // same construction as gramPairCountsUncached — the shared key
+      // guarantees one materialization per session either way
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", "n_chars DIV 32 AS lb", "split(text, ' ') AS w")
+        .select(col("doc_id"), col("lb"),
+          graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
+        .selectExpr("doc_id", "lb", "CAST(size(grams) AS BIGINT) AS sz",
+          "explode_outer(grams) AS gram")
+        .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
+    }.select(col("doc_id"), col("gh"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val gw = flat
+      .join(flat.groupBy(col("gh")).agg(count(lit(1)).as("df")), "gh")
+      .crossJoin(broadcast(nDocs))
+      .selectExpr("doc_id", "gh", "(n * 100) DIV df AS w")
+    val docW = gw.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val shared = pairs
+      .join(gw.select(col("doc_id").as("doc_a"), col("gh"), col("w")), Seq("doc_a"))
+      .join(gw.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w")).as("w_shared"), count(lit(1)).as("n_shared"))
+    shared
+      .join(docW.select(col("doc_id").as("doc_a"), col("tw").as("twa")), Seq("doc_a"))
+      .join(docW.select(col("doc_id").as("doc_b"), col("tw").as("twb")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "n_shared", "w_shared",
+        "twa + twb - w_shared AS w_union",
+        "(w_shared * 10000) DIV (twa + twb - w_shared) AS wj_bp")
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -81,4 +81,34 @@ class Widening12qSpec extends AnyFunSuite {
       }
     Caches.clearAll()
   }
+
+  test("idf jaccard: weighted score re-derives and rare content outranks boilerplate") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val gsets = docs.map { case (id, t) => id -> grams(t) }
+    val df = gsets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toLong
+    def w(g: String): Long = (n * 100L) / df(g)
+    val got = graft.dedup.Dedup.idfJaccard(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val shared = gsets(a) & gsets(b)
+      val wShared = shared.toSeq.map(w).sum
+      val wUnion = gsets(a).toSeq.map(w).sum + gsets(b).toSeq.map(w).sum - wShared
+      assert(r.getLong(2) == shared.size.toLong, s"($a,$b) shared grams")
+      assert(r.getLong(3) == wShared, s"($a,$b) shared weight")
+      assert(r.getLong(4) == wUnion && r.getLong(5) == (wShared * 10000L) / wUnion,
+        s"($a,$b) weighted jaccard re-derives")
+      // weighting never manufactures similarity out of nothing
+      assert(r.getLong(5) <= 10000L && r.getLong(3) <= r.getLong(4))
+    }
+    Caches.clearAll()
+  }
 }
