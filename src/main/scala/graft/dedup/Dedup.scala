@@ -1330,10 +1330,16 @@ object Dedup {
         .selectExpr("doc_id", "lb", "sz", "xxhash64(gram) AS gh")
     }.select(col("doc_id"), col("gh"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-    val gw = flat
-      .join(flat.groupBy(col("gh")).agg(count(lit(1)).as("df")), "gh")
-      .crossJoin(broadcast(nDocs))
-      .selectExpr("doc_id", "gh", "(n * 100) DIV df AS w")
+    // session-shared like every other dedup core: THREE consumers
+    // below (docW, both sides of the shared-weight join) would each
+    // re-run the df join + weight projection over the corpus-sized
+    // gram index otherwise
+    val gw = Caches.shared(spark, s"dedup.idfgw:$dir") {
+      flat
+        .join(flat.groupBy(col("gh")).agg(count(lit(1)).as("df")), "gh")
+        .crossJoin(broadcast(nDocs))
+        .selectExpr("doc_id", "gh", "(n * 100) DIV df AS w")
+    }
     val docW = gw.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
     val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val shared = pairs

@@ -2943,8 +2943,12 @@ object Analytics {
     val yrc = year(col("o_orderdate")).cast("long")
     val bins = Tables.orders(spark, dir)
       .filter(year(col("o_orderdate")).isin(yr0, yr1))
-      .select(yrc.as("yr"), (cents(col("o_totalprice"), 2).divide(lit(10000)))
-        .cast("long").as("bin"))
+      // integer DIV, not double divide-then-cast: a correctly-rounded
+      // double quotient can land ON an integer the true quotient sits
+      // just under once operands outgrow 2^53 — the bin must floor
+      // exactly at any scale, like the oracle's `//`
+      .select(yrc.as("yr"), cents(col("o_totalprice"), 2).as("c"))
+      .selectExpr("yr", "c DIV 10000 AS bin")
       .groupBy(col("bin"))
       .agg(sum(when(col("yr") === yr0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("yr") === yr1, 1L).otherwise(0L)).as("c2"))
@@ -3105,19 +3109,10 @@ object Analytics {
     * both arms at the observed daily view rate. One fact rollup to a
     * 1-row baseline (broadcast), 4-row output at any SF. */
   def qAbPowerPlan(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .filter(col("user_id").isNotNull)
-      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
-    val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id"), col("us").as("vus"))
-    val buys = e.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("u2"), col("us").as("pus"))
-    val base = views
-      .join(buys, col("user_id") === col("u2") &&
-        col("pus") > col("vus") && col("pus") <= col("vus") + lit(SessionGapUs),
-        "left_outer")
-      .groupBy(col("user_id"), col("event_id"), col("vus"))
-      .agg(max(when(col("pus").isNotNull, 1L).otherwise(0L)).as("conv"))
+    // the baseline conversion IS the absence-timeout definition — one
+    // shared core (Streams.viewConversions), not a hand-synced copy
+    val base = graft.streaming.Streams.viewConversions(spark, dir)
+      .withColumnRenamed("converted", "conv")
       .agg(count(lit(1)).as("n_views"), sum(col("conv")).as("n_conv"),
         (max(expr("vus DIV 86400000000")) - min(expr("vus DIV 86400000000")) + 1)
           .as("n_days"))
@@ -3137,6 +3132,4 @@ object Analytics {
         "(2 * n_per_arm + views_per_day - 1) DIV views_per_day AS days_needed")
       .orderBy("lift_bp")
   }
-
-  private val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 }

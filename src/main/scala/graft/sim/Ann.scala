@@ -1415,7 +1415,12 @@ object Ann {
     * stays as the independently-derived reference the equivalence
     * spec checks the native expression against. */
   private[graft] val PackBitsSql =
-    "aggregate(zip_with(emb, sequence(0, 63), (v, i) -> " +
+    // slice to 64 FIRST: zip_with pads the shorter side with NULLs, so
+    // an unsliced >64-dim array would fold the whole sum to NULL (a
+    // positive element past 64 hits shiftleft(1, NULL)) while the
+    // native expression ignores those elements — the slice makes the
+    // reference genuinely bit-identical at ANY width, not just 64
+    "aggregate(zip_with(slice(emb, 1, 64), sequence(0, 63), (v, i) -> " +
       "IF(v > 0D, IF(i = 63, CAST(-9223372036854775808 AS BIGINT), " +
       "shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT))), " +
       "CAST(0 AS BIGINT), (acc, x) -> acc + x)"

@@ -125,13 +125,17 @@ class KvBatchWrite(path: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KvWriterFactory(path)
 
-  /** Job commit: the manifest is written ATOMICALLY (tmp + move), so
-    * a reader either sees the complete committed file list or the
-    * previous state — never a half-written manifest. */
+  /** Job commit: APPEND semantics — the new task files are MERGED
+    * with whatever a previous successful job committed (a second
+    * Append to the same path must add rows, never silently retract
+    * the first job's), and the merged manifest is written ATOMICALLY
+    * (tmp + move), so a reader either sees the complete new file list
+    * or the previous state — never a half-written manifest. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     new java.io.File(path).mkdirs()
-    val names = messages.map(_.asInstanceOf[KvCommitMessage].file)
+    val prior = KvSource.committedFiles(path)
+    val names = (prior ++ messages.map(_.asInstanceOf[KvCommitMessage].file)).distinct
     val tmp = Paths.get(path, s"._manifest.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, names.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, KvSource.manifest(path).toPath,

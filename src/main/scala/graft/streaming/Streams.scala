@@ -1358,7 +1358,27 @@ object Streams {
     * event past a view's deadline expires it as abandoned — proven
     * equivalent on the replay spec. */
   def absenceTimeout(spark: SparkSession, dir: String,
-                     timeoutUs: Long = SessionGapUs): DataFrame = {
+                     timeoutUs: Long = SessionGapUs): DataFrame =
+    viewConversions(spark, dir, timeoutUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(col("converted")).as("n_converted"))
+      .selectExpr("user_id", "n_views", "n_converted",
+        "n_views - n_converted AS n_abandoned",
+        "((n_views - n_converted) * 10000) DIV n_views AS abandon_bp")
+      .orderBy("user_id")
+
+  /** The view→purchase conversion core — ONE definition of "this
+    * view converted" ((vus, vus+T] — purchase strictly after, at
+    * most T later), shared by [[absenceTimeout]] (the per-user
+    * abandonment ledger) and Analytics.qAbPowerPlan (the baseline p
+    * an experiment is sized against). One row per view:
+    * (user_id, event_id, vus, converted). Keeping it in one place is
+    * the contract — a boundary change here moves BOTH consumers, so
+    * the power plan can never drift from the conversion operator it
+    * claims as its baseline. */
+  def viewConversions(spark: SparkSession, dir: String,
+                      timeoutUs: Long = SessionGapUs): DataFrame = {
     val e = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
@@ -1370,15 +1390,8 @@ object Streams {
       .join(buys, col("user_id") === col("u2") &&
         col("pus") > col("vus") && col("pus") <= col("vus") + timeoutUs,
         "left_outer")
-      .groupBy(col("user_id"), col("event_id"))
+      .groupBy(col("user_id"), col("event_id"), col("vus"))
       .agg(max(when(col("pus").isNotNull, 1L).otherwise(0L)).as("converted"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_views"),
-        sum(col("converted")).as("n_converted"))
-      .selectExpr("user_id", "n_views", "n_converted",
-        "n_views - n_converted AS n_abandoned",
-        "((n_views - n_converted) * 10000) DIV n_views AS abandon_bp")
-      .orderBy("user_id")
   }
 
   case class AbsenceOut(user_id: Long, view_event_id: Long, converted: Long)

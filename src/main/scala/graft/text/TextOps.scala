@@ -1053,16 +1053,18 @@ object TextOps {
                  buckets: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val maxId = docs.agg(max(col("doc_id")).as("maxd"))
-    def bucketOf(c: Column): Column =
-      (c * buckets).divide(col("maxd") + 1).cast("long")
+    // integer DIV, not double divide-then-cast (the q_ks_binned rule:
+    // the ventile must floor exactly past 2^53-scale ids too)
     val newWords = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(min(col("doc_id")).as("fd"))
       .crossJoin(broadcast(maxId))
-      .groupBy(bucketOf(col("fd")).as("bucket"))
+      .selectExpr(s"(fd * $buckets) DIV (maxd + 1) AS bucket")
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("new_words"))
     val nDocs = docs.crossJoin(broadcast(maxId))
-      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .selectExpr(s"(doc_id * $buckets) DIV (maxd + 1) AS bucket")
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
     val wCum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -30,6 +30,14 @@ class Widening12nSpec extends AnyFunSuite {
     val nulls = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS emb")
       .select(graft.functions.VectorExprs.packSignBits(col("emb")))
     assert(nulls.head().isNullAt(0), "null in, null out")
+    // wider-than-64 arrays: both forms ignore elements past 64 (the
+    // HOF reference slices first — unsliced zip_with would NULL the
+    // whole fold on a positive 65th element)
+    val wide = spark.sql(
+      "SELECT CAST(transform(sequence(1, 70), i -> CAST(1 AS DOUBLE)) AS ARRAY<DOUBLE>) AS emb")
+    val nat = wide.select(graft.functions.VectorExprs.packSignBits(col("emb"))).head().getLong(0)
+    val hof = wide.selectExpr(s"${Ann.PackBitsSql} AS b").head().getLong(0)
+    assert(nat == hof && nat == -1L, "all-64-bits set == -1, both forms agree past width 64")
     Caches.clearAll()
   }
 

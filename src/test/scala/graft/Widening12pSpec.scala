@@ -41,6 +41,13 @@ class Widening12pSpec extends AnyFunSuite {
     Files.write(Paths.get(dir, ".part-98-98.dat.tmp"), "998,half".getBytes("UTF-8"))
     assert(readAll().count() == 10, "stray files invisible to the manifest-gated scan")
     assert(readAll().filter(col("val") === "ghost").count() == 0)
+    // a SECOND append must MERGE into the manifest, never retract the
+    // first job's files (append-as-truncate was a real bug here)
+    spark.range(10, 15).selectExpr("id AS key", "CAST(id % 3 AS STRING) AS val")
+      .write.format(classOf[KvSource].getName)
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    assert(readAll().count() == 15, "second append adds rows, keeps the first job's")
+    assert(readAll().agg(sum(col("key"))).head().getLong(0) == (0L until 15L).sum)
   }
 
   test("commit protocol: task abort leaves nothing visible; commit publishes atomically") {
