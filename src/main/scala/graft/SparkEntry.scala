@@ -5171,9 +5171,10 @@ object SparkEntry {
          |  FROM st, ks),
          |$steps,
          |nout AS (SELECT from_type AS state, CAST(SUM(n) AS BIGINT) AS n_out FROM tm GROUP BY 1)
-         |SELECT i0.state AS event_type, i0.pi_bp AS pi0_bp, i8.pi_bp AS steady_bp,
+         |SELECT i0.state AS event_type, i0.pi_bp AS pi0_bp,
+         |  CAST(COALESCE(i8.pi_bp, 0) AS BIGINT) AS steady_bp,
          |  CAST(COALESCE(n_out, 0) AS BIGINT) AS n_out
-         |FROM it0 i0 JOIN it8 i8 ON i0.state = i8.state
+         |FROM it0 i0 LEFT JOIN it8 i8 ON i0.state = i8.state
          |LEFT JOIN nout ON nout.state = i0.state ORDER BY event_type""".stripMargin
     },
     // 1-bit Hamming recall vs exact cosine — same query slice and

@@ -682,41 +682,53 @@ object Analytics {
     * lakehouse maintains (parquet footer min/max, ANALYZE ndv/null
     * counts): for each month partition of orders × each tracked
     * column, min/max (stringified), exact distinct count, null count,
-    * row count. ONE shuffle (groupBy month with map-side partials;
-    * the multi-column exact distinct rides Spark's Expand, the
-    * standard ANALYZE shape), then a tiny stack-unpivot over the
-    * per-month aggregate rows — stats output is partition-count-sized,
-    * never data-sized. Feeds partition pruning: a filter on any
-    * tracked column consults this table to skip whole months. */
+    * row count. Shape (r13): a map-side `stack` unpivot to
+    * (month, column, value) — one narrow row per tracked cell — then
+    * a TWO-LEVEL distinct: level 1 groups by (month, column, value)
+    * with map-side partial aggregation (low-NDV columns collapse to
+    * their value domain before the shuffle), level 2 rolls the
+    * distinct-value table up to one row per (month, column). This
+    * replaces the r12 multi-`countDistinct` groupBy, whose Catalyst
+    * rewrite replicated the fact scan ×5 through an Expand — the one
+    * plan in the repo that would not survive 100× (the ANALYZE pass
+    * runs on EVERY table). PlanSpec pins "no Expand over the fact
+    * scan". Numeric columns carry their BIGINT value alongside the
+    * canonical string group key so min/max stay numerically ordered
+    * (`coalesce(CAST(min(v_n)), min(v_s))`); nulls group to one
+    * level-1 row whose count is the column's null count, and
+    * `count(v_s)` at level 2 counts exactly the non-null distinct
+    * values — countDistinct semantics, no Expand. Output is
+    * months×columns-sized at any SF. Feeds partition pruning: a
+    * filter on any tracked column consults this table to skip whole
+    * months. */
   def layoutColumnStats(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
         .cast("long").as("part_month"),
       col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
       cents(col("o_totalprice"), 2).as("price_c"))
-    val agg = o.groupBy(col("part_month")).agg(
-      count(lit(1)).as("n_rows"),
-      min(col("o_orderstatus")).as("min_status"), max(col("o_orderstatus")).as("max_status"),
-      countDistinct(col("o_orderstatus")).as("ndv_status"),
-      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
-      min(col("o_orderpriority")).as("min_prio"), max(col("o_orderpriority")).as("max_prio"),
-      countDistinct(col("o_orderpriority")).as("ndv_prio"),
-      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_prio"),
-      min(col("o_custkey")).cast("string").as("min_cust"),
-      max(col("o_custkey")).cast("string").as("max_cust"),
-      countDistinct(col("o_custkey")).as("ndv_cust"),
-      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
-      min(col("price_c")).cast("string").as("min_price"),
-      max(col("price_c")).cast("string").as("max_price"),
-      countDistinct(col("price_c")).as("ndv_price"),
-      sum(when(col("price_c").isNull, 1L).otherwise(0L)).as("null_price"))
-    agg.selectExpr("part_month", "n_rows",
+    // unpivot: (month, column, string group key, numeric sort key).
+    // CAST(long AS STRING) is injective, so distinct-v_s = distinct
+    // values; v_n is NULL for genuinely-string columns.
+    val vals = o.selectExpr("part_month",
       """stack(4,
-        |'o_orderstatus',   min_status, max_status, ndv_status, null_status,
-        |'o_orderpriority', min_prio,   max_prio,   ndv_prio,   null_prio,
-        |'o_custkey',       min_cust,   max_cust,   ndv_cust,   null_cust,
-        |'o_totalprice_c',  min_price,  max_price,  ndv_price,  null_price
-        |) AS (col_name, min_s, max_s, ndv, n_null)""".stripMargin)
+        |'o_orderstatus',   o_orderstatus,             CAST(NULL AS BIGINT),
+        |'o_orderpriority', o_orderpriority,           CAST(NULL AS BIGINT),
+        |'o_custkey',       CAST(o_custkey AS STRING), CAST(o_custkey AS BIGINT),
+        |'o_totalprice_c',  CAST(price_c AS STRING),   price_c
+        |) AS (col_name, v_s, v_n)""".stripMargin.replace("\n", " "))
+    // level 1: one row per distinct (month, column, value), carrying
+    // its multiplicity (null values collapse to one row = null count)
+    val lvl1 = vals.groupBy(col("part_month"), col("col_name"), col("v_s"))
+      .agg(count(lit(1)).as("cnt"), min(col("v_n")).as("v_n"))
+    // level 2: distinct-value table → per-(month, column) stats row
+    lvl1.groupBy(col("part_month"), col("col_name"))
+      .agg(
+        coalesce(min(col("v_n")).cast("string"), min(col("v_s"))).as("min_s"),
+        coalesce(max(col("v_n")).cast("string"), max(col("v_s"))).as("max_s"),
+        count(col("v_s")).as("ndv"),
+        sum(when(col("v_s").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        sum(col("cnt")).as("n_rows"))
       .select(col("part_month"), col("col_name"), col("min_s"), col("max_s"),
         col("ndv"), col("n_null"), col("n_rows"))
       .orderBy("part_month", "col_name")
@@ -1726,7 +1738,13 @@ object Analytics {
     // contribution table per round (broadcastable here; co-partitioned
     // on src at cluster scale)
     val edges = graft.Caches.shared(spark, s"analytics.tradegraph:$dir") {
-      val e0 = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      // r13 (r12 verdict item 10): collapse lineitem to DISTINCT
+      // (l_orderkey, l_suppkey) BEFORE the orders join — the distinct
+      // partially aggregates map-side, so the join input shrinks by
+      // the per-order line fan-out factor and the post-join distinct
+      // only dedups across orders
+      val e0 = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
         .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         // parity encoding (r12, was +1_000_000 which aliases once the
@@ -3011,10 +3029,16 @@ object Analytics {
     }
     val nOut = tm.groupBy(col("from_type").as("state"))
       .agg(sum(col("n")).as("n_out"))
+    // r13 (advice): LEFT-join the iterated π back onto the full state
+    // list — a state receiving zero mass in the final round still
+    // appears with steady_bp = 0 instead of silently dropping, so the
+    // output row set is the state domain, never data-dependent
     init.select(col("state"), col("pi_bp").as("pi0_bp"))
-      .join(pi.select(col("state"), col("pi_bp").as("steady_bp")), Seq("state"))
+      .join(pi.select(col("state"), col("pi_bp").as("steady_raw")),
+        Seq("state"), "left_outer")
       .join(nOut, Seq("state"), "left_outer")
-      .selectExpr("state AS event_type", "pi0_bp", "steady_bp",
+      .selectExpr("state AS event_type", "pi0_bp",
+        "COALESCE(steady_raw, 0) AS steady_bp",
         "COALESCE(n_out, 0) AS n_out")
       .orderBy("event_type")
   }

@@ -901,6 +901,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  // r12 verdict item 1: the multi-countDistinct ANALYZE used to ride
+  // Catalyst's RewriteDistinctAggregates Expand — the orders scan was
+  // replicated ×5 through the aggregate, the heaviest shuffle
+  // amplification in the repo. The r13 shape is a stack unpivot + a
+  // two-level distinct, so the plan must contain NO Expand at all and
+  // the ndv must still be exact (cross-checked per column here).
+  test("layout_column_stats: no Expand over the fact scan, exact ndv preserved") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = Analytics.layoutColumnStats(spark, sf)
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: logical.Expand => e
+    }
+    assert(expands.isEmpty,
+      s"ANALYZE plan must not replicate the fact scan through Expand:\n" +
+        df.queryExecution.optimizedPlan.treeString)
+    // exactness: ndv per (month, column) equals a direct countDistinct
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    val o = Tables.orders(spark, sf).selectExpr(
+      "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS pm",
+      "o_orderstatus", "o_custkey")
+    val expStatus = o.groupBy("pm").agg(countDistinct(col("o_orderstatus")).as("d"))
+      .collect().map(r => (r.getLong(0), "o_orderstatus") -> r.getLong(1)).toMap
+    val expCust = o.groupBy("pm").agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => (r.getLong(0), "o_custkey") -> r.getLong(1)).toMap
+    (expStatus ++ expCust).foreach { case (k, v) =>
+      assert(got(k) == v, s"ndv mismatch at $k: got ${got(k)}, want $v")
+    }
+  }
+
   test("pair histogram covers the exact sample mass with valid buckets") {
     val rows = graft.sim.Ann.pairHist(spark, sf).collect()
     val n = Tables.embeddings(spark, sf)
