@@ -484,6 +484,10 @@ object SparkEntry {
     "ingest_sample_stats" -> SourceQueries.sampleStatsAccuracy _,
     // round 12 batch 22: IDF-weighted Jaccard rerank
     "dedup_idf_jaccard" -> Dedup.idfJaccard _,
+    // round 13 batch 1: version-chained commit log (time travel +
+    // streaming exactly-once replay absorption)
+    "load_time_travel" -> SourceQueries.timeTravelRead _,
+    "stream_exactly_once_sink" -> Streams.exactlyOnceSink _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5476,5 +5480,24 @@ object SparkEntry {
          |  CAST((w_shared * 10000) // (wa.tw + wb.tw - w_shared) AS BIGINT) AS wj_bp
          |FROM sh JOIN dw wa ON wa.doc_id = sh.doc_a JOIN dw wb ON wb.doc_id = sh.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // round 13 batch 1: the oracle recomputes both version snapshots
+    // from the source of truth — a version chain that leaks job 2's
+    // files into v1 or drops job 1's from the latest fails the hash
+    "load_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, c_mktsegment AS val,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_custkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+        |FROM customer GROUP BY 2
+        |ORDER BY version, val""".stripMargin,
+    // replay-absorbing sink: the duplicate batch must add ZERO rows,
+    // so the oracle is the plain per-type rollup over events
+    "stream_exactly_once_sink" ->
+      """SELECT event_type AS val, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS key_sum
+        |FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY val""".stripMargin,
   )
 }

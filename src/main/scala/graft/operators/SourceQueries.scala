@@ -1068,6 +1068,42 @@ object SourceQueries {
       .orderBy("val")
   }
 
+  /** Time-travel read over the [[graft.sources.KvSource]] version
+    * chain — the consumer-side payoff of the r13 version-chained
+    * commit log (the Delta/Iceberg `VERSION AS OF` read): two
+    * sequential appends produce manifest versions 1 and 2; a reader
+    * pinning `versionAsOf=1` sees exactly the first job's rows while
+    * the default read sees the merged latest — reproducible
+    * historical reads, the audit/debug/backfill primitive an
+    * append-only lake loses the moment a manifest is overwritten in
+    * place. The version is pinned at scan PLANNING time, so a
+    * concurrent commit mid-query can never tear one read between two
+    * snapshots. Oracle recomputes both snapshots from the
+    * source-of-truth table (v1 = the even-custkey half, latest =
+    * all), so a version chain that leaks the second job's files into
+    * v1, or drops the first job's from v2, fails the hash. */
+  def timeTravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-tt").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    def append(df: DataFrame): Unit =
+      df.write.format(classOf[graft.sources.KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(c.filter(col("key") % 2 === 0)) // → _manifest.v1
+    append(c.filter(col("key") % 2 === 1)) // → _manifest.v2
+    def snapshot(asOf: Option[Long], label: Long): DataFrame = {
+      val r = spark.read.format(classOf[graft.sources.KvSource].getName)
+        .option("path", out)
+      asOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load().groupBy(col("val"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .withColumn("version", lit(label))
+    }
+    snapshot(Some(1L), 1L).unionAll(snapshot(None, 2L))
+      .select(col("version"), col("val"), col("n"), col("key_sum"))
+      .orderBy("version", "val")
+  }
+
   /** Sample-based statistics accuracy audit — the meta-question every
     * ANALYZE-on-a-sample deployment owes an answer to (at 100 TB
     * nobody full-scans for stats; a keyed ~1% sample feeds the

@@ -11,28 +11,52 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 sink+source with a REAL two-phase task-commit
-  * protocol — the exactly-once batch-write contract every production
-  * sink implements (and the piece [[SeqSource]]'s read-only connector
-  * doesn't exercise):
+  * protocol and (r13) a VERSION-CHAINED commit log — the exactly-once
+  * batch-write contract every production sink implements, now safe
+  * under CONCURRENT committers (the Delta/Iceberg transaction-log
+  * pattern, scoped to this sink's trivial format):
   *
-  *   - each task writer streams rows to `part-<partition>-<task>.tmp`;
-  *   - task COMMIT atomically renames it to `part-….dat` and reports
-  *     the name upward as its [[WriterCommitMessage]];
+  *   - each task writer streams rows to `.part-….tmp`;
+  *   - task COMMIT atomically renames it to
+  *     `part-<partition>-<task>-<query8>.dat` (the query-id salt means
+  *     a second application appending to the same path can never
+  *     collide with a prior run's task names) and reports the name
+  *     upward as its [[WriterCommitMessage]];
   *   - task ABORT deletes the temp — a failed/speculative task leaves
   *     NOTHING visible;
-  *   - job COMMIT writes a `_manifest` (atomic tmp+move) listing
-  *     exactly the committed files;
-  *   - the READ path lists files FROM THE MANIFEST, never the
+  *   - job COMMIT appends a NEW manifest version `_manifest.v<N>`
+  *     (N = latest + 1) listing the full committed file set. The
+  *     publish is a compare-and-swap: the content is written to a
+  *     temp and HARD-LINKED to the version name — link creation is
+  *     atomic create-if-absent, so of two concurrent committers
+  *     exactly one wins version N and the loser RE-READS the new
+  *     latest state, re-merges its files, and retries at N+1. No
+  *     committer can erase another's files (the r12 last-writer-wins
+  *     hole, closed);
+  *   - the READ path lists files FROM the latest manifest version
+  *     (or a pinned `versionAsOf` — time travel), never the
   *     directory — stray/partial/aborted files are invisible by
-  *     construction, which is the property that makes task retries and
-  *     speculative execution safe.
+  *     construction, which is the property that makes task retries
+  *     and speculative execution safe;
+  *   - a commit may carry a `batchId` (Structured Streaming
+  *     foreachBatch replay protection): applied batch ids are
+  *     recorded in the manifest chain (`#batch:` header lines), and a
+  *     commit whose batchId is already applied is a NO-OP that
+  *     deletes its duplicate task files — a replayed micro-batch
+  *     adds zero rows, the streaming half of exactly-once.
   *
   * Format is deliberately trivial (`key,val` lines over a fixed
   * (key BIGINT, val STRING) schema) — the protocol, not the encoding,
-  * is the point. One read InputPartition per committed file, so read
-  * parallelism follows write parallelism. Reference: the same
-  * rename-into-manifest choreography Spark's own FileBatchWrite /
-  * HadoopMapReduceCommitProtocol runs (public API surface only).
+  * is the point. Because the format is line-oriented, `val` MUST be
+  * non-null and newline-free: the writer validates and fails fast
+  * with a clear error (r12 advice: was an NPE / silent corruption).
+  * The reader STREAMS lines (no whole-file buffering — the one
+  * unbounded per-partition buffer in r12, removed). One read
+  * InputPartition per committed file, so read parallelism follows
+  * write parallelism. Reference: the same rename-into-manifest
+  * choreography Spark's own FileBatchWrite /
+  * HadoopMapReduceCommitProtocol runs (public API surface only),
+  * plus the version-chain/CAS shape of open lakehouse commit logs.
   */
 class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -49,18 +73,97 @@ object KvSource {
   val schema: StructType = new StructType()
     .add("key", LongType).add("val", StringType)
 
-  private[sources] def manifest(path: String): java.io.File =
-    new java.io.File(path, "_manifest")
+  private val VersionRe = "_manifest\\.v(\\d+)".r
 
-  /** Files the manifest declares committed — the ONLY files a reader
-    * may see. Missing manifest = no successful job = empty table. */
-  private[sources] def committedFiles(path: String): Seq[String] = {
-    val m = manifest(path)
-    if (!m.exists()) Seq.empty
-    else {
-      val src = scala.io.Source.fromFile(m, "UTF-8")
-      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  /** All committed manifest versions at this path, ascending. */
+  private[graft] def versions(path: String): Seq[Long] = {
+    val d = new java.io.File(path)
+    if (!d.isDirectory) Seq.empty
+    else d.list().toSeq.collect { case VersionRe(n) => n.toLong }.sorted
+  }
+
+  private[graft] def latestVersion(path: String): Option[Long] =
+    versions(path).lastOption
+
+  private def manifestFile(path: String, v: Long): java.io.File =
+    new java.io.File(path, s"_manifest.v$v")
+
+  /** (files, applied stream batch ids) a manifest version declares.
+    * `#`-prefixed lines are headers; everything else is a file name. */
+  private[graft] def readManifest(path: String, v: Long): (Seq[String], Set[Long]) = {
+    val src = scala.io.Source.fromFile(manifestFile(path, v), "UTF-8")
+    try {
+      val lines = src.getLines().filter(_.nonEmpty).toList
+      val (hdr, files) = lines.partition(_.startsWith("#"))
+      val batches = hdr.collect { case s if s.startsWith("#batch:") =>
+        s.stripPrefix("#batch:").toLong
+      }.toSet
+      (files, batches)
+    } finally src.close()
+  }
+
+  /** Files a reader may see at `version` (default: latest committed).
+    * No committed version = no successful job = empty table. */
+  private[graft] def committedFiles(path: String,
+                                      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion(path))
+    v match {
+      case None =>
+        version.foreach(n => throw new IllegalArgumentException(
+          s"KvSource: versionAsOf=$n requested but no version exists at $path"))
+        Seq.empty
+      case Some(n) =>
+        if (!manifestFile(path, n).exists())
+          throw new IllegalArgumentException(
+            s"KvSource: versionAsOf=$n does not exist at $path " +
+              s"(have: ${versions(path).mkString(",")})")
+        readManifest(path, n)._1
     }
+  }
+
+  /** Publish a new manifest version via compare-and-swap, merging
+    * `newFiles` into the latest committed state. Returns the version
+    * that made this commit's rows visible. Loser of a concurrent race
+    * RE-READS and RETRIES — never overwrites. A `batchId` already
+    * recorded in the chain makes the commit an idempotent no-op
+    * (replayed micro-batch): the duplicate task files are deleted.
+    */
+  private[graft] def commitVersion(path: String, newFiles: Seq[String],
+                                     batchId: Option[Long]): Long = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+    new java.io.File(path).mkdirs()
+    var attempt = 0
+    while (attempt < 1000) {
+      val latest = latestVersion(path)
+      val (priorFiles, priorBatches) = latest match {
+        case Some(v) => readManifest(path, v)
+        case None    => (Seq.empty[String], Set.empty[Long])
+      }
+      if (batchId.exists(priorBatches.contains)) {
+        // replay of an already-applied micro-batch: its rows are
+        // already visible under another file set — absorb silently
+        newFiles.foreach(f => new java.io.File(path, f).delete())
+        return latest.get
+      }
+      val v = latest.getOrElse(0L) + 1
+      val header = (priorBatches ++ batchId).toSeq.sorted.map(b => s"#batch:$b")
+      val body = (header ++ (priorFiles ++ newFiles).distinct).mkString("\n")
+      val tmp = Paths.get(path, s"._manifest.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, body.getBytes("UTF-8"))
+      try {
+        // hard-link = atomic create-if-absent WITH full content: the
+        // CAS. rename() would silently replace an existing winner.
+        Files.createLink(Paths.get(path, s"_manifest.v$v"), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.delete(tmp)
+          attempt += 1 // lost the race — merge against the new state
+      }
+    }
+    throw new IllegalStateException(
+      s"KvSource: commit CAS did not converge after 1000 attempts at $path")
   }
 }
 
@@ -70,76 +173,87 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new KvScan(path) }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+    new ScanBuilder { override def build(): Scan = new KvScan(path, asOf) }
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val batchId = Option(info.options.get("batchId")).map(_.toLong)
+    // per-query salt for task file names: a second application
+    // appending to the same path restarts partition/task ids, so the
+    // name needs a component unique to this write query
+    val qid = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new KvBatchWrite(path)
+        override def toBatch: BatchWrite = new KvBatchWrite(path, batchId, qid)
       }
     }
+  }
 }
 
-// ---- read side: manifest-gated ----
+// ---- read side: manifest-gated, version-pinned ----
 
 case class KvFilePartition(file: String) extends InputPartition
 
-class KvScan(path: String) extends Scan with Batch {
+class KvScan(path: String, asOf: Option[Long]) extends Scan with Batch {
+  // pin the version at planning time so every partition of this scan
+  // reads one consistent snapshot even if a writer commits mid-query
+  private val version: Option[Long] =
+    asOf.orElse(KvSource.latestVersion(path))
   override def readSchema(): StructType = KvSource.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"KvScan path=$path files=${KvSource.committedFiles(path).size} (manifest-gated)"
+    s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)"
   override def planInputPartitions(): Array[InputPartition] =
-    KvSource.committedFiles(path)
+    KvSource.committedFiles(path, version)
       .map(f => KvFilePartition(new java.io.File(path, f).getPath): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val lines = {
-          val src = scala.io.Source.fromFile(
-            p.asInstanceOf[KvFilePartition].file, "UTF-8")
-          try src.getLines().toArray finally src.close()
-        }
+        // STREAM the file: one line in flight per reader, never a
+        // whole-file buffer (bounded memory at any file size)
+        val src = scala.io.Source.fromFile(
+          p.asInstanceOf[KvFilePartition].file, "UTF-8")
+        val it = src.getLines()
         new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < lines.length }
+          private var line: String = _
+          override def next(): Boolean = {
+            if (it.hasNext) { line = it.next(); true } else false
+          }
           override def get(): InternalRow = {
-            val line = lines(i)
             val cut = line.indexOf(',')
             InternalRow(line.substring(0, cut).toLong,
               UTF8String.fromString(line.substring(cut + 1)))
           }
-          override def close(): Unit = ()
+          override def close(): Unit = src.close()
         }
       }
     }
 }
 
-// ---- write side: staged task commit, manifest job commit ----
+// ---- write side: staged task commit, version-chained job commit ----
 
 case class KvCommitMessage(file: String) extends WriterCommitMessage
 
-class KvBatchWrite(path: String) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path)
+class KvBatchWrite(path: String, batchId: Option[Long], queryId: String)
+    extends BatchWrite {
+  // spec/back-compat constructor: plain batch write, no replay key
+  def this(path: String) = this(path, None, "local")
 
-  /** Job commit: APPEND semantics — the new task files are MERGED
-    * with whatever a previous successful job committed (a second
-    * Append to the same path must add rows, never silently retract
-    * the first job's), and the merged manifest is written ATOMICALLY
-    * (tmp + move), so a reader either sees the complete new file list
-    * or the previous state — never a half-written manifest. */
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(path, queryId)
+
+  /** Job commit: APPEND semantics through the version chain — the new
+    * task files MERGE with the latest committed state and publish as
+    * `_manifest.v<latest+1>` under the CAS in
+    * [[KvSource.commitVersion]]. A reader either sees a complete
+    * committed version or the previous one — never a half state, and
+    * never a state missing a concurrent winner's files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    new java.io.File(path).mkdirs()
-    val prior = KvSource.committedFiles(path)
-    val names = (prior ++ messages.map(_.asInstanceOf[KvCommitMessage].file)).distinct
-    val tmp = Paths.get(path, s"._manifest.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, names.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, KvSource.manifest(path).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val newFiles = messages.map(_.asInstanceOf[KvCommitMessage].file).toSeq
+    KvSource.commitVersion(path, newFiles, batchId)
   }
 
   /** Job abort: whatever tasks already committed is garbage now —
@@ -151,27 +265,41 @@ class KvBatchWrite(path: String) extends BatchWrite {
     }
 }
 
-class KvWriterFactory(path: String) extends DataWriterFactory {
+class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, taskId)
+    new KvDataWriter(path, partitionId, taskId, queryId)
 }
 
 /** Task writer: stream to a temp, rename on commit, delete on abort.
   * The rename is the task's atomic "publish" — until it happens the
   * file is invisible to every reader (the manifest lists only
-  * committed names, and even a directory listing sees a dot-temp). */
-class KvDataWriter(path: String, partitionId: Int, taskId: Long)
+  * committed names, and even a directory listing sees a dot-temp).
+  * The line format demands non-null, newline-free `val`: violations
+  * fail the TASK fast (clear error → task abort → nothing visible),
+  * never corrupt a committed file. */
+class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String)
     extends DataWriter[InternalRow] {
-  private val finalName = s"part-$partitionId-$taskId.dat"
+  // spec/back-compat constructor
+  def this(path: String, partitionId: Int, taskId: Long) =
+    this(path, partitionId, taskId, "local")
+
+  private val finalName = s"part-$partitionId-$taskId-$queryId.dat"
   private val tmpFile = new java.io.File(path, s".$finalName.tmp")
   new java.io.File(path).mkdirs()
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(tmpFile), "UTF-8"))
 
   override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(0) || row.isNullAt(1))
+      throw new IllegalArgumentException(
+        "KvSource: key and val must be non-null (line format has no null encoding)")
+    val v = row.getUTF8String(1).toString
+    if (v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+      throw new IllegalArgumentException(
+        "KvSource: val must not contain newlines (line-oriented format)")
     out.write(row.getLong(0).toString)
     out.write(',')
-    out.write(row.getUTF8String(1).toString)
+    out.write(v)
     out.write('\n')
   }
 

@@ -1547,4 +1547,43 @@ object Streams {
         "sessions_canary", "(n_users * 10000) DIV tot AS user_share_bp")
       .orderBy("session_delta")
   }
+
+  /** Streaming exactly-once sink — the replay-safe commit the
+    * reference's WRITE_APPEND + InsertRetryPolicy story needs on the
+    * sink side (DBImportPipeline.java:130-160 retries transient insert
+    * failures; a micro-batch engine additionally REPLAYS whole batches
+    * after recovery, and an append sink that can't recognize a replay
+    * double-writes): drives the [[graft.sources.KvSource]]
+    * version-chained commit log through foreachBatch-shaped writes,
+    * each carrying its micro-batch id. Applied batch ids ride the
+    * manifest chain (`#batch:` headers), so a REPLAYED batch commits
+    * as a no-op — its duplicate task files never reach a manifest.
+    * This query runs the contract on the real DSv2 engine codepath:
+    * events split into three batches by event_id mod 3, batch 1
+    * deliberately written TWICE (the post-recovery replay), then the
+    * sink is read back and rolled up. The oracle recomputes the
+    * rollup from the events table directly — any duplicated row from
+    * the replay fails the hash. The spec drives the same protocol
+    * from a live MemoryStream query with a forced batch re-fire.
+    * Scale: the idempotence check is one manifest read (KB-sized) per
+    * commit, independent of data volume; writes stream through the
+    * task-commit protocol with nothing driver-side. */
+  def exactlyOnceSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-eos").toString
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .selectExpr("event_id AS key", "event_type AS val")
+    def writeBatch(b: Long): Unit =
+      ev.filter(col("key") % 3 === b)
+        .write.format(classOf[graft.sources.KvSource].getName)
+        .option("path", out).option("batchId", b.toString)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    writeBatch(0); writeBatch(1); writeBatch(2)
+    writeBatch(1) // the replayed micro-batch: must add ZERO rows
+    spark.read.format(classOf[graft.sources.KvSource].getName)
+      .option("path", out).load()
+      .groupBy(col("val"))
+      .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+      .orderBy("val")
+  }
 }

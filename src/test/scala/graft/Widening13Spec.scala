@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{KvDataWriter, KvSource}
+import graft.operators.SourceQueries
+import graft.streaming.Streams
+
+/** Round-13 batch-1: the KvSource version-chained commit log —
+  * concurrent-committer CAS, time travel, streaming exactly-once
+  * replay absorption, and the writer's fail-fast format contract.
+  */
+class Widening13Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def readAll(dir: String) =
+    spark.read.format(classOf[KvSource].getName).option("path", dir).load()
+
+  test("two concurrent committers: the CAS loser retries, nobody's files are erased") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-race").toString
+    // two writers, 40 commits each, racing on the same path. Every
+    // commit merges one new (pre-staged) file. Under last-writer-wins
+    // this loses files; under the CAS chain it must keep all 80.
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        (0 until 40).foreach { i =>
+          val name = s"part-race-$t-$i.dat"
+          Files.write(java.nio.file.Paths.get(dir, name),
+            s"${t * 1000 + i},r\n".getBytes("UTF-8"))
+          KvSource.commitVersion(dir, Seq(name), batchId = None)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val versions = KvSource.versions(dir)
+    assert(versions.size == 80, s"one version per commit, got ${versions.size}")
+    assert(versions == (1L to 80L), "version chain is dense and starts at 1")
+    val latest = KvSource.committedFiles(dir)
+    assert(latest.size == 80, s"no commit erased another's files: ${latest.size}")
+    assert(readAll(dir).count() == 80)
+    // and the chain is monotone: every version's file set contains
+    // the previous version's (append-only semantics)
+    versions.sliding(2).foreach { case Seq(a, b) =>
+      val fa = KvSource.readManifest(dir, a)._1.toSet
+      val fb = KvSource.readManifest(dir, b)._1.toSet
+      assert(fa.subsetOf(fb), s"v$b dropped files committed at v$a")
+    case _ => ()
+    }
+  }
+
+  test("time travel: versionAsOf pins a historical snapshot; bad version fails clearly") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-tt-spec").toString
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).selectExpr("id AS key", "CAST(id % 2 AS STRING) AS val")
+        .write.format(classOf[KvSource].getName)
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 10); append(10, 25)
+    def at(v: Long) = spark.read.format(classOf[KvSource].getName)
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    assert(at(1).count() == 10, "v1 = first job only")
+    assert(at(2).count() == 25 && readAll(dir).count() == 25)
+    assert(at(1).agg(sum(col("key"))).head().getLong(0) == (0L until 10L).sum)
+    val e = intercept[Exception] { at(7).count() }
+    assert(e.getMessage != null && e.getMessage.contains("versionAsOf"),
+      s"missing version must fail with a clear error, got: ${e.getMessage}")
+  }
+
+  test("load_time_travel query matches a driver-side recompute") {
+    val rows = SourceQueries.timeTravelRead(spark, sf).collect()
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def roll(xs: Seq[(Long, String)]) = xs.groupBy(_._2).map { case (s, g) =>
+      s -> (g.size.toLong, g.map(_._1).sum)
+    }
+    val v1 = roll(cust.toSeq.filter(_._1 % 2 == 0))
+    val v2 = roll(cust.toSeq)
+    rows.foreach { r =>
+      val want = if (r.getLong(0) == 1L) v1 else v2
+      val (n, ks) = want(r.getString(1))
+      assert(r.getLong(2) == n && r.getLong(3) == ks,
+        s"version ${r.getLong(0)} segment ${r.getString(1)}")
+    }
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("streaming exactly-once: a replayed foreachBatch micro-batch adds zero rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-eos-spec").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    @volatile var lastBatch = -1L
+    def sinkWrite(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.selectExpr("value AS key", "CAST(value % 3 AS STRING) AS val")
+        .write.format(classOf[KvSource].getName)
+        .option("path", dir).option("batchId", batchId.toString)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    val q = src.toDS().toDF("value")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        sinkWrite(df.toDF(), bid); lastBatch = bid
+      }
+      .start()
+    src.addData(1L to 10L: _*); q.processAllAvailable()
+    src.addData(11L to 20L: _*); q.processAllAvailable()
+    q.stop()
+    assert(readAll(dir).count() == 20)
+    val keySum = readAll(dir).agg(sum(col("key"))).head().getLong(0)
+    // REPLAY: a recovered query re-offers the last batch with the
+    // same batchId — the sink must absorb it without duplicates
+    sinkWrite(spark.range(11, 21).toDF("value"), lastBatch)
+    assert(readAll(dir).count() == 20, "replayed batch added rows")
+    assert(readAll(dir).agg(sum(col("key"))).head().getLong(0) == keySum)
+    // a genuinely NEW batch id still appends
+    sinkWrite(spark.range(21, 26).toDF("value"), lastBatch + 1)
+    assert(readAll(dir).count() == 25)
+  }
+
+  test("writer fails fast on null or newline val; the failed task publishes nothing") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-valid").toString
+    val w1 = new KvDataWriter(dir, 0, 0L)
+    val eNull = intercept[IllegalArgumentException] {
+      w1.write(org.apache.spark.sql.catalyst.InternalRow(1L, null))
+    }
+    assert(eNull.getMessage.contains("non-null"))
+    w1.abort()
+    val w2 = new KvDataWriter(dir, 1, 1L)
+    val eNl = intercept[IllegalArgumentException] {
+      w2.write(org.apache.spark.sql.catalyst.InternalRow(
+        2L, org.apache.spark.unsafe.types.UTF8String.fromString("a\nb")))
+    }
+    assert(eNl.getMessage.contains("newline"))
+    w2.abort()
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.endsWith(".dat")),
+      "no failed writer published a file")
+    // end-to-end: the engine surfaces the error and the read stays empty
+    val thrown = intercept[Exception] {
+      spark.range(3).selectExpr("id AS key",
+        "CASE WHEN id = 1 THEN CAST(NULL AS STRING) ELSE 'x' END AS val")
+        .repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    assert(thrown != null)
+    assert(readAll(dir).count() == 0, "aborted job left nothing visible")
+  }
+
+  test("task file names carry the query id: two applications never collide") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-qid").toString
+    spark.range(5).selectExpr("id AS key", "'a' AS val").repartition(1)
+      .write.format(classOf[KvSource].getName)
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    spark.range(5, 9).selectExpr("id AS key", "'b' AS val").repartition(1)
+      .write.format(classOf[KvSource].getName)
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val files = KvSource.committedFiles(dir)
+    assert(files.size == 2 && files.distinct.size == 2,
+      s"distinct task file names across applications: $files")
+    assert(readAll(dir).count() == 9)
+  }
+
+  test("exactly_once_sink query matches the plain events rollup") {
+    val got = Streams.exactlyOnceSink(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val want = Tables.events(spark, sf)
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), sum(col("event_id"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == want, "replay absorbed: rollup equals source of truth")
+    Caches.clearAll()
+  }
+}
