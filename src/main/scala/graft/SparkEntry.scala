@@ -488,6 +488,8 @@ object SparkEntry {
     // streaming exactly-once replay absorption)
     "load_time_travel" -> SourceQueries.timeTravelRead _,
     "stream_exactly_once_sink" -> Streams.exactlyOnceSink _,
+    // round 13 batch 2: BPE apply (tokenizer-denominated token bill)
+    "text_bpe_apply" -> ((s: SparkSession, d: String) => TextOps.bpeApply(s, d)),
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5499,5 +5501,34 @@ object SparkEntry {
         |  CAST(SUM(event_id) AS BIGINT) AS key_sum
         |FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1 ORDER BY val""".stripMargin,
+    // text_bpe_apply: the SAME two-sweep replace fold over the ranked
+    // merge list, via list_reduce with the spaced word prepended as
+    // the fold seed; token count = spaces - 1
+    "text_bpe_apply" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |a AS (SELECT source, word FROM w WHERE regexp_matches(word, '^[a-z]+$')),
+        |vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, len(word)), i -> word[i:i+1])) AS pair, n
+        |  FROM vocab WHERE len(word) >= 2),
+        |topm AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS weight FROM p GROUP BY 1
+        |  ORDER BY weight DESC, pair LIMIT 20),
+        |ml AS (SELECT list(pair ORDER BY weight DESC, pair) AS ms FROM topm),
+        |tok AS (SELECT word, CAST(len(word) AS BIGINT) AS chars,
+        |    CAST(len(f) - len(replace(f, ' ', '')) AS BIGINT) - 1 AS n_tok FROM (
+        |  SELECT word, list_reduce(list_prepend(' ' || regexp_replace(word, '(.)', '\1 ', 'g'), ms),
+        |    (acc, m) -> replace(replace(acc, ' ' || m[1:1] || ' ' || m[2:2] || ' ', ' ' || m || ' '),
+        |                        ' ' || m[1:1] || ' ' || m[2:2] || ' ', ' ' || m || ' ')) AS f
+        |  FROM vocab, ml)),
+        |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_sw FROM a GROUP BY 1, 2),
+        |aw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words FROM w GROUP BY 1),
+        |agg AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_alpha,
+        |    CAST(SUM(n_sw * chars) AS BIGINT) AS chars_alpha,
+        |    CAST(SUM(n_sw * n_tok) AS BIGINT) AS bpe_tokens
+        |  FROM sw JOIN tok USING (word) GROUP BY 1)
+        |SELECT agg.source, n_words, n_alpha, chars_alpha, bpe_tokens,
+        |  CAST(chars_alpha - bpe_tokens AS BIGINT) AS merged_away,
+        |  (bpe_tokens * 10000) // chars_alpha AS compression_bp
+        |FROM agg JOIN aw ON aw.source = agg.source
+        |ORDER BY 1""".stripMargin,
   )
 }

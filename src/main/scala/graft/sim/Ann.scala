@@ -1196,9 +1196,12 @@ object Ann {
     *
     * Scale shape: one label-partitioned rank window (labels grow with
     * the corpus; per-label slices are the natural unit of this
-    * operator — at extreme per-label cardinality the same contract
-    * runs approximately via per-label hash-threshold filtering, no
-    * rank needed), one label-sized aggregate, one 1-row broadcast. */
+    * operator). At EXTREME per-label cardinality the rank window's
+    * per-label sort is the cost — [[classBalanceThreshold]] is the
+    * fallback with the SAME selection contract (spec-proven equal,
+    * membership checksum and all): it localizes the sort to one
+    * 1/256th hash-prefix bucket per label and keeps everything else
+    * as map-side filters. */
   def classBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
@@ -1210,6 +1213,60 @@ object Ann {
       .withColumn("rn", row_number().over(wL).cast("long"))
       .crossJoin(broadcast(nmin))
       .filter(col("rn") <= col("n_min"))
+    kept.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_after"), sum(col("vec_id")).as("kept_id_sum"))
+      .join(counts, "label")
+      .selectExpr("label", "n_before", "n_after",
+        "((n_before - n_after) * 10000) DIV n_before AS drop_bp", "kept_id_sum")
+      .orderBy("label")
+  }
+
+  /** Hash-THRESHOLD form of [[classBalance]] — the extreme-per-label-
+    * cardinality fallback the rank form's docstring promises (r13:
+    * promise becomes code). Identical selection contract: per label,
+    * the n_min smallest rows under the total order (md5(vec_id),
+    * vec_id). Instead of rank-numbering every row inside a per-label
+    * sort window, it:
+    *   1. counts rows per (label, first-byte hash-prefix bucket) —
+    *      a 256·L-row table at any corpus size;
+    *   2. walks the per-label cumulative bucket offsets to find the
+    *      ONE boundary bucket holding global rank n_min (hex strings
+    *      of equal length sort identically to their numeric prefix,
+    *      so bucket order IS hash order);
+    *   3. rank-numbers ONLY the boundary bucket's rows (1/256th of
+    *      the label) to extract the exact threshold row (hk_t, id_t);
+    *   4. keeps rows by a MAP-SIDE predicate: earlier bucket, or
+    *      boundary bucket at-or-below the threshold row.
+    * The only sort left is over the boundary buckets; everything
+    * data-sized is a filter. The spec proves row-set equality with
+    * the rank form via the kept-id membership checksum. */
+  def classBalanceThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "md5(CAST(vec_id AS STRING)) AS hk")
+      .withColumn("b", expr("CAST(conv(substring(hk, 1, 2), 16, 10) AS BIGINT)"))
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n_before"))
+    val nmin = counts.agg(min(col("n_before")).as("n_min"))
+    val wB = Window.partitionBy(col("label")).orderBy(col("b"))
+    val buckets = e.groupBy(col("label"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(nmin))
+    val boundary = buckets
+      .filter(col("off") < col("n_min") && col("off") + col("cnt") >= col("n_min"))
+      .select(col("label"), col("b").as("bb"), col("off"), col("n_min"))
+    val wIn = Window.partitionBy(col("label")).orderBy(col("hk"), col("vec_id"))
+    val thr = e.join(boundary.withColumnRenamed("label", "blabel"),
+        col("label") === col("blabel") && col("b") === col("bb"))
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .filter(col("off") + col("rn") === col("n_min"))
+      .select(col("label").as("tlabel"), col("bb"),
+        col("hk").as("hk_t"), col("vec_id").as("id_t"))
+    val kept = e.join(thr, col("label") === col("tlabel"))
+      .filter(col("b") < col("bb") ||
+        (col("b") === col("bb") &&
+          (col("hk") < col("hk_t") ||
+            (col("hk") === col("hk_t") && col("vec_id") <= col("id_t")))))
     kept.groupBy(col("label"))
       .agg(count(lit(1)).as("n_after"), sum(col("vec_id")).as("kept_id_sum"))
       .join(counts, "label")

@@ -547,6 +547,71 @@ object TextOps {
       .orderBy(col("weight").desc, col("pair")).limit(50)
   }
 
+  /** BPE APPLY — the half of the tokenizer lifecycle
+    * [[bpePairs]] trains for: the top-K learned merges are applied to
+    * the corpus and the per-source token bill re-denominated from
+    * whitespace words to tokenizer tokens (what the pipeline's token
+    * budgets actually buy). Same collapse trick as training: the
+    * corpus reduces to its DISTINCT-WORD vocabulary first, each
+    * distinct word is tokenized ONCE (char-split, then the ranked
+    * merge list folded over it), and per-source totals come from a
+    * vocab-sized key join of (source, word, count) against
+    * (word, tokens) — work scales with distinct words × K merges,
+    * never corpus tokens. The fold is `aggregate(merges, spaced, …)`
+    * in Spark and `list_reduce(list_prepend(spaced, merges), …)` in
+    * the oracle — the SAME deterministic row-local recurrence on both
+    * engines. Merge application contract (documented, engine-exact):
+    * a merge (a,b) rewrites single-char tokens "a b" to "ab" via two
+    * left-to-right non-overlapping `replace` sweeps (the second sweep
+    * catches the boundary-consumption alternation, e.g. "a a a a" →
+    * "aa aa"); merges apply in rank order (weight DESC, pair ASC),
+    * and because patterns demand single-char tokens on both sides, a
+    * later merge can never fire inside an earlier merge's output —
+    * single-level BPE, exactly what char-pair training learns.
+    * Scope: lowercase-alphabetic words (the trainable vocabulary);
+    * the report carries the whitespace denominator alongside. */
+  def bpeApply(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS word")
+    val alpha = words.filter(col("word").rlike("^[a-z]+$"))
+    // global vocabulary with corpus frequency (the training weights)
+    val vocab = alpha.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    // ranked merge list, as ONE array row (weight DESC, pair ASC —
+    // sort_array on (-weight, pair) structs makes the order explicit
+    // instead of trusting collect_list)
+    val merges = vocab.filter(length(col("word")) >= 2)
+      .selectExpr("n",
+        "explode(transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))) AS pair")
+      .groupBy(col("pair")).agg(sum(col("n")).as("weight"))
+      .orderBy(col("weight").desc, col("pair")).limit(k)
+      .agg(expr("transform(sort_array(collect_list(struct(-weight AS nw, pair AS p))), s -> s.p)")
+        .as("ms"))
+    // tokenize each DISTINCT word once: " t h e " → fold merges
+    val sweep = "replace(acc, concat(' ', substring(m, 1, 1), ' ', substring(m, 2, 1), ' ')," +
+      " concat(' ', m, ' '))"
+    val tok = vocab.crossJoin(broadcast(merges))
+      .selectExpr("word", "n",
+        "CAST(length(word) AS BIGINT) AS chars",
+        s"""aggregate(ms, concat(' ', regexp_replace(word, '(.)', '$$1 ')),
+           |(acc, m) -> ${sweep.replace("acc", sweep)}) AS folded""".stripMargin
+          .replace("\n", " "))
+      .selectExpr("word", "chars",
+        "CAST(length(folded) - length(replace(folded, ' ', '')) AS BIGINT) - 1 AS n_tok")
+    val perSrcWord = alpha.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n_sw"))
+    val allWords = words.groupBy(col("source")).agg(count(lit(1)).as("n_words"))
+    perSrcWord.join(tok, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n_sw")).as("n_alpha"),
+        sum(col("n_sw") * col("chars")).as("chars_alpha"),
+        sum(col("n_sw") * col("n_tok")).as("bpe_tokens"))
+      .join(allWords, "source")
+      .selectExpr("source", "n_words", "n_alpha", "chars_alpha", "bpe_tokens",
+        "chars_alpha - bpe_tokens AS merged_away",
+        "(bpe_tokens * 10000) DIV chars_alpha AS compression_bp")
+      .orderBy("source")
+  }
+
   /** Robust per-source document-length QA profile — the
     * anomaly-detection pass a corpus ingest runs before training:
     * lower-median and MAD (median absolute deviation) of the

@@ -163,6 +163,62 @@ class Widening13Spec extends AnyFunSuite {
     assert(readAll(dir).count() == 9)
   }
 
+  test("text_bpe_apply matches a driver-side re-derivation of the merge fold") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byWord = docs.flatMap { case (s, t) => t.split(" ").map(w => (s, w)) }
+    val alpha = byWord.filter(_._2.matches("^[a-z]+$"))
+    val vocab = alpha.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val weights = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, n) =>
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          weights(p) = weights.getOrElse(p, 0L) + n
+        }
+    }
+    val merges = weights.toSeq.sortBy { case (p, wt) => (-wt, p) }.take(20).map(_._1)
+    def tokens(word: String): Long = {
+      var s = " " + word.map(_.toString).mkString(" ") + " "
+      merges.foreach { m =>
+        val pat = s" ${m(0)} ${m(1)} "; val rep = s" $m "
+        s = s.replace(pat, rep); s = s.replace(pat, rep)
+      }
+      (s.count(_ == ' ') - 1).toLong
+    }
+    val tokOf = vocab.keys.map(w => w -> tokens(w)).toMap
+    val want = alpha.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        xs.map(_._2.length.toLong).sum,
+        xs.map(x => tokOf(x._2)).sum)
+    }
+    val got = graft.text.TextOps.bpeApply(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nA, chars, bpe) = want(r.getString(0))
+      assert(r.getLong(2) == nA && r.getLong(3) == chars && r.getLong(4) == bpe,
+        s"${r.getString(0)}: got (${r.getLong(2)},${r.getLong(3)},${r.getLong(4)})" +
+          s" want ($nA,$chars,$bpe)")
+      assert(r.getLong(4) <= r.getLong(3), "merges only shrink the token count")
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+    }
+  }
+
+  test("classBalance hash-threshold fallback selects the EXACT same rows as the rank form") {
+    val rank = graft.sim.Ann.classBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val thr = graft.sim.Ann.classBalanceThreshold(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rank.nonEmpty && rank.toSeq == thr.toSeq,
+      "threshold fallback must agree with the rank form per label, " +
+        s"membership checksum included:\nrank=${rank.toSeq}\nthr =${thr.toSeq}")
+    Caches.clearAll()
+  }
+
   test("exactly_once_sink query matches the plain events rollup") {
     val got = Streams.exactlyOnceSink(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
