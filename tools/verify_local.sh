@@ -20,3 +20,9 @@ java $OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT" 2>&1 | grep -v "INFO\|WARN\|log4j" | tail -5
 python3 tools/check_oracle.py --sweep "$SF" "$OUT/oracle_sql.json"
 python3 tools/check_oracle.py "$SF" "$OUT"
+# plan-regression gate (r13): fingerprint every query's fresh plan
+# against the committed PLANS.md — fails on un-annotated growth in
+# shuffles/sorts/expands/windows or a lost pushdown
+java $OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" graft.Plans "$SF" /tmp/PLANS_fresh.md 2>&1 | grep -v "INFO\|WARN\|log4j" | tail -1
+python3 tools/check_plans.py PLANS.md /tmp/PLANS_fresh.md
