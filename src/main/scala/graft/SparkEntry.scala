@@ -490,6 +490,10 @@ object SparkEntry {
     "stream_exactly_once_sink" -> Streams.exactlyOnceSink _,
     // round 13 batch 2: BPE apply (tokenizer-denominated token bill)
     "text_bpe_apply" -> ((s: SparkSession, d: String) => TextOps.bpeApply(s, d)),
+    // round 13 batch 3: sketch-based ANALYZE (the 100 TB shape),
+    // video scene segmentation
+    "layout_column_stats_approx" -> Analytics.layoutColumnStatsApprox _,
+    "mm_scene_cut" -> Multimodal.sceneCut _,
   )
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
@@ -5530,5 +5534,49 @@ object SparkEntry {
         |  (bpe_tokens * 10000) // chars_alpha AS compression_bp
         |FROM agg JOIN aw ON aw.source = agg.source
         |ORDER BY 1""".stripMargin,
+    // layout_column_stats_approx: the HLL estimate is engine-specific;
+    // the portable contract is the within-5% bit over the exact ndv
+    // (the q_approx_distinct convention)
+    "layout_column_stats_approx" ->
+      """WITH o AS (SELECT
+        |  CAST(date_part('year', o_orderdate) * 100 + date_part('month', o_orderdate) AS BIGINT) AS part_month,
+        |  o_orderstatus, o_orderpriority, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c FROM orders),
+        |a AS (SELECT part_month,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_prio,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
+        |  CAST(COUNT(DISTINCT price_c) AS BIGINT) AS ndv_price
+        |  FROM o GROUP BY part_month)
+        |SELECT part_month, col_name, ndv, CAST(1 AS BIGINT) AS within_5pct FROM (
+        |  SELECT part_month, 'o_orderstatus' AS col_name, ndv_status AS ndv FROM a
+        |  UNION ALL SELECT part_month, 'o_orderpriority', ndv_prio FROM a
+        |  UNION ALL SELECT part_month, 'o_custkey', ndv_cust FROM a
+        |  UNION ALL SELECT part_month, 'o_totalprice_c', ndv_price FROM a)
+        |ORDER BY part_month, col_name""".stripMargin,
+    // mm_scene_cut: identical frame-signature recurrence (32-byte
+    // windows, two-hex-digit decode, 8-bit Hamming >= 5), per-doc
+    // ledger then source rollup
+    "mm_scene_cut" ->
+      """WITH f AS (SELECT doc_id, source, text,
+        |    unnest(range(0, least(7, greatest(len(text) - 1, 0) // 32) + 1)) AS frame_idx
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, source, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |    md5(substr(text, 1 + CAST(frame_idx AS INT) * 32, 32)) AS frame_hash FROM f),
+        |s AS (SELECT doc_id, source, frame_idx,
+        |    CAST((instr('0123456789abcdef', substr(frame_hash, 1, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substr(frame_hash, 2, 1)) - 1) AS BIGINT) AS sig FROM h),
+        |c AS (SELECT doc_id, source,
+        |    CASE WHEN prev IS NOT NULL AND bit_count(xor(sig, prev)) >= 5 THEN 1 ELSE 0 END AS cut
+        |  FROM (SELECT *, lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM s)),
+        |d AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(SUM(cut) AS BIGINT) AS n_cuts FROM c GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(SUM(n_cuts) AS BIGINT) AS n_cuts,
+        |  CAST(SUM(n_cuts) + COUNT(*) AS BIGINT) AS n_scenes,
+        |  CAST((SUM(n_frames) * 100) // (SUM(n_cuts) + COUNT(*)) AS BIGINT) AS scene_len_c,
+        |  CAST((SUM(n_cuts) * 10000) // GREATEST(SUM(n_frames) - COUNT(*), 1) AS BIGINT) AS cut_rate_bp
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
   )
 }

@@ -264,6 +264,59 @@ object Multimodal {
         "md5(substr(text, 1 + frame_idx * 64, 16)) AS frame_hash")
       .orderBy("doc_id", "frame_idx")
 
+  /** Scene-cut detection over per-video frame signatures — the
+    * segmentation pass a video-curation pipeline runs between decode
+    * and frame sampling (sample per SCENE, not per fixed stride, or
+    * a static shot floods the batch with near-identical frames):
+    * each doc's payload stands in for a decoded frame sequence
+    * (consecutive 32-byte windows → one 8-bit signature each, the
+    * [[frameSample]] convention at finer stride; a real deployment
+    * plugs a perceptual frame hash into the same column), a cut fires
+    * where adjacent signatures differ in ≥ 5 of 8 bits (Hamming over
+    * xor — random-content neighbors average 4, so the threshold
+    * separates continuation from cut), and scenes per doc = cuts + 1.
+    * The lag window is PER-DOC (≤ 8 frames here; frame-count-bounded
+    * generally — never corpus-wide), the rollup is source-sized.
+    * Signature decode is the portable two-hex-digit idiom
+    * ([[graft.operators.DlpQueries.dlpNoiseCounts]]), mirrored
+    * byte-identical in the oracle. */
+  def sceneCut(spark: SparkSession, dir: String): DataFrame = {
+    def hexAt(i: Int): String =
+      s"(instr('0123456789abcdef', substring(frame_hash, $i, 1)) - 1)"
+    val frames = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      // GREATEST(…, 0) before the DIV: an empty text must not put a
+      // negative numerator into integer division (Spark truncates,
+      // DuckDB floors — the §6 rule)
+      .selectExpr("doc_id", "source", "text",
+        "explode(sequence(0, CAST(least(7, GREATEST(length(text) - 1, 0) DIV 32) AS INT))) AS frame_idx")
+      .selectExpr("doc_id", "source", "CAST(frame_idx AS BIGINT) AS frame_idx",
+        "md5(substr(text, 1 + frame_idx * 32, 32)) AS frame_hash")
+      .selectExpr("doc_id", "source", "frame_idx",
+        s"CAST(${hexAt(1)} * 16 + ${hexAt(2)} AS BIGINT) AS sig")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    // per-doc ledger first (no distinct aggregate → no Expand), then
+    // the source rollup counts doc rows
+    val perDoc = frames
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          expr("bit_count(CAST(sig AS INT) ^ CAST(prev AS INT))") >= 5, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("n_cuts")).as("n_cuts"))
+      .selectExpr("source", "n_docs", "n_frames", "n_cuts",
+        "n_cuts + n_docs AS n_scenes",
+        "(n_frames * 100) DIV (n_cuts + n_docs) AS scene_len_c",
+        "(n_cuts * 10000) DIV GREATEST(n_frames - n_docs, 1) AS cut_rate_bp")
+      .orderBy("source")
+  }
+
   // Magic-byte headers for the three synthetic container formats.
   private val JpegMagic = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
   private val PngMagic = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)

@@ -929,6 +929,16 @@ class PlanSpec extends AnyFunSuite {
     (expStatus ++ expCust).foreach { case (k, v) =>
       assert(got(k) == v, s"ndv mismatch at $k: got ${got(k)}, want $v")
     }
+    // the sketch variant must ALSO be Expand-free (four HLL buffers in
+    // one pass is its entire reason to exist), and its contract bit
+    // must hold everywhere at this SF
+    val ap = Analytics.layoutColumnStatsApprox(spark, sf)
+    assert(ap.queryExecution.optimizedPlan.collect {
+      case e: logical.Expand => e
+    }.isEmpty, "approx ANALYZE must not Expand")
+    val bits = ap.collect().map(r => r.getLong(3))
+    assert(bits.nonEmpty && bits.forall(_ == 1L),
+      "every sketch estimate within 5% of exact")
   }
 
   test("pair histogram covers the exact sample mass with valid buckets") {

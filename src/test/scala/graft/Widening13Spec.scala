@@ -219,6 +219,45 @@ class Widening13Spec extends AnyFunSuite {
     Caches.clearAll()
   }
 
+  test("mm_scene_cut matches a driver-side frame-signature re-derivation") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val hex = "0123456789abcdef"
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      var frames = 0L; var cuts = 0L
+      ds.foreach { case (_, _, t) =>
+        val nf = math.min(7L, math.max(t.length - 1, 0) / 32) + 1
+        val sigs = (0L until nf).map { i =>
+          // SQL substr(text, pos, 32) silently truncates at the end
+          val from = (i * 32).toInt
+          val h = md5hex(t.substring(from, math.min(from + 32, t.length)))
+          (hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))).toLong
+        }
+        frames += nf
+        cuts += sigs.sliding(2).count {
+          case Seq(a, b) => java.lang.Long.bitCount(a ^ b) >= 5
+          case _ => false
+        }
+      }
+      src -> (ds.length.toLong, frames, cuts)
+    }
+    val got = graft.multimodal.Multimodal.sceneCut(spark, sf).collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (nd, nf, nc) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nd, nf, nc)),
+        s"${r.getString(0)}: got (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) want ($nd,$nf,$nc)")
+      assert(r.getLong(4) == nc + nd, "scenes = cuts + docs")
+    }
+  }
+
   test("exactly_once_sink query matches the plain events rollup") {
     val got = Streams.exactlyOnceSink(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
