@@ -485,16 +485,19 @@ object Analytics {
 
   /** Approximate distinct (HLL) vs exact. The estimate itself is
     * engine-specific, but the CONTRACT is not: the output folds the
-    * HLL value into a deterministic accuracy bit (within 5% of exact),
-    * which any engine can oracle-check. */
+    * HLL value into a deterministic accuracy bit, which any engine can
+    * oracle-check. rsd is pinned at 0.02 and the band at 6% (= 3 sigma)
+    * so the bit stays trivially 1 with real margin at ANY SF — a 1-2
+    * sigma band would make the oracle hash hostage to one legitimate
+    * HLL deviation at an untested scale. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
-        (abs(col("approx_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
-          .cast("long").as("within_5pct"))
+        (abs(col("approx_parts") - col("exact_parts")) * 100 <= col("exact_parts") * 6)
+          .cast("long").as("within_band"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -743,13 +746,14 @@ object Analytics {
     * ANALYZE that runs on EVERY table at 100 TB actually ships; the
     * exact two-level-distinct table joins in only to FOLD the
     * engine-specific estimate into the portable contract bit
-    * (|approx − exact| ≤ max(5% · exact, 2) — the [[qApproxDistinct]]
+    * (|approx − exact| ≤ max(6% · exact, 2) — the [[qApproxDistinct]]
     * convention plus an absolute slack of 2 for tiny cardinalities,
-    * where the 5% band is sub-integer and HLL's discrete register
-    * jitter can legitimately miss by one; rsd pinned at 0.02 so the
-    * relative bound holds with margin everywhere it is the binding
-    * one). A deployment keeps the sketch path; the exact path here is
-    * the auditor. */
+    * where the relative band is sub-integer and HLL's discrete
+    * register jitter can legitimately miss by one; rsd pinned at 0.02
+    * so the 6% band is a full 3 sigma everywhere it is the binding
+    * one — wide enough that no single legitimate deviation at an
+    * untested SF can flip the oracle bit). A deployment keeps the
+    * sketch path; the exact path here is the auditor. */
   def layoutColumnStatsApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
@@ -772,10 +776,87 @@ object Analytics {
       .select(col("part_month"), col("col_name"), col("ndv"))
     approx.join(exact, Seq("part_month", "col_name"))
       .select(col("part_month"), col("col_name"), col("ndv"),
-        (abs(col("approx_ndv") - col("ndv")) * 20 <= col("ndv") ||
+        (abs(col("approx_ndv") - col("ndv")) * 100 <= col("ndv") * 6 ||
           abs(col("approx_ndv") - col("ndv")) <= 2)
-          .cast("long").as("within_5pct"))
+          .cast("long").as("within_band"))
       .orderBy("part_month", "col_name")
+  }
+
+  /** One table's contribution to the catalog-wide ANALYZE sweep: the
+    * [[layoutColumnStats]] stack-unpivot + two-level distinct, with
+    * the table name, partition key, and tracked columns parameterized
+    * (`stackSql` rows are `'col', string_value, numeric_value`
+    * triples; the input must already expose a STRING `part_key`).
+    * Same plan as the single-table pass — map-side Generate, no
+    * Expand, low-NDV columns collapse to their value domain before
+    * the shuffle. */
+  private def tableColumnStats(df: DataFrame, tableName: String,
+                               nCols: Int, stackSql: String): DataFrame = {
+    val vals = df.selectExpr("part_key",
+      s"stack($nCols, $stackSql) AS (col_name, v_s, v_n)")
+    val lvl1 = vals.groupBy(col("part_key"), col("col_name"), col("v_s"))
+      .agg(count(lit(1)).as("cnt"), min(col("v_n")).as("v_n"))
+    lvl1.groupBy(col("part_key"), col("col_name"))
+      .agg(
+        coalesce(min(col("v_n")).cast("string"), min(col("v_s"))).as("min_s"),
+        coalesce(max(col("v_n")).cast("string"), max(col("v_s"))).as("max_s"),
+        count(col("v_s")).as("ndv"),
+        sum(when(col("v_s").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        sum(col("cnt")).as("n_rows"))
+      .select(lit(tableName).as("table_name"), col("part_key"), col("col_name"),
+        col("min_s"), col("max_s"), col("ndv"), col("n_null"), col("n_rows"))
+  }
+
+  /** Catalog-wide ANALYZE sweep (VERDICT r13 item 5): the
+    * [[layoutColumnStats]] pass run over EVERY major table —
+    * orders/lineitem by month partition, customer as one unpartitioned
+    * table, documents by source — unioned into the single stats table
+    * a lakehouse catalog actually maintains. Each branch is the same
+    * Expand-free shape (stack unpivot → two-level distinct with
+    * map-side partials); the union is plan-level, so Spark schedules
+    * the four table scans independently and nothing joins until the
+    * months×columns-sized outputs concatenate. At 100 TB this is the
+    * nightly stats job: per-table cost is one scan + a
+    * value-domain-sized shuffle, and adding a table to the sweep is
+    * one more `tableColumnStats` line, not a new plan shape. */
+  def layoutStatsSweep(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("string").as("part_key"),
+      col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
+      cents(col("o_totalprice"), 2).as("price_c"))
+    val li = Tables.lineitem(spark, dir).select(
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("string").as("part_key"),
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("long").as("qty"),
+      cents(col("l_extendedprice"), 2).as("eprice_c"))
+    val cust = Tables.customer(spark, dir).select(
+      lit("ALL").as("part_key"), col("c_mktsegment"),
+      col("c_nationkey").cast("long").as("nationkey"),
+      cents(col("c_acctbal"), 2).as("acctbal_c"))
+    val docs = Tables.documents(spark, dir).select(
+      coalesce(col("source"), lit("?")).as("part_key"),
+      col("lang"), col("doc_id"), col("n_chars"))
+    tableColumnStats(orders, "orders", 4,
+      """'o_orderstatus',   o_orderstatus,             CAST(NULL AS BIGINT),
+        |'o_orderpriority', o_orderpriority,           CAST(NULL AS BIGINT),
+        |'o_custkey',       CAST(o_custkey AS STRING), CAST(o_custkey AS BIGINT),
+        |'o_totalprice_c',  CAST(price_c AS STRING),   price_c""".stripMargin.replace("\n", " "))
+      .unionAll(tableColumnStats(li, "lineitem", 4,
+        """'l_returnflag',     l_returnflag,            CAST(NULL AS BIGINT),
+          |'l_linestatus',     l_linestatus,            CAST(NULL AS BIGINT),
+          |'l_quantity',       CAST(qty AS STRING),     qty,
+          |'l_extendedprice_c', CAST(eprice_c AS STRING), eprice_c""".stripMargin.replace("\n", " ")))
+      .unionAll(tableColumnStats(cust, "customer", 3,
+        """'c_mktsegment', c_mktsegment,              CAST(NULL AS BIGINT),
+          |'c_nationkey',  CAST(nationkey AS STRING), nationkey,
+          |'c_acctbal_c',  CAST(acctbal_c AS STRING), acctbal_c""".stripMargin.replace("\n", " ")))
+      .unionAll(tableColumnStats(docs, "documents", 3,
+        """'lang',    lang,                     CAST(NULL AS BIGINT),
+          |'doc_id',  CAST(doc_id AS STRING),   doc_id,
+          |'n_chars', CAST(n_chars AS STRING),  n_chars""".stripMargin.replace("\n", " ")))
+      .orderBy("table_name", "part_key", "col_name")
   }
 
   /** Small-file compaction planner — the OPTIMIZE/maintenance step a

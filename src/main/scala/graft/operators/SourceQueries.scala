@@ -1061,11 +1061,13 @@ object SourceQueries {
       .selectExpr("o_orderkey AS key", "o_orderstatus AS val")
       .write.format(classOf[graft.sources.KvSource].getName)
       .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
-    spark.read.format(classOf[graft.sources.KvSource].getName)
-      .option("path", out).load()
-      .groupBy(col("val"))
-      .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
-      .orderBy("val")
+    materializeAndClean(
+      spark.read.format(classOf[graft.sources.KvSource].getName)
+        .option("path", out).load()
+        .groupBy(col("val"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("val"),
+      out)
   }
 
   /** Time-travel read over the [[graft.sources.KvSource]] version
@@ -1099,9 +1101,11 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
         .withColumn("version", lit(label))
     }
-    snapshot(Some(1L), 1L).unionAll(snapshot(None, 2L))
-      .select(col("version"), col("val"), col("n"), col("key_sum"))
-      .orderBy("version", "val")
+    materializeAndClean(
+      snapshot(Some(1L), 1L).unionAll(snapshot(None, 2L))
+        .select(col("version"), col("val"), col("n"), col("key_sum"))
+        .orderBy("version", "val"),
+      out)
   }
 
   /** Sample-based statistics accuracy audit — the meta-question every
@@ -1142,5 +1146,82 @@ object SourceQueries {
         "(abs(n_rows_s * 101 - n_rows) * 10000) DIV n_rows AS row_err_bp",
         "CAST(CASE WHEN top = top_s THEN 1 ELSE 0 END AS BIGINT) AS top_match")
       .orderBy("col_name")
+  }
+
+  /** Finish a side-stateful gate op: localize its BOUNDED final
+    * rollup (metadata-sized — versions, rollup rows, never data), then
+    * delete the op's temp sink directory so repeated invocations
+    * (REPEAT-bench, the correctness sweep) leave /tmp flat. The
+    * collect is by design and bounded by the require; deletion happens
+    * only on success — a failed op keeps its directory for debugging. */
+  private[graft] def materializeAndClean(df: DataFrame, dir: String): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= 100000,
+      s"materializeAndClean is for bounded gate rollups, got ${rows.length} rows")
+    deleteRecursively(new java.io.File(dir))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  /** Manifest checkpoint + retention lifecycle of the
+    * [[graft.sources.KvSource]] commit log — the maintenance pass that
+    * keeps a foreachBatch-cadence table from going quadratic (VERDICT
+    * r13 item 2, the Delta checkpoint/VACUUM pattern): twelve real
+    * DSv2 append jobs build a version chain that crosses the
+    * checkpoint interval (v10 is a full-state checkpoint; v11/v12 are
+    * deltas listing only their own files), so resolving the latest
+    * snapshot reads `latest − foldBase + 1` manifests — 3 here, and
+    * never more than [[graft.sources.KvSource.CheckpointInterval]] at
+    * ANY chain length — while each commit writes O(its own files).
+    * Then `vacuum(retainLast=3)` drops every manifest below the
+    * horizon's fold base (v1–v9) and removes the one staged stray
+    * data file no retained version references. The output is the
+    * lifecycle ledger (chain shape before, vacuum actions, shape +
+    * full readability after); the oracle pins every count, with the
+    * read-back row counts recomputed from the source-of-truth table —
+    * a fold that loses files to the checkpoint transition or a vacuum
+    * that deletes a referenced file fails the hash. Commit-log
+    * metadata is driver-sized by construction; the DATA path stays
+    * distributed through the DSv2 writer/reader. */
+  def manifestCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-compact").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    (0L until 12L).foreach { i =>
+      c.filter(col("key") % 12 === i).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    def readCount(): Long =
+      spark.read.format(classOf[KvSource].getName)
+        .option("path", out).load().count()
+    val latest = KvSource.latestVersion(out).get
+    val before = Seq(
+      ("01_before", "manifests_read_for_latest", latest - KvSource.foldBase(latest) + 1),
+      ("01_before", "rows_readable", readCount()),
+      ("01_before", "versions", KvSource.versions(out).size.toLong))
+    // a crash leftover: a task file that reached the directory but no
+    // manifest — vacuum must remove it, and ONLY it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-stray-crashleft.dat"),
+      "0,stray\n".getBytes("UTF-8"))
+    val (dropped, strays, oldest) = KvSource.vacuum(out, retainLast = 3)
+    val after = Seq(
+      ("02_vacuum", "manifests_dropped", dropped),
+      ("02_vacuum", "oldest_readable", oldest),
+      ("02_vacuum", "strays_removed", strays),
+      ("03_after", "rows_readable", readCount()),
+      ("03_after", "versions", KvSource.versions(out).size.toLong))
+    import spark.implicits._
+    materializeAndClean(
+      (before ++ after).toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      out)
   }
 }

@@ -1604,4 +1604,50 @@ object Ann {
         "(n_same_bucket * 10000) DIV n_exact AS bucket_recall_bp")
       .orderBy("query_id")
   }
+
+  /** Incremental IVF index maintenance (VERDICT r13 item 6 — the ANN
+    * analog of [[graft.dedup.Dedup]]'s `dedup_incremental`): a NEW
+    * embedding batch (the 10% with vec_id ≡ 9 mod 10, standing in for
+    * today's arrivals) is routed to the EXISTING cells — batch rows
+    * cross only the broadcast k-row codebook, map-side, and NEVER
+    * rescan the already-indexed corpus (structurally: the base and
+    * batch branches are separate filtered scans; the only non-broadcast
+    * join is the cell-level full-outer over k rows). Output is the
+    * per-cell maintenance ledger: population before/after, share drift
+    * in bp vs [[cellBalance]]'s share convention, and the retrain
+    * trigger (drift ≥ 50 bp) that schedules [[kmeansTrain]] — the
+    * decision loop a production index runs nightly without touching
+    * the corpus. The k-row share windows are cell-count-sized
+    * (allowlisted bounded globals). */
+  def incrementalAssign(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = embDf(spark, dir)
+    val cent = seedCentroids(e, k) // vec_id < 8: all land base-side
+    val isBatch = col("vec_id") % 10 === 9
+    def assign(in: DataFrame): DataFrame =
+      in.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cell"))
+    val base = assign(e.filter(!isBatch))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val batch = assign(e.filter(isBatch))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    base.join(batch, Seq("cell"), "full_outer")
+      .selectExpr("cell", "COALESCE(n_base, 0) AS n_base",
+        "COALESCE(n_new, 0) AS n_new")
+      .withColumn("tot_base", sum(col("n_base")).over(Window.partitionBy()))
+      .withColumn("tot_after",
+        sum(col("n_base") + col("n_new")).over(Window.partitionBy()))
+      .selectExpr("cell", "n_base", "n_new", "n_base + n_new AS n_after",
+        "n_base * 10000 DIV tot_base AS share_before_bp",
+        "(n_base + n_new) * 10000 DIV tot_after AS share_after_bp",
+        """abs(n_base * 10000 DIV tot_base -
+          | (n_base + n_new) * 10000 DIV tot_after) AS drift_bp""".stripMargin.replace("\n", " "),
+        """CAST(CASE WHEN abs(n_base * 10000 DIV tot_base -
+          | (n_base + n_new) * 10000 DIV tot_after) >= 50
+          | THEN 1 ELSE 0 END AS BIGINT) AS retrain""".stripMargin.replace("\n", " "))
+      .orderBy("cell")
+  }
 }

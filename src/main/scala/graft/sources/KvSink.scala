@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, streaming}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,14 +25,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - task ABORT deletes the temp — a failed/speculative task leaves
   *     NOTHING visible;
   *   - job COMMIT appends a NEW manifest version `_manifest.v<N>`
-  *     (N = latest + 1) listing the full committed file set. The
-  *     publish is a compare-and-swap: the content is written to a
-  *     temp and HARD-LINKED to the version name — link creation is
-  *     atomic create-if-absent, so of two concurrent committers
-  *     exactly one wins version N and the loser RE-READS the new
-  *     latest state, re-merges its files, and retries at N+1. No
-  *     committer can erase another's files (the r12 last-writer-wins
-  *     hole, closed);
+  *     (N = latest + 1). The publish is a compare-and-swap: the
+  *     content is written to a temp and HARD-LINKED to the version
+  *     name — link creation is atomic create-if-absent, so of two
+  *     concurrent committers exactly one wins version N and the loser
+  *     RE-READS the new latest state, re-merges its files, and
+  *     retries at N+1. No committer can erase another's files (the
+  *     r12 last-writer-wins hole, closed);
+  *   - (r14) manifests are DELTAS — each version lists only ITS new
+  *     files and batch id — except every [[KvSource.CheckpointInterval]]-th
+  *     version, which is a CHECKPOINT carrying the full accumulated
+  *     state (`#checkpoint` header). Readers resolve a snapshot from
+  *     the nearest checkpoint at or below the target plus the delta
+  *     tail — at most CheckpointInterval manifest reads at ANY chain
+  *     length — and a commit writes O(its own files), not O(all files
+  *     ever): the Delta-log checkpoint pattern, which is what keeps a
+  *     foreachBatch-cadence table from going quadratic. (The r13
+  *     full-manifest format folds identically — the chain is
+  *     append-only, so unioning full lists equals the latest list —
+  *     old chains read without migration.) [[KvSource.vacuum]] is the
+  *     retention half: it drops manifests below the fold base of the
+  *     retention horizon and deletes stray data files no retained
+  *     version references;
   *   - the READ path lists files FROM the latest manifest version
   *     (or a pinned `versionAsOf` — time travel), never the
   *     directory — stray/partial/aborted files are invisible by
@@ -73,13 +87,25 @@ object KvSource {
   val schema: StructType = new StructType()
     .add("key", LongType).add("val", StringType)
 
+  /** Every N-th manifest version is a full-state checkpoint; the N-1
+    * between are deltas. Reads fold at most N manifests; commits write
+    * O(own files) except the one-in-N checkpoint. */
+  private[graft] val CheckpointInterval = 10L
+
   private val VersionRe = "_manifest\\.v(\\d+)".r
 
   /** All committed manifest versions at this path, ascending. */
   private[graft] def versions(path: String): Seq[Long] = {
     val d = new java.io.File(path)
     if (!d.isDirectory) Seq.empty
-    else d.list().toSeq.collect { case VersionRe(n) => n.toLong }.sorted
+    // d.list() is null on I/O error or if the dir vanished after the
+    // isDirectory check — surface the path, not an NPE (this sits on
+    // the read path AND inside the commit CAS retry loop)
+    else Option(d.list()) match {
+      case None => throw new java.io.IOException(
+        s"KvSource: cannot list directory $path")
+      case Some(names) => names.toSeq.collect { case VersionRe(n) => n.toLong }.sorted
+    }
   }
 
   private[graft] def latestVersion(path: String): Option[Long] =
@@ -88,8 +114,10 @@ object KvSource {
   private def manifestFile(path: String, v: Long): java.io.File =
     new java.io.File(path, s"_manifest.v$v")
 
-  /** (files, applied stream batch ids) a manifest version declares.
-    * `#`-prefixed lines are headers; everything else is a file name. */
+  /** (files, applied stream batch ids) a single manifest version
+    * declares — NEW state only for a delta, full state for a
+    * checkpoint. `#`-prefixed lines are headers; everything else is a
+    * file name. */
   private[graft] def readManifest(path: String, v: Long): (Seq[String], Set[Long]) = {
     val src = scala.io.Source.fromFile(manifestFile(path, v), "UTF-8")
     try {
@@ -100,6 +128,35 @@ object KvSource {
       }.toSet
       (files, batches)
     } finally src.close()
+  }
+
+  /** First version a state fold for `v` must read: the nearest
+    * checkpoint multiple at or below it (or 1 — short chains fold from
+    * the base). */
+  private[graft] def foldBase(v: Long): Long =
+    math.max((v / CheckpointInterval) * CheckpointInterval, 1L)
+
+  /** Full (files, applied batch ids) state at `v`: the nearest
+    * checkpoint at or below plus the delta tail — at most
+    * [[CheckpointInterval]] manifest reads regardless of chain length.
+    * Also correct over r13-era chains whose every manifest was full:
+    * the chain is append-only, so a union-fold of full lists equals
+    * the latest full list. */
+  private[graft] def stateAt(path: String, v: Long): (Seq[String], Set[Long]) = {
+    val base = foldBase(v)
+    if (!manifestFile(path, base).exists())
+      throw new IllegalArgumentException(
+        s"KvSource: version $v needs manifest v$base which no longer exists " +
+          s"at $path (vacuumed beyond the requested horizon? " +
+          s"have: ${versions(path).mkString(",")})")
+    var files = scala.collection.immutable.ListSet.empty[String]
+    var batches = Set.empty[Long]
+    (base to v).foreach { i =>
+      val (f, b) = readManifest(path, i)
+      files = files ++ f
+      batches = batches ++ b
+    }
+    (files.toSeq, batches)
   }
 
   /** Files a reader may see at `version` (default: latest committed).
@@ -117,8 +174,31 @@ object KvSource {
           throw new IllegalArgumentException(
             s"KvSource: versionAsOf=$n does not exist at $path " +
               s"(have: ${versions(path).mkString(",")})")
-        readManifest(path, n)._1
+        stateAt(path, n)._1
     }
+  }
+
+  /** Retention sweep (the Delta VACUUM analog): keep the last
+    * `retainLast` versions readable, delete every manifest below their
+    * fold base, and delete stray `part-*.dat` files that the retained
+    * state does not reference (crash leftovers — a completed no-op
+    * replay already deletes its own duplicates). Returns
+    * (manifests deleted, strays deleted, oldest readable version).
+    * Time travel below the horizon fails with a clear error
+    * afterwards — that is the retention contract, not a bug. */
+  private[graft] def vacuum(path: String, retainLast: Int): (Long, Long, Long) = {
+    val vs = versions(path)
+    if (vs.isEmpty) return (0L, 0L, 0L)
+    val latest = vs.last
+    val horizon = math.max(latest - retainLast + 1, 1L)
+    val keepFrom = foldBase(horizon)
+    val dropped = vs.filter(_ < keepFrom)
+    dropped.foreach(v => manifestFile(path, v).delete())
+    val referenced = stateAt(path, latest)._1.toSet
+    val strays = Option(new java.io.File(path).list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith("part-") && n.endsWith(".dat") && !referenced(n))
+    strays.foreach(n => new java.io.File(path, n).delete())
+    (dropped.size.toLong, strays.length.toLong, keepFrom)
   }
 
   /** Publish a new manifest version via compare-and-swap, merging
@@ -130,40 +210,66 @@ object KvSource {
     */
   private[graft] def commitVersion(path: String, newFiles: Seq[String],
                                      batchId: Option[Long]): Long = {
-    import java.nio.file.{Files, Paths, FileAlreadyExistsException}
     new java.io.File(path).mkdirs()
     var attempt = 0
     while (attempt < 1000) {
       val latest = latestVersion(path)
       val (priorFiles, priorBatches) = latest match {
-        case Some(v) => readManifest(path, v)
+        case Some(v) => stateAt(path, v)
         case None    => (Seq.empty[String], Set.empty[Long])
       }
       if (batchId.exists(priorBatches.contains)) {
-        // replay of an already-applied micro-batch: its rows are
+        // replay of an already-applied micro-batch/epoch: its rows are
         // already visible under another file set — absorb silently
         newFiles.foreach(f => new java.io.File(path, f).delete())
         return latest.get
       }
       val v = latest.getOrElse(0L) + 1
-      val header = (priorBatches ++ batchId).toSeq.sorted.map(b => s"#batch:$b")
-      val body = (header ++ (priorFiles ++ newFiles).distinct).mkString("\n")
-      val tmp = Paths.get(path, s"._manifest.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, body.getBytes("UTF-8"))
-      try {
-        // hard-link = atomic create-if-absent WITH full content: the
-        // CAS. rename() would silently replace an existing winner.
-        Files.createLink(Paths.get(path, s"_manifest.v$v"), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.delete(tmp)
-          attempt += 1 // lost the race — merge against the new state
-      }
+      // every CheckpointInterval-th version is a full-state checkpoint;
+      // the rest are deltas carrying ONLY this commit's files/batch —
+      // commit cost stays O(own files), amortized O(total/N)
+      val body =
+        if (v % CheckpointInterval == 0) {
+          val header = "#checkpoint" +:
+            (priorBatches ++ batchId).toSeq.sorted.map(b => s"#batch:$b")
+          (header ++ (priorFiles ++ newFiles).distinct).mkString("\n")
+        } else {
+          (batchId.toSeq.map(b => s"#batch:$b") ++ newFiles.distinct).mkString("\n")
+        }
+      if (publishCas(path, v, body)) return v
+      attempt += 1 // lost the race — merge against the new state
     }
     throw new IllegalStateException(
       s"KvSource: commit CAS did not converge after 1000 attempts at $path")
+  }
+
+  /** The one non-portable seam of the commit log: atomically publish
+    * `body` as `_manifest.v<v>` IF AND ONLY IF that name does not
+    * exist yet, returning whether this committer won. Local POSIX
+    * implementation: write a temp, then hard-link it to the version
+    * name — link creation is atomic create-if-absent WITH full
+    * content (rename would silently replace an existing winner). On
+    * an object store this method is the thing to swap: S3
+    * `If-None-Match: *` conditional PUT, GCS `ifGenerationMatch=0`,
+    * ABFS/HDFS atomic create-no-overwrite — same contract, different
+    * primitive. Filesystems without hard links (FAT, some network
+    * mounts) fail here with a clear requirement message, never an
+    * opaque UnsupportedOperationException, and never leak the temp. */
+  private[graft] def publishCas(path: String, v: Long, body: String): Boolean = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+    val tmp = Paths.get(path, s"._manifest.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try {
+      Files.createLink(Paths.get(path, s"_manifest.v$v"), tmp)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+      case e: UnsupportedOperationException =>
+        throw new UnsupportedOperationException(
+          s"KvSource: commit log at $path needs a hard-link-capable " +
+            "filesystem for its create-if-absent CAS (object stores: " +
+            "swap publishCas for a conditional PUT)", e)
+    } finally Files.deleteIfExists(tmp)
   }
 }
 
@@ -171,7 +277,8 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kv($path)"
   override def schema(): StructType = KvSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val asOf = Option(options.get("versionAsOf")).map(_.toLong)
@@ -187,6 +294,8 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new KvBatchWrite(path, batchId, qid)
+        override def toStreaming: streaming.StreamingWrite =
+          new KvStreamingWrite(path, qid)
       }
     }
   }
@@ -268,6 +377,49 @@ class KvBatchWrite(path: String, batchId: Option[Long], queryId: String)
 class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(path, partitionId, taskId, queryId)
+}
+
+/** TRUE Structured Streaming sink (TableCapability.STREAMING_WRITE):
+  * `df.writeStream.format(kv)` commits each epoch through the SAME
+  * version-chained CAS as the batch path — the epoch id plays the
+  * `#batch:` role, so a replayed epoch (driver restart re-running a
+  * micro-batch whose sink commit already landed) is absorbed as a
+  * no-op whose duplicate task files never reach a manifest. This is
+  * the exactly-once story end-to-end on Spark's own streaming write
+  * protocol, not a foreachBatch shim: task writers salt their file
+  * names with the epoch (same writer restarted at epoch N+1 must not
+  * collide with its epoch-N files), and
+  * [[KvSource.commitVersion]] makes the epoch commit atomic,
+  * concurrent-safe, and idempotent. */
+class KvStreamingWrite(path: String, queryId: String)
+    extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new KvStreamingWriterFactory(path, queryId)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.map(_.asInstanceOf[KvCommitMessage].file).toSeq
+    KvSource.commitVersion(path, newFiles, Some(epochId))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KvCommitMessage(f) => new java.io.File(path, f).delete()
+      case _ => ()
+    }
+}
+
+/** Named (and thus cleanly serializable) factory shipped to executors
+  * for streaming epochs: task files salt their names with the epoch,
+  * so a restarted writer at epoch N+1 can never collide with its own
+  * epoch-N files. */
+class KvStreamingWriterFactory(path: String, queryId: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, partitionId, taskId, s"$queryId-e$epochId")
 }
 
 /** Task writer: stream to a temp, rename on commit, delete on abort.

@@ -1580,10 +1580,12 @@ object Streams {
         .mode(org.apache.spark.sql.SaveMode.Append).save()
     writeBatch(0); writeBatch(1); writeBatch(2)
     writeBatch(1) // the replayed micro-batch: must add ZERO rows
-    spark.read.format(classOf[graft.sources.KvSource].getName)
-      .option("path", out).load()
-      .groupBy(col("val"))
-      .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
-      .orderBy("val")
+    graft.operators.SourceQueries.materializeAndClean(
+      spark.read.format(classOf[graft.sources.KvSource].getName)
+        .option("path", out).load()
+        .groupBy(col("val"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("val"),
+      out)
   }
 }

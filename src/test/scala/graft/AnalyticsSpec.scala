@@ -74,12 +74,12 @@ class AnalyticsSpec extends AnyFunSuite {
       "expected pushdown of l_shipdate filter into scan")
   }
 
-  test("approx distinct within 5% of exact") {
+  test("approx distinct within the 3-sigma band of exact") {
     val rows = operators.Analytics.qApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getLong(r.fieldIndex("within_5pct")) == 1L,
-        s"HLL estimate off by more than 5% for ${r.getString(0)}")
+      assert(r.getLong(r.fieldIndex("within_band")) == 1L,
+        s"HLL estimate off by more than 6% for ${r.getString(0)}")
     }
   }
 

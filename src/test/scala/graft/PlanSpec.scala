@@ -834,7 +834,8 @@ class PlanSpec extends AnyFunSuite {
     "stream_concurrency_curve" -> "cumulative depth over the gap-filled minute grid (calendar-bounded ~43k rows/month at any SF; everything fact-sized stays user-partitioned)",
     "q_ks_binned" -> "cumulative ECDF over the $100 bin axis (value-domain-bounded ~5.5k rows at any SF — the fact table reduces to bin counts first)",
     "text_heaps_curve" -> "cumulative vocabulary over the 20-row ventile axis (bucket count is a constant; the per-word first-doc reduce happens before any window)",
-    "stream_shadow_diff" -> "user-share window over the session-delta histogram (disagreement-domain-bounded; the lag pass stays user-partitioned)")
+    "stream_shadow_diff" -> "user-share window over the session-delta histogram (disagreement-domain-bounded; the lag pass stays user-partitioned)",
+    "ann_incremental_assign" -> "share windows over k IVF cell rows (k fixed by config — the ann_cell_balance bound, before AND after the batch merge)")
 
   test("no query ships an unpartitioned window over table-sized input") {
     import org.apache.spark.sql.catalyst.plans.logical
@@ -856,6 +857,20 @@ class PlanSpec extends AnyFunSuite {
     // the whitelist must not drift: every justified name must still be a query
     val stale = boundedGlobalWindows.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"whitelist names no longer in SparkEntry.queries: $stale")
+  }
+
+  test("check_plans.py GLOBAL_WINDOW_ALLOWLIST mirrors boundedGlobalWindows 1:1") {
+    // the Python plan gate (tools/check_plans.py) enforces the same
+    // unpartitioned-window rule against PLANS.md text; its allowlist
+    // must stay exactly this spec's justified set — parse the literal
+    // out of the script so neither side can drift silently.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/check_plans.py")), "UTF-8")
+    val body = src.split("GLOBAL_WINDOW_ALLOWLIST = \\{")(1).split("\\}")(0)
+    val pyNames = "\"([a-z0-9_]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+    assert(pyNames == boundedGlobalWindows.keySet,
+      s"allowlist drift: onlyInPython=${(pyNames -- boundedGlobalWindows.keySet).toSeq.sorted} " +
+        s"onlyInSpec=${(boundedGlobalWindows.keySet -- pyNames).toSeq.sorted}")
   }
 
   // Compare-boundary type guard (the round-1 DECIMAL and round-8/11

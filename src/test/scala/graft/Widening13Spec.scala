@@ -39,13 +39,23 @@ class Widening13Spec extends AnyFunSuite {
     val latest = KvSource.committedFiles(dir)
     assert(latest.size == 80, s"no commit erased another's files: ${latest.size}")
     assert(readAll(dir).count() == 80)
-    // and the chain is monotone: every version's file set contains
-    // the previous version's (append-only semantics)
+    // and the chain is monotone: every version's RESOLVED file set
+    // contains the previous version's (append-only semantics; r14:
+    // manifests are deltas + checkpoints, so resolution is the fold,
+    // not the single file)
     versions.sliding(2).foreach { case Seq(a, b) =>
-      val fa = KvSource.readManifest(dir, a)._1.toSet
-      val fb = KvSource.readManifest(dir, b)._1.toSet
+      val fa = KvSource.stateAt(dir, a)._1.toSet
+      val fb = KvSource.stateAt(dir, b)._1.toSet
       assert(fa.subsetOf(fb), s"v$b dropped files committed at v$a")
     case _ => ()
+    }
+    // r14 checkpoint cadence holds under the race: every 10th version
+    // is a full checkpoint, every other version lists exactly its own
+    // one new file
+    versions.foreach { v =>
+      val n = KvSource.readManifest(dir, v)._1.size
+      if (v % 10 == 0) assert(n == v, s"checkpoint v$v must list all $v files, got $n")
+      else assert(n == 1, s"delta v$v must list exactly its own file, got $n")
     }
   }
 

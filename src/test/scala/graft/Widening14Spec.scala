@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.KvSource
+import graft.operators.SourceQueries
+
+/** Round-14 batch-1: commit-log checkpoint + retention (the Delta
+  * checkpoint/VACUUM pattern on the KvSource manifest chain) and the
+  * TRUE streaming DSv2 write path (STREAMING_WRITE epochs through the
+  * same CAS, replay-absorbed).
+  */
+class Widening14Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def readAll(dir: String) =
+    spark.read.format(classOf[KvSource].getName).option("path", dir).load()
+
+  private def stage(dir: String, name: String, key: Long): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+      s"$key,x\n".getBytes("UTF-8"))
+
+  test("a 200-commit chain resolves from the checkpoint, not the full walk") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-200").toString
+    (1 to 200).foreach { i =>
+      val name = s"part-long-$i.dat"
+      stage(dir, name, i.toLong)
+      KvSource.commitVersion(dir, Seq(name), batchId = None)
+    }
+    assert(KvSource.foldBase(200L) == 200L, "v200 is itself a checkpoint")
+    // the proof that resolution never walks the chain: delete EVERY
+    // manifest below the checkpoint — latest must stay fully readable
+    (1L to 199L).foreach(v => new java.io.File(dir, s"_manifest.v$v").delete())
+    assert(KvSource.committedFiles(dir).size == 200,
+      "latest state must resolve from the v200 checkpoint alone")
+    assert(readAll(dir).count() == 200)
+    // a version whose fold base was dropped fails with a clear error,
+    // naming the missing manifest — the retention contract
+    stage(dir, "part-long-201.dat", 201L)
+    KvSource.commitVersion(dir, Seq("part-long-201.dat"), batchId = None)
+    new java.io.File(dir, "_manifest.v200").delete()
+    val e = intercept[IllegalArgumentException] { KvSource.committedFiles(dir) }
+    assert(e.getMessage.contains("v200"), s"error must name the fold base: ${e.getMessage}")
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("vacuum drops below-base manifests and strays, keeps the horizon readable") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-vac").toString
+    (1 to 23).foreach { i =>
+      val name = s"part-vac-$i.dat"
+      stage(dir, name, i.toLong)
+      KvSource.commitVersion(dir, Seq(name), batchId = None)
+    }
+    stage(dir, "part-stray-never-committed.dat", 999L)
+    // retainLast=4 → horizon v20, fold base 20 → v1..v19 dropped
+    val (dropped, strays, oldest) = KvSource.vacuum(dir, retainLast = 4)
+    assert(dropped == 19L && strays == 1L && oldest == 20L, s"($dropped,$strays,$oldest)")
+    assert(KvSource.versions(dir) == (20L to 23L))
+    // everything at or above the fold base stays time-travelable
+    (20L to 23L).foreach { v =>
+      assert(KvSource.committedFiles(dir, Some(v)).size == v,
+        s"v$v must still resolve after vacuum")
+    }
+    assert(readAll(dir).count() == 23, "no referenced data file was deleted")
+    // below the horizon: clear error, not a silent wrong answer
+    val e = intercept[IllegalArgumentException] {
+      KvSource.committedFiles(dir, Some(15L))
+    }
+    assert(e.getMessage.contains("versionAsOf=15"))
+    // idempotent: a second vacuum finds nothing to do
+    assert(KvSource.vacuum(dir, retainLast = 4) == ((0L, 0L, 20L)))
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("writeStream commits epochs through the CAS chain; a forced epoch replay adds zero rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-sw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-sw-ckpt").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    def stopped(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.stop()
+      // stop() can return a beat before the manager releases the
+      // checkpoint-path registration — wait it out before a restart
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    def start() = src.toDS().selectExpr("value AS key", "CAST(value % 3 AS STRING) AS val")
+      .writeStream.format(classOf[KvSource].getName)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = start()
+    src.addData(1L to 10L: _*); q.processAllAvailable()
+    src.addData(11L to 20L: _*); q.processAllAvailable()
+    stopped(q)
+    assert(readAll(dir).count() == 20)
+    val keySum = readAll(dir).agg(sum(col("key"))).head().getLong(0)
+    // force a replay: drop the newest engine-side commit marker — on
+    // restart Spark re-runs that micro-batch with the SAME epoch id,
+    // and the sink must absorb it (its #batch: entry is already in
+    // the manifest chain)
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val last = commitsDir.listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commitsDir, last.toString).delete())
+    new java.io.File(commitsDir, s".$last.crc").delete() // hadoop checksum sidecar
+    val q2 = start()
+    q2.processAllAvailable(); stopped(q2)
+    assert(readAll(dir).count() == 20, "replayed epoch added rows")
+    assert(readAll(dir).agg(sum(col("key"))).head().getLong(0) == keySum)
+    // the stream is still live after the replay: new data appends
+    val q3 = start()
+    src.addData(21L to 25L: _*); q3.processAllAvailable(); stopped(q3)
+    assert(readAll(dir).count() == 25)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+    SourceQueries.deleteRecursively(new java.io.File(ckpt))
+  }
+
+  test("layout_stats_sweep: per-table row counts pinned; no Expand in the plan") {
+    import graft.operators.Analytics
+    val df = Analytics.layoutStatsSweep(spark, sf)
+    // Expand-free across ALL four branches — the layout_column_stats
+    // lesson, held for the parameterized sweep too
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.isEmpty, "ANALYZE sweep must not Expand-replicate any scan")
+    val rows = df.collect()
+    val byTable = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    // partitions × tracked columns per table, recomputed from the data
+    val oMonths = Tables.orders(spark, sf)
+      .selectExpr("date_format(o_orderdate, 'yyyyMM')").distinct().count()
+    val lMonths = Tables.lineitem(spark, sf)
+      .selectExpr("date_format(l_shipdate, 'yyyyMM')").distinct().count()
+    val dSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(byTable("orders") == oMonths * 4, s"orders: ${byTable("orders")}")
+    assert(byTable("lineitem") == lMonths * 4, s"lineitem: ${byTable("lineitem")}")
+    assert(byTable("customer") == 3L)
+    assert(byTable("documents") == dSources * 3, s"documents: ${byTable("documents")}")
+    // spot-check one cell against a direct aggregate: customer ndv of
+    // mktsegment and the lineitem quantity min/max
+    val seg = rows.find(r => r.getString(0) == "customer" && r.getString(2) == "c_mktsegment").get
+    assert(seg.getLong(5) ==
+      Tables.customer(spark, sf).select("c_mktsegment").distinct().count())
+    assert(seg.getLong(6) == 0L)
+  }
+
+  test("ann_incremental_assign: batch routes via the broadcast codebook, never a corpus rejoin") {
+    import graft.sim.Ann
+    val df = Ann.incrementalAssign(spark, sf)
+    // structural proof of "never rescans the corpus": the plan's only
+    // joins are the two k-row-codebook cross joins (one per branch)
+    // and the k-row cell-ledger full outer — no join keys fact rows
+    // against fact rows
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 3, s"expected 2 codebook crosses + 1 ledger merge, got ${joins.size}")
+    assert(joins.count(_.joinType == org.apache.spark.sql.catalyst.plans.FullOuter) == 1)
+    assert(joins.count(_.joinType == org.apache.spark.sql.catalyst.plans.Cross) == 2)
+    val rows = df.collect()
+    assert(rows.length == 8)
+    val e = Tables.embeddings(spark, sf)
+    assert(rows.map(_.getLong(3)).sum == e.count(), "n_after covers the whole corpus")
+    assert(rows.map(_.getLong(2)).sum ==
+      e.filter(col("vec_id") % 10 === 9).count(), "n_new is exactly the batch")
+    // internal consistency of the ledger math
+    val totBase = rows.map(_.getLong(1)).sum
+    val totAfter = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val before = r.getLong(1) * 10000 / totBase
+      val after = r.getLong(3) * 10000 / totAfter
+      assert(r.getLong(4) == before && r.getLong(5) == after)
+      assert(r.getLong(6) == math.abs(before - after))
+      assert(r.getLong(7) == (if (math.abs(before - after) >= 50) 1L else 0L))
+    }
+  }
+
+  test("load_manifest_compaction ledger matches the protocol constants") {
+    val rows = SourceQueries.manifestCompaction(spark, sf).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val custRows = Tables.customer(spark, sf).count()
+    assert(byKey(("01_before", "versions")) == 12L)
+    assert(byKey(("01_before", "manifests_read_for_latest")) == 3L)
+    assert(byKey(("01_before", "rows_readable")) == custRows)
+    assert(byKey(("02_vacuum", "manifests_dropped")) == 9L)
+    assert(byKey(("02_vacuum", "strays_removed")) == 1L)
+    assert(byKey(("02_vacuum", "oldest_readable")) == 10L)
+    assert(byKey(("03_after", "versions")) == 3L)
+    assert(byKey(("03_after", "rows_readable")) == custRows)
+    assert(rows.length == 8)
+  }
+}

@@ -39,26 +39,89 @@ def parse(path):
     return out
 
 
+def window_groups(s):
+    """Top-level [-delimited groups in a Window node's tail.
+
+    A Window node prints `Window [exprs], [partitionSpec], [orderSpec]`,
+    omitting EMPTY trailing specs. So 3 groups = partitioned; 1 group =
+    global (neither spec); 2 groups is ambiguous — (exprs, partition)
+    when the order spec is empty, (exprs, order) when the PARTITION spec
+    is empty — disambiguated by the ASC/DESC sort-direction markers that
+    only an order spec carries.
+    """
+    depth, groups, cur = 0, [], []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+            depth = max(0, depth)
+            continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def is_unpartitioned_window(tail):
+    g = window_groups(tail)
+    if len(g) >= 3:
+        return False
+    if len(g) <= 1:
+        return True
+    return " ASC" in g[1] or " DESC" in g[1]
+
+
 def fingerprint(plan):
     lines = plan.splitlines()
     def count(pred):
         return sum(1 for ln in lines if pred(ln.strip()))
     def node(ln):
-        # strip tree-drawing prefix to the operator name
-        return re.sub(r"^[:+\-| ]*", "", ln)
+        # strip tree-drawing prefix and any `*(N) ` codegen annotation
+        # to the operator name (format-drift tolerance: simple AND
+        # codegen-annotated explain outputs both fingerprint)
+        return re.sub(r"^\*\(\d+\) ", "", re.sub(r"^[:+\-| ]*", "", ln))
+    def is_window(l):
+        n = node(l)
+        return n.startswith("Window ") or n.startswith("RunningWindowFunction")
     return {
         "shuffles": count(lambda l: node(l).startswith("Exchange ")),
         "broadcasts": count(lambda l: node(l).startswith("BroadcastExchange")),
         "sorts": count(lambda l: node(l).startswith("Sort ")),
         "expands": count(lambda l: node(l).startswith("Expand")),
-        "windows": count(lambda l: node(l).startswith("Window ")
-                         or node(l).startswith("RunningWindowFunction")),
+        "windows": count(is_window),
+        "global_windows": count(
+            lambda l: is_window(l)
+            and is_unpartitioned_window(node(l)[len("Window "):])),
         "pushdown": re.search(r"PushedFilters: \[[^\]]", plan) is not None,
         "readschema": "ReadSchema:" in plan,
     }
 
 
-GROW_FAIL = ["shuffles", "sorts", "expands", "windows"]
+GROW_FAIL = ["shuffles", "sorts", "expands", "windows", "global_windows"]
+
+# Queries allowed to carry an UNPARTITIONED window: mirrors (and is
+# spec-held 1:1 against) PlanSpec.boundedGlobalWindows — every entry
+# there justifies why the window's input is provably bounded
+# (sketch-/bucket-/domain-sized, never table-sized). A new global
+# window anywhere else fails the gate even if PLANS.md was regenerated.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "ann_cell_balance", "dedup_component_stats", "dlp_quantile_bucketing",
+    "embed_pair_hist", "ingest_gap_audit", "layout_compaction_plan",
+    "pipeline_mix_weights", "q_funnel_conversion", "q_skyline",
+    "text_vocab", "text_zipf_fit", "q_rfm_segments", "dlp_top_coding",
+    "q_forecast_backtest", "q_lorenz_topshare", "q_abc_class",
+    "q_customer_lifespan", "q_weekly_volatility", "layout_cluster_depth",
+    "q_discount_elasticity", "q_runs_test", "q_order_linecount_dist",
+    "dedup_pair_sim_histogram", "q_chi_square", "stream_concurrency_curve",
+    "q_ks_binned", "text_heaps_curve", "stream_shadow_diff",
+    "ann_incremental_assign",
+}
 
 
 def main():
@@ -82,6 +145,19 @@ def main():
                              f"(improvement — regenerate PLANS.md)")
         if old["pushdown"] and not new["pushdown"]:
             fails.append(f"{q}: PushedFilters disappeared from every scan")
+        if new["global_windows"] > 0 and q not in GLOBAL_WINDOW_ALLOWLIST:
+            fails.append(
+                f"{q}: {new['global_windows']} UNPARTITIONED window(s) and "
+                f"not in GLOBAL_WINDOW_ALLOWLIST — justify the bound in "
+                f"PlanSpec.boundedGlobalWindows and add it here")
+    # format-drift detector: if the fresh file fingerprints to ZERO nodes
+    # overall, the explain format changed (or Plans broke) and every
+    # comparison above was vacuous — fail loudly instead of passing.
+    total_nodes = sum(v[k] for v in fresh.values()
+                      for k in ("shuffles", "broadcasts", "sorts", "windows"))
+    if fresh and total_nodes == 0:
+        fails.append("fresh PLANS fingerprints contain ZERO plan nodes — "
+                     "explain format drifted or Plans produced no output")
     for w in warns:
         print(f"WARN  {w}")
     for f in fails:
