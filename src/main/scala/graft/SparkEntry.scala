@@ -500,7 +500,48 @@ object SparkEntry {
     // index maintenance
     "layout_stats_sweep" -> Analytics.layoutStatsSweep _,
     "ann_incremental_assign" -> Ann.incrementalAssign _,
+    // round 14 batch 3: iterated BPE (merges that compose)
+    "text_bpe_train_iter" -> ((s: SparkSession, d: String) => TextOps.bpeTrainIter(s, d)),
   )
+
+  /** Iterated-BPE oracle: the K training rounds UNROLLED — each round
+    * re-counts adjacent token pairs over the previous round's
+    * vocabulary tokenization, takes the (weight DESC, pair) argmax,
+    * and re-tokenizes with the same two-sweep replace the engine
+    * runs. Generated by a loop so the recurrence is written once. */
+  private val BpeIterSql: String = {
+    val k = 10
+    val sb = new StringBuilder
+    // MATERIALIZED is load-bearing: without it DuckDB inlines each
+    // CTE at every reference, and the v1..vK chain (each round reads
+    // its predecessor several times) expands exponentially into
+    // thousands of parquet scans ("too many open files")
+    sb.append(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |a AS (SELECT word FROM w WHERE regexp_matches(word, '^[a-z]+$')),
+        |v0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS toks FROM a GROUP BY word)""".stripMargin)
+    (1 to k).foreach { r =>
+      val p = s"v${r - 1}"
+      sb.append(s""",
+        |p$r AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS wgt FROM (
+        |  SELECT n, unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS pr
+        |  FROM (SELECT n, string_split(trim(toks), ' ') AS t FROM $p) z WHERE len(t) >= 2) y GROUP BY pr),
+        |m$r AS MATERIALIZED (SELECT pr, wgt FROM p$r ORDER BY wgt DESC, pr LIMIT 1),
+        |v$r AS MATERIALIZED (SELECT word, n, replace(replace(toks,
+        |    ' ' || (SELECT pr FROM m$r) || ' ', ' ' || replace((SELECT pr FROM m$r), ' ', '') || ' '),
+        |    ' ' || (SELECT pr FROM m$r) || ' ', ' ' || replace((SELECT pr FROM m$r), ' ', '') || ' ') AS toks FROM $p)""".stripMargin)
+    }
+    sb.append("\nSELECT rank, pair, merged, weight, corpus_tokens_after FROM (\n")
+    sb.append((1 to k).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, (SELECT pr FROM m$r) AS pair, " +
+        s"replace((SELECT pr FROM m$r), ' ', '') AS merged, " +
+        s"(SELECT wgt FROM m$r) AS weight, " +
+        s"(SELECT CAST(SUM(n * len(string_split(trim(toks), ' '))) AS BIGINT) FROM v$r) AS corpus_tokens_after"
+    }.mkString("\nUNION ALL "))
+    sb.append(") t ORDER BY rank")
+    sb.toString
+  }
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
 
@@ -5580,6 +5621,8 @@ object SparkEntry {
         |  CAST(SUM(event_id) AS BIGINT) AS key_sum
         |FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1 ORDER BY val""".stripMargin,
+    // text_bpe_train_iter: the K rounds unrolled (see BpeIterSql)
+    "text_bpe_train_iter" -> BpeIterSql,
     // text_bpe_apply: the SAME two-sweep replace fold over the ranked
     // merge list, via list_reduce with the spaced word prepended as
     // the fold seed; token count = spaces - 1

@@ -612,6 +612,67 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** ITERATED BPE training (VERDICT r13 item 4 — the real thing
+    * [[bpePairs]]/[[bpeApply]] approximate): K merges learned
+    * sequentially, where each round re-counts adjacent TOKEN pairs
+    * over the current tokenization — so learned tokens participate in
+    * later merges ("th" + "e" → "the"), which is the entire point of
+    * BPE and what the single-level char-pair variant cannot express.
+    * Corpus-scale shape: the corpus collapses to its DISTINCT-WORD
+    * vocabulary once (work thereafter scales with vocabulary size ×
+    * K, never corpus tokens — the same collapse every real tokenizer
+    * trainer ships); each round is one pair-count aggregate + one
+    * argmax + one map-side re-tokenize, with `localCheckpoint` per
+    * round so the plan stays round-sized (the dedup_components /
+    * Checkpoints release contract). The per-round argmax and token
+    * total are SINGLE-ROW driver reads — the merge table IS
+    * driver-sized state in any BPE trainer (HF/SentencePiece hold it
+    * in memory); corpus statistics stay distributed. Merge
+    * application contract (engine-exact, shared with [[bpeApply]]):
+    * ` left right ` rewrites to ` leftright ` via two left-to-right
+    * non-overlapping replace sweeps — on self-overlapping runs this
+    * may group differently than canonical leftmost pairing, but both
+    * engines run the identical string recurrence, so the oracle
+    * replay is bit-exact. Output: the ranked merge ledger with each
+    * round's pair weight and the corpus token bill after it — the
+    * training curve a tokenizer team reads to pick K. */
+  def bpeTrainIter(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    var vocab = Tables.documents(spark, dir)
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .selectExpr("word", "n",
+        "concat(' ', regexp_replace(word, '(.)', '$1 ')) AS toks")
+      .localCheckpoint()
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    (1 to k).foreach { r =>
+      val best = vocab
+        .selectExpr("n", "split(trim(toks), ' ') AS t")
+        .filter(size(col("t")) >= 2)
+        .selectExpr("n",
+          "explode(transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pr")
+        .groupBy(col("pr")).agg(sum(col("n")).as("wgt"))
+        .orderBy(col("wgt").desc, col("pr")).limit(1)
+        .head()
+      val pair = best.getString(0)
+      val merged = pair.replace(" ", "")
+      // pair text is [a-z ]+ by construction — safe as a SQL literal
+      val next = vocab.selectExpr("word", "n",
+          s"replace(replace(toks, ' $pair ', ' $merged '), ' $pair ', ' $merged ') AS toks")
+        .localCheckpoint()
+      graft.Checkpoints.release(vocab)
+      vocab = next
+      val tokensAfter = vocab
+        .selectExpr("n * CAST(size(split(trim(toks), ' ')) AS BIGINT) AS tk")
+        .agg(sum(col("tk"))).head().getLong(0)
+      ledger += ((r.toLong, pair, merged, best.getLong(1), tokensAfter))
+    }
+    graft.Checkpoints.release(vocab)
+    import spark.implicits._
+    ledger.toSeq.toDF("rank", "pair", "merged", "weight", "corpus_tokens_after")
+      .orderBy("rank")
+  }
+
   /** Robust per-source document-length QA profile — the
     * anomaly-detection pass a corpus ingest runs before training:
     * lower-median and MAD (median absolute deviation) of the

@@ -178,6 +178,48 @@ class Widening14Spec extends AnyFunSuite {
     }
   }
 
+  test("text_bpe_train_iter matches a driver-side fold; learned merges COMPOSE") {
+    import graft.text.TextOps
+    val got = TextOps.bpeTrainIter(spark, sf).collect()
+    assert(got.length == 10)
+    // driver re-derivation: same recurrence over the collected vocab
+    // (Java String.replace is literal left-to-right non-overlapping —
+    // the same semantics as SQL replace on both engines)
+    val vocab0: Map[String, Long] = Tables.documents(spark, sf)
+      .select("text").collect().iterator
+      .flatMap(r => Option(r.getString(0)).getOrElse("").split(" "))
+      .filter(_.matches("^[a-z]+$"))
+      .toSeq.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var vocab: Map[String, Long] =
+      vocab0.map { case (w, n) => (" " + w.map(c => s"$c ").mkString) -> n }
+    (0 until 10).foreach { r =>
+      val weights = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (toks, n) =>
+        val t = toks.trim.split(" ")
+        t.sliding(2).filter(_.length == 2).foreach { p =>
+          val key = p.mkString(" ")
+          weights(key) = weights.getOrElse(key, 0L) + n
+        }
+      }
+      val (pair, w) = weights.toSeq.minBy { case (p, wt) => (-wt, p) }
+      val merged = pair.replace(" ", "")
+      vocab = vocab.groupBy { case (toks, _) =>
+        toks.replace(s" $pair ", s" $merged ").replace(s" $pair ", s" $merged ")
+      }.map { case (toks, g) => toks -> g.values.sum }
+      val tokensAfter = vocab.iterator
+        .map { case (toks, n) => n * toks.trim.split(" ").length }.sum
+      val row = got(r)
+      assert(row.getString(1) == pair && row.getString(2) == merged,
+        s"round ${r + 1}: got (${row.getString(1)}) want ($pair)")
+      assert(row.getLong(3) == w && row.getLong(4) == tokensAfter,
+        s"round ${r + 1}: weight/tokens diverge")
+    }
+    // the whole point of iterating: at least one merge consumes a
+    // previously LEARNED token (merged length > 2)
+    assert(got.exists(_.getString(2).length > 2),
+      "no composing merge in 10 rounds — single-level behavior")
+  }
+
   test("load_manifest_compaction ledger matches the protocol constants") {
     val rows = SourceQueries.manifestCompaction(spark, sf).collect()
     val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
