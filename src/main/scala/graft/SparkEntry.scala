@@ -502,6 +502,12 @@ object SparkEntry {
     "ann_incremental_assign" -> Ann.incrementalAssign _,
     // round 14 batch 3: iterated BPE (merges that compose)
     "text_bpe_train_iter" -> ((s: SparkSession, d: String) => TextOps.bpeTrainIter(s, d)),
+    // round 14 batch 4: deletion-vector read path, FK-derived load
+    // order, CUSUM drift alarms, farthest-point codebook seeding
+    "load_deletion_vectors" -> SourceQueries.deletionVectors _,
+    "ingest_load_order" -> SourceQueries.loadOrderPlan _,
+    "q_cusum_alarm" -> Analytics.qCusumAlarm _,
+    "embed_kmeanspp_seed" -> ((s: SparkSession, d: String) => Ann.kmeansppSeed(s, d)),
   )
 
   /** Iterated-BPE oracle: the K training rounds UNROLLED — each round
@@ -539,6 +545,38 @@ object SparkEntry {
         s"(SELECT wgt FROM m$r) AS weight, " +
         s"(SELECT CAST(SUM(n * len(string_split(trim(toks), ' '))) AS BIGINT) FROM v$r) AS corpus_tokens_after"
     }.mkString("\nUNION ALL "))
+    sb.append(") t ORDER BY rank")
+    sb.toString
+  }
+
+  /** Farthest-point seeding oracle: k−1 unrolled rounds over the
+    * position-expanded micro-unit corpus (the duckKmeansCte
+    * representation); each round takes the (dmin DESC, vec_id) argmax
+    * over vectors not yet chosen. MATERIALIZED for the same
+    * exponential-inlining reason as [[BpeIterSql]]. */
+  private val KppSeedSql: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH qp AS MATERIALIZED (SELECT vec_id, pos, CAST(FLOOR(emb[pos + 1] * 1000000) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS pos)),
+        |ch1 AS (SELECT CAST(0 AS BIGINT) AS cid)""".stripMargin)
+    (2 to k).foreach { r =>
+      sb.append(s""",
+        |d$r AS (SELECT vec_id, MIN(dd) AS dmin FROM (
+        |  SELECT e.vec_id, c.cid, CAST(SUM((e.v - cq.v) * (e.v - cq.v)) AS BIGINT) AS dd
+        |  FROM qp e CROSS JOIN ch${r - 1} c JOIN qp cq ON cq.vec_id = c.cid AND cq.pos = e.pos
+        |  GROUP BY e.vec_id, c.cid) z
+        |  WHERE vec_id NOT IN (SELECT cid FROM ch${r - 1}) GROUP BY vec_id),
+        |m$r AS MATERIALIZED (SELECT vec_id, dmin FROM d$r ORDER BY dmin DESC, vec_id LIMIT 1),
+        |ch$r AS MATERIALIZED (SELECT cid FROM ch${r - 1} UNION ALL SELECT vec_id FROM m$r)""".stripMargin)
+    }
+    sb.append("\nSELECT rank, vec_id, dist_to_nearest_prior FROM (\n")
+    sb.append(("SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dist_to_nearest_prior" +:
+      (2 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT), (SELECT vec_id FROM m$r), (SELECT dmin FROM m$r)"))
+      .mkString("\nUNION ALL "))
     sb.append(") t ORDER BY rank")
     sb.toString
   }
@@ -2950,6 +2988,44 @@ object SparkEntry {
          |  CAST(n_contained * 10000 // n_child_distinct AS BIGINT) AS containment_bp,
          |  CAST(CASE WHEN n_contained = n_child_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_fk
          |FROM u ORDER BY candidate""".stripMargin
+    },
+    // ingest_load_order: same containment aggregates as fk_discovery
+    // tagged with table names, then bounded level propagation unrolled
+    "ingest_load_order" -> {
+      val rs = SourceQueries.FkCandidates.zipWithIndex.map {
+        case ((_, (ct, cc), (pt, pc)), i) =>
+          s"""c$i AS (SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct WHERE $cc IS NOT NULL),
+             |p$i AS (SELECT DISTINCT CAST($pc AS BIGINT) AS v FROM $pt WHERE $pc IS NOT NULL),
+             |r$i AS (SELECT '$ct' AS child, '$pt' AS parent,
+             |  CAST(COUNT(*) AS BIGINT) AS nc,
+             |  CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ni
+             |  FROM c$i c LEFT JOIN p$i p ON c.v = p.v)""".stripMargin
+      }
+      val union = SourceQueries.FkCandidates.indices
+        .map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+      val depth = SourceQueries.FkCandidates.size
+      val levels = (1 to depth).map { j =>
+        s"""l$j AS (SELECT n.table_name,
+           |  GREATEST(n.level, COALESCE(m.clv, CAST(0 AS BIGINT))) AS level
+           |  FROM l${j - 1} n LEFT JOIN (
+           |    SELECT e.child AS table_name, MAX(p.level) + 1 AS clv
+           |    FROM e JOIN l${j - 1} p ON e.parent = p.table_name GROUP BY e.child) m
+           |  USING (table_name))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${rs.mkString(",\n")},
+         |u AS ($union),
+         |e AS (SELECT child, parent FROM u WHERE ni = nc),
+         |n0 AS (SELECT DISTINCT t AS table_name FROM
+         |  (SELECT child AS t FROM e UNION ALL SELECT parent FROM e) z),
+         |l0 AS (SELECT table_name, CAST(0 AS BIGINT) AS level FROM n0),
+         |$levels,
+         |pa AS (SELECT child AS table_name, CAST(COUNT(*) AS BIGINT) AS n_parents,
+         |  string_agg(parent, ',' ORDER BY parent) AS parents FROM e GROUP BY child)
+         |SELECT l.table_name, CAST(level AS BIGINT) AS level,
+         |  CAST(COALESCE(n_parents, 0) AS BIGINT) AS n_parents,
+         |  COALESCE(parents, '') AS parents
+         |FROM l$depth l LEFT JOIN pa USING (table_name)
+         |ORDER BY level, table_name""".stripMargin
     },
     "dlp_surrogate_annotate" ->
       (s"""WITH c AS (SELECT c_custkey, $ContactSql AS contact FROM customer),
@@ -5623,6 +5699,44 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY val""".stripMargin,
     // text_bpe_train_iter: the K rounds unrolled (see BpeIterSql)
     "text_bpe_train_iter" -> BpeIterSql,
+    // embed_kmeanspp_seed: k-1 unrolled farthest-point rounds
+    "embed_kmeanspp_seed" -> KppSeedSql,
+    // load_deletion_vectors: the mask recomputed from the delete rule
+    "load_deletion_vectors" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderkey // 2048 AS BIGINT) AS file_id,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS del FROM orders)
+        |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - SUM(del) AS BIGINT) AS n_live,
+        |  CAST(SUM(del) AS BIGINT) AS n_deleted,
+        |  CAST(SUM(del) * 10000 // COUNT(*) AS BIGINT) AS dead_bp,
+        |  CAST(CASE WHEN SUM(del) * 10000 // COUNT(*) >= 2000 THEN 1 ELSE 0 END AS BIGINT) AS rewrite
+        |FROM b GROUP BY file_id ORDER BY file_id""".stripMargin,
+    // q_cusum_alarm: the reflection identity (running sum minus its
+    // running min) replayed with the same year-partitioned windows
+    "q_cusum_alarm" ->
+      """WITH daily AS (SELECT o_orderdate AS d,
+        |  CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY yr ORDER BY cnt, d) AS rn,
+        |  COUNT(*) OVER (PARTITION BY yr) AS n_days FROM daily),
+        |m AS (SELECT *, MAX(CASE WHEN rn = (n_days + 1) // 2 THEN cnt END)
+        |  OVER (PARTITION BY yr) AS ref FROM r),
+        |s AS (SELECT *, GREATEST(ref // 20, 1) AS slack, GREATEST(ref // 4, 1) AS h FROM m),
+        |c AS (SELECT *,
+        |  SUM(cnt - ref - slack) OVER (PARTITION BY yr ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+        |  SUM(ref - cnt - slack) OVER (PARTITION BY yr ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn FROM s),
+        |p AS (SELECT *,
+        |  sp - LEAST(MIN(sp) OVER (PARTITION BY yr ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS pos,
+        |  sn - LEAST(MIN(sn) OVER (PARTITION BY yr ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS neg FROM c)
+        |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MIN(ref) AS BIGINT) AS ref_daily,
+        |  CAST(MIN(slack) AS BIGINT) AS slack,
+        |  CAST(MIN(h) AS BIGINT) AS threshold,
+        |  CAST(SUM(CASE WHEN pos > h THEN 1 ELSE 0 END) AS BIGINT) AS alarms_pos,
+        |  CAST(SUM(CASE WHEN neg > h THEN 1 ELSE 0 END) AS BIGINT) AS alarms_neg,
+        |  CAST(MAX(pos) AS BIGINT) AS max_pos,
+        |  CAST(MAX(neg) AS BIGINT) AS max_neg
+        |FROM p GROUP BY yr ORDER BY yr""".stripMargin,
     // text_bpe_apply: the SAME two-sweep replace fold over the ranked
     // merge list, via list_reduce with the spaced word prepended as
     // the fold seed; token count = spaces - 1

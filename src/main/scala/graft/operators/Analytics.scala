@@ -782,6 +782,54 @@ object Analytics {
       .orderBy("part_month", "col_name")
   }
 
+  /** CUSUM control chart over the daily order-count series — the
+    * drift detector a pipeline health monitor runs on ingest volume
+    * (Page's cumulative-sum test; [[qChangepoint]] finds the single
+    * biggest level shift, CUSUM raises ALARMS online as soon as
+    * cumulative drift exceeds a threshold). The textbook recurrence
+    * `pos_t = max(0, pos_{t-1} + x_t − ref − slack)` is RECURSIVE and
+    * window-inexpressible — but the reflection identity
+    * `pos_t = S_t − min(0, min_{i≤t} S_i)` (S = running sum of
+    * deviations) turns it into two stock windows: a running sum and a
+    * running min, both partitioned by YEAR and ordered by day. So the
+    * whole detector is calendar-bounded windowed arithmetic — no
+    * fold, no collect, no global window — and every quantity is an
+    * integer (per-year lower-median reference, slack = ref/20,
+    * threshold = ref/4), so the oracle replay is exact. Output: one
+    * row per year with the reference, both one-sided alarm counts,
+    * and the max CUSUM excursions. */
+  def qCusumAlarm(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("yr", year(col("d")).cast("long"))
+    val wRank = Window.partitionBy(col("yr")).orderBy(col("cnt"), col("d"))
+    val wYear = Window.partitionBy(col("yr"))
+    val wCum = Window.partitionBy(col("yr")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_days", count(lit(1)).over(wYear))
+      .withColumn("ref",
+        max(when(col("rn") === expr("(n_days + 1) DIV 2"), col("cnt"))).over(wYear))
+      .withColumn("slack", expr("GREATEST(ref DIV 20, 1)"))
+      .withColumn("h", expr("GREATEST(ref DIV 4, 1)"))
+      .withColumn("sp", sum(col("cnt") - col("ref") - col("slack")).over(wCum))
+      .withColumn("sn", sum(col("ref") - col("cnt") - col("slack")).over(wCum))
+      .withColumn("pos", col("sp") - least(min(col("sp")).over(wCum), lit(0L)))
+      .withColumn("neg", col("sn") - least(min(col("sn")).over(wCum), lit(0L)))
+    scored.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("ref")).as("ref_daily"),
+        min(col("slack")).as("slack"),
+        min(col("h")).as("threshold"),
+        sum(when(col("pos") > col("h"), 1L).otherwise(0L)).as("alarms_pos"),
+        sum(when(col("neg") > col("h"), 1L).otherwise(0L)).as("alarms_neg"),
+        max(col("pos")).as("max_pos"),
+        max(col("neg")).as("max_neg"))
+      .orderBy("yr")
+  }
+
   /** One table's contribution to the catalog-wide ANALYZE sweep: the
     * [[layoutColumnStats]] stack-unpivot + two-level distinct, with
     * the table name, partition key, and tracked columns parameterized

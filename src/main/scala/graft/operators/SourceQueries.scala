@@ -1148,6 +1148,76 @@ object SourceQueries {
       .orderBy("col_name")
   }
 
+  /** Deletion-vector read path (the Delta/Iceberg merge-on-read
+    * DELETE): deletes live as a SEPARATE key table (the DV) and are
+    * applied at read time with an anti-join — no base-file rewrite at
+    * delete time, which is what makes DELETE cheap on a 100 TB table.
+    * The ledger this op emits is the maintenance half: per base
+    * "file" (an o_orderkey range bucket, the file-sized unit a real
+    * DV is scoped to), rows / masked / live, the dead fraction in bp,
+    * and the rewrite trigger (≥ 20% dead → compact the file and drop
+    * its DV, the OPTIMIZE decision). The anti-join is key-to-key on
+    * the same bucketable column, so base and DV co-partition; the DV
+    * side is deletes-sized, never table-sized. The oracle recomputes
+    * the mask from the delete rule directly — a read path that leaks
+    * a deleted row (or over-masks a live one) fails the hash. */
+  def deletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey", "o_orderkey DIV 2048 AS file_id")
+    // the DV: an explicit key table (what a MERGE/DELETE wrote)
+    val dv = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey"))
+    val live = base.join(dv, Seq("o_orderkey"), "left_anti")
+      .groupBy(col("file_id")).agg(count(lit(1)).as("n_live"))
+    base.groupBy(col("file_id")).agg(count(lit(1)).as("n_rows"))
+      .join(live, Seq("file_id"), "left")
+      .selectExpr("file_id", "n_rows", "COALESCE(n_live, 0) AS n_live",
+        "n_rows - COALESCE(n_live, 0) AS n_deleted",
+        "(n_rows - COALESCE(n_live, 0)) * 10000 DIV n_rows AS dead_bp",
+        """CAST(CASE WHEN (n_rows - COALESCE(n_live, 0)) * 10000 DIV n_rows >= 2000
+          | THEN 1 ELSE 0 END AS BIGINT) AS rewrite""".stripMargin.replace("\n", " "))
+      .orderBy("file_id")
+  }
+
+  /** FK-derived topological LOAD ORDER — the migration-planning step
+    * after [[fkDiscovery]]: the reference imports tables one JDBC
+    * extract at a time with no dependency awareness
+    * (DBImportPipeline.java runs per-table); a warehouse load with
+    * enforced constraints must load parents before children. Edges
+    * come from the DISCOVERED key containments (is_fk = 1 — the
+    * data-driven graph, so a candidate that fails containment, like
+    * orders.o_orderkey→customer.c_custkey, never creates a false
+    * dependency). The containment aggregates are the data-sized work
+    * and run distributed ONCE; the surviving edge list is CATALOG
+    * metadata (≤ candidate-count rows), so the level assignment —
+    * level(t) = 1 + max(level(parents)), relaxed candidate-count
+    * times — runs on the collected edges driver-side, exactly where
+    * a migration planner holds its dependency graph. Output: each
+    * table's load level (tables within a level load in parallel),
+    * parent count, and the sorted parent list. */
+  def loadOrderPlan(spark: SparkSession, dir: String): DataFrame = {
+    val edges = fkDiscovery(spark, dir).filter(col("is_fk") === 1)
+      .selectExpr(
+        "split(split(candidate, '->')[0], '\\\\.')[0] AS child",
+        "split(split(candidate, '->')[1], '\\\\.')[0] AS parent")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var level = nodes.map(_ -> 0L).toMap
+    // depth bound = candidate count: relax every edge that many times
+    (1 to FkCandidates.size).foreach { _ =>
+      edges.foreach { case (c, p) =>
+        level += c -> math.max(level(c), level(p) + 1L)
+      }
+    }
+    val parentsOf = edges.groupBy(_._1)
+    val rows = nodes.map { t =>
+      val ps = parentsOf.getOrElse(t, Array.empty).map(_._2).sorted
+      (t, level(t), ps.length.toLong, ps.mkString(","))
+    }.sortBy { case (t, l, _, _) => (l, t) }
+    import spark.implicits._
+    rows.toSeq.toDF("table_name", "level", "n_parents", "parents")
+  }
+
   /** Finish a side-stateful gate op: localize its BOUNDED final
     * rollup (metadata-sized — versions, rollup rows, never data), then
     * delete the op's temp sink directory so repeated invocations

@@ -1605,6 +1605,45 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Deterministic farthest-point codebook seeding (the k-means++
+    * idea with the argmax in place of the D² sample — Gonzalez's
+    * k-center greedy, the reproducible variant a data pipeline wants:
+    * same corpus, same seeds, no RNG state to version): seed 1 is
+    * vec 0; each next seed is the corpus vector FARTHEST from its
+    * nearest already-chosen seed. Per round: one corpus × chosen-set
+    * broadcast cross (chosen ≤ k rows), a min-aggregate, and a
+    * single-row argmax driver read — the merge-table pattern of
+    * [[graft.text.TextOps.bpeTrainIter]]; corpus work is one scan per
+    * round, k rounds total, and the chosen set IS driver-sized state
+    * in any trainer. Distances in exact integer micro-units
+    * (SqL2Sub.sqL2Long), so the oracle unroll replays bit-for-bit.
+    * Why it earns its place next to [[kmeansCodebook]]: the first-k
+    * seed's cells inherit the corpus's local density (vectors 0..7
+    * may be near-duplicates); farthest-point seeds start maximally
+    * spread, which is what makes the LLoyd rounds converge to
+    * balanced cells — the spec proves the spread win vs the naive
+    * seed quantitatively. */
+  def kmeansppSeed(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val q = embDf(spark, dir).selectExpr("vec_id",
+      "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
+    var chosen = Vector((1L, 0L, 0L)) // (rank, vec_id, dist to nearest prior)
+    (2 to k).foreach { r =>
+      val ids = chosen.map(_._2)
+      val chosenDf = q.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("cid"), col("xq").as("cq"))
+      val best = q.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(chosenDf))
+        .select(col("vec_id"),
+          graft.functions.SqL2Sub.sqL2Long(col("xq"), col("cq")).as("dist"))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .head()
+      chosen = chosen :+ ((r.toLong, best.getLong(0), best.getLong(1)))
+    }
+    import spark.implicits._
+    chosen.toDF("rank", "vec_id", "dist_to_nearest_prior").orderBy("rank")
+  }
+
   /** Incremental IVF index maintenance (VERDICT r13 item 6 — the ANN
     * analog of [[graft.dedup.Dedup]]'s `dedup_incremental`): a NEW
     * embedding batch (the 10% with vec_id ≡ 9 mod 10, standing in for

@@ -220,6 +220,81 @@ class Widening14Spec extends AnyFunSuite {
       "no composing merge in 10 rounds — single-level behavior")
   }
 
+  test("load_deletion_vectors: mask totals re-derive from the delete rule") {
+    val rows = SourceQueries.deletionVectors(spark, sf).collect()
+    val o = Tables.orders(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == o.count())
+    assert(rows.map(_.getLong(3)).sum ==
+      o.filter(col("o_orderkey") % 13 === 0).count())
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), "live + deleted = rows")
+      assert(r.getLong(5) == (if (r.getLong(4) >= 2000) 1L else 0L))
+    }
+  }
+
+  test("ingest_load_order: the discovered-FK topology orders parents before children") {
+    val rows = SourceQueries.loadOrderPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows == Map(
+      "nation" -> ((0L, 0L, "")),
+      "customer" -> ((1L, 1L, "nation")),
+      "supplier" -> ((1L, 1L, "nation")),
+      "orders" -> ((2L, 1L, "customer")),
+      "lineitem" -> ((3L, 1L, "orders"))),
+      s"unexpected load order: $rows")
+  }
+
+  test("q_cusum_alarm reflection identity equals the recursive CUSUM fold") {
+    import graft.operators.Analytics
+    val got = Analytics.qCusumAlarm(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // driver-side TRUE recursion: pos' = max(0, pos + x - ref - slack)
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("cnt"))
+      .selectExpr("CAST(year(d) AS BIGINT) AS yr", "CAST(d AS STRING) AS ds", "cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (yr, days) =>
+      val sorted = days.sortBy(_._2).map(_._3)
+      val ref = sorted.sorted.apply((sorted.length + 1) / 2 - 1)
+      val slack = math.max(ref / 20, 1L)
+      val h = math.max(ref / 4, 1L)
+      var pos = 0L; var neg = 0L
+      var aPos = 0L; var aNeg = 0L; var mPos = 0L; var mNeg = 0L
+      sorted.foreach { x =>
+        pos = math.max(0L, pos + x - ref - slack)
+        neg = math.max(0L, neg + ref - x - slack)
+        if (pos > h) aPos += 1
+        if (neg > h) aNeg += 1
+        mPos = math.max(mPos, pos); mNeg = math.max(mNeg, neg)
+      }
+      val r = got(yr)
+      assert(r.getLong(2) == ref && r.getLong(5) == aPos && r.getLong(6) == aNeg &&
+        r.getLong(7) == mPos && r.getLong(8) == mNeg,
+        s"year $yr: window identity diverges from the recursive fold")
+    }
+  }
+
+  test("embed_kmeanspp_seed: separations non-increasing and spread beats the naive seed") {
+    import graft.sim.Ann
+    val rows = Ann.kmeansppSeed(spark, sf).collect()
+    assert(rows.length == 8 && rows.head.getLong(1) == 0L)
+    val seps = rows.drop(1).map(_.getLong(2))
+    assert(seps.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "farthest-point separations must be non-increasing")
+    // spread = min pairwise squared distance among the seed set
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def spread(ids: Seq[Long]): Long =
+      ids.combinations(2).map { case Seq(a, b) =>
+        emb(a).zip(emb(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.min
+    val kpp = spread(rows.map(_.getLong(1)).toSeq)
+    val naive = spread(0L to 7L)
+    assert(kpp > naive,
+      s"farthest-point spread $kpp must beat the first-8 seed spread $naive")
+  }
+
   test("load_manifest_compaction ledger matches the protocol constants") {
     val rows = SourceQueries.manifestCompaction(spark, sf).collect()
     val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
