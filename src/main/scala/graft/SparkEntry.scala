@@ -508,6 +508,8 @@ object SparkEntry {
     "ingest_load_order" -> SourceQueries.loadOrderPlan _,
     "q_cusum_alarm" -> Analytics.qCusumAlarm _,
     "embed_kmeanspp_seed" -> ((s: SparkSession, d: String) => Ann.kmeansppSeed(s, d)),
+    // round 14 batch 5: the sketch half of the catalog-wide ANALYZE
+    "layout_stats_sweep_approx" -> Analytics.layoutStatsSweepApprox _,
   )
 
   /** Iterated-BPE oracle: the K training rounds UNROLLED — each round
@@ -580,6 +582,37 @@ object SparkEntry {
     sb.append(") t ORDER BY rank")
     sb.toString
   }
+
+  /** Catalog-wide ANALYZE oracle body: the four table CTEs plus the
+    * 14-block per-column stats union as `sw` — shared by the exact
+    * sweep and its sketch-contract variant. */
+  private val StatsSweepCte: String =
+    """WITH o AS (SELECT CAST(CAST(date_part('year', o_orderdate) * 100 + date_part('month', o_orderdate) AS BIGINT) AS VARCHAR) AS part_key,
+        |    o_orderstatus, o_orderpriority, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c FROM orders),
+        |  l AS (SELECT CAST(CAST(date_part('year', l_shipdate) * 100 + date_part('month', l_shipdate) AS BIGINT) AS VARCHAR) AS part_key,
+        |    l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS eprice_c FROM lineitem),
+        |  c AS (SELECT 'ALL' AS part_key, c_mktsegment, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c FROM customer),
+        |  d AS (SELECT COALESCE(source, '?') AS part_key, lang, doc_id, n_chars FROM documents),
+        |  sw AS (
+        |  SELECT 'orders' AS table_name, part_key, 'o_orderstatus' AS col_name, MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s, COUNT(DISTINCT o_orderstatus) AS ndv, COUNT(*) - COUNT(o_orderstatus) AS n_null, COUNT(*) AS n_rows FROM o GROUP BY part_key
+        |  UNION ALL SELECT 'orders', part_key, 'o_orderpriority', MIN(o_orderpriority), MAX(o_orderpriority), COUNT(DISTINCT o_orderpriority), COUNT(*) - COUNT(o_orderpriority), COUNT(*) FROM o GROUP BY part_key
+        |  UNION ALL SELECT 'orders', part_key, 'o_custkey', CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR), COUNT(DISTINCT o_custkey), COUNT(*) - COUNT(o_custkey), COUNT(*) FROM o GROUP BY part_key
+        |  UNION ALL SELECT 'orders', part_key, 'o_totalprice_c', CAST(MIN(price_c) AS VARCHAR), CAST(MAX(price_c) AS VARCHAR), COUNT(DISTINCT price_c), COUNT(*) - COUNT(price_c), COUNT(*) FROM o GROUP BY part_key
+        |  UNION ALL SELECT 'lineitem', part_key, 'l_returnflag', MIN(l_returnflag), MAX(l_returnflag), COUNT(DISTINCT l_returnflag), COUNT(*) - COUNT(l_returnflag), COUNT(*) FROM l GROUP BY part_key
+        |  UNION ALL SELECT 'lineitem', part_key, 'l_linestatus', MIN(l_linestatus), MAX(l_linestatus), COUNT(DISTINCT l_linestatus), COUNT(*) - COUNT(l_linestatus), COUNT(*) FROM l GROUP BY part_key
+        |  UNION ALL SELECT 'lineitem', part_key, 'l_quantity', CAST(MIN(qty) AS VARCHAR), CAST(MAX(qty) AS VARCHAR), COUNT(DISTINCT qty), COUNT(*) - COUNT(qty), COUNT(*) FROM l GROUP BY part_key
+        |  UNION ALL SELECT 'lineitem', part_key, 'l_extendedprice_c', CAST(MIN(eprice_c) AS VARCHAR), CAST(MAX(eprice_c) AS VARCHAR), COUNT(DISTINCT eprice_c), COUNT(*) - COUNT(eprice_c), COUNT(*) FROM l GROUP BY part_key
+        |  UNION ALL SELECT 'customer', part_key, 'c_mktsegment', MIN(c_mktsegment), MAX(c_mktsegment), COUNT(DISTINCT c_mktsegment), COUNT(*) - COUNT(c_mktsegment), COUNT(*) FROM c GROUP BY part_key
+        |  UNION ALL SELECT 'customer', part_key, 'c_nationkey', CAST(MIN(nationkey) AS VARCHAR), CAST(MAX(nationkey) AS VARCHAR), COUNT(DISTINCT nationkey), COUNT(*) - COUNT(nationkey), COUNT(*) FROM c GROUP BY part_key
+        |  UNION ALL SELECT 'customer', part_key, 'c_acctbal_c', CAST(MIN(acctbal_c) AS VARCHAR), CAST(MAX(acctbal_c) AS VARCHAR), COUNT(DISTINCT acctbal_c), COUNT(*) - COUNT(acctbal_c), COUNT(*) FROM c GROUP BY part_key
+        |  UNION ALL SELECT 'documents', part_key, 'lang', MIN(lang), MAX(lang), COUNT(DISTINCT lang), COUNT(*) - COUNT(lang), COUNT(*) FROM d GROUP BY part_key
+        |  UNION ALL SELECT 'documents', part_key, 'doc_id', CAST(MIN(doc_id) AS VARCHAR), CAST(MAX(doc_id) AS VARCHAR), COUNT(DISTINCT doc_id), COUNT(*) - COUNT(doc_id), COUNT(*) FROM d GROUP BY part_key
+        |  UNION ALL SELECT 'documents', part_key, 'n_chars', CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR), COUNT(DISTINCT n_chars), COUNT(*) - COUNT(n_chars), COUNT(*) FROM d GROUP BY part_key
+        |) 
+        |""".stripMargin
 
   // ---- Oracle SQL shared fragments (blocks E/F/G) ----
 
@@ -5647,33 +5680,18 @@ object SparkEntry {
     // partition, column): stringified min/max, exact ndv, null count,
     // row count; numeric mins/maxes computed numerically then cast
     "layout_stats_sweep" ->
-      """WITH o AS (SELECT CAST(CAST(date_part('year', o_orderdate) * 100 + date_part('month', o_orderdate) AS BIGINT) AS VARCHAR) AS part_key,
-        |    o_orderstatus, o_orderpriority, o_custkey,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c FROM orders),
-        |  l AS (SELECT CAST(CAST(date_part('year', l_shipdate) * 100 + date_part('month', l_shipdate) AS BIGINT) AS VARCHAR) AS part_key,
-        |    l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS eprice_c FROM lineitem),
-        |  c AS (SELECT 'ALL' AS part_key, c_mktsegment, CAST(c_nationkey AS BIGINT) AS nationkey,
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c FROM customer),
-        |  d AS (SELECT COALESCE(source, '?') AS part_key, lang, doc_id, n_chars FROM documents)
-        |SELECT table_name, part_key, col_name, min_s, max_s,
+      (StatsSweepCte +
+      """SELECT table_name, part_key, col_name, min_s, max_s,
         |  CAST(ndv AS BIGINT) AS ndv, CAST(n_null AS BIGINT) AS n_null, CAST(n_rows AS BIGINT) AS n_rows
-        |FROM (
-        |  SELECT 'orders' AS table_name, part_key, 'o_orderstatus' AS col_name, MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s, COUNT(DISTINCT o_orderstatus) AS ndv, COUNT(*) - COUNT(o_orderstatus) AS n_null, COUNT(*) AS n_rows FROM o GROUP BY part_key
-        |  UNION ALL SELECT 'orders', part_key, 'o_orderpriority', MIN(o_orderpriority), MAX(o_orderpriority), COUNT(DISTINCT o_orderpriority), COUNT(*) - COUNT(o_orderpriority), COUNT(*) FROM o GROUP BY part_key
-        |  UNION ALL SELECT 'orders', part_key, 'o_custkey', CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR), COUNT(DISTINCT o_custkey), COUNT(*) - COUNT(o_custkey), COUNT(*) FROM o GROUP BY part_key
-        |  UNION ALL SELECT 'orders', part_key, 'o_totalprice_c', CAST(MIN(price_c) AS VARCHAR), CAST(MAX(price_c) AS VARCHAR), COUNT(DISTINCT price_c), COUNT(*) - COUNT(price_c), COUNT(*) FROM o GROUP BY part_key
-        |  UNION ALL SELECT 'lineitem', part_key, 'l_returnflag', MIN(l_returnflag), MAX(l_returnflag), COUNT(DISTINCT l_returnflag), COUNT(*) - COUNT(l_returnflag), COUNT(*) FROM l GROUP BY part_key
-        |  UNION ALL SELECT 'lineitem', part_key, 'l_linestatus', MIN(l_linestatus), MAX(l_linestatus), COUNT(DISTINCT l_linestatus), COUNT(*) - COUNT(l_linestatus), COUNT(*) FROM l GROUP BY part_key
-        |  UNION ALL SELECT 'lineitem', part_key, 'l_quantity', CAST(MIN(qty) AS VARCHAR), CAST(MAX(qty) AS VARCHAR), COUNT(DISTINCT qty), COUNT(*) - COUNT(qty), COUNT(*) FROM l GROUP BY part_key
-        |  UNION ALL SELECT 'lineitem', part_key, 'l_extendedprice_c', CAST(MIN(eprice_c) AS VARCHAR), CAST(MAX(eprice_c) AS VARCHAR), COUNT(DISTINCT eprice_c), COUNT(*) - COUNT(eprice_c), COUNT(*) FROM l GROUP BY part_key
-        |  UNION ALL SELECT 'customer', part_key, 'c_mktsegment', MIN(c_mktsegment), MAX(c_mktsegment), COUNT(DISTINCT c_mktsegment), COUNT(*) - COUNT(c_mktsegment), COUNT(*) FROM c GROUP BY part_key
-        |  UNION ALL SELECT 'customer', part_key, 'c_nationkey', CAST(MIN(nationkey) AS VARCHAR), CAST(MAX(nationkey) AS VARCHAR), COUNT(DISTINCT nationkey), COUNT(*) - COUNT(nationkey), COUNT(*) FROM c GROUP BY part_key
-        |  UNION ALL SELECT 'customer', part_key, 'c_acctbal_c', CAST(MIN(acctbal_c) AS VARCHAR), CAST(MAX(acctbal_c) AS VARCHAR), COUNT(DISTINCT acctbal_c), COUNT(*) - COUNT(acctbal_c), COUNT(*) FROM c GROUP BY part_key
-        |  UNION ALL SELECT 'documents', part_key, 'lang', MIN(lang), MAX(lang), COUNT(DISTINCT lang), COUNT(*) - COUNT(lang), COUNT(*) FROM d GROUP BY part_key
-        |  UNION ALL SELECT 'documents', part_key, 'doc_id', CAST(MIN(doc_id) AS VARCHAR), CAST(MAX(doc_id) AS VARCHAR), COUNT(DISTINCT doc_id), COUNT(*) - COUNT(doc_id), COUNT(*) FROM d GROUP BY part_key
-        |  UNION ALL SELECT 'documents', part_key, 'n_chars', CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR), COUNT(DISTINCT n_chars), COUNT(*) - COUNT(n_chars), COUNT(*) FROM d GROUP BY part_key
-        |) t ORDER BY table_name, part_key, col_name""".stripMargin,
+        |FROM sw ORDER BY table_name, part_key, col_name""".stripMargin),
+    // layout_stats_sweep_approx: HLL estimate engine-specific; the
+    // portable contract is the within-6%-or-±2 bit over the exact ndv
+    "layout_stats_sweep_approx" ->
+      (StatsSweepCte +
+      """SELECT table_name, part_key, col_name,
+        |  CAST(ndv AS BIGINT) AS ndv, CAST(1 AS BIGINT) AS within_band
+        |FROM sw ORDER BY table_name, part_key, col_name""".stripMargin),
+
     // load_manifest_compaction: the lifecycle counts are protocol
     // constants (12 commits, checkpoint interval 10, retain 3 → fold
     // reads 3 manifests, vacuum drops v1-v9 + 1 stray); readability is

@@ -623,19 +623,24 @@ object SourceQueries {
     * scale the same query runs on HLL/bloom sketches; exact set math
     * here keeps the oracle bit-exact. */
   def fkDiscovery(spark: SparkSession, dir: String): DataFrame = {
-    def distinctKeys(t: String, c: String): DataFrame =
-      Tables.load(spark, dir, t).select(col(c).cast("long").as("v"))
-        .filter(col("v").isNotNull).distinct()
-    FkCandidates.map { case (name, (ct, cc), (pt, pc)) =>
-      distinctKeys(ct, cc)
-        .join(distinctKeys(pt, pc).withColumn("hit", lit(1L)), Seq("v"), "left")
-        .agg(count(lit(1)).as("n_child_distinct"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
-        .selectExpr(s"'$name' AS candidate",
-          "n_child_distinct", "CAST(n_contained AS BIGINT) AS n_contained",
-          "n_contained * 10000 DIV n_child_distinct AS containment_bp",
-          "CAST(CASE WHEN n_contained = n_child_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_fk")
-    }.reduce(_ unionAll _).orderBy("candidate")
+    // session-cached: the containment pass is the data-sized work and
+    // BOTH consumers (the discovery report and ingest_load_order's
+    // dependency graph) need the identical candidate-count result
+    graft.Caches.shared(spark, s"ingest.fk:$dir") {
+      def distinctKeys(t: String, c: String): DataFrame =
+        Tables.load(spark, dir, t).select(col(c).cast("long").as("v"))
+          .filter(col("v").isNotNull).distinct()
+      FkCandidates.map { case (name, (ct, cc), (pt, pc)) =>
+        distinctKeys(ct, cc)
+          .join(distinctKeys(pt, pc).withColumn("hit", lit(1L)), Seq("v"), "left")
+          .agg(count(lit(1)).as("n_child_distinct"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
+          .selectExpr(s"'$name' AS candidate",
+            "n_child_distinct", "CAST(n_contained AS BIGINT) AS n_contained",
+            "n_contained * 10000 DIV n_child_distinct AS containment_bp",
+            "CAST(CASE WHEN n_contained = n_child_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_fk")
+      }.reduce(_ unionAll _).orderBy("candidate")
+    }
   }
 
   /** Schema-evolution merge (the mergeSchema read path a long-lived

@@ -147,6 +147,20 @@ class Widening14Spec extends AnyFunSuite {
     assert(seg.getLong(6) == 0L)
   }
 
+  test("layout_stats_sweep_approx: all contract bits 1, cell parity with exact, no Expand") {
+    import graft.operators.Analytics
+    val df = Analytics.layoutStatsSweepApprox(spark, sf)
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.isEmpty, "sketch sweep must stay Expand-free")
+    val rows = df.collect()
+    assert(rows.length == Analytics.layoutStatsSweep(spark, sf).count(),
+      "sketch sweep must cover exactly the exact sweep's cells")
+    assert(rows.forall(_.getLong(4) == 1L),
+      "every HLL estimate must sit inside the 3-sigma contract band")
+  }
+
   test("ann_incremental_assign: batch routes via the broadcast codebook, never a corpus rejoin") {
     import graft.sim.Ann
     val df = Ann.incrementalAssign(spark, sf)
