@@ -508,8 +508,10 @@ object SparkEntry {
     "ingest_load_order" -> SourceQueries.loadOrderPlan _,
     "q_cusum_alarm" -> Analytics.qCusumAlarm _,
     "embed_kmeanspp_seed" -> ((s: SparkSession, d: String) => Ann.kmeansppSeed(s, d)),
-    // round 14 batch 5: the sketch half of the catalog-wide ANALYZE
+    // round 14 batch 5: the sketch half of the catalog-wide ANALYZE,
+    // the DLP transformation-summary audit record
     "layout_stats_sweep_approx" -> Analytics.layoutStatsSweepApprox _,
+    "dlp_transformation_summary" -> DlpQueries.dlpTransformationSummary _,
   )
 
   /** Iterated-BPE oracle: the K training rounds UNROLLED — each round
@@ -993,6 +995,35 @@ object SparkEntry {
         |  CAST(CAST(floor(c_acctbal/500)*500 + 500 AS BIGINT) AS VARCHAR) AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // dlp_transformation_summary: each transform's before/after pair
+    // recomputed from the same template semantics; canonical string
+    // forms (DECIMAL(12,2) / timestamp) make byte counts engine-exact
+    "dlp_transformation_summary" ->
+      """WITH t1 AS (SELECT c_name AS b,
+        |    'TOK_' || substr(sha256('det-key:' || c_name), 1, 32) AS a FROM customer),
+        |t2 AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS b,
+        |    CAST(CAST(floor(c_acctbal/500)*500 AS BIGINT) AS VARCHAR) || '_' ||
+        |    CAST(CAST(floor(c_acctbal/500)*500 + 500 AS BIGINT) AS VARCHAR) AS a FROM customer),
+        |t3 AS (SELECT CAST(o_orderdate AS VARCHAR) AS b,
+        |    CAST(o_orderdate + INTERVAL (o_custkey % 61 - 30) DAY AS VARCHAR) AS a FROM orders)
+        |SELECT table_name, column_name, kind,
+        |  CAST(n_cells AS BIGINT) AS n_cells, CAST(n_changed AS BIGINT) AS n_changed,
+        |  CAST(bytes_before AS BIGINT) AS bytes_before, CAST(bytes_after AS BIGINT) AS bytes_after
+        |FROM (
+        |  SELECT 'customer' AS table_name, 'c_acctbal' AS column_name, 'Bucketize' AS kind,
+        |    COUNT(b) AS n_cells,
+        |    SUM(CASE WHEN b IS NOT NULL AND (a IS NULL OR a <> b) THEN 1 ELSE 0 END) AS n_changed,
+        |    SUM(CASE WHEN b IS NOT NULL THEN strlen(b) ELSE 0 END) AS bytes_before,
+        |    SUM(CASE WHEN b IS NOT NULL THEN COALESCE(strlen(a), 0) ELSE 0 END) AS bytes_after FROM t2
+        |  UNION ALL SELECT 'customer', 'c_name', 'DeterministicToken',
+        |    COUNT(b), SUM(CASE WHEN b IS NOT NULL AND (a IS NULL OR a <> b) THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN b IS NOT NULL THEN strlen(b) ELSE 0 END),
+        |    SUM(CASE WHEN b IS NOT NULL THEN COALESCE(strlen(a), 0) ELSE 0 END) FROM t1
+        |  UNION ALL SELECT 'orders', 'o_orderdate', 'DateShift',
+        |    COUNT(b), SUM(CASE WHEN b IS NOT NULL AND (a IS NULL OR a <> b) THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN b IS NOT NULL THEN strlen(b) ELSE 0 END),
+        |    SUM(CASE WHEN b IS NOT NULL THEN COALESCE(strlen(a), 0) ELSE 0 END) FROM t3
+        |) t ORDER BY table_name, column_name""".stripMargin,
     "dlp_k_anonymity" ->
       """WITH q AS (SELECT c_mktsegment, c_nationkey,
         |  CAST(CAST(floor(c_acctbal/2000)*2000 AS BIGINT) AS VARCHAR) || '_' ||

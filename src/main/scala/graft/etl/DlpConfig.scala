@@ -55,7 +55,7 @@ object DlpConfig {
     }
   }
 
-  private def toColumn(t: Transform, df: DataFrame): Column = t match {
+  private[graft] def toColumn(t: Transform, df: DataFrame): Column = t match {
     case MaskChars(c, keep) => Dlp.maskChars(col(c), keep)
     case Redact(c) => Dlp.redact(col(c))
     case ReplaceInfoType(c) => Dlp.replaceWithInfoType(col(c))

@@ -286,6 +286,53 @@ object DlpQueries {
     DlpConfig.applyTable(Tables.customer(spark, dir), cfg).orderBy("c_custkey")
   }
 
+  /** TransformationSummary (the DLP API's
+    * DeidentifyContentResponse.overview.transformationSummaries — the
+    * audit record every deidentify call returns and the reference's
+    * pipeline silently drops): per configured (table, column,
+    * transform kind), cells examined, cells actually CHANGED by the
+    * transform, and bytes before/after (the `transformedBytes` the
+    * API bills on). Driven by the SAME parsed config as
+    * [[dlpConfigApply]], so the audit can never drift from the
+    * transforms it audits; one map-side aggregate per transform over
+    * its own column, config-count output rows. Numeric/timestamp
+    * inputs are measured in their canonical string forms
+    * (DECIMAL(12,2) for money, 'yyyy-MM-dd HH:mm:ss' for timestamps)
+    * so byte counts are engine-exact. Note date_shift's zero-shift
+    * context keys (o_custkey % 61 = 30) legitimately leave cells
+    * UNCHANGED — n_changed < n_cells is the honest audit, not a
+    * bug. */
+  def dlpTransformationSummary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.DlpConfig
+    val cfgs = DlpConfig.parse(DlpConfig.ExampleConfig)
+    cfgs.flatMap { tc =>
+      val base = Tables.load(spark, dir, tc.tableName)
+      tc.transforms.map { t =>
+        val before: Column = base.schema(t.column).dataType match {
+          case org.apache.spark.sql.types.DoubleType =>
+            base.col(t.column).cast("decimal(12,2)").cast("string")
+          case _ => base.col(t.column).cast("string")
+        }
+        val after = DlpConfig.toColumn(t, base).cast("string")
+        base.select(before.as("b"), after.as("a"))
+          .agg(
+            count(col("b")).as("n_cells"),
+            sum(when(col("b").isNotNull &&
+                (col("a").isNull || col("a") =!= col("b")), 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(when(col("b").isNotNull, length(col("b"))).otherwise(0))
+              .cast("long").as("bytes_before"),
+            sum(when(col("b").isNotNull, coalesce(length(col("a")), lit(0)))
+              .otherwise(0)).cast("long").as("bytes_after"))
+          .selectExpr(s"'${tc.tableName}' AS table_name",
+            s"'${t.column}' AS column_name",
+            s"'${t.getClass.getSimpleName}' AS kind",
+            "n_cells", "CAST(n_changed AS BIGINT) AS n_changed",
+            "bytes_before", "bytes_after")
+      }
+    }.reduce(_ unionAll _).orderBy("table_name", "column_name")
+  }
+
   /** K-anonymity risk analysis (DLP RiskAnalysisJobConfig →
     * KAnonymityConfig analog): equivalence classes over the
     * quasi-identifiers (segment, nation, acctbal bucket) and the

@@ -309,6 +309,28 @@ class Widening14Spec extends AnyFunSuite {
       s"farthest-point spread $kpp must beat the first-8 seed spread $naive")
   }
 
+  test("dlp_transformation_summary: the audit re-derives per transform") {
+    import graft.operators.DlpQueries
+    val rows = DlpQueries.dlpTransformationSummary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf).count()
+    // deterministic token: every non-null cell changes; output is
+    // always 'TOK_' + 32 hex = 36 bytes
+    val (nc, ch, _, ba) = rows(("customer", "c_name"))
+    assert(nc == nCust && ch == nCust && ba == nCust * 36)
+    // date shift: context keys with o_custkey % 61 == 30 shift by ZERO
+    // — the audit must count them as unchanged
+    val zeroShift = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 61 === 30).count()
+    val (no, cho, bb, bao) = rows(("orders", "o_orderdate"))
+    assert(no == nOrd && cho == nOrd - zeroShift,
+      s"date-shift changed $cho, want ${nOrd - zeroShift}")
+    assert(bb == bao, "a pure date shift never changes the byte length")
+    assert(rows.contains(("customer", "c_acctbal")) && rows.size == 3)
+  }
+
   test("load_manifest_compaction ledger matches the protocol constants") {
     val rows = SourceQueries.manifestCompaction(spark, sf).collect()
     val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
