@@ -549,7 +549,9 @@ object SparkEntry {
         s"(SELECT wgt FROM m$r) AS weight, " +
         s"(SELECT CAST(SUM(n * len(string_split(trim(toks), ' '))) AS BIGINT) FROM v$r) AS corpus_tokens_after"
     }.mkString("\nUNION ALL "))
-    sb.append(") t ORDER BY rank")
+    // a round whose argmax came up empty (pair exhaustion on a tiny
+    // corpus) yields NULL scalars — drop it, like the engine stops
+    sb.append(") t WHERE pair IS NOT NULL ORDER BY rank")
     sb.toString
   }
 

@@ -875,25 +875,41 @@ object Analytics {
       layoutStatsSweepBuild(spark, dir)
     }
 
-  private def layoutStatsSweepBuild(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(spark, dir).select(
+  // ONE definition of each swept table's (part_key + tracked columns)
+  // projection, consumed by BOTH the exact sweep and the sketch
+  // variant — a column/scale change in one place keeps the contract
+  // join's key space aligned instead of silently dropping cells
+  private def sweepOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
         .cast("string").as("part_key"),
       col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
       cents(col("o_totalprice"), 2).as("price_c"))
-    val li = Tables.lineitem(spark, dir).select(
+
+  private def sweepLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
       (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
         .cast("string").as("part_key"),
       col("l_returnflag"), col("l_linestatus"),
       col("l_quantity").cast("long").as("qty"),
       cents(col("l_extendedprice"), 2).as("eprice_c"))
-    val cust = Tables.customer(spark, dir).select(
+
+  private def sweepCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
       lit("ALL").as("part_key"), col("c_mktsegment"),
       col("c_nationkey").cast("long").as("nationkey"),
       cents(col("c_acctbal"), 2).as("acctbal_c"))
-    val docs = Tables.documents(spark, dir).select(
+
+  private def sweepDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
       coalesce(col("source"), lit("?")).as("part_key"),
       col("lang"), col("doc_id"), col("n_chars"))
+
+  private def layoutStatsSweepBuild(spark: SparkSession, dir: String): DataFrame = {
+    val orders = sweepOrders(spark, dir)
+    val li = sweepLineitem(spark, dir)
+    val cust = sweepCustomer(spark, dir)
+    val docs = sweepDocuments(spark, dir)
     tableColumnStats(orders, "orders", 4,
       """'o_orderstatus',   o_orderstatus,             CAST(NULL AS BIGINT),
         |'o_orderpriority', o_orderpriority,           CAST(NULL AS BIGINT),
@@ -939,24 +955,10 @@ object Analytics {
         .select(lit(table).as("table_name"), col("part_key"),
           col("col_name"), col("approx_ndv"))
     }
-    val orders = Tables.orders(spark, dir).select(
-      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-        .cast("string").as("part_key"),
-      col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
-      cents(col("o_totalprice"), 2).as("price_c"))
-    val li = Tables.lineitem(spark, dir).select(
-      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
-        .cast("string").as("part_key"),
-      col("l_returnflag"), col("l_linestatus"),
-      col("l_quantity").cast("long").as("qty"),
-      cents(col("l_extendedprice"), 2).as("eprice_c"))
-    val cust = Tables.customer(spark, dir).select(
-      lit("ALL").as("part_key"), col("c_mktsegment"),
-      col("c_nationkey").cast("long").as("nationkey"),
-      cents(col("c_acctbal"), 2).as("acctbal_c"))
-    val docs = Tables.documents(spark, dir).select(
-      coalesce(col("source"), lit("?")).as("part_key"),
-      col("lang"), col("doc_id"), col("n_chars"))
+    val orders = sweepOrders(spark, dir)
+    val li = sweepLineitem(spark, dir)
+    val cust = sweepCustomer(spark, dir)
+    val docs = sweepDocuments(spark, dir)
     val approx =
       branch(orders, "orders", Seq(
         "o_orderstatus" -> "o_orderstatus", "o_orderpriority" -> "o_orderpriority",

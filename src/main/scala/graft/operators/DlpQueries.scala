@@ -294,27 +294,33 @@ object DlpQueries {
     * transform, and bytes before/after (the `transformedBytes` the
     * API bills on). Driven by the SAME parsed config as
     * [[dlpConfigApply]], so the audit can never drift from the
-    * transforms it audits; one map-side aggregate per transform over
-    * its own column, config-count output rows. Numeric/timestamp
-    * inputs are measured in their canonical string forms
-    * (DECIMAL(12,2) for money, 'yyyy-MM-dd HH:mm:ss' for timestamps)
-    * so byte counts are engine-exact. Note date_shift's zero-shift
-    * context keys (o_custkey % 61 = 30) legitimately leave cells
-    * UNCHANGED — n_changed < n_cells is the honest audit, not a
+    * transforms it audits, and COMPOSITION-FAITHFUL: each step's
+    * before/after is measured against the table state AFTER the
+    * config's earlier transforms (the same foldLeft
+    * [[graft.etl.DlpConfig.applyTable]] runs), so a config whose
+    * later transform consumes an earlier one's output (hash of a
+    * masked column, a shifted context key) audits the composition
+    * that actually executed, not a counterfactual; one map-side
+    * aggregate per transform, config-count output rows.
+    * Numeric/timestamp inputs are measured in their canonical string
+    * forms (DECIMAL(12,2) for money, 'yyyy-MM-dd HH:mm:ss' for
+    * timestamps) so byte counts are engine-exact. Note date_shift's
+    * zero-shift context keys (o_custkey % 61 = 30) legitimately leave
+    * cells UNCHANGED — n_changed < n_cells is the honest audit, not a
     * bug. */
   def dlpTransformationSummary(spark: SparkSession, dir: String): DataFrame = {
     import graft.etl.DlpConfig
     val cfgs = DlpConfig.parse(DlpConfig.ExampleConfig)
     cfgs.flatMap { tc =>
-      val base = Tables.load(spark, dir, tc.tableName)
+      var cur = Tables.load(spark, dir, tc.tableName)
       tc.transforms.map { t =>
-        val before: Column = base.schema(t.column).dataType match {
+        val before: Column = cur.schema(t.column).dataType match {
           case org.apache.spark.sql.types.DoubleType =>
-            base.col(t.column).cast("decimal(12,2)").cast("string")
-          case _ => base.col(t.column).cast("string")
+            cur.col(t.column).cast("decimal(12,2)").cast("string")
+          case _ => cur.col(t.column).cast("string")
         }
-        val after = DlpConfig.toColumn(t, base).cast("string")
-        base.select(before.as("b"), after.as("a"))
+        val after = DlpConfig.toColumn(t, cur).cast("string")
+        val stats = cur.select(before.as("b"), after.as("a"))
           .agg(
             count(col("b")).as("n_cells"),
             sum(when(col("b").isNotNull &&
@@ -329,6 +335,8 @@ object DlpQueries {
             s"'${t.getClass.getSimpleName}' AS kind",
             "n_cells", "CAST(n_changed AS BIGINT) AS n_changed",
             "bytes_before", "bytes_after")
+        cur = cur.withColumn(t.column, DlpConfig.toColumn(t, cur))
+        stats
       }
     }.reduce(_ unionAll _).orderBy("table_name", "column_name")
   }

@@ -1208,11 +1208,17 @@ object SourceQueries {
       .collect().map(r => (r.getString(0), r.getString(1)))
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     var level = nodes.map(_ -> 0L).toMap
-    // depth bound = candidate count: relax every edge that many times
+    // depth bound = candidate count; PER-PASS SNAPSHOT relaxation (each
+    // pass reads only the previous pass's levels) — the exact schedule
+    // the oracle's unrolled l1..lN CTEs run, so even a pathological
+    // cyclic edge set diverges identically on both engines instead of
+    // racing ahead in-pass here
     (1 to FkCandidates.size).foreach { _ =>
-      edges.foreach { case (c, p) =>
-        level += c -> math.max(level(c), level(p) + 1L)
-      }
+      val prev = level
+      level = nodes.map { t =>
+        val fromParents = edges.collect { case (c, p) if c == t => prev(p) + 1L }
+        t -> (prev(t) +: fromParents).max
+      }.toMap
     }
     val parentsOf = edges.groupBy(_._1)
     val rows = nodes.map { t =>
@@ -1282,10 +1288,12 @@ object SourceQueries {
       ("01_before", "rows_readable", readCount()),
       ("01_before", "versions", KvSource.versions(out).size.toLong))
     // a crash leftover: a task file that reached the directory but no
-    // manifest — vacuum must remove it, and ONLY it
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(out, "part-stray-crashleft.dat"),
-      "0,stray\n".getBytes("UTF-8"))
+    // manifest, AGED past the in-flight guard (vacuum only touches
+    // strays older than strayMinAgeMs — a fresh unreferenced file may
+    // belong to a commit that is about to publish)
+    val stray = new java.io.File(out, "part-stray-crashleft.dat")
+    java.nio.file.Files.write(stray.toPath, "0,stray\n".getBytes("UTF-8"))
+    stray.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000)
     val (dropped, strays, oldest) = KvSource.vacuum(out, retainLast = 3)
     val after = Seq(
       ("02_vacuum", "manifests_dropped", dropped),

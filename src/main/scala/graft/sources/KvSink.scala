@@ -52,12 +52,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     directory — stray/partial/aborted files are invisible by
   *     construction, which is the property that makes task retries
   *     and speculative execution safe;
-  *   - a commit may carry a `batchId` (Structured Streaming
-  *     foreachBatch replay protection): applied batch ids are
-  *     recorded in the manifest chain (`#batch:` header lines), and a
-  *     commit whose batchId is already applied is a NO-OP that
-  *     deletes its duplicate task files — a replayed micro-batch
-  *     adds zero rows, the streaming half of exactly-once.
+  *   - a commit may carry a replay key (Structured Streaming
+  *     foreachBatch batchId / streaming epoch): applied keys are
+  *     recorded in the manifest chain (`#txn:<appId>:<batchId>`
+  *     header lines — the Delta transaction-identifier shape, scoped
+  *     per writer so two queries' batch counters never collide; the
+  *     r13 `#batch:<n>` form parses as the legacy empty-app
+  *     namespace), and a commit whose key is already applied is a
+  *     NO-OP that deletes its duplicate task files — a replayed
+  *     micro-batch adds zero rows, the streaming half of
+  *     exactly-once.
   *
   * Format is deliberately trivial (`key,val` lines over a fixed
   * (key BIGINT, val STRING) schema) — the protocol, not the encoding,
@@ -114,17 +118,21 @@ object KvSource {
   private def manifestFile(path: String, v: Long): java.io.File =
     new java.io.File(path, s"_manifest.v$v")
 
-  /** (files, applied stream batch ids) a single manifest version
-    * declares — NEW state only for a delta, full state for a
-    * checkpoint. `#`-prefixed lines are headers; everything else is a
-    * file name. */
-  private[graft] def readManifest(path: String, v: Long): (Seq[String], Set[Long]) = {
+  /** (files, applied replay keys) a single manifest version declares —
+    * NEW state only for a delta, full state for a checkpoint.
+    * `#`-prefixed lines are headers; everything else is a file name.
+    * Replay keys are `<appId>:<batchId>` strings (`#txn:` header — the
+    * Delta transaction-identifier shape), so two writers' batch/epoch
+    * counters can never collide in the ledger; legacy r13 `#batch:<n>`
+    * headers parse as the empty-app key `:<n>`. */
+  private[graft] def readManifest(path: String, v: Long): (Seq[String], Set[String]) = {
     val src = scala.io.Source.fromFile(manifestFile(path, v), "UTF-8")
     try {
       val lines = src.getLines().filter(_.nonEmpty).toList
       val (hdr, files) = lines.partition(_.startsWith("#"))
-      val batches = hdr.collect { case s if s.startsWith("#batch:") =>
-        s.stripPrefix("#batch:").toLong
+      val batches = hdr.collect {
+        case s if s.startsWith("#txn:") => s.stripPrefix("#txn:")
+        case s if s.startsWith("#batch:") => ":" + s.stripPrefix("#batch:")
       }.toSet
       (files, batches)
     } finally src.close()
@@ -142,7 +150,7 @@ object KvSource {
     * Also correct over r13-era chains whose every manifest was full:
     * the chain is append-only, so a union-fold of full lists equals
     * the latest full list. */
-  private[graft] def stateAt(path: String, v: Long): (Seq[String], Set[Long]) = {
+  private[graft] def stateAt(path: String, v: Long): (Seq[String], Set[String]) = {
     val base = foldBase(v)
     if (!manifestFile(path, base).exists())
       throw new IllegalArgumentException(
@@ -150,7 +158,7 @@ object KvSource {
           s"at $path (vacuumed beyond the requested horizon? " +
           s"have: ${versions(path).mkString(",")})")
     var files = scala.collection.immutable.ListSet.empty[String]
-    var batches = Set.empty[Long]
+    var batches = Set.empty[String]
     (base to v).foreach { i =>
       val (f, b) = readManifest(path, i)
       files = files ++ f
@@ -182,11 +190,17 @@ object KvSource {
     * `retainLast` versions readable, delete every manifest below their
     * fold base, and delete stray `part-*.dat` files that the retained
     * state does not reference (crash leftovers — a completed no-op
-    * replay already deletes its own duplicates). Returns
+    * replay already deletes its own duplicates). A stray is only
+    * eligible once it is OLDER than `strayMinAgeMs` (Delta's
+    * retention-hours guard): a task-committed file whose job commit
+    * hasn't published its manifest yet is unreferenced but IN FLIGHT,
+    * and deleting it would corrupt the version that is about to land —
+    * the age floor keeps vacuum safe under concurrent writers. Returns
     * (manifests deleted, strays deleted, oldest readable version).
     * Time travel below the horizon fails with a clear error
     * afterwards — that is the retention contract, not a bug. */
-  private[graft] def vacuum(path: String, retainLast: Int): (Long, Long, Long) = {
+  private[graft] def vacuum(path: String, retainLast: Int,
+                              strayMinAgeMs: Long = 15L * 60 * 1000): (Long, Long, Long) = {
     val vs = versions(path)
     if (vs.isEmpty) return (0L, 0L, 0L)
     val latest = vs.last
@@ -195,8 +209,10 @@ object KvSource {
     val dropped = vs.filter(_ < keepFrom)
     dropped.foreach(v => manifestFile(path, v).delete())
     val referenced = stateAt(path, latest)._1.toSet
+    val cutoff = System.currentTimeMillis() - strayMinAgeMs
     val strays = Option(new java.io.File(path).list()).getOrElse(Array.empty)
       .filter(n => n.startsWith("part-") && n.endsWith(".dat") && !referenced(n))
+      .filter(n => new java.io.File(path, n).lastModified() < cutoff)
     strays.foreach(n => new java.io.File(path, n).delete())
     (dropped.size.toLong, strays.length.toLong, keepFrom)
   }
@@ -208,18 +224,26 @@ object KvSource {
     * recorded in the chain makes the commit an idempotent no-op
     * (replayed micro-batch): the duplicate task files are deleted.
     */
+  /** Spec/back-compat entry: a bare batch id lives in the legacy
+    * empty-app namespace (single-writer semantics, as r13 shipped). */
   private[graft] def commitVersion(path: String, newFiles: Seq[String],
-                                     batchId: Option[Long]): Long = {
+                                     batchId: Option[Long]): Long =
+    commitVersionKeyed(path, newFiles, batchId.map(b => s":$b"))
+
+  private[graft] def commitVersionKeyed(path: String, newFiles: Seq[String],
+                                          replayKey: Option[String]): Long = {
     new java.io.File(path).mkdirs()
     var attempt = 0
     while (attempt < 1000) {
       val latest = latestVersion(path)
       val (priorFiles, priorBatches) = latest match {
         case Some(v) => stateAt(path, v)
-        case None    => (Seq.empty[String], Set.empty[Long])
+        case None    => (Seq.empty[String], Set.empty[String])
       }
-      if (batchId.exists(priorBatches.contains)) {
-        // replay of an already-applied micro-batch/epoch: its rows are
+      if (replayKey.exists(priorBatches.contains)) {
+        // replay of an already-applied micro-batch/epoch FROM THE SAME
+        // WRITER (key = appId:batchId — a different writer's batch 0
+        // is a different key, never falsely absorbed): its rows are
         // already visible under another file set — absorb silently
         newFiles.foreach(f => new java.io.File(path, f).delete())
         return latest.get
@@ -231,10 +255,10 @@ object KvSource {
       val body =
         if (v % CheckpointInterval == 0) {
           val header = "#checkpoint" +:
-            (priorBatches ++ batchId).toSeq.sorted.map(b => s"#batch:$b")
+            (priorBatches ++ replayKey).toSeq.sorted.map(b => s"#txn:$b")
           (header ++ (priorFiles ++ newFiles).distinct).mkString("\n")
         } else {
-          (batchId.toSeq.map(b => s"#batch:$b") ++ newFiles.distinct).mkString("\n")
+          (replayKey.toSeq.map(b => s"#txn:$b") ++ newFiles.distinct).mkString("\n")
         }
       if (publishCas(path, v, body)) return v
       attempt += 1 // lost the race — merge against the new state
@@ -287,15 +311,24 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val batchId = Option(info.options.get("batchId")).map(_.toLong)
+    // replay-ledger namespace (the Delta `txn` appId): a batch writer
+    // may scope its batch ids with option("txnAppId", ...); without it
+    // they live in the legacy empty-app namespace (single-writer
+    // semantics). Streaming epochs are ALWAYS scoped by the streaming
+    // query's stable id, so two queries' epoch counters — or a query
+    // restarted with a fresh checkpoint — can never falsely absorb.
+    val txnAppId = Option(info.options.get("txnAppId")).getOrElse("")
+    val replayKey = batchId.map(b => s"$txnAppId:$b")
     // per-query salt for task file names: a second application
     // appending to the same path restarts partition/task ids, so the
     // name needs a component unique to this write query
     val qid = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
+    val fullQueryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new KvBatchWrite(path, batchId, qid)
+        override def toBatch: BatchWrite = new KvBatchWrite(path, replayKey, qid)
         override def toStreaming: streaming.StreamingWrite =
-          new KvStreamingWrite(path, qid)
+          new KvStreamingWrite(path, qid, fullQueryId)
       }
     }
   }
@@ -346,7 +379,7 @@ class KvScan(path: String, asOf: Option[Long]) extends Scan with Batch {
 
 case class KvCommitMessage(file: String) extends WriterCommitMessage
 
-class KvBatchWrite(path: String, batchId: Option[Long], queryId: String)
+class KvBatchWrite(path: String, replayKey: Option[String], queryId: String)
     extends BatchWrite {
   // spec/back-compat constructor: plain batch write, no replay key
   def this(path: String) = this(path, None, "local")
@@ -357,12 +390,12 @@ class KvBatchWrite(path: String, batchId: Option[Long], queryId: String)
   /** Job commit: APPEND semantics through the version chain — the new
     * task files MERGE with the latest committed state and publish as
     * `_manifest.v<latest+1>` under the CAS in
-    * [[KvSource.commitVersion]]. A reader either sees a complete
+    * [[KvSource.commitVersionKeyed]]. A reader either sees a complete
     * committed version or the previous one — never a half state, and
     * never a state missing a concurrent winner's files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.map(_.asInstanceOf[KvCommitMessage].file).toSeq
-    KvSource.commitVersion(path, newFiles, batchId)
+    KvSource.commitVersionKeyed(path, newFiles, replayKey)
   }
 
   /** Job abort: whatever tasks already committed is garbage now —
@@ -391,7 +424,7 @@ class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   * collide with its epoch-N files), and
   * [[KvSource.commitVersion]] makes the epoch commit atomic,
   * concurrent-safe, and idempotent. */
-class KvStreamingWrite(path: String, queryId: String)
+class KvStreamingWrite(path: String, queryId: String, fullQueryId: String)
     extends streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
@@ -400,7 +433,10 @@ class KvStreamingWrite(path: String, queryId: String)
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.map(_.asInstanceOf[KvCommitMessage].file).toSeq
-    KvSource.commitVersion(path, newFiles, Some(epochId))
+    // epoch keyed by the STREAMING QUERY's stable id: a replayed
+    // micro-batch of THIS query absorbs; another query's epoch 0 (or a
+    // fresh-checkpoint restart, which mints a new query id) appends
+    KvSource.commitVersionKeyed(path, newFiles, Some(s"$fullQueryId:$epochId"))
   }
 
   override def abort(epochId: Long,

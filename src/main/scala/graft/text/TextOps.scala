@@ -645,15 +645,21 @@ object TextOps {
         "concat(' ', regexp_replace(word, '(.)', '$1 ')) AS toks")
       .localCheckpoint()
     val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    var exhausted = false
     (1 to k).foreach { r =>
-      val best = vocab
+      val bestOpt = if (exhausted) None else vocab
         .selectExpr("n", "split(trim(toks), ' ') AS t")
         .filter(size(col("t")) >= 2)
         .selectExpr("n",
           "explode(transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pr")
         .groupBy(col("pr")).agg(sum(col("n")).as("wgt"))
         .orderBy(col("wgt").desc, col("pr")).limit(1)
-        .head()
+        .collect().headOption
+      // a tiny/degenerate corpus can run out of adjacent pairs before
+      // round k: stop cleanly with the completed rounds (the oracle's
+      // final select filters its NULL rounds the same way)
+      if (bestOpt.isEmpty) exhausted = true
+      bestOpt.foreach { best =>
       val pair = best.getString(0)
       val merged = pair.replace(" ", "")
       // pair text is [a-z ]+ by construction — safe as a SQL literal
@@ -666,6 +672,7 @@ object TextOps {
         .selectExpr("n * CAST(size(split(trim(toks), ' ')) AS BIGINT) AS tk")
         .agg(sum(col("tk"))).head().getLong(0)
       ledger += ((r.toLong, pair, merged, best.getLong(1), tokensAfter))
+      }
     }
     graft.Checkpoints.release(vocab)
     import spark.implicits._

@@ -54,9 +54,17 @@ class Widening14Spec extends AnyFunSuite {
       KvSource.commitVersion(dir, Seq(name), batchId = None)
     }
     stage(dir, "part-stray-never-committed.dat", 999L)
+    new java.io.File(dir, "part-stray-never-committed.dat")
+      .setLastModified(System.currentTimeMillis() - 60L * 60 * 1000)
+    // an IN-FLIGHT unreferenced file (fresh mtime = a commit that may
+    // be about to publish its manifest) must survive the sweep
+    stage(dir, "part-stray-inflight.dat", 998L)
     // retainLast=4 → horizon v20, fold base 20 → v1..v19 dropped
     val (dropped, strays, oldest) = KvSource.vacuum(dir, retainLast = 4)
     assert(dropped == 19L && strays == 1L && oldest == 20L, s"($dropped,$strays,$oldest)")
+    assert(new java.io.File(dir, "part-stray-inflight.dat").exists(),
+      "vacuum deleted a fresh unreferenced file — in-flight commits are not safe")
+    assert(!new java.io.File(dir, "part-stray-never-committed.dat").exists())
     assert(KvSource.versions(dir) == (20L to 23L))
     // everything at or above the fold base stays time-travelable
     (20L to 23L).foreach { v =>
@@ -329,6 +337,33 @@ class Widening14Spec extends AnyFunSuite {
       s"date-shift changed $cho, want ${nOrd - zeroShift}")
     assert(bb == bao, "a pure date shift never changes the byte length")
     assert(rows.contains(("customer", "c_acctbal")) && rows.size == 3)
+  }
+
+  test("replay ledger is scoped per writer: same batch number from another app appends") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-txn").toString
+    def commit(name: String, key: String): Long = {
+      stage(dir, name, 1L)
+      KvSource.commitVersionKeyed(dir, Seq(name), Some(key))
+    }
+    commit("part-a0.dat", "appA:0")
+    commit("part-b0.dat", "appB:0") // a DIFFERENT writer's batch 0: must land
+    assert(KvSource.committedFiles(dir).size == 2,
+      "another app's batch 0 was falsely absorbed as a replay")
+    // the same writer re-offering ITS batch 0 is absorbed
+    stage(dir, "part-a0-replay.dat", 1L)
+    KvSource.commitVersionKeyed(dir, Seq("part-a0-replay.dat"), Some("appA:0"))
+    assert(KvSource.committedFiles(dir).size == 2, "same-app replay added rows")
+    assert(!new java.io.File(dir, "part-a0-replay.dat").exists())
+    // legacy r13 '#batch:<n>' headers parse into the empty-app space:
+    // a bare batchId commit dedupes against them
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_manifest.v3"),
+      "#batch:7\npart-legacy.dat".getBytes("UTF-8"))
+    stage(dir, "part-legacy.dat", 7L)
+    stage(dir, "part-legacy-replay.dat", 7L)
+    KvSource.commitVersion(dir, Seq("part-legacy-replay.dat"), Some(7L))
+    assert(KvSource.committedFiles(dir).size == 3, "legacy batch 7 replay added rows")
+    SourceQueries.deleteRecursively(new java.io.File(dir))
   }
 
   test("load_manifest_compaction ledger matches the protocol constants") {

@@ -100,6 +100,7 @@ def fingerprint(plan):
             and is_unpartitioned_window(node(l)[len("Window "):])),
         "pushdown": re.search(r"PushedFilters: \[[^\]]", plan) is not None,
         "readschema": "ReadSchema:" in plan,
+        "truncated": "[PLAN TRUNCATED]" in plan,
     }
 
 
@@ -150,6 +151,13 @@ def main():
                 f"{q}: {new['global_windows']} UNPARTITIONED window(s) and "
                 f"not in GLOBAL_WINDOW_ALLOWLIST — justify the bound in "
                 f"PlanSpec.boundedGlobalWindows and add it here")
+    # a truncated plan dump is a blind spot for every count above —
+    # Plans.scala caps at 30k chars (line-safe) and stamps the cut;
+    # any stamped section must be investigated, not silently skipped
+    truncated = [q for q, f in fresh.items() if f.get("truncated")]
+    if truncated:
+        fails.append(f"{len(truncated)} plan section(s) truncated at the "
+                     f"Plans.scala cap — raise it; first: {truncated[:5]}")
     # format-drift detector: if the fresh file fingerprints to ZERO nodes
     # overall, the explain format changed (or Plans broke) and every
     # comparison above was vacuous — fail loudly instead of passing.
