@@ -512,6 +512,9 @@ object SparkEntry {
     // the DLP transformation-summary audit record
     "layout_stats_sweep_approx" -> Analytics.layoutStatsSweepApprox _,
     "dlp_transformation_summary" -> DlpQueries.dlpTransformationSummary _,
+    // round 14 batch 7: OPTIMIZE — atomic small-file compaction on
+    // the commit log (add + remove in one version)
+    "load_optimize_compact" -> SourceQueries.optimizeCompactOp _,
   )
 
   /** Iterated-BPE oracle: the K training rounds UNROLLED — each round
@@ -5725,6 +5728,21 @@ object SparkEntry {
         |  CAST(ndv AS BIGINT) AS ndv, CAST(1 AS BIGINT) AS within_band
         |FROM sw ORDER BY table_name, part_key, col_name""".stripMargin),
 
+    // load_optimize_compact: protocol constants (6 appends → 1
+    // compacted file at version 7) + row conservation from the
+    // source-of-truth table, including across pre-compaction time
+    // travel
+    "load_optimize_compact" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_before' AS stage, 'files' AS metric, 6 AS value
+        |  UNION ALL SELECT '01_before', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '02_optimize', 'files_removed', 6
+        |  UNION ALL SELECT '02_optimize', 'version_published', 7
+        |  UNION ALL SELECT '03_after', 'files', 1
+        |  UNION ALL SELECT '03_after', 'rows_at_pre_compaction_v6', (SELECT n FROM c)
+        |  UNION ALL SELECT '03_after', 'rows_readable', (SELECT n FROM c)
+        |) t ORDER BY stage, metric""".stripMargin,
     // load_manifest_compaction: the lifecycle counts are protocol
     // constants (12 commits, checkpoint interval 10, retain 3 → fold
     // reads 3 manifests, vacuum drops v1-v9 + 1 stray); readability is

@@ -1229,6 +1229,50 @@ object SourceQueries {
     rows.toSeq.toDF("table_name", "level", "n_parents", "parents")
   }
 
+  /** OPTIMIZE on the commit log (the last lakehouse maintenance verb
+    * after checkpointing and vacuum): six small append commits leave
+    * six one-task files; [[graft.sources.KvSource.optimizeCompact]]
+    * rewrites the pinned snapshot into ONE file and publishes a
+    * SINGLE version that adds it and `#remove:`s all six — readers at
+    * any version see either the old files or the new one, never both
+    * (no transient double count; the spec walks every version) and
+    * pre-compaction time travel still resolves (vacuum reclaims the
+    * replaced files only past the retention horizon + age guard).
+    * The ledger pins the protocol: files before/after, the atomic
+    * version, and row conservation recomputed from the
+    * source-of-truth table on both sides. */
+  def optimizeCompactOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-optimize").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    (0L until 6L).foreach { i =>
+      c.filter(col("key") % 6 === i).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    def readCount(asOf: Option[Long]): Long = {
+      val r = spark.read.format(classOf[KvSource].getName).option("path", out)
+      asOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load().count()
+    }
+    val before = Seq(
+      ("01_before", "files", KvSource.committedFiles(out).size.toLong),
+      ("01_before", "rows_readable", readCount(None)))
+    val (removed, version) = KvSource.optimizeCompact(spark, out)
+    val after = Seq(
+      ("02_optimize", "files_removed", removed),
+      ("02_optimize", "version_published", version),
+      ("03_after", "files", KvSource.committedFiles(out).size.toLong),
+      ("03_after", "rows_readable", readCount(None)),
+      ("03_after", "rows_at_pre_compaction_v6", readCount(Some(6L))))
+    import spark.implicits._
+    materializeAndClean(
+      (before ++ after).toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      out)
+  }
+
   /** Finish a side-stateful gate op: localize its BOUNDED final
     * rollup (metadata-sized — versions, rollup rows, never data), then
     * delete the op's temp sink directory so repeated invocations

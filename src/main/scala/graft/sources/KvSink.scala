@@ -118,14 +118,19 @@ object KvSource {
   private def manifestFile(path: String, v: Long): java.io.File =
     new java.io.File(path, s"_manifest.v$v")
 
-  /** (files, applied replay keys) a single manifest version declares —
-    * NEW state only for a delta, full state for a checkpoint.
-    * `#`-prefixed lines are headers; everything else is a file name.
-    * Replay keys are `<appId>:<batchId>` strings (`#txn:` header — the
-    * Delta transaction-identifier shape), so two writers' batch/epoch
+  /** (added files, applied replay keys, removed files) a single
+    * manifest version declares — NEW state only for a delta, full
+    * state for a checkpoint. `#`-prefixed lines are headers;
+    * everything else is a file name. Replay keys are
+    * `<appId>:<batchId>` strings (`#txn:` header — the Delta
+    * transaction-identifier shape), so two writers' batch/epoch
     * counters can never collide in the ledger; legacy r13 `#batch:<n>`
-    * headers parse as the empty-app key `:<n>`. */
-  private[graft] def readManifest(path: String, v: Long): (Seq[String], Set[String]) = {
+    * headers parse as the empty-app key `:<n>`. `#remove:<file>`
+    * lines (r14 OPTIMIZE support) drop a file from the folded state —
+    * how a compaction replaces many small files with one rewrite in a
+    * SINGLE atomic version. */
+  private[graft] def readManifest(path: String,
+                                    v: Long): (Seq[String], Set[String], Seq[String]) = {
     val src = scala.io.Source.fromFile(manifestFile(path, v), "UTF-8")
     try {
       val lines = src.getLines().filter(_.nonEmpty).toList
@@ -134,7 +139,10 @@ object KvSource {
         case s if s.startsWith("#txn:") => s.stripPrefix("#txn:")
         case s if s.startsWith("#batch:") => ":" + s.stripPrefix("#batch:")
       }.toSet
-      (files, batches)
+      val removes = hdr.collect {
+        case s if s.startsWith("#remove:") => s.stripPrefix("#remove:")
+      }
+      (files, batches, removes)
     } finally src.close()
   }
 
@@ -160,8 +168,8 @@ object KvSource {
     var files = scala.collection.immutable.ListSet.empty[String]
     var batches = Set.empty[String]
     (base to v).foreach { i =>
-      val (f, b) = readManifest(path, i)
-      files = files ++ f
+      val (f, b, removes) = readManifest(path, i)
+      files = files -- removes ++ f
       batches = batches ++ b
     }
     (files.toSeq, batches)
@@ -208,7 +216,11 @@ object KvSource {
     val keepFrom = foldBase(horizon)
     val dropped = vs.filter(_ < keepFrom)
     dropped.foreach(v => manifestFile(path, v).delete())
-    val referenced = stateAt(path, latest)._1.toSet
+    // referenced = union over ALL retained versions, not just latest:
+    // an OPTIMIZE inside the horizon removed files from the latest
+    // state that older retained snapshots still read (r14)
+    val referenced = vs.filter(_ >= keepFrom)
+      .flatMap(v => stateAt(path, v)._1).toSet
     val cutoff = System.currentTimeMillis() - strayMinAgeMs
     val strays = Option(new java.io.File(path).list()).getOrElse(Array.empty)
       .filter(n => n.startsWith("part-") && n.endsWith(".dat") && !referenced(n))
@@ -231,7 +243,8 @@ object KvSource {
     commitVersionKeyed(path, newFiles, batchId.map(b => s":$b"))
 
   private[graft] def commitVersionKeyed(path: String, newFiles: Seq[String],
-                                          replayKey: Option[String]): Long = {
+                                          replayKey: Option[String],
+                                          removeFiles: Seq[String] = Seq.empty): Long = {
     new java.io.File(path).mkdirs()
     var attempt = 0
     while (attempt < 1000) {
@@ -248,23 +261,77 @@ object KvSource {
         newFiles.foreach(f => new java.io.File(path, f).delete())
         return latest.get
       }
+      // a replacement (OPTIMIZE) must remove files that are still part
+      // of the current state — a concurrent compaction that already
+      // replaced them is a CONFLICT, not a silent no-op (the Delta
+      // concurrent-OPTIMIZE rule)
+      val missing = removeFiles.filterNot(priorFiles.toSet)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"KvSource: commit removes files not in the current state at $path " +
+            s"(concurrent rewrite?): ${missing.take(5).mkString(",")}")
       val v = latest.getOrElse(0L) + 1
       // every CheckpointInterval-th version is a full-state checkpoint;
-      // the rest are deltas carrying ONLY this commit's files/batch —
-      // commit cost stays O(own files), amortized O(total/N)
+      // the rest are deltas carrying ONLY this commit's files/batch/
+      // removes — commit cost stays O(own files), amortized O(total/N)
       val body =
         if (v % CheckpointInterval == 0) {
           val header = "#checkpoint" +:
             (priorBatches ++ replayKey).toSeq.sorted.map(b => s"#txn:$b")
-          (header ++ (priorFiles ++ newFiles).distinct).mkString("\n")
+          val state = priorFiles.filterNot(removeFiles.toSet) ++ newFiles
+          (header ++ state.distinct).mkString("\n")
         } else {
-          (replayKey.toSeq.map(b => s"#txn:$b") ++ newFiles.distinct).mkString("\n")
+          (replayKey.toSeq.map(b => s"#txn:$b") ++
+            removeFiles.distinct.map(f => s"#remove:$f") ++
+            newFiles.distinct).mkString("\n")
         }
       if (publishCas(path, v, body)) return v
       attempt += 1 // lost the race — merge against the new state
     }
     throw new IllegalStateException(
       s"KvSource: commit CAS did not converge after 1000 attempts at $path")
+  }
+
+  /** OPTIMIZE (atomic small-file compaction — the last piece of the
+    * lakehouse maintenance lifecycle after checkpointing and
+    * [[vacuum]]): rewrite the CURRENT committed row set into one
+    * file and publish a SINGLE version that adds it and removes every
+    * input file. Readers at any moment see either the old files or
+    * the one new file — never both (no transient double-count) and
+    * never neither; historical versions still reference the old files
+    * (vacuum reclaims them past the retention age, after which
+    * pre-compaction time travel fails with the retention error, by
+    * design). The rewrite itself is one executor task streaming the
+    * merged rows (local-mode note: like the binary staging in
+    * [[graft.multimodal.Multimodal]], executor and driver share a
+    * filesystem here; on a cluster the rewrite is the same one-task
+    * job against DFS). Returns (files before, version published). */
+  private[graft] def optimizeCompact(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): (Long, Long) = {
+    // pin ONE version for both the file list and the row scan: a
+    // commit landing between the two would otherwise put rows in the
+    // compacted file that the remove list doesn't cover (double count)
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: nothing to compact at $path"))
+    val old = committedFiles(path, Some(v0))
+    require(old.nonEmpty, s"KvSource: nothing to compact at $path")
+    val name = s"part-compact-${java.util.UUID.randomUUID().toString.take(8)}.dat"
+    spark.read.format(classOf[KvSource].getName).option("path", path)
+      .option("versionAsOf", v0.toString).load()
+      .repartition(1)
+      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        val tmp = java.nio.file.Paths.get(path, s".$name.tmp")
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          java.nio.file.Files.newOutputStream(tmp), "UTF-8"))
+        try rows.forEachRemaining { r =>
+          out.write(r.getLong(0).toString); out.write(','); out.write(r.getString(1)); out.write('\n')
+        } finally out.close()
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+    val v = commitVersionKeyed(path, Seq(name), None, removeFiles = old)
+    (old.size.toLong, v)
   }
 
   /** The one non-portable seam of the commit log: atomically publish

@@ -366,6 +366,58 @@ class Widening14Spec extends AnyFunSuite {
     SourceQueries.deleteRecursively(new java.io.File(dir))
   }
 
+  test("OPTIMIZE is atomic: no version double-counts; conflicts and vacuum behave") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kv-opt").toString
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).selectExpr("id AS key", "'x' AS val").repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    (0 until 6).foreach(i => append(i * 10L, i * 10L + 10L))
+    val oldFiles = KvSource.committedFiles(dir)
+    assert(oldFiles.size == 6)
+    val (removed, v) = KvSource.optimizeCompact(spark, dir)
+    assert(removed == 6L && v == 7L)
+    // EVERY version reads its exact historical row count — the
+    // compaction version shows the full set ONCE, never doubled
+    (1L to 6L).foreach { i =>
+      assert(KvSource.committedFiles(dir, Some(i)).size == i)
+    }
+    assert(KvSource.committedFiles(dir, Some(7L)) ==
+      KvSource.committedFiles(dir))
+    assert(KvSource.committedFiles(dir).size == 1)
+    def rows(asOf: Option[Long]): Long = {
+      val r = spark.read.format(classOf[KvSource].getName).option("path", dir)
+      asOf.foreach(x => r.option("versionAsOf", x.toString))
+      r.load().count()
+    }
+    assert(rows(None) == 60L && rows(Some(6L)) == 60L && rows(Some(3L)) == 30L)
+    // a second commit that tries to remove the ALREADY-REPLACED files
+    // is a conflict, not a silent no-op
+    val e = intercept[IllegalStateException] {
+      KvSource.commitVersionKeyed(dir, Seq.empty, None, removeFiles = oldFiles)
+    }
+    assert(e.getMessage.contains("not in the current state"))
+    // vacuum with the retained horizon covering pre-compaction
+    // versions keeps the replaced files (those snapshots still read
+    // them) — the union-referenced rule, not latest-only
+    oldFiles.foreach(f =>
+      new java.io.File(dir, f).setLastModified(System.currentTimeMillis() - 3600000))
+    val (_, strays0, _) = KvSource.vacuum(dir, retainLast = 7)
+    assert(strays0 == 0L, "vacuum deleted files still referenced by retained versions")
+    assert(rows(Some(6L)) == 60L)
+    // grow the chain past the next checkpoint (v10) so the horizon can
+    // actually advance, then a tight retention reclaims the replaced
+    // files; latest stays fully readable
+    (6 until 9).foreach(i => append(i * 10L, i * 10L + 10L)) // v8..v10
+    assert(KvSource.versions(dir).last == 10L)
+    val (droppedM, strays1, oldest) = KvSource.vacuum(dir, retainLast = 1)
+    assert(oldest == 10L && droppedM == 9L)
+    assert(strays1 == 6L, s"expected the 6 replaced files reclaimed, got $strays1")
+    assert(rows(None) == 90L)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
   test("load_manifest_compaction ledger matches the protocol constants") {
     val rows = SourceQueries.manifestCompaction(spark, sf).collect()
     val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
