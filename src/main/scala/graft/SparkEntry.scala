@@ -515,6 +515,9 @@ object SparkEntry {
     // round 14 batch 7: OPTIMIZE — atomic small-file compaction on
     // the commit log (add + remove in one version)
     "load_optimize_compact" -> SourceQueries.optimizeCompactOp _,
+    // round 14 batch 8: streaming SOURCE over the commit log (live
+    // readStream tail, rewrite versions skipped)
+    "stream_source_tail" -> Streams.streamSourceTail _,
   )
 
   /** Iterated-BPE oracle: the K training rounds UNROLLED — each round
@@ -5759,6 +5762,13 @@ object SparkEntry {
         |  UNION ALL SELECT '03_after', 'rows_readable', (SELECT n FROM c)
         |  UNION ALL SELECT '03_after', 'versions', 3
         |) t ORDER BY stage, metric""".stripMargin,
+    // stream_source_tail: exactly-once delivery across appends + a
+    // skipped rewrite = the plain per-type rollup over all events
+    "stream_source_tail" ->
+      """SELECT event_type AS val, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS key_sum
+        |FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY val""".stripMargin,
     // replay-absorbing sink: the duplicate batch must add ZERO rows,
     // so the oracle is the plain per-type rollup over events
     "stream_exactly_once_sink" ->

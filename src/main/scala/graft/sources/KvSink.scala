@@ -276,8 +276,13 @@ object KvSource {
       // removes — commit cost stays O(own files), amortized O(total/N)
       val body =
         if (v % CheckpointInterval == 0) {
+          // removes are already folded OUT of the listed state; the
+          // #remove: headers are kept anyway so the STREAMING source
+          // can tell a rewrite-at-checkpoint from an append (it must
+          // skip rewrites or double-deliver their rows)
           val header = "#checkpoint" +:
-            (priorBatches ++ replayKey).toSeq.sorted.map(b => s"#txn:$b")
+            ((priorBatches ++ replayKey).toSeq.sorted.map(b => s"#txn:$b") ++
+              removeFiles.distinct.map(f => s"#remove:$f"))
           val state = priorFiles.filterNot(removeFiles.toSet) ++ newFiles
           (header ++ state.distinct).mkString("\n")
         } else {
@@ -369,7 +374,7 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def schema(): StructType = KvSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val asOf = Option(options.get("versionAsOf")).map(_.toLong)
@@ -412,6 +417,9 @@ class KvScan(path: String, asOf: Option[Long]) extends Scan with Batch {
     asOf.orElse(KvSource.latestVersion(path))
   override def readSchema(): StructType = KvSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KvMicroBatchStream(path)
   override def description(): String =
     s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)"
   override def planInputPartitions(): Array[InputPartition] =
@@ -419,27 +427,79 @@ class KvScan(path: String, asOf: Option[Long]) extends Scan with Batch {
       .map(f => KvFilePartition(new java.io.File(path, f).getPath): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        // STREAM the file: one line in flight per reader, never a
-        // whole-file buffer (bounded memory at any file size)
-        val src = scala.io.Source.fromFile(
-          p.asInstanceOf[KvFilePartition].file, "UTF-8")
-        val it = src.getLines()
-        new PartitionReader[InternalRow] {
-          private var line: String = _
-          override def next(): Boolean = {
-            if (it.hasNext) { line = it.next(); true } else false
-          }
-          override def get(): InternalRow = {
-            val cut = line.indexOf(',')
-            InternalRow(line.substring(0, cut).toLong,
-              UTF8String.fromString(line.substring(cut + 1)))
-          }
-          override def close(): Unit = src.close()
-        }
+    new KvReaderFactory
+}
+
+/** Shared by the batch scan and the micro-batch stream: STREAM the
+  * file — one line in flight per reader, never a whole-file buffer
+  * (bounded memory at any file size). */
+class KvReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val src = scala.io.Source.fromFile(
+      p.asInstanceOf[KvFilePartition].file, "UTF-8")
+    val it = src.getLines()
+    new PartitionReader[InternalRow] {
+      private var line: String = _
+      override def next(): Boolean = {
+        if (it.hasNext) { line = it.next(); true } else false
       }
+      override def get(): InternalRow = {
+        val cut = line.indexOf(',')
+        InternalRow(line.substring(0, cut).toLong,
+          UTF8String.fromString(line.substring(cut + 1)))
+      }
+      override def close(): Unit = src.close()
     }
+  }
+}
+
+/** Streaming SOURCE over the commit log (completing KvSource as a
+  * full streaming TABLE — the Delta streaming-source shape): offsets
+  * ARE manifest versions, each micro-batch reads the files ADDED by
+  * versions (start, end], and a REWRITE version (one that carries
+  * `#remove:` lines — an OPTIMIZE) is skipped entirely: its adds are
+  * old rows in new clothes, and emitting them would double-deliver
+  * (Delta's streaming source refuses such commits unless
+  * ignoreChanges; this log can tell rewrites from appends
+  * structurally, so it skips them exactly). Version pinning makes
+  * offsets replayable: the same (start, end] range always yields the
+  * same files, so checkpoint recovery re-reads identical data. */
+class KvMicroBatchStream(path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class KvOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = KvOffset(0L)
+  override def latestOffset(): Offset =
+    KvOffset(KvSource.latestVersion(path).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = KvOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[KvOffset].v
+    val hi = end.asInstanceOf[KvOffset].v
+    ((lo + 1) to hi).flatMap { v =>
+      val (adds, _, removes) = KvSource.readManifest(path, v)
+      // a checkpoint version re-lists the full state: only its OWN
+      // adds are new data. Deltas list only their adds, so the diff
+      // against the previous version's state isolates them uniformly.
+      val newFiles =
+        if (v % KvSource.CheckpointInterval == 0 || removes.nonEmpty) {
+          val prev = if (v == 1) Set.empty[String]
+                     else KvSource.stateAt(path, v - 1)._1.toSet
+          if (removes.nonEmpty) Seq.empty // rewrite (OPTIMIZE): no new rows
+          else adds.filterNot(prev)
+        } else adds
+      newFiles.map(f =>
+        KvFilePartition(new java.io.File(path, f).getPath): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new KvReaderFactory
 }
 
 // ---- write side: staged task commit, version-chained job commit ----

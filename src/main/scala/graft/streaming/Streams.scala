@@ -1588,4 +1588,51 @@ object Streams {
         .orderBy("val"),
       out)
   }
+
+  /** Streaming SOURCE over the commit log (the read half that makes
+    * [[graft.sources.KvSource]] a full streaming TABLE — the Delta
+    * streaming-source shape): a LIVE `readStream` tails the version
+    * chain with Trigger.AvailableNow into a memory sink, offsets =
+    * manifest versions. The chain it tails contains three appends, an
+    * OPTIMIZE (a rewrite version the source must SKIP — its adds are
+    * old rows in new files, and emitting them would double-deliver),
+    * and a post-compaction append. Exactly-once delivery across all
+    * of it is the contract: the rollup equals the plain per-type
+    * aggregate over every appended row, once — the oracle recomputes
+    * it from the events table, so a skipped append, a double-
+    * delivered rewrite, or a misread offset range fails the hash.
+    * Scale: each micro-batch plans only the files its version range
+    * ADDED (delta manifests make that a header read, no state diff),
+    * so tail latency is new-data-sized, never table-sized. */
+  def streamSourceTail(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-tail").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-tail-ckpt").toString
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .selectExpr("event_id AS key", "event_type AS val")
+    def append(m: Long): Unit =
+      ev.filter(col("key") % 4 === m)
+        .write.format(classOf[graft.sources.KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0); append(1); append(2)
+    graft.sources.KvSource.optimizeCompact(spark, out) // v4: must be skipped
+    append(3)                                          // v5
+    val sinkName = s"kv_tail_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format(classOf[graft.sources.KvSource].getName)
+      .option("path", out).load()
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = graft.operators.SourceQueries.materializeAndClean(
+      spark.table(sinkName)
+        .groupBy(col("val"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("val"),
+      out)
+    spark.catalog.dropTempView(sinkName)
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(ckpt))
+    res
+  }
 }
