@@ -14,6 +14,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
+    // Ambient co-tenant load stamp (r14 advice: the final-pair 1.31×
+    // inflation was diagnosed by hand-comparing pairs; now every
+    // snapshot carries the 1/5/15-min load averages at start and end
+    // so an adjudication cites a recorded number, not an inference).
+    def loadAvg(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ").take(3).mkString(" ")
+    } catch { case scala.util.control.NonFatal(_) =>
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(l))
+    }
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -201,9 +215,10 @@ object Bench {
       if (retried.isEmpty) ""
       else retried.toSeq.map { case (k, v) => s"\"$k\":${fmt(v)}" }
         .mkString(""","retried":{""", ",", "}")
+    val loadEnd = loadAvg()
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","rev":"$rev","bench_schema":3,"cache_mode":"$mode"$retriedJson,"queries":{""", ",", "}}")
+      .mkString(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","rev":"$rev","bench_schema":3,"cache_mode":"$mode","load_start":"$loadStart","load_end":"$loadEnd"$retriedJson,"queries":{""", ",", "}}")
     // Per-mode snapshot file, then a combined BENCH_FULL.json holding
     // BOTH cache modes so round-over-round diffs can adjudicate
     // shared-session noise vs real operator regressions without

@@ -518,15 +518,29 @@ object SparkEntry {
     // round 14 batch 8: streaming SOURCE over the commit log (live
     // readStream tail, rewrite versions skipped)
     "stream_source_tail" -> Streams.streamSourceTail _,
+    // round 15 batch 1: the remaining lakehouse verbs — RESTORE
+    // (rollback as a new version), DELETE on the real read path
+    // (merge-on-read deletion vectors through the scan), and the
+    // vacuumed-chain initial snapshot for a fresh streaming consumer
+    "load_restore" -> SourceQueries.restoreOp _,
+    "load_delete_verb" -> SourceQueries.deleteVerbOp _,
+    "stream_source_snapshot" -> Streams.streamSourceSnapshot _,
   )
 
-  /** Iterated-BPE oracle: the K training rounds UNROLLED — each round
-    * re-counts adjacent token pairs over the previous round's
-    * vocabulary tokenization, takes the (weight DESC, pair) argmax,
-    * and re-tokenizes with the same two-sweep replace the engine
-    * runs. Generated by a loop so the recurrence is written once. */
-  private val BpeIterSql: String = {
-    val k = 10
+  /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
+  private val BpeK = 10
+
+  /** Iterated-BPE CTE chain, shared by the trainer oracle and every
+    * billing consumer (apply / mix weights / pack sequences): the K
+    * training rounds UNROLLED — each round re-counts adjacent token
+    * pairs over the previous round's vocabulary tokenization, takes
+    * the (weight DESC, pair) argmax, and re-tokenizes with the same
+    * two-sweep replace the engine runs — ending in `tokw`, the
+    * per-distinct-word tokenizer bill (word, chars, n_tok) under the
+    * full ledger. Generated by a loop so the recurrence is written
+    * once. */
+  private val BpeChainCte: String = {
+    val k = BpeK
     val sb = new StringBuilder
     // MATERIALIZED is load-bearing: without it DuckDB inlines each
     // CTE at every reference, and the v1..vK chain (each round reads
@@ -548,6 +562,15 @@ object SparkEntry {
         |    ' ' || (SELECT pr FROM m$r) || ' ', ' ' || replace((SELECT pr FROM m$r), ' ', '') || ' '),
         |    ' ' || (SELECT pr FROM m$r) || ' ', ' ' || replace((SELECT pr FROM m$r), ' ', '') || ' ') AS toks FROM $p)""".stripMargin)
     }
+    sb.append(s""",
+      |tokw AS MATERIALIZED (SELECT word, CAST(len(word) AS BIGINT) AS chars,
+      |  CAST(len(string_split(trim(toks), ' ')) AS BIGINT) AS n_tok FROM v$k)""".stripMargin)
+    sb.toString
+  }
+
+  private val BpeIterSql: String = {
+    val k = BpeK
+    val sb = new StringBuilder(BpeChainCte)
     sb.append("\nSELECT rank, pair, merged, weight, corpus_tokens_after FROM (\n")
     sb.append((1 to k).map { r =>
       s"SELECT CAST($r AS BIGINT) AS rank, (SELECT pr FROM m$r) AS pair, " +
@@ -2444,10 +2467,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN adev >= 3 * GREATEST(mad, 1) THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS outlier_bp
         |FROM m2 GROUP BY source ORDER BY source""".stripMargin,
     // pipeline_mix_weights: temperature-0.5 allocation over the gated
-    // supply; FLOOR(SQRT(x)) is engine-exact (correctly-rounded IEEE
-    // sqrt, x < 2^53), everything else integer
+    // supply, BILLED in iterated-ledger tokenizer tokens (alpha words
+    // via tokw, non-alpha 1 each); FLOOR(SQRT(x)) is engine-exact
+    // (correctly-rounded IEEE sqrt, x < 2^53), everything else integer
     "pipeline_mix_weights" ->
-      (s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      (BpeChainCte + s""",
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |q AS (SELECT doc_id,
          |  CAST(len(w) AS BIGINT) AS n_words,
          |  ${TextOps.LangMarkers.map { case (_, ws) => langHits(ws) }.mkString(" + ")} AS marker_hits,
@@ -2455,8 +2480,10 @@ object SparkEntry {
          |FROM tw),
          |ok AS (SELECT doc_id, n_words FROM q
          |  WHERE n_words >= 5 AND marker_hits <> 0 AND dup_word_bp <= 3000),
-         |av AS (SELECT d.source, CAST(SUM(ok.n_words) AS BIGINT) AS avail_tokens
-         |  FROM documents d JOIN ok ON ok.doc_id = d.doc_id GROUP BY d.source),
+         |dw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word FROM documents),
+         |av AS (SELECT dw.source, CAST(SUM(COALESCE(tokw.n_tok, 1)) AS BIGINT) AS avail_tokens
+         |  FROM dw JOIN ok ON ok.doc_id = dw.doc_id
+         |  LEFT JOIN tokw ON tokw.word = dw.word GROUP BY dw.source),
          |ww AS (SELECT source, avail_tokens,
          |  CAST(FLOOR(SQRT(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS weight FROM av),
          |t AS (SELECT *, CAST(SUM(avail_tokens) OVER () AS BIGINT) AS tot_tokens,
@@ -3290,10 +3317,13 @@ object SparkEntry {
         |  CAST(COALESCE((SELECT SUM(g) FROM sizes WHERE g < ks.k), 0) * 10000
         |    // (SELECT n_total FROM tot) AS BIGINT) AS suppressed_bp
         |FROM ks ORDER BY k""".stripMargin,
+    // pipeline_pack_sequences: pack budgets billed in iterated-ledger
+    // tokenizer tokens (alpha words via tokw, non-alpha 1 each)
     "pipeline_pack_sequences" ->
-      """WITH d AS (SELECT source, doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-        |  FROM documents),
+      (BpeChainCte + """,
+        |dw AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |d AS (SELECT source, doc_id, CAST(SUM(COALESCE(n_tok, 1)) AS BIGINT) AS tok
+        |  FROM dw LEFT JOIN tokw USING (word) GROUP BY 1, 2),
         |p AS (SELECT source, doc_id, tok,
         |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
@@ -3302,7 +3332,7 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
         |  CAST(LEAST(SUM(tok), 512) * 10000 // 512 AS BIGINT) AS fill_bp
-        |FROM p GROUP BY source, prefix // 512 ORDER BY source, pack_id""".stripMargin,
+        |FROM p GROUP BY source, prefix // 512 ORDER BY source, pack_id""".stripMargin),
     "dedup_source_novelty" ->
       (s"""WITH $GramsCte,
          |x AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
@@ -5776,6 +5806,47 @@ object SparkEntry {
         |  CAST(SUM(event_id) AS BIGINT) AS key_sum
         |FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1 ORDER BY val""".stripMargin,
+    // load_restore: protocol constants (3 appends + restore = v4) +
+    // both row sets recomputed from the source of truth — rolled-back
+    // latest = the v1 third, forward time travel = the full table
+    "load_restore" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_before' AS stage, 'rows_at_v1' AS metric, (SELECT n0 FROM c) AS value
+        |  UNION ALL SELECT '01_before', 'rows_latest', (SELECT n FROM c)
+        |  UNION ALL SELECT '02_restore', 'version_published', 4
+        |  UNION ALL SELECT '03_after', 'rows_at_v3_forward', (SELECT n FROM c)
+        |  UNION ALL SELECT '03_after', 'rows_latest', (SELECT n0 FROM c)
+        |  UNION ALL SELECT '03_after', 'versions', 4
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_delete_verb: every count recomputed from the delete rule —
+    // merge-on-read masks key%7=0 at read time, v1 time-travels to the
+    // full set, OPTIMIZE folds the DV into one clean file
+    "load_delete_verb" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_before' AS stage, 'rows_readable' AS metric, (SELECT n FROM c) AS value
+        |  UNION ALL SELECT '02_delete', 'keys_deleted', (SELECT nd FROM c)
+        |  UNION ALL SELECT '02_delete', 'version_published', 2
+        |  UNION ALL SELECT '03_after_delete', 'dv_files', 1
+        |  UNION ALL SELECT '03_after_delete', 'rows_at_v1', (SELECT n FROM c)
+        |  UNION ALL SELECT '03_after_delete', 'rows_readable', (SELECT n FROM c) - (SELECT nd FROM c)
+        |  UNION ALL SELECT '04_optimize', 'dv_files', 0
+        |  UNION ALL SELECT '04_optimize', 'files', 1
+        |  UNION ALL SELECT '04_optimize', 'rows_readable', (SELECT n FROM c) - (SELECT nd FROM c)
+        |  UNION ALL SELECT '04_optimize', 'version_published', 3
+        |) t ORDER BY stage, metric""".stripMargin,
+    // stream_source_snapshot: exactly-once across the initial-snapshot
+    // + delta boundary of a vacuumed chain = the plain per-type rollup
+    "stream_source_snapshot" ->
+      """SELECT event_type AS val, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS key_sum
+        |FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY val""".stripMargin,
     // text_bpe_train_iter: the K rounds unrolled (see BpeIterSql)
     "text_bpe_train_iter" -> BpeIterSql,
     // embed_kmeanspp_seed: k-1 unrolled farthest-point rounds
@@ -5819,32 +5890,23 @@ object SparkEntry {
     // text_bpe_apply: the SAME two-sweep replace fold over the ranked
     // merge list, via list_reduce with the spaced word prepended as
     // the fold seed; token count = spaces - 1
+    // text_bpe_apply: the ITERATED ledger's per-word bill (tokw from
+    // the shared K-round chain) joined against per-source word counts
     "text_bpe_apply" ->
-      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
-        |a AS (SELECT source, word FROM w WHERE regexp_matches(word, '^[a-z]+$')),
-        |vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1),
-        |p AS (SELECT unnest(list_transform(range(1, len(word)), i -> word[i:i+1])) AS pair, n
-        |  FROM vocab WHERE len(word) >= 2),
-        |topm AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS weight FROM p GROUP BY 1
-        |  ORDER BY weight DESC, pair LIMIT 20),
-        |ml AS (SELECT list(pair ORDER BY weight DESC, pair) AS ms FROM topm),
-        |tok AS (SELECT word, CAST(len(word) AS BIGINT) AS chars,
-        |    CAST(len(f) - len(replace(f, ' ', '')) AS BIGINT) - 1 AS n_tok FROM (
-        |  SELECT word, list_reduce(list_prepend(' ' || regexp_replace(word, '(.)', '\1 ', 'g'), ms),
-        |    (acc, m) -> replace(replace(acc, ' ' || m[1:1] || ' ' || m[2:2] || ' ', ' ' || m || ' '),
-        |                        ' ' || m[1:1] || ' ' || m[2:2] || ' ', ' ' || m || ' ')) AS f
-        |  FROM vocab, ml)),
-        |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_sw FROM a GROUP BY 1, 2),
-        |aw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words FROM w GROUP BY 1),
+      (BpeChainCte + """,
+        |ws AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |asw AS (SELECT source, word FROM ws WHERE regexp_matches(word, '^[a-z]+$')),
+        |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_sw FROM asw GROUP BY 1, 2),
+        |aw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words FROM ws GROUP BY 1),
         |agg AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_alpha,
         |    CAST(SUM(n_sw * chars) AS BIGINT) AS chars_alpha,
         |    CAST(SUM(n_sw * n_tok) AS BIGINT) AS bpe_tokens
-        |  FROM sw JOIN tok USING (word) GROUP BY 1)
+        |  FROM sw JOIN tokw USING (word) GROUP BY 1)
         |SELECT agg.source, n_words, n_alpha, chars_alpha, bpe_tokens,
         |  CAST(chars_alpha - bpe_tokens AS BIGINT) AS merged_away,
         |  (bpe_tokens * 10000) // chars_alpha AS compression_bp
         |FROM agg JOIN aw ON aw.source = agg.source
-        |ORDER BY 1""".stripMargin,
+        |ORDER BY 1""".stripMargin),
     // layout_column_stats_approx: the HLL estimate is engine-specific;
     // the portable contract is the within-6%-or-±2 bit over the exact
     // ndv (the q_approx_distinct convention; 3 sigma at rsd 0.02)

@@ -1273,6 +1273,102 @@ object SourceQueries {
       out)
   }
 
+  /** RESTORE on the commit log (the Delta rollback verb — the last
+    * lakehouse verb after OPTIMIZE/vacuum/checkpointing): three
+    * appends build versions 1–3, then
+    * [[graft.sources.KvSource.restore]] publishes version 4 whose
+    * state EQUALS the v1 snapshot — the newer files are `#remove:`d
+    * from the fold, nothing is deleted from disk, so time travel keeps
+    * working in BOTH directions: the latest read now returns exactly
+    * v1's rows while `versionAsOf=3` still returns the full
+    * pre-restore state (until vacuum ages it out, the retention
+    * contract). Restore is one more auditable version on the chain,
+    * not a destructive rewind — the property that makes rollback safe
+    * to run against a table other readers are pinned to. The oracle
+    * recomputes both row sets from the source-of-truth table: a
+    * restore that leaks a post-v1 file into the rolled-back state, or
+    * breaks the forward snapshot, fails the hash. */
+  def restoreOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-restore").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    (0L until 3L).foreach { i =>
+      c.filter(col("key") % 3 === i)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    def readCount(asOf: Option[Long]): Long = {
+      val r = spark.read.format(classOf[KvSource].getName).option("path", out)
+      asOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load().count()
+    }
+    val before = Seq(
+      ("01_before", "rows_at_v1", readCount(Some(1L))),
+      ("01_before", "rows_latest", readCount(None)))
+    val v = KvSource.restore(out, 1L)
+    val after = Seq(
+      ("02_restore", "version_published", v),
+      ("03_after", "rows_latest", readCount(None)),
+      ("03_after", "rows_at_v3_forward", readCount(Some(3L))),
+      ("03_after", "versions", KvSource.versions(out).size.toLong))
+    import spark.implicits._
+    materializeAndClean(
+      (before ++ after).toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      out)
+  }
+
+  /** DELETE on the REAL read path — merge-on-read through the commit
+    * log (wiring [[deletionVectors]]'s modeled anti-join into
+    * [[graft.sources.KvSource]], VERDICT r14 item 4): one append
+    * builds the base (v1), [[graft.sources.KvSource.deleteWhere]]
+    * computes the doomed keys DISTRIBUTED against the pinned snapshot
+    * and publishes a `dv-*.dat` key file under a `#dv:` header (v2) —
+    * no base file is rewritten, the property that makes DELETE cheap
+    * at 100 TB. Every scan now applies the DV in its partition
+    * readers (the anti-join pushed to the narrowest point); time
+    * travel to v1 still reads the pre-delete rows; OPTIMIZE (v3)
+    * folds the DV into a clean one-file rewrite and drops the key
+    * file from the state. The oracle recomputes every count from the
+    * delete rule — a scan that leaks a deleted row, over-masks a live
+    * one, or loses rows in the DV-folding rewrite fails the hash. */
+  def deleteVerbOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-delete").toString
+    Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+      .write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    def readCount(asOf: Option[Long]): Long = {
+      val r = spark.read.format(classOf[KvSource].getName).option("path", out)
+      asOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load().count()
+    }
+    val before = Seq(("01_before", "rows_readable", readCount(None)))
+    val (nDel, vDel) = KvSource.deleteWhere(spark, out, "key % 7 = 0")
+    val afterDelete = Seq(
+      ("02_delete", "keys_deleted", nDel),
+      ("02_delete", "version_published", vDel),
+      ("03_after_delete", "rows_readable", readCount(None)),
+      ("03_after_delete", "rows_at_v1", readCount(Some(1L))),
+      ("03_after_delete", "dv_files",
+        KvSource.committedState(out).dvFiles.size.toLong))
+    val (_, vOpt) = KvSource.optimizeCompact(spark, out)
+    val afterOptimize = Seq(
+      ("04_optimize", "version_published", vOpt),
+      ("04_optimize", "rows_readable", readCount(None)),
+      ("04_optimize", "files",
+        KvSource.committedFiles(out).size.toLong),
+      ("04_optimize", "dv_files",
+        KvSource.committedState(out).dvFiles.size.toLong))
+    import spark.implicits._
+    materializeAndClean(
+      (before ++ afterDelete ++ afterOptimize).toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      out)
+  }
+
   /** Finish a side-stateful gate op: localize its BOUNDED final
     * rollup (metadata-sized — versions, rollup rows, never data), then
     * delete the op's temp sink directory so repeated invocations

@@ -548,59 +548,32 @@ object TextOps {
   }
 
   /** BPE APPLY — the half of the tokenizer lifecycle
-    * [[bpePairs]] trains for: the top-K learned merges are applied to
-    * the corpus and the per-source token bill re-denominated from
-    * whitespace words to tokenizer tokens (what the pipeline's token
-    * budgets actually buy). Same collapse trick as training: the
-    * corpus reduces to its DISTINCT-WORD vocabulary first, each
-    * distinct word is tokenized ONCE (char-split, then the ranked
-    * merge list folded over it), and per-source totals come from a
-    * vocab-sized key join of (source, word, count) against
-    * (word, tokens) — work scales with distinct words × K merges,
-    * never corpus tokens. The fold is `aggregate(merges, spaced, …)`
-    * in Spark and `list_reduce(list_prepend(spaced, merges), …)` in
-    * the oracle — the SAME deterministic row-local recurrence on both
-    * engines. Merge application contract (documented, engine-exact):
-    * a merge (a,b) rewrites single-char tokens "a b" to "ab" via two
-    * left-to-right non-overlapping `replace` sweeps (the second sweep
-    * catches the boundary-consumption alternation, e.g. "a a a a" →
-    * "aa aa"); merges apply in rank order (weight DESC, pair ASC),
-    * and because patterns demand single-char tokens on both sides, a
-    * later merge can never fire inside an earlier merge's output —
-    * single-level BPE, exactly what char-pair training learns.
-    * Scope: lowercase-alphabetic words (the trainable vocabulary);
-    * the report carries the whitespace denominator alongside. */
-  def bpeApply(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    * [[bpeTrainIter]] trains for: the ITERATED merge ledger (r15,
+    * VERDICT r14 item 5 — previously the single-level top-20 char-pair
+    * list) is applied to the corpus in rank order and the per-source
+    * token bill re-denominated from whitespace words to tokenizer
+    * tokens (what the pipeline's token budgets actually buy). Same
+    * collapse trick as training: the corpus reduces to its
+    * DISTINCT-WORD vocabulary first, each distinct word is tokenized
+    * ONCE ([[bpeTokPerWord]]: char-split, then the K ledger merges
+    * folded over it — COMPOSING merges included, since the ledger's
+    * later pairs reference earlier merged tokens), and per-source
+    * totals come from a vocab-sized key join of (source, word, count)
+    * against (word, tokens) — work scales with distinct words × K,
+    * never corpus tokens. Merge application contract (engine-exact,
+    * shared with [[bpeTrainIter]] and the oracle): ` left right `
+    * rewrites to ` leftright ` via two left-to-right non-overlapping
+    * `replace` sweeps, merges in ledger rank order. Scope:
+    * lowercase-alphabetic words (the trainable vocabulary); the
+    * report carries the whitespace denominator alongside. */
+  def bpeApply(spark: SparkSession, dir: String, k: Int = BpeMerges): DataFrame = {
     val words = Tables.documents(spark, dir)
       .selectExpr("source", "explode(split(text, ' ')) AS word")
     val alpha = words.filter(col("word").rlike("^[a-z]+$"))
-    // global vocabulary with corpus frequency (the training weights)
-    val vocab = alpha.groupBy(col("word")).agg(count(lit(1)).as("n"))
-    // ranked merge list, as ONE array row (weight DESC, pair ASC —
-    // sort_array on (-weight, pair) structs makes the order explicit
-    // instead of trusting collect_list)
-    val merges = vocab.filter(length(col("word")) >= 2)
-      .selectExpr("n",
-        "explode(transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))) AS pair")
-      .groupBy(col("pair")).agg(sum(col("n")).as("weight"))
-      .orderBy(col("weight").desc, col("pair")).limit(k)
-      .agg(expr("transform(sort_array(collect_list(struct(-weight AS nw, pair AS p))), s -> s.p)")
-        .as("ms"))
-    // tokenize each DISTINCT word once: " t h e " → fold merges
-    val sweep = "replace(acc, concat(' ', substring(m, 1, 1), ' ', substring(m, 2, 1), ' ')," +
-      " concat(' ', m, ' '))"
-    val tok = vocab.crossJoin(broadcast(merges))
-      .selectExpr("word", "n",
-        "CAST(length(word) AS BIGINT) AS chars",
-        s"""aggregate(ms, concat(' ', regexp_replace(word, '(.)', '$$1 ')),
-           |(acc, m) -> ${sweep.replace("acc", sweep)}) AS folded""".stripMargin
-          .replace("\n", " "))
-      .selectExpr("word", "chars",
-        "CAST(length(folded) - length(replace(folded, ' ', '')) AS BIGINT) - 1 AS n_tok")
     val perSrcWord = alpha.groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("n_sw"))
     val allWords = words.groupBy(col("source")).agg(count(lit(1)).as("n_words"))
-    perSrcWord.join(tok, "word")
+    perSrcWord.join(bpeTokPerWord(spark, dir, k), "word")
       .groupBy(col("source"))
       .agg(sum(col("n_sw")).as("n_alpha"),
         sum(col("n_sw") * col("chars")).as("chars_alpha"),
@@ -611,6 +584,38 @@ object TextOps {
         "(bpe_tokens * 10000) DIV chars_alpha AS compression_bp")
       .orderBy("source")
   }
+
+  /** The tokenizer's merge count — one constant so the trainer
+    * ([[bpeTrainIter]]), the apply/billing pass ([[bpeApply]]), and
+    * the budget consumers ([[mixWeights]], [[packSequences]]) all
+    * speak the SAME token denomination. */
+  private[graft] val BpeMerges = 10
+
+  /** Per-distinct-word tokenizer bill under the ITERATED ledger:
+    * (word, chars, n_tok) for every alpha word in the corpus, the
+    * ledger's K merges folded in rank order via the shared two-sweep
+    * replace contract. Session-cached — the tokenizer is trained once
+    * and every billing consumer joins against the same table, exactly
+    * how a real pipeline ships its tokenizer. */
+  private def bpeTokPerWord(spark: SparkSession, dir: String, k: Int = BpeMerges): DataFrame =
+    graft.Caches.shared(spark, s"text.bpeTok:$dir:$k") {
+      // fold the driver-held ledger into ONE chained-replace column
+      // expression: pair text is [a-z ]+ by construction — safe as a
+      // SQL literal; merges apply in rank order, two sweeps each
+      val foldExpr = bpeLedger(spark, dir, k).foldLeft(
+        "concat(' ', regexp_replace(word, '(.)', '$1 '))") {
+        case (acc, (_, pair, merged, _, _)) =>
+          s"replace(replace($acc, ' $pair ', ' $merged '), ' $pair ', ' $merged ')"
+      }
+      Tables.documents(spark, dir)
+        .selectExpr("explode(split(text, ' ')) AS word")
+        .filter(col("word").rlike("^[a-z]+$"))
+        .select(col("word")).distinct()
+        .selectExpr("word", "CAST(length(word) AS BIGINT) AS chars",
+          s"($foldExpr) AS folded")
+        .selectExpr("word", "chars",
+          "CAST(length(folded) - length(replace(folded, ' ', '')) AS BIGINT) - 1 AS n_tok")
+    }
 
   /** ITERATED BPE training (VERDICT r13 item 4 — the real thing
     * [[bpePairs]]/[[bpeApply]] approximate): K merges learned
@@ -636,7 +641,25 @@ object TextOps {
     * replay is bit-exact. Output: the ranked merge ledger with each
     * round's pair weight and the corpus token bill after it — the
     * training curve a tokenizer team reads to pick K. */
-  def bpeTrainIter(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def bpeTrainIter(spark: SparkSession, dir: String, k: Int = BpeMerges): DataFrame = {
+    import spark.implicits._
+    bpeLedger(spark, dir, k)
+      .toDF("rank", "pair", "merged", "weight", "corpus_tokens_after")
+      .orderBy("rank")
+  }
+
+  /** Driver-held merge-ledger memo: the merge table IS driver-sized
+    * state in any real trainer (HF/SentencePiece hold it in memory),
+    * and the corpus at a dir is immutable here, so memoizing by
+    * (dir, k) is sound across sessions — training runs once and the
+    * billing consumers ([[bpeApply]], [[mixWeights]],
+    * [[packSequences]]) reuse the same K rows. */
+  private val ledgerMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[(Long, String, String, Long, Long)]]
+
+  private[graft] def bpeLedger(spark: SparkSession, dir: String,
+                               k: Int): Seq[(Long, String, String, Long, Long)] =
+    ledgerMemo.getOrElseUpdate((dir, k), {
     var vocab = Tables.documents(spark, dir)
       .selectExpr("explode(split(text, ' ')) AS word")
       .filter(col("word").rlike("^[a-z]+$"))
@@ -675,10 +698,8 @@ object TextOps {
       }
     }
     graft.Checkpoints.release(vocab)
-    import spark.implicits._
-    ledger.toSeq.toDF("rank", "pair", "merged", "weight", "corpus_tokens_after")
-      .orderBy("rank")
-  }
+    ledger.toSeq
+  })
 
   /** Robust per-source document-length QA profile — the
     * anomaly-detection pass a corpus ingest runs before training:
@@ -728,20 +749,27 @@ object TextOps {
     * supply here) across sources by temperature-0.5 sampling
     * (weight ∝ √tokens, the standard multilingual-LM rebalance that
     * upweights small sources without letting a giant source dominate).
-    * Outputs per source: supply, weight, allocated tokens, epochs over
-    * the source in basis points (>10000 ⇒ the source repeats), and
-    * budget share. Everything integer except the isqrt, which is
-    * exact: IEEE-754 sqrt is correctly rounded in both engines and
-    * √(perfect square) is representable, so FLOOR(SQRT(x)) is the true
-    * integer sqrt for any x < 2⁵³. One aggregate over the corpus, then
-    * windows over the per-source rows (source-count-sized). */
+    * (r15, VERDICT r14 item 5) the supply is billed in TOKENIZER
+    * tokens — each gated doc's alpha words through the iterated-ledger
+    * tokenization ([[bpeTokPerWord]], one vocab-key join), non-alpha
+    * words one token each — so the budget buys what the model actually
+    * consumes, not whitespace words. Outputs per source: supply,
+    * weight, allocated tokens, epochs over the source in basis points
+    * (>10000 ⇒ the source repeats). Everything integer except the
+    * isqrt, which is exact: IEEE-754 sqrt is correctly rounded in both
+    * engines and √(perfect square) is representable, so FLOOR(SQRT(x))
+    * is the true integer sqrt for any x < 2⁵³. The billing join keys
+    * words against the distinct-word table (vocab-sized, never
+    * corpus-sized state); then windows over the per-source rows. */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val ok = qualityGateCols(docs).filter(col("pass") === 1).select("doc_id")
     val avail = docs
-      .selectExpr("doc_id", "source", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .selectExpr("doc_id", "source", "explode(split(text, ' ')) AS word")
       .join(ok, "doc_id")
-      .groupBy(col("source")).agg(sum(col("n_tokens")).as("avail_tokens"))
+      .join(bpeTokPerWord(spark, dir).select("word", "n_tok"), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(sum(coalesce(col("n_tok"), lit(1L))).as("avail_tokens"))
     val w = Window.partitionBy()
     avail
       .selectExpr("source", "avail_tokens",
@@ -798,23 +826,30 @@ object TextOps {
 
   /** Sequence packing — the last step before a training corpus
     * becomes model input: documents are concatenated in corpus order
-    * and cut into fixed token-budget packs (budget 512 whitespace
-    * tokens, the [[tokenCount]] convention). Packing is per SOURCE
-    * (the shard boundary real pipelines pack within), so the running
-    * token sum is a source-partitioned window — never a global sort —
-    * and a doc's pack is floor(exclusive-prefix / budget): contiguous
-    * packing with boundary-spanning docs accounted to the pack they
-    * start in. The report (docs, tokens, fill) is what a data loader
-    * needs to size epochs; at 100 TB each source packs independently
-    * in one shuffle on source. */
+    * and cut into fixed token-budget packs (budget 512 TOKENIZER
+    * tokens — r15, VERDICT r14 item 5: each doc's length is billed
+    * through the iterated-ledger tokenization ([[bpeTokPerWord]],
+    * alpha words via the vocab-key join, non-alpha words one token
+    * each), so pack boundaries land where the model's context window
+    * actually lands, not at whitespace approximations). Packing is per
+    * SOURCE (the shard boundary real pipelines pack within), so the
+    * running token sum is a source-partitioned window — never a global
+    * sort — and a doc's pack is floor(exclusive-prefix / budget):
+    * contiguous packing with boundary-spanning docs accounted to the
+    * pack they start in. The report (docs, tokens, fill) is what a
+    * data loader needs to size epochs; at 100 TB the billing join is
+    * word-keyed against the vocab-sized token table and each source
+    * packs independently in one shuffle on source. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val budget = 512L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("tok"))
+      .selectExpr("source", "doc_id", "explode(split(text, ' ')) AS word")
+      .join(bpeTokPerWord(spark, dir).select("word", "n_tok"), Seq("word"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(coalesce(col("n_tok"), lit(1L))).as("tok"))
       .withColumn("prefix", coalesce(sum(col("tok")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"prefix DIV $budget"))
       .groupBy(col("source"), col("pack_id"))

@@ -260,7 +260,19 @@ class SkewCorpusSpec extends AnyFunSuite {
     }
     val hotText = Tables.documents(spark, sf).orderBy("doc_id")
       .select("text").head().getString(0)
-    val hotTok = hotText.split(" ", -1).length.toLong
+    // r15: packing bills in tokenizer tokens — fold the hot corpus's
+    // OWN iterated ledger over the hot doc's words (alpha words
+    // tokenized, non-alpha 1 each), exactly the engine's billing rule
+    val ledger = graft.text.TextOps.bpeLedger(spark, corpusDir, 10)
+    val hotTok = hotText.split(" ", -1).map { w =>
+      if (w.matches("^[a-z]+$")) {
+        var s = " " + w.map(_.toString).mkString(" ") + " "
+        ledger.foreach { case (_, p, m, _, _) =>
+          s = s.replace(s" $p ", s" $m "); s = s.replace(s" $p ", s" $m ")
+        }
+        (s.count(_ == ' ') - 1).toLong
+      } else 1L
+    }.sum
     assert(packs.map(_.getLong(2)).sum == 500L, "hot source docs lost")
     assert(packs.map(_.getLong(3)).sum == 500L * hotTok, "hot source tokens lost")
     // source novelty: exact copies contribute ZERO novel grams — the

@@ -401,10 +401,15 @@ class Widening11bSpec extends AnyFunSuite {
 
   test("sequence packing: token/doc conservation, packs start at 0, monotone") {
     val rows = TextOps.packSequences(spark, sf).collect()
-    val docs = Tables.documents(spark, sf)
-      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0))
-    assert(rows.map(_.getLong(2)).sum == docs.length.toLong, "docs not conserved")
-    assert(rows.map(_.getLong(3)).sum == docs.sum, "tokens not conserved")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "docs not conserved")
+    // token conservation in the TOKENIZER denomination (r15): pack
+    // totals must equal bpeApply's independently-verified per-source
+    // bill — bpe tokens for alpha words plus 1 per non-alpha word
+    val bill = TextOps.bpeApply(spark, sf).collect()
+      .map(r => r.getLong(4) + r.getLong(1) - r.getLong(2)).sum
+    assert(rows.map(_.getLong(3)).sum == bill,
+      "tokens not conserved under the tokenizer bill")
     rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
       val packs = rs.map(_.getLong(1)).sorted
       assert(packs.head == 0L, s"$src first pack nonzero")

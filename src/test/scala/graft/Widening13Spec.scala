@@ -44,8 +44,8 @@ class Widening13Spec extends AnyFunSuite {
     // manifests are deltas + checkpoints, so resolution is the fold,
     // not the single file)
     versions.sliding(2).foreach { case Seq(a, b) =>
-      val fa = KvSource.stateAt(dir, a)._1.toSet
-      val fb = KvSource.stateAt(dir, b)._1.toSet
+      val fa = KvSource.stateAt(dir, a).files.toSet
+      val fb = KvSource.stateAt(dir, b).files.toSet
       assert(fa.subsetOf(fb), s"v$b dropped files committed at v$a")
     case _ => ()
     }
@@ -53,7 +53,7 @@ class Widening13Spec extends AnyFunSuite {
     // is a full checkpoint, every other version lists exactly its own
     // one new file
     versions.foreach { v =>
-      val n = KvSource.readManifest(dir, v)._1.size
+      val n = KvSource.readManifest(dir, v).adds.size
       if (v % 10 == 0) assert(n == v, s"checkpoint v$v must list all $v files, got $n")
       else assert(n == 1, s"delta v$v must list exactly its own file, got $n")
     }
@@ -173,7 +173,7 @@ class Widening13Spec extends AnyFunSuite {
     assert(readAll(dir).count() == 9)
   }
 
-  test("text_bpe_apply matches a driver-side re-derivation of the merge fold") {
+  test("text_bpe_apply bills with the ITERATED ledger; iterated bill beats single-level") {
     val docs = Tables.documents(spark, sf)
       .filter(col("text").isNotNull)
       .selectExpr("source", "text").collect()
@@ -181,24 +181,20 @@ class Widening13Spec extends AnyFunSuite {
     val byWord = docs.flatMap { case (s, t) => t.split(" ").map(w => (s, w)) }
     val alpha = byWord.filter(_._2.matches("^[a-z]+$"))
     val vocab = alpha.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
-    val weights = scala.collection.mutable.Map.empty[String, Long]
-    vocab.foreach { case (w, n) =>
-      if (w.length >= 2)
-        (0 until w.length - 1).foreach { i =>
-          val p = w.substring(i, i + 2)
-          weights(p) = weights.getOrElse(p, 0L) + n
-        }
-    }
-    val merges = weights.toSeq.sortBy { case (p, wt) => (-wt, p) }.take(20).map(_._1)
-    def tokens(word: String): Long = {
+    // merge folds share one two-sweep contract; the merges differ:
+    // the ITERATED ledger (itself driver-verified in Widening14Spec)
+    // vs the same-K single-level char-pair list
+    def tokensWith(merges: Seq[(String, String)])(word: String): Long = {
       var s = " " + word.map(_.toString).mkString(" ") + " "
-      merges.foreach { m =>
-        val pat = s" ${m(0)} ${m(1)} "; val rep = s" $m "
+      merges.foreach { case (p, m) =>
+        val pat = s" $p "; val rep = s" $m "
         s = s.replace(pat, rep); s = s.replace(pat, rep)
       }
       (s.count(_ == ' ') - 1).toLong
     }
-    val tokOf = vocab.keys.map(w => w -> tokens(w)).toMap
+    val ledger = graft.text.TextOps.bpeLedger(spark, sf, 10)
+    val tokOf = vocab.keys.map(w =>
+      w -> tokensWith(ledger.map(l => (l._2, l._3)))(w)).toMap
     val want = alpha.groupBy(_._1).map { case (src, xs) =>
       src -> (xs.length.toLong,
         xs.map(_._2.length.toLong).sum,
@@ -214,6 +210,24 @@ class Widening13Spec extends AnyFunSuite {
       assert(r.getLong(4) <= r.getLong(3), "merges only shrink the token count")
       assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
     }
+    // the point of iterating (r15): at the SAME K, composing merges
+    // bill fewer corpus tokens than the single-level char-pair list
+    // on this corpus — the training curve actually buys compression
+    val weights = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, n) =>
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          weights(p) = weights.getOrElse(p, 0L) + n
+        }
+    }
+    val single = weights.toSeq.sortBy { case (p, wt) => (-wt, p) }.take(10)
+      .map { case (p, _) => (s"${p(0)} ${p(1)}", p) }
+    val singleOf = vocab.keys.map(w => w -> tokensWith(single)(w)).toMap
+    val iterBill = vocab.map { case (w, n) => n * tokOf(w) }.sum
+    val singleBill = vocab.map { case (w, n) => n * singleOf(w) }.sum
+    assert(iterBill <= singleBill,
+      s"iterated bill $iterBill exceeds single-level $singleBill at K=10")
   }
 
   test("classBalance hash-threshold fallback selects the EXACT same rows as the rank form") {

@@ -31,7 +31,7 @@ class Widening14Spec extends AnyFunSuite {
     assert(KvSource.foldBase(200L) == 200L, "v200 is itself a checkpoint")
     // the proof that resolution never walks the chain: delete EVERY
     // manifest below the checkpoint — latest must stay fully readable
-    (1L to 199L).foreach(v => new java.io.File(dir, s"_manifest.v$v").delete())
+    (1L to 199L).foreach(v => KvSource.manifestFile(dir, v).delete())
     assert(KvSource.committedFiles(dir).size == 200,
       "latest state must resolve from the v200 checkpoint alone")
     assert(readAll(dir).count() == 200)
@@ -39,7 +39,7 @@ class Widening14Spec extends AnyFunSuite {
     // naming the missing manifest — the retention contract
     stage(dir, "part-long-201.dat", 201L)
     KvSource.commitVersion(dir, Seq("part-long-201.dat"), batchId = None)
-    new java.io.File(dir, "_manifest.v200").delete()
+    KvSource.manifestFile(dir, 200L).delete()
     val e = intercept[IllegalArgumentException] { KvSource.committedFiles(dir) }
     assert(e.getMessage.contains("v200"), s"error must name the fold base: ${e.getMessage}")
     SourceQueries.deleteRecursively(new java.io.File(dir))
@@ -357,7 +357,8 @@ class Widening14Spec extends AnyFunSuite {
     assert(!new java.io.File(dir, "part-a0-replay.dat").exists())
     // legacy r13 '#batch:<n>' headers parse into the empty-app space:
     // a bare batchId commit dedupes against them
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_manifest.v3"),
+    java.nio.file.Files.write(
+      new java.io.File(KvSource.logDir(dir), "_manifest.v3").toPath,
       "#batch:7\npart-legacy.dat".getBytes("UTF-8"))
     stage(dir, "part-legacy.dat", 7L)
     stage(dir, "part-legacy-replay.dat", 7L)

@@ -12,6 +12,14 @@ A fingerprint is the scale-relevant shape of a plan, not its text
   - windows:    count of Window exec nodes
   - pushdown:   whether any scan carries a non-empty PushedFilters
   - readschema: whether any FileScan prunes columns (ReadSchema present)
+  - join STRATEGY (r15, VERDICT r14 item 8): per-query counts of
+    BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin /
+    BroadcastNestedLoopJoin / CartesianProduct nodes. A BHJ->SMJ flip
+    on one query can hide inside stable shuffle/broadcast TOTALS (one
+    more shuffle and one less broadcast can cancel across edits), so
+    the strategy counts are gated directly: any growth in
+    smj/shj/bnlj/cart fails, and a paired bhj-down/smj-up flip gets a
+    named diagnostic.
 
 Failure policy:
   - a query whose shuffles/sorts/expands/windows GREW vs the committed
@@ -98,13 +106,19 @@ def fingerprint(plan):
         "global_windows": count(
             lambda l: is_window(l)
             and is_unpartitioned_window(node(l)[len("Window "):])),
+        "bhj": count(lambda l: node(l).startswith("BroadcastHashJoin")),
+        "smj": count(lambda l: node(l).startswith("SortMergeJoin")),
+        "shj": count(lambda l: node(l).startswith("ShuffledHashJoin")),
+        "bnlj": count(lambda l: node(l).startswith("BroadcastNestedLoopJoin")),
+        "cart": count(lambda l: node(l).startswith("CartesianProduct")),
         "pushdown": re.search(r"PushedFilters: \[[^\]]", plan) is not None,
         "readschema": "ReadSchema:" in plan,
         "truncated": "[PLAN TRUNCATED]" in plan,
     }
 
 
-GROW_FAIL = ["shuffles", "sorts", "expands", "windows", "global_windows"]
+GROW_FAIL = ["shuffles", "sorts", "expands", "windows", "global_windows",
+             "smj", "shj", "bnlj", "cart"]
 
 # Queries allowed to carry an UNPARTITIONED window: mirrors (and is
 # spec-held 1:1 against) PlanSpec.boundedGlobalWindows — every entry
@@ -146,13 +160,23 @@ def main():
                              f"(improvement — regenerate PLANS.md)")
         if old["pushdown"] and not new["pushdown"]:
             fails.append(f"{q}: PushedFilters disappeared from every scan")
+        # the named flip: a broadcast join silently degraded to a
+        # shuffle-backed strategy (the case totals can hide)
+        if new.get("bhj", 0) < old.get("bhj", 0) and \
+                new.get("smj", 0) + new.get("shj", 0) > \
+                old.get("smj", 0) + old.get("shj", 0):
+            fails.append(
+                f"{q}: broadcast join degraded (bhj {old['bhj']} -> "
+                f"{new['bhj']}, smj+shj {old['smj'] + old['shj']} -> "
+                f"{new['smj'] + new['shj']}) — a small side stopped "
+                f"broadcasting; annotate or fix before regenerating")
         if new["global_windows"] > 0 and q not in GLOBAL_WINDOW_ALLOWLIST:
             fails.append(
                 f"{q}: {new['global_windows']} UNPARTITIONED window(s) and "
                 f"not in GLOBAL_WINDOW_ALLOWLIST — justify the bound in "
                 f"PlanSpec.boundedGlobalWindows and add it here")
     # a truncated plan dump is a blind spot for every count above —
-    # Plans.scala caps at 30k chars (line-safe) and stamps the cut;
+    # Plans.scala caps at 400k chars (line-safe) and stamps the cut;
     # any stamped section must be investigated, not silently skipped
     truncated = [q for q, f in fresh.items() if f.get("truncated")]
     if truncated:
