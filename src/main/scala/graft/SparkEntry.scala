@@ -525,6 +525,15 @@ object SparkEntry {
     "load_restore" -> SourceQueries.restoreOp _,
     "load_delete_verb" -> SourceQueries.deleteVerbOp _,
     "stream_source_snapshot" -> Streams.streamSourceSnapshot _,
+    // round 15 batch 3: the ANN index persisted as a cell-bucketed
+    // table, probes served from the bucket-pruned layout; the
+    // ANALYZE → prune loop closed from the stats sweep's own catalog
+    "ann_bucketed_serve" -> Ann.bucketedServe _,
+    "layout_prune_from_stats" -> Analytics.layoutPruneFromStats _,
+    // round 15 batch 4: CHANGE DATA FEED (the table_changes verb) and
+    // streaming admission control (maxVersionsPerTrigger)
+    "load_change_feed" -> SourceQueries.changeFeedOp _,
+    "stream_source_ratelimit" -> Streams.streamSourceRateLimit _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -1348,6 +1357,21 @@ object SparkEntry {
          |cells AS (SELECT vec_id, emb, cent_id AS cell FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
          |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM cells WHERE vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // ann_bucketed_serve: the bucketed-index probe is semantically the
+    // ivf probe-1 restricted to queries 8-10 — same assignment CTE,
+    // same rank rule; the bucketed layout is a plan property the spec
+    // pins, invisible to the result
+    "ann_bucketed_serve" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.emb, cent_id, ${duckCos("emb", "ce")} AS c FROM e CROSS JOIN cent),
+         |cells AS (SELECT vec_id, emb, cent_id AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM cells WHERE vec_id >= 8 AND vec_id < 11),
          |s AS (SELECT query_id, c2.vec_id, ${duckCos("qe", "emb")} AS c
          |  FROM q JOIN cells c2 USING (cell) WHERE c2.vec_id <> query_id),
          |r AS (SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank FROM s)
@@ -5839,6 +5863,58 @@ object SparkEntry {
         |  UNION ALL SELECT '04_optimize', 'files', 1
         |  UNION ALL SELECT '04_optimize', 'rows_readable', (SELECT n FROM c) - (SELECT nd FROM c)
         |  UNION ALL SELECT '04_optimize', 'version_published', 3
+        |) t ORDER BY stage, metric""".stripMargin,
+    // layout_prune_from_stats: prune decisions recomputed from the
+    // SAME per-month stats the sweep derives (lineitem quantity
+    // min/max + row counts), evaluated against the same predicate
+    // catalog — the ANALYZE → prune loop closed on both engines
+    "layout_prune_from_stats" ->
+      """WITH l AS (SELECT CAST(date_part('year', l_shipdate) * 100 + date_part('month', l_shipdate) AS BIGINT) AS pmonth,
+        |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |z AS (SELECT pmonth, MIN(qty) AS qmin, MAX(qty) AS qmax,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM l GROUP BY pmonth),
+        |p AS (SELECT * FROM (VALUES
+        |  (1, 'part_month', 199701, 210001),
+        |  (2, 'part_month', 0, 199306),
+        |  (3, 'part_month', 199401, 199501),
+        |  (4, 'part_month', 199809, 210001),
+        |  (5, 'l_quantity', 1, 10),
+        |  (6, 'l_quantity', 45, 51),
+        |  (7, 'l_quantity', 51, 1000)) t(pred_id, dim, plo, phi)),
+        |j AS (SELECT pred_id, dim, n_rows,
+        |  CASE WHEN dim = 'part_month'
+        |    THEN CASE WHEN pmonth < plo OR pmonth >= phi THEN 1 ELSE 0 END
+        |    ELSE CASE WHEN qmax < plo OR qmin >= phi THEN 1 ELSE 0 END
+        |  END AS skipped
+        |  FROM z CROSS JOIN p)
+        |SELECT CAST(pred_id AS BIGINT) AS pred_id, dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(skipped) AS BIGINT) AS n_skipped,
+        |  CAST(SUM(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |FROM j GROUP BY pred_id, dim ORDER BY pred_id""".stripMargin,
+    // load_change_feed: the CDF rollup recomputed from the change
+    // rules — v1/v2 inserts are the key-parity halves, v3 deletes are
+    // the key%5 rows, v4 (OPTIMIZE) contributes nothing
+    "load_change_feed" ->
+      """WITH c AS (SELECT c_custkey AS key FROM customer)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(key) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT 1 AS commit_version, 'insert' AS change_type, key FROM c WHERE key % 2 = 0
+        |  UNION ALL SELECT 2, 'insert', key FROM c WHERE key % 2 = 1
+        |  UNION ALL SELECT 3, 'delete', key FROM c WHERE key % 5 = 0
+        |) t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream_source_ratelimit: protocol constants (3 versions drained
+    // one per micro-batch) + exactly-once totals from events
+    "stream_source_ratelimit" ->
+      """WITH e AS (SELECT event_id AS key, event_type AS val FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_source' AS stage, 'versions' AS metric, 3 AS value
+        |  UNION ALL SELECT '02_run', 'non_empty_epochs', 3
+        |  UNION ALL SELECT '03_sink', 'key_sum', (SELECT SUM(key) FROM e)
+        |  UNION ALL SELECT '03_sink', 'n_types', (SELECT COUNT(DISTINCT val) FROM e)
+        |  UNION ALL SELECT '03_sink', 'rows', (SELECT COUNT(*) FROM e)
         |) t ORDER BY stage, metric""".stripMargin,
     // stream_source_snapshot: exactly-once across the initial-snapshot
     // + delta boundary of a vacuumed chain = the plain per-type rollup

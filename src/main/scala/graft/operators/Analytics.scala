@@ -1192,6 +1192,53 @@ object Analytics {
       .orderBy("pred_id")
   }
 
+  /** ANALYZE → PRUNE, closed end-to-end (VERDICT r14 item 7): the
+    * prune decisions for lineitem-by-month are computed FROM
+    * [[layoutStatsSweep]]'s catalog output — the same stats table the
+    * nightly ANALYZE writes — not from hand-built zone maps (the
+    * [[layoutSkippingEval]] model). Each lineitem month partition
+    * carries (from the sweep) its row count and its l_quantity
+    * min/max; predicates are evaluated against the CATALOG alone, in
+    * two dimensions: month-range predicates prune on the partition
+    * key, quantity-range predicates prune on the column min/max — and
+    * the report shows what a layout owner needs to see: date
+    * predicates skip most partitions, quantity predicates skip NONE
+    * (quantity is uniform within every month — don't cluster on it)
+    * except the vacuous > 50 probe, which the stats prove empty
+    * without touching a single row. Per (predicate, dimension): parts
+    * considered / skipped, and the rows the surviving partitions
+    * would scan. The stats rows are catalog-sized (months × columns);
+    * nothing here rescans the fact table. */
+  def layoutPruneFromStats(spark: SparkSession, dir: String): DataFrame = {
+    val zones = layoutStatsSweep(spark, dir)
+      .filter(col("table_name") === "lineitem" && col("col_name") === "l_quantity")
+      .selectExpr("CAST(part_key AS BIGINT) AS pmonth",
+        "CAST(min_s AS BIGINT) AS qmin", "CAST(max_s AS BIGINT) AS qmax",
+        "n_rows")
+    // predicate catalog: [plo, phi) half-open, month ints for the
+    // partition dimension, quantities for the column dimension
+    val preds = Seq(
+      (1L, "part_month", 199701L, 210001L),
+      (2L, "part_month", 0L, 199306L),
+      (3L, "part_month", 199401L, 199501L),
+      (4L, "part_month", 199809L, 210001L),
+      (5L, "l_quantity", 1L, 10L),
+      (6L, "l_quantity", 45L, 51L),
+      (7L, "l_quantity", 51L, 1000L))
+    val pdf = spark.createDataFrame(preds).toDF("pred_id", "dim", "plo", "phi")
+    zones.crossJoin(broadcast(pdf))
+      .selectExpr("pred_id", "dim", "n_rows",
+        """CAST(CASE WHEN dim = 'part_month'
+          |  THEN CASE WHEN pmonth < plo OR pmonth >= phi THEN 1 ELSE 0 END
+          |  ELSE CASE WHEN qmax < plo OR qmin >= phi THEN 1 ELSE 0 END
+          |END AS BIGINT) AS skipped""".stripMargin.replace("\n", " "))
+      .groupBy(col("pred_id"), col("dim"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("skipped")).as("n_skipped"),
+        sum(expr("CASE WHEN skipped = 0 THEN n_rows ELSE 0 END")).as("rows_scanned"))
+      .orderBy("pred_id")
+  }
+
   /** The [[graft.plans.TopKRewriteRule]] under the gate: the query is
     * written in the PLAIN DataFrame window idiom — `row_number()
     * .over(partitionBy(part).orderBy(...)) <= 2` — and the optimizer

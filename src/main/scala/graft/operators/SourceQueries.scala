@@ -1369,6 +1369,43 @@ object SourceQueries {
       out)
   }
 
+  /** CHANGE DATA FEED over the commit log (the Delta `table_changes`
+    * verb — the audit/downstream-sync primitive that lets a consumer
+    * ask "what changed between v0 and v4" WITHOUT diffing snapshots):
+    * two appends (v1 = even keys, v2 = odd), a merge-on-read DELETE
+    * (v3 = key%5), then an OPTIMIZE (v4 — a rewrite, NO logical
+    * change). [[graft.sources.KvSource.changeFeed]] classifies each
+    * version structurally: appends emit their own files' rows as
+    * `insert` (read raw through the cdfFiles scan restriction —
+    * checkpoint versions diff against the prior state so re-listed
+    * old files never re-emit), DELETEs emit the doomed rows as
+    * `delete` (the deletes-sized DV key set broadcast-joined to the
+    * pre-delete snapshot, so the emitted rows carry their values —
+    * the exact cost Delta pays to materialize CDF deletes from DVs),
+    * rewrites emit nothing. The rollup per (commit_version,
+    * change_type) is oracle-pinned from the source-of-truth rules —
+    * a feed that leaks a rewrite's shuffled rows, misses a delete,
+    * or double-counts a checkpoint re-list fails the hash. */
+  def changeFeedOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-cdf").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    def append(df: DataFrame): Unit =
+      df.write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(c.filter(col("key") % 2 === 0)) // v1
+    append(c.filter(col("key") % 2 === 1)) // v2
+    KvSource.deleteWhere(spark, out, "key % 5 = 0") // v3
+    KvSource.optimizeCompact(spark, out)            // v4: no logical change
+    materializeAndClean(
+      KvSource.changeFeed(spark, out, 0L, 4L)
+        .groupBy(col("commit_version"), col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("commit_version", "change_type"),
+      out)
+  }
+
   /** Finish a side-stateful gate op: localize its BOUNDED final
     * rollup (metadata-sized — versions, rollup rows, never data), then
     * delete the op's temp sink directory so repeated invocations

@@ -705,6 +705,69 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist the IVF index as a CELL-BUCKETED table — the serve-side
+    * completion of the index lifecycle (seed → train → assign →
+    * incremental → SERVE FROM DISK; VERDICT r14 item 6): assignments
+    * (vec_id, cell, emb) are written `bucketBy(8, cell)` into the
+    * session catalog, so the assignment shuffle is paid ONCE at write
+    * time — exactly the [[graft.operators.SourceQueries.bucketedJoin]]
+    * pay-the-shuffle-once story, applied to the ANN index. Every probe
+    * thereafter reads the bucketed layout. Overwrite keeps repeated
+    * runs in one session idempotent; the external path is a temp dir,
+    * nothing lands in a repo warehouse. */
+  private[graft] def bucketedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDf(spark, dir)
+    val cent = seedCentroids(e, 8)
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+    e.join(assign, "vec_id")
+      .select(col("vec_id"), col("cell"), col("emb"))
+      .write.format("parquet").option("path", s"$annWarehouseDir/ivf_idx")
+      .bucketBy(8, "cell").sortBy("cell", "vec_id")
+      .mode("overwrite").saveAsTable("graft_ann_ivf_idx")
+    spark.table("graft_ann_ivf_idx")
+  }
+
+  // ONE external-table location per JVM (the bucketedWarehouseDir
+  // convention): overwrite rewrites in place across repeated runs
+  private lazy val annWarehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ann-buck").toString
+
+  /** SERVE IVF probes from the persisted bucketed index with zero
+    * index-side shuffle: the probe cells resolve from the codebook
+    * (driver-held, ≤ 8 values — the planning state every vector
+    * database keeps in its router), the serving scan BUCKET-PRUNES to
+    * exactly those cells (`SelectedBucketsCount` in the plan — only
+    * the probed buckets' files are read), and the query set broadcasts
+    * onto it. The only exchange in the whole serve plan is the
+    * query-sized rank window over the probed candidates. Queries are
+    * vectors 8–10 probe-1 top-5, so the result equals [[ivfTopk]]
+    * restricted to those queries — the spec pins that identity plus
+    * the structural claims. At 100 TB: the index write is the one-time
+    * assignment shuffle; each probe reads corpus/k-sized buckets and
+    * nothing else. */
+  def bucketedServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = bucketedIndex(spark, dir)
+    val q = idx.filter(col("vec_id") >= 8 && col("vec_id") < 11)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
+    // router state: the probed cells (≤ 8 longs) — collected so the
+    // scan filter is LITERAL and bucket pruning can fire
+    val probeCells = q.select("cell").distinct().collect().map(_.getLong(0))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    idx.filter(col("cell").isin(probeCells.map(Long.box): _*))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineSim(col("qe"), col("emb")).as("c"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Random-projection dimensionality reduction (Achlioptas,
     * "Database-friendly random projections", PODS 2001): 64-dim
     * vectors down to 8 via a ±1 sign matrix, the cheap JL-transform

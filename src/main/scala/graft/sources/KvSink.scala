@@ -537,6 +537,72 @@ object KvSource {
       removeFiles = removes ++ dvRemove, dvFiles = dvAdd)
   }
 
+  /** CHANGE DATA FEED (the Delta `table_changes` verb): the row-level
+    * changes versions (fromVersion, toVersion] committed, as
+    * (key, val, change_type, commit_version). Version classification
+    * is structural, same rules as the streaming source:
+    *   - an APPEND emits its added files' rows as `insert`;
+    *   - a DELETE (`#dv:`) emits the doomed rows as `delete` — the DV
+    *     key file joined against the PRE-delete snapshot, so the
+    *     emitted rows carry their values (the join is
+    *     deletes-sized × snapshot scan, the exact cost Delta pays to
+    *     materialize CDF deletes from DVs);
+    *   - a REWRITE (OPTIMIZE / RESTORE `#remove:`) emits NOTHING for
+    *     its shuffled files: old rows in new clothes are not logical
+    *     changes. (A restore that resurrects or un-deletes rows is
+    *     therefore not reflected — the Delta CDF limitation, noted.)
+    * The per-version loop is driver-side over version METADATA (the
+    * manifest chain); each version's rows read distributed through the
+    * ordinary scan machinery. */
+  private[graft] def changeFeed(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, fromVersion: Long,
+                                  toVersion: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion <= toVersion,
+      s"KvSource: changeFeed range is empty: ($fromVersion, $toVersion]")
+    val changes = ((fromVersion + 1) to toVersion).flatMap { v =>
+      if (!manifestFile(path, v).exists())
+        throw new IllegalArgumentException(
+          s"KvSource: changeFeed needs manifest v$v at $path which no longer " +
+            s"exists (vacuumed? have: ${versions(path).mkString(",")})")
+      val m = readManifest(path, v)
+      if (m.removes.nonEmpty) Seq.empty // rewrite: no logical change
+      else if (m.dvs.nonEmpty) {
+        // DELETE: the version's doomed keys (deletes-sized, broadcast)
+        // joined to the PRE-delete snapshot so emitted rows carry vals
+        val keys = m.dvs.flatMap { dv =>
+          val src = scala.io.Source.fromFile(new java.io.File(path, dv), "UTF-8")
+          try src.getLines().filter(_.nonEmpty).map(_.toLong).toList
+          finally src.close()
+        }
+        import spark.implicits._
+        val pre = spark.read.format(classOf[KvSource].getName)
+          .option("path", path).option("versionAsOf", (v - 1).toString).load()
+        Seq(pre.join(org.apache.spark.sql.functions.broadcast(keys.toDF("key")), "key")
+          .select(col("key"), col("val"),
+            lit("delete").as("change_type"), lit(v).as("commit_version")))
+      } else {
+        // APPEND: the version's OWN files (checkpoints diff against the
+        // prior state), read raw via the cdfFiles scan restriction —
+        // inserts are the rows as committed, no later DV applied
+        val prior: Set[String] =
+          if (v % CheckpointInterval == 0 && v > 1) stateAt(path, v - 1).files.toSet
+          else Set.empty
+        val fresh = m.adds.filterNot(prior)
+        if (fresh.isEmpty) Seq.empty
+        else Seq(spark.read.format(classOf[KvSource].getName)
+          .option("path", path).option("cdfFiles", fresh.mkString(",")).load()
+          .select(col("key"), col("val"),
+            lit("insert").as("change_type"), lit(v).as("commit_version")))
+      }
+    }
+    changes.reduceOption(_ unionAll _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("key", "val", "change_type", "commit_version")
+    }
+  }
+
   /** Stream `lines` into `<path>/.<name>.tmp-<attempt>` and atomically
     * rename to `<name>`. The attempt salt (task attempt id) keeps a
     * speculative or retried attempt from truncating a temp another
@@ -597,8 +663,15 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val asOf = Option(options.get("versionAsOf")).map(_.toLong)
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+    val maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+    // change-feed internal: read EXACTLY these committed file names,
+    // raw (no DV mask) — inserts are the rows as their version
+    // committed them, regardless of later deletes
+    val cdfFiles = Option(options.get("cdfFiles"))
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
     new ScanBuilder {
-      override def build(): Scan = new KvScan(path, asOf, startingVersion)
+      override def build(): Scan =
+        new KvScan(path, asOf, startingVersion, maxVersionsPerTrigger, cdfFiles)
     }
   }
 
@@ -633,7 +706,9 @@ case class KvFilePartition(file: String,
                            dvFiles: Seq[String] = Seq.empty) extends InputPartition
 
 class KvScan(path: String, asOf: Option[Long],
-             startingVersion: Option[Long] = None) extends Scan with Batch {
+             startingVersion: Option[Long] = None,
+             maxVersionsPerTrigger: Option[Long] = None,
+             cdfFiles: Option[Seq[String]] = None) extends Scan with Batch {
   // pin the version at planning time so every partition of this scan
   // reads one consistent snapshot even if a writer commits mid-query
   private val version: Option[Long] =
@@ -642,15 +717,19 @@ class KvScan(path: String, asOf: Option[Long],
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KvMicroBatchStream(path, startingVersion)
+    new KvMicroBatchStream(path, startingVersion, maxVersionsPerTrigger)
   override def description(): String =
     s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val st = KvSource.committedState(path, version)
-    val dvPaths = st.dvFiles.map(f => new java.io.File(path, f).getPath)
-    st.files
-      .map(f => KvFilePartition(new java.io.File(path, f).getPath, dvPaths): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = cdfFiles match {
+    case Some(files) => // change-feed restriction: exact files, raw
+      files.map(f => KvFilePartition(new java.io.File(path, f).getPath): InputPartition)
+        .toArray
+    case None =>
+      val st = KvSource.committedState(path, version)
+      val dvPaths = st.dvFiles.map(f => new java.io.File(path, f).getPath)
+      st.files
+        .map(f => KvFilePartition(new java.io.File(path, f).getPath, dvPaths): InputPartition)
+        .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory
@@ -728,7 +807,8 @@ class KvReaderFactory extends PartitionReaderFactory {
   *     fails with the clear retention error;
   *   - `option("startingVersion", n)` tails from a pinned version:
   *     the first micro-batch begins at version n. */
-class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None)
+class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
+                         maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -744,10 +824,21 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(KvSource.latestVersion(path).getOrElse(0L))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    KvOffset(availableNowEnd.getOrElse(KvSource.latestVersion(path).getOrElse(0L)))
+  /** Admission control (the Delta maxFilesPerTrigger shape, version-
+    * granular): each micro-batch admits at most `maxVersionsPerTrigger`
+    * versions past `start`, clamped to the AvailableNow pin when one
+    * is set — so AvailableNow + a rate limit drains the backlog in
+    * BOUNDED micro-batches and still stops at the pinned end, exactly
+    * Spark's composed contract. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val tip = availableNowEnd.getOrElse(KvSource.latestVersion(path).getOrElse(0L))
+    val lo = start.asInstanceOf[KvOffset].v
+    KvOffset(maxVersionsPerTrigger.fold(tip)(n => math.min(tip, lo + math.max(n, 1L))))
+  }
 
   override def reportLatestOffset(): Offset =
     KvOffset(KvSource.latestVersion(path).getOrElse(0L))

@@ -1685,4 +1685,63 @@ object Streams {
     graft.operators.SourceQueries.deleteRecursively(new java.io.File(ckpt))
     res
   }
+
+  /** Streaming ADMISSION CONTROL on the commit-log source (the Delta
+    * maxFilesPerTrigger shape, version-granular): with
+    * `option("maxVersionsPerTrigger", 1)` each micro-batch admits ONE
+    * version past its start offset, so AvailableNow drains a 3-version
+    * backlog in exactly 3 bounded micro-batches instead of one
+    * unbounded gulp — the knob that keeps a recovering consumer from
+    * planning a table-sized first batch after downtime. The sink is a
+    * second kv table, so the micro-batch count is OBSERVABLE as the
+    * sink's own version chain (one epoch commit per non-empty batch) —
+    * the ledger pins it at 3 alongside the exactly-once rollup totals,
+    * all recomputed from the events table by the oracle. Scale: each
+    * admitted batch plans one version's files; admission state is two
+    * longs. */
+  def streamSourceRateLimit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-rate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-rate-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-kv-rate-sink").toString
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .selectExpr("event_id AS key", "event_type AS val")
+    (0L until 3L).foreach { m =>
+      ev.filter(col("key") % 3 === m)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    val q = spark.readStream.format(classOf[KvSource].getName)
+      .option("path", out).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format(classOf[KvSource].getName)
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one sink version per non-empty epoch — the observable batch count
+    val epochs = KvSource.versions(sinkDir)
+      .count(v => KvSource.readManifest(sinkDir, v).adds.nonEmpty).toLong
+    val sunk = spark.read.format(classOf[KvSource].getName)
+      .option("path", sinkDir).load()
+    val rolled = sunk.agg(count(lit(1)).as("rows"), sum(col("key")).as("key_sum"),
+      countDistinct(col("val")).as("n_types")).head()
+    val res = graft.operators.SourceQueries.materializeAndClean(
+      {
+        import spark.implicits._
+        Seq(
+          ("01_source", "versions", 3L),
+          ("02_run", "non_empty_epochs", epochs),
+          ("03_sink", "key_sum", rolled.getLong(1)),
+          ("03_sink", "n_types", rolled.getLong(2)),
+          ("03_sink", "rows", rolled.getLong(0)))
+          .toDF("stage", "metric", "value")
+          .orderBy("stage", "metric")
+      },
+      out)
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(sinkDir))
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(ckpt))
+    res
+  }
+
 }

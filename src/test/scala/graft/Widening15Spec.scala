@@ -248,6 +248,137 @@ class Widening15Spec extends AnyFunSuite {
     SourceQueries.deleteRecursively(new java.io.File(dir))
   }
 
+  test("ann_bucketed_serve: bucket-pruned scan, broadcast probe, equals the ivf probe") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // structural claims on an AQE-off session so exchange nodes are
+    // real (the bucketed-join spec convention)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.sim.Ann.bucketedServe(s, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("SelectedBucketsCount"),
+      "serving scan must bucket-prune to the probed cells")
+    // the INDEX side never shuffles: no exchange anywhere below the
+    // broadcast probe join — the assignment shuffle was paid at write
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "probe must broadcast-join onto the bucketed scan")
+    val belowJoin = joins.head.collect { case e: ShuffleExchangeExec => e }
+    assert(belowJoin.isEmpty,
+      s"index side shuffled before the probe join: ${belowJoin.mkString("; ")}")
+    // above the join only candidate-sized movement: the rank window +
+    // the presentation sort
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2,
+      s"serve plan must shuffle at most the rank window + output sort, " +
+        s"got ${exchanges.size}")
+    // result identity: the bucketed serve IS the ivf probe restricted
+    // to queries 8-10 — the layout is a plan property, not a result
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.sim.Ann.ivfTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < 11).toSeq
+    assert(got.nonEmpty && got == want,
+      s"bucketed serve diverged from the ivf probe:\ngot  $got\nwant $want")
+    Caches.clearAll()
+  }
+
+  test("layout_prune_from_stats: catalog-only prune decisions re-derive from the data") {
+    import graft.operators.Analytics
+    val rows = Analytics.layoutPruneFromStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size == 7)
+    // per-month ground truth, straight off the fact table
+    val stats = Tables.lineitem(spark, sf)
+      .selectExpr("CAST(date_format(l_shipdate, 'yyyyMM') AS BIGINT) AS m",
+        "CAST(l_quantity AS BIGINT) AS q")
+      .groupBy("m")
+      .agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val preds = Seq(
+      (1L, "part_month", 199701L, 210001L), (2L, "part_month", 0L, 199306L),
+      (3L, "part_month", 199401L, 199501L), (4L, "part_month", 199809L, 210001L),
+      (5L, "l_quantity", 1L, 10L), (6L, "l_quantity", 45L, 51L),
+      (7L, "l_quantity", 51L, 1000L))
+    preds.foreach { case (id, dim, lo, hi) =>
+      def skip(s: (Long, Long, Long, Long)): Boolean =
+        if (dim == "part_month") s._1 < lo || s._1 >= hi
+        else s._3 < lo || s._2 >= hi
+      val skipped = stats.count(skip).toLong
+      val scanned = stats.filterNot(skip).map(_._4).sum
+      assert(rows(id) == ((dim, stats.length.toLong, skipped, scanned)),
+        s"pred $id: got ${rows(id)} want ($dim, ${stats.length}, $skipped, $scanned)")
+    }
+    // the vacuous q > 50 probe is proved empty from stats alone
+    assert(rows(7L)._3 == stats.length.toLong && rows(7L)._4 == 0L)
+    Caches.clearAll()
+  }
+
+  test("change feed: inserts once each across a checkpoint, deletes carry values, rewrites silent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-cdfspec").toString
+    // 12 appends cross the v10 checkpoint — the checkpoint RE-LISTS
+    // old files, and the feed must not re-emit them as inserts
+    (0 until 12).foreach(i => append(dir, i * 10L, i * 10L + 10L))
+    val ins = KvSource.changeFeed(spark, dir, 0L, 12L)
+    assert(ins.count() == 120L, "every appended row exactly once")
+    assert(ins.filter(col("change_type") =!= "insert").count() == 0L)
+    assert(ins.groupBy("commit_version").count().count() == 12L)
+    // DELETE: emitted rows carry their VALUES from the pre-delete state
+    KvSource.deleteWhere(spark, dir, "key < 5") // v13
+    val del = KvSource.changeFeed(spark, dir, 12L, 13L).collect()
+    assert(del.length == 5 && del.forall(_.getString(2) == "delete"))
+    assert(del.map(_.getLong(0)).sorted.toSeq == (0L until 5L) &&
+      del.forall(_.getString(1) == "x"), "delete rows must carry values")
+    // OPTIMIZE: a rewrite is NOT a logical change
+    KvSource.optimizeCompact(spark, dir) // v14
+    assert(KvSource.changeFeed(spark, dir, 13L, 14L).count() == 0L)
+    // a vacuumed range fails with the clear retention error
+    KvSource.vacuum(dir, retainLast = 3)
+    val e = intercept[IllegalArgumentException] {
+      KvSource.changeFeed(spark, dir, 0L, 14L).count()
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("maxVersionsPerTrigger: admission clamps each batch; AvailableNow drains in bounded steps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-ratespec").toString
+    (0 until 5).foreach(i => append(dir, i * 10L, i * 10L + 10L))
+    // unit contract: the admission-control offset clamps to start + N,
+    // and composes with the AvailableNow pin
+    val st = new graft.sources.KvMicroBatchStream(dir, None, Some(2L))
+    assert(st.latestOffset(st.deserializeOffset("0"), st.getDefaultReadLimit).json() == "2")
+    assert(st.latestOffset(st.deserializeOffset("4"), st.getDefaultReadLimit).json() == "5")
+    st.prepareForTriggerAvailableNow()
+    append(dir, 900L, 910L) // lands after the pin
+    assert(st.latestOffset(st.deserializeOffset("4"), st.getDefaultReadLimit).json() == "5",
+      "rate limit must clamp to the AvailableNow pin, not the new tip")
+    // end-to-end: a rate-limited AvailableNow drain is complete and
+    // exactly-once, in one-version micro-batches (one sink epoch each)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-ratespec-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-kv-ratespec-sink").toString
+    val q = spark.readStream.format(classOf[KvSource].getName)
+      .option("path", dir).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format(classOf[KvSource].getName)
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = spark.read.format(classOf[KvSource].getName)
+      .option("path", sinkDir).load()
+    assert(sunk.count() == 60L, "drain must deliver all 6 versions' rows")
+    val nonEmpty = KvSource.versions(sinkDir)
+      .count(v => KvSource.readManifest(sinkDir, v).adds.nonEmpty)
+    assert(nonEmpty == 6,
+      s"expected 6 one-version micro-batches, saw $nonEmpty non-empty epochs")
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+    SourceQueries.deleteRecursively(new java.io.File(sinkDir))
+    SourceQueries.deleteRecursively(new java.io.File(ckpt))
+  }
+
   test("load_restore / load_delete_verb ledgers match the protocol constants") {
     val rRows = SourceQueries.restoreOp(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
