@@ -130,11 +130,21 @@ object KvSource {
                                      dvFiles: Seq[String])
 
   /** One manifest version's declarations (NEW state only for a delta,
-    * full state for a checkpoint). */
+    * full state for a checkpoint). `dvs` is always the version's OWN
+    * deletion-vector adds — the structural "this commit is a DELETE"
+    * signal the streaming source and change feed classify on;
+    * `dvState` is the accumulated DV set a checkpoint re-lists
+    * (`#dvstate:` headers) so snapshot folds start complete, and is
+    * NEVER a change signal. (r15 review fix: when the accumulated set
+    * rode the same `#dv:` header, a plain append landing on a
+    * checkpoint version was misclassified as a DELETE and its rows
+    * silently dropped from the stream and the feed.) */
   private[graft] case class ManifestDelta(adds: Seq[String],
                                           txns: Seq[String],
                                           removes: Seq[String],
-                                          dvs: Seq[String])
+                                          dvs: Seq[String],
+                                          dvState: Seq[String],
+                                          checkpoint: Boolean)
 
   /** The manifest subdirectory (the `_delta_log` layout): listing the
     * chain never walks the data files. */
@@ -146,16 +156,30 @@ object KvSource {
     * (no `_log/` yet) falls back to the root listing until the first
     * write verb migrates it. */
   private[graft] def versions(path: String): Seq[Long] = {
+    def listOf(d: java.io.File): Seq[Long] =
+      if (!d.isDirectory) Seq.empty
+      // list() is null on I/O error or if the dir vanished after the
+      // isDirectory check — surface the path, not an NPE (this sits on
+      // the read path AND inside the commit CAS retry loop)
+      else Option(d.list()) match {
+        case None => throw new java.io.IOException(
+          s"KvSource: cannot list directory ${d.getPath}")
+        case Some(names) => names.toSeq.collect { case VersionRe(n) => n.toLong }.sorted
+      }
     val ld = logDir(path)
-    val d = if (ld.isDirectory) ld else new java.io.File(path)
-    if (!d.isDirectory) Seq.empty
-    // list() is null on I/O error or if the dir vanished after the
-    // isDirectory check — surface the path, not an NPE (this sits on
-    // the read path AND inside the commit CAS retry loop)
-    else Option(d.list()) match {
-      case None => throw new java.io.IOException(
-        s"KvSource: cannot list directory ${d.getPath}")
-      case Some(names) => names.toSeq.collect { case VersionRe(n) => n.toLong }.sorted
+    if (ld.isDirectory) listOf(ld)
+    else {
+      val legacy = listOf(new java.io.File(path))
+      // a reader racing the one-time migration can see the root copies
+      // already deleted but have missed `_log/` on the first check —
+      // re-check before concluding the chain is empty/shorter (a
+      // partial root listing mid-migration is at worst a STALE latest,
+      // which snapshot pinning tolerates; an empty one would wrongly
+      // read an empty table)
+      if (ld.isDirectory) {
+        val inLog = listOf(ld)
+        if (inLog.size >= legacy.size) inLog else legacy
+      } else legacy
     }
   }
 
@@ -184,26 +208,36 @@ object KvSource {
     * migrators link identical sets — the rename loser just cleans up.
     * Called by every WRITE verb; readers never mutate the layout. */
   private[graft] def migrateLog(path: String): Unit = {
-    import java.nio.file.{Files, StandardCopyOption, FileAlreadyExistsException, DirectoryNotEmptyException}
+    import java.nio.file.{Files, StandardCopyOption, FileAlreadyExistsException, DirectoryNotEmptyException, NoSuchFileException}
+    // O(1) fast path once migrated: write verbs must NOT pay an
+    // O(data files) root listing per call (r15 review fix — that cost
+    // is what `_log/` removed). Stale root copies left by a crashed
+    // migrator are harmless (resolution prefers `_log/`) and vacuum
+    // sweeps them.
+    if (logDir(path).isDirectory) return
     val root = new java.io.File(path)
     if (!root.isDirectory) return
     val legacy = Option(root.list()).getOrElse(Array.empty[String])
       .collect { case n @ VersionRe(_) => n }
     if (legacy.isEmpty) return
-    if (!logDir(path).isDirectory) {
-      val tmp = new java.io.File(path, s"._log.tmp-${java.util.UUID.randomUUID()}")
-      tmp.mkdirs()
-      legacy.foreach { n =>
-        try Files.createLink(new java.io.File(tmp, n).toPath,
-          new java.io.File(root, n).toPath)
-        catch { case _: FileAlreadyExistsException => () }
-      }
-      try Files.move(tmp.toPath, logDir(path).toPath, StandardCopyOption.ATOMIC_MOVE)
+    val tmp = new java.io.File(path, s"._log.tmp-${java.util.UUID.randomUUID()}")
+    tmp.mkdirs()
+    legacy.foreach { n =>
+      try Files.createLink(new java.io.File(tmp, n).toPath,
+        new java.io.File(root, n).toPath)
       catch {
-        case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-          // a concurrent migrator won with the identical frozen set
-          Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+        case _: FileAlreadyExistsException => ()
+        // a concurrent migrator already renamed ITS tmp to _log/ and
+        // is deleting root copies under us — the content is safe in
+        // _log/; our own rename below will lose and clean up
+        case _: NoSuchFileException => ()
       }
+    }
+    try Files.move(tmp.toPath, logDir(path).toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+        // a concurrent migrator won with the identical frozen set
+        Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
     }
     // root copies are stale duplicates now (resolution prefers _log/)
     legacy.foreach(n => new java.io.File(root, n).delete())
@@ -230,7 +264,11 @@ object KvSource {
       val dvs = hdr.collect {
         case s if s.startsWith("#dv:") => s.stripPrefix("#dv:")
       }
-      ManifestDelta(files, txns, removes, dvs)
+      val dvState = hdr.collect {
+        case s if s.startsWith("#dvstate:") => s.stripPrefix("#dvstate:")
+      }
+      ManifestDelta(files, txns, removes, dvs, dvState,
+        hdr.contains("#checkpoint"))
     } finally src.close()
   }
 
@@ -268,7 +306,10 @@ object KvSource {
     (base to v).foreach { i =>
       val m = readManifest(path, i)
       files = files -- m.removes ++ m.adds
-      dvs = dvs -- m.removes ++ m.dvs
+      // a checkpoint's #dvstate: re-lists the accumulated DV set (the
+      // fold starts there complete); deltas fold their own adds/removes
+      dvs = (if (m.checkpoint) scala.collection.immutable.ListSet(m.dvState: _*)
+             else dvs -- m.removes) ++ m.dvs
       m.txns.foreach { k =>
         val (app, id) = splitTxn(k)
         txn = txn.updated(app, math.max(id, txn.getOrElse(app, Long.MinValue)))
@@ -333,11 +374,19 @@ object KvSource {
     val referenced = vs.filter(_ >= keepFrom)
       .flatMap { v => val s = stateAt(path, v); s.files ++ s.dvFiles }.toSet
     val cutoff = System.currentTimeMillis() - strayMinAgeMs
-    val strays = Option(new java.io.File(path).list()).getOrElse(Array.empty)
+    val rootNames = Option(new java.io.File(path).list()).getOrElse(Array.empty)
+    val strays = rootNames
       .filter(n => (n.startsWith("part-") || n.startsWith("dv-")) &&
         n.endsWith(".dat") && !referenced(n))
       .filter(n => new java.io.File(path, n).lastModified() < cutoff)
     strays.foreach(n => new java.io.File(path, n).delete())
+    // root-level manifest leftovers from a crashed migration: once
+    // `_log/` exists no writer publishes to the root, so any root
+    // manifest is a stale pre-migration copy — sweep it here (the
+    // migration fast path no longer lists the root per write verb)
+    if (logDir(path).isDirectory)
+      rootNames.collect { case n @ VersionRe(_) => n }
+        .foreach(n => new java.io.File(path, n).delete())
     (dropped.size.toLong, strays.length.toLong, keepFrom)
   }
 
@@ -357,12 +406,23 @@ object KvSource {
   private[graft] def commitVersionKeyed(path: String, newFiles: Seq[String],
                                           replayKey: Option[String],
                                           removeFiles: Seq[String] = Seq.empty,
-                                          dvFiles: Seq[String] = Seq.empty): Long = {
+                                          dvFiles: Seq[String] = Seq.empty,
+                                          expectedPrior: Option[Long] = None): Long = {
     new java.io.File(path).mkdirs()
     migrateLog(path)
     var attempt = 0
     while (attempt < 1000) {
       val latest = latestVersion(path)
+      // optimistic-concurrency pin (RESTORE): the caller computed its
+      // add/remove diff against ONE specific snapshot — a commit that
+      // landed since makes the diff stale, so surface the conflict
+      // instead of silently merging (the Delta RESTORE conflict rule)
+      expectedPrior.foreach { ep =>
+        if (!latest.contains(ep))
+          throw new IllegalStateException(
+            s"KvSource: concurrent commit at $path — expected latest v$ep, " +
+              s"found v${latest.getOrElse(0L)}; recompute the diff and retry")
+      }
       val prior = latest match {
         case Some(v) => stateAt(path, v)
         case None    => LogState(Seq.empty, Map.empty, Seq.empty)
@@ -408,11 +468,15 @@ object KvSource {
             val (app, id) = splitTxn(k)
             m.updated(app, math.max(id, m.getOrElse(app, Long.MinValue)))
           }
-          val dvAll = prior.dvFiles.filterNot(removeFiles.toSet) ++ dvFiles
+          // accumulated DV state rides #dvstate: (snapshot folding
+          // only); #dv: stays the version's OWN delete — the change
+          // classifier the streaming source / change feed read
+          val dvPrior = prior.dvFiles.filterNot(removeFiles.toSet)
           val header = "#checkpoint" +:
             (txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
               removeFiles.distinct.map(f => s"#remove:$f") ++
-              dvAll.distinct.map(f => s"#dv:$f"))
+              dvPrior.distinct.map(f => s"#dvstate:$f") ++
+              dvFiles.distinct.map(f => s"#dv:$f"))
           val state = prior.files.filterNot(removeFiles.toSet) ++ newFiles
           (header ++ state.distinct).mkString("\n")
         } else {
@@ -521,20 +585,25 @@ object KvSource {
     * Nothing is deleted from disk, so time travel keeps working in
     * BOTH directions: pre-restore versions stay readable until vacuum
     * ages them out, and the restore itself is one more auditable
-    * version on the chain. Returns the published version. Concurrent
-    * commits between the diff and the CAS surface as the
-    * remove-conflict error — RESTORE under live writers is a
-    * coordination decision, not a silent merge (Delta's rule). */
+    * version on the chain. Returns the published version. ANY commit
+    * landing between the diff and the publish — append, delete, or
+    * rewrite — surfaces as the concurrent-commit error (the publish
+    * is pinned to the diffed snapshot via `expectedPrior`): RESTORE
+    * under live writers is a coordination decision, not a silent
+    * merge (Delta's rule; r15 review fix — a concurrent APPEND used
+    * to merge silently into the "restored" state). */
   private[graft] def restore(path: String, toVersion: Long): Long = {
     migrateLog(path)
     val target = committedState(path, Some(toVersion))
-    val cur = committedState(path, None)
+    val pinned = latestVersion(path)
+    val cur = committedState(path, pinned)
     val addBack = target.files.filterNot(cur.files.toSet)
     val removes = cur.files.filterNot(target.files.toSet)
     val dvAdd = target.dvFiles.filterNot(cur.dvFiles.toSet)
     val dvRemove = cur.dvFiles.filterNot(target.dvFiles.toSet)
     commitVersionKeyed(path, addBack, None,
-      removeFiles = removes ++ dvRemove, dvFiles = dvAdd)
+      removeFiles = removes ++ dvRemove, dvFiles = dvAdd,
+      expectedPrior = pinned)
   }
 
   /** CHANGE DATA FEED (the Delta `table_changes` verb): the row-level
@@ -813,8 +882,19 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private case class KvOffset(v: Long) extends Offset {
-    override def json(): String = v.toString
+  /** Offsets are manifest versions. `snapshot` marks the ONE offset a
+    * fresh consumer of a vacuumed chain starts from (the predecessor
+    * of the earliest retained checkpoint, to be delivered as an
+    * initial snapshot) — the Delta isStartingVersion flag. Without it
+    * a RESUMED consumer whose checkpointed offset happens to equal
+    * earliest−1 would be indistinguishable from a fresh one and get
+    * the whole snapshot re-delivered (r15 review fix); now a plain
+    * below-horizon offset fails with the retention error instead.
+    * Plain offsets serialize as the bare version number (r14
+    * checkpoint compatibility); the snapshot flag as a JSON object. */
+  private case class KvOffset(v: Long, snapshot: Boolean = false) extends Offset {
+    override def json(): String =
+      if (snapshot) s"""{"v":$v,"snapshot":true}""" else v.toString
   }
 
   // pinned by prepareForTriggerAvailableNow: AvailableNow processes
@@ -850,39 +930,58 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
     KvOffset(KvSource.latestVersion(path).getOrElse(0L))
 
   /** First offset for a FRESH checkpoint: version 0 on a never-vacuumed
-    * chain (tail from the beginning), the predecessor of the earliest
-    * RETAINED version on a vacuumed one (the initial-snapshot start),
-    * or `startingVersion - 1` when pinned explicitly. */
+    * chain (tail from the beginning), the snapshot-flagged predecessor
+    * of the earliest RETAINED version on a vacuumed one (the
+    * initial-snapshot start), or `startingVersion - 1` when pinned
+    * explicitly (snapshot-flagged only when its diff base was
+    * vacuumed). */
   override def initialOffset(): Offset = startingVersion match {
     case Some(sv) =>
       require(sv >= 1, s"KvSource: startingVersion must be >= 1, got $sv")
-      KvOffset(sv - 1)
+      val needsSnapshot = sv > 1 &&
+        !KvSource.manifestFile(path, KvSource.foldBase(sv - 1)).exists()
+      KvOffset(sv - 1, needsSnapshot)
     case None =>
-      KvOffset(math.max(KvSource.versions(path).headOption.getOrElse(1L) - 1, 0L))
+      val first = KvSource.versions(path).headOption.getOrElse(1L)
+      if (first > 1) KvOffset(first - 1, snapshot = true) else KvOffset(0L)
   }
 
-  override def deserializeOffset(json: String): Offset = KvOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("{"))
+      KvOffset("\"v\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"KvSource: malformed offset json: $json")),
+        t.contains("\"snapshot\":true"))
+    else KvOffset(t.toLong)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[KvOffset].v
+    val startOff = start.asInstanceOf[KvOffset]
+    val lo = startOff.v
     val hi = end.asInstanceOf[KvOffset].v
     if (hi <= lo) return Array.empty
     def abs(f: String): String = new java.io.File(path, f).getPath
     val parts = Array.newBuilder[InputPartition]
     // establish the folded file state at `lo` (the diff base). Three
-    // cases: fresh start (empty), resolvable retained version, or a
-    // vacuumed base — legal only when lo+1 is the earliest retained
-    // checkpoint, which then serves as the INITIAL SNAPSHOT
+    // cases: fresh start (empty), resolvable retained version, or the
+    // snapshot-flagged start of a fresh consumer on a vacuumed chain —
+    // legal only while lo+1 is still the earliest retained checkpoint,
+    // which then serves as the INITIAL SNAPSHOT. A PLAIN offset whose
+    // base was vacuumed is a resumed consumer that fell behind the
+    // retention horizon: fail clearly, never re-deliver the snapshot
     var haveState = lo == 0
     var state: Set[String] =
       if (lo == 0) Set.empty
-      else if (KvSource.manifestFile(path, KvSource.foldBase(lo)).exists())
+      else if (!startOff.snapshot &&
+          KvSource.manifestFile(path, KvSource.foldBase(lo)).exists())
         { haveState = true; KvSource.stateAt(path, lo).files.toSet }
       else {
         val earliest = KvSource.versions(path).headOption.getOrElse(0L)
-        if (lo + 1 == earliest && earliest % KvSource.CheckpointInterval == 0)
+        if (startOff.snapshot && lo + 1 == earliest &&
+            earliest % KvSource.CheckpointInterval == 0)
           Set.empty // initial snapshot at lo+1
         else throw new IllegalArgumentException(
           s"KvSource: streaming offset $lo at $path is below the retention " +

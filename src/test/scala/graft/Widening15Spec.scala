@@ -379,6 +379,48 @@ class Widening15Spec extends AnyFunSuite {
     SourceQueries.deleteRecursively(new java.io.File(ckpt))
   }
 
+  test("a plain append on a CHECKPOINT version with a live DV is not mistaken for a change") {
+    // r15 review fix: checkpoints re-list the accumulated DV set; when
+    // that rode the same '#dv:' header as a real DELETE, a plain
+    // append landing on a checkpoint version (v10 here, DV live since
+    // v8) classified as a CHANGE and its rows silently vanished from
+    // the stream and the change feed
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-dvckpt").toString
+    (0 until 7).foreach(i => append(dir, i * 10L, i * 10L + 10L)) // v1..v7
+    KvSource.deleteWhere(spark, dir, "key < 3")                   // v8: DV live
+    append(dir, 100, 110) // v9
+    append(dir, 110, 120) // v10 — the checkpoint version, a PLAIN append
+    append(dir, 120, 130) // v11
+    assert(readAll(dir).count() == 97L) // 70 appended − 3 deleted + 30
+    val st = new graft.sources.KvMicroBatchStream(dir)
+    val parts = st.planInputPartitions(st.deserializeOffset("0"),
+      st.deserializeOffset("11"))
+    assert(parts.length == 10,
+      s"each append's one file exactly once (v10's included), got ${parts.length}")
+    val cdf = KvSource.changeFeed(spark, dir, 0L, 11L)
+    assert(cdf.filter(col("change_type") === "insert").count() == 100L,
+      "every appended row must appear as an insert exactly once")
+    assert(cdf.filter(col("change_type") === "insert" &&
+      col("commit_version") === 10L).count() == 10L,
+      "the checkpoint-version append's rows must reach the feed")
+    assert(cdf.filter(col("change_type") === "delete").count() == 3L)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("expectedPrior pins a publish to its diffed snapshot: concurrent commits conflict") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-pin").toString
+    append(dir, 0, 10); append(dir, 10, 20) // v1, v2
+    // the diff was computed at v1, but v2 landed since: conflict
+    val e = intercept[IllegalStateException] {
+      KvSource.commitVersionKeyed(dir, Seq.empty, None, expectedPrior = Some(1L))
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    // a pin matching the true latest publishes
+    assert(KvSource.commitVersionKeyed(dir, Seq.empty, None,
+      expectedPrior = Some(2L)) == 3L)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
   test("load_restore / load_delete_verb ledgers match the protocol constants") {
     val rRows = SourceQueries.restoreOp(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
