@@ -534,6 +534,11 @@ object SparkEntry {
     // streaming admission control (maxVersionsPerTrigger)
     "load_change_feed" -> SourceQueries.changeFeedOp _,
     "stream_source_ratelimit" -> Streams.streamSourceRateLimit _,
+    // round 15 batch 5: MERGE (copy-on-write upsert with CDF sidecars)
+    "load_merge_verb" -> SourceQueries.mergeVerbOp _,
+    // round 15 batch 6: filter pushdown + per-file key-stats skipping
+    // on the DSv2 commit log
+    "load_file_skipping" -> SourceQueries.fileSkipping _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -5892,6 +5897,18 @@ object SparkEntry {
         |  CAST(SUM(skipped) AS BIGINT) AS n_skipped,
         |  CAST(SUM(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
         |FROM j GROUP BY pred_id, dim ORDER BY pred_id""".stripMargin,
+    // load_file_skipping: layout constants (8 slices, quarter-probe
+    // plans exactly 2) + rows/sums recomputed from the predicate
+    "load_file_skipping" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS ks
+        |  FROM customer WHERE c_custkey < (SELECT n FROM c) // 4)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_layout' AS stage, 'files_total' AS metric, 8 AS value
+        |  UNION ALL SELECT '02_probe', 'files_planned', 2
+        |  UNION ALL SELECT '03_result', 'key_sum', (SELECT ks FROM q)
+        |  UNION ALL SELECT '03_result', 'rows', (SELECT n_rows FROM q)
+        |) t ORDER BY stage, metric""".stripMargin,
     // load_change_feed: the CDF rollup recomputed from the change
     // rules — v1/v2 inserts are the key-parity halves, v3 deletes are
     // the key%5 rows, v4 (OPTIMIZE) contributes nothing
@@ -5904,6 +5921,25 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'insert', key FROM c WHERE key % 2 = 1
         |  UNION ALL SELECT 3, 'delete', key FROM c WHERE key % 5 = 0
         |) t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // load_merge_verb: every count recomputed from the update rules —
+    // matched = key%3 customers (replaced in place), inserted = the
+    // key%11 re-keys, CDF sidecars declare exactly those changes
+    "load_merge_verb" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_before' AS stage, 'rows_readable' AS metric, (SELECT n FROM c) AS value
+        |  UNION ALL SELECT '02_merge', 'matched', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '02_merge', 'inserted', (SELECT n11 FROM c)
+        |  UNION ALL SELECT '02_merge', 'version_published', 2
+        |  UNION ALL SELECT '03_after', 'rows_readable', (SELECT n + n11 FROM c)
+        |  UNION ALL SELECT '03_after', 'rows_updated_val', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '03_after', 'rows_at_v1', (SELECT n FROM c)
+        |  UNION ALL SELECT '04_cdf', 'deletes', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '04_cdf', 'inserts', (SELECT n3 + n11 FROM c)
+        |) t ORDER BY stage, metric""".stripMargin,
     // stream_source_ratelimit: protocol constants (3 versions drained
     // one per micro-batch) + exactly-once totals from events
     "stream_source_ratelimit" ->

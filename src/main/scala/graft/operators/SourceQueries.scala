@@ -1406,6 +1406,107 @@ object SourceQueries {
       out)
   }
 
+  /** MERGE (upsert) on the commit log — the last classic lakehouse
+    * verb after append / DELETE / OPTIMIZE / vacuum / RESTORE / time
+    * travel / CDF: one append builds the base (v1), then
+    * [[graft.sources.KvSource.mergeUpsert]] applies an updates table
+    * (every key%3 customer re-valued 'UPDATED', every key%11 customer
+    * re-keyed +10M as a NEW row) in ONE atomic copy-on-write version
+    * (v2) that carries CDF sidecars. The ledger pins the full
+    * contract: matched/inserted counts, post-merge readability
+    * (base + inserts, updates replace in place), the updated-value
+    * count, pre-merge time travel, and the change feed's
+    * delete/insert totals for the merge version — all recomputed by
+    * the oracle from the update rules, so a merge that duplicates an
+    * updated key, drops a survivor, or mis-declares its sidecars
+    * fails the hash. */
+  def mergeVerbOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-merge").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    c.write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val updates = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .selectExpr("c_custkey AS key", "'UPDATED' AS val")
+      .unionByName(Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 11 === 0)
+        .selectExpr("c_custkey + 10000000 AS key", "'NEWROW' AS val"))
+    val (matched, inserted, v) = KvSource.mergeUpsert(spark, out, updates)
+    def readAt(asOf: Option[Long]) = {
+      val r = spark.read.format(classOf[KvSource].getName).option("path", out)
+      asOf.foreach(x => r.option("versionAsOf", x.toString))
+      r.load()
+    }
+    val cdf = KvSource.changeFeed(spark, out, 1L, v)
+    val rows = Seq(
+      ("01_before", "rows_readable", readAt(Some(1L)).count()),
+      ("02_merge", "matched", matched),
+      ("02_merge", "inserted", inserted),
+      ("02_merge", "version_published", v),
+      ("03_after", "rows_readable", readAt(None).count()),
+      ("03_after", "rows_updated_val",
+        readAt(None).filter(col("val") === "UPDATED").count()),
+      ("03_after", "rows_at_v1", readAt(Some(1L)).count()),
+      ("04_cdf", "deletes",
+        cdf.filter(col("change_type") === "delete").count()),
+      ("04_cdf", "inserts",
+        cdf.filter(col("change_type") === "insert").count()))
+    import spark.implicits._
+    materializeAndClean(
+      rows.toDF("stage", "metric", "value").orderBy("stage", "metric"),
+      out)
+  }
+
+  /** FILE SKIPPING on the DSv2 commit log — real filter pushdown
+    * (`SupportsPushDownFilters`) against per-file key zone maps: each
+    * task writer records its file's key min/max for free as rows
+    * stream through, the job commit publishes them as `#stats:`
+    * manifest headers, and a key-range scan PRUNES files whose zone
+    * provably misses the range before any partition is planned (the
+    * parquet row-group-pruning story, on our own source). Eight
+    * appends slice the customer keyspace into contiguous eighths
+    * (keys 1..n, bucket = (key−1)·8 DIV n); the probe
+    * `key <= n DIV 4` must plan EXACTLY the first two files —
+    * observable as the scan's partition count — and every filter
+    * stays a Spark-side residual, so pruning can only skip, never
+    * change rows. The oracle recomputes rows/sums from the predicate
+    * and pins files_planned=2; a stats map that loses a file's zone
+    * (or prunes a file it shouldn't) fails the hash. */
+  def fileSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-skip").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    val n = Tables.customer(spark, dir).count()
+    // contiguous key-range slices (keys are dense 0..n−1):
+    // bucket = key*8 DIV n
+    (0L until 8L).foreach { b =>
+      c.filter(expr(s"key * 8 DIV $n") === b).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    // probe the first quarter: intersects exactly slices 0 and 1 for
+    // any n ≥ 8 (slice 2 starts at ceil(n/4) ≥ n DIV 4)
+    val probe = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load()
+      .where(col("key") < lit(n / 4))
+    val planned = probe.rdd.getNumPartitions.toLong
+    val agg = probe.agg(count(lit(1)).as("rows"), sum(col("key")).as("key_sum")).head()
+    import spark.implicits._
+    materializeAndClean(
+      Seq(
+        ("01_layout", "files_total",
+          KvSource.committedFiles(out).size.toLong),
+        ("02_probe", "files_planned", planned),
+        ("03_result", "key_sum", agg.getLong(1)),
+        ("03_result", "rows", agg.getLong(0)))
+        .toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      out)
+  }
+
   /** Finish a side-stateful gate op: localize its BOUNDED final
     * rollup (metadata-sized — versions, rollup rows, never data), then
     * delete the op's temp sink directory so repeated invocations

@@ -127,7 +127,8 @@ object KvSource {
     * accumulated deletion-vector key files the scan must apply. */
   private[graft] case class LogState(files: Seq[String],
                                      txnMax: Map[String, Long],
-                                     dvFiles: Seq[String])
+                                     dvFiles: Seq[String],
+                                     stats: Map[String, (Long, Long)] = Map.empty)
 
   /** One manifest version's declarations (NEW state only for a delta,
     * full state for a checkpoint). `dvs` is always the version's OWN
@@ -144,7 +145,10 @@ object KvSource {
                                           removes: Seq[String],
                                           dvs: Seq[String],
                                           dvState: Seq[String],
-                                          checkpoint: Boolean)
+                                          checkpoint: Boolean,
+                                          cdfDel: Seq[String] = Seq.empty,
+                                          cdfIns: Seq[String] = Seq.empty,
+                                          stats: Map[String, (Long, Long)] = Map.empty)
 
   /** The manifest subdirectory (the `_delta_log` layout): listing the
     * chain never walks the data files. */
@@ -267,8 +271,26 @@ object KvSource {
       val dvState = hdr.collect {
         case s if s.startsWith("#dvstate:") => s.stripPrefix("#dvstate:")
       }
+      // CDF sidecars (the Delta _change_data shape): a rewrite that
+      // carries LOGICAL changes (MERGE) declares them explicitly —
+      // pre-image deletes and inserted rows as ordinary kv files the
+      // change feed reads instead of guessing from the file diff
+      val cdfDel = hdr.collect {
+        case s if s.startsWith("#cdf_del:") => s.stripPrefix("#cdf_del:")
+      }
+      val cdfIns = hdr.collect {
+        case s if s.startsWith("#cdf_ins:") => s.stripPrefix("#cdf_ins:")
+      }
+      // per-file key min/max (`#stats:<file>:<min>:<max>` — file names
+      // are colon-free by construction): the zone map the scan prunes
+      // on; files without stats are never pruned (safe default)
+      val stats = hdr.collect {
+        case s if s.startsWith("#stats:") =>
+          val p = s.stripPrefix("#stats:").split(":")
+          p(0) -> ((p(1).toLong, p(2).toLong))
+      }.toMap
       ManifestDelta(files, txns, removes, dvs, dvState,
-        hdr.contains("#checkpoint"))
+        hdr.contains("#checkpoint"), cdfDel, cdfIns, stats)
     } finally src.close()
   }
 
@@ -303,6 +325,7 @@ object KvSource {
     var files = scala.collection.immutable.ListSet.empty[String]
     var dvs = scala.collection.immutable.ListSet.empty[String]
     var txn = Map.empty[String, Long]
+    var stats = Map.empty[String, (Long, Long)]
     (base to v).foreach { i =>
       val m = readManifest(path, i)
       files = files -- m.removes ++ m.adds
@@ -310,12 +333,15 @@ object KvSource {
       // fold starts there complete); deltas fold their own adds/removes
       dvs = (if (m.checkpoint) scala.collection.immutable.ListSet(m.dvState: _*)
              else dvs -- m.removes) ++ m.dvs
+      // checkpoints re-list the full live stats map; deltas merge
+      stats = (if (m.checkpoint) m.stats
+               else stats -- m.removes ++ m.stats)
       m.txns.foreach { k =>
         val (app, id) = splitTxn(k)
         txn = txn.updated(app, math.max(id, txn.getOrElse(app, Long.MinValue)))
       }
     }
-    LogState(files.toSeq, txn, dvs.toSeq)
+    LogState(files.toSeq, txn, dvs.toSeq, stats)
   }
 
   /** [[LogState]] a reader may see at `version` (default: latest
@@ -370,13 +396,18 @@ object KvSource {
     // referenced = union over ALL retained versions, not just latest:
     // an OPTIMIZE inside the horizon removed files from the latest
     // state that older retained snapshots still read (r14); DV key
-    // files are referenced state too (r15)
-    val referenced = vs.filter(_ >= keepFrom)
-      .flatMap { v => val s = stateAt(path, v); s.files ++ s.dvFiles }.toSet
+    // files are referenced state too (r15), and retained versions'
+    // CDF sidecars stay readable for changeFeed until they age out
+    val retained = vs.filter(_ >= keepFrom)
+    val referenced = (retained
+      .flatMap { v => val s = stateAt(path, v); s.files ++ s.dvFiles } ++
+      retained.flatMap { v => val m = readManifest(path, v); m.cdfDel ++ m.cdfIns })
+      .toSet
     val cutoff = System.currentTimeMillis() - strayMinAgeMs
     val rootNames = Option(new java.io.File(path).list()).getOrElse(Array.empty)
     val strays = rootNames
-      .filter(n => (n.startsWith("part-") || n.startsWith("dv-")) &&
+      .filter(n => (n.startsWith("part-") || n.startsWith("dv-") ||
+        n.startsWith("cdf-")) &&
         n.endsWith(".dat") && !referenced(n))
       .filter(n => new java.io.File(path, n).lastModified() < cutoff)
     strays.foreach(n => new java.io.File(path, n).delete())
@@ -407,7 +438,10 @@ object KvSource {
                                           replayKey: Option[String],
                                           removeFiles: Seq[String] = Seq.empty,
                                           dvFiles: Seq[String] = Seq.empty,
-                                          expectedPrior: Option[Long] = None): Long = {
+                                          expectedPrior: Option[Long] = None,
+                                          cdfDel: Seq[String] = Seq.empty,
+                                          cdfIns: Seq[String] = Seq.empty,
+                                          stats: Map[String, (Long, Long)] = Map.empty): Long = {
     new java.io.File(path).mkdirs()
     migrateLog(path)
     var attempt = 0
@@ -472,17 +506,26 @@ object KvSource {
           // only); #dv: stays the version's OWN delete — the change
           // classifier the streaming source / change feed read
           val dvPrior = prior.dvFiles.filterNot(removeFiles.toSet)
+          val statsAll = prior.stats -- removeFiles ++ stats
           val header = "#checkpoint" +:
             (txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
               removeFiles.distinct.map(f => s"#remove:$f") ++
               dvPrior.distinct.map(f => s"#dvstate:$f") ++
-              dvFiles.distinct.map(f => s"#dv:$f"))
+              dvFiles.distinct.map(f => s"#dv:$f") ++
+              cdfDel.distinct.map(f => s"#cdf_del:$f") ++
+              cdfIns.distinct.map(f => s"#cdf_ins:$f") ++
+              statsAll.toSeq.sortBy(_._1)
+                .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" })
           val state = prior.files.filterNot(removeFiles.toSet) ++ newFiles
           (header ++ state.distinct).mkString("\n")
         } else {
           (replayKey.toSeq.map(b => s"#txn:$b") ++
             removeFiles.distinct.map(f => s"#remove:$f") ++
             dvFiles.distinct.map(f => s"#dv:$f") ++
+            cdfDel.distinct.map(f => s"#cdf_del:$f") ++
+            cdfIns.distinct.map(f => s"#cdf_ins:$f") ++
+            stats.toSeq.sortBy(_._1)
+              .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" } ++
             newFiles.distinct).mkString("\n")
         }
       if (publishCas(path, v, body)) return v
@@ -606,6 +649,79 @@ object KvSource {
       expectedPrior = pinned)
   }
 
+  /** MERGE (upsert) — copy-on-write, the Delta MERGE INTO shape:
+    * rows of `updates` (key-unique (key, val)) REPLACE the live rows
+    * sharing their keys and insert otherwise, in ONE atomic version.
+    * COW, not DV: this log's deletion vectors are global key
+    * tombstones, and no tombstone arrangement can mask the OLD copy
+    * of a key while keeping the NEW copy visible — so the merge
+    * rewrites the live row set (survivors anti-joined on the update
+    * keys, union the updates) and removes every current data + DV
+    * file, which also makes upserting a previously-DELETED key work
+    * (the resurrect case a DV-based merge cannot express). With no
+    * per-file key stats every file is potentially touched, so the
+    * rewrite is table-wide — file-level pruning via per-file min/max
+    * key stats is the noted next step, exactly Delta's touched-file
+    * optimization. The version carries CDF SIDECARS (the Delta
+    * _change_data shape): `#cdf_del:` files hold the replaced rows'
+    * PRE-IMAGES, `#cdf_ins:` the update rows — [[changeFeed]] emits
+    * logical changes from them instead of mis-reading the rewrite as
+    * silent. Publish is pinned to the diffed snapshot
+    * (`expectedPrior`): any concurrent commit conflicts, Delta's
+    * MERGE rule. Returns (matched/updated, inserted, version). */
+  private[graft] def mergeUpsert(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   updates: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    migrateLog(path)
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: nothing to merge into at $path"))
+    val st = stateAt(path, v0)
+    val upd = updates.selectExpr("CAST(key AS BIGINT) AS key", "CAST(val AS STRING) AS val")
+    val live = spark.read.format(classOf[KvSource].getName)
+      .option("path", path).option("versionAsOf", v0.toString).load()
+    val updKeys = upd.select("key").distinct()
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    // per-partition salted task files; the collected NAME list is
+    // partition-count-sized planning metadata, never row data
+    def writeRows(df: org.apache.spark.sql.DataFrame,
+                  prefix: String): (Seq[String], Long) = {
+      val acc = spark.sparkContext.longAccumulator(s"kv_merge_$prefix")
+      val names = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val name = s"$prefix-$salt-$pid.dat"
+          writeLinesAtomically(path, name, new java.util.Iterator[String] {
+            override def hasNext: Boolean = rows.hasNext
+            override def next(): String = {
+              val r = rows.next()
+              if (r.isNullAt(0) || r.isNullAt(1))
+                throw new IllegalArgumentException(
+                  "KvSource: merge rows need non-null key and val")
+              val v = r.getString(1)
+              if (v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+                throw new IllegalArgumentException(
+                  "KvSource: merge val must not contain newlines")
+              acc.add(1L)
+              s"${r.getLong(0)},$v"
+            }
+          })
+          Iterator.single(name)
+        }
+      }.collect().toSeq
+      (names, acc.value)
+    }
+    val (resultFiles, _) =
+      writeRows(live.join(updKeys, Seq("key"), "left_anti").unionByName(upd),
+        "part-merge")
+    val (delFiles, nMatched) =
+      writeRows(live.join(updKeys, Seq("key"), "left_semi"), "cdf-del")
+    val (insFiles, nUpd) = writeRows(upd, "cdf-ins")
+    val v = commitVersionKeyed(path, resultFiles, None,
+      removeFiles = st.files ++ st.dvFiles, expectedPrior = Some(v0),
+      cdfDel = delFiles, cdfIns = insFiles)
+    (nMatched, nUpd - nMatched, v)
+  }
+
   /** CHANGE DATA FEED (the Delta `table_changes` verb): the row-level
     * changes versions (fromVersion, toVersion] committed, as
     * (key, val, change_type, commit_version). Version classification
@@ -635,7 +751,19 @@ object KvSource {
           s"KvSource: changeFeed needs manifest v$v at $path which no longer " +
             s"exists (vacuumed? have: ${versions(path).mkString(",")})")
       val m = readManifest(path, v)
-      if (m.removes.nonEmpty) Seq.empty // rewrite: no logical change
+      if (m.cdfDel.nonEmpty || m.cdfIns.nonEmpty) {
+        // a rewrite WITH declared logical changes (MERGE): the sidecar
+        // files ARE the feed — pre-image deletes + inserted rows
+        import org.apache.spark.sql.functions.{col => c, lit => l}
+        def side(files: Seq[String], tpe: String) =
+          spark.read.format(classOf[KvSource].getName)
+            .option("path", path).option("cdfFiles", files.mkString(",")).load()
+            .select(c("key"), c("val"), l(tpe).as("change_type"),
+              l(v).as("commit_version"))
+        (if (m.cdfDel.nonEmpty) Seq(side(m.cdfDel, "delete")) else Seq.empty) ++
+          (if (m.cdfIns.nonEmpty) Seq(side(m.cdfIns, "insert")) else Seq.empty)
+      }
+      else if (m.removes.nonEmpty) Seq.empty // rewrite: no logical change
       else if (m.dvs.nonEmpty) {
         // DELETE: the version's doomed keys (deletes-sized, broadcast)
         // joined to the PRE-delete snapshot so emitted rows carry vals
@@ -738,10 +866,7 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
     // committed them, regardless of later deletes
     val cdfFiles = Option(options.get("cdfFiles"))
       .map(_.split(",").toSeq.filter(_.nonEmpty))
-    new ScanBuilder {
-      override def build(): Scan =
-        new KvScan(path, asOf, startingVersion, maxVersionsPerTrigger, cdfFiles)
-    }
+    new KvScanBuilder(path, asOf, startingVersion, maxVersionsPerTrigger, cdfFiles)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -771,13 +896,79 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
 
 // ---- read side: manifest-gated, version-pinned ----
 
+/** Filter pushdown for FILE SKIPPING (the DSv2
+  * `SupportsPushDownFilters` contract): key-range predicates are
+  * accepted for PRUNING against the manifest's per-file `#stats:`
+  * zone maps, but every filter is also returned as a residual — Spark
+  * re-applies them row-level, so pruning can only skip files whose
+  * [min,max] provably misses the range, never change results. Files
+  * without stats (pre-r15 commits, OPTIMIZE/merge rewrites) are never
+  * pruned. `.explain` shows the accepted range via
+  * [[KvScan.description]]. */
+class KvScanBuilder(path: String, asOf: Option[Long],
+                    startingVersion: Option[Long],
+                    maxVersionsPerTrigger: Option[Long],
+                    cdfFiles: Option[Seq[String]]) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var accepted = Array.empty[Filter]
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  private def isKeyRange(f: Filter): Boolean = f match {
+    case EqualTo("key", v) => asLong(v).isDefined
+    case GreaterThan("key", v) => asLong(v).isDefined
+    case GreaterThanOrEqual("key", v) => asLong(v).isDefined
+    case LessThan("key", v) => asLong(v).isDefined
+    case LessThanOrEqual("key", v) => asLong(v).isDefined
+    case In("key", vs) => vs.nonEmpty && vs.forall(asLong(_).isDefined)
+    case _ => false
+  }
+
+  /** Intersect the accepted predicates into one [lo, hi] key window. */
+  private def bounds: Option[(Long, Long)] =
+    if (accepted.isEmpty) None
+    else Some(accepted.foldLeft((Long.MinValue, Long.MaxValue)) {
+      case ((lo, hi), EqualTo("key", v)) =>
+        val x = asLong(v).get; (math.max(lo, x), math.min(hi, x))
+      case ((lo, hi), GreaterThan("key", v)) =>
+        (math.max(lo, asLong(v).get + 1), hi)
+      case ((lo, hi), GreaterThanOrEqual("key", v)) =>
+        (math.max(lo, asLong(v).get), hi)
+      case ((lo, hi), LessThan("key", v)) =>
+        (lo, math.min(hi, asLong(v).get - 1))
+      case ((lo, hi), LessThanOrEqual("key", v)) =>
+        (lo, math.min(hi, asLong(v).get))
+      case ((lo, hi), In("key", vs)) =>
+        val xs = vs.map(asLong(_).get)
+        (math.max(lo, xs.min), math.min(hi, xs.max))
+      case (acc, _) => acc
+    })
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(isKeyRange)
+    filters // all filters stay Spark-side residuals (prune-only pushdown)
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new KvScan(path, asOf, startingVersion, maxVersionsPerTrigger,
+      cdfFiles, bounds)
+}
+
 case class KvFilePartition(file: String,
                            dvFiles: Seq[String] = Seq.empty) extends InputPartition
 
 class KvScan(path: String, asOf: Option[Long],
              startingVersion: Option[Long] = None,
              maxVersionsPerTrigger: Option[Long] = None,
-             cdfFiles: Option[Seq[String]] = None) extends Scan with Batch {
+             cdfFiles: Option[Seq[String]] = None,
+             keyBounds: Option[(Long, Long)] = None) extends Scan with Batch {
   // pin the version at planning time so every partition of this scan
   // reads one consistent snapshot even if a writer commits mid-query
   private val version: Option[Long] =
@@ -788,7 +979,8 @@ class KvScan(path: String, asOf: Option[Long],
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KvMicroBatchStream(path, startingVersion, maxVersionsPerTrigger)
   override def description(): String =
-    s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)"
+    s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)" +
+      keyBounds.fold("") { case (lo, hi) => s" keyBounds=[$lo,$hi]" }
   override def planInputPartitions(): Array[InputPartition] = cdfFiles match {
     case Some(files) => // change-feed restriction: exact files, raw
       files.map(f => KvFilePartition(new java.io.File(path, f).getPath): InputPartition)
@@ -796,7 +988,15 @@ class KvScan(path: String, asOf: Option[Long],
     case None =>
       val st = KvSource.committedState(path, version)
       val dvPaths = st.dvFiles.map(f => new java.io.File(path, f).getPath)
-      st.files
+      // FILE SKIPPING: drop files whose recorded key zone provably
+      // misses the pushed range; files without stats are always read
+      val kept = keyBounds match {
+        case Some((lo, hi)) => st.files.filter { f =>
+          st.stats.get(f).forall { case (fmin, fmax) => fmax >= lo && fmin <= hi }
+        }
+        case None => st.files
+      }
+      kept
         .map(f => KvFilePartition(new java.io.File(path, f).getPath, dvPaths): InputPartition)
         .toArray
   }
@@ -1029,7 +1229,12 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
 
 // ---- write side: staged task commit, version-chained job commit ----
 
-case class KvCommitMessage(file: String) extends WriterCommitMessage
+/** Task commit message: the committed file name plus its key min/max
+  * (None for an empty file) — the per-file zone map the job commit
+  * records as `#stats:` headers for scan-side file skipping. */
+case class KvCommitMessage(file: String,
+                           stats: Option[(Long, Long)] = None)
+    extends WriterCommitMessage
 
 class KvBatchWrite(path: String, replayKey: Option[String], queryId: String)
     extends BatchWrite {
@@ -1046,15 +1251,16 @@ class KvBatchWrite(path: String, replayKey: Option[String], queryId: String)
     * committed version or the previous one — never a half state, and
     * never a state missing a concurrent winner's files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newFiles = messages.map(_.asInstanceOf[KvCommitMessage].file).toSeq
-    KvSource.commitVersionKeyed(path, newFiles, replayKey)
+    val msgs = messages.map(_.asInstanceOf[KvCommitMessage]).toSeq
+    KvSource.commitVersionKeyed(path, msgs.map(_.file), replayKey,
+      stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap)
   }
 
   /** Job abort: whatever tasks already committed is garbage now —
     * remove it so a retry starts clean. */
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KvCommitMessage(f) => new java.io.File(path, f).delete()
+      case KvCommitMessage(f, _) => new java.io.File(path, f).delete()
       case _ => ()
     }
 }
@@ -1084,17 +1290,19 @@ class KvStreamingWrite(path: String, queryId: String, fullQueryId: String)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
-    val newFiles = messages.map(_.asInstanceOf[KvCommitMessage].file).toSeq
+    val msgs = messages.map(_.asInstanceOf[KvCommitMessage]).toSeq
     // epoch keyed by the STREAMING QUERY's stable id: a replayed
     // micro-batch of THIS query absorbs; another query's epoch 0 (or a
     // fresh-checkpoint restart, which mints a new query id) appends
-    KvSource.commitVersionKeyed(path, newFiles, Some(s"$fullQueryId:$epochId"))
+    KvSource.commitVersionKeyed(path, msgs.map(_.file),
+      Some(s"$fullQueryId:$epochId"),
+      stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap)
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KvCommitMessage(f) => new java.io.File(path, f).delete()
+      case KvCommitMessage(f, _) => new java.io.File(path, f).delete()
       case _ => ()
     }
 }
@@ -1129,6 +1337,12 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(tmpFile), "UTF-8"))
 
+  // per-file key zone map, tracked as rows stream through (free at
+  // write time — the one moment the file's contents all pass by)
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
+  private var nRows = 0L
+
   override def write(row: InternalRow): Unit = {
     if (row.isNullAt(0) || row.isNullAt(1))
       throw new IllegalArgumentException(
@@ -1137,7 +1351,11 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
     if (v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
       throw new IllegalArgumentException(
         "KvSource: val must not contain newlines (line-oriented format)")
-    out.write(row.getLong(0).toString)
+    val k = row.getLong(0)
+    if (k < minKey) minKey = k
+    if (k > maxKey) maxKey = k
+    nRows += 1
+    out.write(k.toString)
     out.write(',')
     out.write(v)
     out.write('\n')
@@ -1148,7 +1366,8 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.move(tmpFile.toPath, Paths.get(path, finalName),
       StandardCopyOption.ATOMIC_MOVE)
-    KvCommitMessage(finalName)
+    KvCommitMessage(finalName,
+      if (nRows > 0) Some((minKey, maxKey)) else None)
   }
 
   override def abort(): Unit = { out.close(); tmpFile.delete() }

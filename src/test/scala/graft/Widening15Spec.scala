@@ -421,6 +421,72 @@ class Widening15Spec extends AnyFunSuite {
     SourceQueries.deleteRecursively(new java.io.File(dir))
   }
 
+  test("MERGE is copy-on-write: updates replace, inserts land, DELETED keys resurrect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-mergespec").toString
+    append(dir, 0, 100)                            // v1
+    KvSource.deleteWhere(spark, dir, "key < 10")   // v2: 0..9 tombstoned (90 live)
+    val updates = spark.range(5, 15).selectExpr("id AS key", "'u' AS val")
+    val (matched, inserted, v) = KvSource.mergeUpsert(spark, dir, updates)
+    // 10..14 are live matches; 5..9 are tombstoned → INSERTS (the
+    // resurrect case a DV-based merge cannot express)
+    assert(matched == 5L && inserted == 5L && v == 3L,
+      s"got matched=$matched inserted=$inserted v=$v")
+    val now = readAll(dir)
+    assert(now.count() == 95L)
+    assert(now.filter(col("val") === "u").count() == 10L, "all 10 update rows visible")
+    assert(now.filter(col("key") < 5).count() == 0L, "non-resurrected deletes stay dead")
+    assert(now.filter(col("key") === 5L).count() == 1L, "no duplicate for a resurrected key")
+    assert(now.filter(col("key") === 12L && col("val") === "u").count() == 1L)
+    // merge folded the DV set away (COW) and time travel pre-dates it
+    assert(KvSource.committedState(dir).dvFiles.isEmpty)
+    def rowsAt(x: Long) = spark.read.format(classOf[KvSource].getName)
+      .option("path", dir).option("versionAsOf", x.toString).load().count()
+    assert(rowsAt(2L) == 90L && rowsAt(1L) == 100L)
+    // CDF sidecars: 5 pre-image deletes (the replaced live rows, val
+    // from BEFORE the merge) + 10 inserts
+    val cdf = KvSource.changeFeed(spark, dir, 2L, 3L).collect()
+    val del = cdf.filter(_.getString(2) == "delete")
+    assert(del.length == 5 && del.forall(_.getString(1) == "x"),
+      "deletes must carry pre-image values")
+    assert(del.map(_.getLong(0)).sorted.toSeq == (10L until 15L))
+    assert(cdf.count(_.getString(2) == "insert") == 10)
+    // the streaming source treats the merge as a CHANGE: no re-delivery
+    val st = new graft.sources.KvMicroBatchStream(dir)
+    assert(st.planInputPartitions(st.deserializeOffset("2"),
+      st.deserializeOffset("3")).isEmpty)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("pushdown file skipping: key ranges prune on #stats zones, residuals stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-skipspec").toString
+    append(dir, 0, 10); append(dir, 10, 20); append(dir, 20, 30); append(dir, 30, 40)
+    val probe = readAll(dir).where("key >= 25 AND key < 32")
+    assert(probe.rdd.getNumPartitions == 2,
+      s"range [25,32) must plan files 3+4 only, got ${probe.rdd.getNumPartitions}")
+    assert(probe.count() == 7L)
+    assert(probe.agg(sum(col("key"))).head().getLong(0) == (25L until 32L).sum)
+    assert(probe.queryExecution.executedPlan.toString.contains("keyBounds=[25,31]"),
+      "explain must show the pushed key window")
+    // equality probes plan ONE file; non-key filters prune nothing
+    val one = readAll(dir).where("key = 15")
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 1L)
+    val vprobe = readAll(dir).where(col("val") === "x")
+    assert(vprobe.rdd.getNumPartitions == 4 && vprobe.count() == 40L)
+    // a rewrite's file carries no stats → never pruned, still exact
+    KvSource.optimizeCompact(spark, dir) // v5: one compacted file
+    val after = readAll(dir).where("key >= 25 AND key < 32")
+    assert(after.rdd.getNumPartitions == 1 && after.count() == 7L)
+    // stats SURVIVE the checkpoint fold: grow to v11 (v10 re-lists the
+    // live stats map); a tight probe must still prune to 2 files (the
+    // stats-free compacted file + the one covering the range)
+    (0 until 6).foreach(i => append(dir, 40L + i * 10, 50L + i * 10)) // v6..v11
+    val late = readAll(dir).where("key >= 95")
+    assert(late.rdd.getNumPartitions == 2,
+      s"post-checkpoint probe must keep compact+matching file, got ${late.rdd.getNumPartitions}")
+    assert(late.count() == 5L)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
   test("load_restore / load_delete_verb ledgers match the protocol constants") {
     val rRows = SourceQueries.restoreOp(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
