@@ -1467,8 +1467,8 @@ object SourceQueries {
     * provably misses the range before any partition is planned (the
     * parquet row-group-pruning story, on our own source). Eight
     * appends slice the customer keyspace into contiguous eighths
-    * (keys 1..n, bucket = (key−1)·8 DIV n); the probe
-    * `key <= n DIV 4` must plan EXACTLY the first two files —
+    * (keys are dense 0..n−1, bucket = key·8 DIV n); the probe
+    * `key < n DIV 4` must plan EXACTLY the first two files —
     * observable as the scan's partition count — and every filter
     * stays a Spark-side residual, so pruning can only skip, never
     * change rows. The oracle recomputes rows/sums from the predicate

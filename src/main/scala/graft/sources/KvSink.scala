@@ -668,7 +668,11 @@ object KvSource {
     * logical changes from them instead of mis-reading the rewrite as
     * silent. Publish is pinned to the diffed snapshot
     * (`expectedPrior`): any concurrent commit conflicts, Delta's
-    * MERGE rule. Returns (matched/updated, inserted, version). */
+    * MERGE rule. Returns (matched, inserted, version): matched counts
+    * DISTINCT update keys found live (an append log can hold
+    * duplicate rows per key — all copies are replaced and each
+    * appears as a CDF pre-image delete, but the KEY counts once),
+    * inserted the remaining distinct update keys. */
   private[graft] def mergeUpsert(spark: org.apache.spark.sql.SparkSession,
                                    path: String,
                                    updates: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
@@ -676,7 +680,13 @@ object KvSource {
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: nothing to merge into at $path"))
     val st = stateAt(path, v0)
+    // the update plan feeds three jobs (survivor rewrite, cdf inserts,
+    // key counts) — persist once, release at the end; the LIVE scan
+    // intentionally stays unpersisted and runs twice (rewrite +
+    // pre-image extraction), the same two passes a COW merge pays in
+    // Delta — table-sized caching would cost more than the re-scan
     val upd = updates.selectExpr("CAST(key AS BIGINT) AS key", "CAST(val AS STRING) AS val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val live = spark.read.format(classOf[KvSource].getName)
       .option("path", path).option("versionAsOf", v0.toString).load()
     val updKeys = upd.select("key").distinct()
@@ -694,15 +704,11 @@ object KvSource {
             override def hasNext: Boolean = rows.hasNext
             override def next(): String = {
               val r = rows.next()
-              if (r.isNullAt(0) || r.isNullAt(1))
+              if (r.isNullAt(0))
                 throw new IllegalArgumentException(
-                  "KvSource: merge rows need non-null key and val")
-              val v = r.getString(1)
-              if (v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
-                throw new IllegalArgumentException(
-                  "KvSource: merge val must not contain newlines")
+                  "KvSource: key and val must be non-null (line format has no null encoding)")
               acc.add(1L)
-              s"${r.getLong(0)},$v"
+              kvLine(r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))
             }
           })
           Iterator.single(name)
@@ -710,16 +716,28 @@ object KvSource {
       }.collect().toSeq
       (names, acc.value)
     }
-    val (resultFiles, _) =
-      writeRows(live.join(updKeys, Seq("key"), "left_anti").unionByName(upd),
-        "part-merge")
-    val (delFiles, nMatched) =
-      writeRows(live.join(updKeys, Seq("key"), "left_semi"), "cdf-del")
-    val (insFiles, nUpd) = writeRows(upd, "cdf-ins")
-    val v = commitVersionKeyed(path, resultFiles, None,
-      removeFiles = st.files ++ st.dvFiles, expectedPrior = Some(v0),
-      cdfDel = delFiles, cdfIns = insFiles)
-    (nMatched, nUpd - nMatched, v)
+    try {
+      val (resultFiles, _) =
+        writeRows(live.join(updKeys, Seq("key"), "left_anti").unionByName(upd),
+          "part-merge")
+      val (delFiles, _) =
+        writeRows(live.join(updKeys, Seq("key"), "left_semi"), "cdf-del")
+      val (insFiles, _) = writeRows(upd, "cdf-ins")
+      // KEY-level counts for the contract (row-level pre-image counts
+      // live in the cdf sidecars): matched keys come from the already-
+      // written cdf-del sidecar — a deletes-sized read, never a third
+      // table scan
+      val nUpdKeys = updKeys.count()
+      val nMatched =
+        if (delFiles.isEmpty) 0L
+        else spark.read.format(classOf[KvSource].getName)
+          .option("path", path).option("cdfFiles", delFiles.mkString(","))
+          .load().select("key").distinct().count()
+      val v = commitVersionKeyed(path, resultFiles, None,
+        removeFiles = st.files ++ st.dvFiles, expectedPrior = Some(v0),
+        cdfDel = delFiles, cdfIns = insFiles)
+      (nMatched, nUpdKeys - nMatched, v)
+    } finally upd.unpersist(blocking = false)
   }
 
   /** CHANGE DATA FEED (the Delta `table_changes` verb): the row-level
@@ -798,6 +816,19 @@ object KvSource {
       Seq.empty[(Long, String, String, Long)]
         .toDF("key", "val", "change_type", "commit_version")
     }
+  }
+
+  /** The ONE definition of the on-disk line format: validate and
+    * render a (key, val) row. Shared by the DSv2 task writer and the
+    * merge's row writers so the format can never drift between them. */
+  private[graft] def kvLine(key: Long, value: String): String = {
+    if (value == null)
+      throw new IllegalArgumentException(
+        "KvSource: key and val must be non-null (line format has no null encoding)")
+    if (value.indexOf('\n') >= 0 || value.indexOf('\r') >= 0)
+      throw new IllegalArgumentException(
+        "KvSource: val must not contain newlines (line-oriented format)")
+    s"$key,$value"
   }
 
   /** Stream `lines` into `<path>/.<name>.tmp-<attempt>` and atomically
@@ -914,8 +945,16 @@ class KvScanBuilder(path: String, asOf: Option[Long],
 
   private var accepted = Array.empty[Filter]
 
+  // INTEGRAL values only: a fractional literal truncated through
+  // longValue() would shift a <//<= bound by one and prune a file the
+  // predicate actually admits — silent row loss the residual filter
+  // cannot recover (Spark normally casts literals to the column's
+  // LongType before pushing, so this is belt-and-braces)
   private def asLong(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
+    case n: java.lang.Long => Some(n.longValue())
+    case n: java.lang.Integer => Some(n.longValue())
+    case n: java.lang.Short => Some(n.longValue())
+    case n: java.lang.Byte => Some(n.longValue())
     case _ => None
   }
 
@@ -1347,17 +1386,11 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
     if (row.isNullAt(0) || row.isNullAt(1))
       throw new IllegalArgumentException(
         "KvSource: key and val must be non-null (line format has no null encoding)")
-    val v = row.getUTF8String(1).toString
-    if (v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
-      throw new IllegalArgumentException(
-        "KvSource: val must not contain newlines (line-oriented format)")
     val k = row.getLong(0)
     if (k < minKey) minKey = k
     if (k > maxKey) maxKey = k
     nRows += 1
-    out.write(k.toString)
-    out.write(',')
-    out.write(v)
+    out.write(KvSource.kvLine(k, row.getUTF8String(1).toString))
     out.write('\n')
   }
 

@@ -455,6 +455,19 @@ class Widening15Spec extends AnyFunSuite {
     assert(st.planInputPartitions(st.deserializeOffset("2"),
       st.deserializeOffset("3")).isEmpty)
     SourceQueries.deleteRecursively(new java.io.File(dir))
+    // duplicate live rows for one key (an append log has no key
+    // uniqueness): ALL copies are replaced and each appears as a CDF
+    // pre-image delete, but the KEY counts once — matched is key-level
+    val dup = java.nio.file.Files.createTempDirectory("graft-kv-mergedup").toString
+    append(dup, 0, 10); append(dup, 5, 10) // keys 5..9 live TWICE
+    val (m2, i2, _) = KvSource.mergeUpsert(spark, dup,
+      spark.range(5, 6).selectExpr("id AS key", "'z' AS val"))
+    assert(m2 == 1L && i2 == 0L, s"key-level counts: got ($m2, $i2)")
+    assert(readAll(dup).where("key = 5").count() == 1L, "one row survives the upsert")
+    assert(KvSource.changeFeed(spark, dup, 2L, 3L)
+      .filter(col("change_type") === "delete").count() == 2L,
+      "both pre-image copies appear in the feed")
+    SourceQueries.deleteRecursively(new java.io.File(dup))
   }
 
   test("pushdown file skipping: key ranges prune on #stats zones, residuals stay exact") {
