@@ -539,6 +539,17 @@ object SparkEntry {
     // round 15 batch 6: filter pushdown + per-file key-stats skipping
     // on the DSv2 commit log
     "load_file_skipping" -> SourceQueries.fileSkipping _,
+    // round 15 batch 7: UPDATE with touched-file pruning (the merge
+    // entry's noted next step, closed), SHALLOW CLONE, and the
+    // CDF-sync theorem (feed deltas ≡ snapshot diff)
+    "load_update_verb" -> SourceQueries.updateVerbOp _,
+    "load_clone_shallow" -> SourceQueries.cloneShallowOp _,
+    "load_cdf_sync" -> SourceQueries.cdfSyncOp _,
+    // round 15 batch 8: protocol versioning, the streaming CDF
+    // surface (readChangeFeed), and z-order clustering quality
+    "load_protocol_gate" -> SourceQueries.protocolGateOp _,
+    "stream_cdf_consume" -> Streams.streamCdfConsume _,
+    "layout_zorder_cluster" -> Analytics.layoutZorderCluster _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -5909,6 +5920,124 @@ object SparkEntry {
         |  UNION ALL SELECT '03_result', 'key_sum', (SELECT ks FROM q)
         |  UNION ALL SELECT '03_result', 'rows', (SELECT n_rows FROM q)
         |) t ORDER BY stage, metric""".stripMargin,
+    // load_update_verb: the update hits exactly the first-quarter
+    // keys — slices 0..1 of the 8-slice layout — so 6 files survive
+    // the COW rewrite untouched; every count derives from the
+    // predicate (keys are dense 0..n-1)
+    "load_update_verb" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM customer
+        |  WHERE c_custkey < (SELECT n FROM c) // 4)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_layout' AS stage, 'files_total' AS metric, 8 AS value
+        |  UNION ALL SELECT '02_update', 'keys_updated', (SELECT nu FROM q)
+        |  UNION ALL SELECT '02_update', 'files_untouched_surviving', 6
+        |  UNION ALL SELECT '03_after', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '03_after', 'rows_updated_val', (SELECT nu FROM q)
+        |  UNION ALL SELECT '03_after', 'rows_at_pre_update', 0
+        |  UNION ALL SELECT '04_cdf', 'pre_images', (SELECT nu FROM q)
+        |  UNION ALL SELECT '04_cdf', 'post_images', (SELECT nu FROM q)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_clone_shallow: the clone freezes the source's
+    // key%7-deleted snapshot; afterwards each side sees only its own
+    // divergence — all counts closed-form from the two delete rules
+    // and the key%13 append
+    "load_clone_shallow" ->
+      """WITH c AS (SELECT c_custkey AS key FROM customer),
+        |m AS (SELECT
+        |  CAST(SUM(CASE WHEN key % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+        |  CAST(SUM(CASE WHEN key % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n13,
+        |  CAST(SUM(CASE WHEN key % 7 <> 0 AND key % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n73,
+        |  CAST(SUM(CASE WHEN key % 7 <> 0 AND key % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n7k3
+        |  FROM c)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_clone' AS stage, 'clone_version' AS metric, 1 AS value
+        |  UNION ALL SELECT '01_clone', 'clone_rows', (SELECT n7 FROM m)
+        |  UNION ALL SELECT '01_clone', 'clone_dv_masked_key7', 0
+        |  UNION ALL SELECT '02_diverge', 'clone_rows_after_append', (SELECT n7 + n13 FROM m)
+        |  UNION ALL SELECT '02_diverge', 'source_rows_after_delete', (SELECT n73 FROM m)
+        |  UNION ALL SELECT '03_isolated', 'clone_rows_unaffected_by_source_delete', (SELECT n7k3 FROM m)
+        |  UNION ALL SELECT '03_isolated', 'source_rows_unaffected_by_clone_append', 0
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_cdf_sync: the feed's net effect per val group equals the
+    // closed-form final state — survivors keep their segment, key%3
+    // becomes UPDATED (resurrects included), key%11 adds NEWROW keys
+    // load_protocol_gate: the gate's behavior is the contract — 1:1
+    // default, 2:2 after the upgrade (reads/writes keep working), a
+    // future 9:9 version refuses both while pre-future time travel
+    // still reads
+    "load_protocol_gate" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n13
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_default' AS stage, 'reader_version' AS metric, 1 AS value
+        |  UNION ALL SELECT '01_default', 'writer_version', 1
+        |  UNION ALL SELECT '02_upgrade', 'version_published', 2
+        |  UNION ALL SELECT '02_upgrade', 'reader_version', 2
+        |  UNION ALL SELECT '02_upgrade', 'writer_version', 2
+        |  UNION ALL SELECT '02_upgrade', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '03_write_under_v2', 'rows_readable', (SELECT n + n13 FROM c)
+        |  UNION ALL SELECT '04_future', 'read_refused', 1
+        |  UNION ALL SELECT '04_future', 'write_refused', 1
+        |  UNION ALL SELECT '04_future', 'time_travel_pre_future_rows', (SELECT n + n13 FROM c)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // stream_cdf_consume: what the streamed typed feed must deliver,
+    // version by version — v1/v2 parity inserts, v3's doomed rows as
+    // deletes WITH values, v4's merge sidecars (live key%3 pre-image
+    // deletes; all key%3 + rekeyed key%11 inserts)
+    "stream_cdf_consume" ->
+      """WITH c AS (SELECT c_custkey AS key FROM customer)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(key) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT 1 AS commit_version, 'insert' AS change_type, key FROM c WHERE key % 2 = 0
+        |  UNION ALL SELECT 2, 'insert', key FROM c WHERE key % 2 = 1
+        |  UNION ALL SELECT 3, 'delete', key FROM c WHERE key % 5 = 0
+        |  UNION ALL SELECT 4, 'delete', key FROM c WHERE key % 3 = 0 AND key % 5 <> 0
+        |  UNION ALL SELECT 4, 'insert', key FROM c WHERE key % 3 = 0
+        |  UNION ALL SELECT 4, 'insert', key + 10000000 FROM c WHERE key % 11 = 0
+        |) t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // layout_zorder_cluster: both engines compute the same Morton
+    // interleave closed-form; files are modeled ranges, so every count
+    // derives from the data alone
+    "layout_zorder_cluster" -> {
+      val zd = (0 until 8).map(i =>
+        s"((((px >> $i) & 1) << ${2 * i}) + (((sx >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT MAX(l_partkey) + 1 AS mp, MAX(l_suppkey) + 1 AS ms FROM lineitem),
+         |e AS (SELECT CAST(l_partkey * 256 // mp AS BIGINT) AS px,
+         |  CAST(l_suppkey * 256 // ms AS BIGINT) AS sx FROM lineitem, b),
+         |z AS (SELECT px, sx, ($zd) AS z FROM e),
+         |g AS (SELECT px // 4 AS file_lin, z // 1024 AS file_z,
+         |  CASE WHEN px BETWEEN 16 AND 31 THEN 1 ELSE 0 END AS pp,
+         |  CASE WHEN sx BETWEEN 16 AND 31 THEN 1 ELSE 0 END AS ps FROM z)
+         |SELECT layout, probe, CAST(files_touched AS BIGINT) AS files_touched,
+         |  CAST(rows_matched AS BIGINT) AS rows_matched FROM (
+         |  SELECT 'linear' AS layout, 'partkey' AS probe,
+         |    COUNT(DISTINCT CASE WHEN pp = 1 THEN file_lin END) AS files_touched,
+         |    SUM(pp) AS rows_matched FROM g
+         |  UNION ALL SELECT 'linear', 'suppkey',
+         |    COUNT(DISTINCT CASE WHEN ps = 1 THEN file_lin END), SUM(ps) FROM g
+         |  UNION ALL SELECT 'zorder', 'partkey',
+         |    COUNT(DISTINCT CASE WHEN pp = 1 THEN file_z END), SUM(pp) FROM g
+         |  UNION ALL SELECT 'zorder', 'suppkey',
+         |    COUNT(DISTINCT CASE WHEN ps = 1 THEN file_z END), SUM(ps) FROM g
+         |) t ORDER BY layout, probe""".stripMargin
+    },
+    "load_cdf_sync" ->
+      """WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg FROM customer),
+        |final AS (
+        |  SELECT seg AS val, key FROM c WHERE key % 5 <> 0 AND key % 3 <> 0
+        |  UNION ALL SELECT 'UPDATED', key FROM c WHERE key % 3 = 0
+        |  UNION ALL SELECT 'NEWROW', key + 10000000 FROM c WHERE key % 11 = 0
+        |)
+        |SELECT val,
+        |  CAST(COUNT(*) AS BIGINT) AS n_feed,
+        |  CAST(SUM(key) AS BIGINT) AS key_sum_feed,
+        |  CAST(COUNT(*) AS BIGINT) AS n_snap,
+        |  CAST(SUM(key) AS BIGINT) AS key_sum_snap
+        |FROM final GROUP BY val ORDER BY val""".stripMargin,
     // load_change_feed: the CDF rollup recomputed from the change
     // rules — v1/v2 inserts are the key-parity halves, v3 deletes are
     // the key%5 rows, v4 (OPTIMIZE) contributes nothing

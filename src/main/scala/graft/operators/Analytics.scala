@@ -1209,6 +1209,59 @@ object Analytics {
     * considered / skipped, and the rows the surviving partitions
     * would scan. The stats rows are catalog-sized (months × columns);
     * nothing here rescans the fact table. */
+  /** Z-ORDER clustering quality (the Delta ZORDER BY / Iceberg
+    * sort-order story — MULTI-dimensional file skipping, where a
+    * linear sort gives perfect pruning on its sort key and none on
+    * any other column): both dims normalize to 8-bit rank cells
+    * (`x·256 DIV (max+1)` — closed-form, no window, identical in the
+    * oracle), the z-value INTERLEAVES their bits (the Morton curve),
+    * and files are modeled as 64 equal z-ranges (`z DIV 1024`) vs 64
+    * equal partkey ranges (`px DIV 4`) for the linear layout. For a
+    * 1/16-keyspace probe on EACH dim, the ledger counts the files a
+    * zone-map scan must touch under each layout: linear touches ~4 on
+    * its own key and nearly all on the other; z-order touches ~8 ON
+    * BOTH — the balanced skipping that makes the rewrite worth paying
+    * once when queries filter on two dims. One map-side pass partial-
+    * aggregates to the ≤64×64 (file_lin, file_z) cell grid; the four
+    * conditional distinct-counts run over that bounded grid (the
+    * Expand sits ABOVE the aggregate, never on the scan — the
+    * layout_column_stats lesson). */
+  def layoutZorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val zBits = (0 until 8).map(i =>
+      s"(shiftleft(shiftright(px, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(sx, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(max("l_partkey").as("mp"), max("l_suppkey").as("ms"))
+    val cells = li.crossJoin(broadcast(bounds))
+      .selectExpr(
+        "CAST(l_partkey * 256 DIV (mp + 1) AS BIGINT) AS px",
+        "CAST(l_suppkey * 256 DIV (ms + 1) AS BIGINT) AS sx")
+      .selectExpr("px", "sx", s"($zBits) AS z")
+      .selectExpr("px DIV 4 AS file_lin", "z DIV 1024 AS file_z",
+        "CASE WHEN px BETWEEN 16 AND 31 THEN 1 ELSE 0 END AS pp",
+        "CASE WHEN sx BETWEEN 16 AND 31 THEN 1 ELSE 0 END AS ps")
+      .groupBy("file_lin", "file_z")
+      .agg(sum(col("pp")).as("np"), sum(col("ps")).as("ns"))
+    cells.agg(
+      countDistinct(when(col("np") > 0, col("file_lin"))).as("flp"),
+      countDistinct(when(col("ns") > 0, col("file_lin"))).as("fls"),
+      countDistinct(when(col("np") > 0, col("file_z"))).as("fzp"),
+      countDistinct(when(col("ns") > 0, col("file_z"))).as("fzs"),
+      sum(col("np")).as("rp"), sum(col("ns")).as("rs"))
+      .selectExpr(
+        """stack(4,
+          |  'linear', 'partkey', flp, rp,
+          |  'linear', 'suppkey', fls, rs,
+          |  'zorder', 'partkey', fzp, rp,
+          |  'zorder', 'suppkey', fzs, rs
+          |) AS (layout, probe, files_touched, rows_matched)"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("layout", "probe",
+        "CAST(files_touched AS BIGINT) AS files_touched",
+        "CAST(rows_matched AS BIGINT) AS rows_matched")
+      .orderBy("layout", "probe")
+  }
+
   def layoutPruneFromStats(spark: SparkSession, dir: String): DataFrame = {
     val zones = layoutStatsSweep(spark, dir)
       .filter(col("table_name") === "lineitem" && col("col_name") === "l_quantity")

@@ -1507,6 +1507,244 @@ object SourceQueries {
       out)
   }
 
+  /** UPDATE on the commit log — the row-update DML verb, completing
+    * the set (append / DELETE / MERGE / OPTIMIZE / RESTORE / vacuum),
+    * and the op that PROVES touched-file pruning: the customer
+    * keyspace is sliced into 8 contiguous key-range files (each
+    * carrying its `#stats:` zone from the free write-time recording),
+    * then `UPDATE SET val = concat(val, '!') WHERE key < n/4` runs
+    * through [[graft.sources.KvSource.updateWhere]] — the pushed
+    * key-range filter prunes the matched-row SCAN to 2 files, and the
+    * merge's zone probe proves slices 2..7 hold no matched key, so
+    * SIX of the eight files SURVIVE THE REWRITE UNTOUCHED (pinned by
+    * name intersection in the ledger — a COW update that rewrites the
+    * whole table at 100 TB is the difference between a minute and a
+    * day). CDF sidecars carry the update's pre-images and
+    * post-images; every count, including the survivor set size, is
+    * recomputed by the oracle from the predicate and the slice
+    * geometry. */
+  def updateVerbOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-update").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    val n = Tables.customer(spark, dir).count()
+    (0L until 8L).foreach { b =>
+      c.filter(expr(s"key * 8 DIV $n") === b).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    val filesBefore = KvSource.committedFiles(out).toSet
+    val (updated, v) = KvSource.updateWhere(spark, out,
+      s"key < ${n / 4}", "concat(val, '!')")
+    val filesAfter = KvSource.committedFiles(out).toSet
+    val after = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load()
+    val cdf = KvSource.changeFeed(spark, out, v - 1, v)
+    val rows = Seq(
+      ("01_layout", "files_total", filesBefore.size.toLong),
+      ("02_update", "keys_updated", updated),
+      ("02_update", "files_untouched_surviving",
+        (filesBefore intersect filesAfter).size.toLong),
+      ("03_after", "rows_readable", after.count()),
+      ("03_after", "rows_updated_val",
+        after.filter(col("val").endsWith("!")).count()),
+      ("03_after", "rows_at_pre_update",
+        spark.read.format(classOf[KvSource].getName).option("path", out)
+          .option("versionAsOf", (v - 1).toString).load()
+          .filter(col("val").endsWith("!")).count()),
+      ("04_cdf", "pre_images",
+        cdf.filter(col("change_type") === "delete").count()),
+      ("04_cdf", "post_images",
+        cdf.filter(col("change_type") === "insert").count()))
+    import spark.implicits._
+    materializeAndClean(
+      rows.toDF("stage", "metric", "value").orderBy("stage", "metric"),
+      out)
+  }
+
+  /** SHALLOW CLONE on the commit log (the Delta CLONE verb — the
+    * zero-copy table fork a dev/test/experimentation workflow runs
+    * against a 100 TB production table): the source chain is built
+    * (v1 append, v2 merge-on-read DELETE of key%7), then
+    * [[graft.sources.KvSource.cloneShallow]] starts a NEW chain whose
+    * v1 snapshot equals the source's latest — data and DV files
+    * hard-linked (zero bytes copied; immutability makes shared inodes
+    * safe), stats zones and the DV mask inherited, the replay ledger
+    * deliberately not. From the clone point the tables DIVERGE
+    * freely: an append lands only in the clone, a second DELETE lands
+    * only in the source, and the ledger re-reads both sides after
+    * each divergence — a clone that leaks a post-clone source change
+    * (or loses the inherited DV mask) fails the hash. */
+  def cloneShallowOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val src = java.nio.file.Files.createTempDirectory("graft-kv-clone-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-kv-clone-dst").toString
+    // the clone target must not have a chain yet — the temp dir is
+    // fresh; cloneShallow links into it and publishes v1
+    SourceQueries.deleteRecursively(new java.io.File(dst))
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    c.write.format(classOf[KvSource].getName)
+      .option("path", src).mode(org.apache.spark.sql.SaveMode.Append).save()
+    KvSource.deleteWhere(spark, src, "key % 7 = 0") // v2: DV
+    val cloneV = KvSource.cloneShallow(src, dst)
+    def readAll(p: String) = spark.read.format(classOf[KvSource].getName)
+      .option("path", p).load()
+    val atClone = Seq(
+      ("01_clone", "clone_version", cloneV),
+      ("01_clone", "clone_rows", readAll(dst).count()),
+      ("01_clone", "clone_dv_masked_key7",
+        readAll(dst).filter(col("key") % 7 === 0).count()))
+    // diverge: append NEW rows to the CLONE only
+    Tables.customer(spark, dir).filter(col("c_custkey") % 13 === 0)
+      .selectExpr("c_custkey + 20000000 AS key", "'NEWROW' AS val")
+      .write.format(classOf[KvSource].getName)
+      .option("path", dst).mode(org.apache.spark.sql.SaveMode.Append).save()
+    // diverge: DELETE more rows from the SOURCE only
+    KvSource.deleteWhere(spark, src, "key % 3 = 0")
+    val diverged = Seq(
+      ("02_diverge", "clone_rows_after_append", readAll(dst).count()),
+      ("02_diverge", "source_rows_after_delete", readAll(src).count()),
+      ("03_isolated", "clone_rows_unaffected_by_source_delete",
+        readAll(dst).filter(col("key") % 3 === 0 && col("key") < 20000000).count()),
+      ("03_isolated", "source_rows_unaffected_by_clone_append",
+        readAll(src).filter(col("key") >= 20000000).count()))
+    import spark.implicits._
+    val res = materializeAndClean(
+      (atClone ++ diverged).toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      src)
+    SourceQueries.deleteRecursively(new java.io.File(dst))
+    res
+  }
+
+  /** CDF-DRIVEN DOWNSTREAM SYNC — the theorem that makes the change
+    * feed USEFUL, proven as data: a downstream aggregate maintained
+    * purely from [[graft.sources.KvSource.changeFeed]] deltas
+    * (inserts add, deletes RETRACT — the incremental view maintenance
+    * a 100 TB table syncs its marts with, instead of re-reading the
+    * snapshot) must equal the direct recompute from the final
+    * snapshot. The chain exercises every change-emitting verb: two
+    * appends (key-parity halves), a merge-on-read DELETE (key%5), a
+    * MERGE (key%3 re-valued 'UPDATED' — including the key%15
+    * RESURRECTS the feed must re-insert — plus key%11 re-keyed new
+    * rows). The op aggregates the feed (±1 by change_type) and the
+    * snapshot INDEPENDENTLY per val group and emits both sides; the
+    * oracle computes the closed-form final state once — a feed that
+    * drops a retraction, double-delivers a checkpoint re-list, or
+    * mis-classifies the merge's sidecars diverges from its own
+    * snapshot column and fails the hash. */
+  def cdfSyncOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-cdfsync").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    def append(df: DataFrame): Unit =
+      df.write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(c.filter(col("key") % 2 === 0)) // v1
+    append(c.filter(col("key") % 2 === 1)) // v2
+    KvSource.deleteWhere(spark, out, "key % 5 = 0") // v3: DV delete
+    val updates = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .selectExpr("c_custkey AS key", "'UPDATED' AS val")
+      .unionByName(Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 11 === 0)
+        .selectExpr("c_custkey + 10000000 AS key", "'NEWROW' AS val"))
+    val (_, _, v) = KvSource.mergeUpsert(spark, out, updates) // v4
+    val feed = KvSource.changeFeed(spark, out, 0L, v)
+      .groupBy(col("val"))
+      .agg(
+        sum(when(col("change_type") === "insert", 1L).otherwise(-1L))
+          .as("n_feed"),
+        sum(when(col("change_type") === "insert", col("key"))
+          .otherwise(-col("key"))).as("key_sum_feed"))
+    val snap = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load()
+      .groupBy(col("val"))
+      .agg(count(lit(1)).as("n_snap"), sum(col("key")).as("key_sum_snap"))
+    materializeAndClean(
+      feed.join(snap, Seq("val"), "full_outer")
+        .select(col("val"),
+          coalesce(col("n_feed"), lit(0L)).as("n_feed"),
+          coalesce(col("key_sum_feed"), lit(0L)).as("key_sum_feed"),
+          coalesce(col("n_snap"), lit(0L)).as("n_snap"),
+          coalesce(col("key_sum_snap"), lit(0L)).as("key_sum_snap"))
+        .orderBy("val"),
+      out)
+  }
+
+  /** PROTOCOL VERSIONING on the commit log (the Delta
+    * minReaderVersion/minWriterVersion gate — what lets a table FORMAT
+    * evolve under live old engines without silent corruption): a fresh
+    * chain reads as protocol 1:1; `KvSource.upgradeProtocol` publishes
+    * a `#protocol:2:2` version (this engine's level — checkpoints,
+    * DVs, CDF, stats) after which reads and writes still work; then a
+    * FUTURE engine's commit (`#protocol:9:9`, hand-published — the
+    * manifest parser would silently DROP headers it doesn't know,
+    * which is exactly the corruption the gate prevents) makes both the
+    * read and the write REFUSE with the clear upgrade-required error,
+    * while time travel to the pre-future snapshot still reads under
+    * the old protocol (the gate is per-snapshot, Delta's rule). Every
+    * refusal is recorded as a flag the oracle pins. */
+  def protocolGateOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-proto").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    c.write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v1
+    def readCount(asOf: Option[Long]): Long = {
+      val r = spark.read.format(classOf[KvSource].getName).option("path", out)
+      asOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load().count()
+    }
+    val p0 = KvSource.protocolAt(out)
+    val vUp = KvSource.upgradeProtocol(out, 2, 2) // v2
+    val p1 = KvSource.protocolAt(out)
+    val afterUpgrade = readCount(None)
+    Tables.customer(spark, dir).filter(col("c_custkey") % 13 === 0)
+      .selectExpr("c_custkey + 10000000 AS key", "'NEWROW' AS val")
+      .write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v3
+    val afterWrite = readCount(None)
+    // a FUTURE engine commits v4 under a protocol this engine lacks
+    require(KvSource.publishCas(out, 4L, "#protocol:9:9"),
+      "future-protocol publish must win (no concurrent committers here)")
+    // Spark may wrap a planning/commit failure — walk the cause chain
+    def refused(f: => Unit): Long =
+      try { f; 0L } catch {
+        case e: Throwable =>
+          val hit = Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(10)
+            .exists(t => Option(t.getMessage).exists(_.contains("requires protocol")))
+          if (hit) 1L else throw e
+      }
+    val readRefused = refused(readCount(None))
+    val writeRefused = refused {
+      c.limit(1).write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    val timeTravelRows = readCount(Some(3L)) // pre-future snapshot: old protocol
+    import spark.implicits._
+    materializeAndClean(
+      Seq(
+        ("01_default", "reader_version", p0._1.toLong),
+        ("01_default", "writer_version", p0._2.toLong),
+        ("02_upgrade", "version_published", vUp),
+        ("02_upgrade", "reader_version", p1._1.toLong),
+        ("02_upgrade", "writer_version", p1._2.toLong),
+        ("02_upgrade", "rows_readable", afterUpgrade),
+        ("03_write_under_v2", "rows_readable", afterWrite),
+        ("04_future", "read_refused", readRefused),
+        ("04_future", "write_refused", writeRefused),
+        ("04_future", "time_travel_pre_future_rows", timeTravelRows))
+        .toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      out)
+  }
+
   /** Finish a side-stateful gate op: localize its BOUNDED final
     * rollup (metadata-sized — versions, rollup rows, never data), then
     * delete the op's temp sink directory so repeated invocations

@@ -102,12 +102,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KvSource.schema
+    if (options.getBoolean("readChangeFeed", false)) KvSource.cdfSchema
+    else KvSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "KvSource requires option 'path'")
-    new KvTable(path)
+    val cdf = Option(properties.get("readChangeFeed"))
+      .orElse(Option(properties.get("readchangefeed")))
+      .exists(_.equalsIgnoreCase("true"))
+    new KvTable(path, cdf)
   }
 }
 
@@ -115,10 +119,27 @@ object KvSource {
   val schema: StructType = new StructType()
     .add("key", LongType).add("val", StringType)
 
+  /** Schema of a CHANGE-FEED read (`option("readChangeFeed", true)`,
+    * the Delta CDF shape): the row plus its change type and the
+    * version that committed it. */
+  val cdfSchema: StructType = new StructType()
+    .add("key", LongType).add("val", StringType)
+    .add("change_type", StringType).add("commit_version", LongType)
+
   /** Every N-th manifest version is a full-state checkpoint; the N-1
     * between are deltas. Reads fold at most N manifests; commits write
     * O(own files) except the one-in-N checkpoint. */
   private[graft] val CheckpointInterval = 10L
+
+  /** Highest table protocol this engine can READ / WRITE (the Delta
+    * minReaderVersion/minWriterVersion gate): a table whose folded
+    * `#protocol:` exceeds these fails with a clear upgrade-required
+    * error instead of silently ignoring header semantics it doesn't
+    * understand — the contract that lets a FUTURE format evolve under
+    * live old readers. Version 2 = the r15 feature set (checkpoints,
+    * DVs, CDF sidecars, stats, clones); absent header = version 1. */
+  private[graft] val SupportedReaderVersion = 2
+  private[graft] val SupportedWriterVersion = 2
 
   private val VersionRe = "_manifest\\.v(\\d+)".r
 
@@ -128,7 +149,8 @@ object KvSource {
   private[graft] case class LogState(files: Seq[String],
                                      txnMax: Map[String, Long],
                                      dvFiles: Seq[String],
-                                     stats: Map[String, (Long, Long)] = Map.empty)
+                                     stats: Map[String, (Long, Long)] = Map.empty,
+                                     protocol: (Int, Int) = (1, 1))
 
   /** One manifest version's declarations (NEW state only for a delta,
     * full state for a checkpoint). `dvs` is always the version's OWN
@@ -148,7 +170,8 @@ object KvSource {
                                           checkpoint: Boolean,
                                           cdfDel: Seq[String] = Seq.empty,
                                           cdfIns: Seq[String] = Seq.empty,
-                                          stats: Map[String, (Long, Long)] = Map.empty)
+                                          stats: Map[String, (Long, Long)] = Map.empty,
+                                          protocol: Option[(Int, Int)] = None)
 
   /** The manifest subdirectory (the `_delta_log` layout): listing the
     * chain never walks the data files. */
@@ -289,8 +312,15 @@ object KvSource {
           val p = s.stripPrefix("#stats:").split(":")
           p(0) -> ((p(1).toLong, p(2).toLong))
       }.toMap
+      // `#protocol:<minReader>:<minWriter>` — the version's declared
+      // table protocol (absent = inherit; chain default 1:1)
+      val protocol = hdr.collectFirst {
+        case s if s.startsWith("#protocol:") =>
+          val p = s.stripPrefix("#protocol:").split(":")
+          (p(0).toInt, p(1).toInt)
+      }
       ManifestDelta(files, txns, removes, dvs, dvState,
-        hdr.contains("#checkpoint"), cdfDel, cdfIns, stats)
+        hdr.contains("#checkpoint"), cdfDel, cdfIns, stats, protocol)
     } finally src.close()
   }
 
@@ -326,6 +356,7 @@ object KvSource {
     var dvs = scala.collection.immutable.ListSet.empty[String]
     var txn = Map.empty[String, Long]
     var stats = Map.empty[String, (Long, Long)]
+    var proto = (1, 1)
     (base to v).foreach { i =>
       val m = readManifest(path, i)
       files = files -- m.removes ++ m.adds
@@ -336,12 +367,55 @@ object KvSource {
       // checkpoints re-list the full live stats map; deltas merge
       stats = (if (m.checkpoint) m.stats
                else stats -- m.removes ++ m.stats)
+      // protocol is monotone; checkpoints re-list it when above default
+      m.protocol.foreach(p => proto = p)
       m.txns.foreach { k =>
         val (app, id) = splitTxn(k)
         txn = txn.updated(app, math.max(id, txn.getOrElse(app, Long.MinValue)))
       }
     }
-    LogState(files.toSeq, txn, dvs.toSeq, stats)
+    // READER protocol gate (the Delta minReaderVersion contract): a
+    // snapshot whose folded protocol exceeds what this engine knows
+    // must refuse, not silently drop header semantics it can't parse.
+    // The gate is PER-SNAPSHOT: time travel to a version below an
+    // upgrade still reads under the old protocol.
+    if (proto._1 > SupportedReaderVersion)
+      throw new IllegalStateException(
+        s"KvSource: table at $path (version $v) requires protocol " +
+          s"reader=${proto._1} but this engine supports " +
+          s"reader=$SupportedReaderVersion — upgrade the engine to read it")
+    LogState(files.toSeq, txn, dvs.toSeq, stats, proto)
+  }
+
+  /** The table's folded protocol at its latest version, WITHOUT the
+    * reader gate (so a tool can report WHY a read is refused). The
+    * checkpoint re-lists any above-default protocol, so the fold from
+    * the base is complete. */
+  private[graft] def protocolAt(path: String): (Int, Int) =
+    latestVersion(path).fold((1, 1)) { v =>
+      var p = (1, 1)
+      (foldBase(v) to v).foreach { i =>
+        if (manifestFile(path, i).exists())
+          readManifest(path, i).protocol.foreach(x => p = x)
+      }
+      p
+    }
+
+  /** Upgrade the table protocol (the Delta upgradeTableProtocol verb):
+    * publishes a version carrying `#protocol:<r>:<w>`. The target must
+    * be within THIS engine's support (you cannot declare semantics you
+    * cannot write) and must not downgrade. */
+  private[graft] def upgradeProtocol(path: String, minReader: Int,
+                                       minWriter: Int): Long = {
+    require(minReader <= SupportedReaderVersion &&
+      minWriter <= SupportedWriterVersion,
+      s"KvSource: cannot upgrade $path to protocol $minReader:$minWriter — " +
+        s"this engine supports $SupportedReaderVersion:$SupportedWriterVersion")
+    val cur = protocolAt(path)
+    require(minReader >= cur._1 && minWriter >= cur._2,
+      s"KvSource: protocol downgrade $cur -> ($minReader,$minWriter) at $path")
+    commitVersionKeyed(path, Seq.empty, None,
+      protocol = Some((minReader, minWriter)))
   }
 
   /** [[LogState]] a reader may see at `version` (default: latest
@@ -441,7 +515,8 @@ object KvSource {
                                           expectedPrior: Option[Long] = None,
                                           cdfDel: Seq[String] = Seq.empty,
                                           cdfIns: Seq[String] = Seq.empty,
-                                          stats: Map[String, (Long, Long)] = Map.empty): Long = {
+                                          stats: Map[String, (Long, Long)] = Map.empty,
+                                          protocol: Option[(Int, Int)] = None): Long = {
     new java.io.File(path).mkdirs()
     migrateLog(path)
     var attempt = 0
@@ -461,6 +536,13 @@ object KvSource {
         case Some(v) => stateAt(path, v)
         case None    => LogState(Seq.empty, Map.empty, Seq.empty)
       }
+      // WRITER protocol gate (Delta minWriterVersion): a table can be
+      // readable yet unwritable under a newer writer protocol
+      if (prior.protocol._2 > SupportedWriterVersion)
+        throw new IllegalStateException(
+          s"KvSource: table at $path requires protocol " +
+            s"writer=${prior.protocol._2} but this engine supports " +
+            s"writer=$SupportedWriterVersion — upgrade the engine to write it")
       val replayed = replayKey.exists { k =>
         val (app, id) = splitTxn(k)
         prior.txnMax.get(app).exists(_ >= id)
@@ -507,8 +589,13 @@ object KvSource {
           // classifier the streaming source / change feed read
           val dvPrior = prior.dvFiles.filterNot(removeFiles.toSet)
           val statsAll = prior.stats -- removeFiles ++ stats
+          // the checkpoint re-lists an above-default protocol so folds
+          // from this base see it without walking older manifests
+          val protoAll = protocol.getOrElse(prior.protocol)
           val header = "#checkpoint" +:
-            (txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
+            ((if (protoAll != (1, 1))
+              Seq(s"#protocol:${protoAll._1}:${protoAll._2}") else Seq.empty) ++
+              txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
               removeFiles.distinct.map(f => s"#remove:$f") ++
               dvPrior.distinct.map(f => s"#dvstate:$f") ++
               dvFiles.distinct.map(f => s"#dv:$f") ++
@@ -519,7 +606,8 @@ object KvSource {
           val state = prior.files.filterNot(removeFiles.toSet) ++ newFiles
           (header ++ state.distinct).mkString("\n")
         } else {
-          (replayKey.toSeq.map(b => s"#txn:$b") ++
+          (protocol.toSeq.map(p => s"#protocol:${p._1}:${p._2}") ++
+            replayKey.toSeq.map(b => s"#txn:$b") ++
             removeFiles.distinct.map(f => s"#remove:$f") ++
             dvFiles.distinct.map(f => s"#dv:$f") ++
             cdfDel.distinct.map(f => s"#cdf_del:$f") ++
@@ -655,18 +743,32 @@ object KvSource {
     * COW, not DV: this log's deletion vectors are global key
     * tombstones, and no tombstone arrangement can mask the OLD copy
     * of a key while keeping the NEW copy visible — so the merge
-    * rewrites the live row set (survivors anti-joined on the update
-    * keys, union the updates) and removes every current data + DV
-    * file, which also makes upserting a previously-DELETED key work
-    * (the resurrect case a DV-based merge cannot express). With no
-    * per-file key stats every file is potentially touched, so the
-    * rewrite is table-wide — file-level pruning via per-file min/max
-    * key stats is the noted next step, exactly Delta's touched-file
-    * optimization. The version carries CDF SIDECARS (the Delta
-    * _change_data shape): `#cdf_del:` files hold the replaced rows'
-    * PRE-IMAGES, `#cdf_ins:` the update rows — [[changeFeed]] emits
-    * logical changes from them instead of mis-reading the rewrite as
-    * silent. Publish is pinned to the diffed snapshot
+    * rewrites the TOUCHED live files (survivors anti-joined on the
+    * update keys, union the updates), which also makes upserting a
+    * previously-DELETED key work (the resurrect case a DV-based merge
+    * cannot express).
+    *
+    * TOUCHED-FILE PRUNING (Delta's touched-file optimization, closing
+    * the r15 note): a file whose `#stats:` key zone provably contains
+    * NO update key SURVIVES UNTOUCHED — the update keys range-join
+    * the file-count-sized broadcast stats table (a metadata-bounded
+    * BroadcastNestedLoopJoin: |updKeys| rows × |files| zones, never
+    * data × data), files without stats are always touched (safe
+    * default), and the rewrite scans ONLY the touched subset (the
+    * `onlyDataFiles` restriction, DV masks still applied). When files
+    * survive, the accumulated DV set cannot simply be dropped (its
+    * keys still mask rows in the survivors) nor kept (it would mask
+    * resurrected update keys): the merge REWRITES the DV — old keys
+    * minus update keys, a deletes-sized job — exactly Delta's
+    * DV-aware MERGE bookkeeping. The rewrite's own output files
+    * record fresh `#stats:` zones, so the NEXT merge can prune them
+    * too. The version carries CDF SIDECARS (the Delta _change_data
+    * shape): `#cdf_del:` files hold the replaced rows' PRE-IMAGES,
+    * `#cdf_ins:` the update rows — [[changeFeed]] emits logical
+    * changes from them instead of mis-reading the rewrite as silent
+    * (pruning never changes the sidecars: untouched files hold no
+    * update key, so the pre-image set is complete from the touched
+    * scan alone). Publish is pinned to the diffed snapshot
     * (`expectedPrior`): any concurrent commit conflicts, Delta's
     * MERGE rule. Returns (matched, inserted, version): matched counts
     * DISTINCT update keys found live (an append log can hold
@@ -675,31 +777,38 @@ object KvSource {
     * inserted the remaining distinct update keys. */
   private[graft] def mergeUpsert(spark: org.apache.spark.sql.SparkSession,
                                    path: String,
-                                   updates: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+                                   updates: org.apache.spark.sql.DataFrame,
+                                   pinnedVersion: Option[Long] = None): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     migrateLog(path)
-    val v0 = latestVersion(path).getOrElse(
+    // a caller that derived `updates` FROM the table (UPDATE) pins the
+    // snapshot it read — a commit landing in between then surfaces as
+    // the expectedPrior conflict instead of merging stale post-images
+    val v0 = pinnedVersion.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"KvSource: nothing to merge into at $path"))
     val st = stateAt(path, v0)
-    // the update plan feeds three jobs (survivor rewrite, cdf inserts,
-    // key counts) — persist once, release at the end; the LIVE scan
-    // intentionally stays unpersisted and runs twice (rewrite +
-    // pre-image extraction), the same two passes a COW merge pays in
-    // Delta — table-sized caching would cost more than the re-scan
+    // the update plan feeds four jobs (touch probe, survivor rewrite,
+    // cdf inserts, key counts) — persist once, release at the end; the
+    // LIVE scan intentionally stays unpersisted and runs twice
+    // (rewrite + pre-image extraction), the same two passes a COW
+    // merge pays in Delta — table-sized caching would cost more
     val upd = updates.selectExpr("CAST(key AS BIGINT) AS key", "CAST(val AS STRING) AS val")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val live = spark.read.format(classOf[KvSource].getName)
-      .option("path", path).option("versionAsOf", v0.toString).load()
     val updKeys = upd.select("key").distinct()
     val salt = java.util.UUID.randomUUID().toString.take(8)
     // per-partition salted task files; the collected NAME list is
-    // partition-count-sized planning metadata, never row data
+    // partition-count-sized planning metadata, never row data. Each
+    // writer tracks its key min/max as rows stream through (the same
+    // free zone-map recording the DSv2 task writer does).
     def writeRows(df: org.apache.spark.sql.DataFrame,
-                  prefix: String): (Seq[String], Long) = {
+                  prefix: String): (Seq[(String, Long, Long)], Long) = {
       val acc = spark.sparkContext.longAccumulator(s"kv_merge_$prefix")
       val names = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
         if (!rows.hasNext) Iterator.empty
         else {
           val name = s"$prefix-$salt-$pid.dat"
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
           writeLinesAtomically(path, name, new java.util.Iterator[String] {
             override def hasNext: Boolean = rows.hasNext
             override def next(): String = {
@@ -708,21 +817,75 @@ object KvSource {
                 throw new IllegalArgumentException(
                   "KvSource: key and val must be non-null (line format has no null encoding)")
               acc.add(1L)
-              kvLine(r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))
+              val k = r.getLong(0)
+              lo = math.min(lo, k); hi = math.max(hi, k)
+              kvLine(k, if (r.isNullAt(1)) null else r.getString(1))
             }
           })
-          Iterator.single(name)
+          Iterator.single((name, lo, hi))
         }
       }.collect().toSeq
       (names, acc.value)
     }
     try {
-      val (resultFiles, _) =
+      // touched = files whose zone admits at least one update key
+      // (plus every stats-free file — pre-r15 appends, old rewrites)
+      val statFiles = st.files.filter(st.stats.contains)
+      val statless = st.files.filterNot(st.stats.contains)
+      val touchedWithStats: Seq[String] =
+        if (statFiles.isEmpty) Seq.empty
+        else {
+          import spark.implicits._
+          val zones = statFiles
+            .map { f => val (lo, hi) = st.stats(f); (f, lo, hi) }
+            .toDF("file", "lo", "hi")
+          updKeys
+            .join(broadcast(zones),
+              col("key") >= col("lo") && col("key") <= col("hi"))
+            .select("file").distinct().as[String].collect().toSeq
+        }
+      val touched = statless ++ touchedWithStats
+      val untouched = st.files.filterNot(touched.toSet)
+      val live = spark.read.format(classOf[KvSource].getName)
+        .option("path", path).option("versionAsOf", v0.toString)
+        .option("onlyDataFiles", touched.mkString(",")).load()
+      val (resultParts, _) =
         writeRows(live.join(updKeys, Seq("key"), "left_anti").unionByName(upd),
           "part-merge")
-      val (delFiles, _) =
+      val (delParts, _) =
         writeRows(live.join(updKeys, Seq("key"), "left_semi"), "cdf-del")
-      val (insFiles, _) = writeRows(upd, "cdf-ins")
+      val (insParts, _) = writeRows(upd, "cdf-ins")
+      val resultFiles = resultParts.map(_._1)
+      val delFiles = delParts.map(_._1)
+      val insFiles = insParts.map(_._1)
+      // DV rewrite: only needed when untouched files remain under a
+      // live DV (their rows must stay masked); a full rewrite folds
+      // DVs away entirely. Surviving keys = old DV keys minus update
+      // keys — a deletes-sized anti-join, one small output file.
+      val newDv: Seq[String] =
+        if (untouched.isEmpty || st.dvFiles.isEmpty) Seq.empty
+        else {
+          val name = s"dv-merge-$salt.dat"
+          val acc = spark.sparkContext.longAccumulator("kv_merge_dv")
+          spark.read.textFile(
+              st.dvFiles.map(f => new java.io.File(path, f).getPath): _*)
+            .filter((l: String) => l.nonEmpty)
+            .selectExpr("CAST(value AS BIGINT) AS key").distinct()
+            .join(updKeys, Seq("key"), "left_anti")
+            .repartition(1)
+            .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+              writeLinesAtomically(path, name, new java.util.Iterator[String] {
+                override def hasNext: Boolean = rows.hasNext
+                override def next(): String = {
+                  acc.add(1L); rows.next().getLong(0).toString
+                }
+              })
+              ()
+            }
+          if (acc.value == 0L) {
+            new java.io.File(path, name).delete(); Seq.empty
+          } else Seq(name)
+        }
       // KEY-level counts for the contract (row-level pre-image counts
       // live in the cdf sidecars): matched keys come from the already-
       // written cdf-del sidecar — a deletes-sized read, never a third
@@ -734,88 +897,167 @@ object KvSource {
           .option("path", path).option("cdfFiles", delFiles.mkString(","))
           .load().select("key").distinct().count()
       val v = commitVersionKeyed(path, resultFiles, None,
-        removeFiles = st.files ++ st.dvFiles, expectedPrior = Some(v0),
-        cdfDel = delFiles, cdfIns = insFiles)
+        removeFiles = touched ++ st.dvFiles, dvFiles = newDv,
+        expectedPrior = Some(v0),
+        cdfDel = delFiles, cdfIns = insFiles,
+        stats = resultParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap)
       (nMatched, nUpdKeys - nMatched, v)
     } finally upd.unpersist(blocking = false)
   }
 
+  /** UPDATE ... SET val = <expr> WHERE <predicate> — the row-update
+    * DML verb, composed on the pruned COW [[mergeUpsert]]: the
+    * post-image rows are computed DISTRIBUTED against the pinned
+    * snapshot (`setValExpr` is a SQL expression over (key, val)), then
+    * merged — so a key-range predicate prunes TWICE: the matched-row
+    * scan skips files via the pushed-filter zone maps, and the rewrite
+    * skips untouched files via the merge's touched-file probe. All
+    * matched keys are live by construction, so the merge's inserted
+    * count is structurally zero. Duplicate live rows for one key
+    * collapse to ONE post-image (the expression applied to the MAX
+    * pre-image val — deterministic under any partition order; a
+    * PK-unique table never has duplicates). Returns (keys updated,
+    * version published; version = pinned snapshot and 0 keys when the
+    * predicate matched nothing — publishing an empty change would be
+    * noise on the chain). */
+  private[graft] def updateWhere(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, predicate: String,
+                                   setValExpr: String): (Long, Long) = {
+    migrateLog(path)
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: nothing to update at $path"))
+    val matched = spark.read.format(classOf[KvSource].getName)
+      .option("path", path).option("versionAsOf", v0.toString).load()
+      .where(predicate)
+      .groupBy("key").agg(org.apache.spark.sql.functions.max("val").as("val"))
+      .selectExpr("key", s"CAST(($setValExpr) AS STRING) AS val")
+    if (matched.isEmpty) (0L, v0)
+    else {
+      val (m, inserted, v) = mergeUpsert(spark, path, matched, Some(v0))
+      assert(inserted == 0L,
+        s"KvSource: UPDATE computed $inserted inserts — matched rows must all be live")
+      (m, v)
+    }
+  }
+
+  /** SHALLOW CLONE (the Delta CLONE verb): start a NEW commit chain at
+    * `dst` whose v1 snapshot equals the source's latest — data and DV
+    * files are HARD-LINKED (zero copy; every file in this log is
+    * immutable and rewrites always create new names, so shared inodes
+    * can never observe mutation; vacuum on either side just drops its
+    * own link — the other table's reference survives, which is exactly
+    * the clone ownership contract. On an object store this is the seam
+    * to swap for a server-side copy or a reference-counted metadata
+    * pointer, same as [[publishCas]]). The v1 manifest is
+    * checkpoint-SHAPED (full file list, `#dvstate:` for the inherited
+    * DV set, `#stats:` zones carried over) so the clone's chain folds
+    * from a complete base; the source's replay ledger is deliberately
+    * NOT inherited — the clone is a new table identity and a writer's
+    * batch ids must not be absorbed by history it never wrote. Writes
+    * to either table diverge freely from the clone point. A fresh
+    * streaming consumer of the clone receives v1's rows RAW (no DV
+    * retraction), the same documented over-delivery any chain with
+    * deletes has (Delta ignoreDeletes). Returns the clone's version
+    * (always 1). */
+  private[graft] def cloneShallow(src: String, dst: String): Long = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+    val v0 = latestVersion(src).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: nothing to clone at $src"))
+    val st = stateAt(src, v0)
+    require(latestVersion(dst).isEmpty,
+      s"KvSource: shallow-clone target $dst already has a commit chain")
+    new java.io.File(dst).mkdirs()
+    (st.files ++ st.dvFiles).foreach { f =>
+      try Files.createLink(Paths.get(dst, f), Paths.get(src, f))
+      catch { case _: FileAlreadyExistsException => () } // crashed-clone retry
+    }
+    val body = ("#checkpoint" +:
+      ((if (st.protocol != (1, 1))
+        Seq(s"#protocol:${st.protocol._1}:${st.protocol._2}") else Seq.empty) ++
+        st.dvFiles.distinct.map(f => s"#dvstate:$f") ++
+        st.stats.toSeq.sortBy(_._1)
+          .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" } ++
+        st.files.distinct)).mkString("\n")
+    if (!publishCas(dst, 1L, body))
+      throw new IllegalStateException(
+        s"KvSource: shallow-clone target $dst was committed concurrently")
+    1L
+  }
+
   /** CHANGE DATA FEED (the Delta `table_changes` verb): the row-level
     * changes versions (fromVersion, toVersion] committed, as
-    * (key, val, change_type, commit_version). Version classification
-    * is structural, same rules as the streaming source:
-    *   - an APPEND emits its added files' rows as `insert`;
-    *   - a DELETE (`#dv:`) emits the doomed rows as `delete` — the DV
-    *     key file joined against the PRE-delete snapshot, so the
-    *     emitted rows carry their values (the join is
-    *     deletes-sized × snapshot scan, the exact cost Delta pays to
-    *     materialize CDF deletes from DVs);
-    *   - a REWRITE (OPTIMIZE / RESTORE `#remove:`) emits NOTHING for
-    *     its shuffled files: old rows in new clothes are not logical
-    *     changes. (A restore that resurrects or un-deletes rows is
-    *     therefore not reflected — the Delta CDF limitation, noted.)
-    * The per-version loop is driver-side over version METADATA (the
-    * manifest chain); each version's rows read distributed through the
-    * ordinary scan machinery. */
+    * (key, val, change_type, commit_version). Since r15 batch 8 this
+    * is a thin wrapper over the CDF READ MODE of the source itself
+    * (`option("readChangeFeed", true)` — the Delta CDF surface):
+    * version classification happens once in [[cdfPartitions]] and the
+    * change rows are produced ENTIRELY in the partition readers —
+    * including DELETE values, which the old path materialized with a
+    * driver-read DV key list and a broadcast join; now each pre-delete
+    * file is one partition whose reader emits exactly the rows whose
+    * key is in the version's deletes-sized DV include set, so nothing
+    * change-feed-shaped ever passes through the driver. */
   private[graft] def changeFeed(spark: org.apache.spark.sql.SparkSession,
                                   path: String, fromVersion: Long,
                                   toVersion: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion <= toVersion,
       s"KvSource: changeFeed range is empty: ($fromVersion, $toVersion]")
-    val changes = ((fromVersion + 1) to toVersion).flatMap { v =>
+    spark.read.format(classOf[KvSource].getName)
+      .option("path", path).option("readChangeFeed", "true")
+      .option("startingVersion", (fromVersion + 1).toString)
+      .option("endingVersion", toVersion.toString)
+      .load()
+  }
+
+  /** Typed change-row partitions for versions (fromV, toV] — the ONE
+    * classification both the batch CDF scan and the CDF streaming
+    * source plan from. Structural rules (shared with the row-stream
+    * source):
+    *   - an APPEND emits its added files' rows as `insert`
+    *     (checkpoints diff against the prior state so re-listed old
+    *     files never re-emit);
+    *   - a DELETE (`#dv:`, no rewrite) emits the doomed rows as
+    *     `delete` WITH VALUES: every pre-delete file becomes a
+    *     partition whose reader keeps only keys in the version's DV
+    *     include set (keys in a fresh DV were live at v−1 by
+    *     [[deleteWhere]]'s construction, so no prior-DV mask is
+    *     needed) — the exact per-file cost Delta pays to materialize
+    *     CDF deletes from deletion vectors, fully distributed;
+    *   - a rewrite WITH sidecars (MERGE) emits the declared
+    *     `#cdf_del:` pre-images and `#cdf_ins:` rows;
+    *   - a bare rewrite (OPTIMIZE / RESTORE) emits NOTHING: old rows
+    *     in new clothes are not logical changes (a restore that
+    *     un-deletes rows is therefore not reflected — the Delta CDF
+    *     limitation, noted). */
+  private[graft] def cdfPartitions(path: String, fromV: Long,
+                                     toV: Long): Array[InputPartition] = {
+    def abs(f: String): String = new java.io.File(path, f).getPath
+    val parts = Array.newBuilder[InputPartition]
+    ((fromV + 1) to toV).foreach { v =>
       if (!manifestFile(path, v).exists())
         throw new IllegalArgumentException(
           s"KvSource: changeFeed needs manifest v$v at $path which no longer " +
             s"exists (vacuumed? have: ${versions(path).mkString(",")})")
       val m = readManifest(path, v)
       if (m.cdfDel.nonEmpty || m.cdfIns.nonEmpty) {
-        // a rewrite WITH declared logical changes (MERGE): the sidecar
-        // files ARE the feed — pre-image deletes + inserted rows
-        import org.apache.spark.sql.functions.{col => c, lit => l}
-        def side(files: Seq[String], tpe: String) =
-          spark.read.format(classOf[KvSource].getName)
-            .option("path", path).option("cdfFiles", files.mkString(",")).load()
-            .select(c("key"), c("val"), l(tpe).as("change_type"),
-              l(v).as("commit_version"))
-        (if (m.cdfDel.nonEmpty) Seq(side(m.cdfDel, "delete")) else Seq.empty) ++
-          (if (m.cdfIns.nonEmpty) Seq(side(m.cdfIns, "insert")) else Seq.empty)
+        parts ++= m.cdfDel.map(f =>
+          KvCdfFilePartition(abs(f), "delete", v): InputPartition)
+        parts ++= m.cdfIns.map(f =>
+          KvCdfFilePartition(abs(f), "insert", v): InputPartition)
       }
-      else if (m.removes.nonEmpty) Seq.empty // rewrite: no logical change
+      else if (m.removes.nonEmpty) () // rewrite: no logical change
       else if (m.dvs.nonEmpty) {
-        // DELETE: the version's doomed keys (deletes-sized, broadcast)
-        // joined to the PRE-delete snapshot so emitted rows carry vals
-        val keys = m.dvs.flatMap { dv =>
-          val src = scala.io.Source.fromFile(new java.io.File(path, dv), "UTF-8")
-          try src.getLines().filter(_.nonEmpty).map(_.toLong).toList
-          finally src.close()
-        }
-        import spark.implicits._
-        val pre = spark.read.format(classOf[KvSource].getName)
-          .option("path", path).option("versionAsOf", (v - 1).toString).load()
-        Seq(pre.join(org.apache.spark.sql.functions.broadcast(keys.toDF("key")), "key")
-          .select(col("key"), col("val"),
-            lit("delete").as("change_type"), lit(v).as("commit_version")))
+        val dvPaths = m.dvs.map(abs)
+        parts ++= stateAt(path, v - 1).files.map(f =>
+          KvCdfFilePartition(abs(f), "delete", v, includeDvs = dvPaths): InputPartition)
       } else {
-        // APPEND: the version's OWN files (checkpoints diff against the
-        // prior state), read raw via the cdfFiles scan restriction —
-        // inserts are the rows as committed, no later DV applied
         val prior: Set[String] =
           if (v % CheckpointInterval == 0 && v > 1) stateAt(path, v - 1).files.toSet
           else Set.empty
-        val fresh = m.adds.filterNot(prior)
-        if (fresh.isEmpty) Seq.empty
-        else Seq(spark.read.format(classOf[KvSource].getName)
-          .option("path", path).option("cdfFiles", fresh.mkString(",")).load()
-          .select(col("key"), col("val"),
-            lit("insert").as("change_type"), lit(v).as("commit_version")))
+        parts ++= m.adds.filterNot(prior).map(f =>
+          KvCdfFilePartition(abs(f), "insert", v): InputPartition)
       }
     }
-    changes.reduceOption(_ unionAll _).getOrElse {
-      import spark.implicits._
-      Seq.empty[(Long, String, String, Long)]
-        .toDF("key", "val", "change_type", "commit_version")
-    }
+    parts.result()
   }
 
   /** The ONE definition of the on-disk line format: validate and
@@ -881,9 +1123,12 @@ object KvSource {
   }
 }
 
-class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class KvTable(path: String, cdfRead: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
+  def this(path: String) = this(path, false)
   override def name(): String = s"kv($path)"
-  override def schema(): StructType = KvSource.schema
+  override def schema(): StructType =
+    if (cdfRead) KvSource.cdfSchema else KvSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
@@ -891,13 +1136,21 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val asOf = Option(options.get("versionAsOf")).map(_.toLong)
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+    val endingVersion = Option(options.get("endingVersion")).map(_.toLong)
     val maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     // change-feed internal: read EXACTLY these committed file names,
     // raw (no DV mask) — inserts are the rows as their version
     // committed them, regardless of later deletes
     val cdfFiles = Option(options.get("cdfFiles"))
       .map(_.split(",").toSeq.filter(_.nonEmpty))
-    new KvScanBuilder(path, asOf, startingVersion, maxVersionsPerTrigger, cdfFiles)
+    // merge internal: restrict the snapshot scan to a SUBSET of its
+    // committed files WITH the DV mask still applied (cdfFiles reads
+    // raw) — the touched-file read of a pruned COW rewrite. An empty
+    // value means "no files" (an insert-only merge scans nothing).
+    val onlyDataFiles = Option(options.get("onlyDataFiles"))
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    new KvScanBuilder(path, asOf, startingVersion, maxVersionsPerTrigger,
+      cdfFiles, onlyDataFiles, cdfRead, endingVersion)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -939,7 +1192,10 @@ class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
 class KvScanBuilder(path: String, asOf: Option[Long],
                     startingVersion: Option[Long],
                     maxVersionsPerTrigger: Option[Long],
-                    cdfFiles: Option[Seq[String]]) extends ScanBuilder
+                    cdfFiles: Option[Seq[String]],
+                    onlyDataFiles: Option[Seq[String]] = None,
+                    cdfRead: Boolean = false,
+                    endingVersion: Option[Long] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
 
@@ -989,7 +1245,9 @@ class KvScanBuilder(path: String, asOf: Option[Long],
     })
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(isKeyRange)
+    // zone maps describe DATA files; a change-feed read also plans
+    // sidecar/DV partitions the zones don't cover — no pruning there
+    accepted = if (cdfRead) Array.empty else filters.filter(isKeyRange)
     filters // all filters stay Spark-side residuals (prune-only pushdown)
   }
 
@@ -997,7 +1255,7 @@ class KvScanBuilder(path: String, asOf: Option[Long],
 
   override def build(): Scan =
     new KvScan(path, asOf, startingVersion, maxVersionsPerTrigger,
-      cdfFiles, bounds)
+      cdfFiles, bounds, onlyDataFiles, cdfRead, endingVersion)
 }
 
 case class KvFilePartition(file: String,
@@ -1007,40 +1265,62 @@ class KvScan(path: String, asOf: Option[Long],
              startingVersion: Option[Long] = None,
              maxVersionsPerTrigger: Option[Long] = None,
              cdfFiles: Option[Seq[String]] = None,
-             keyBounds: Option[(Long, Long)] = None) extends Scan with Batch {
+             keyBounds: Option[(Long, Long)] = None,
+             onlyDataFiles: Option[Seq[String]] = None,
+             cdfRead: Boolean = false,
+             endingVersion: Option[Long] = None) extends Scan with Batch {
   // pin the version at planning time so every partition of this scan
-  // reads one consistent snapshot even if a writer commits mid-query
+  // reads one consistent snapshot even if a writer commits mid-query.
+  // A CDF read pins its END version the same way: a commit landing
+  // mid-query can't stretch the feed.
   private val version: Option[Long] =
     asOf.orElse(KvSource.latestVersion(path))
-  override def readSchema(): StructType = KvSource.schema
+  private val cdfEnd: Option[Long] =
+    if (cdfRead) endingVersion.orElse(KvSource.latestVersion(path)) else None
+  override def readSchema(): StructType =
+    if (cdfRead) KvSource.cdfSchema else KvSource.schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KvMicroBatchStream(path, startingVersion, maxVersionsPerTrigger)
+    if (cdfRead) new KvCdfMicroBatchStream(path, startingVersion, maxVersionsPerTrigger)
+    else new KvMicroBatchStream(path, startingVersion, maxVersionsPerTrigger)
   override def description(): String =
     s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)" +
+      (if (cdfRead) s" changeFeed=(${startingVersion.getOrElse(1L) - 1},${cdfEnd.getOrElse(0L)}]" else "") +
       keyBounds.fold("") { case (lo, hi) => s" keyBounds=[$lo,$hi]" }
-  override def planInputPartitions(): Array[InputPartition] = cdfFiles match {
+  override def planInputPartitions(): Array[InputPartition] = if (cdfRead) {
+    // batch CDF read (Delta table_changes): versions
+    // [startingVersion, endingVersion], both inclusive
+    val from = startingVersion.getOrElse(throw new IllegalArgumentException(
+      "KvSource: a readChangeFeed batch read requires option 'startingVersion'"))
+    KvSource.cdfPartitions(path, from - 1, cdfEnd.getOrElse(0L))
+  } else cdfFiles match {
     case Some(files) => // change-feed restriction: exact files, raw
       files.map(f => KvFilePartition(new java.io.File(path, f).getPath): InputPartition)
         .toArray
     case None =>
       val st = KvSource.committedState(path, version)
       val dvPaths = st.dvFiles.map(f => new java.io.File(path, f).getPath)
+      // touched-file restriction (pruned COW merge): intersect the
+      // snapshot's file list — DV masks still apply, unlike cdfFiles
+      val base = onlyDataFiles match {
+        case Some(only) => val keep = only.toSet; st.files.filter(keep)
+        case None       => st.files
+      }
       // FILE SKIPPING: drop files whose recorded key zone provably
       // misses the pushed range; files without stats are always read
       val kept = keyBounds match {
-        case Some((lo, hi)) => st.files.filter { f =>
+        case Some((lo, hi)) => base.filter { f =>
           st.stats.get(f).forall { case (fmin, fmax) => fmax >= lo && fmin <= hi }
         }
-        case None => st.files
+        case None => base
       }
       kept
         .map(f => KvFilePartition(new java.io.File(path, f).getPath, dvPaths): InputPartition)
         .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory
+    if (cdfRead) new KvCdfReaderFactory else new KvReaderFactory
 }
 
 /** Shared by the batch scan and the micro-batch stream: STREAM the
@@ -1083,6 +1363,124 @@ class KvReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = src.close()
     }
   }
+}
+
+/** One CHANGE-FEED partition: a committed file read as typed change
+  * rows. `includeDvs` non-empty marks a DELETE materialization — the
+  * reader emits ONLY rows whose key is in the version's DV include
+  * set (deletes-sized, loaded per reader), so delete rows carry their
+  * values without any driver-side join. */
+case class KvCdfFilePartition(file: String, changeType: String,
+                              version: Long,
+                              includeDvs: Seq[String] = Seq.empty)
+    extends InputPartition
+
+/** Reader for [[KvCdfFilePartition]]: streams the file (bounded
+  * memory at any size) and emits (key, val, change_type,
+  * commit_version) rows; in include mode only the DV'd keys pass
+  * (keys in a fresh DV were live at the pre-delete version by
+  * construction, so no prior mask applies). */
+class KvCdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[KvCdfFilePartition]
+    val include: java.util.HashSet[Long] =
+      if (part.includeDvs.isEmpty) null
+      else {
+        val s = new java.util.HashSet[Long]()
+        part.includeDvs.foreach { dv =>
+          val src = scala.io.Source.fromFile(dv, "UTF-8")
+          try src.getLines().filter(_.nonEmpty).foreach(l => s.add(l.toLong))
+          finally src.close()
+        }
+        s
+      }
+    val tpe = UTF8String.fromString(part.changeType)
+    val src = scala.io.Source.fromFile(part.file, "UTF-8")
+    val it = src.getLines()
+    new PartitionReader[InternalRow] {
+      private var key: Long = _
+      private var value: String = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val line = it.next()
+          val cut = line.indexOf(',')
+          key = line.substring(0, cut).toLong
+          if (include == null || include.contains(key)) {
+            value = line.substring(cut + 1)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow =
+        InternalRow(key, UTF8String.fromString(value), tpe, part.version)
+      override def close(): Unit = src.close()
+    }
+  }
+}
+
+/** Streaming CHANGE-FEED source (the Delta `readChangeFeed` streaming
+  * shape): offsets are manifest versions, each micro-batch emits the
+  * TYPED change rows of versions (start, end] via [[KvSource
+  * .cdfPartitions]] — inserts AND delete retractions, which the
+  * row-stream source structurally cannot deliver (it skips change
+  * versions). This is the incremental-view-maintenance feed: a
+  * downstream stateful query consumes +row/−row deltas instead of
+  * re-reading snapshots. Offsets are replayable (version
+  * classification is pure manifest metadata); a vacuumed range fails
+  * with the changeFeed retention error; `startingVersion` pins the
+  * first delivered version; AvailableNow pins its end exactly like
+  * the row stream; `maxVersionsPerTrigger` bounds each batch. There
+  * is no initial-snapshot mode: a CDF consumer asks for changes, not
+  * state — starting below the horizon is a retention error (Delta's
+  * CDF rule). */
+class KvCdfMicroBatchStream(path: String, startingVersion: Option[Long] = None,
+                            maxVersionsPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private case class CdfOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(KvSource.latestVersion(path).getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val tip = availableNowEnd.getOrElse(KvSource.latestVersion(path).getOrElse(0L))
+    val lo = start.asInstanceOf[CdfOffset].v
+    CdfOffset(maxVersionsPerTrigger.fold(tip)(n => math.min(tip, lo + math.max(n, 1L))))
+  }
+
+  override def reportLatestOffset(): Offset =
+    CdfOffset(KvSource.latestVersion(path).getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    CdfOffset(KvSource.latestVersion(path).getOrElse(0L))
+
+  override def initialOffset(): Offset = startingVersion match {
+    case Some(sv) =>
+      require(sv >= 1, s"KvSource: startingVersion must be >= 1, got $sv")
+      CdfOffset(sv - 1)
+    case None => CdfOffset(0L)
+  }
+
+  override def deserializeOffset(json: String): Offset = CdfOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    KvSource.cdfPartitions(path, start.asInstanceOf[CdfOffset].v,
+      end.asInstanceOf[CdfOffset].v)
+
+  override def createReaderFactory(): PartitionReaderFactory = new KvCdfReaderFactory
 }
 
 /** Streaming SOURCE over the commit log (completing KvSource as a

@@ -1699,6 +1699,59 @@ object Streams {
     * all recomputed from the events table by the oracle. Scale: each
     * admitted batch plans one version's files; admission state is two
     * longs. */
+  /** Streaming CHANGE-FEED consumer (the Delta `readChangeFeed`
+    * streaming surface — the feed a downstream mart TAILS for
+    * incremental maintenance instead of re-reading snapshots): the
+    * chain commits every change-emitting verb — two appends, a
+    * merge-on-read DELETE, a MERGE with CDF sidecars — and a streaming
+    * query with `option("readChangeFeed", true)` delivers TYPED change
+    * rows (insert AND delete retractions, which the row-stream source
+    * structurally skips) through AvailableNow into a memory sink. The
+    * rollup per (commit_version, change_type) pins exactly what
+    * arrived: appends as inserts, the DELETE's doomed rows
+    * materialized WITH values in the partition readers (the
+    * deletes-sized include set — no driver-side join anywhere), the
+    * merge's sidecar pre-images and update rows — all recomputed by
+    * the oracle from the change rules. Scale: each micro-batch plans
+    * one version range's files; delete materialization is per-file
+    * distributed. */
+  def streamCdfConsume(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-cdfstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-cdfstream-ckpt").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    def append(df: DataFrame): Unit =
+      df.write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(c.filter(col("key") % 2 === 0)) // v1
+    append(c.filter(col("key") % 2 === 1)) // v2
+    KvSource.deleteWhere(spark, out, "key % 5 = 0") // v3: DV delete
+    KvSource.mergeUpsert(spark, out, // v4: MERGE with sidecars
+      Tables.customer(spark, dir).filter(col("c_custkey") % 3 === 0)
+        .selectExpr("c_custkey AS key", "'UPDATED' AS val")
+        .unionByName(Tables.customer(spark, dir)
+          .filter(col("c_custkey") % 11 === 0)
+          .selectExpr("c_custkey + 10000000 AS key", "'NEWROW' AS val")))
+    val sinkName = s"kv_cdf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format(classOf[KvSource].getName)
+      .option("path", out).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = graft.operators.SourceQueries.materializeAndClean(
+      spark.table(sinkName)
+        .groupBy(col("commit_version"), col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("commit_version", "change_type"),
+      out)
+    spark.catalog.dropTempView(sinkName)
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(ckpt))
+    res
+  }
+
   def streamSourceRateLimit(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KvSource
     val out = java.nio.file.Files.createTempDirectory("graft-kv-rate").toString
