@@ -550,6 +550,11 @@ object SparkEntry {
     "load_protocol_gate" -> SourceQueries.protocolGateOp _,
     "stream_cdf_consume" -> Streams.streamCdfConsume _,
     "layout_zorder_cluster" -> Analytics.layoutZorderCluster _,
+    // round 15 batch 9: the admin/audit verbs — DESCRIBE HISTORY
+    // (#op: commit info), DESCRIBE DETAIL, VACUUM DRY RUN
+    "load_describe_history" -> SourceQueries.describeHistoryOp _,
+    "load_describe_detail" -> SourceQueries.describeDetailOp _,
+    "load_vacuum_dryrun" -> SourceQueries.vacuumDryRunOp _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -5958,6 +5963,62 @@ object SparkEntry {
         |  UNION ALL SELECT '02_diverge', 'source_rows_after_delete', (SELECT n73 FROM m)
         |  UNION ALL SELECT '03_isolated', 'clone_rows_unaffected_by_source_delete', (SELECT n7k3 FROM m)
         |  UNION ALL SELECT '03_isolated', 'source_rows_unaffected_by_clone_append', 0
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_describe_history: the classification contract itself — each
+    // verb's #op: (and the structural fallback for the header-less
+    // legacy v6), with the structural flags fixed by the chain
+    "load_describe_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, operation,
+        |  CAST(has_adds AS BIGINT) AS has_adds,
+        |  CAST(has_removes AS BIGINT) AS has_removes,
+        |  CAST(n_dvs AS BIGINT) AS n_dvs,
+        |  CAST(is_checkpoint AS BIGINT) AS is_checkpoint
+        |FROM (VALUES
+        |  (1, 'WRITE', 1, 0, 0, 0),
+        |  (2, 'DELETE', 0, 0, 1, 0),
+        |  (3, 'MERGE', 1, 1, 0, 0),
+        |  (4, 'OPTIMIZE', 1, 1, 0, 0),
+        |  (5, 'UPGRADE PROTOCOL', 0, 0, 0, 0),
+        |  (6, 'WRITE', 1, 0, 0, 0)
+        |) t(version, operation, has_adds, has_removes, n_dvs, is_checkpoint)
+        |ORDER BY version""".stripMargin,
+    // load_describe_detail: structural facts fixed by the chain (3
+    // single-task appends, one DV, protocol 2:2) + the data-derived
+    // readable row count under the key%7 delete
+    "load_describe_detail" ->
+      """WITH c AS (SELECT CAST(SUM(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n7
+        |  FROM customer)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'fold_base' AS metric, 1 AS value
+        |  UNION ALL SELECT 'latest_version', 5
+        |  UNION ALL SELECT 'min_reader_version', 2
+        |  UNION ALL SELECT 'min_writer_version', 2
+        |  UNION ALL SELECT 'num_dv_files', 1
+        |  UNION ALL SELECT 'num_files', 3
+        |  UNION ALL SELECT 'num_files_with_stats', 3
+        |  UNION ALL SELECT 'num_manifests', 5
+        |  UNION ALL SELECT 'rows_readable', (SELECT n7 FROM c)
+        |) t ORDER BY metric""".stripMargin,
+    // load_vacuum_dryrun: the dry run must report exactly what the
+    // real vacuum then does — 9 manifests below checkpoint 10, the
+    // one aged orphan — while the readable rows never change
+    "load_vacuum_dryrun" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_before' AS stage, 'versions' AS metric, 13 AS value
+        |  UNION ALL SELECT '01_before', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '02_dryrun', 'manifests_reclaimable', 9
+        |  UNION ALL SELECT '02_dryrun', 'strays_reclaimable', 1
+        |  UNION ALL SELECT '02_dryrun', 'new_horizon', 10
+        |  UNION ALL SELECT '03_after_dryrun', 'versions', 13
+        |  UNION ALL SELECT '03_after_dryrun', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '03_after_dryrun', 'stray_present', 1
+        |  UNION ALL SELECT '04_vacuum', 'manifests_deleted', 9
+        |  UNION ALL SELECT '04_vacuum', 'strays_deleted', 1
+        |  UNION ALL SELECT '04_vacuum', 'new_horizon', 10
+        |  UNION ALL SELECT '05_after', 'versions', 4
+        |  UNION ALL SELECT '05_after', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '05_after', 'stray_present', 0
         |) t ORDER BY stage, metric""".stripMargin,
     // load_cdf_sync: the feed's net effect per val group equals the
     // closed-form final state — survivors keep their segment, key%3

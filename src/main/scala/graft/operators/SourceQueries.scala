@@ -1745,6 +1745,124 @@ object SourceQueries {
       out)
   }
 
+  /** DESCRIBE HISTORY on the commit log (the Delta audit verb — the
+    * per-version operation ledger an operator reads before trusting a
+    * table): every verb now records its name as an `#op:` manifest
+    * header (the Delta commitInfo operation field), and
+    * [[graft.sources.KvSource.describeHistory]] emits one row per
+    * version — operation, structural add/remove flags, DV count,
+    * checkpoint flag — falling back to STRUCTURAL classification
+    * (the same rules the streaming source and change feed use) for
+    * legacy versions that predate the header, which the op proves by
+    * hand-publishing one header-less version. Driver-side over
+    * manifest metadata only; never opens a data file. */
+  def describeHistoryOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-history").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    c.repartition(1).write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v1 WRITE
+    KvSource.deleteWhere(spark, out, "key % 5 = 0")                          // v2 DELETE
+    KvSource.mergeUpsert(spark, out,
+      Tables.customer(spark, dir).filter(col("c_custkey") % 3 === 0)
+        .selectExpr("c_custkey AS key", "'UPDATED' AS val"))                 // v3 MERGE
+    KvSource.optimizeCompact(spark, out)                                     // v4 OPTIMIZE
+    KvSource.upgradeProtocol(out, 2, 2)                                      // v5 UPGRADE
+    // a legacy version with NO #op: header: classified structurally
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-legacy.dat"), "1,x\n".getBytes("UTF-8"))
+    require(KvSource.publishCas(out, 6L, "part-legacy.dat"),
+      "legacy publish must win (no concurrent committers here)")
+    import spark.implicits._
+    materializeAndClean(
+      KvSource.describeHistory(out)
+        .toDF("version", "operation", "has_adds", "has_removes", "n_dvs",
+          "is_checkpoint")
+        .orderBy("version"),
+      out)
+  }
+
+  /** DESCRIBE DETAIL on the commit log (the Delta table-summary verb):
+    * the latest snapshot's structural facts — live/DV file counts,
+    * zone-map coverage, protocol, version geometry — plus the
+    * readable row count, all from one metadata fold. The chain is
+    * three single-task appends, a merge-on-read DELETE, and a protocol
+    * upgrade, so every number is closed-form. */
+  def describeDetailOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-detail").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    (0L until 3L).foreach { i =>
+      c.filter(col("key") % 3 === i).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    KvSource.deleteWhere(spark, out, "key % 7 = 0") // v4
+    KvSource.upgradeProtocol(out, 2, 2)             // v5
+    val rows = KvSource.describeDetail(out) :+
+      (("rows_readable",
+        spark.read.format(classOf[KvSource].getName).option("path", out)
+          .load().count()))
+    import spark.implicits._
+    materializeAndClean(
+      rows.toDF("metric", "value").orderBy("metric"),
+      out)
+  }
+
+  /** VACUUM DRY RUN (the Delta audit-before-reclaim flag): the dry run
+    * computes EXACTLY what a real vacuum would reclaim — below-base
+    * manifests, aged-out unreferenced strays, the new horizon — while
+    * deleting NOTHING (versions, rows, and the staged stray all
+    * survive, re-checked), then the real vacuum reports the SAME
+    * numbers and the table stays readable above the horizon. The op
+    * stages a deliberately-aged orphan data file to prove the stray
+    * half; 12 appends + an OPTIMIZE give the manifest half its
+    * checkpoint geometry (horizon 11 folds from checkpoint 10 → 9
+    * manifests reclaimable). */
+  def vacuumDryRunOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-vacdry").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    (0L until 12L).foreach { i =>
+      c.filter(col("key") % 12 === i).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    KvSource.optimizeCompact(spark, out) // v13
+    // an aged orphan (crash leftover): eligible for the stray sweep
+    val stray = new java.io.File(out, "part-orphan.dat")
+    java.nio.file.Files.write(stray.toPath, "1,x\n".getBytes("UTF-8"))
+    stray.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000)
+    def readCount(): Long = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load().count()
+    val n0 = readCount()
+    val (dryM, dryS, dryH) = KvSource.vacuum(out, retainLast = 3, dryRun = true)
+    val afterDry = Seq(
+      ("02_dryrun", "manifests_reclaimable", dryM),
+      ("02_dryrun", "strays_reclaimable", dryS),
+      ("02_dryrun", "new_horizon", dryH),
+      ("03_after_dryrun", "versions", KvSource.versions(out).size.toLong),
+      ("03_after_dryrun", "rows_readable", readCount()),
+      ("03_after_dryrun", "stray_present", if (stray.exists()) 1L else 0L))
+    val (vm, vs, vh) = KvSource.vacuum(out, retainLast = 3)
+    val afterReal = Seq(
+      ("04_vacuum", "manifests_deleted", vm),
+      ("04_vacuum", "strays_deleted", vs),
+      ("04_vacuum", "new_horizon", vh),
+      ("05_after", "versions", KvSource.versions(out).size.toLong),
+      ("05_after", "rows_readable", readCount()),
+      ("05_after", "stray_present", if (stray.exists()) 1L else 0L))
+    import spark.implicits._
+    materializeAndClean(
+      (Seq(("01_before", "versions", 13L), ("01_before", "rows_readable", n0)) ++
+        afterDry ++ afterReal)
+        .toDF("stage", "metric", "value").orderBy("stage", "metric"),
+      out)
+  }
+
   /** Finish a side-stateful gate op: localize its BOUNDED final
     * rollup (metadata-sized — versions, rollup rows, never data), then
     * delete the op's temp sink directory so repeated invocations

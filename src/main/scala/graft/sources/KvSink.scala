@@ -171,7 +171,8 @@ object KvSource {
                                           cdfDel: Seq[String] = Seq.empty,
                                           cdfIns: Seq[String] = Seq.empty,
                                           stats: Map[String, (Long, Long)] = Map.empty,
-                                          protocol: Option[(Int, Int)] = None)
+                                          protocol: Option[(Int, Int)] = None,
+                                          op: Option[String] = None)
 
   /** The manifest subdirectory (the `_delta_log` layout): listing the
     * chain never walks the data files. */
@@ -319,8 +320,13 @@ object KvSource {
           val p = s.stripPrefix("#protocol:").split(":")
           (p(0).toInt, p(1).toInt)
       }
+      // `#op:<name>` — the committing verb's self-description (the
+      // Delta commitInfo operation field); absent on legacy versions
+      val op = hdr.collectFirst {
+        case s if s.startsWith("#op:") => s.stripPrefix("#op:")
+      }
       ManifestDelta(files, txns, removes, dvs, dvState,
-        hdr.contains("#checkpoint"), cdfDel, cdfIns, stats, protocol)
+        hdr.contains("#checkpoint"), cdfDel, cdfIns, stats, protocol, op)
     } finally src.close()
   }
 
@@ -415,7 +421,7 @@ object KvSource {
     require(minReader >= cur._1 && minWriter >= cur._2,
       s"KvSource: protocol downgrade $cur -> ($minReader,$minWriter) at $path")
     commitVersionKeyed(path, Seq.empty, None,
-      protocol = Some((minReader, minWriter)))
+      protocol = Some((minReader, minWriter)), op = Some("UPGRADE PROTOCOL"))
   }
 
   /** [[LogState]] a reader may see at `version` (default: latest
@@ -444,6 +450,52 @@ object KvSource {
                                       version: Option[Long] = None): Seq[String] =
     committedState(path, version).files
 
+  /** DESCRIBE HISTORY (the Delta audit verb): one row per version —
+    * (version, operation, has_adds, has_removes, n_dvs, checkpoint).
+    * The operation comes from the committing verb's own `#op:` header
+    * (the Delta commitInfo operation field); versions written before
+    * the header existed classify STRUCTURALLY with the same rules the
+    * streaming source and change feed use, so the audit never lies
+    * about change semantics even on legacy chains. Driver-side over
+    * manifest METADATA only — never opens a data file. */
+  private[graft] def describeHistory(path: String): Seq[(Long, String, Long, Long, Long, Long)] =
+    versions(path).map { v =>
+      val m = readManifest(path, v)
+      val inferred =
+        if (m.protocol.nonEmpty && m.adds.isEmpty && m.removes.isEmpty &&
+          m.dvs.isEmpty) "UPGRADE PROTOCOL"
+        else if (m.cdfDel.nonEmpty || m.cdfIns.nonEmpty) "MERGE"
+        else if (m.dvs.nonEmpty && m.removes.isEmpty) "DELETE"
+        else if (m.removes.nonEmpty) "REWRITE"
+        else "WRITE"
+      (v, m.op.getOrElse(inferred),
+        if (m.adds.nonEmpty) 1L else 0L,
+        if (m.removes.nonEmpty) 1L else 0L,
+        m.dvs.size.toLong,
+        if (m.checkpoint) 1L else 0L)
+    }
+
+  /** DESCRIBE DETAIL (the Delta table-summary verb): the latest
+    * snapshot's structural facts as (metric, value) pairs — live
+    * files, DV files, zone-map coverage, protocol, version/manifest
+    * geometry. Metadata-sized: one state fold plus one `_log/`
+    * listing, no data file opened. */
+  private[graft] def describeDetail(path: String): Seq[(String, Long)] = {
+    val vs = versions(path)
+    val latest = vs.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"KvSource: no table at $path"))
+    val st = stateAt(path, latest)
+    Seq(
+      ("num_files", st.files.size.toLong),
+      ("num_dv_files", st.dvFiles.size.toLong),
+      ("num_files_with_stats", st.files.count(st.stats.contains).toLong),
+      ("min_reader_version", st.protocol._1.toLong),
+      ("min_writer_version", st.protocol._2.toLong),
+      ("latest_version", latest),
+      ("fold_base", foldBase(latest)),
+      ("num_manifests", vs.size.toLong))
+  }
+
   /** Retention sweep (the Delta VACUUM analog): keep the last
     * `retainLast` versions readable, delete every manifest below their
     * fold base, and delete stray `part-*.dat` / `dv-*.dat` files that
@@ -456,9 +508,13 @@ object KvSource {
     * the age floor keeps vacuum safe under concurrent writers. Returns
     * (manifests deleted, strays deleted, oldest readable version).
     * Time travel below the horizon fails with a clear error
-    * afterwards — that is the retention contract, not a bug. */
+    * afterwards — that is the retention contract, not a bug.
+    * `dryRun` (the Delta VACUUM DRY RUN flag) computes and returns the
+    * SAME counts while deleting nothing — the audit an operator reads
+    * before an irreversible reclaim. */
   private[graft] def vacuum(path: String, retainLast: Int,
-                              strayMinAgeMs: Long = 15L * 60 * 1000): (Long, Long, Long) = {
+                              strayMinAgeMs: Long = 15L * 60 * 1000,
+                              dryRun: Boolean = false): (Long, Long, Long) = {
     migrateLog(path)
     val vs = versions(path)
     if (vs.isEmpty) return (0L, 0L, 0L)
@@ -466,7 +522,7 @@ object KvSource {
     val horizon = math.max(latest - retainLast + 1, 1L)
     val keepFrom = foldBase(horizon)
     val dropped = vs.filter(_ < keepFrom)
-    dropped.foreach(v => manifestFile(path, v).delete())
+    if (!dryRun) dropped.foreach(v => manifestFile(path, v).delete())
     // referenced = union over ALL retained versions, not just latest:
     // an OPTIMIZE inside the horizon removed files from the latest
     // state that older retained snapshots still read (r14); DV key
@@ -484,12 +540,12 @@ object KvSource {
         n.startsWith("cdf-")) &&
         n.endsWith(".dat") && !referenced(n))
       .filter(n => new java.io.File(path, n).lastModified() < cutoff)
-    strays.foreach(n => new java.io.File(path, n).delete())
+    if (!dryRun) strays.foreach(n => new java.io.File(path, n).delete())
     // root-level manifest leftovers from a crashed migration: once
     // `_log/` exists no writer publishes to the root, so any root
     // manifest is a stale pre-migration copy — sweep it here (the
     // migration fast path no longer lists the root per write verb)
-    if (logDir(path).isDirectory)
+    if (!dryRun && logDir(path).isDirectory)
       rootNames.collect { case n @ VersionRe(_) => n }
         .foreach(n => new java.io.File(path, n).delete())
     (dropped.size.toLong, strays.length.toLong, keepFrom)
@@ -516,7 +572,8 @@ object KvSource {
                                           cdfDel: Seq[String] = Seq.empty,
                                           cdfIns: Seq[String] = Seq.empty,
                                           stats: Map[String, (Long, Long)] = Map.empty,
-                                          protocol: Option[(Int, Int)] = None): Long = {
+                                          protocol: Option[(Int, Int)] = None,
+                                          op: Option[String] = None): Long = {
     new java.io.File(path).mkdirs()
     migrateLog(path)
     var attempt = 0
@@ -593,7 +650,8 @@ object KvSource {
           // from this base see it without walking older manifests
           val protoAll = protocol.getOrElse(prior.protocol)
           val header = "#checkpoint" +:
-            ((if (protoAll != (1, 1))
+            (op.toSeq.map(o => s"#op:$o") ++
+              (if (protoAll != (1, 1))
               Seq(s"#protocol:${protoAll._1}:${protoAll._2}") else Seq.empty) ++
               txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
               removeFiles.distinct.map(f => s"#remove:$f") ++
@@ -606,7 +664,8 @@ object KvSource {
           val state = prior.files.filterNot(removeFiles.toSet) ++ newFiles
           (header ++ state.distinct).mkString("\n")
         } else {
-          (protocol.toSeq.map(p => s"#protocol:${p._1}:${p._2}") ++
+          (op.toSeq.map(o => s"#op:$o") ++
+            protocol.toSeq.map(p => s"#protocol:${p._1}:${p._2}") ++
             replayKey.toSeq.map(b => s"#txn:$b") ++
             removeFiles.distinct.map(f => s"#remove:$f") ++
             dvFiles.distinct.map(f => s"#dv:$f") ++
@@ -666,7 +725,7 @@ object KvSource {
         ()
       }
     val v = commitVersionKeyed(path, Seq(name), None,
-      removeFiles = st.files ++ st.dvFiles)
+      removeFiles = st.files ++ st.dvFiles, op = Some("OPTIMIZE"))
     (st.files.size.toLong, v)
   }
 
@@ -704,7 +763,8 @@ object KvSource {
       new java.io.File(path, name).delete() // empty DV: publish nothing
       (0L, v0)
     } else {
-      val v = commitVersionKeyed(path, Seq.empty, None, dvFiles = Seq(name))
+      val v = commitVersionKeyed(path, Seq.empty, None, dvFiles = Seq(name),
+        op = Some("DELETE"))
       (acc.value, v)
     }
   }
@@ -734,7 +794,7 @@ object KvSource {
     val dvRemove = cur.dvFiles.filterNot(target.dvFiles.toSet)
     commitVersionKeyed(path, addBack, None,
       removeFiles = removes ++ dvRemove, dvFiles = dvAdd,
-      expectedPrior = pinned)
+      expectedPrior = pinned, op = Some("RESTORE"))
   }
 
   /** MERGE (upsert) — copy-on-write, the Delta MERGE INTO shape:
@@ -900,7 +960,8 @@ object KvSource {
         removeFiles = touched ++ st.dvFiles, dvFiles = newDv,
         expectedPrior = Some(v0),
         cdfDel = delFiles, cdfIns = insFiles,
-        stats = resultParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap)
+        stats = resultParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap,
+        op = Some("MERGE"))
       (nMatched, nUpdKeys - nMatched, v)
     } finally upd.unpersist(blocking = false)
   }
@@ -971,7 +1032,7 @@ object KvSource {
       try Files.createLink(Paths.get(dst, f), Paths.get(src, f))
       catch { case _: FileAlreadyExistsException => () } // crashed-clone retry
     }
-    val body = ("#checkpoint" +:
+    val body = ("#checkpoint" +: "#op:CLONE" +:
       ((if (st.protocol != (1, 1))
         Seq(s"#protocol:${st.protocol._1}:${st.protocol._2}") else Seq.empty) ++
         st.dvFiles.distinct.map(f => s"#dvstate:$f") ++
@@ -1690,7 +1751,8 @@ class KvBatchWrite(path: String, replayKey: Option[String], queryId: String)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[KvCommitMessage]).toSeq
     KvSource.commitVersionKeyed(path, msgs.map(_.file), replayKey,
-      stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap)
+      stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap,
+      op = Some("WRITE"))
   }
 
   /** Job abort: whatever tasks already committed is garbage now —
@@ -1733,7 +1795,8 @@ class KvStreamingWrite(path: String, queryId: String, fullQueryId: String)
     // fresh-checkpoint restart, which mints a new query id) appends
     KvSource.commitVersionKeyed(path, msgs.map(_.file),
       Some(s"$fullQueryId:$epochId"),
-      stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap)
+      stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap,
+      op = Some("STREAMING UPDATE"))
   }
 
   override def abort(epochId: Long,
