@@ -64,9 +64,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - (r15) DELETE is MERGE-ON-READ: [[KvSource.deleteWhere]] writes
   *     the doomed keys to a `dv-*.dat` file and publishes a version
   *     carrying a `#dv:` header — no base file is rewritten at delete
-  *     time (what makes DELETE cheap on a 100 TB table). The scan
-  *     applies the accumulated DV key set as a filter (the anti-join,
-  *     pushed into the partition reader); OPTIMIZE folds DVs away by
+  *     time (what makes DELETE cheap on a 100 TB table). DVs are
+  *     VERSION-SCOPED (r15 batch 10): the scan applies to each file
+  *     only the DV files NEWER than it (`#addedat:` headers carry
+  *     add-versions through checkpoints, restores, and clones), so a
+  *     row appended after its key was deleted is visible — Delta
+  *     positional-delete semantics at file grain; the earlier
+  *     global-tombstone model silently swallowed such appends, found
+  *     by the model-based spec. OPTIMIZE folds DVs away by
   *     rewriting the LIVE rows and removing base + DV files in one
   *     atomic version; [[KvSource.restore]] is the Delta RESTORE
   *     verb — publish a version whose state equals an older snapshot,
@@ -145,12 +150,29 @@ object KvSource {
 
   /** Full state of the log at one version: live data files, the
     * replay ledger (max applied batch id per writer appId), and the
-    * accumulated deletion-vector key files the scan must apply. */
+    * accumulated deletion-vector key files the scan must apply.
+    *
+    * `fileVer` / `dvVer` carry the version each live file / DV was
+    * ADDED at — the basis of VERSION-SCOPED deletion vectors (r15
+    * batch 10): a DV masks ONLY files older than itself, so a row
+    * appended AFTER its key was deleted is visible (Delta
+    * positional-delete semantics at file grain; the global-tombstone
+    * model silently swallowed such appends — found by the model-based
+    * spec). Legacy entries default to file=0 / dv=Long.MaxValue,
+    * which reproduces the old mask-everything behavior exactly. */
   private[graft] case class LogState(files: Seq[String],
                                      txnMax: Map[String, Long],
                                      dvFiles: Seq[String],
                                      stats: Map[String, (Long, Long)] = Map.empty,
-                                     protocol: (Int, Int) = (1, 1))
+                                     protocol: (Int, Int) = (1, 1),
+                                     fileVer: Map[String, Long] = Map.empty,
+                                     dvVer: Map[String, Long] = Map.empty) {
+    /** DV files applicable to `file`: strictly newer than the file. */
+    def dvsFor(file: String): Seq[String] = {
+      val fv = fileVer.getOrElse(file, 0L)
+      dvFiles.filter(d => dvVer.getOrElse(d, Long.MaxValue) > fv)
+    }
+  }
 
   /** One manifest version's declarations (NEW state only for a delta,
     * full state for a checkpoint). `dvs` is always the version's OWN
@@ -172,7 +194,8 @@ object KvSource {
                                           cdfIns: Seq[String] = Seq.empty,
                                           stats: Map[String, (Long, Long)] = Map.empty,
                                           protocol: Option[(Int, Int)] = None,
-                                          op: Option[String] = None)
+                                          op: Option[String] = None,
+                                          addedAt: Map[String, Long] = Map.empty)
 
   /** The manifest subdirectory (the `_delta_log` layout): listing the
     * chain never walks the data files. */
@@ -325,8 +348,18 @@ object KvSource {
       val op = hdr.collectFirst {
         case s if s.startsWith("#op:") => s.stripPrefix("#op:")
       }
+      // `#addedat:<name>:<v>` — overrides the add-version of a file/DV
+      // listed in THIS manifest (RESTORE re-adds, checkpoint re-lists,
+      // clone inheritance); names are colon-free by construction
+      val addedAt = hdr.collect {
+        case s if s.startsWith("#addedat:") =>
+          val body = s.stripPrefix("#addedat:")
+          val i = body.lastIndexOf(':')
+          body.substring(0, i) -> body.substring(i + 1).toLong
+      }.toMap
       ManifestDelta(files, txns, removes, dvs, dvState,
-        hdr.contains("#checkpoint"), cdfDel, cdfIns, stats, protocol, op)
+        hdr.contains("#checkpoint"), cdfDel, cdfIns, stats, protocol, op,
+        addedAt)
     } finally src.close()
   }
 
@@ -363,6 +396,8 @@ object KvSource {
     var txn = Map.empty[String, Long]
     var stats = Map.empty[String, (Long, Long)]
     var proto = (1, 1)
+    var fileVer = Map.empty[String, Long]
+    var dvVer = Map.empty[String, Long]
     (base to v).foreach { i =>
       val m = readManifest(path, i)
       files = files -- m.removes ++ m.adds
@@ -373,6 +408,24 @@ object KvSource {
       // checkpoints re-list the full live stats map; deltas merge
       stats = (if (m.checkpoint) m.stats
                else stats -- m.removes ++ m.stats)
+      // add-versions (version-scoped DVs): an entry listed in this
+      // manifest was added HERE unless an #addedat: override preserves
+      // its original version (restore/checkpoint/clone). Checkpoints
+      // rebuild both maps from their own listing; legacy entries with
+      // no override default at LOOKUP time (file→0, dv→MAX — the old
+      // mask-everything behavior, so old chains read unchanged).
+      if (m.checkpoint) {
+        fileVer = m.adds.flatMap(f =>
+          m.addedAt.get(f).map(f -> _)).toMap
+        dvVer = (m.dvState ++ m.dvs).flatMap(d =>
+          m.addedAt.get(d).map(d -> _)).toMap ++
+          m.dvs.filterNot(m.addedAt.contains).map(_ -> i).toMap
+      } else {
+        fileVer = fileVer -- m.removes ++
+          m.adds.map(f => f -> m.addedAt.getOrElse(f, i))
+        dvVer = dvVer -- m.removes ++
+          m.dvs.map(d => d -> m.addedAt.getOrElse(d, i))
+      }
       // protocol is monotone; checkpoints re-list it when above default
       m.protocol.foreach(p => proto = p)
       m.txns.foreach { k =>
@@ -390,7 +443,7 @@ object KvSource {
         s"KvSource: table at $path (version $v) requires protocol " +
           s"reader=${proto._1} but this engine supports " +
           s"reader=$SupportedReaderVersion — upgrade the engine to read it")
-    LogState(files.toSeq, txn, dvs.toSeq, stats, proto)
+    LogState(files.toSeq, txn, dvs.toSeq, stats, proto, fileVer, dvVer)
   }
 
   /** The table's folded protocol at its latest version, WITHOUT the
@@ -573,7 +626,8 @@ object KvSource {
                                           cdfIns: Seq[String] = Seq.empty,
                                           stats: Map[String, (Long, Long)] = Map.empty,
                                           protocol: Option[(Int, Int)] = None,
-                                          op: Option[String] = None): Long = {
+                                          op: Option[String] = None,
+                                          addedAt: Map[String, Long] = Map.empty): Long = {
     new java.io.File(path).mkdirs()
     migrateLog(path)
     var attempt = 0
@@ -649,8 +703,24 @@ object KvSource {
           // the checkpoint re-lists an above-default protocol so folds
           // from this base see it without walking older manifests
           val protoAll = protocol.getOrElse(prior.protocol)
+          // re-list every entry's add-version so version-scoped DV
+          // masking survives the fold base moving past the original
+          // manifests; defaults (file 0 / dv MAX) are omitted — the
+          // lookup fallback reproduces them (legacy = mask everything)
+          val addedAll: Seq[(String, Long)] =
+            (prior.files.filterNot(removeFiles.toSet)
+              .map(f => f -> addedAt.getOrElse(f,
+                prior.fileVer.getOrElse(f, 0L))) ++
+              newFiles.map(f => f -> addedAt.getOrElse(f, v)) ++
+              dvPrior.map(d => d -> addedAt.getOrElse(d,
+                prior.dvVer.getOrElse(d, Long.MaxValue))) ++
+              dvFiles.map(d => d -> addedAt.getOrElse(d, v)))
+              .filterNot { case (n, ver) =>
+                (ver == 0L && !n.startsWith("dv-")) || ver == Long.MaxValue
+              }.distinct
           val header = "#checkpoint" +:
             (op.toSeq.map(o => s"#op:$o") ++
+              addedAll.sortBy(_._1).map { case (n, ver) => s"#addedat:$n:$ver" } ++
               (if (protoAll != (1, 1))
               Seq(s"#protocol:${protoAll._1}:${protoAll._2}") else Seq.empty) ++
               txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
@@ -665,6 +735,8 @@ object KvSource {
           (header ++ state.distinct).mkString("\n")
         } else {
           (op.toSeq.map(o => s"#op:$o") ++
+            addedAt.toSeq.sortBy(_._1)
+              .map { case (n, ver) => s"#addedat:$n:$ver" } ++
             protocol.toSeq.map(p => s"#protocol:${p._1}:${p._2}") ++
             replayKey.toSeq.map(b => s"#txn:$b") ++
             removeFiles.distinct.map(f => s"#remove:$f") ++
@@ -794,19 +866,23 @@ object KvSource {
     val dvRemove = cur.dvFiles.filterNot(target.dvFiles.toSet)
     commitVersionKeyed(path, addBack, None,
       removeFiles = removes ++ dvRemove, dvFiles = dvAdd,
-      expectedPrior = pinned, op = Some("RESTORE"))
+      expectedPrior = pinned, op = Some("RESTORE"),
+      // re-adds keep their ORIGINAL add-versions: the target snapshot's
+      // DV-vs-file ordering must hold in the restored state too
+      addedAt = (addBack.map(f => f -> target.fileVer.getOrElse(f, 0L)) ++
+        dvAdd.map(d => d -> target.dvVer.getOrElse(d, Long.MaxValue))).toMap)
   }
 
   /** MERGE (upsert) — copy-on-write, the Delta MERGE INTO shape:
     * rows of `updates` (key-unique (key, val)) REPLACE the live rows
     * sharing their keys and insert otherwise, in ONE atomic version.
-    * COW, not DV: this log's deletion vectors are global key
-    * tombstones, and no tombstone arrangement can mask the OLD copy
-    * of a key while keeping the NEW copy visible — so the merge
-    * rewrites the TOUCHED live files (survivors anti-joined on the
-    * update keys, union the updates), which also makes upserting a
-    * previously-DELETED key work (the resurrect case a DV-based merge
-    * cannot express).
+    * COW: the merge rewrites the TOUCHED live files (survivors
+    * anti-joined on the update keys, union the updates) — the write
+    * amplification Delta's default MERGE pays for read-cheap scans.
+    * (Version-scoped DVs would also admit a merge-on-read variant —
+    * tombstone the update keys and append the new rows in one version,
+    * the new file being newer than its own DV; COW is kept for the
+    * clean-file property the stats/pruning path builds on.)
     *
     * TOUCHED-FILE PRUNING (Delta's touched-file optimization, closing
     * the r15 note): a file whose `#stats:` key zone provably contains
@@ -816,13 +892,15 @@ object KvSource {
     * data × data), files without stats are always touched (safe
     * default), and the rewrite scans ONLY the touched subset (the
     * `onlyDataFiles` restriction, DV masks still applied). When files
-    * survive, the accumulated DV set cannot simply be dropped (its
-    * keys still mask rows in the survivors) nor kept (it would mask
-    * resurrected update keys): the merge REWRITES the DV — old keys
-    * minus update keys, a deletes-sized job — exactly Delta's
-    * DV-aware MERGE bookkeeping. The rewrite's own output files
-    * record fresh `#stats:` zones, so the NEXT merge can prune them
-    * too. The version carries CDF SIDECARS (the Delta _change_data
+    * survive, the old DV files stay AS-IS: version-scoped masking
+    * keeps them binding on the (older) survivors and structurally
+    * inert on the (newer) result files — so a previously-DELETED
+    * update key resurrects with zero DV bookkeeping, while untouched
+    * files' tombstones keep holding. A full rewrite (nothing
+    * untouched) folds the DV set away, same as OPTIMIZE. The
+    * rewrite's own output files record fresh `#stats:` zones, so the
+    * NEXT merge can prune them too. The version carries CDF SIDECARS
+    * (the Delta _change_data
     * shape): `#cdf_del:` files hold the replaced rows' PRE-IMAGES,
     * `#cdf_ins:` the update rows — [[changeFeed]] emits logical
     * changes from them instead of mis-reading the rewrite as silent
@@ -918,34 +996,14 @@ object KvSource {
       val resultFiles = resultParts.map(_._1)
       val delFiles = delParts.map(_._1)
       val insFiles = insParts.map(_._1)
-      // DV rewrite: only needed when untouched files remain under a
-      // live DV (their rows must stay masked); a full rewrite folds
-      // DVs away entirely. Surviving keys = old DV keys minus update
-      // keys — a deletes-sized anti-join, one small output file.
-      val newDv: Seq[String] =
-        if (untouched.isEmpty || st.dvFiles.isEmpty) Seq.empty
-        else {
-          val name = s"dv-merge-$salt.dat"
-          val acc = spark.sparkContext.longAccumulator("kv_merge_dv")
-          spark.read.textFile(
-              st.dvFiles.map(f => new java.io.File(path, f).getPath): _*)
-            .filter((l: String) => l.nonEmpty)
-            .selectExpr("CAST(value AS BIGINT) AS key").distinct()
-            .join(updKeys, Seq("key"), "left_anti")
-            .repartition(1)
-            .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-              writeLinesAtomically(path, name, new java.util.Iterator[String] {
-                override def hasNext: Boolean = rows.hasNext
-                override def next(): String = {
-                  acc.add(1L); rows.next().getLong(0).toString
-                }
-              })
-              ()
-            }
-          if (acc.value == 0L) {
-            new java.io.File(path, name).delete(); Seq.empty
-          } else Seq(name)
-        }
+      // DVs under VERSION-SCOPED semantics: when untouched files
+      // remain, the old DV files stay AS-IS — they keep masking the
+      // survivors (older than them) and structurally cannot mask the
+      // merge's result files (newer), so resurrected update keys are
+      // visible with zero DV bookkeeping (the r15-batch-7 DV-rewrite
+      // job is gone). A full rewrite (nothing untouched) folds the DV
+      // set away entirely, same as OPTIMIZE.
+      val dropDvs = if (untouched.isEmpty) st.dvFiles else Seq.empty
       // KEY-level counts for the contract (row-level pre-image counts
       // live in the cdf sidecars): matched keys come from the already-
       // written cdf-del sidecar — a deletes-sized read, never a third
@@ -957,7 +1015,7 @@ object KvSource {
           .option("path", path).option("cdfFiles", delFiles.mkString(","))
           .load().select("key").distinct().count()
       val v = commitVersionKeyed(path, resultFiles, None,
-        removeFiles = touched ++ st.dvFiles, dvFiles = newDv,
+        removeFiles = touched ++ dropDvs,
         expectedPrior = Some(v0),
         cdfDel = delFiles, cdfIns = insFiles,
         stats = resultParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap,
@@ -1032,9 +1090,28 @@ object KvSource {
       try Files.createLink(Paths.get(dst, f), Paths.get(src, f))
       catch { case _: FileAlreadyExistsException => () } // crashed-clone retry
     }
+    // add-version remap: the clone's chain starts at 1, so source
+    // version numbers are meaningless here — but their RELATIVE order
+    // carries the version-scoped DV semantics (a source DV must keep
+    // masking exactly the source files older than it, and nothing the
+    // clone commits later). Shift every inherited version NEGATIVE
+    // (u → u − srcLatest − 1 ≤ −1): order preserved, and all of it is
+    // older than any future clone version (≥ 2). A legacy
+    // mask-everything DV (no recorded version) stays at Long.MaxValue.
+    val shift = v0 + 1
+    val inheritedAt =
+      st.files.distinct.map(f =>
+        f -> (st.fileVer.getOrElse(f, 0L) - shift)) ++
+        st.dvFiles.distinct.flatMap { d =>
+          st.dvVer.get(d) match {
+            case Some(u) => Seq(d -> (u - shift))
+            case None    => Seq.empty // lookup fallback = MaxValue
+          }
+        }
     val body = ("#checkpoint" +: "#op:CLONE" +:
       ((if (st.protocol != (1, 1))
         Seq(s"#protocol:${st.protocol._1}:${st.protocol._2}") else Seq.empty) ++
+        inheritedAt.sortBy(_._1).map { case (n, u) => s"#addedat:$n:$u" } ++
         st.dvFiles.distinct.map(f => s"#dvstate:$f") ++
         st.stats.toSeq.sortBy(_._1)
           .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" } ++
@@ -1107,9 +1184,15 @@ object KvSource {
       }
       else if (m.removes.nonEmpty) () // rewrite: no logical change
       else if (m.dvs.nonEmpty) {
+        // the doomed rows are the version's DV keys read from the
+        // PRE-delete files — excluding each file's own prior DV masks
+        // (a copy already dead under an older, version-scoped DV is
+        // not a change this version makes)
         val dvPaths = m.dvs.map(abs)
-        parts ++= stateAt(path, v - 1).files.map(f =>
-          KvCdfFilePartition(abs(f), "delete", v, includeDvs = dvPaths): InputPartition)
+        val pre = stateAt(path, v - 1)
+        parts ++= pre.files.map(f =>
+          KvCdfFilePartition(abs(f), "delete", v, includeDvs = dvPaths,
+            excludeDvs = pre.dvsFor(f).map(abs)): InputPartition)
       } else {
         val prior: Set[String] =
           if (v % CheckpointInterval == 0 && v > 1) stateAt(path, v - 1).files.toSet
@@ -1361,7 +1444,6 @@ class KvScan(path: String, asOf: Option[Long],
         .toArray
     case None =>
       val st = KvSource.committedState(path, version)
-      val dvPaths = st.dvFiles.map(f => new java.io.File(path, f).getPath)
       // touched-file restriction (pruned COW merge): intersect the
       // snapshot's file list — DV masks still apply, unlike cdfFiles
       val base = onlyDataFiles match {
@@ -1376,8 +1458,12 @@ class KvScan(path: String, asOf: Option[Long],
         }
         case None => base
       }
+      // VERSION-SCOPED DVs: each partition carries only the DV files
+      // NEWER than its data file — a row appended after its key was
+      // deleted is visible (positional-delete semantics at file grain)
       kept
-        .map(f => KvFilePartition(new java.io.File(path, f).getPath, dvPaths): InputPartition)
+        .map(f => KvFilePartition(new java.io.File(path, f).getPath,
+          st.dvsFor(f).map(d => new java.io.File(path, d).getPath)): InputPartition)
         .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1430,31 +1516,36 @@ class KvReaderFactory extends PartitionReaderFactory {
   * rows. `includeDvs` non-empty marks a DELETE materialization — the
   * reader emits ONLY rows whose key is in the version's DV include
   * set (deletes-sized, loaded per reader), so delete rows carry their
-  * values without any driver-side join. */
+  * values without any driver-side join; `excludeDvs` are the file's
+  * own PRIOR version-scoped masks (a copy already dead under an older
+  * DV is not a change this version makes). */
 case class KvCdfFilePartition(file: String, changeType: String,
                               version: Long,
-                              includeDvs: Seq[String] = Seq.empty)
+                              includeDvs: Seq[String] = Seq.empty,
+                              excludeDvs: Seq[String] = Seq.empty)
     extends InputPartition
 
 /** Reader for [[KvCdfFilePartition]]: streams the file (bounded
   * memory at any size) and emits (key, val, change_type,
-  * commit_version) rows; in include mode only the DV'd keys pass
-  * (keys in a fresh DV were live at the pre-delete version by
-  * construction, so no prior mask applies). */
+  * commit_version) rows; in include mode only the version's own DV'd
+  * keys pass, minus any copy the file's prior masks already hid. */
 class KvCdfReaderFactory extends PartitionReaderFactory {
+  private def keySet(files: Seq[String]): java.util.HashSet[Long] =
+    if (files.isEmpty) null
+    else {
+      val s = new java.util.HashSet[Long]()
+      files.foreach { dv =>
+        val src = scala.io.Source.fromFile(dv, "UTF-8")
+        try src.getLines().filter(_.nonEmpty).foreach(l => s.add(l.toLong))
+        finally src.close()
+      }
+      s
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[KvCdfFilePartition]
-    val include: java.util.HashSet[Long] =
-      if (part.includeDvs.isEmpty) null
-      else {
-        val s = new java.util.HashSet[Long]()
-        part.includeDvs.foreach { dv =>
-          val src = scala.io.Source.fromFile(dv, "UTF-8")
-          try src.getLines().filter(_.nonEmpty).foreach(l => s.add(l.toLong))
-          finally src.close()
-        }
-        s
-      }
+    val include = keySet(part.includeDvs)
+    val exclude = keySet(part.excludeDvs)
     val tpe = UTF8String.fromString(part.changeType)
     val src = scala.io.Source.fromFile(part.file, "UTF-8")
     val it = src.getLines()
@@ -1466,7 +1557,8 @@ class KvCdfReaderFactory extends PartitionReaderFactory {
           val line = it.next()
           val cut = line.indexOf(',')
           key = line.substring(0, cut).toLong
-          if (include == null || include.contains(key)) {
+          if ((include == null || include.contains(key)) &&
+            (exclude == null || !exclude.contains(key))) {
             value = line.substring(cut + 1)
             return true
           }
@@ -1695,10 +1787,11 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
       val m = KvSource.readManifest(path, v)
       if (!haveState) {
         // initial snapshot: the earliest retained checkpoint's full
-        // state, DVs applied — everything before it was vacuumed away
+        // state, DVs applied per-file (version-scoped) — everything
+        // before it was vacuumed away
         val st = KvSource.stateAt(path, v)
-        val dvPaths = st.dvFiles.map(abs)
-        parts ++= st.files.map(f => KvFilePartition(abs(f), dvPaths): InputPartition)
+        parts ++= st.files.map(f =>
+          KvFilePartition(abs(f), st.dvsFor(f).map(abs)): InputPartition)
         state = st.files.toSet
         haveState = true
       } else if (m.removes.nonEmpty || m.dvs.nonEmpty) {

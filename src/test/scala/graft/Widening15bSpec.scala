@@ -83,15 +83,17 @@ class Widening15bSpec extends AnyFunSuite {
     val now = readAll(dir)
     assert(now.filter(col("key") === 10L).count() == 1L, "resurrected key visible")
     assert(now.filter(col("key") === 310L).count() == 0L,
-      "untouched file's tombstone must survive the merge (rewritten DV)")
+      "untouched file's tombstone must survive the merge")
     assert(now.count() == 399L)
-    // the DV was REWRITTEN, not dropped: one DV file, key 310 only
+    // the DV file survives AS-IS: version scoping keeps it binding on
+    // the older untouched files and inert on the newer merge result —
+    // key 10 resurrects with zero DV bookkeeping (asserted above)
     val st = KvSource.stateAt(dir, v)
-    assert(st.dvFiles.size == 1, s"expected rewritten DV, got ${st.dvFiles}")
+    assert(st.dvFiles.size == 1, s"expected the original DV kept, got ${st.dvFiles}")
     val dvKeys = scala.io.Source.fromFile(
       new java.io.File(dir, st.dvFiles.head), "UTF-8").getLines()
-      .filter(_.nonEmpty).map(_.toLong).toList
-    assert(dvKeys == List(310L), s"surviving DV keys: $dvKeys")
+      .filter(_.nonEmpty).map(_.toLong).toSet
+    assert(dvKeys == Set(10L, 310L), s"DV keys must be untouched: $dvKeys")
     // three untouched slices survive (zones starting at 100/200/300)
     assert(st.files.count(f => st.stats.get(f).exists(_._1 >= 100L)) >= 3)
     SourceQueries.deleteRecursively(new java.io.File(dir))
