@@ -1192,23 +1192,6 @@ object Analytics {
       .orderBy("pred_id")
   }
 
-  /** ANALYZE → PRUNE, closed end-to-end (VERDICT r14 item 7): the
-    * prune decisions for lineitem-by-month are computed FROM
-    * [[layoutStatsSweep]]'s catalog output — the same stats table the
-    * nightly ANALYZE writes — not from hand-built zone maps (the
-    * [[layoutSkippingEval]] model). Each lineitem month partition
-    * carries (from the sweep) its row count and its l_quantity
-    * min/max; predicates are evaluated against the CATALOG alone, in
-    * two dimensions: month-range predicates prune on the partition
-    * key, quantity-range predicates prune on the column min/max — and
-    * the report shows what a layout owner needs to see: date
-    * predicates skip most partitions, quantity predicates skip NONE
-    * (quantity is uniform within every month — don't cluster on it)
-    * except the vacuous > 50 probe, which the stats prove empty
-    * without touching a single row. Per (predicate, dimension): parts
-    * considered / skipped, and the rows the surviving partitions
-    * would scan. The stats rows are catalog-sized (months × columns);
-    * nothing here rescans the fact table. */
   /** Z-ORDER clustering quality (the Delta ZORDER BY / Iceberg
     * sort-order story — MULTI-dimensional file skipping, where a
     * linear sort gives perfect pruning on its sort key and none on
@@ -1262,6 +1245,23 @@ object Analytics {
       .orderBy("layout", "probe")
   }
 
+  /** ANALYZE → PRUNE, closed end-to-end (VERDICT r14 item 7): the
+    * prune decisions for lineitem-by-month are computed FROM
+    * [[layoutStatsSweep]]'s catalog output — the same stats table the
+    * nightly ANALYZE writes — not from hand-built zone maps (the
+    * [[layoutSkippingEval]] model). Each lineitem month partition
+    * carries (from the sweep) its row count and its l_quantity
+    * min/max; predicates are evaluated against the CATALOG alone, in
+    * two dimensions: month-range predicates prune on the partition
+    * key, quantity-range predicates prune on the column min/max — and
+    * the report shows what a layout owner needs to see: date
+    * predicates skip most partitions, quantity predicates skip NONE
+    * (quantity is uniform within every month — don't cluster on it)
+    * except the vacuous > 50 probe, which the stats prove empty
+    * without touching a single row. Per (predicate, dimension): parts
+    * considered / skipped, and the rows the surviving partitions
+    * would scan. The stats rows are catalog-sized (months × columns);
+    * nothing here rescans the fact table. */
   def layoutPruneFromStats(spark: SparkSession, dir: String): DataFrame = {
     val zones = layoutStatsSweep(spark, dir)
       .filter(col("table_name") === "lineitem" && col("col_name") === "l_quantity")

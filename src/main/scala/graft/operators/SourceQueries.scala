@@ -1513,9 +1513,10 @@ object SourceQueries {
     * keyspace is sliced into 8 contiguous key-range files (each
     * carrying its `#stats:` zone from the free write-time recording),
     * then `UPDATE SET val = concat(val, '!') WHERE key < n/4` runs
-    * through [[graft.sources.KvSource.updateWhere]] — the pushed
+    * through [[graft.sources.KvSource.updateWhere]] (TRUE per-row
+    * semantics: each matching row rewrites in place) — the pushed
     * key-range filter prunes the matched-row SCAN to 2 files, and the
-    * merge's zone probe proves slices 2..7 hold no matched key, so
+    * zone-map touch probe proves slices 2..7 hold no matched key, so
     * SIX of the eight files SURVIVE THE REWRITE UNTOUCHED (pinned by
     * name intersection in the ledger — a COW update that rewrites the
     * whole table at 100 TB is the difference between a minute and a

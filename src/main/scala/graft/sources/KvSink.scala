@@ -568,7 +568,9 @@ object KvSource {
   private[graft] def vacuum(path: String, retainLast: Int,
                               strayMinAgeMs: Long = 15L * 60 * 1000,
                               dryRun: Boolean = false): (Long, Long, Long) = {
-    migrateLog(path)
+    // a dry run must not mutate ANYTHING — not even the one-time
+    // legacy-layout migration (versions() reads unmigrated chains fine)
+    if (!dryRun) migrateLog(path)
     val vs = versions(path)
     if (vs.isEmpty) return (0L, 0L, 0L)
     val latest = vs.last
@@ -594,6 +596,18 @@ object KvSource {
         n.endsWith(".dat") && !referenced(n))
       .filter(n => new java.io.File(path, n).lastModified() < cutoff)
     if (!dryRun) strays.foreach(n => new java.io.File(path, n).delete())
+    // a migrator that crashed between creating ._log.tmp-<uuid> and the
+    // atomic rename leaks its populated temp dir — sweep it once aged
+    // (the same floor that protects in-flight task files protects an
+    // in-flight migration, which completes in milliseconds)
+    val tmpDirs = rootNames.filter(_.startsWith("._log.tmp-"))
+      .filter(n => new java.io.File(path, n).lastModified() < cutoff)
+    if (!dryRun) tmpDirs.foreach { n =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path, n))
+    }
     // root-level manifest leftovers from a crashed migration: once
     // `_log/` exists no writer publishes to the root, so any root
     // manifest is a stale pre-migration copy — sweep it here (the
@@ -601,7 +615,7 @@ object KvSource {
     if (!dryRun && logDir(path).isDirectory)
       rootNames.collect { case n @ VersionRe(_) => n }
         .foreach(n => new java.io.File(path, n).delete())
-    (dropped.size.toLong, strays.length.toLong, keepFrom)
+    (dropped.size.toLong, strays.length.toLong + tmpDirs.length.toLong, keepFrom)
   }
 
   /** Publish a new manifest version via compare-and-swap, merging
@@ -796,8 +810,13 @@ object KvSource {
           })
         ()
       }
+    // pin the publish to the scanned snapshot: under version-scoped
+    // DVs a DELETE landing between the pin and the publish would be
+    // silently UNDONE (the compacted file is newer than the DV, so the
+    // mask never applies to it) — surface the conflict instead
     val v = commitVersionKeyed(path, Seq(name), None,
-      removeFiles = st.files ++ st.dvFiles, op = Some("OPTIMIZE"))
+      removeFiles = st.files ++ st.dvFiles, op = Some("OPTIMIZE"),
+      expectedPrior = Some(v0))
     (st.files.size.toLong, v)
   }
 
@@ -835,8 +854,12 @@ object KvSource {
       new java.io.File(path, name).delete() // empty DV: publish nothing
       (0L, v0)
     } else {
+      // pin to the snapshot the keys were computed against: a row
+      // appended in between would be masked BY KEY without ever
+      // matching the predicate (the DV is newer than the new file) —
+      // a concurrent commit is a conflict, Delta's DELETE rule
       val v = commitVersionKeyed(path, Seq.empty, None, dvFiles = Seq(name),
-        op = Some("DELETE"))
+        op = Some("DELETE"), expectedPrior = Some(v0))
       (acc.value, v)
     }
   }
@@ -934,65 +957,22 @@ object KvSource {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val updKeys = upd.select("key").distinct()
     val salt = java.util.UUID.randomUUID().toString.take(8)
-    // per-partition salted task files; the collected NAME list is
-    // partition-count-sized planning metadata, never row data. Each
-    // writer tracks its key min/max as rows stream through (the same
-    // free zone-map recording the DSv2 task writer does).
-    def writeRows(df: org.apache.spark.sql.DataFrame,
-                  prefix: String): (Seq[(String, Long, Long)], Long) = {
-      val acc = spark.sparkContext.longAccumulator(s"kv_merge_$prefix")
-      val names = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-        if (!rows.hasNext) Iterator.empty
-        else {
-          val name = s"$prefix-$salt-$pid.dat"
-          var lo = Long.MaxValue
-          var hi = Long.MinValue
-          writeLinesAtomically(path, name, new java.util.Iterator[String] {
-            override def hasNext: Boolean = rows.hasNext
-            override def next(): String = {
-              val r = rows.next()
-              if (r.isNullAt(0))
-                throw new IllegalArgumentException(
-                  "KvSource: key and val must be non-null (line format has no null encoding)")
-              acc.add(1L)
-              val k = r.getLong(0)
-              lo = math.min(lo, k); hi = math.max(hi, k)
-              kvLine(k, if (r.isNullAt(1)) null else r.getString(1))
-            }
-          })
-          Iterator.single((name, lo, hi))
-        }
-      }.collect().toSeq
-      (names, acc.value)
-    }
     try {
       // touched = files whose zone admits at least one update key
       // (plus every stats-free file — pre-r15 appends, old rewrites)
-      val statFiles = st.files.filter(st.stats.contains)
-      val statless = st.files.filterNot(st.stats.contains)
-      val touchedWithStats: Seq[String] =
-        if (statFiles.isEmpty) Seq.empty
-        else {
-          import spark.implicits._
-          val zones = statFiles
-            .map { f => val (lo, hi) = st.stats(f); (f, lo, hi) }
-            .toDF("file", "lo", "hi")
-          updKeys
-            .join(broadcast(zones),
-              col("key") >= col("lo") && col("key") <= col("hi"))
-            .select("file").distinct().as[String].collect().toSeq
-        }
-      val touched = statless ++ touchedWithStats
+      val touched = touchedFiles(spark, st, updKeys)
       val untouched = st.files.filterNot(touched.toSet)
       val live = spark.read.format(classOf[KvSource].getName)
         .option("path", path).option("versionAsOf", v0.toString)
         .option("onlyDataFiles", touched.mkString(",")).load()
-      val (resultParts, _) =
-        writeRows(live.join(updKeys, Seq("key"), "left_anti").unionByName(upd),
+      val resultParts =
+        writeKvParts(path, salt,
+          live.join(updKeys, Seq("key"), "left_anti").unionByName(upd),
           "part-merge")
-      val (delParts, _) =
-        writeRows(live.join(updKeys, Seq("key"), "left_semi"), "cdf-del")
-      val (insParts, _) = writeRows(upd, "cdf-ins")
+      val delParts =
+        writeKvParts(path, salt, live.join(updKeys, Seq("key"), "left_semi"),
+          "cdf-del")
+      val insParts = writeKvParts(path, salt, upd, "cdf-ins")
       val resultFiles = resultParts.map(_._1)
       val delFiles = delParts.map(_._1)
       val insFiles = insParts.map(_._1)
@@ -1024,38 +1004,121 @@ object KvSource {
     } finally upd.unpersist(blocking = false)
   }
 
+  /** Shared COW row writer: stream `df` (key, val) into per-partition
+    * salted task files. The collected NAME list is partition-count-
+    * sized planning metadata, never row data; each writer tracks its
+    * key min/max as rows stream through (the same free zone-map
+    * recording the DSv2 task writer does) — returned as
+    * (name, lo, hi) triples for `#stats:` headers. */
+  private def writeKvParts(path: String, salt: String,
+                             df: org.apache.spark.sql.DataFrame,
+                             prefix: String): Seq[(String, Long, Long)] =
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val name = s"$prefix-$salt-$pid.dat"
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        writeLinesAtomically(path, name, new java.util.Iterator[String] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): String = {
+            val r = rows.next()
+            if (r.isNullAt(0))
+              throw new IllegalArgumentException(
+                "KvSource: key and val must be non-null (line format has no null encoding)")
+            val k = r.getLong(0)
+            lo = math.min(lo, k); hi = math.max(hi, k)
+            kvLine(k, if (r.isNullAt(1)) null else r.getString(1))
+          }
+        })
+        Iterator.single((name, lo, hi))
+      }
+    }.collect().toSeq
+
+  /** The pruned-COW touch probe: files whose `#stats:` zone admits at
+    * least one key of `keys` (a one-column `key` DataFrame), plus
+    * every stats-free file (pre-r15 appends, old rewrites — the safe
+    * default). The zone table is file-count-sized and broadcast, so
+    * the range join is metadata × keys, never data × data. */
+  private def touchedFiles(spark: org.apache.spark.sql.SparkSession,
+                             st: LogState,
+                             keys: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val statFiles = st.files.filter(st.stats.contains)
+    val statless = st.files.filterNot(st.stats.contains)
+    val touchedWithStats: Seq[String] =
+      if (statFiles.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val zones = statFiles
+          .map { f => val (lo, hi) = st.stats(f); (f, lo, hi) }
+          .toDF("file", "lo", "hi")
+        keys.join(broadcast(zones),
+            col("key") >= col("lo") && col("key") <= col("hi"))
+          .select("file").distinct().as[String].collect().toSeq
+      }
+    statless ++ touchedWithStats
+  }
+
   /** UPDATE ... SET val = <expr> WHERE <predicate> — the row-update
-    * DML verb, composed on the pruned COW [[mergeUpsert]]: the
-    * post-image rows are computed DISTRIBUTED against the pinned
-    * snapshot (`setValExpr` is a SQL expression over (key, val)), then
-    * merged — so a key-range predicate prunes TWICE: the matched-row
-    * scan skips files via the pushed-filter zone maps, and the rewrite
-    * skips untouched files via the merge's touched-file probe. All
-    * matched keys are live by construction, so the merge's inserted
-    * count is structurally zero. Duplicate live rows for one key
-    * collapse to ONE post-image (the expression applied to the MAX
-    * pre-image val — deterministic under any partition order; a
-    * PK-unique table never has duplicates). Returns (keys updated,
-    * version published; version = pinned snapshot and 0 keys when the
-    * predicate matched nothing — publishing an empty change would be
-    * noise on the chain). */
+    * DML verb with TRUE per-row semantics: every live row matching the
+    * predicate is rewritten in place with `setValExpr` (a SQL
+    * expression over (key, val)); non-matching rows — including other
+    * copies of a matched key that do NOT satisfy the predicate — are
+    * preserved exactly (the r15 review found the earlier
+    * merge-composed form collapsed ALL copies of a matched key). The
+    * rewrite is a direct pruned COW: the matched keys drive the same
+    * zone-map touch probe as MERGE, untouched files survive by name,
+    * the touched scan applies DV masks, and the old DV files stay
+    * as-is (binding on older survivors, inert on the newer rewrite —
+    * version-scoped). CDF sidecars carry the matching rows' pre- and
+    * post-images. The publish is pinned to the scanned snapshot
+    * (`expectedPrior`). Returns (rows updated, version published;
+    * version = pinned snapshot and 0 when the predicate matched
+    * nothing — publishing an empty change would be noise). */
   private[graft] def updateWhere(spark: org.apache.spark.sql.SparkSession,
                                    path: String, predicate: String,
                                    setValExpr: String): (Long, Long) = {
     migrateLog(path)
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: nothing to update at $path"))
-    val matched = spark.read.format(classOf[KvSource].getName)
+    val st = stateAt(path, v0)
+    val live = spark.read.format(classOf[KvSource].getName)
       .option("path", path).option("versionAsOf", v0.toString).load()
-      .where(predicate)
-      .groupBy("key").agg(org.apache.spark.sql.functions.max("val").as("val"))
-      .selectExpr("key", s"CAST(($setValExpr) AS STRING) AS val")
-    if (matched.isEmpty) (0L, v0)
-    else {
-      val (m, inserted, v) = mergeUpsert(spark, path, matched, Some(v0))
-      assert(inserted == 0L,
-        s"KvSource: UPDATE computed $inserted inserts — matched rows must all be live")
-      (m, v)
+    // the matched-row probe prunes via the pushed key-range filter
+    // when the predicate is key-shaped (free file skipping)
+    val matchedKeys = live.where(predicate).select("key").distinct()
+    val touched = touchedFiles(spark, st, matchedKeys)
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val liveTouched = spark.read.format(classOf[KvSource].getName)
+      .option("path", path).option("versionAsOf", v0.toString)
+      .option("onlyDataFiles", touched.mkString(",")).load()
+    val resultParts = writeKvParts(path, salt,
+      liveTouched.selectExpr("key",
+        s"CAST(CASE WHEN ($predicate) THEN ($setValExpr) ELSE val END AS STRING) AS val"),
+      "part-update")
+    val delParts = writeKvParts(path, salt, liveTouched.where(predicate), "cdf-del")
+    val insParts = writeKvParts(path, salt,
+      liveTouched.where(predicate)
+        .selectExpr("key", s"CAST(($setValExpr) AS STRING) AS val"),
+      "cdf-ins")
+    // rows updated = the pre-image sidecar's row count (deletes-sized)
+    val nRows =
+      if (delParts.isEmpty) 0L
+      else spark.read.format(classOf[KvSource].getName)
+        .option("path", path)
+        .option("cdfFiles", delParts.map(_._1).mkString(",")).load().count()
+    if (nRows == 0L) {
+      (resultParts ++ delParts ++ insParts).foreach(p =>
+        new java.io.File(path, p._1).delete())
+      (0L, v0)
+    } else {
+      val v = commitVersionKeyed(path, resultParts.map(_._1), None,
+        removeFiles = touched, expectedPrior = Some(v0),
+        cdfDel = delParts.map(_._1), cdfIns = insParts.map(_._1),
+        stats = resultParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap,
+        op = Some("UPDATE"))
+      (nRows, v)
     }
   }
 
@@ -1170,12 +1233,19 @@ object KvSource {
                                      toV: Long): Array[InputPartition] = {
     def abs(f: String): String = new java.io.File(path, f).getPath
     val parts = Array.newBuilder[InputPartition]
+    // running file state from the range's base: every version's adds
+    // diff against it, so checkpoint re-lists AND legacy r13 chains
+    // (every manifest lists the full accumulated set) deliver each
+    // file exactly once — the same fold the row-stream source runs
+    var state: Set[String] =
+      if (fromV == 0) Set.empty else stateAt(path, fromV).files.toSet
     ((fromV + 1) to toV).foreach { v =>
       if (!manifestFile(path, v).exists())
         throw new IllegalArgumentException(
           s"KvSource: changeFeed needs manifest v$v at $path which no longer " +
             s"exists (vacuumed? have: ${versions(path).mkString(",")})")
       val m = readManifest(path, v)
+      val fresh = m.adds.filterNot(state)
       if (m.cdfDel.nonEmpty || m.cdfIns.nonEmpty) {
         parts ++= m.cdfDel.map(f =>
           KvCdfFilePartition(abs(f), "delete", v): InputPartition)
@@ -1194,12 +1264,10 @@ object KvSource {
           KvCdfFilePartition(abs(f), "delete", v, includeDvs = dvPaths,
             excludeDvs = pre.dvsFor(f).map(abs)): InputPartition)
       } else {
-        val prior: Set[String] =
-          if (v % CheckpointInterval == 0 && v > 1) stateAt(path, v - 1).files.toSet
-          else Set.empty
-        parts ++= m.adds.filterNot(prior).map(f =>
+        parts ++= fresh.map(f =>
           KvCdfFilePartition(abs(f), "insert", v): InputPartition)
       }
+      state = state -- m.removes ++ m.adds
     }
     parts.result()
   }

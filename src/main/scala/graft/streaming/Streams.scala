@@ -1686,19 +1686,6 @@ object Streams {
     res
   }
 
-  /** Streaming ADMISSION CONTROL on the commit-log source (the Delta
-    * maxFilesPerTrigger shape, version-granular): with
-    * `option("maxVersionsPerTrigger", 1)` each micro-batch admits ONE
-    * version past its start offset, so AvailableNow drains a 3-version
-    * backlog in exactly 3 bounded micro-batches instead of one
-    * unbounded gulp — the knob that keeps a recovering consumer from
-    * planning a table-sized first batch after downtime. The sink is a
-    * second kv table, so the micro-batch count is OBSERVABLE as the
-    * sink's own version chain (one epoch commit per non-empty batch) —
-    * the ledger pins it at 3 alongside the exactly-once rollup totals,
-    * all recomputed from the events table by the oracle. Scale: each
-    * admitted batch plans one version's files; admission state is two
-    * longs. */
   /** Streaming CHANGE-FEED consumer (the Delta `readChangeFeed`
     * streaming surface — the feed a downstream mart TAILS for
     * incremental maintenance instead of re-reading snapshots): the
@@ -1752,6 +1739,19 @@ object Streams {
     res
   }
 
+  /** Streaming ADMISSION CONTROL on the commit-log source (the Delta
+    * maxFilesPerTrigger shape, version-granular): with
+    * `option("maxVersionsPerTrigger", 1)` each micro-batch admits ONE
+    * version past its start offset, so AvailableNow drains a 3-version
+    * backlog in exactly 3 bounded micro-batches instead of one
+    * unbounded gulp — the knob that keeps a recovering consumer from
+    * planning a table-sized first batch after downtime. The sink is a
+    * second kv table, so the micro-batch count is OBSERVABLE as the
+    * sink's own version chain (one epoch commit per non-empty batch) —
+    * the ledger pins it at 3 alongside the exactly-once rollup totals,
+    * all recomputed from the events table by the oracle. Scale: each
+    * admitted batch plans one version's files; admission state is two
+    * longs. */
   def streamSourceRateLimit(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KvSource
     val out = java.nio.file.Files.createTempDirectory("graft-kv-rate").toString

@@ -134,13 +134,11 @@ class KvLogModelSpec extends AnyFunSuite {
         val m = 2 + rnd.nextInt(4)
         val r = rnd.nextInt(m)
         KvSource.updateWhere(spark, dir, s"key % $m = $r", "concat(val, '!')")
-        val matched = model.keys.filter { case (k, _) => k % m == r }.toSeq
-        if (matched.nonEmpty) {
-          val perKey = matched.groupBy(_._1).map { case (k, rows) =>
-            (k, rows.map(_._2).max + "!")
-          }
-          model = plus(
-            model.filter { case ((k, _), _) => k % m != r }, perKey.toSeq)
+        // per-ROW semantics: every matching copy updates in place
+        val (hit, keep) = model.partition { case ((k, _), _) => k % m == r }
+        model = hit.foldLeft(keep) { case (acc, ((k, v), c)) =>
+          val nk = (k, v + "!")
+          acc.updated(nk, acc.getOrElse(nk, 0) + c)
         }
       }
       def doOptimize(): Unit =

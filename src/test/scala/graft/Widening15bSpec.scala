@@ -99,25 +99,37 @@ class Widening15bSpec extends AnyFunSuite {
     SourceQueries.deleteRecursively(new java.io.File(dir))
   }
 
-  test("UPDATE collapses duplicate keys, skips empty matches, and never inserts") {
+  test("UPDATE is per-row: matching copies update in place, non-matching survive") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kv-update").toString
     append(dir, 0, 50)
     append(dir, 10, 20) // keys 10..19 live twice
     val (n, v) = KvSource.updateWhere(spark, dir,
       "key >= 10 AND key < 15", "concat(val, '!')")
-    assert(n == 5L && v == 3L)
+    assert(n == 10L && v == 3L, s"5 keys x 2 copies = 10 rows, got ($n, $v)")
     val now = readAll(dir)
-    // duplicate copies collapse to ONE post-image row per updated key
-    assert(now.filter(col("key") === 12L).count() == 1L)
-    assert(now.filter(col("val") === "x!").count() == 5L)
-    // non-updated duplicates keep both copies; total = 60 - 5 collapsed
+    // BOTH copies of a matched key update in place — nothing collapses
+    assert(now.filter(col("key") === 12L).count() == 2L)
+    assert(now.filter(col("key") === 12L && col("val") === "x!").count() == 2L)
+    assert(now.filter(col("val") === "x!").count() == 10L)
     assert(now.filter(col("key") === 17L).count() == 2L)
-    assert(now.count() == 55L)
+    assert(now.count() == 60L, "per-row UPDATE never changes the row count")
+    // a predicate over VAL updates only the copy that matches it —
+    // the other copy of the same key is preserved exactly (the r15
+    // review found the merge-composed form collapsed it)
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-kv-update2").toString
+    Seq((1L, "a"), (1L, "b")).toDF("key", "val").repartition(1)
+      .write.format(classOf[KvSource].getName)
+      .option("path", d2).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val (n2, _) = KvSource.updateWhere(spark, d2, "val = 'a'", "concat(val, '!')")
+    assert(n2 == 1L)
+    val rows2 = readAll(d2).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows2 == Set((1L, "a!"), (1L, "b")), rows2.toString)
     // a predicate matching nothing publishes NO version
     val (n0, v0) = KvSource.updateWhere(spark, dir, "key > 1000000", "val")
     assert(n0 == 0L && v0 == 3L)
     assert(KvSource.latestVersion(dir).contains(3L))
-    SourceQueries.deleteRecursively(new java.io.File(dir))
+    Seq(dir, d2).foreach(d => SourceQueries.deleteRecursively(new java.io.File(d)))
   }
 
   test("SHALLOW CLONE: zero-copy fork, inherited DV + stats, independent divergence") {
