@@ -555,6 +555,9 @@ object SparkEntry {
     "load_describe_history" -> SourceQueries.describeHistoryOp _,
     "load_describe_detail" -> SourceQueries.describeDetailOp _,
     "load_vacuum_dryrun" -> SourceQueries.vacuumDryRunOp _,
+    // round 15 batch 11: merge-on-read MERGE — the write-cheap upsert
+    // version-scoped DVs unlock (zero data-file rewrite)
+    "load_merge_mor" -> SourceQueries.mergeMorOp _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -5963,6 +5966,29 @@ object SparkEntry {
         |  UNION ALL SELECT '02_diverge', 'source_rows_after_delete', (SELECT n73 FROM m)
         |  UNION ALL SELECT '03_isolated', 'clone_rows_unaffected_by_source_delete', (SELECT n7k3 FROM m)
         |  UNION ALL SELECT '03_isolated', 'source_rows_unaffected_by_clone_append', 0
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_merge_mor: the COW merge's contract plus the zero-rewrite
+    // property (files_rewritten=0, one tombstone file) and OPTIMIZE
+    // folding the DV away afterwards
+    "load_merge_mor" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_before' AS stage, 'rows_readable' AS metric, (SELECT n FROM c) AS value
+        |  UNION ALL SELECT '02_merge', 'matched', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '02_merge', 'inserted', (SELECT n11 FROM c)
+        |  UNION ALL SELECT '02_merge', 'version_published', 2
+        |  UNION ALL SELECT '02_merge', 'files_rewritten', 0
+        |  UNION ALL SELECT '02_merge', 'dv_files', 1
+        |  UNION ALL SELECT '03_after', 'rows_readable', (SELECT n + n11 FROM c)
+        |  UNION ALL SELECT '03_after', 'rows_updated_val', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '03_after', 'rows_at_v1', (SELECT n FROM c)
+        |  UNION ALL SELECT '04_cdf', 'deletes', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '04_cdf', 'inserts', (SELECT n3 + n11 FROM c)
+        |  UNION ALL SELECT '05_optimize', 'rows_readable', (SELECT n + n11 FROM c)
+        |  UNION ALL SELECT '05_optimize', 'dv_files', 0
         |) t ORDER BY stage, metric""".stripMargin,
     // load_describe_history: the classification contract itself — each
     // verb's #op: (and the structural fallback for the header-less

@@ -1459,6 +1459,71 @@ object SourceQueries {
       out)
   }
 
+  /** MERGE-ON-READ on the commit log — the write-cheap upsert that
+    * VERSION-SCOPED deletion vectors unlock (and the payoff of the
+    * r15 DV-semantics fix beyond correctness): one atomic version
+    * carries the update rows as a plain append plus a tombstone file
+    * of the update keys — every older copy goes dark because the DV
+    * masks only files OLDER than itself, the new file (same version)
+    * is never masked, and NOT A SINGLE DATA FILE IS REWRITTEN. The
+    * ledger pins the zero-rewrite property directly
+    * (`files_rewritten=0`: every pre-merge file survives by name)
+    * alongside the same matched/inserted/readability/CDF contract as
+    * the COW `load_merge_verb`, then OPTIMIZE folds the tombstones
+    * away. At 100 TB this is O(updates) write cost at any table size;
+    * the COW merge makes the opposite trade (clean files, heavy
+    * write) — an engine needs both. */
+  def mergeMorOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-mor").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    c.write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val filesBefore = KvSource.committedFiles(out).toSet
+    val updates = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .selectExpr("c_custkey AS key", "'UPDATED' AS val")
+      .unionByName(Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 11 === 0)
+        .selectExpr("c_custkey + 10000000 AS key", "'NEWROW' AS val"))
+    val (matched, inserted, v) = KvSource.mergeOnRead(spark, out, updates)
+    val filesAfter = KvSource.committedFiles(out).toSet
+    def readAt(asOf: Option[Long]) = {
+      val r = spark.read.format(classOf[KvSource].getName).option("path", out)
+      asOf.foreach(x => r.option("versionAsOf", x.toString))
+      r.load()
+    }
+    val cdf = KvSource.changeFeed(spark, out, 1L, v)
+    val preOpt = Seq(
+      ("01_before", "rows_readable", readAt(Some(1L)).count()),
+      ("02_merge", "matched", matched),
+      ("02_merge", "inserted", inserted),
+      ("02_merge", "version_published", v),
+      ("02_merge", "files_rewritten",
+        (filesBefore -- filesAfter).size.toLong),
+      ("02_merge", "dv_files",
+        KvSource.committedState(out).dvFiles.size.toLong),
+      ("03_after", "rows_readable", readAt(None).count()),
+      ("03_after", "rows_updated_val",
+        readAt(None).filter(col("val") === "UPDATED").count()),
+      ("03_after", "rows_at_v1", readAt(Some(1L)).count()),
+      ("04_cdf", "deletes",
+        cdf.filter(col("change_type") === "delete").count()),
+      ("04_cdf", "inserts",
+        cdf.filter(col("change_type") === "insert").count()))
+    KvSource.optimizeCompact(spark, out)
+    val postOpt = Seq(
+      ("05_optimize", "rows_readable", readAt(None).count()),
+      ("05_optimize", "dv_files",
+        KvSource.committedState(out).dvFiles.size.toLong))
+    import spark.implicits._
+    materializeAndClean(
+      (preOpt ++ postOpt).toDF("stage", "metric", "value")
+        .orderBy("stage", "metric"),
+      out)
+  }
+
   /** FILE SKIPPING on the DSv2 commit log — real filter pushdown
     * (`SupportsPushDownFilters`) against per-file key zone maps: each
     * task writer records its file's key min/max for free as rows

@@ -1004,6 +1004,78 @@ object KvSource {
     } finally upd.unpersist(blocking = false)
   }
 
+  /** MERGE-ON-READ (upsert) — the write-cheap merge VERSION-SCOPED
+    * DVs unlock (under global tombstones this was inexpressible: no
+    * tombstone could mask the OLD copy of a key while keeping the NEW
+    * copy visible; now a DV masks only files OLDER than itself, and
+    * the update file lands in the SAME version as its DV — equal
+    * version, never masked): ONE version carries the update rows as a
+    * plain append plus a `#dv:` key file of ALL update keys — every
+    * older copy of those keys goes dark, previously-deleted keys
+    * resurrect (their old DVs are older than the new file), and NOT A
+    * SINGLE DATA FILE IS REWRITTEN. This is the Delta
+    * merge-with-deletion-vectors path: O(updates) write cost at ANY
+    * table size, trading read-side masking until the next OPTIMIZE
+    * folds it (the COW [[mergeUpsert]] makes the opposite trade).
+    * CDF sidecars carry the replaced rows' pre-images (live copies of
+    * update keys — a deletes-sized semi-join, read distributed) and
+    * the update rows, so [[changeFeed]] emits the same logical
+    * changes as the COW merge. Publish pinned via `expectedPrior`.
+    * Returns (matched, inserted, version) with the same key-level
+    * contract as [[mergeUpsert]]. */
+  private[graft] def mergeOnRead(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   updates: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    migrateLog(path)
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: nothing to merge into at $path"))
+    val upd = updates.selectExpr("CAST(key AS BIGINT) AS key", "CAST(val AS STRING) AS val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updKeys = upd.select("key").distinct()
+      val salt = java.util.UUID.randomUUID().toString.take(8)
+      val live = spark.read.format(classOf[KvSource].getName)
+        .option("path", path).option("versionAsOf", v0.toString).load()
+      // the new rows: a plain append, stats recorded like any write
+      val dataParts = writeKvParts(path, salt, upd, "part-mor")
+      // the tombstones: ALL update keys (masking a key with no older
+      // live copy is a no-op; the new file is the same version as the
+      // DV, so it is never masked)
+      val dvName = s"dv-mor-$salt.dat"
+      updKeys.repartition(1)
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          writeLinesAtomically(path, dvName, new java.util.Iterator[String] {
+            override def hasNext: Boolean = rows.hasNext
+            override def next(): String = rows.next().getLong(0).toString
+          })
+          ()
+        }
+      // CDF sidecars: pre-images = the LIVE copies of update keys
+      // (zone-pruned scan — only files whose zone admits an update key
+      // are read), post-images = the update rows themselves
+      val touched = touchedFiles(spark, stateAt(path, v0), updKeys)
+      val liveTouched = spark.read.format(classOf[KvSource].getName)
+        .option("path", path).option("versionAsOf", v0.toString)
+        .option("onlyDataFiles", touched.mkString(",")).load()
+      val delParts = writeKvParts(path, salt,
+        liveTouched.join(updKeys, Seq("key"), "left_semi"), "cdf-del")
+      val insParts = writeKvParts(path, salt, upd, "cdf-ins")
+      val nUpdKeys = updKeys.count()
+      val nMatched =
+        if (delParts.isEmpty) 0L
+        else spark.read.format(classOf[KvSource].getName)
+          .option("path", path)
+          .option("cdfFiles", delParts.map(_._1).mkString(",")).load()
+          .select("key").distinct().count()
+      val v = commitVersionKeyed(path, dataParts.map(_._1), None,
+        dvFiles = Seq(dvName), expectedPrior = Some(v0),
+        cdfDel = delParts.map(_._1), cdfIns = insParts.map(_._1),
+        stats = dataParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap,
+        op = Some("MERGE (MOR)"))
+      (nMatched, nUpdKeys - nMatched, v)
+    } finally upd.unpersist(blocking = false)
+  }
+
   /** Shared COW row writer: stream `df` (key, val) into per-partition
     * salted task files. The collected NAME list is partition-count-
     * sized planning metadata, never row data; each writer tracks its

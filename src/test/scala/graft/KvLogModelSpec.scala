@@ -65,6 +65,45 @@ class KvLogModelSpec extends AnyFunSuite {
     SourceQueries.deleteRecursively(new java.io.File(dir))
   }
 
+  test("merge-on-read: zero rewrite, tombstones mask old copies, resurrect works") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kv-mor").toString
+    spark.range(0, 100).selectExpr("id AS key", "'x' AS val").repartition(2)
+      .write.format(classOf[KvSource].getName)
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save() // v1
+    KvSource.deleteWhere(spark, dir, "key < 10") // v2: 0..9 tombstoned
+    val filesBefore = KvSource.committedFiles(dir).toSet
+    val updates = spark.range(5, 15).selectExpr("id AS key", "'u' AS val")
+    val (matched, inserted, v) = KvSource.mergeOnRead(spark, dir, updates)
+    // 10..14 live -> matched; 5..9 dead -> inserts (resurrect)
+    assert(matched == 5L && inserted == 5L && v == 3L,
+      s"got ($matched, $inserted, $v)")
+    // ZERO data-file rewrite: every pre-merge file survives by name
+    val after = KvSource.committedFiles(dir).toSet
+    assert((filesBefore -- after).isEmpty, "MOR must rewrite nothing")
+    assert((after -- filesBefore).nonEmpty, "the update file must land")
+    val m = readRows(dir)
+    assert(m.values.sum == 95)
+    assert((5L to 14L).forall(k => m.getOrElse((k, "u"), 0) == 1))
+    assert((0L until 5L).forall(k => m.getOrElse((k, "x"), 0) == 0))
+    assert(m.getOrElse((20L, "x"), 0) == 1, "non-update keys untouched")
+    // time travel pre-dates the merge; the streaming source skips the
+    // MOR version structurally (it carries a #dv: header)
+    assert(readRows(dir, Some(2L)).values.sum == 90)
+    val stream = new graft.sources.KvMicroBatchStream(dir)
+    assert(stream.planInputPartitions(stream.deserializeOffset("2"),
+      stream.deserializeOffset("3")).isEmpty)
+    // the change feed sees the same logical changes as a COW merge
+    val cdf = KvSource.changeFeed(spark, dir, 2L, 3L)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdf == Map("delete" -> 5L, "insert" -> 10L), cdf.toString)
+    // OPTIMIZE folds the tombstones into a clean rewrite
+    KvSource.optimizeCompact(spark, dir)
+    assert(KvSource.committedState(dir).dvFiles.isEmpty)
+    assert(readRows(dir).values.sum == 95)
+    SourceQueries.deleteRecursively(new java.io.File(dir))
+  }
+
   test("clone preserves version-scoped DV ordering: re-appended keys stay visible") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-kv-clvdv").toString
@@ -127,7 +166,10 @@ class KvLogModelSpec extends AnyFunSuite {
         val keys = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(70).toLong).distinct
         val ups = keys.map(k => (k, s"m${rnd.nextInt(3)}"))
         import spark.implicits._
-        KvSource.mergeUpsert(spark, dir, ups.toDF("key", "val"))
+        // both merge strategies implement ONE model rule — interleave
+        // them randomly (COW rewrite vs MOR tombstone+append)
+        if (rnd.nextBoolean()) KvSource.mergeUpsert(spark, dir, ups.toDF("key", "val"))
+        else KvSource.mergeOnRead(spark, dir, ups.toDF("key", "val"))
         model = plus(model.filter { case ((k, _), _) => !keys.contains(k) }, ups)
       }
       def doUpdate(): Unit = {
