@@ -558,6 +558,26 @@ object SparkEntry {
     // round 15 batch 11: merge-on-read MERGE — the write-cheap upsert
     // version-scoped DVs unlock (zero data-file rewrite)
     "load_merge_mor" -> SourceQueries.mergeMorOp _,
+    // round 16 batch 1: OCC auto-retry — a pinned verb that loses its
+    // snapshot race rebases over provably-compatible interleaves
+    // (disjoint-zone merges both succeed with no caller retry)
+    "load_occ_retry" -> SourceQueries.occRetryOp _,
+    // round 16 batch 2: val-column zone maps (`#vstats:`) — file
+    // skipping on equality/range/prefix val predicates
+    "load_file_skipping_val" -> SourceQueries.fileSkippingValOp _,
+    // round 16 batch 3: OPTIMIZE ZORDER BY (key, val) — the clustered
+    // rewrite that tightens BOTH zone maps in one atomic version
+    "load_optimize_zorder" -> SourceQueries.optimizeZorderOp _,
+    // round 16 batch 4: ALTER TABLE ADD COLUMN — zero-rewrite schema
+    // evolution with per-snapshot schema time travel, protocol-gated
+    "load_schema_evolution" -> SourceQueries.schemaEvolutionOp _,
+    // round 16 batch 5: the auto-maintenance planner — metadata-only
+    // trigger scan emitting the OPTIMIZE/VACUUM/ZORDER job list
+    "load_maintenance_plan" -> SourceQueries.maintenancePlanOp _,
+    // round 16 batch 6: rate-limited initial snapshot (idx-cursor
+    // paced) + streaming CDF startingVersion=latest tail mode
+    "stream_source_snapshot_paced" -> Streams.streamSourceSnapshotPaced _,
+    "stream_cdf_tail" -> Streams.streamCdfTail _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -6155,6 +6175,143 @@ object SparkEntry {
         |  UNION ALL SELECT '03_after', 'rows_at_v1', (SELECT n FROM c)
         |  UNION ALL SELECT '04_cdf', 'deletes', (SELECT n3 FROM c)
         |  UNION ALL SELECT '04_cdf', 'inserts', (SELECT n3 + n11 FROM c)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_occ_retry: the race recomputed from the slice geometry —
+    // merge A touches slice 7, merge B (stale pin) slice 0; disjoint
+    // zones prove compatibility so B rebases to v10, the overlapping
+    // merge C errors, and the final state carries both value sets
+    "load_occ_retry" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+        |s AS (SELECT
+        |  CAST(SUM(CASE WHEN c_custkey * 8 // (SELECT n FROM c) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |  CAST(SUM(CASE WHEN c_custkey * 8 // (SELECT n FROM c) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n7
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_race' AS stage, 'pin_version' AS metric, 8 AS value
+        |  UNION ALL SELECT '02_merge_a', 'matched', (SELECT n7 FROM s)
+        |  UNION ALL SELECT '02_merge_a', 'version', 9
+        |  UNION ALL SELECT '03_merge_b_rebased', 'matched', (SELECT n0 FROM s)
+        |  UNION ALL SELECT '03_merge_b_rebased', 'version', 10
+        |  UNION ALL SELECT '04_conflict', 'true_conflict_errored', 1
+        |  UNION ALL SELECT '05_after', 'inserted_total', 0
+        |  UNION ALL SELECT '05_after', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '05_after', 'rows_val_a', (SELECT n7 FROM s)
+        |  UNION ALL SELECT '05_after', 'rows_val_b', (SELECT n0 FROM s)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_file_skipping_val: layout constants (5 segment files; the
+    // probes plan 1/2/1 of them) + row counts from the segment
+    // histogram
+    "load_file_skipping_val" ->
+      """WITH s AS (SELECT
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |  CAST(SUM(CASE WHEN c_mktsegment IN ('FURNITURE','HOUSEHOLD') THEN 1 ELSE 0 END) AS BIGINT) AS nfh,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nm
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_layout' AS stage, 'files_total' AS metric, 5 AS value
+        |  UNION ALL SELECT '02_eq', 'files_planned', 1
+        |  UNION ALL SELECT '02_eq', 'rows', (SELECT nb FROM s)
+        |  UNION ALL SELECT '03_range', 'files_planned', 2
+        |  UNION ALL SELECT '03_range', 'rows', (SELECT nfh FROM s)
+        |  UNION ALL SELECT '04_prefix', 'files_planned', 1
+        |  UNION ALL SELECT '04_prefix', 'rows', (SELECT nm FROM s)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_optimize_zorder: the clustered-rewrite payoff in closed
+    // form — mod-sliced zones prune nothing (8/8 planned), the Morton
+    // layout prunes the key quarter to 2 files and the BUILDING
+    // segment to 4 (top-3 Morton bits = key15,val15,key14)
+    "load_optimize_zorder" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+        |s AS (SELECT
+        |  CAST(SUM(CASE WHEN c_custkey < (SELECT n FROM c) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_layout' AS stage, 'files_before' AS metric, 8 AS value
+        |  UNION ALL SELECT '02_probe_before', 'key_files_planned', 8
+        |  UNION ALL SELECT '02_probe_before', 'val_files_planned', 8
+        |  UNION ALL SELECT '03_zorder', 'files_after', 8
+        |  UNION ALL SELECT '03_zorder', 'version', 9
+        |  UNION ALL SELECT '04_probe_after', 'key_files_planned', 2
+        |  UNION ALL SELECT '04_probe_after', 'key_rows', (SELECT nq FROM s)
+        |  UNION ALL SELECT '04_probe_after', 'val_files_planned', 4
+        |  UNION ALL SELECT '04_probe_after', 'val_rows', (SELECT nb FROM s)
+        |  UNION ALL SELECT '05_invariant', 'key_rows_stable', 1
+        |  UNION ALL SELECT '05_invariant', 'rows_readable', (SELECT n FROM c)
+        |  UNION ALL SELECT '05_invariant', 'val_rows_stable', 1
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_schema_evolution: zero-rewrite ALTER — constants for the
+    // chain geometry, row counts from the customer table (old rows
+    // null-fill segment, new rows carry it)
+    "load_schema_evolution" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_alter' AS stage, 'reader_protocol' AS metric, 3 AS value
+        |  UNION ALL SELECT '01_alter', 'version', 2
+        |  UNION ALL SELECT '02_wide', 'building_rows', (SELECT nb FROM c)
+        |  UNION ALL SELECT '02_wide', 'cols', 3
+        |  UNION ALL SELECT '02_wide', 'null_segment_rows', (SELECT n FROM c)
+        |  UNION ALL SELECT '02_wide', 'rows', (SELECT 2 * n FROM c)
+        |  UNION ALL SELECT '03_travel', 'cols_at_v1', 2
+        |  UNION ALL SELECT '03_travel', 'rows_at_v1', (SELECT n FROM c)
+        |  UNION ALL SELECT '04_history', 'alter_ops', 1
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_maintenance_plan: every trigger recomputed from the staged
+    // geometry — 11 live files (8 mod slices + 3 tails), dead_bp =
+    // (n/4 deleted keys)*10000 over n+3 live rows, 9 reclaimable
+    // manifests below checkpoint 10 at retainLast=2, overlap depth 8
+    "load_maintenance_plan" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+        |d AS (SELECT CAST(SUM(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndel
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_state' AS stage, 'dv_files' AS metric, 1 AS value
+        |  UNION ALL SELECT '01_state', 'files_live', 11
+        |  UNION ALL SELECT '01_state', 'keys_deleted', (SELECT ndel FROM d)
+        |  UNION ALL SELECT '02_plan', 'compact_fired', 1
+        |  UNION ALL SELECT '02_plan', 'compact_files', 11
+        |  UNION ALL SELECT '02_plan', 'dead_bp',
+        |    (SELECT ndel * 10000 // (n + 3) FROM c, d)
+        |  UNION ALL SELECT '02_plan', 'dv_fold_fired', 1
+        |  UNION ALL SELECT '02_plan', 'jobs_planned', 4
+        |  UNION ALL SELECT '02_plan', 'max_overlap', 8
+        |  UNION ALL SELECT '02_plan', 'vacuum_fired', 1
+        |  UNION ALL SELECT '02_plan', 'vacuum_reclaimable', 9
+        |  UNION ALL SELECT '02_plan', 'zorder_fired', 1
+        |) t ORDER BY stage, metric""".stripMargin,
+    // stream_source_snapshot_paced: geometry constants (10-file
+    // snapshot at rate 2 → 5 slices + 1 version batch, no batch over
+    // 2 files) + exactly-once totals from events
+    "stream_source_snapshot_paced" ->
+      """WITH e AS (SELECT event_id AS key FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_source' AS stage, 'snapshot_files' AS metric, 10 AS value
+        |  UNION ALL SELECT '02_run', 'batches', 6
+        |  UNION ALL SELECT '02_run', 'max_files_per_batch', 2
+        |  UNION ALL SELECT '03_sink', 'key_sum', (SELECT SUM(key) FROM e)
+        |  UNION ALL SELECT '03_sink', 'rows', (SELECT COUNT(*) FROM e)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // stream_cdf_tail: run 1 skips all history by declaration; run 2
+    // delivers exactly the post-start DELETE + append, recomputed
+    // from the change rules
+    "stream_cdf_tail" ->
+      """WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c_custkey) AS BIGINT) AS ks
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c_custkey) AS BIGINT) AS ks
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_run1' AS stage, 'history_rows' AS metric, 0 AS value
+        |  UNION ALL SELECT '02_run2', 'delete_key_sum', (SELECT ks FROM d)
+        |  UNION ALL SELECT '02_run2', 'delete_rows', (SELECT n FROM d)
+        |  UNION ALL SELECT '02_run2', 'delete_versions', 1
+        |  UNION ALL SELECT '02_run2', 'insert_base_key_sum', (SELECT ks FROM i)
+        |  UNION ALL SELECT '02_run2', 'insert_rows', (SELECT n FROM i)
+        |  UNION ALL SELECT '02_run2', 'insert_versions', 1
         |) t ORDER BY stage, metric""".stripMargin,
     // stream_source_ratelimit: protocol constants (3 versions drained
     // one per micro-batch) + exactly-once totals from events

@@ -108,7 +108,16 @@ import org.apache.spark.unsafe.types.UTF8String
 class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.getBoolean("readChangeFeed", false)) KvSource.cdfSchema
-    else KvSource.schema
+    else {
+      // the EVOLVED schema at the pinned version (time travel below an
+      // ALTER reads the narrow schema); a missing/empty chain infers
+      // the base schema so first writes can create the table
+      val path = options.get("path")
+      val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+      if (path == null || path.isEmpty) KvSource.schema
+      else try KvSource.schemaFor(KvSource.schemaColsAt(path, asOf))
+      catch { case _: IllegalArgumentException => KvSource.schema }
+    }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
@@ -116,7 +125,8 @@ class KvSource extends TableProvider {
     val cdf = Option(properties.get("readChangeFeed"))
       .orElse(Option(properties.get("readchangefeed")))
       .exists(_.equalsIgnoreCase("true"))
-    new KvTable(path, cdf)
+    new KvTable(path, cdf,
+      if (cdf || schema == null || schema.isEmpty) None else Some(schema))
   }
 }
 
@@ -142,9 +152,24 @@ object KvSource {
     * error instead of silently ignoring header semantics it doesn't
     * understand — the contract that lets a FUTURE format evolve under
     * live old readers. Version 2 = the r15 feature set (checkpoints,
-    * DVs, CDF sidecars, stats, clones); absent header = version 1. */
-  private[graft] val SupportedReaderVersion = 2
-  private[graft] val SupportedWriterVersion = 2
+    * DVs, CDF sidecars, stats, clones); version 3 = r16 SCHEMA
+    * EVOLUTION (`#schema:` headers + multi-column line files — an
+    * evolved table upgrades itself to 3:3 so a version-2 engine
+    * refuses cleanly instead of mis-parsing extra columns); absent
+    * header = version 1. */
+  private[graft] val SupportedReaderVersion = 3
+  private[graft] val SupportedWriterVersion = 3
+
+  /** The fixed base schema every chain starts with. */
+  private[graft] val DefaultCols: Seq[String] = Seq("key", "val")
+
+  /** StructType for a folded column list: `key` BIGINT, everything
+    * else STRING (evolved columns are nullable by construction — old
+    * rows null-fill). */
+  private[graft] def schemaFor(cols: Seq[String]): StructType =
+    cols.foldLeft(new StructType()) { (st, c) =>
+      if (c == "key") st.add("key", LongType) else st.add(c, StringType)
+    }
 
   private val VersionRe = "_manifest\\.v(\\d+)".r
 
@@ -166,7 +191,10 @@ object KvSource {
                                      stats: Map[String, (Long, Long)] = Map.empty,
                                      protocol: (Int, Int) = (1, 1),
                                      fileVer: Map[String, Long] = Map.empty,
-                                     dvVer: Map[String, Long] = Map.empty) {
+                                     dvVer: Map[String, Long] = Map.empty,
+                                     valStats: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+                                     schemaCols: Seq[String] = DefaultCols,
+                                     rowCounts: Map[String, Long] = Map.empty) {
     /** DV files applicable to `file`: strictly newer than the file. */
     def dvsFor(file: String): Seq[String] = {
       val fv = fileVer.getOrElse(file, 0L)
@@ -195,7 +223,33 @@ object KvSource {
                                           stats: Map[String, (Long, Long)] = Map.empty,
                                           protocol: Option[(Int, Int)] = None,
                                           op: Option[String] = None,
-                                          addedAt: Map[String, Long] = Map.empty)
+                                          addedAt: Map[String, Long] = Map.empty,
+                                          valStats: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+                                          schemaCols: Option[Seq[String]] = None,
+                                          rowCounts: Map[String, Long] = Map.empty)
+
+  /** Val-zone bound helpers (UTF8-byte order, the order Spark compares
+    * strings in). Lower bounds TRUNCATE plainly (a prefix sorts ≤ the
+    * full value); upper bounds truncate and INCREMENT the last
+    * non-0xFF byte — strictly greater than every value sharing the
+    * prefix (the parquet statistics-truncation trick). An all-0xFF
+    * prefix has no finite increment → None; the file then records no
+    * val zone and is never pruned (the safe default). The 64-byte cap
+    * keeps manifests metadata-sized under arbitrarily long values. */
+  private[graft] val ValBoundMaxLen = 64
+  private[graft] def truncLo(b: Array[Byte]): Array[Byte] =
+    if (b.length <= ValBoundMaxLen) b
+    else java.util.Arrays.copyOf(b, ValBoundMaxLen)
+  private[graft] def incrementPrefix(b: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    val t = java.util.Arrays.copyOf(b, math.min(b.length, cap))
+    var i = t.length - 1
+    while (i >= 0 && t(i) == -1) i -= 1
+    if (i < 0) None
+    else { t(i) = (t(i) + 1).toByte; Some(java.util.Arrays.copyOf(t, i + 1)) }
+  }
+  private[graft] def truncHi(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= ValBoundMaxLen) Some(b)
+    else incrementPrefix(b, ValBoundMaxLen)
 
   /** The manifest subdirectory (the `_delta_log` layout): listing the
     * chain never walks the data files. */
@@ -357,9 +411,31 @@ object KvSource {
           val i = body.lastIndexOf(':')
           body.substring(0, i) -> body.substring(i + 1).toLong
       }.toMap
+      // `#vstats:<file>:<b64min>:<b64max>` — the VAL column's zone
+      // (UTF8-byte order, possibly truncated-with-increment bounds;
+      // base64 keeps arbitrary bytes colon- and newline-free)
+      val b64 = java.util.Base64.getDecoder
+      val valStats = hdr.collect {
+        case s if s.startsWith("#vstats:") =>
+          val p = s.stripPrefix("#vstats:").split(":")
+          p(0) -> ((b64.decode(p(1)), b64.decode(p(2))))
+      }.toMap
+      // `#schema:key,val,...` — the table's column list from this
+      // version on (absent = inherit; checkpoints re-list non-default)
+      val schemaCols = hdr.collectFirst {
+        case s if s.startsWith("#schema:") =>
+          s.stripPrefix("#schema:").split(",").toSeq
+      }
+      // `#rows:<file>:<n>` — per-file row counts (free at write time;
+      // the maintenance planner's denominator for dead-row ratios)
+      val rowCounts = hdr.collect {
+        case s if s.startsWith("#rows:") =>
+          val p = s.stripPrefix("#rows:").split(":")
+          p(0) -> p(1).toLong
+      }.toMap
       ManifestDelta(files, txns, removes, dvs, dvState,
         hdr.contains("#checkpoint"), cdfDel, cdfIns, stats, protocol, op,
-        addedAt)
+        addedAt, valStats, schemaCols, rowCounts)
     } finally src.close()
   }
 
@@ -395,9 +471,12 @@ object KvSource {
     var dvs = scala.collection.immutable.ListSet.empty[String]
     var txn = Map.empty[String, Long]
     var stats = Map.empty[String, (Long, Long)]
+    var vstats = Map.empty[String, (Array[Byte], Array[Byte])]
     var proto = (1, 1)
     var fileVer = Map.empty[String, Long]
     var dvVer = Map.empty[String, Long]
+    var schema = DefaultCols
+    var rcounts = Map.empty[String, Long]
     (base to v).foreach { i =>
       val m = readManifest(path, i)
       files = files -- m.removes ++ m.adds
@@ -408,6 +487,10 @@ object KvSource {
       // checkpoints re-list the full live stats map; deltas merge
       stats = (if (m.checkpoint) m.stats
                else stats -- m.removes ++ m.stats)
+      vstats = (if (m.checkpoint) m.valStats
+                else vstats -- m.removes ++ m.valStats)
+      rcounts = (if (m.checkpoint) m.rowCounts
+                 else rcounts -- m.removes ++ m.rowCounts)
       // add-versions (version-scoped DVs): an entry listed in this
       // manifest was added HERE unless an #addedat: override preserves
       // its original version (restore/checkpoint/clone). Checkpoints
@@ -428,6 +511,9 @@ object KvSource {
       }
       // protocol is monotone; checkpoints re-list it when above default
       m.protocol.foreach(p => proto = p)
+      // schema: latest declaration wins (absent = inherit; checkpoints
+      // re-list a non-default schema so vacuumed folds stay complete)
+      m.schemaCols.foreach(sc => schema = sc)
       m.txns.foreach { k =>
         val (app, id) = splitTxn(k)
         txn = txn.updated(app, math.max(id, txn.getOrElse(app, Long.MinValue)))
@@ -443,7 +529,8 @@ object KvSource {
         s"KvSource: table at $path (version $v) requires protocol " +
           s"reader=${proto._1} but this engine supports " +
           s"reader=$SupportedReaderVersion — upgrade the engine to read it")
-    LogState(files.toSeq, txn, dvs.toSeq, stats, proto, fileVer, dvVer)
+    LogState(files.toSeq, txn, dvs.toSeq, stats, proto, fileVer, dvVer,
+      vstats, schema, rcounts)
   }
 
   /** The table's folded protocol at its latest version, WITHOUT the
@@ -476,6 +563,52 @@ object KvSource {
     commitVersionKeyed(path, Seq.empty, None,
       protocol = Some((minReader, minWriter)), op = Some("UPGRADE PROTOCOL"))
   }
+
+  /** ALTER TABLE ADD COLUMN (r16 — the schema-evolution verb, the
+    * KvSource analog of `load_schema_evolve`'s parquet semantics):
+    * publishes a version carrying the WIDENED `#schema:` column list.
+    * Old data files keep their on-disk shape and NULL-FILL the new
+    * column on read; new writes carry all columns (multi-column line
+    * format, per-file `#c:<n>` header). The same commit upgrades the
+    * table protocol to 3:3 when below — a version-2 engine then
+    * refuses cleanly instead of mis-parsing lines it doesn't
+    * understand (exactly what the protocol gate exists for). Columns
+    * are append-only (Delta's safe subset): no drop, no rename, no
+    * type change. Returns the published version. */
+  private[graft] def alterAddColumn(path: String, colName: String): Long = {
+    require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"KvSource: invalid column name '$colName'")
+    migrateLog(path)
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: no table at $path"))
+    val st = stateAt(path, v0)
+    require(!st.schemaCols.contains(colName),
+      s"KvSource: column '$colName' already exists at $path (have: ${st.schemaCols.mkString(",")})")
+    val cur = st.protocol
+    commitVersionKeyed(path, Seq.empty, None,
+      schemaCols = Some(st.schemaCols :+ colName),
+      protocol = if (cur._1 < 3 || cur._2 < 3)
+        Some((math.max(cur._1, 3), math.max(cur._2, 3))) else None,
+      op = Some("ALTER TABLE ADD COLUMN"),
+      expectedPrior = Some(v0))
+  }
+
+  /** The folded column list at `version` (default latest); a chain
+    * with no commits reads as the base schema. */
+  private[graft] def schemaColsAt(path: String,
+                                    version: Option[Long] = None): Seq[String] =
+    version.orElse(latestVersion(path)) match {
+      case None => DefaultCols
+      case Some(v) =>
+        // same existence contract as committedState: a missing pinned
+        // version is the CLEAR versionAsOf error, never a raw
+        // FileNotFoundException out of the fold
+        if (!manifestFile(path, v).exists())
+          throw new IllegalArgumentException(
+            s"KvSource: versionAsOf=$v does not exist at $path " +
+              s"(have: ${versions(path).mkString(",")})")
+        stateAt(path, v).schemaCols
+    }
 
   /** [[LogState]] a reader may see at `version` (default: latest
     * committed). No committed version = no successful job = empty
@@ -537,16 +670,29 @@ object KvSource {
     val vs = versions(path)
     val latest = vs.lastOption.getOrElse(
       throw new IllegalArgumentException(s"KvSource: no table at $path"))
-    val st = stateAt(path, latest)
-    Seq(
-      ("num_files", st.files.size.toLong),
-      ("num_dv_files", st.dvFiles.size.toLong),
-      ("num_files_with_stats", st.files.count(st.stats.contains).toLong),
-      ("min_reader_version", st.protocol._1.toLong),
-      ("min_writer_version", st.protocol._2.toLong),
+    // protocol via the UNGATED fold first: the admin/summary verb must
+    // be able to report WHY a read would be refused (r15 advice — the
+    // gated stateAt fold made DESCRIBE DETAIL itself throw on a
+    // future-protocol table, defeating protocolAt's purpose). On a
+    // refusable table the state-derived metrics degrade to the
+    // protocol/version geometry alone.
+    val proto = protocolAt(path)
+    val common = Seq(
+      ("min_reader_version", proto._1.toLong),
+      ("min_writer_version", proto._2.toLong),
       ("latest_version", latest),
       ("fold_base", foldBase(latest)),
       ("num_manifests", vs.size.toLong))
+    if (proto._1 > SupportedReaderVersion)
+      ("readable_by_this_engine", 0L) +: common
+    else {
+      val st = stateAt(path, latest)
+      Seq(
+        ("num_files", st.files.size.toLong),
+        ("num_dv_files", st.dvFiles.size.toLong),
+        ("num_files_with_stats", st.files.count(st.stats.contains).toLong)) ++
+        common
+    }
   }
 
   /** Retention sweep (the Delta VACUUM analog): keep the last
@@ -618,6 +764,75 @@ object KvSource {
     (dropped.size.toLong, strays.length.toLong + tmpDirs.length.toLong, keepFrom)
   }
 
+  /** OCC rebase policy of a PINNED commit (the Delta ConflictChecker
+    * shape): when a verb pinned `expectedPrior` and another commit
+    * landed first, the policy says whether the verb's diff is still
+    * valid against the NEW latest — if so the commit REBASES (re-pin
+    * and re-publish, no caller retry), otherwise the conflict
+    * surfaces as the concurrent-commit error exactly as before.
+    *
+    *   - [[OccPolicy.Fail]] — never rebase (RESTORE: coordination
+    *     under live writers is a human decision, Delta's rule);
+    *   - [[OccPolicy.AppendOk]] — any interleaved PURE APPEND is
+    *     compatible (OPTIMIZE / UPDATE: a rewrite of OLD files is
+    *     oblivious to new files, and version-scoped DVs guarantee no
+    *     old DV can mask the newer appended rows);
+    *   - [[OccPolicy.KeyDisjoint]] — an interleaved commit is
+    *     compatible iff it removes none of OUR files and every file
+    *     it adds carries a `#stats:` key zone provably DISJOINT from
+    *     the verb's key domain (MERGE / DELETE: the verb's DV or
+    *     rewrite must not swallow a concurrently-appended copy of a
+    *     key it touches; stats-less adds conservatively conflict).
+    *
+    * Interleaved DELETEs (`#dv:`) and checkpoint re-lists always
+    * conflict under both rebase policies — a DELETE could be silently
+    * undone by our rewrite, and a checkpoint's own delta is not
+    * reconstructible from its manifest alone. Serializability story:
+    * a successful rebase is equivalent to running the pinned verb
+    * FIRST and the interleaved appends after it. */
+  private[graft] sealed trait OccPolicy
+  private[graft] object OccPolicy {
+    case object Fail extends OccPolicy
+    case object AppendOk extends OccPolicy
+    final case class KeyDisjoint(lo: Long, hi: Long) extends OccPolicy
+  }
+
+  /** Can a commit pinned at `from` rebase onto `to` under `policy`?
+    * Reads only the interleaved manifests — metadata-sized. */
+  private[graft] def canRebase(path: String, from: Long, to: Long,
+                                 policy: OccPolicy,
+                                 ourRemoves: Seq[String]): Boolean =
+    policy != OccPolicy.Fail && from < to && {
+      val ours = ourRemoves.toSet
+      ((from + 1) to to).forall { v =>
+        manifestFile(path, v).exists() && {
+          val m = readManifest(path, v)
+          // AppendOk tolerates ONLY pure appends (a rewrite could have
+          // replaced a file our scan read); KeyDisjoint also admits
+          // interleaved REWRITES (MERGE/UPDATE) as long as they
+          // touched none of OUR files and their outputs' zones miss
+          // our key domain — both rewrites then operated on provably
+          // different rows
+          val structureOk = policy match {
+            case OccPolicy.AppendOk        => m.removes.isEmpty
+            case OccPolicy.KeyDisjoint(_, _) => m.removes.forall(!ours(_))
+            case OccPolicy.Fail            => false
+          }
+          val addsOk = policy match {
+            case OccPolicy.AppendOk => true
+            case OccPolicy.KeyDisjoint(lo, hi) =>
+              m.adds.forall { f =>
+                m.stats.get(f).exists { case (fmin, fmax) =>
+                  fmax < lo || fmin > hi
+                }
+              }
+            case OccPolicy.Fail => false
+          }
+          !m.checkpoint && m.dvs.isEmpty && structureOk && addsOk
+        }
+      }
+    }
+
   /** Publish a new manifest version via compare-and-swap, merging
     * `newFiles` into the latest committed state. Returns the version
     * that made this commit's rows visible. Loser of a concurrent race
@@ -641,21 +856,36 @@ object KvSource {
                                           stats: Map[String, (Long, Long)] = Map.empty,
                                           protocol: Option[(Int, Int)] = None,
                                           op: Option[String] = None,
-                                          addedAt: Map[String, Long] = Map.empty): Long = {
+                                          addedAt: Map[String, Long] = Map.empty,
+                                          occ: OccPolicy = OccPolicy.Fail,
+                                          valStats: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+                                          schemaCols: Option[Seq[String]] = None,
+                                          rowCounts: Map[String, Long] = Map.empty): Long = {
+    def vstatsLine(f: String, b: (Array[Byte], Array[Byte])): String = {
+      val enc = java.util.Base64.getEncoder
+      s"#vstats:$f:${enc.encodeToString(b._1)}:${enc.encodeToString(b._2)}"
+    }
     new java.io.File(path).mkdirs()
     migrateLog(path)
+    var pin = expectedPrior
     var attempt = 0
     while (attempt < 1000) {
       val latest = latestVersion(path)
-      // optimistic-concurrency pin (RESTORE): the caller computed its
-      // add/remove diff against ONE specific snapshot — a commit that
-      // landed since makes the diff stale, so surface the conflict
-      // instead of silently merging (the Delta RESTORE conflict rule)
-      expectedPrior.foreach { ep =>
-        if (!latest.contains(ep))
-          throw new IllegalStateException(
+      // optimistic-concurrency pin: the caller computed its add/remove
+      // diff against ONE specific snapshot — a commit that landed
+      // since makes the diff stale. Under an [[OccPolicy]] the pin
+      // REBASES when every interleaved commit is provably compatible
+      // (the Delta ConflictChecker retry — the caller never re-drives
+      // the verb); otherwise the conflict surfaces (the Delta RESTORE
+      // rule, and the fallback for true conflicts).
+      pin.foreach { ep =>
+        if (!latest.contains(ep)) {
+          val now = latest.getOrElse(0L)
+          if (canRebase(path, ep, now, occ, removeFiles)) pin = Some(now)
+          else throw new IllegalStateException(
             s"KvSource: concurrent commit at $path — expected latest v$ep, " +
-              s"found v${latest.getOrElse(0L)}; recompute the diff and retry")
+              s"found v$now; recompute the diff and retry")
+        }
       }
       val prior = latest match {
         case Some(v) => stateAt(path, v)
@@ -714,9 +944,13 @@ object KvSource {
           // classifier the streaming source / change feed read
           val dvPrior = prior.dvFiles.filterNot(removeFiles.toSet)
           val statsAll = prior.stats -- removeFiles ++ stats
+          val vstatsAll = prior.valStats -- removeFiles ++ valStats
+          val rowsAll = prior.rowCounts -- removeFiles ++ rowCounts
           // the checkpoint re-lists an above-default protocol so folds
           // from this base see it without walking older manifests
           val protoAll = protocol.getOrElse(prior.protocol)
+          // same for a non-default schema
+          val schemaAll = schemaCols.getOrElse(prior.schemaCols)
           // re-list every entry's add-version so version-scoped DV
           // masking survives the fold base moving past the original
           // manifests; defaults (file 0 / dv MAX) are omitted — the
@@ -737,6 +971,8 @@ object KvSource {
               addedAll.sortBy(_._1).map { case (n, ver) => s"#addedat:$n:$ver" } ++
               (if (protoAll != (1, 1))
               Seq(s"#protocol:${protoAll._1}:${protoAll._2}") else Seq.empty) ++
+              (if (schemaAll != DefaultCols)
+              Seq(s"#schema:${schemaAll.mkString(",")}") else Seq.empty) ++
               txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
               removeFiles.distinct.map(f => s"#remove:$f") ++
               dvPrior.distinct.map(f => s"#dvstate:$f") ++
@@ -744,7 +980,11 @@ object KvSource {
               cdfDel.distinct.map(f => s"#cdf_del:$f") ++
               cdfIns.distinct.map(f => s"#cdf_ins:$f") ++
               statsAll.toSeq.sortBy(_._1)
-                .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" })
+                .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" } ++
+              vstatsAll.toSeq.sortBy(_._1)
+                .map { case (f, b) => vstatsLine(f, b) } ++
+              rowsAll.toSeq.sortBy(_._1)
+                .map { case (f, n) => s"#rows:$f:$n" })
           val state = prior.files.filterNot(removeFiles.toSet) ++ newFiles
           (header ++ state.distinct).mkString("\n")
         } else {
@@ -752,6 +992,7 @@ object KvSource {
             addedAt.toSeq.sortBy(_._1)
               .map { case (n, ver) => s"#addedat:$n:$ver" } ++
             protocol.toSeq.map(p => s"#protocol:${p._1}:${p._2}") ++
+            schemaCols.toSeq.map(sc => s"#schema:${sc.mkString(",")}") ++
             replayKey.toSeq.map(b => s"#txn:$b") ++
             removeFiles.distinct.map(f => s"#remove:$f") ++
             dvFiles.distinct.map(f => s"#dv:$f") ++
@@ -759,6 +1000,10 @@ object KvSource {
             cdfIns.distinct.map(f => s"#cdf_ins:$f") ++
             stats.toSeq.sortBy(_._1)
               .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" } ++
+            valStats.toSeq.sortBy(_._1)
+              .map { case (f, b) => vstatsLine(f, b) } ++
+            rowCounts.toSeq.sortBy(_._1)
+              .map { case (f, n) => s"#rows:$f:$n" } ++
             newFiles.distinct).mkString("\n")
         }
       if (publishCas(path, v, body)) return v
@@ -796,6 +1041,11 @@ object KvSource {
       throw new IllegalArgumentException(s"KvSource: nothing to compact at $path"))
     val st = committedState(path, Some(v0))
     require(st.files.nonEmpty, s"KvSource: nothing to compact at $path")
+    require(st.schemaCols == DefaultCols,
+      s"KvSource: this verb supports the base (key,val) schema only; " +
+        s"table has (${st.schemaCols.mkString(",")}) — OPTIMIZE/MERGE/UPDATE " +
+        "over evolved columns is a follow-up surface")
+
     val name = s"part-compact-${java.util.UUID.randomUUID().toString.take(8)}.dat"
     spark.read.format(classOf[KvSource].getName).option("path", path)
       .option("versionAsOf", v0.toString).load()
@@ -813,10 +1063,201 @@ object KvSource {
     // pin the publish to the scanned snapshot: under version-scoped
     // DVs a DELETE landing between the pin and the publish would be
     // silently UNDONE (the compacted file is newer than the DV, so the
-    // mask never applies to it) — surface the conflict instead
+    // mask never applies to it) — that still conflicts; a concurrent
+    // pure APPEND rebases (the new file is untouched by the rewrite)
     val v = commitVersionKeyed(path, Seq(name), None,
       removeFiles = st.files ++ st.dvFiles, op = Some("OPTIMIZE"),
-      expectedPrior = Some(v0))
+      expectedPrior = Some(v0), occ = OccPolicy.AppendOk)
+    (st.files.size.toLong, v)
+  }
+
+  /** AUTO-MAINTENANCE PLANNER (r15 verdict item 7): scan a chain's
+    * METADATA and emit the maintenance job list — which verb to run,
+    * which trigger fired, sized by the manifest facts — instead of
+    * leaving each trigger an ad-hoc query. Four triggers, each the
+    * planning half of a verb this log already has:
+    *   - OPTIMIZE_COMPACT: live files > `maxLiveFiles` (small-file
+    *     proliferation — the bin-packing OPTIMIZE trigger);
+    *   - OPTIMIZE_DV_FOLD: deletion-vector keys / total rows ≥
+    *     `deadRatioBp` basis points (the ≥20% dead-row rewrite rule
+    *     from `load_deletion_vectors`, now decidable from metadata
+    *     alone via the `#rows:` per-file counts; DV key files are
+    *     deletes-sized, counted driver-side);
+    *   - VACUUM: the DRY RUN reports reclaimable manifests/strays
+    *     (identical accounting, zero mutation);
+    *   - OPTIMIZE_ZORDER: max zone-overlap depth ≥ `maxOverlapDepth`
+    *     (a sweep over the file-count-sized `#stats:` endpoint list —
+    *     `layout_cluster_depth`'s metric, driving the clustered
+    *     rewrite instead of a report).
+    * Everything is manifest metadata + deletes-sized DV reads — no
+    * data file is opened, which is what makes the planner runnable
+    * every few minutes against a 100 TB table. Returns
+    * (job, trigger, size, bytes) rows; an empty result means the
+    * table needs nothing. */
+  private[graft] def maintenancePlan(path: String,
+                                       maxLiveFiles: Int = 4,
+                                       deadRatioBp: Int = 2000,
+                                       maxOverlapDepth: Int = 4,
+                                       retainLast: Int = 3): Seq[(String, String, Long, Long)] = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: no table at $path"))
+    val st = stateAt(path, v)
+    def bytesOf(files: Seq[String]): Long =
+      files.map(f => new java.io.File(path, f).length()).sum
+    val jobs = Seq.newBuilder[(String, String, Long, Long)]
+    if (st.files.size > maxLiveFiles)
+      jobs += (("OPTIMIZE_COMPACT",
+        s"live_files ${st.files.size} > $maxLiveFiles",
+        st.files.size.toLong, bytesOf(st.files)))
+    val dvKeys = st.dvFiles.map { dv =>
+      val src = scala.io.Source.fromFile(new java.io.File(path, dv), "UTF-8")
+      try src.getLines().count(_.nonEmpty).toLong finally src.close()
+    }.sum
+    val totalRows = st.files.flatMap(st.rowCounts.get).sum
+    if (dvKeys > 0 && st.files.forall(st.rowCounts.contains) && totalRows > 0) {
+      val bp = dvKeys * 10000 / totalRows
+      if (bp >= deadRatioBp)
+        jobs += (("OPTIMIZE_DV_FOLD", s"dead_bp $bp >= $deadRatioBp",
+          bp, bytesOf(st.dvFiles)))
+    }
+    val (dropped, strays, _) = vacuum(path, retainLast, dryRun = true)
+    if (dropped + strays > 0)
+      jobs += (("VACUUM", s"reclaimable $dropped manifests + $strays strays",
+        dropped + strays, 0L))
+    val zones = st.files.flatMap(st.stats.get)
+    if (zones.size >= 2) {
+      // max overlap depth: endpoint sweep, +1 before -1 at equal
+      // positions so touching zones count as overlapping
+      val events = zones
+        .flatMap { case (lo, hi) => Seq((lo, 1), (hi + 1, -1)) }
+        .sortBy { case (pos, delta) => (pos, -delta) }
+      var cur = 0
+      var mx = 0
+      events.foreach { e => cur += e._2; mx = math.max(mx, cur) }
+      if (mx >= maxOverlapDepth)
+        jobs += (("OPTIMIZE_ZORDER", s"max_zone_overlap $mx >= $maxOverlapDepth",
+          mx.toLong, bytesOf(st.files)))
+    }
+    jobs.result()
+  }
+
+  /** OPTIMIZE ZORDER BY (key, val) — the clustered rewrite (the Delta
+    * `OPTIMIZE ... ZORDER BY` verb, r15 verdict item 5): rewrite the
+    * live row set into `nFiles` files ordered by the MORTON
+    * INTERLEAVE of both dimensions, so BOTH zone maps tighten at once
+    * — a key-range probe and a val probe each prune to the few files
+    * whose interleaved cell range intersects, instead of one
+    * dimension's sort destroying the other's locality.
+    *
+    * Mechanics: each dimension maps to a 16-bit cell by linear
+    * scaling over its observed [min,max] (key directly; val via its
+    * first-8-bytes-as-unsigned-long, the UTF8-byte-order-preserving
+    * projection); cells interleave to a 32-bit Morton code whose top
+    * log2(nFiles) bits are the target file — a DETERMINISTIC
+    * partitioner (no sampling, same input → same layout), one
+    * shuffle, each task streaming its rows and recording both zones.
+    * Two passes over the table (dim bounds, then the clustered
+    * write) — the same cost profile as any OPTIMIZE rewrite; Delta
+    * pays the analog with sampled range boundaries. The publish is
+    * one atomic version removing every input data/DV file (DV masks
+    * fold away like compaction), pinned to the scanned snapshot with
+    * the AppendOk rebase policy. Returns (files before, version). */
+  private[graft] def optimizeZorder(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, nFiles: Int): (Long, Long) = {
+    migrateLog(path)
+    require(nFiles >= 2 && (nFiles & (nFiles - 1)) == 0,
+      s"KvSource: ZORDER nFiles must be a power of two >= 2, got $nFiles")
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: nothing to cluster at $path"))
+    val st = committedState(path, Some(v0))
+    require(st.files.nonEmpty, s"KvSource: nothing to cluster at $path")
+    require(st.schemaCols == DefaultCols,
+      s"KvSource: this verb supports the base (key,val) schema only; " +
+        s"table has (${st.schemaCols.mkString(",")}) — OPTIMIZE/MERGE/UPDATE " +
+        "over evolved columns is a follow-up surface")
+
+    // val dimension: first 8 UTF8 bytes as a big-endian unsigned long,
+    // sign-flipped so SIGNED comparisons reproduce unsigned byte order
+    def vprefix(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      var x = 0L
+      var i = 0
+      while (i < 8) {
+        x = (x << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1
+      }
+      x ^ Long.MinValue
+    }
+    val live = spark.read.format(classOf[KvSource].getName)
+      .option("path", path).option("versionAsOf", v0.toString).load()
+    val kv = live.rdd.map(r => (r.getLong(0), r.getString(1)))
+    // pass 1: dimension bounds (one distributed fold, 4 longs back)
+    val (kMin, kMax, vMin, vMax) = kv.aggregate(
+      (Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))(
+      { case ((a, b, c, d), (k, v)) =>
+          val p = vprefix(v)
+          (math.min(a, k), math.max(b, k), math.min(c, p), math.max(d, p)) },
+      { case ((a, b, c, d), (e, f, g, h)) =>
+          (math.min(a, e), math.max(b, f), math.min(c, g), math.max(d, h)) })
+    val kSpan = math.max(1e-300, kMax.toDouble - kMin.toDouble)
+    val vSpan = math.max(1e-300, vMax.toDouble - vMin.toDouble)
+    def cell(x: Long, mn: Double, span: Double): Int =
+      math.min(65535, math.max(0, ((x.toDouble - mn) / span * 65536d).toInt))
+    def morton(a: Int, b: Int): Int = {
+      var out = 0
+      var i = 0
+      while (i < 16) {
+        out |= ((a >> i) & 1) << (2 * i + 1)
+        out |= ((b >> i) & 1) << (2 * i)
+        i += 1
+      }
+      out
+    }
+    val shift = 32 - Integer.numberOfTrailingZeros(nFiles)
+    val kMinD = kMin.toDouble
+    val vMinD = vMin.toDouble
+    // pass 2: deterministic Morton-prefix partitioner + clustered write
+    val partitioned = kv
+      .map { case (k, v) =>
+        (morton(cell(k, kMinD, kSpan), cell(vprefix(v), vMinD, vSpan)) >>> shift,
+          (k, v))
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nFiles
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val parts: Seq[PartMeta] = partitioned
+      .mapPartitionsWithIndex { (pid, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val name = s"part-zorder-$salt-$pid.dat"
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var vlo: Array[Byte] = null
+          var vhi: Array[Byte] = null
+          var n = 0L
+          writeLinesAtomically(path, name, new java.util.Iterator[String] {
+            override def hasNext: Boolean = rows.hasNext
+            override def next(): String = {
+              val (k, v) = rows.next()._2
+              lo = math.min(lo, k); hi = math.max(hi, k)
+              n += 1
+              val vb = v.getBytes("UTF-8")
+              if (vlo == null || java.util.Arrays.compareUnsigned(vb, vlo) < 0) vlo = vb
+              if (vhi == null || java.util.Arrays.compareUnsigned(vb, vhi) > 0) vhi = vb
+              kvLine(k, v)
+            }
+          })
+          Iterator.single(PartMeta(name, lo, hi, vlo, vhi, n))
+        }
+      }.collect().toSeq
+    val v = commitVersionKeyed(path, parts.map(_.name), None,
+      removeFiles = st.files ++ st.dvFiles,
+      stats = parts.map(_.keyStats).toMap,
+      valStats = valStatsOf(parts),
+      rowCounts = rowCountsOf(parts),
+      op = Some("OPTIMIZE (ZORDER)"),
+      expectedPrior = Some(v0), occ = OccPolicy.AppendOk)
     (st.files.size.toLong, v)
   }
 
@@ -838,16 +1279,28 @@ object KvSource {
       throw new IllegalArgumentException(s"KvSource: nothing to delete at $path"))
     val name = s"dv-${java.util.UUID.randomUUID().toString.take(8)}.dat"
     val acc = spark.sparkContext.longAccumulator("kv_dv_keys")
+    val loAcc = spark.sparkContext.longAccumulator("kv_dv_min")
+    val hiAcc = spark.sparkContext.longAccumulator("kv_dv_max")
     spark.read.format(classOf[KvSource].getName).option("path", path)
       .option("versionAsOf", v0.toString).load()
       .where(predicate).select("key").distinct()
       .repartition(1)
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
         writeLinesAtomically(path, name,
           new java.util.Iterator[String] {
             override def hasNext: Boolean = rows.hasNext
-            override def next(): String = { acc.add(1L); rows.next().getLong(0).toString }
+            override def next(): String = {
+              acc.add(1L)
+              val k = rows.next().getLong(0)
+              lo = math.min(lo, k); hi = math.max(hi, k)
+              k.toString
+            }
           })
+        // the DV key domain, tracked for free as the keys stream by —
+        // the OCC rebase window (min rides negated so both fold as max)
+        if (hi >= lo) { loAcc.add(-lo); hiAcc.add(hi) }
         ()
       }
     if (acc.value == 0L) {
@@ -856,10 +1309,12 @@ object KvSource {
     } else {
       // pin to the snapshot the keys were computed against: a row
       // appended in between would be masked BY KEY without ever
-      // matching the predicate (the DV is newer than the new file) —
-      // a concurrent commit is a conflict, Delta's DELETE rule
+      // matching the predicate (the DV is newer than the new file).
+      // The OCC policy rebases over appends whose zones provably miss
+      // the DV key domain; anything else conflicts, Delta's DELETE rule
       val v = commitVersionKeyed(path, Seq.empty, None, dvFiles = Seq(name),
-        op = Some("DELETE"), expectedPrior = Some(v0))
+        op = Some("DELETE"), expectedPrior = Some(v0),
+        occ = OccPolicy.KeyDisjoint(-loAcc.value, hiAcc.value))
       (acc.value, v)
     }
   }
@@ -940,7 +1395,6 @@ object KvSource {
                                    path: String,
                                    updates: org.apache.spark.sql.DataFrame,
                                    pinnedVersion: Option[Long] = None): (Long, Long, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     migrateLog(path)
     // a caller that derived `updates` FROM the table (UPDATE) pins the
     // snapshot it read — a commit landing in between then surfaces as
@@ -948,6 +1402,10 @@ object KvSource {
     val v0 = pinnedVersion.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"KvSource: nothing to merge into at $path"))
     val st = stateAt(path, v0)
+    require(st.schemaCols == DefaultCols,
+      s"KvSource: this verb supports the base (key,val) schema only; " +
+        s"table has (${st.schemaCols.mkString(",")}) — OPTIMIZE/MERGE/UPDATE " +
+        "over evolved columns is a follow-up surface")
     // the update plan feeds four jobs (touch probe, survivor rewrite,
     // cdf inserts, key counts) — persist once, release at the end; the
     // LIVE scan intentionally stays unpersisted and runs twice
@@ -973,9 +1431,9 @@ object KvSource {
         writeKvParts(path, salt, live.join(updKeys, Seq("key"), "left_semi"),
           "cdf-del")
       val insParts = writeKvParts(path, salt, upd, "cdf-ins")
-      val resultFiles = resultParts.map(_._1)
-      val delFiles = delParts.map(_._1)
-      val insFiles = insParts.map(_._1)
+      val resultFiles = resultParts.map(_.name)
+      val delFiles = delParts.map(_.name)
+      val insFiles = insParts.map(_.name)
       // DVs under VERSION-SCOPED semantics: when untouched files
       // remain, the old DV files stay AS-IS — they keep masking the
       // survivors (older than them) and structurally cannot mask the
@@ -987,8 +1445,14 @@ object KvSource {
       // KEY-level counts for the contract (row-level pre-image counts
       // live in the cdf sidecars): matched keys come from the already-
       // written cdf-del sidecar — a deletes-sized read, never a third
-      // table scan
-      val nUpdKeys = updKeys.count()
+      // table scan. Count and [min,max] domain ride one job; the
+      // domain is the OCC rebase window (a concurrent append whose
+      // zones provably miss every update key is compatible).
+      val dom = updKeys.agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("key"),
+        org.apache.spark.sql.functions.max("key")).head()
+      val nUpdKeys = dom.getLong(0)
       val nMatched =
         if (delFiles.isEmpty) 0L
         else spark.read.format(classOf[KvSource].getName)
@@ -997,8 +1461,12 @@ object KvSource {
       val v = commitVersionKeyed(path, resultFiles, None,
         removeFiles = touched ++ dropDvs,
         expectedPrior = Some(v0),
+        occ = if (nUpdKeys == 0L) OccPolicy.AppendOk
+              else OccPolicy.KeyDisjoint(dom.getLong(1), dom.getLong(2)),
         cdfDel = delFiles, cdfIns = insFiles,
-        stats = resultParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap,
+        stats = resultParts.map(_.keyStats).toMap,
+        valStats = valStatsOf(resultParts),
+        rowCounts = rowCountsOf(resultParts),
         op = Some("MERGE"))
       (nMatched, nUpdKeys - nMatched, v)
     } finally upd.unpersist(blocking = false)
@@ -1029,10 +1497,25 @@ object KvSource {
     migrateLog(path)
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: nothing to merge into at $path"))
+    require(schemaColsAt(path, Some(v0)) == DefaultCols,
+      s"KvSource: this verb supports the base (key,val) schema only; " +
+        "OPTIMIZE/MERGE/UPDATE over evolved columns is a follow-up surface")
     val upd = updates.selectExpr("CAST(key AS BIGINT) AS key", "CAST(val AS STRING) AS val")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val updKeys = upd.select("key").distinct()
+      // key count AND domain in ONE job: the count guards the empty
+      // publish (r15 advice: an empty merge used to commit a version
+      // carrying an empty dv-mor tombstone every scan then loaded),
+      // and the [min,max] domain is the OCC rebase window — a
+      // concurrent append whose zones provably miss it is compatible
+      val dom = updKeys.agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("key"),
+        org.apache.spark.sql.functions.max("key")).head()
+      val nUpdKeys = dom.getLong(0)
+      if (nUpdKeys == 0L) return (0L, 0L, v0)
+      val occ = OccPolicy.KeyDisjoint(dom.getLong(1), dom.getLong(2))
       val salt = java.util.UUID.randomUUID().toString.take(8)
       val live = spark.read.format(classOf[KvSource].getName)
         .option("path", path).option("versionAsOf", v0.toString).load()
@@ -1060,37 +1543,58 @@ object KvSource {
       val delParts = writeKvParts(path, salt,
         liveTouched.join(updKeys, Seq("key"), "left_semi"), "cdf-del")
       val insParts = writeKvParts(path, salt, upd, "cdf-ins")
-      val nUpdKeys = updKeys.count()
       val nMatched =
         if (delParts.isEmpty) 0L
         else spark.read.format(classOf[KvSource].getName)
           .option("path", path)
-          .option("cdfFiles", delParts.map(_._1).mkString(",")).load()
+          .option("cdfFiles", delParts.map(_.name).mkString(",")).load()
           .select("key").distinct().count()
-      val v = commitVersionKeyed(path, dataParts.map(_._1), None,
-        dvFiles = Seq(dvName), expectedPrior = Some(v0),
-        cdfDel = delParts.map(_._1), cdfIns = insParts.map(_._1),
-        stats = dataParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap,
+      val v = commitVersionKeyed(path, dataParts.map(_.name), None,
+        dvFiles = Seq(dvName), expectedPrior = Some(v0), occ = occ,
+        cdfDel = delParts.map(_.name), cdfIns = insParts.map(_.name),
+        stats = dataParts.map(_.keyStats).toMap,
+        valStats = valStatsOf(dataParts),
+        rowCounts = rowCountsOf(dataParts),
         op = Some("MERGE (MOR)"))
       (nMatched, nUpdKeys - nMatched, v)
     } finally upd.unpersist(blocking = false)
   }
 
+  /** Per-file write metadata: the committed name plus BOTH zone maps
+    * (key min/max, val min/max in UTF8-byte order) tracked for free as
+    * the rows streamed through. */
+  private[graft] case class PartMeta(name: String, keyLo: Long, keyHi: Long,
+                                     valLo: Array[Byte], valHi: Array[Byte],
+                                     rows: Long = -1L) {
+    def keyStats: (String, (Long, Long)) = name -> ((keyLo, keyHi))
+  }
+
+  /** `#rows:` entries for a set of written parts. */
+  private[graft] def rowCountsOf(parts: Seq[PartMeta]): Map[String, Long] =
+    parts.collect { case p if p.rows >= 0 => p.name -> p.rows }.toMap
+
+  /** `#vstats:` entries for a set of written parts — upper bounds that
+    * cannot be truncated safely (all-0xFF prefix) drop the zone. */
+  private[graft] def valStatsOf(parts: Seq[PartMeta]): Map[String, (Array[Byte], Array[Byte])] =
+    parts.flatMap(p => truncHi(p.valHi).map(h => p.name -> ((truncLo(p.valLo), h)))).toMap
+
   /** Shared COW row writer: stream `df` (key, val) into per-partition
-    * salted task files. The collected NAME list is partition-count-
-    * sized planning metadata, never row data; each writer tracks its
-    * key min/max as rows stream through (the same free zone-map
-    * recording the DSv2 task writer does) — returned as
-    * (name, lo, hi) triples for `#stats:` headers. */
+    * salted task files. The collected metadata list is partition-
+    * count-sized planning data, never rows; each writer tracks its
+    * key AND val zones as rows stream through (the same free zone-map
+    * recording the DSv2 task writer does) — see [[PartMeta]]. */
   private def writeKvParts(path: String, salt: String,
                              df: org.apache.spark.sql.DataFrame,
-                             prefix: String): Seq[(String, Long, Long)] =
+                             prefix: String): Seq[PartMeta] =
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val name = s"$prefix-$salt-$pid.dat"
         var lo = Long.MaxValue
         var hi = Long.MinValue
+        var vlo: Array[Byte] = null
+        var vhi: Array[Byte] = null
+        var n = 0L
         writeLinesAtomically(path, name, new java.util.Iterator[String] {
           override def hasNext: Boolean = rows.hasNext
           override def next(): String = {
@@ -1100,10 +1604,17 @@ object KvSource {
                 "KvSource: key and val must be non-null (line format has no null encoding)")
             val k = r.getLong(0)
             lo = math.min(lo, k); hi = math.max(hi, k)
-            kvLine(k, if (r.isNullAt(1)) null else r.getString(1))
+            n += 1
+            val v = if (r.isNullAt(1)) null else r.getString(1)
+            if (v != null) {
+              val vb = v.getBytes("UTF-8")
+              if (vlo == null || java.util.Arrays.compareUnsigned(vb, vlo) < 0) vlo = vb
+              if (vhi == null || java.util.Arrays.compareUnsigned(vb, vhi) > 0) vhi = vb
+            }
+            kvLine(k, v)
           }
         })
-        Iterator.single((name, lo, hi))
+        Iterator.single(PartMeta(name, lo, hi, vlo, vhi, n))
       }
     }.collect().toSeq
 
@@ -1155,6 +1666,10 @@ object KvSource {
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: nothing to update at $path"))
     val st = stateAt(path, v0)
+    require(st.schemaCols == DefaultCols,
+      s"KvSource: this verb supports the base (key,val) schema only; " +
+        s"table has (${st.schemaCols.mkString(",")}) — OPTIMIZE/MERGE/UPDATE " +
+        "over evolved columns is a follow-up surface")
     val live = spark.read.format(classOf[KvSource].getName)
       .option("path", path).option("versionAsOf", v0.toString).load()
     // the matched-row probe prunes via the pushed key-range filter
@@ -1179,16 +1694,22 @@ object KvSource {
       if (delParts.isEmpty) 0L
       else spark.read.format(classOf[KvSource].getName)
         .option("path", path)
-        .option("cdfFiles", delParts.map(_._1).mkString(",")).load().count()
+        .option("cdfFiles", delParts.map(_.name).mkString(",")).load().count()
     if (nRows == 0L) {
       (resultParts ++ delParts ++ insParts).foreach(p =>
-        new java.io.File(path, p._1).delete())
+        new java.io.File(path, p.name).delete())
       (0L, v0)
     } else {
-      val v = commitVersionKeyed(path, resultParts.map(_._1), None,
+      // a concurrent pure APPEND rebases: the appended rows are
+      // post-snapshot (serialized after this UPDATE), no DV is
+      // involved, and the touched-file removal is untouched by an add
+      val v = commitVersionKeyed(path, resultParts.map(_.name), None,
         removeFiles = touched, expectedPrior = Some(v0),
-        cdfDel = delParts.map(_._1), cdfIns = insParts.map(_._1),
-        stats = resultParts.map { case (n, lo, hi) => n -> ((lo, hi)) }.toMap,
+        occ = OccPolicy.AppendOk,
+        cdfDel = delParts.map(_.name), cdfIns = insParts.map(_.name),
+        stats = resultParts.map(_.keyStats).toMap,
+        valStats = valStatsOf(resultParts),
+        rowCounts = rowCountsOf(resultParts),
         op = Some("UPDATE"))
       (nRows, v)
     }
@@ -1221,8 +1742,15 @@ object KvSource {
     require(latestVersion(dst).isEmpty,
       s"KvSource: shallow-clone target $dst already has a commit chain")
     new java.io.File(dst).mkdirs()
+    // track the names THIS call links (a crashed-clone retry finds
+    // some already present): on a lost publish only these are ours to
+    // reclaim, and only when the winner's chain doesn't reference them
+    val linked = Seq.newBuilder[String]
     (st.files ++ st.dvFiles).foreach { f =>
-      try Files.createLink(Paths.get(dst, f), Paths.get(src, f))
+      try {
+        Files.createLink(Paths.get(dst, f), Paths.get(src, f))
+        linked += f
+      }
       catch { case _: FileAlreadyExistsException => () } // crashed-clone retry
     }
     // add-version remap: the clone's chain starts at 1, so source
@@ -1246,14 +1774,37 @@ object KvSource {
     val body = ("#checkpoint" +: "#op:CLONE" +:
       ((if (st.protocol != (1, 1))
         Seq(s"#protocol:${st.protocol._1}:${st.protocol._2}") else Seq.empty) ++
+        (if (st.schemaCols != DefaultCols)
+          Seq(s"#schema:${st.schemaCols.mkString(",")}") else Seq.empty) ++
         inheritedAt.sortBy(_._1).map { case (n, u) => s"#addedat:$n:$u" } ++
         st.dvFiles.distinct.map(f => s"#dvstate:$f") ++
         st.stats.toSeq.sortBy(_._1)
           .map { case (f, (lo, hi)) => s"#stats:$f:$lo:$hi" } ++
+        st.valStats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+          val e = java.util.Base64.getEncoder
+          s"#vstats:$f:${e.encodeToString(lo)}:${e.encodeToString(hi)}"
+        } ++
+        st.rowCounts.toSeq.sortBy(_._1).map { case (f, n) => s"#rows:$f:$n" } ++
         st.files.distinct)).mkString("\n")
-    if (!publishCas(dst, 1L, body))
+    if (!publishCas(dst, 1L, body)) {
+      // the target was committed concurrently — an abandoned clone
+      // must not strand its links (nothing would ever reclaim them:
+      // vacuum needs a commit chain, and this target's chain is not
+      // ours). Unlink only what THIS call created, minus anything the
+      // winner's chain references (a concurrent IDENTICAL clone links
+      // the same names — deleting those would corrupt the winner).
+      try {
+        val ws = stateAt(dst, latestVersion(dst).getOrElse(1L))
+        val winnerRefs = (ws.files ++ ws.dvFiles).toSet
+        linked.result().filterNot(winnerRefs)
+          .foreach(f => new java.io.File(dst, f).delete())
+      } catch { case scala.util.control.NonFatal(_) =>
+        () // can't PROVE the winner doesn't reference them — leave the
+           // links; an aged vacuum on the winner's chain sweeps strays
+      }
       throw new IllegalStateException(
         s"KvSource: shallow-clone target $dst was committed concurrently")
+    }
     1L
   }
 
@@ -1303,6 +1854,9 @@ object KvSource {
     *     limitation, noted). */
   private[graft] def cdfPartitions(path: String, fromV: Long,
                                      toV: Long): Array[InputPartition] = {
+    require(schemaColsAt(path, Some(toV)) == DefaultCols,
+      s"KvSource: the change feed supports the base (key,val) schema only " +
+        "(the Delta CDF-across-schema-change restriction)")
     def abs(f: String): String = new java.io.File(path, f).getPath
     val parts = Array.newBuilder[InputPartition]
     // running file state from the range's base: every version's adds
@@ -1329,10 +1883,28 @@ object KvSource {
         // the doomed rows are the version's DV keys read from the
         // PRE-delete files — excluding each file's own prior DV masks
         // (a copy already dead under an older, version-scoped DV is
-        // not a change this version makes)
+        // not a change this version makes). Zone-prune the pre-delete
+        // file set first (r15 advice): the DV is deletes-sized, so
+        // loading its sorted keys driver-side is metadata work, and a
+        // file whose `#stats:` zone contains NO doomed key can emit
+        // nothing — a small DELETE's change rows then cost O(touched
+        // files), not a full table scan. Stats-less files always plan.
         val dvPaths = m.dvs.map(abs)
+        val dvKeys: Array[Long] = dvPaths.flatMap { p =>
+          val src = scala.io.Source.fromFile(p, "UTF-8")
+          try src.getLines().filter(_.nonEmpty).map(_.toLong).toList
+          finally src.close()
+        }.toArray.sorted
         val pre = stateAt(path, v - 1)
-        parts ++= pre.files.map(f =>
+        parts ++= pre.files
+          .filter(f => pre.stats.get(f) match {
+            case None => true
+            case Some((fmin, fmax)) =>
+              val i = java.util.Arrays.binarySearch(dvKeys, fmin)
+              val at = if (i >= 0) i else -i - 1
+              at < dvKeys.length && dvKeys(at) <= fmax
+          })
+          .map(f =>
           KvCdfFilePartition(abs(f), "delete", v, includeDvs = dvPaths,
             excludeDvs = pre.dvsFor(f).map(abs)): InputPartition)
       } else {
@@ -1407,19 +1979,28 @@ object KvSource {
   }
 }
 
-class KvTable(path: String, cdfRead: Boolean = false)
+class KvTable(path: String, cdfRead: Boolean = false,
+              resolvedSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
-  def this(path: String) = this(path, false)
+  def this(path: String) = this(path, false, None)
+  def this(path: String, cdfRead: Boolean) = this(path, cdfRead, None)
   override def name(): String = s"kv($path)"
   override def schema(): StructType =
-    if (cdfRead) KvSource.cdfSchema else KvSource.schema
+    if (cdfRead) KvSource.cdfSchema
+    else resolvedSchema.getOrElse(KvSource.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val asOf = Option(options.get("versionAsOf")).map(_.toLong)
-    val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+    // `startingVersion` accepts a version number or "latest" (the
+    // Delta tail-only mode): changes committed BEFORE the stream's
+    // first start are skipped, everything after flows
+    val svRaw = Option(options.get("startingVersion"))
+    val startLatest = svRaw.exists(_.equalsIgnoreCase("latest"))
+    val startingVersion =
+      svRaw.filterNot(_.equalsIgnoreCase("latest")).map(_.toLong)
     val endingVersion = Option(options.get("endingVersion")).map(_.toLong)
     val maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     // change-feed internal: read EXACTLY these committed file names,
@@ -1434,7 +2015,7 @@ class KvTable(path: String, cdfRead: Boolean = false)
     val onlyDataFiles = Option(options.get("onlyDataFiles"))
       .map(_.split(",").toSeq.filter(_.nonEmpty))
     new KvScanBuilder(path, asOf, startingVersion, maxVersionsPerTrigger,
-      cdfFiles, onlyDataFiles, cdfRead, endingVersion)
+      cdfFiles, onlyDataFiles, cdfRead, endingVersion, schema(), startLatest)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1452,11 +2033,13 @@ class KvTable(path: String, cdfRead: Boolean = false)
     // name needs a component unique to this write query
     val qid = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
     val fullQueryId = info.queryId()
+    val nCols = math.max(2, info.schema().size)
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new KvBatchWrite(path, replayKey, qid)
+        override def toBatch: BatchWrite =
+          new KvBatchWrite(path, replayKey, qid, nCols)
         override def toStreaming: streaming.StreamingWrite =
-          new KvStreamingWrite(path, qid, fullQueryId)
+          new KvStreamingWrite(path, qid, fullQueryId, nCols)
       }
     }
   }
@@ -1479,7 +2062,9 @@ class KvScanBuilder(path: String, asOf: Option[Long],
                     cdfFiles: Option[Seq[String]],
                     onlyDataFiles: Option[Seq[String]] = None,
                     cdfRead: Boolean = false,
-                    endingVersion: Option[Long] = None) extends ScanBuilder
+                    endingVersion: Option[Long] = None,
+                    tableSchema: StructType = KvSource.schema,
+                    startLatest: Boolean = false) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
 
@@ -1508,6 +2093,61 @@ class KvScanBuilder(path: String, asOf: Option[Long],
     case _ => false
   }
 
+  /** VAL predicates accepted for zone pruning against the `#vstats:`
+    * val zone maps (r16 — the r15 verdict's "key column only" gap):
+    * equality, ranges, and prefix match, all in UTF8-byte order (the
+    * order Spark compares strings in AND the order the writers track
+    * min/max in — the two must agree or pruning loses rows). */
+  private def isValPred(f: Filter): Boolean = f match {
+    case EqualTo("val", _: String) => true
+    case GreaterThan("val", _: String) => true
+    case GreaterThanOrEqual("val", _: String) => true
+    case LessThan("val", _: String) => true
+    case LessThanOrEqual("val", _: String) => true
+    case In("val", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+    case StringStartsWith("val", _) => true
+    case _ => false
+  }
+
+  /** Intersect accepted val predicates into one inclusive byte-order
+    * window (None = unbounded on that side). A prefix predicate's
+    * upper bound is increment(prefix) — strictly greater than every
+    * prefix-sharing value (conservative by one possible equal-bound
+    * file, never lossy). */
+  private def valBounds: Option[(Option[Array[Byte]], Option[Array[Byte]])] = {
+    val vf = accepted.filter(isValPred)
+    if (vf.isEmpty) None
+    else {
+      import java.util.Arrays.compareUnsigned
+      var lo: Option[Array[Byte]] = None
+      var hi: Option[Array[Byte]] = None
+      def raiseLo(b: Array[Byte]): Unit =
+        if (lo.forall(compareUnsigned(b, _) > 0)) lo = Some(b)
+      def lowerHi(b: Array[Byte]): Unit =
+        if (hi.forall(compareUnsigned(b, _) < 0)) hi = Some(b)
+      def bytes(v: Any): Array[Byte] = v.asInstanceOf[String].getBytes("UTF-8")
+      vf.foreach {
+        case EqualTo("val", v) => raiseLo(bytes(v)); lowerHi(bytes(v))
+        case GreaterThan("val", v) => raiseLo(bytes(v))
+        case GreaterThanOrEqual("val", v) => raiseLo(bytes(v))
+        case LessThan("val", v) => lowerHi(bytes(v))
+        case LessThanOrEqual("val", v) => lowerHi(bytes(v))
+        case In("val", vs) =>
+          val bs = vs.map(bytes)
+          raiseLo(bs.minBy(b => b)(Ordering.fromLessThan[Array[Byte]](
+            (a, c) => compareUnsigned(a, c) < 0)))
+          lowerHi(bs.maxBy(b => b)(Ordering.fromLessThan[Array[Byte]](
+            (a, c) => compareUnsigned(a, c) < 0)))
+        case StringStartsWith("val", p) =>
+          val pb = p.getBytes("UTF-8")
+          raiseLo(pb)
+          KvSource.incrementPrefix(pb, pb.length).foreach(lowerHi)
+        case _ => ()
+      }
+      Some((lo, hi))
+    }
+  }
+
   /** Intersect the accepted predicates into one [lo, hi] key window. */
   private def bounds: Option[(Long, Long)] =
     if (accepted.isEmpty) None
@@ -1531,7 +2171,8 @@ class KvScanBuilder(path: String, asOf: Option[Long],
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // zone maps describe DATA files; a change-feed read also plans
     // sidecar/DV partitions the zones don't cover — no pruning there
-    accepted = if (cdfRead) Array.empty else filters.filter(isKeyRange)
+    accepted = if (cdfRead) Array.empty
+               else filters.filter(f => isKeyRange(f) || isValPred(f))
     filters // all filters stay Spark-side residuals (prune-only pushdown)
   }
 
@@ -1539,11 +2180,13 @@ class KvScanBuilder(path: String, asOf: Option[Long],
 
   override def build(): Scan =
     new KvScan(path, asOf, startingVersion, maxVersionsPerTrigger,
-      cdfFiles, bounds, onlyDataFiles, cdfRead, endingVersion)
+      cdfFiles, bounds, onlyDataFiles, cdfRead, endingVersion, valBounds,
+      tableSchema, startLatest)
 }
 
 case class KvFilePartition(file: String,
-                           dvFiles: Seq[String] = Seq.empty) extends InputPartition
+                           dvFiles: Seq[String] = Seq.empty,
+                           nCols: Int = 2) extends InputPartition
 
 class KvScan(path: String, asOf: Option[Long],
              startingVersion: Option[Long] = None,
@@ -1552,7 +2195,11 @@ class KvScan(path: String, asOf: Option[Long],
              keyBounds: Option[(Long, Long)] = None,
              onlyDataFiles: Option[Seq[String]] = None,
              cdfRead: Boolean = false,
-             endingVersion: Option[Long] = None) extends Scan with Batch {
+             endingVersion: Option[Long] = None,
+             valWindow: Option[(Option[Array[Byte]], Option[Array[Byte]])] = None,
+             tableSchema: StructType = KvSource.schema,
+             startLatest: Boolean = false)
+    extends Scan with Batch {
   // pin the version at planning time so every partition of this scan
   // reads one consistent snapshot even if a writer commits mid-query.
   // A CDF read pins its END version the same way: a commit landing
@@ -1562,16 +2209,23 @@ class KvScan(path: String, asOf: Option[Long],
   private val cdfEnd: Option[Long] =
     if (cdfRead) endingVersion.orElse(KvSource.latestVersion(path)) else None
   override def readSchema(): StructType =
-    if (cdfRead) KvSource.cdfSchema else KvSource.schema
+    if (cdfRead) KvSource.cdfSchema else tableSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    if (cdfRead) new KvCdfMicroBatchStream(path, startingVersion, maxVersionsPerTrigger)
-    else new KvMicroBatchStream(path, startingVersion, maxVersionsPerTrigger)
+    if (cdfRead) new KvCdfMicroBatchStream(path, startingVersion,
+      maxVersionsPerTrigger, startLatest)
+    else new KvMicroBatchStream(path, startingVersion, maxVersionsPerTrigger,
+      tableSchema.size, startLatest)
   override def description(): String =
     s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)" +
       (if (cdfRead) s" changeFeed=(${startingVersion.getOrElse(1L) - 1},${cdfEnd.getOrElse(0L)}]" else "") +
-      keyBounds.fold("") { case (lo, hi) => s" keyBounds=[$lo,$hi]" }
+      keyBounds.fold("") { case (lo, hi) => s" keyBounds=[$lo,$hi]" } +
+      valWindow.fold("") { case (lo, hi) =>
+        def show(b: Option[Array[Byte]]) =
+          b.fold("*")(x => new String(x, "UTF-8"))
+        s" valBounds=[${show(lo)},${show(hi)}]"
+      }
   override def planInputPartitions(): Array[InputPartition] = if (cdfRead) {
     // batch CDF read (Delta table_changes): versions
     // [startingVersion, endingVersion], both inclusive
@@ -1580,8 +2234,8 @@ class KvScan(path: String, asOf: Option[Long],
     KvSource.cdfPartitions(path, from - 1, cdfEnd.getOrElse(0L))
   } else cdfFiles match {
     case Some(files) => // change-feed restriction: exact files, raw
-      files.map(f => KvFilePartition(new java.io.File(path, f).getPath): InputPartition)
-        .toArray
+      files.map(f => KvFilePartition(new java.io.File(path, f).getPath,
+        nCols = tableSchema.size): InputPartition).toArray
     case None =>
       val st = KvSource.committedState(path, version)
       // touched-file restriction (pruned COW merge): intersect the
@@ -1592,18 +2246,32 @@ class KvScan(path: String, asOf: Option[Long],
       }
       // FILE SKIPPING: drop files whose recorded key zone provably
       // misses the pushed range; files without stats are always read
-      val kept = keyBounds match {
+      val keptK = keyBounds match {
         case Some((lo, hi)) => base.filter { f =>
           st.stats.get(f).forall { case (fmin, fmax) => fmax >= lo && fmin <= hi }
         }
         case None => base
+      }
+      // VAL-zone skipping (r16): same contract on the `#vstats:` maps —
+      // a file survives unless its val zone provably misses the window
+      val kept = valWindow match {
+        case Some((lo, hi)) =>
+          import java.util.Arrays.compareUnsigned
+          keptK.filter { f =>
+            st.valStats.get(f).forall { case (vmin, vmax) =>
+              lo.forall(l => compareUnsigned(vmax, l) >= 0) &&
+                hi.forall(h => compareUnsigned(vmin, h) <= 0)
+            }
+          }
+        case None => keptK
       }
       // VERSION-SCOPED DVs: each partition carries only the DV files
       // NEWER than its data file — a row appended after its key was
       // deleted is visible (positional-delete semantics at file grain)
       kept
         .map(f => KvFilePartition(new java.io.File(path, f).getPath,
-          st.dvsFor(f).map(d => new java.io.File(path, d).getPath)): InputPartition)
+          st.dvsFor(f).map(d => new java.io.File(path, d).getPath),
+          tableSchema.size): InputPartition)
         .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1629,24 +2297,80 @@ class KvReaderFactory extends PartitionReaderFactory {
       s
     }
     val src = scala.io.Source.fromFile(part.file, "UTF-8")
-    val it = src.getLines()
-    new PartitionReader[InternalRow] {
-      private var key: Long = _
-      private var value: String = _
+    val it0 = src.getLines()
+    // per-file column count: an evolved file leads with `#c:<n>`
+    // (absent = the base 2-col format — every pre-evolution file)
+    var fileCols = 2
+    val it: Iterator[String] =
+      if (it0.hasNext) {
+        val first = it0.next()
+        if (first.startsWith("#c:")) {
+          fileCols = first.stripPrefix("#c:").toInt; it0
+        } else Iterator.single(first) ++ it0
+      } else it0
+    val nCols = part.nCols
+    if (fileCols == 2 && nCols == 2) {
+      // fast path: the 2-col format, unchanged hot loop
+      new PartitionReader[InternalRow] {
+        private var key: Long = _
+        private var value: String = _
+        override def next(): Boolean = {
+          while (it.hasNext) {
+            val line = it.next()
+            val cut = line.indexOf(',')
+            key = line.substring(0, cut).toLong
+            if (deleted.isEmpty || !deleted.contains(key)) {
+              value = line.substring(cut + 1)
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow =
+          InternalRow(key, UTF8String.fromString(value))
+        override def close(): Unit = src.close()
+      }
+    } else new PartitionReader[InternalRow] {
+      // evolved path: extras are comma-free by construction, so the
+      // LAST (fileCols-2) comma-fields split off the end exactly and
+      // the middle remainder is `val` (which MAY contain commas);
+      // columns this file predates null-fill, extras beyond the read
+      // schema (a narrower time-travel read) are dropped
+      private var row: InternalRow = _
       override def next(): Boolean = {
         while (it.hasNext) {
           val line = it.next()
           val cut = line.indexOf(',')
-          key = line.substring(0, cut).toLong
+          val key = line.substring(0, cut).toLong
           if (deleted.isEmpty || !deleted.contains(key)) {
-            value = line.substring(cut + 1)
+            val rest = line.substring(cut + 1)
+            val nx = fileCols - 2
+            val extras = new Array[String](math.max(0, nx))
+            var end = rest.length
+            var i = nx
+            while (i > 0) {
+              val c = rest.lastIndexOf(',', end - 1)
+              extras(i - 1) = rest.substring(c + 1, end)
+              end = c
+              i -= 1
+            }
+            val vals = new Array[Any](nCols)
+            vals(0) = key
+            if (nCols >= 2) vals(1) = UTF8String.fromString(rest.substring(0, end))
+            var j = 2
+            while (j < nCols) {
+              val e = if (j - 2 < extras.length) extras(j - 2) else null
+              vals(j) =
+                if (e == null || e == "\\N") null else UTF8String.fromString(e)
+              j += 1
+            }
+            row = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
             return true
           }
         }
         false
       }
-      override def get(): InternalRow =
-        InternalRow(key, UTF8String.fromString(value))
+      override def get(): InternalRow = row
       override def close(): Unit = src.close()
     }
   }
@@ -1728,7 +2452,8 @@ class KvCdfReaderFactory extends PartitionReaderFactory {
   * state — starting below the horizon is a retention error (Delta's
   * CDF rule). */
 class KvCdfMicroBatchStream(path: String, startingVersion: Option[Long] = None,
-                            maxVersionsPerTrigger: Option[Long] = None)
+                            maxVersionsPerTrigger: Option[Long] = None,
+                            startLatest: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1758,12 +2483,17 @@ class KvCdfMicroBatchStream(path: String, startingVersion: Option[Long] = None,
   override def latestOffset(): Offset =
     CdfOffset(KvSource.latestVersion(path).getOrElse(0L))
 
-  override def initialOffset(): Offset = startingVersion match {
-    case Some(sv) =>
-      require(sv >= 1, s"KvSource: startingVersion must be >= 1, got $sv")
-      CdfOffset(sv - 1)
-    case None => CdfOffset(0L)
-  }
+  override def initialOffset(): Offset =
+    if (startLatest)
+      // tail-only (Delta startingVersion=latest): the first delivered
+      // change is the first commit AFTER the stream's initial start
+      CdfOffset(KvSource.latestVersion(path).getOrElse(0L))
+    else startingVersion match {
+      case Some(sv) =>
+        require(sv >= 1, s"KvSource: startingVersion must be >= 1, got $sv")
+        CdfOffset(sv - 1)
+      case None => CdfOffset(0L)
+    }
 
   override def deserializeOffset(json: String): Offset = CdfOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
@@ -1807,7 +2537,9 @@ class KvCdfMicroBatchStream(path: String, startingVersion: Option[Long] = None,
   *   - `option("startingVersion", n)` tails from a pinned version:
   *     the first micro-batch begins at version n. */
 class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
-                         maxVersionsPerTrigger: Option[Long] = None)
+                         maxVersionsPerTrigger: Option[Long] = None,
+                         nCols: Int = 2,
+                         startLatest: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1822,9 +2554,12 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
     * below-horizon offset fails with the retention error instead.
     * Plain offsets serialize as the bare version number (r14
     * checkpoint compatibility); the snapshot flag as a JSON object. */
-  private case class KvOffset(v: Long, snapshot: Boolean = false) extends Offset {
+  private case class KvOffset(v: Long, snapshot: Boolean = false,
+                              idx: Long = 0L) extends Offset {
     override def json(): String =
-      if (snapshot) s"""{"v":$v,"snapshot":true}""" else v.toString
+      if (snapshot && idx > 0) s"""{"v":$v,"snapshot":true,"idx":$idx}"""
+      else if (snapshot) s"""{"v":$v,"snapshot":true}"""
+      else v.toString
   }
 
   // pinned by prepareForTriggerAvailableNow: AvailableNow processes
@@ -1846,7 +2581,24 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
     * Spark's composed contract. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val tip = availableNowEnd.getOrElse(KvSource.latestVersion(path).getOrElse(0L))
-    val lo = start.asInstanceOf[KvOffset].v
+    val so = start.asInstanceOf[KvOffset]
+    if (so.snapshot && maxVersionsPerTrigger.isDefined) {
+      // PACED initial snapshot (r16): during the snapshot the rate
+      // knob bounds FILES per micro-batch (a snapshot "version" is a
+      // file — the Delta maxFilesPerTrigger reading), advancing the
+      // idx cursor through the checkpoint's deterministic file order;
+      // the offset leaves snapshot mode only when every file is
+      // delivered, so a recovering consumer of a fat checkpoint
+      // drains in bounded batches instead of one table-sized gulp
+      val rate = math.max(maxVersionsPerTrigger.get, 1L)
+      val snapV = so.v + 1
+      val nFiles = KvSource.stateAt(path, snapV).files.size.toLong
+      val nxt = math.min(nFiles, so.idx + rate)
+      if (nxt < nFiles) return KvOffset(so.v, snapshot = true, idx = nxt)
+      // snapshot completes this batch; version tailing resumes next
+      return KvOffset(snapV)
+    }
+    val lo = so.v
     KvOffset(maxVersionsPerTrigger.fold(tip)(n => math.min(tip, lo + math.max(n, 1L))))
   }
 
@@ -1865,16 +2617,21 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
     * initial-snapshot start), or `startingVersion - 1` when pinned
     * explicitly (snapshot-flagged only when its diff base was
     * vacuumed). */
-  override def initialOffset(): Offset = startingVersion match {
-    case Some(sv) =>
-      require(sv >= 1, s"KvSource: startingVersion must be >= 1, got $sv")
-      val needsSnapshot = sv > 1 &&
-        !KvSource.manifestFile(path, KvSource.foldBase(sv - 1)).exists()
-      KvOffset(sv - 1, needsSnapshot)
-    case None =>
-      val first = KvSource.versions(path).headOption.getOrElse(1L)
-      if (first > 1) KvOffset(first - 1, snapshot = true) else KvOffset(0L)
-  }
+  override def initialOffset(): Offset =
+    if (startLatest)
+      // tail-only: rows committed before the stream's first start are
+      // the consumer's explicit non-concern (Delta startingVersion=latest)
+      KvOffset(KvSource.latestVersion(path).getOrElse(0L))
+    else startingVersion match {
+      case Some(sv) =>
+        require(sv >= 1, s"KvSource: startingVersion must be >= 1, got $sv")
+        val needsSnapshot = sv > 1 &&
+          !KvSource.manifestFile(path, KvSource.foldBase(sv - 1)).exists()
+        KvOffset(sv - 1, needsSnapshot)
+      case None =>
+        val first = KvSource.versions(path).headOption.getOrElse(1L)
+        if (first > 1) KvOffset(first - 1, snapshot = true) else KvOffset(0L)
+    }
 
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim
@@ -1882,7 +2639,9 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
       KvOffset("\"v\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toLong)
         .getOrElse(throw new IllegalArgumentException(
           s"KvSource: malformed offset json: $json")),
-        t.contains("\"snapshot\":true"))
+        t.contains("\"snapshot\":true"),
+        "\"idx\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t)
+          .map(_.group(1).toLong).getOrElse(0L))
     else KvOffset(t.toLong)
   }
   override def commit(end: Offset): Unit = ()
@@ -1890,69 +2649,90 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startOff = start.asInstanceOf[KvOffset]
+    val endOff = end.asInstanceOf[KvOffset]
     val lo = startOff.v
-    val hi = end.asInstanceOf[KvOffset].v
-    if (hi <= lo) return Array.empty
+    val hi = endOff.v
     def abs(f: String): String = new java.io.File(path, f).getPath
     val parts = Array.newBuilder[InputPartition]
-    // establish the folded file state at `lo` (the diff base). Three
-    // cases: fresh start (empty), resolvable retained version, or the
-    // snapshot-flagged start of a fresh consumer on a vacuumed chain —
-    // legal only while lo+1 is still the earliest retained checkpoint,
-    // which then serves as the INITIAL SNAPSHOT. A PLAIN offset whose
-    // base was vacuumed is a resumed consumer that fell behind the
-    // retention horizon: fail clearly, never re-deliver the snapshot
-    var haveState = lo == 0
+    // SNAPSHOT-mode start (fresh consumer on a vacuumed chain): legal
+    // only while lo+1 is still the earliest retained checkpoint, which
+    // serves as the INITIAL SNAPSHOT. With a rate limit the snapshot
+    // delivers in idx-cursor SLICES over the checkpoint's
+    // deterministic file order (replayable: pure manifest metadata);
+    // without one it delivers whole and version tailing follows in
+    // the same batch.
+    if (startOff.snapshot) {
+      val earliest = KvSource.versions(path).headOption.getOrElse(0L)
+      if (!(lo + 1 == earliest && earliest % KvSource.CheckpointInterval == 0))
+        throw new IllegalArgumentException(
+          s"KvSource: streaming offset $lo at $path is below the retention " +
+            s"horizon (earliest retained version: $earliest) — the chain was " +
+            "vacuumed past this checkpoint; restart with a fresh checkpoint " +
+            "location to begin from the earliest retained snapshot")
+      val snapV = lo + 1
+      val st = KvSource.stateAt(path, snapV)
+      val ordered = st.files
+      val from = math.min(startOff.idx, ordered.size.toLong).toInt
+      val until =
+        if (endOff.snapshot && endOff.v == lo)
+          math.min(math.max(endOff.idx, from), ordered.size.toLong).toInt
+        else ordered.size
+      parts ++= ordered.slice(from, until).map(f =>
+        KvFilePartition(abs(f), st.dvsFor(f).map(abs), nCols): InputPartition)
+      if (endOff.snapshot && endOff.v == lo) return parts.result()
+      // snapshot complete in this batch — tail versions after it
+      var state = st.files.toSet
+      ((snapV + 1) to hi).foreach { v =>
+        state = planVersion(path, v, state, parts, abs)
+      }
+      return parts.result()
+    }
+    if (hi <= lo) return Array.empty
+    // plain start: fresh chain (offset 0) or a resolvable retained
+    // version. A PLAIN offset whose base was vacuumed is a resumed
+    // consumer that fell behind the retention horizon: fail clearly,
+    // never re-deliver the snapshot.
     var state: Set[String] =
       if (lo == 0) Set.empty
-      else if (!startOff.snapshot &&
-          KvSource.manifestFile(path, KvSource.foldBase(lo)).exists())
-        { haveState = true; KvSource.stateAt(path, lo).files.toSet }
+      else if (KvSource.manifestFile(path, KvSource.foldBase(lo)).exists())
+        KvSource.stateAt(path, lo).files.toSet
       else {
         val earliest = KvSource.versions(path).headOption.getOrElse(0L)
-        if (startOff.snapshot && lo + 1 == earliest &&
-            earliest % KvSource.CheckpointInterval == 0)
-          Set.empty // initial snapshot at lo+1
-        else throw new IllegalArgumentException(
+        throw new IllegalArgumentException(
           s"KvSource: streaming offset $lo at $path is below the retention " +
             s"horizon (earliest retained version: $earliest) — the chain was " +
             "vacuumed past this checkpoint; restart with a fresh checkpoint " +
             "location to begin from the earliest retained snapshot")
       }
     ((lo + 1) to hi).foreach { v =>
-      if (!KvSource.manifestFile(path, v).exists())
-        throw new IllegalArgumentException(
-          s"KvSource: streaming needs manifest v$v at $path which no longer " +
-            s"exists (vacuumed? have: ${KvSource.versions(path).mkString(",")})")
-      val m = KvSource.readManifest(path, v)
-      if (!haveState) {
-        // initial snapshot: the earliest retained checkpoint's full
-        // state, DVs applied per-file (version-scoped) — everything
-        // before it was vacuumed away
-        val st = KvSource.stateAt(path, v)
-        parts ++= st.files.map(f =>
-          KvFilePartition(abs(f), st.dvsFor(f).map(abs)): InputPartition)
-        state = st.files.toSet
-        haveState = true
-      } else if (m.removes.nonEmpty || m.dvs.nonEmpty) {
-        // a CHANGE version (rewrite or DELETE): no new rows; fold the
-        // file state forward so later diffs stay exact
-        state =
-          if (v % KvSource.CheckpointInterval == 0) m.adds.toSet
-          else state -- m.removes ++ m.adds
-      } else {
-        // append: new data = adds minus the running state (checkpoints
-        // and legacy r13 full manifests list old files too — the diff
-        // isolates this version's own files uniformly, so nothing is
-        // ever double-delivered)
-        val fresh = m.adds.filterNot(state)
-        parts ++= fresh.map(f => KvFilePartition(abs(f)): InputPartition)
-        state =
-          if (v % KvSource.CheckpointInterval == 0) m.adds.toSet
-          else state ++ m.adds
-      }
+      state = planVersion(path, v, state, parts, abs)
     }
     parts.result()
+  }
+
+  /** Fold ONE version into the streaming plan: a CHANGE version
+    * (rewrite/DELETE) delivers nothing, an append delivers its fresh
+    * files (diffed against the running state so checkpoints and
+    * legacy full manifests never double-deliver). Returns the folded
+    * file state after `v`. */
+  private def planVersion(path: String, v: Long, state0: Set[String],
+                          parts: scala.collection.mutable.Builder[InputPartition, Array[InputPartition]],
+                          abs: String => String): Set[String] = {
+    if (!KvSource.manifestFile(path, v).exists())
+      throw new IllegalArgumentException(
+        s"KvSource: streaming needs manifest v$v at $path which no longer " +
+          s"exists (vacuumed? have: ${KvSource.versions(path).mkString(",")})")
+    val m = KvSource.readManifest(path, v)
+    if (m.removes.nonEmpty || m.dvs.nonEmpty) {
+      if (v % KvSource.CheckpointInterval == 0) m.adds.toSet
+      else state0 -- m.removes ++ m.adds
+    } else {
+      val fresh = m.adds.filterNot(state0)
+      parts ++= fresh.map(f =>
+        KvFilePartition(abs(f), nCols = nCols): InputPartition)
+      if (v % KvSource.CheckpointInterval == 0) m.adds.toSet
+      else state0 ++ m.adds
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new KvReaderFactory
@@ -1961,19 +2741,23 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
 // ---- write side: staged task commit, version-chained job commit ----
 
 /** Task commit message: the committed file name plus its key min/max
-  * (None for an empty file) — the per-file zone map the job commit
-  * records as `#stats:` headers for scan-side file skipping. */
+  * and val min/max (None for an empty file) — the per-file zone maps
+  * the job commit records as `#stats:` / `#vstats:` headers for
+  * scan-side file skipping on BOTH columns. */
 case class KvCommitMessage(file: String,
-                           stats: Option[(Long, Long)] = None)
+                           stats: Option[(Long, Long)] = None,
+                           valStats: Option[(Array[Byte], Array[Byte])] = None,
+                           nRows: Long = -1L)
     extends WriterCommitMessage
 
-class KvBatchWrite(path: String, replayKey: Option[String], queryId: String)
+class KvBatchWrite(path: String, replayKey: Option[String], queryId: String,
+                   nCols: Int = 2)
     extends BatchWrite {
   // spec/back-compat constructor: plain batch write, no replay key
-  def this(path: String) = this(path, None, "local")
+  def this(path: String) = this(path, None, "local", 2)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path, queryId)
+    new KvWriterFactory(path, queryId, nCols)
 
   /** Job commit: APPEND semantics through the version chain — the new
     * task files MERGE with the latest committed state and publish as
@@ -1985,6 +2769,12 @@ class KvBatchWrite(path: String, replayKey: Option[String], queryId: String)
     val msgs = messages.map(_.asInstanceOf[KvCommitMessage]).toSeq
     KvSource.commitVersionKeyed(path, msgs.map(_.file), replayKey,
       stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap,
+      valStats = msgs.flatMap(m => m.valStats.flatMap { case (lo, hi) =>
+        KvSource.truncHi(hi).map(h => m.file -> ((KvSource.truncLo(lo), h)))
+      }).toMap,
+      rowCounts = msgs.collect {
+        case m if m.nRows >= 0 => m.file -> m.nRows
+      }.toMap,
       op = Some("WRITE"))
   }
 
@@ -1992,14 +2782,15 @@ class KvBatchWrite(path: String, replayKey: Option[String], queryId: String)
     * remove it so a retry starts clean. */
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KvCommitMessage(f, _) => new java.io.File(path, f).delete()
+      case KvCommitMessage(f, _, _, _) => new java.io.File(path, f).delete()
       case _ => ()
     }
 }
 
-class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+class KvWriterFactory(path: String, queryId: String, nCols: Int = 2)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, taskId, queryId)
+    new KvDataWriter(path, partitionId, taskId, queryId, nCols)
 }
 
 /** TRUE Structured Streaming sink (TableCapability.STREAMING_WRITE):
@@ -2014,11 +2805,12 @@ class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   * collide with its epoch-N files), and
   * [[KvSource.commitVersion]] makes the epoch commit atomic,
   * concurrent-safe, and idempotent. */
-class KvStreamingWrite(path: String, queryId: String, fullQueryId: String)
+class KvStreamingWrite(path: String, queryId: String, fullQueryId: String,
+                       nCols: Int = 2)
     extends streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    new KvStreamingWriterFactory(path, queryId)
+    new KvStreamingWriterFactory(path, queryId, nCols)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -2029,13 +2821,19 @@ class KvStreamingWrite(path: String, queryId: String, fullQueryId: String)
     KvSource.commitVersionKeyed(path, msgs.map(_.file),
       Some(s"$fullQueryId:$epochId"),
       stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap,
+      valStats = msgs.flatMap(m => m.valStats.flatMap { case (lo, hi) =>
+        KvSource.truncHi(hi).map(h => m.file -> ((KvSource.truncLo(lo), h)))
+      }).toMap,
+      rowCounts = msgs.collect {
+        case m if m.nRows >= 0 => m.file -> m.nRows
+      }.toMap,
       op = Some("STREAMING UPDATE"))
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KvCommitMessage(f, _) => new java.io.File(path, f).delete()
+      case KvCommitMessage(f, _, _, _) => new java.io.File(path, f).delete()
       case _ => ()
     }
 }
@@ -2044,11 +2842,11 @@ class KvStreamingWrite(path: String, queryId: String, fullQueryId: String)
   * for streaming epochs: task files salt their names with the epoch,
   * so a restarted writer at epoch N+1 can never collide with its own
   * epoch-N files. */
-class KvStreamingWriterFactory(path: String, queryId: String)
+class KvStreamingWriterFactory(path: String, queryId: String, nCols: Int = 2)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, taskId, s"$queryId-e$epochId")
+    new KvDataWriter(path, partitionId, taskId, s"$queryId-e$epochId", nCols)
 }
 
 /** Task writer: stream to a temp, rename on commit, delete on abort.
@@ -2058,22 +2856,31 @@ class KvStreamingWriterFactory(path: String, queryId: String)
   * The line format demands non-null, newline-free `val`: violations
   * fail the TASK fast (clear error → task abort → nothing visible),
   * never corrupt a committed file. */
-class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String)
+class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String,
+                   nCols: Int = 2)
     extends DataWriter[InternalRow] {
-  // spec/back-compat constructor
+  // spec/back-compat constructors
   def this(path: String, partitionId: Int, taskId: Long) =
-    this(path, partitionId, taskId, "local")
+    this(path, partitionId, taskId, "local", 2)
+  def this(path: String, partitionId: Int, taskId: Long, queryId: String) =
+    this(path, partitionId, taskId, queryId, 2)
 
   private val finalName = s"part-$partitionId-$taskId-$queryId.dat"
   private val tmpFile = new java.io.File(path, s".$finalName.tmp")
   new java.io.File(path).mkdirs()
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(tmpFile), "UTF-8"))
+  // an evolved file declares its own column count up front, so readers
+  // at ANY schema version parse it correctly (old files stay headerless)
+  if (nCols > 2) { out.write(s"#c:$nCols"); out.write('\n') }
 
-  // per-file key zone map, tracked as rows stream through (free at
-  // write time — the one moment the file's contents all pass by)
+  // per-file zone maps (key AND val, UTF8-byte order), tracked as
+  // rows stream through (free at write time — the one moment the
+  // file's contents all pass by)
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
+  private var minVal: Array[Byte] = null
+  private var maxVal: Array[Byte] = null
   private var nRows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -2084,7 +2891,28 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
     if (k < minKey) minKey = k
     if (k > maxKey) maxKey = k
     nRows += 1
-    out.write(KvSource.kvLine(k, row.getUTF8String(1).toString))
+    val v = row.getUTF8String(1).toString
+    val vb = v.getBytes("UTF-8")
+    if (minVal == null || java.util.Arrays.compareUnsigned(vb, minVal) < 0) minVal = vb
+    if (maxVal == null || java.util.Arrays.compareUnsigned(vb, maxVal) > 0) maxVal = vb
+    out.write(KvSource.kvLine(k, v))
+    // evolved columns: comma-free by contract (the from-the-end line
+    // parse depends on it), `\N` encodes null
+    var i = 2
+    while (i < nCols) {
+      out.write(',')
+      if (row.isNullAt(i)) out.write("\\N")
+      else {
+        val e = row.getUTF8String(i).toString
+        if (e.indexOf(',') >= 0 || e.indexOf('\n') >= 0 ||
+            e.indexOf('\r') >= 0 || e == "\\N")
+          throw new IllegalArgumentException(
+            "KvSource: evolved column values must be comma- and newline-free " +
+              "and not the literal \\N (the null sentinel)")
+        out.write(e)
+      }
+      i += 1
+    }
     out.write('\n')
   }
 
@@ -2094,7 +2922,9 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
     Files.move(tmpFile.toPath, Paths.get(path, finalName),
       StandardCopyOption.ATOMIC_MOVE)
     KvCommitMessage(finalName,
-      if (nRows > 0) Some((minKey, maxKey)) else None)
+      if (nRows > 0) Some((minKey, maxKey)) else None,
+      if (nRows > 0) Some((minVal, maxVal)) else None,
+      nRows)
   }
 
   override def abort(): Unit = { out.close(); tmpFile.delete() }

@@ -1797,4 +1797,156 @@ object Streams {
     res
   }
 
+  /** RATE-LIMITED INITIAL SNAPSHOT (r15 verdict item 8, the row-source
+    * half): a fresh consumer of a VACUUMED chain starts from the
+    * earliest retained checkpoint as an initial snapshot — and with
+    * `maxVersionsPerTrigger` that snapshot now drains in BOUNDED
+    * micro-batches (during the snapshot the rate knob bounds FILES per
+    * batch, advancing an idx cursor through the checkpoint's
+    * deterministic file order — the Delta (version, index) offset
+    * shape), then version tailing resumes under the same knob. The op
+    * stages the 12-append/vacuum-to-checkpoint-10 chain (10-file
+    * snapshot + 2 delta versions), drains with rate 2 via AvailableNow
+    * + foreachBatch, and pins: 6 non-empty batches (5 snapshot slices
+    * + 1 version batch), NO batch planning more than 2 files, and the
+    * exactly-once rollup across the snapshot/tail boundary. A
+    * recovering consumer of a 100 TB checkpoint is exactly this
+    * geometry scaled up — without the cursor its first batch plans the
+    * whole table. */
+  def streamSourceSnapshotPaced(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-pace").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-pace-ckpt").toString
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .selectExpr("event_id AS key", "event_type AS val")
+    (0L until 12L).foreach { m =>
+      ev.filter(col("key") % 12 === m)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    val (dropped, _, oldest) = KvSource.vacuum(out, retainLast = 3)
+    require(dropped == 9L && oldest == 10L,
+      s"retention sweep off-protocol: dropped=$dropped oldest=$oldest")
+    var batches = 0L
+    var maxFilesPerBatch = 0L
+    var rows = 0L
+    var keySum = 0L
+    val q = spark.readStream.format(classOf[KvSource].getName)
+      .option("path", out).option("maxVersionsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val agg = df.agg(count(lit(1)), sum(col("key"))).head()
+        if (agg.getLong(0) > 0) {
+          batches += 1
+          maxFilesPerBatch =
+            math.max(maxFilesPerBatch, df.rdd.getNumPartitions.toLong)
+          rows += agg.getLong(0)
+          keySum += agg.getLong(1)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = graft.operators.SourceQueries.materializeAndClean(
+      {
+        import spark.implicits._
+        Seq(
+          ("01_source", "snapshot_files", 10L),
+          ("02_run", "batches", batches),
+          ("02_run", "max_files_per_batch", maxFilesPerBatch),
+          ("03_sink", "key_sum", keySum),
+          ("03_sink", "rows", rows))
+          .toDF("stage", "metric", "value")
+          .orderBy("stage", "metric")
+      },
+      out)
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(ckpt))
+    res
+  }
+
+  /** STREAMING CDF TAIL MODE (r15 verdict item 8, the CDF half —
+    * Delta's `startingVersion=latest`): a consumer that declares
+    * "changes from NOW on, not history". The first AvailableNow run
+    * with `startingVersion=latest` drains NOTHING (the checkpoint
+    * pins the tail offset at the then-latest version — skipping
+    * history is the consumer's explicit choice); a DELETE and an
+    * append land; the SECOND run on the SAME checkpoint delivers
+    * EXACTLY those two versions' typed changes — the DELETE's doomed
+    * rows with values (zone-pruned, per-file distributed) and the
+    * append's inserts — and nothing older. Every count is recomputed
+    * by the oracle from the change rules. On a chain with years of
+    * history this is the difference between an incremental consumer
+    * starting in seconds and replaying a 100 TB feed. */
+  def streamCdfTail(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-cdftail").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-cdftail-ckpt").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    def append(df: DataFrame): Unit =
+      df.write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(c.filter(col("key") % 2 === 0)) // v1 — history the tail skips
+    append(c.filter(col("key") % 2 === 1)) // v2
+    // foreachBatch (not a memory sink): the tail pattern NEEDS a
+    // checkpoint RESTART, which memory-sink queries refuse; each batch
+    // contributes a bounded (change_type, version)-grain rollup
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    def drain(): Long = {
+      var rows = 0L
+      val q = spark.readStream.format(classOf[KvSource].getName)
+        .option("path", out).option("readChangeFeed", "true")
+        .option("startingVersion", "latest").load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.groupBy(col("change_type"), col("commit_version"))
+            .agg(count(lit(1)), sum(col("key")))
+            .collect()
+            .foreach { r =>
+              rows += r.getLong(2)
+              acc += ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rows
+    }
+    val run1 = drain() // 0 — history skipped by declaration
+    KvSource.deleteWhere(spark, out, "key % 7 = 0") // v3
+    append(c.filter(col("key") % 2 === 0)
+      .selectExpr("key + 10000000 AS key", "val"))  // v4
+    acc.clear()
+    drain()
+    def rollup(tpe: String, keyAdjust: Long): (Long, Long, Long) = {
+      val rs = acc.filter(_._1 == tpe)
+      (rs.map(_._3).sum, rs.map(r => r._4 - keyAdjust * r._3).sum,
+        rs.map(_._2).distinct.size.toLong)
+    }
+    val del = rollup("delete", 0L)
+    val ins = rollup("insert", 10000000L)
+    val res = graft.operators.SourceQueries.materializeAndClean(
+      {
+        import spark.implicits._
+        Seq(
+          ("01_run1", "history_rows", run1),
+          ("02_run2", "delete_key_sum", del._2),
+          ("02_run2", "delete_rows", del._1),
+          ("02_run2", "delete_versions", del._3),
+          ("02_run2", "insert_base_key_sum", ins._2),
+          ("02_run2", "insert_rows", ins._1),
+          ("02_run2", "insert_versions", ins._3))
+          .toDF("stage", "metric", "value")
+          .orderBy("stage", "metric")
+      },
+      out)
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(ckpt))
+    res
+  }
+
 }

@@ -32,7 +32,7 @@ class Widening15cSpec extends AnyFunSuite {
     assert(readAll(dir).count() == 20L)
     // downgrade and beyond-support upgrades refuse
     intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 1, 1))
-    intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 3, 3))
+    intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 4, 4))
     // the checkpoint re-lists the protocol: grow past v10, vacuum away
     // the pre-checkpoint manifests, the fold still sees 2:2
     (0 until 9).foreach(i => append(dir, 100L + i * 10, 110L + i * 10)) // ..v12
