@@ -110,7 +110,15 @@ for i in range(REPL):
                 p = list(range(k))
                 random.Random(1000 + i * 100003 + k).shuffle(p)
                 perm_cache[k] = p
-            t = " ".join(words[j] for j in perm_cache[k])
+            # shuffle breaks shingle-level similarity; tagging every
+            # 4th word ALSO breaks word-SET/multiset invariance, so
+            # permutation-invariant methods (word-set Jaccard, unigram
+            # SimHash) don't see the replica set as a 10-clique —
+            # cross-replica pair growth stays linear, like a real 10x
+            # corpus
+            t = " ".join(
+                (w + f"r{i}" if j % 4 == 0 else w)
+                for j, w in ((jj, words[pp]) for jj, pp in enumerate(perm_cache[k])))
         rows.append((doc_id + i * ND, t, lang, source, len(t)))
 con.execute("CREATE TABLE docs_out (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
 con.executemany("INSERT INTO docs_out VALUES (?,?,?,?,?)", rows)
