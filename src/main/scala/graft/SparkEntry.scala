@@ -578,6 +578,9 @@ object SparkEntry {
     // paced) + streaming CDF startingVersion=latest tail mode
     "stream_source_snapshot_paced" -> Streams.streamSourceSnapshotPaced _,
     "stream_cdf_tail" -> Streams.streamCdfTail _,
+    // round 16 batch 7: the maintenance cycle closed — plan, execute
+    // ONE bin-packing rewrite, re-plan returns zero jobs
+    "load_maintenance_cycle" -> SourceQueries.maintenanceCycleOp _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -6312,6 +6315,26 @@ object SparkEntry {
         |  UNION ALL SELECT '02_run2', 'insert_base_key_sum', (SELECT ks FROM i)
         |  UNION ALL SELECT '02_run2', 'insert_rows', (SELECT n FROM i)
         |  UNION ALL SELECT '02_run2', 'insert_versions', 1
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_maintenance_cycle: the staged geometry in closed form —
+    // 3 triggers fire, one binpack rewrite settles all of them, the
+    // re-plan is empty, the quarter probe plans 1 of 4 disjoint bins
+    "load_maintenance_cycle" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndel
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_plan' AS stage, 'compact_fired' AS metric, 1 AS value
+        |  UNION ALL SELECT '01_plan', 'dv_fold_fired', 1
+        |  UNION ALL SELECT '01_plan', 'jobs', 3
+        |  UNION ALL SELECT '01_plan', 'zorder_fired', 1
+        |  UNION ALL SELECT '02_execute', 'files_before', 8
+        |  UNION ALL SELECT '02_execute', 'version', 10
+        |  UNION ALL SELECT '03_replan', 'jobs', 0
+        |  UNION ALL SELECT '04_after', 'dv_files', 0
+        |  UNION ALL SELECT '04_after', 'files_live', 4
+        |  UNION ALL SELECT '04_after', 'quarter_probe_files_planned', 1
+        |  UNION ALL SELECT '04_after', 'rows_readable', (SELECT n - ndel FROM c)
         |) t ORDER BY stage, metric""".stripMargin,
     // stream_source_ratelimit: protocol constants (3 versions drained
     // one per micro-batch) + exactly-once totals from events

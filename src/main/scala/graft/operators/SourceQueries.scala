@@ -2276,6 +2276,60 @@ object SourceQueries {
       out)
   }
 
+  /** THE MAINTENANCE CYCLE CLOSED (r16 — the planner's output proven
+    * actionable): plan → execute → re-plan. The staged chain fires
+    * three triggers at once (8 full-keyspace mod-sliced files → small
+    * files AND overlap depth 8; a 25% key-mod DELETE → dead_bp ≈
+    * 2500); ONE `optimizeBinPack(nFiles=4)` rewrite — the realistic
+    * compaction `optimizeCompact`'s single output file is not at
+    * 100 TB — bins the live rows by key range (deterministic linear
+    * binning, no sampling), folds the DV away, and records disjoint
+    * zones; the RE-PLAN then returns ZERO jobs: files at threshold,
+    * no tombstones, overlap depth 1 — every trigger the plan raised,
+    * one verb settled. Counts closed-form: the oracle recomputes the
+    * before-plan job list, the dead ratio, the after state (n−n/4
+    * rows in 4 files), and the quarter-probe planning exactly 1 file
+    * off the rewritten zones. */
+  def maintenanceCycleOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-cycle").toString
+    val c = Tables.customer(spark, dir)
+      .selectExpr("c_custkey AS key", "c_mktsegment AS val")
+    val n = Tables.customer(spark, dir).count()
+    (0L until 8L).foreach { b =>
+      c.filter(col("key") % 8 === b).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    val (nDel, _) = KvSource.deleteWhere(spark, out, s"key % 4 = 0") // v9
+    val before = KvSource.maintenancePlan(out, retainLast = 50)
+    val (filesBefore, v) = KvSource.optimizeBinPack(spark, out, 4)   // v10
+    val after = KvSource.maintenancePlan(out, retainLast = 50)
+    val reloaded = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load()
+    val st = KvSource.committedState(out)
+    import spark.implicits._
+    materializeAndClean(
+      Seq(
+        ("01_plan", "jobs", before.size.toLong),
+        ("01_plan", "compact_fired",
+          if (before.exists(_._1 == "OPTIMIZE_COMPACT")) 1L else 0L),
+        ("01_plan", "dv_fold_fired",
+          if (before.exists(_._1 == "OPTIMIZE_DV_FOLD")) 1L else 0L),
+        ("01_plan", "zorder_fired",
+          if (before.exists(_._1 == "OPTIMIZE_ZORDER")) 1L else 0L),
+        ("02_execute", "files_before", filesBefore),
+        ("02_execute", "version", v),
+        ("03_replan", "jobs", after.size.toLong),
+        ("04_after", "dv_files", st.dvFiles.size.toLong),
+        ("04_after", "files_live", st.files.size.toLong),
+        ("04_after", "quarter_probe_files_planned",
+          reloaded.where(col("key") < lit(n / 4)).rdd.getNumPartitions.toLong),
+        ("04_after", "rows_readable", reloaded.count()))
+        .toDF("stage", "metric", "value").orderBy("stage", "metric"),
+      out)
+  }
+
   def fileSkippingValOp(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KvSource
     val out = java.nio.file.Files.createTempDirectory("graft-kv-vskip").toString

@@ -1261,6 +1261,82 @@ object KvSource {
     (st.files.size.toLong, v)
   }
 
+  /** OPTIMIZE with BIN-PACKING (the realistic compaction shape —
+    * `optimizeCompact`'s single output file is wrong at 100 TB): the
+    * live row set rewrites into `nFiles` files binned by KEY RANGE
+    * (deterministic linear key-cell binning, no sampling — bucket is
+    * monotone in key, so output zones are DISJOINT by construction
+    * and every later key probe plans at most the few files whose
+    * range intersects). DV masks fold away like compaction; one
+    * atomic version; AppendOk rebase. The sorted-bins layout makes
+    * this compaction AND key-clustering in one pass — after it the
+    * maintenance planner's overlap trigger reads depth 1. */
+  private[graft] def optimizeBinPack(spark: org.apache.spark.sql.SparkSession,
+                                       path: String, nFiles: Int): (Long, Long) = {
+    migrateLog(path)
+    require(nFiles >= 1, s"KvSource: BINPACK nFiles must be >= 1, got $nFiles")
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: nothing to compact at $path"))
+    val st = committedState(path, Some(v0))
+    require(st.files.nonEmpty, s"KvSource: nothing to compact at $path")
+    require(st.schemaCols == DefaultCols,
+      s"KvSource: this verb supports the base (key,val) schema only; " +
+        s"table has (${st.schemaCols.mkString(",")}) — OPTIMIZE/MERGE/UPDATE " +
+        "over evolved columns is a follow-up surface")
+    val live = spark.read.format(classOf[KvSource].getName)
+      .option("path", path).option("versionAsOf", v0.toString).load()
+    val kv = live.rdd.map(r => (r.getLong(0), r.getString(1)))
+    val (kMin, kMax) = kv.aggregate((Long.MaxValue, Long.MinValue))(
+      { case ((a, b), (k, _)) => (math.min(a, k), math.max(b, k)) },
+      { case ((a, b), (c, d)) => (math.min(a, c), math.max(b, d)) })
+    val span = math.max(1e-300, kMax.toDouble - kMin.toDouble)
+    val kMinD = kMin.toDouble
+    val n = nFiles
+    val partitioned = kv
+      .map { case (k, v) =>
+        (math.min(n - 1,
+          math.max(0, ((k.toDouble - kMinD) / span * n).toInt)), (k, v))
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val parts: Seq[PartMeta] = partitioned
+      .mapPartitionsWithIndex { (pid, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val name = s"part-binpack-$salt-$pid.dat"
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var vlo: Array[Byte] = null
+          var vhi: Array[Byte] = null
+          var cnt = 0L
+          writeLinesAtomically(path, name, new java.util.Iterator[String] {
+            override def hasNext: Boolean = rows.hasNext
+            override def next(): String = {
+              val (k, v) = rows.next()._2
+              lo = math.min(lo, k); hi = math.max(hi, k)
+              cnt += 1
+              val vb = v.getBytes("UTF-8")
+              if (vlo == null || java.util.Arrays.compareUnsigned(vb, vlo) < 0) vlo = vb
+              if (vhi == null || java.util.Arrays.compareUnsigned(vb, vhi) > 0) vhi = vb
+              kvLine(k, v)
+            }
+          })
+          Iterator.single(PartMeta(name, lo, hi, vlo, vhi, cnt))
+        }
+      }.collect().toSeq
+    val v = commitVersionKeyed(path, parts.map(_.name), None,
+      removeFiles = st.files ++ st.dvFiles,
+      stats = parts.map(_.keyStats).toMap,
+      valStats = valStatsOf(parts),
+      rowCounts = rowCountsOf(parts),
+      op = Some("OPTIMIZE (BINPACK)"),
+      expectedPrior = Some(v0), occ = OccPolicy.AppendOk)
+    (st.files.size.toLong, v)
+  }
+
   /** DELETE WHERE on the commit log — MERGE-ON-READ (the Delta/Iceberg
     * deletion-vector shape, key-scoped): the doomed keys are computed
     * DISTRIBUTED against a pinned snapshot (existing DVs applied, so a

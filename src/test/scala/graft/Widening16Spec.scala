@@ -345,6 +345,33 @@ class Widening16Spec extends AnyFunSuite {
     Seq(dir, cl).foreach(rm)
   }
 
+  test("binpack: disjoint bins, DV fold, planner settles to zero jobs") {
+    val dir = tmp("binpack")
+    (0 until 5).foreach(i => append(dir, i * 100L, i * 100L + 100L))
+    KvSource.deleteWhere(spark, dir, "key % 4 = 0") // 125 dead of 500
+    val planned = KvSource.maintenancePlan(dir, retainLast = 50)
+    assert(planned.map(_._1).toSet ==
+      Set("OPTIMIZE_COMPACT", "OPTIMIZE_DV_FOLD"), planned.toString)
+    val (before, v) = KvSource.optimizeBinPack(spark, dir, 4)
+    assert(before == 5L && v == 7L)
+    val st = KvSource.committedState(dir)
+    assert(st.files.size == 4 && st.dvFiles.isEmpty)
+    // bins are key-disjoint: zones never overlap
+    val zones = st.files.flatMap(st.stats.get).sortBy(_._1)
+    zones.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, zones.toString)
+      case _ => ()
+    }
+    assert(KvSource.maintenancePlan(dir, retainLast = 50).isEmpty)
+    val rows = spark.read.format(classOf[KvSource].getName)
+      .option("path", dir).load()
+    assert(rows.count() == 375L)
+    // a narrow key probe plans one bin
+    assert(rows.where(col("key") >= 150 && col("key") < 160)
+      .rdd.getNumPartitions == 1)
+    rm(dir)
+  }
+
   test("small DELETE's change feed plans only zone-admitting files") {
     val dir = tmp("cdfprune")
     // 4 zone-disjoint files
