@@ -2080,25 +2080,6 @@ object SourceQueries {
       out)
   }
 
-  /** VAL-COLUMN FILE SKIPPING on the commit log (r15 verdict item 4,
-    * closed — zone maps covered the key column only, so a val
-    * predicate could never prune a file): task writers now track each
-    * file's val min/max in UTF8-byte order for free as rows stream
-    * through (the parquet string-statistics story, with the same
-    * truncate-lower / truncate-and-increment-upper bound compression),
-    * the job commit publishes them as `#vstats:` manifest headers
-    * (base64 — arbitrary bytes stay colon- and newline-free), and the
-    * scan builder accepts equality / range / prefix predicates on
-    * `val` for pruning — every filter still a Spark-side residual, so
-    * skipping can only drop files whose zone provably misses. The op
-    * writes the customer table as one file per market segment (each
-    * file's val zone collapses to a single segment), then pins three
-    * probe shapes by PLANNED PARTITION COUNT: equality (1 of 5
-    * files), a byte-order range covering two segments (2), and a
-    * prefix probe (1); all row counts recomputed by the oracle from
-    * the segment histogram. At 100 TB a dimension-valued predicate
-    * pruning 4/5 of the scan before planning is the difference
-    * between a metadata decision and a cluster-wide read. */
   /** OPTIMIZE ZORDER BY (key, val) — clustering as a commit-log verb
     * (r15 verdict item 5, closed): the Morton-interleave machinery
     * proven by `layout_zorder_cluster` wired into the compaction
@@ -2330,6 +2311,25 @@ object SourceQueries {
       out)
   }
 
+  /** VAL-COLUMN FILE SKIPPING on the commit log (r15 verdict item 4,
+    * closed — zone maps covered the key column only, so a val
+    * predicate could never prune a file): task writers now track each
+    * file's val min/max in UTF8-byte order for free as rows stream
+    * through (the parquet string-statistics story, with the same
+    * truncate-lower / truncate-and-increment-upper bound compression),
+    * the job commit publishes them as `#vstats:` manifest headers
+    * (base64 — arbitrary bytes stay colon- and newline-free), and the
+    * scan builder accepts equality / range / prefix predicates on
+    * `val` for pruning — every filter still a Spark-side residual, so
+    * skipping can only drop files whose zone provably misses. The op
+    * writes the customer table as one file per market segment (each
+    * file's val zone collapses to a single segment), then pins three
+    * probe shapes by PLANNED PARTITION COUNT: equality (1 of 5
+    * files), a byte-order range covering two segments (2), and a
+    * prefix probe (1); all row counts recomputed by the oracle from
+    * the segment histogram. At 100 TB a dimension-valued predicate
+    * pruning 4/5 of the scan before planning is the difference
+    * between a metadata decision and a cluster-wide read. */
   def fileSkippingValOp(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KvSource
     val out = java.nio.file.Files.createTempDirectory("graft-kv-vskip").toString

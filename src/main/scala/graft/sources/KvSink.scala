@@ -417,7 +417,11 @@ object KvSource {
       val b64 = java.util.Base64.getDecoder
       val valStats = hdr.collect {
         case s if s.startsWith("#vstats:") =>
-          val p = s.stripPrefix("#vstats:").split(":")
+          // split limit -1: an empty-string val bound is LEGAL (a file
+          // of empty vals encodes `#vstats:f::`) and Java's default
+          // split would drop the trailing empties and crash the parse —
+          // bricking the table on its next read (r16 review finding)
+          val p = s.stripPrefix("#vstats:").split(":", -1)
           p(0) -> ((b64.decode(p(1)), b64.decode(p(2))))
       }.toMap
       // `#schema:key,val,...` — the table's column list from this
@@ -582,7 +586,11 @@ object KvSource {
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: no table at $path"))
     val st = stateAt(path, v0)
-    require(!st.schemaCols.contains(colName),
+    // case-INSENSITIVE duplicate check: Spark's analyzer resolves
+    // names case-insensitively by default, so a case-colliding column
+    // would make every reference ambiguous — and with append-only
+    // columns (no DROP) the table could never be repaired
+    require(!st.schemaCols.exists(_.equalsIgnoreCase(colName)),
       s"KvSource: column '$colName' already exists at $path (have: ${st.schemaCols.mkString(",")})")
     val cur = st.protocol
     commitVersionKeyed(path, Seq.empty, None,
@@ -1129,7 +1137,11 @@ object KvSource {
       // max overlap depth: endpoint sweep, +1 before -1 at equal
       // positions so touching zones count as overlapping
       val events = zones
-        .flatMap { case (lo, hi) => Seq((lo, 1), (hi + 1, -1)) }
+        .flatMap { case (lo, hi) =>
+          // clamp: a zone ending at Long.MaxValue has no hi+1 (the
+          // overflow would sort the close BEFORE every open)
+          Seq((lo, 1), (if (hi == Long.MaxValue) hi else hi + 1, -1))
+        }
         .sortBy { case (pos, delta) => (pos, -delta) }
       var cur = 0
       var mx = 0
@@ -1228,28 +1240,7 @@ object KvSource {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val parts: Seq[PartMeta] = partitioned
       .mapPartitionsWithIndex { (pid, rows) =>
-        if (!rows.hasNext) Iterator.empty
-        else {
-          val name = s"part-zorder-$salt-$pid.dat"
-          var lo = Long.MaxValue
-          var hi = Long.MinValue
-          var vlo: Array[Byte] = null
-          var vhi: Array[Byte] = null
-          var n = 0L
-          writeLinesAtomically(path, name, new java.util.Iterator[String] {
-            override def hasNext: Boolean = rows.hasNext
-            override def next(): String = {
-              val (k, v) = rows.next()._2
-              lo = math.min(lo, k); hi = math.max(hi, k)
-              n += 1
-              val vb = v.getBytes("UTF-8")
-              if (vlo == null || java.util.Arrays.compareUnsigned(vb, vlo) < 0) vlo = vb
-              if (vhi == null || java.util.Arrays.compareUnsigned(vb, vhi) > 0) vhi = vb
-              kvLine(k, v)
-            }
-          })
-          Iterator.single(PartMeta(name, lo, hi, vlo, vhi, n))
-        }
+        writePart(path, s"part-zorder-$salt-$pid.dat", rows.map(_._2))
       }.collect().toSeq
     val v = commitVersionKeyed(path, parts.map(_.name), None,
       removeFiles = st.files ++ st.dvFiles,
@@ -1304,28 +1295,7 @@ object KvSource {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val parts: Seq[PartMeta] = partitioned
       .mapPartitionsWithIndex { (pid, rows) =>
-        if (!rows.hasNext) Iterator.empty
-        else {
-          val name = s"part-binpack-$salt-$pid.dat"
-          var lo = Long.MaxValue
-          var hi = Long.MinValue
-          var vlo: Array[Byte] = null
-          var vhi: Array[Byte] = null
-          var cnt = 0L
-          writeLinesAtomically(path, name, new java.util.Iterator[String] {
-            override def hasNext: Boolean = rows.hasNext
-            override def next(): String = {
-              val (k, v) = rows.next()._2
-              lo = math.min(lo, k); hi = math.max(hi, k)
-              cnt += 1
-              val vb = v.getBytes("UTF-8")
-              if (vlo == null || java.util.Arrays.compareUnsigned(vb, vlo) < 0) vlo = vb
-              if (vhi == null || java.util.Arrays.compareUnsigned(vb, vhi) > 0) vhi = vb
-              kvLine(k, v)
-            }
-          })
-          Iterator.single(PartMeta(name, lo, hi, vlo, vhi, cnt))
-        }
+        writePart(path, s"part-binpack-$salt-$pid.dat", rows.map(_._2))
       }.collect().toSeq
     val v = commitVersionKeyed(path, parts.map(_.name), None,
       removeFiles = st.files ++ st.dvFiles,
@@ -1654,44 +1624,51 @@ object KvSource {
   private[graft] def valStatsOf(parts: Seq[PartMeta]): Map[String, (Array[Byte], Array[Byte])] =
     parts.flatMap(p => truncHi(p.valHi).map(h => p.name -> ((truncLo(p.valLo), h)))).toMap
 
+  /** The ONE per-partition row writer every rewrite verb shares
+    * (r16 review: the zorder/binpack rewrites had drifted into
+    * near-identical private copies): stream (key, val) pairs into an
+    * atomically-renamed task file, tracking key AND val zones plus
+    * the row count as the rows pass — see [[PartMeta]]. A null val
+    * reaches [[kvLine]] and fails with the format error. */
+  private def writePart(path: String, name: String,
+                          rows: Iterator[(Long, String)]): Iterator[PartMeta] =
+    if (!rows.hasNext) Iterator.empty
+    else {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var vlo: Array[Byte] = null
+      var vhi: Array[Byte] = null
+      var n = 0L
+      writeLinesAtomically(path, name, new java.util.Iterator[String] {
+        override def hasNext: Boolean = rows.hasNext
+        override def next(): String = {
+          val (k, v) = rows.next()
+          lo = math.min(lo, k); hi = math.max(hi, k)
+          n += 1
+          if (v != null) {
+            val vb = v.getBytes("UTF-8")
+            if (vlo == null || java.util.Arrays.compareUnsigned(vb, vlo) < 0) vlo = vb
+            if (vhi == null || java.util.Arrays.compareUnsigned(vb, vhi) > 0) vhi = vb
+          }
+          kvLine(k, v)
+        }
+      })
+      Iterator.single(PartMeta(name, lo, hi, vlo, vhi, n))
+    }
+
   /** Shared COW row writer: stream `df` (key, val) into per-partition
     * salted task files. The collected metadata list is partition-
-    * count-sized planning data, never rows; each writer tracks its
-    * key AND val zones as rows stream through (the same free zone-map
-    * recording the DSv2 task writer does) — see [[PartMeta]]. */
+    * count-sized planning data, never rows. */
   private def writeKvParts(path: String, salt: String,
                              df: org.apache.spark.sql.DataFrame,
                              prefix: String): Seq[PartMeta] =
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      if (!rows.hasNext) Iterator.empty
-      else {
-        val name = s"$prefix-$salt-$pid.dat"
-        var lo = Long.MaxValue
-        var hi = Long.MinValue
-        var vlo: Array[Byte] = null
-        var vhi: Array[Byte] = null
-        var n = 0L
-        writeLinesAtomically(path, name, new java.util.Iterator[String] {
-          override def hasNext: Boolean = rows.hasNext
-          override def next(): String = {
-            val r = rows.next()
-            if (r.isNullAt(0))
-              throw new IllegalArgumentException(
-                "KvSource: key and val must be non-null (line format has no null encoding)")
-            val k = r.getLong(0)
-            lo = math.min(lo, k); hi = math.max(hi, k)
-            n += 1
-            val v = if (r.isNullAt(1)) null else r.getString(1)
-            if (v != null) {
-              val vb = v.getBytes("UTF-8")
-              if (vlo == null || java.util.Arrays.compareUnsigned(vb, vlo) < 0) vlo = vb
-              if (vhi == null || java.util.Arrays.compareUnsigned(vb, vhi) > 0) vhi = vb
-            }
-            kvLine(k, v)
-          }
-        })
-        Iterator.single(PartMeta(name, lo, hi, vlo, vhi, n))
-      }
+      writePart(path, s"$prefix-$salt-$pid.dat", rows.map { r =>
+        if (r.isNullAt(0))
+          throw new IllegalArgumentException(
+            "KvSource: key and val must be non-null (line format has no null encoding)")
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))
+      })
     }.collect().toSeq
 
   /** The pruned-COW touch probe: files whose `#stats:` zone admits at
@@ -2305,6 +2282,10 @@ class KvScan(path: String, asOf: Option[Long],
   override def planInputPartitions(): Array[InputPartition] = if (cdfRead) {
     // batch CDF read (Delta table_changes): versions
     // [startingVersion, endingVersion], both inclusive
+    if (startLatest) throw new IllegalArgumentException(
+      "KvSource: startingVersion=\"latest\" is a STREAMING-only mode " +
+        "(tail from now on); a batch readChangeFeed needs a numeric " +
+        "startingVersion")
     val from = startingVersion.getOrElse(throw new IllegalArgumentException(
       "KvSource: a readChangeFeed batch read requires option 'startingVersion'"))
     KvSource.cdfPartitions(path, from - 1, cdfEnd.getOrElse(0L))
@@ -2952,11 +2933,15 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
 
   // per-file zone maps (key AND val, UTF8-byte order), tracked as
   // rows stream through (free at write time — the one moment the
-  // file's contents all pass by)
+  // file's contents all pass by). Val extremes compare as UTF8String
+  // (binary order, zero-alloc) and COPY only when a new extreme lands
+  // — the hot loop never re-encodes the string it already decoded
+  // (r16 review finding); the copy detaches the stored extreme from
+  // any row buffer the UTF8String may alias.
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
-  private var minVal: Array[Byte] = null
-  private var maxVal: Array[Byte] = null
+  private var minVal: UTF8String = null
+  private var maxVal: UTF8String = null
   private var nRows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -2967,10 +2952,10 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
     if (k < minKey) minKey = k
     if (k > maxKey) maxKey = k
     nRows += 1
-    val v = row.getUTF8String(1).toString
-    val vb = v.getBytes("UTF-8")
-    if (minVal == null || java.util.Arrays.compareUnsigned(vb, minVal) < 0) minVal = vb
-    if (maxVal == null || java.util.Arrays.compareUnsigned(vb, maxVal) > 0) maxVal = vb
+    val u = row.getUTF8String(1)
+    if (minVal == null || u.compareTo(minVal) < 0) minVal = u.copy()
+    if (maxVal == null || u.compareTo(maxVal) > 0) maxVal = u.copy()
+    val v = u.toString
     out.write(KvSource.kvLine(k, v))
     // evolved columns: comma-free by contract (the from-the-end line
     // parse depends on it), `\N` encodes null
@@ -2999,7 +2984,7 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
       StandardCopyOption.ATOMIC_MOVE)
     KvCommitMessage(finalName,
       if (nRows > 0) Some((minKey, maxKey)) else None,
-      if (nRows > 0) Some((minVal, maxVal)) else None,
+      if (nRows > 0) Some((minVal.getBytes, maxVal.getBytes)) else None,
       nRows)
   }
 

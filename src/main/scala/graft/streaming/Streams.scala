@@ -1821,7 +1821,12 @@ object Streams {
       .filter(col("event_id").isNotNull && col("event_type").isNotNull)
       .selectExpr("event_id AS key", "event_type AS val")
     (0L until 12L).foreach { m =>
-      ev.filter(col("key") % 12 === m)
+      // one file per version (repartition(1)): the pinned constants
+      // (10 snapshot files, 6 batches at rate 2) are the staging
+      // geometry — at an SF where events spans multiple input
+      // partitions an unrepartitioned append would commit several
+      // files per version and the ledger would drift (r16 review)
+      ev.filter(col("key") % 12 === m).repartition(1)
         .write.format(classOf[KvSource].getName)
         .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
     }

@@ -372,6 +372,40 @@ class Widening16Spec extends AnyFunSuite {
     rm(dir)
   }
 
+  test("empty-string vals round-trip: the `#vstats:f::` manifest line parses") {
+    val dir = tmp("emptyval")
+    import spark.implicits._
+    // an empty val is legal (only null/newline are rejected) — its
+    // zone bounds base64-encode to empty strings and the manifest
+    // carries `#vstats:<file>::`, which the parser must survive
+    // (r16 review: the default split() dropped the trailing empties
+    // and one such write bricked the table on its next read)
+    Seq((1L, ""), (2L, "x")).toDF("key", "val").repartition(1)
+      .write.format(classOf[KvSource].getName)
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val rows = spark.read.format(classOf[KvSource].getName)
+      .option("path", dir).load()
+    assert(rows.count() == 2L)
+    assert(rows.where(col("val") === "").count() == 1L)
+    // the zone still prunes: a probe above "x" misses the only file
+    assert(rows.where(col("val") === "zzz").rdd.getNumPartitions == 0)
+    // and the table keeps accepting writes (the fold parses)
+    Seq((3L, "y")).toDF("key", "val").repartition(1)
+      .write.format(classOf[KvSource].getName)
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    assert(spark.read.format(classOf[KvSource].getName).option("path", dir)
+      .load().count() == 3L)
+    rm(dir)
+  }
+
+  test("ALTER ADD COLUMN refuses case-colliding names (analyzer is case-insensitive)") {
+    val dir = tmp("schema-case")
+    append(dir, 0, 5)
+    intercept[IllegalArgumentException](KvSource.alterAddColumn(dir, "Val"))
+    intercept[IllegalArgumentException](KvSource.alterAddColumn(dir, "KEY"))
+    rm(dir)
+  }
+
   test("small DELETE's change feed plans only zone-admitting files") {
     val dir = tmp("cdfprune")
     // 4 zone-disjoint files
