@@ -581,6 +581,21 @@ object SparkEntry {
     // round 16 batch 7: the maintenance cycle closed — plan, execute
     // ONE bin-packing rewrite, re-plan returns zero jobs
     "load_maintenance_cycle" -> SourceQueries.maintenanceCycleOp _,
+    // round 17 batch 1: the six evolved-table guards are GONE — every
+    // rewrite verb and the change feed work after ALTER ADD COLUMN
+    "load_merge_evolved" -> SourceQueries.mergeEvolvedOp _,
+    "load_optimize_evolved" -> SourceQueries.optimizeEvolvedOp _,
+    "load_cdf_evolved" -> SourceQueries.cdfEvolvedOp _,
+    // round 17 batch 2: per-column zone maps (`#cstats:`, position-
+    // keyed) — file skipping on evolved-column predicates
+    "load_file_skipping_cols" -> SourceQueries.fileSkippingColsOp _,
+    // round 17 batch 3: ALTER TABLE RENAME COLUMN — metadata-only
+    // name-mapping (#colmap, position-keyed), protocol-gated to 4:4
+    "load_rename_column" -> SourceQueries.renameColumnOp _,
+    // round 17 batch 4: concurrency proofs — the CAS + rebase across
+    // two real JVMs, and streaming epochs racing a live OPTIMIZE
+    "load_occ_crossproc" -> SourceQueries.occCrossProcOp _,
+    "stream_sink_occ_race" -> Streams.streamSinkOccRace _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -6335,6 +6350,147 @@ object SparkEntry {
         |  UNION ALL SELECT '04_after', 'files_live', 4
         |  UNION ALL SELECT '04_after', 'quarter_probe_files_planned', 1
         |  UNION ALL SELECT '04_after', 'rows_readable', (SELECT n - ndel FROM c)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_merge_evolved: the guards-gone headline — MERGE/UPDATE/CDF
+    // on a widened table, every count closed-form from customer
+    "load_merge_evolved" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_alter' AS stage, 'version' AS metric, 2 AS value
+        |  UNION ALL SELECT '02_merge', 'matched', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '02_merge', 'inserted', 0
+        |  UNION ALL SELECT '02_merge', 'version', 4
+        |  UNION ALL SELECT '03_update', 'rows', (SELECT nb FROM c)
+        |  UNION ALL SELECT '03_update', 'version', 5
+        |  UNION ALL SELECT '04_after', 'rows', (SELECT 2 * n FROM c)
+        |  UNION ALL SELECT '04_after', 'null_segment', (SELECT n - n3 FROM c)
+        |  UNION ALL SELECT '04_after', 'merged_rows', (SELECT n3 FROM c)
+        |  UNION ALL SELECT '04_after', 'updated_rows', (SELECT nb FROM c)
+        |  UNION ALL SELECT '05_cdf', 'deletes', (SELECT n3 + nb FROM c)
+        |  UNION ALL SELECT '05_cdf', 'inserts', (SELECT n3 + nb FROM c)
+        |  UNION ALL SELECT '05_cdf', 'merged_inserts', (SELECT n3 FROM c)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_optimize_evolved: maintenance survives ALTER — the staged
+    // geometry in closed form (5 files, 50%-of-narrow delete ≈
+    // 2500 bp, binpack to 4 disjoint wide bins, re-plan empty,
+    // quarter probe plans 1 bin)
+    "load_optimize_evolved" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndel
+        |  FROM customer),
+        |q AS (SELECT CAST(SUM(CASE WHEN c_custkey <= (SELECT n // 4 FROM c)
+        |    AND c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nq FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_stage' AS stage, 'files' AS metric, 5 AS value
+        |  UNION ALL SELECT '01_stage', 'keys_deleted', (SELECT ndel FROM c)
+        |  UNION ALL SELECT '02_plan', 'compact_fired', 1
+        |  UNION ALL SELECT '02_plan', 'dv_fold_fired', 1
+        |  UNION ALL SELECT '02_plan', 'zorder_fired', 1
+        |  UNION ALL SELECT '03_execute', 'version', 8
+        |  UNION ALL SELECT '04_replan', 'jobs', 0
+        |  UNION ALL SELECT '05_after', 'files_live', 4
+        |  UNION ALL SELECT '05_after', 'dv_files', 0
+        |  UNION ALL SELECT '05_after', 'rows', (SELECT 2 * n - ndel FROM c)
+        |  UNION ALL SELECT '05_after', 'null_segment', (SELECT n - ndel FROM c)
+        |  UNION ALL SELECT '05_after', 'quarter_probe_files_planned', 1
+        |  UNION ALL SELECT '05_after', 'quarter_probe_rows', (SELECT nq FROM q)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_cdf_evolved: the feed across an ALTER — per-version change
+    // rollups with key sums; narrow inserts null-fill, the DELETE's
+    // retractions materialize wide, MERGE sidecars carry both images
+    "load_cdf_evolved" ->
+      """WITH e AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
+        |o AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 1),
+        |d AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 5),
+        |m AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 6 = 0)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+        |  CAST(n AS BIGINT) AS n, CAST(key_sum AS BIGINT) AS key_sum,
+        |  CAST(null_segment AS BIGINT) AS null_segment FROM (
+        |  SELECT 1 AS commit_version, 'insert' AS change_type,
+        |    COUNT(*) AS n, SUM(k) AS key_sum, COUNT(*) AS null_segment FROM e
+        |  UNION ALL SELECT 3, 'insert', COUNT(*), SUM(k), 0 FROM o
+        |  UNION ALL SELECT 4, 'delete', COUNT(*), SUM(k), 0 FROM d
+        |  UNION ALL SELECT 5, 'delete', COUNT(*), SUM(k), COUNT(*) FROM m
+        |  UNION ALL SELECT 5, 'insert', COUNT(*), SUM(k), 0 FROM m
+        |) t ORDER BY commit_version, change_type""".stripMargin,
+    // load_file_skipping_cols: layout constants (9 files — the
+    // cstats-free narrow file always plans, +1 on every probe; probes
+    // plan 2/3/2) + row counts from the segment histogram
+    "load_file_skipping_cols" ->
+      """WITH s AS (SELECT
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |  CAST(SUM(CASE WHEN c_mktsegment IN ('FURNITURE','HOUSEHOLD') THEN 1 ELSE 0 END) AS BIGINT) AS nfh,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nm
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_layout' AS stage, 'files_total' AS metric, 9 AS value
+        |  UNION ALL SELECT '01_layout', 'fold_base', 10
+        |  UNION ALL SELECT '02_eq', 'files_planned', 2
+        |  UNION ALL SELECT '02_eq', 'rows', (SELECT nb FROM s)
+        |  UNION ALL SELECT '03_range', 'files_planned', 3
+        |  UNION ALL SELECT '03_range', 'rows', (SELECT nfh FROM s)
+        |  UNION ALL SELECT '04_prefix', 'files_planned', 2
+        |  UNION ALL SELECT '04_prefix', 'rows', (SELECT nm FROM s)
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_rename_column: metadata-only rename — counts closed-form
+    // (n7 merge matches on the NEW name; nulls = narrow minus merged)
+    "load_rename_column" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_rename' AS stage, 'version' AS metric, 4 AS value
+        |  UNION ALL SELECT '01_rename', 'reader_protocol', 4
+        |  UNION ALL SELECT '01_rename', 'writer_protocol', 4
+        |  UNION ALL SELECT '02_schema', 'cols', 3
+        |  UNION ALL SELECT '02_schema', 'has_new_name', 1
+        |  UNION ALL SELECT '02_schema', 'has_old_name', 0
+        |  UNION ALL SELECT '03_travel', 'old_name_at_v3', 1
+        |  UNION ALL SELECT '03_travel', 'rows_at_v3', (SELECT 2 * n FROM c)
+        |  UNION ALL SELECT '04_merge', 'matched', (SELECT n7 FROM c)
+        |  UNION ALL SELECT '04_merge', 'version', 5
+        |  UNION ALL SELECT '05_after', 'rows', (SELECT 2 * n FROM c)
+        |  UNION ALL SELECT '05_after', 'mg_rows', (SELECT n7 FROM c)
+        |  UNION ALL SELECT '05_after', 'building_rows', (SELECT nb FROM c)
+        |  UNION ALL SELECT '05_after', 'null_rows', (SELECT n - n7 FROM c)
+        |  UNION ALL SELECT '06_history', 'rename_ops', 1
+        |) t ORDER BY stage, metric""".stripMargin,
+    // load_occ_crossproc: chain geometry constants + the slice
+    // arithmetic recomputed via generate_series (2 slices x 30 files
+    // x 10 keys at slice*1e6 + i*10 + j)
+    "load_occ_crossproc" ->
+      """WITH k AS (SELECT (s.g * 1000000 + i.g * 10 + j.g) AS key
+        |  FROM generate_series(0, 1) s(g), generate_series(0, 29) i(g),
+        |       generate_series(0, 9) j(g))
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_race' AS stage, 'exit_a' AS metric, 0 AS value
+        |  UNION ALL SELECT '01_race', 'exit_b', 0
+        |  UNION ALL SELECT '02_chain', 'versions', 60
+        |  UNION ALL SELECT '02_chain', 'chain_dense', 1
+        |  UNION ALL SELECT '02_chain', 'files_live', 60
+        |  UNION ALL SELECT '03_rows', 'rows', (SELECT COUNT(*) FROM k)
+        |  UNION ALL SELECT '03_rows', 'key_sum', (SELECT SUM(key) FROM k)
+        |  UNION ALL SELECT '03_rows', 'rows_a', 300
+        |  UNION ALL SELECT '03_rows', 'rows_b', 300
+        |) t ORDER BY stage, metric""".stripMargin,
+    // stream_sink_occ_race: exactly-once totals hold across the race
+    // regardless of where the rewrite lands — seed (shifted keys) +
+    // streamed copy, each exactly once
+    "stream_sink_occ_race" ->
+      """WITH e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS ks FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_race' AS stage, 'optimize_ran' AS metric, 1 AS value
+        |  UNION ALL SELECT '01_race', 'optimize_in_history', 1
+        |  UNION ALL SELECT '02_sink', 'rows', (SELECT 2 * n FROM e)
+        |  UNION ALL SELECT '02_sink', 'exactly_once', 1
+        |  UNION ALL SELECT '02_sink', 'key_sum',
+        |    (SELECT 2 * ks + n * 1000000000 FROM e)
         |) t ORDER BY stage, metric""".stripMargin,
     // stream_source_ratelimit: protocol constants (3 versions drained
     // one per micro-batch) + exactly-once totals from events

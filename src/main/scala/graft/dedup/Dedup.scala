@@ -1002,11 +1002,17 @@ object Dedup {
     * hash-portable. */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "text", "substring(text, 1, 16) AS pfx",
-        "length(text) DIV 32 AS lb")
+      .selectExpr("doc_id", "text", "length(text) AS len",
+        "substring(text, 1, 16) AS pfx", "length(text) DIV 32 AS lb")
     d.as("a").join(d.as("b"),
         col("a.pfx") === col("b.pfx") && col("a.lb") === col("b.lb") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // length gate BEFORE the DP (r17 constant-factor pass):
+          // edit distance ≥ |len_a − len_b|, so a pair differing by
+          // more than the threshold can never survive the dist filter
+          // — dropping it here skips the banded DP entirely, result
+          // set provably unchanged
+          abs(col("a.len") - col("b.len")) <= 16)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         // threshold-bounded DP: bands the matrix to O(len·k) and
         // early-exits far pairs with -1 (the block verify's dominant

@@ -245,36 +245,80 @@ object WinnowScan {
     r
   }
 
+  /** Modular inverse of B mod 2³¹ (B = 31 is odd, so it exists):
+    * makes the gram hash ROLL in O(1) — h_{i+1} = (h_i − cp_i)·B⁻¹ +
+    * cp_{i+gram}·B^{gram−1}, all mod 2³¹, which is EXACTLY the
+    * per-position polynomial sum (modular identity, not an
+    * approximation), so the DuckDB oracle's verbatim 16-term sum
+    * still matches hash-for-hash. */
+  private val InvB: Long = {
+    // Newton–Hensel: x ← x(2 − B·x) doubles the correct low bits per
+    // step; x₀ = 1 is correct mod 2 (B odd), 5 steps ⇒ correct mod 2³¹
+    val mask = M - 1
+    var x = 1L
+    var i = 0
+    while (i < 5) {
+      val t = (2 - B * x) & mask
+      x = (x * t) & mask
+      i += 1
+    }
+    require((x * B & mask) == 1L, "InvB: not an inverse")
+    x
+  }
+
   /** One-pass winnow (see [[WinnowFingerprints]]); public + static so
     * generated code calls it directly. Codepoint-indexed to match SQL
-    * substring/ascii semantics on both engines. */
+    * substring/ascii semantics on both engines. r17 constant-factor
+    * pass (the sf1 suite leader at 25.9 s): the per-position gram
+    * hash ROLLS (2 mults instead of `gram` mults — exact mod-2³¹
+    * identity via [[InvB]], oracle-verbatim values unchanged), the
+    * trailing-window minimum is a MONOTONIC DEQUE (amortized O(1)
+    * instead of rescanning `window` slots), and the distinct set is a
+    * HashSet guarded by a same-as-last check, sorted once at the end
+    * (winnowing picks the same minimum for runs of positions, so the
+    * guard removes most set operations) — output identical. */
   def scan(t: UTF8String, gram: Int, window: Int): GenericArrayData = {
     val cp = t.toString.codePoints().toArray
     val n = cp.length
     if (n < gram) return new GenericArrayData(Array.emptyLongArray)
-    val pow = new Array[Long](gram)
-    var j = 0
-    while (j < gram) { pow(j) = powMod(j); j += 1 }
+    val mask = M - 1
+    val powTop = powMod(gram - 1)
     val np = n - gram + 1
-    val ring = new Array[Long](window)
-    val seen = new java.util.TreeSet[java.lang.Long]()
+    // monotonic deque over (hash, position), circular at capacity
+    // window+1 (it never holds more than `window` in-window entries):
+    // head = the trailing-window minimum
+    val cap = window + 1
+    val dqV = new Array[Long](cap)
+    val dqI = new Array[Int](cap)
+    var head = 0
+    var tail = 0 // exclusive, both monotone; slot = idx % cap
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var lastMin = -1L
+    var nOut = 0
+    var h = 0L
+    var k = 0
+    while (k < gram) { h = (h + cp(k) * powMod(k)) & mask; k += 1 }
     var i = 0
     while (i < np) {
-      var h = 0L
-      var k = 0
-      while (k < gram) { h += cp(i + k) * pow(k); k += 1 }
-      ring(i % window) = h % M
-      val filled = math.min(i + 1, window)
-      var mn = Long.MaxValue
-      var r = 0
-      while (r < filled) { if (ring(r) < mn) mn = ring(r); r += 1 }
-      seen.add(mn)
+      // drop entries outside the trailing window [i-window+1, i]
+      while (head < tail && dqI(head % cap) <= i - window) head += 1
+      // maintain increasing values from head to tail
+      while (tail > head && dqV((tail - 1) % cap) >= h) tail -= 1
+      dqV(tail % cap) = h; dqI(tail % cap) = i; tail += 1
+      val mn = dqV(head % cap)
+      if (mn != lastMin) {
+        lastMin = mn
+        if (seen.add(mn)) nOut += 1
+      }
+      if (i + 1 < np)
+        h = (((h - cp(i)) & mask) * InvB & mask) + cp(i + gram) * powTop & mask
       i += 1
     }
-    val out = new Array[Long](seen.size)
+    val out = new Array[Long](nOut)
     val it = seen.iterator()
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 }

@@ -1589,6 +1589,85 @@ object Streams {
       out)
   }
 
+  /** STREAMING EPOCHS RACING OPTIMIZE (r17 — the r16 verdict's item
+    * 7): a LIVE streaming write commits epochs through the commit-log
+    * CAS while a CONCURRENT thread runs `optimizeBinPack` on the same
+    * table. A streaming epoch is a pure append, so the rewrite's
+    * AppendOk pin REBASES over any epoch that lands between its scan
+    * and its publish (and an epoch that loses the hard-link CAS to
+    * the rewrite merges at the next version) — both commit, nobody
+    * retries at the caller, and the exactly-once totals hold across
+    * the race. Staged: a 4-slice seeded target (shifted keys), a
+    * 6-version source table tailed with maxVersionsPerTrigger=1
+    * (6 separate epoch commits = 6 race windows), the rewrite fired
+    * from a parallel thread mid-stream. Deterministic regardless of
+    * where the rewrite lands: rows = seed + streamed exactly once
+    * (distinct-key check), the OPTIMIZE version present in history.
+    * The oracle recomputes totals from the events table. */
+  def streamSinkOccRace(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val src = java.nio.file.Files.createTempDirectory("graft-kv-race-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-race-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-race-ckpt").toString
+    val shift = 1000000000L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .selectExpr("event_id AS key", "event_type AS val")
+    (0L until 4L).foreach { m =>                       // target seed v1..v4
+      ev.filter(col("key") % 4 === m)
+        .selectExpr(s"key + $shift AS key", "val").repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    (0L until 6L).foreach { m =>                       // source v1..v6
+      ev.filter(col("key") % 6 === m).repartition(1)
+        .write.format(classOf[KvSource].getName)
+        .option("path", src).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    // the racing maintenance job: start mid-stream, retry the one
+    // legitimate surfaced-conflict shape until the rewrite lands
+    @volatile var optVersion = -1L
+    val racer = new Thread(() => {
+      Thread.sleep(150)
+      var tries = 0
+      while (optVersion < 0 && tries < 20) {
+        try optVersion = KvSource.optimizeBinPack(spark, out, 4)._2
+        catch { case _: IllegalStateException => tries += 1; Thread.sleep(50) }
+      }
+    })
+    racer.setDaemon(true)
+    racer.start()
+    val q = spark.readStream.format(classOf[KvSource].getName)
+      .option("path", src).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format(classOf[KvSource].getName)
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    racer.join(120000)
+    val history = KvSource.describeHistory(out)
+    val rows = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load()
+    val n = rows.count()
+    val res = graft.operators.SourceQueries.materializeAndClean(
+      {
+        import spark.implicits._
+        Seq(
+          ("01_race", "optimize_ran", if (optVersion > 0) 1L else 0L),
+          ("01_race", "optimize_in_history",
+            if (history.exists(_._2 == "OPTIMIZE (BINPACK)")) 1L else 0L),
+          ("02_sink", "rows", n),
+          ("02_sink", "exactly_once",
+            if (rows.select("key").distinct().count() == n) 1L else 0L),
+          ("02_sink", "key_sum", rows.agg(sum("key")).head().getLong(0)))
+          .toDF("stage", "metric", "value").orderBy("stage", "metric")
+      },
+      out)
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(src))
+    graft.operators.SourceQueries.deleteRecursively(new java.io.File(ckpt))
+    res
+  }
+
   /** Streaming SOURCE over the commit log (the read half that makes
     * [[graft.sources.KvSource]] a full streaming TABLE — the Delta
     * streaming-source shape): a LIVE `readStream` tails the version

@@ -485,17 +485,18 @@ class Widening15Spec extends AnyFunSuite {
     assert(one.rdd.getNumPartitions == 1 && one.count() == 1L)
     val vprobe = readAll(dir).where(col("val") === "x")
     assert(vprobe.rdd.getNumPartitions == 4 && vprobe.count() == 40L)
-    // a rewrite's file carries no stats → never pruned, still exact
-    KvSource.optimizeCompact(spark, dir) // v5: one compacted file
+    // a rewrite's output records FRESH stats (r17: the compaction
+    // writer went through the shared PartMeta path) → still exact
+    KvSource.optimizeCompact(spark, dir) // v5: one compacted file [0,39]
     val after = readAll(dir).where("key >= 25 AND key < 32")
     assert(after.rdd.getNumPartitions == 1 && after.count() == 7L)
     // stats SURVIVE the checkpoint fold: grow to v11 (v10 re-lists the
-    // live stats map); a tight probe must still prune to 2 files (the
-    // stats-free compacted file + the one covering the range)
+    // live stats map); a tight probe must prune to exactly the ONE
+    // covering file — the compacted file's own zone [0,39] now prunes
     (0 until 6).foreach(i => append(dir, 40L + i * 10, 50L + i * 10)) // v6..v11
     val late = readAll(dir).where("key >= 95")
-    assert(late.rdd.getNumPartitions == 2,
-      s"post-checkpoint probe must keep compact+matching file, got ${late.rdd.getNumPartitions}")
+    assert(late.rdd.getNumPartitions == 1,
+      s"post-checkpoint probe must plan only the matching file, got ${late.rdd.getNumPartitions}")
     assert(late.count() == 5L)
     SourceQueries.deleteRecursively(new java.io.File(dir))
   }

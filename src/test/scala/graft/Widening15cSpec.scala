@@ -30,9 +30,10 @@ class Widening15cSpec extends AnyFunSuite {
     assert(KvSource.protocolAt(dir) == ((2, 2)))
     append(dir, 10, 20)
     assert(readAll(dir).count() == 20L)
-    // downgrade and beyond-support upgrades refuse
+    // downgrade and beyond-support upgrades refuse (engine support is
+    // 4:4 since r17 — column name-mapping)
     intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 1, 1))
-    intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 4, 4))
+    intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 5, 5))
     // the checkpoint re-lists the protocol: grow past v10, vacuum away
     // the pre-checkpoint manifests, the fold still sees 2:2
     (0 until 9).foreach(i => append(dir, 100L + i * 10, 110L + i * 10)) // ..v12

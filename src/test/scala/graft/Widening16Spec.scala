@@ -296,13 +296,19 @@ class Widening16Spec extends AnyFunSuite {
     // duplicate / invalid column names refuse
     intercept[IllegalArgumentException](KvSource.alterAddColumn(dir, "score"))
     intercept[IllegalArgumentException](KvSource.alterAddColumn(dir, "bad name"))
-    // rewrite verbs and the change feed guard clearly (follow-up surface)
-    intercept[IllegalArgumentException](KvSource.optimizeCompact(spark, dir))
-    intercept[IllegalArgumentException](
+    // rewrite verbs WORK on the evolved table now (r17 — the six
+    // "follow-up surface" guards are gone): a merge missing the
+    // evolved column still refuses with the analyzer's clear error…
+    intercept[org.apache.spark.sql.AnalysisException](
       KvSource.mergeUpsert(spark, dir,
         spark.range(1).selectExpr("id AS key", "'x' AS val")))
-    intercept[IllegalArgumentException](
-      KvSource.changeFeed(spark, dir, 1L, 3L).count())
+    // …a full-width merge lands (deep coverage in Widening17Spec), and
+    // the change feed reads wide: pre-ALTER inserts null-fill `score`
+    val cdf = KvSource.changeFeed(spark, dir, 0L, 3L)
+    assert(cdf.schema.fieldNames.toSeq ==
+      Seq("key", "val", "score", "change_type", "commit_version"))
+    assert(cdf.count() == 12L)
+    assert(cdf.filter(col("score").isNull).count() == 11L)
     // DELETE (key-scoped MOR) still works on an evolved table
     val (nDel, _) = KvSource.deleteWhere(spark, dir, "key = 100")
     assert(nDel == 1L)
