@@ -1001,24 +1001,40 @@ object Dedup {
     * engines implement the classic DP, so distances are exact and
     * hash-portable. */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "text", "length(text) AS len",
-        "substring(text, 1, 16) AS pfx", "length(text) DIV 32 AS lb")
-    d.as("a").join(d.as("b"),
+    val docs = Tables.documents(spark, dir)
+    val d = docs.selectExpr("doc_id", "substring(text, 1, 16) AS pfx",
+      "length(text) DIV 32 AS lb", "length(text) AS len")
+    // SKINNY candidate join (r17 constant-factor pass — the sf1 suite
+    // co-leader at 25.8 s): the old form self-joined FULL TEXTS, so
+    // the block key shuffle carried the whole corpus twice to find a
+    // near-dup-sized pair list (~1.1k pairs at sf1, 500k docs). The
+    // candidate join now moves ~40-byte rows; the length gate rides
+    // it (edit distance ≥ |len_a − len_b|, so over-threshold pairs
+    // can never survive the dist filter — provably result-identical).
+    val cand = d.as("a").join(d.as("b"),
         col("a.pfx") === col("b.pfx") && col("a.lb") === col("b.lb") &&
           col("a.doc_id") < col("b.doc_id") &&
-          // length gate BEFORE the DP (r17 constant-factor pass):
-          // edit distance ≥ |len_a − len_b|, so a pair differing by
-          // more than the threshold can never survive the dist filter
-          // — dropping it here skips the banded DP entirely, result
-          // set provably unchanged
           abs(col("a.len") - col("b.len")) <= 16)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        // threshold-bounded DP: bands the matrix to O(len·k) and
-        // early-exits far pairs with -1 (the block verify's dominant
-        // cost; measured 4× over the unbounded DP at sf0.1) — the
-        // kept distances are identical to the oracle's unbounded form
-        levenshtein(col("a.text"), col("b.text"), 16).cast("long").as("dist"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // text fetches: ONLY the skinny pair list is ever broadcast
+    // (near-dup-sized id pairs, never texts — broadcasting the
+    // text-joined intermediate would ship whole documents to every
+    // executor); the corpus streams past each hash join UNSHUFFLED,
+    // and the two pair-sized text-carrying results meet in a
+    // pair-keyed join that degrades gracefully at any pair count.
+    // The threshold-bounded DP (bands the matrix to O(len·k), -1
+    // early-exit; kept distances identical to the oracle's unbounded
+    // form) then runs on exactly the surviving pairs.
+    val t = docs.select(col("doc_id"), col("text"))
+    val withA = broadcast(cand)
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        "doc_a")
+    val withB = broadcast(cand)
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), 16).cast("long").as("dist"))
       .filter(col("dist") >= 0)
       .orderBy("doc_a", "doc_b")
   }

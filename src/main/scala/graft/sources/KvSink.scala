@@ -633,9 +633,17 @@ object KvSource {
     * understand (exactly what the protocol gate exists for). Columns
     * are append-only (Delta's safe subset): no drop, no rename, no
     * type change. Returns the published version. */
+  /** Column names the CHANGE FEED reserves for its metadata — a data
+    * column with either name would make cdfSchemaFor emit duplicate
+    * fields and every change-feed read ambiguous (Delta reserves the
+    * same names; r17 review finding). */
+  private[graft] val ReservedCdfNames = Set("change_type", "commit_version")
+
   private[graft] def alterAddColumn(path: String, colName: String): Long = {
     require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"KvSource: invalid column name '$colName'")
+    require(!ReservedCdfNames(colName.toLowerCase(java.util.Locale.ROOT)),
+      s"KvSource: '$colName' is reserved for the change feed's metadata columns")
     migrateLog(path)
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: no table at $path"))
@@ -671,6 +679,8 @@ object KvSource {
                                     newName: String): Long = {
     require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"KvSource: invalid column name '$newName'")
+    require(!ReservedCdfNames(newName.toLowerCase(java.util.Locale.ROOT)),
+      s"KvSource: '$newName' is reserved for the change feed's metadata columns")
     migrateLog(path)
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: no table at $path"))
@@ -1243,16 +1253,21 @@ object KvSource {
       // overlap via the +1 offset (r16 advice: the opens-first sort
       // made a perfectly bin-packed layout read depth 2 and could fire
       // OPTIMIZE_ZORDER spuriously at maxOverlapDepth=2)
+      // event rank at equal positions: 0 = exclusive close (emitted at
+      // hi+1 — sorts before opens, so adjacent-but-disjoint zones read
+      // depth 1), 1 = open, 2 = INCLUSIVE close (a zone ending at
+      // Long.MaxValue has no hi+1; its close must sort AFTER opens at
+      // the same position or a genuine overlap at MaxValue undercounts
+      // — r17 review finding)
       val events = zones
         .flatMap { case (lo, hi) =>
-          // clamp: a zone ending at Long.MaxValue has no hi+1 (the
-          // overflow would sort the close BEFORE every open)
-          Seq((lo, 1), (if (hi == Long.MaxValue) hi else hi + 1, -1))
+          Seq((lo, 1, 1),
+            if (hi == Long.MaxValue) (hi, 2, -1) else (hi + 1, 0, -1))
         }
-        .sortBy { case (pos, delta) => (pos, delta) }
+        .sortBy { case (pos, rank, _) => (pos, rank) }
       var cur = 0
       var mx = 0
-      events.foreach { e => cur += e._2; mx = math.max(mx, cur) }
+      events.foreach { e => cur += e._3; mx = math.max(mx, cur) }
       if (mx >= maxOverlapDepth)
         jobs += (("OPTIMIZE_ZORDER", s"max_zone_overlap $mx >= $maxOverlapDepth",
           mx.toLong, bytesOf(st.files)))
@@ -1758,6 +1773,78 @@ object KvSource {
     } finally upd.unpersist(blocking = false)
   }
 
+  /** The ONE implementation of the wide on-disk ROW format, shared by
+    * the DSv2 task writer and every rewrite verb's writer (r17
+    * review: [[writePartRows]] and [[KvDataWriter]] had become
+    * parallel copies of the format + validation + zone tracking —
+    * exactly the drift the r16 writePart consolidation existed to
+    * prevent, re-opened one layer up): renders a row's line text
+    * (key, val, evolved columns with `\N` nulls; the `#c:` header
+    * stays with the callers) while folding the row into the key/val/
+    * evolved-column zone maps and the row count. Val and evolved
+    * extremes compare as [[UTF8String]] (binary order, zero per-row
+    * allocation) and copy only on a new extreme. */
+  private[graft] final class WideRowCodec(nCols: Int) {
+    var minKey: Long = Long.MaxValue
+    var maxKey: Long = Long.MinValue
+    var minVal: UTF8String = null
+    var maxVal: UTF8String = null
+    val minExtra = new Array[UTF8String](math.max(0, nCols - 2))
+    val maxExtra = new Array[UTF8String](math.max(0, nCols - 2))
+    var nRows: Long = 0L
+
+    /** Validate `row`, fold it into the zones, append its line text
+      * (no trailing newline) to `sb`. */
+    def render(row: InternalRow, sb: java.lang.StringBuilder): Unit = {
+      if (row.isNullAt(0) || row.isNullAt(1))
+        throw new IllegalArgumentException(
+          "KvSource: key and val must be non-null (line format has no null encoding)")
+      val k = row.getLong(0)
+      if (k < minKey) minKey = k
+      if (k > maxKey) maxKey = k
+      nRows += 1
+      val u = row.getUTF8String(1)
+      if (minVal == null || u.compareTo(minVal) < 0) minVal = u.copy()
+      if (maxVal == null || u.compareTo(maxVal) > 0) maxVal = u.copy()
+      sb.append(kvLine(k, u.toString))
+      var i = 2
+      while (i < nCols) {
+        sb.append(',')
+        if (row.isNullAt(i)) sb.append("\\N")
+        else {
+          val ue = row.getUTF8String(i)
+          if (minExtra(i - 2) == null || ue.compareTo(minExtra(i - 2)) < 0)
+            minExtra(i - 2) = ue.copy()
+          if (maxExtra(i - 2) == null || ue.compareTo(maxExtra(i - 2)) > 0)
+            maxExtra(i - 2) = ue.copy()
+          val e = ue.toString
+          if (e.indexOf(',') >= 0 || e.indexOf('\n') >= 0 ||
+              e.indexOf('\r') >= 0 || e == "\\N")
+            throw new IllegalArgumentException(
+              "KvSource: evolved column values must be comma- and newline-free " +
+                "and not the literal \\N (the null sentinel)")
+          sb.append(e)
+        }
+        i += 1
+      }
+    }
+
+    /** Evolved-column zone list, `(position, lo, hi)` per column that
+      * saw at least one non-null value. */
+    def colStatsSeq: Seq[(Int, Array[Byte], Array[Byte])] =
+      minExtra.indices.collect {
+        case i if minExtra(i) != null =>
+          (i + 2, minExtra(i).getBytes, maxExtra(i).getBytes)
+      }.toSeq
+
+    def partMeta(name: String): PartMeta =
+      PartMeta(name, minKey, maxKey,
+        if (minVal == null) null else minVal.getBytes,
+        if (maxVal == null) null else maxVal.getBytes, nRows,
+        minExtra.map(u => if (u == null) null else u.getBytes),
+        maxExtra.map(u => if (u == null) null else u.getBytes))
+  }
+
   /** Per-file write metadata: the committed name plus the zone maps
     * (key min/max; val min/max in UTF8-byte order; per-EVOLVED-column
     * min/max over non-null values, indexed by `position − 2`, null
@@ -1829,50 +1916,13 @@ object KvSource {
                               nCols: Int): Iterator[PartMeta] =
     if (!rows.hasNext) Iterator.empty
     else {
-      var lo = Long.MaxValue
-      var hi = Long.MinValue
-      var vlo: UTF8String = null
-      var vhi: UTF8String = null
-      val elo = new Array[UTF8String](math.max(0, nCols - 2))
-      val ehi = new Array[UTF8String](math.max(0, nCols - 2))
-      var n = 0L
+      val codec = new WideRowCodec(nCols)
       val sb = new java.lang.StringBuilder(64)
       val body = new java.util.Iterator[String] {
         override def hasNext: Boolean = rows.hasNext
         override def next(): String = {
-          val r = rows.next()
-          if (r.isNullAt(0) || r.isNullAt(1))
-            throw new IllegalArgumentException(
-              "KvSource: key and val must be non-null (line format has no null encoding)")
-          val k = r.getLong(0)
-          if (k < lo) lo = k
-          if (k > hi) hi = k
-          n += 1
-          val u = r.getUTF8String(1)
-          if (vlo == null || u.compareTo(vlo) < 0) vlo = u.copy()
-          if (vhi == null || u.compareTo(vhi) > 0) vhi = u.copy()
           sb.setLength(0)
-          sb.append(kvLine(k, u.toString))
-          var i = 2
-          while (i < nCols) {
-            sb.append(',')
-            if (r.isNullAt(i)) sb.append("\\N")
-            else {
-              val ue = r.getUTF8String(i)
-              if (elo(i - 2) == null || ue.compareTo(elo(i - 2)) < 0)
-                elo(i - 2) = ue.copy()
-              if (ehi(i - 2) == null || ue.compareTo(ehi(i - 2)) > 0)
-                ehi(i - 2) = ue.copy()
-              val e = ue.toString
-              if (e.indexOf(',') >= 0 || e.indexOf('\n') >= 0 ||
-                  e.indexOf('\r') >= 0 || e == "\\N")
-                throw new IllegalArgumentException(
-                  "KvSource: evolved column values must be comma- and newline-free " +
-                    "and not the literal \\N (the null sentinel)")
-              sb.append(e)
-            }
-            i += 1
-          }
+          codec.render(rows.next(), sb)
           sb.toString
         }
       }
@@ -1884,11 +1934,7 @@ object KvSource {
           override def next(): String =
             if (header.hasNext) header.next() else body.next()
         } else body)
-      Iterator.single(PartMeta(name, lo, hi,
-        if (vlo == null) null else vlo.getBytes,
-        if (vhi == null) null else vhi.getBytes, n,
-        elo.map(u => if (u == null) null else u.getBytes),
-        ehi.map(u => if (u == null) null else u.getBytes)))
+      Iterator.single(codec.partMeta(name))
     }
 
   /** Shared COW row writer: stream `df` — already [[normalized]] to
@@ -2154,7 +2200,7 @@ object KvSource {
     *     limitation, noted). */
   private[graft] def cdfPartitions(path: String, fromV: Long,
                                      toV: Long,
-                                     nCols: Int = 2): Array[InputPartition] = {
+                                     nCols: Int): Array[InputPartition] = {
     def abs(f: String): String = new java.io.File(path, f).getPath
     val parts = Array.newBuilder[InputPartition]
     // running file state from the range's base: every version's adds
@@ -3291,56 +3337,18 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
   // at ANY schema version parse it correctly (old files stay headerless)
   if (nCols > 2) { out.write(s"#c:$nCols"); out.write('\n') }
 
-  // per-file zone maps (key AND val, UTF8-byte order), tracked as
-  // rows stream through (free at write time — the one moment the
-  // file's contents all pass by). Val extremes compare as UTF8String
-  // (binary order, zero-alloc) and COPY only when a new extreme lands
-  // — the hot loop never re-encodes the string it already decoded
-  // (r16 review finding); the copy detaches the stored extreme from
-  // any row buffer the UTF8String may alias.
-  private var minKey = Long.MaxValue
-  private var maxKey = Long.MinValue
-  private var minVal: UTF8String = null
-  private var maxVal: UTF8String = null
-  private val minExtra = new Array[UTF8String](math.max(0, nCols - 2))
-  private val maxExtra = new Array[UTF8String](math.max(0, nCols - 2))
-  private var nRows = 0L
+  // the shared row codec renders the line AND tracks the per-file
+  // zone maps (key, val, evolved columns — UTF8-byte order, extremes
+  // copied only when they change) as rows stream through: ONE
+  // implementation of the format for this writer and every rewrite
+  // verb (r17 review — the two had drifted into parallel copies)
+  private val codec = new KvSource.WideRowCodec(nCols)
+  private val sb = new java.lang.StringBuilder(64)
 
   override def write(row: InternalRow): Unit = {
-    if (row.isNullAt(0) || row.isNullAt(1))
-      throw new IllegalArgumentException(
-        "KvSource: key and val must be non-null (line format has no null encoding)")
-    val k = row.getLong(0)
-    if (k < minKey) minKey = k
-    if (k > maxKey) maxKey = k
-    nRows += 1
-    val u = row.getUTF8String(1)
-    if (minVal == null || u.compareTo(minVal) < 0) minVal = u.copy()
-    if (maxVal == null || u.compareTo(maxVal) > 0) maxVal = u.copy()
-    val v = u.toString
-    out.write(KvSource.kvLine(k, v))
-    // evolved columns: comma-free by contract (the from-the-end line
-    // parse depends on it), `\N` encodes null
-    var i = 2
-    while (i < nCols) {
-      out.write(',')
-      if (row.isNullAt(i)) out.write("\\N")
-      else {
-        val ue = row.getUTF8String(i)
-        if (minExtra(i - 2) == null || ue.compareTo(minExtra(i - 2)) < 0)
-          minExtra(i - 2) = ue.copy()
-        if (maxExtra(i - 2) == null || ue.compareTo(maxExtra(i - 2)) > 0)
-          maxExtra(i - 2) = ue.copy()
-        val e = ue.toString
-        if (e.indexOf(',') >= 0 || e.indexOf('\n') >= 0 ||
-            e.indexOf('\r') >= 0 || e == "\\N")
-          throw new IllegalArgumentException(
-            "KvSource: evolved column values must be comma- and newline-free " +
-              "and not the literal \\N (the null sentinel)")
-        out.write(e)
-      }
-      i += 1
-    }
+    sb.setLength(0)
+    codec.render(row, sb)
+    out.write(sb.toString)
     out.write('\n')
   }
 
@@ -3350,13 +3358,11 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
     Files.move(tmpFile.toPath, Paths.get(path, finalName),
       StandardCopyOption.ATOMIC_MOVE)
     KvCommitMessage(finalName,
-      if (nRows > 0) Some((minKey, maxKey)) else None,
-      if (nRows > 0) Some((minVal.getBytes, maxVal.getBytes)) else None,
-      nRows,
-      if (nRows > 0) minExtra.indices.collect {
-        case i if minExtra(i) != null =>
-          (i + 2, minExtra(i).getBytes, maxExtra(i).getBytes)
-      }.toSeq else Seq.empty)
+      if (codec.nRows > 0) Some((codec.minKey, codec.maxKey)) else None,
+      if (codec.nRows > 0) Some((codec.minVal.getBytes, codec.maxVal.getBytes))
+      else None,
+      codec.nRows,
+      if (codec.nRows > 0) codec.colStatsSeq else Seq.empty)
   }
 
   override def abort(): Unit = { out.close(); tmpFile.delete() }

@@ -420,7 +420,7 @@ class Widening16Spec extends AnyFunSuite {
     assert(n == 10L)
     // only the [200,299] file admits a doomed key — the DELETE change
     // rows must plan exactly ONE partition, not four
-    val parts = KvSource.cdfPartitions(dir, v - 1, v)
+    val parts = KvSource.cdfPartitions(dir, v - 1, v, 2)
     assert(parts.length == 1, s"planned ${parts.length} partitions")
     val feed = KvSource.changeFeed(spark, dir, v - 1, v)
     assert(feed.filter(col("change_type") === "delete").count() == 10L)

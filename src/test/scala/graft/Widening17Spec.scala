@@ -291,10 +291,16 @@ class Widening17Spec extends AnyFunSuite {
     val atV3 = spark.read.format(classOf[KvSource].getName)
       .option("path", dir).option("versionAsOf", "3").load()
     assert(atV3.schema.fieldNames.toSeq == Seq("key", "val", "segment"))
-    // guards: key is structural; collisions and unknown names refuse
+    // guards: key is structural; collisions and unknown names refuse;
+    // the change feed's metadata names are reserved (they would make
+    // cdfSchemaFor ambiguous)
     intercept[IllegalArgumentException](KvSource.renameColumn(dir, "key", "id"))
     intercept[IllegalArgumentException](KvSource.renameColumn(dir, "seg2", "VAL"))
     intercept[IllegalArgumentException](KvSource.renameColumn(dir, "nope", "x"))
+    intercept[IllegalArgumentException](
+      KvSource.renameColumn(dir, "seg2", "commit_version"))
+    intercept[IllegalArgumentException](
+      KvSource.alterAddColumn(dir, "change_type"))
     // the payload column itself renames too, and UPDATE binds it
     assert(KvSource.renameColumn(dir, "val", "payload") == 5L)
     val (nUpd, _) = KvSource.updateWhere(spark, dir,
