@@ -32,6 +32,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r17 residual fix (q_ancestor_closure at sf10): the fixed
+      // 32-wide shuffle binds once iterative-join inputs reach tens of
+      // millions of rows. Instead of scaling shuffle.partitions by SF
+      // (which would pessimize every small stage), give AQE a higher
+      // pre-coalesce ceiling: large shuffles keep up to 8×cores
+      // reducers, small ones still coalesce to the 64 MB advisory
+      // target exactly as before. This is the local[32] stand-in for
+      // the cluster-side rule "set the AQE ceiling from cluster cores,
+      // let coalescing find the data-proportional width per stage".
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -596,6 +596,18 @@ object SparkEntry {
     // two real JVMs, and streaming epochs racing a live OPTIMIZE
     "load_occ_crossproc" -> SourceQueries.occCrossProcOp _,
     "stream_sink_occ_race" -> Streams.streamSinkOccRace _,
+    // round 17 batch 5: ALTER TABLE DROP COLUMN — metadata-only
+    // (#coldrop, position-keyed), protocol-gated to 5:5; completes
+    // the ADD + RENAME + DROP schema-evolution verb surface
+    "load_drop_column" -> SourceQueries.dropColumnOp _,
+    // round 17 batch 6: LLM-pipeline additions — soft dedup weights
+    // (keep-everything 1/cluster reweighting), epsilon-ball range
+    // search with LSH-bucket recall, tokenizer fertility by language,
+    // TTL-windowed streaming dedup (bounded-state dropDuplicates)
+    "dedup_soft_weights" -> Dedup.softDedupWeights _,
+    "ann_epsilon_ball" -> Ann.epsilonBall _,
+    "text_tokenizer_fertility" -> TextOps.tokenizerFertility _,
+    "stream_dedup_window" -> Streams.dedupWindowBatch _,
   )
 
   /** The tokenizer's merge count — mirrors TextOps.BpeMerges. */
@@ -6459,6 +6471,91 @@ object SparkEntry {
         |  UNION ALL SELECT '05_after', 'null_rows', (SELECT n - n7 FROM c)
         |  UNION ALL SELECT '06_history', 'rename_ops', 1
         |) t ORDER BY stage, metric""".stripMargin,
+    // load_drop_column: metadata-only drop — all counts closed-form
+    // (3 slices before the drop, one post-drop append, n7 merged rows
+    // carrying nat='MG', the re-added segment non-null only on the 3
+    // tail rows; time travel below the drop reads the column back)
+    "load_drop_column" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM customer)
+        |SELECT stage, metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT '01_drop' AS stage, 'version' AS metric, 6 AS value
+        |  UNION ALL SELECT '01_drop', 'reader_protocol', 5
+        |  UNION ALL SELECT '01_drop', 'writer_protocol', 5
+        |  UNION ALL SELECT '02_schema', 'cols', 3
+        |  UNION ALL SELECT '02_schema', 'has_segment', 0
+        |  UNION ALL SELECT '02_schema', 'has_nat', 1
+        |  UNION ALL SELECT '03_read', 'rows', (SELECT 3 * n FROM c)
+        |  UNION ALL SELECT '03_read', 'nat_nonnull', (SELECT n FROM c)
+        |  UNION ALL SELECT '04_merge', 'matched', (SELECT n7 FROM c)
+        |  UNION ALL SELECT '04_merge', 'version', 8
+        |  UNION ALL SELECT '05_cdf', 'has_segment', 0
+        |  UNION ALL SELECT '05_cdf', 'ins_rows', (SELECT n7 FROM c)
+        |  UNION ALL SELECT '05_cdf', 'del_rows', (SELECT n7 FROM c)
+        |  UNION ALL SELECT '06_travel', 'cols_at_v5', 4
+        |  UNION ALL SELECT '06_travel', 'rows_at_v5', (SELECT 3 * n FROM c)
+        |  UNION ALL SELECT '06_travel', 'building_at_v5', (SELECT 2 * nb FROM c)
+        |  UNION ALL SELECT '07_readd', 'cols', 4
+        |  UNION ALL SELECT '07_readd', 'rows', (SELECT 4 * n + 3 FROM c)
+        |  UNION ALL SELECT '07_readd', 'segment_new', 3
+        |  UNION ALL SELECT '07_readd', 'nat_nonnull', (SELECT 2 * n + n7 + 3 FROM c)
+        |  UNION ALL SELECT '07_readd', 'mg_nat', (SELECT n7 FROM c)
+        |  UNION ALL SELECT '08_history', 'drop_ops', 1
+        |) t ORDER BY stage, metric""".stripMargin,
+    // dedup_soft_weights: global md5 clusters, per-source rollup;
+    // integer-bp weights (10000 // n) are engine-exact
+    "dedup_soft_weights" ->
+      """WITH cl AS (SELECT md5(text) AS th, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT source, md5(text) AS th FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(10000 // n) AS BIGINT) AS eff_bp
+        |FROM d JOIN cl USING (th) GROUP BY source ORDER BY source""".stripMargin,
+    // ann_epsilon_ball: exact cosine ball at 0.2 vs the 8-bit sign-LSH
+    // bucketed ball (the ann_lsh_topk bucket), recall in integer bp
+    "ann_epsilon_ball" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb,
+         |  (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, bucket AS qbucket FROM eb WHERE vec_id >= 8 AND vec_id < 18),
+         |s AS (SELECT query_id, qbucket, eb.bucket, ${duckCos("qe", "emb")} AS c
+         |  FROM q JOIN eb ON eb.vec_id <> query_id),
+         |f AS (SELECT * FROM s WHERE c >= 0.2)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+         |  CAST(SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) AS BIGINT) AS lsh_n,
+         |  CAST(SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM f GROUP BY query_id ORDER BY query_id""".stripMargin),
+    // text_tokenizer_fertility: the text_token_count regex per
+    // language; strlen = BYTES in DuckDB (octet_length in Spark)
+    "text_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS tok,
+        |  CAST(strlen(text) AS BIGINT) AS nb FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS words, CAST(SUM(tok) AS BIGINT) AS tokens,
+        |  CAST(SUM(nb) AS BIGINT) AS bytes,
+        |  CAST(SUM(tok) * 10000 // SUM(ws) AS BIGINT) AS fertility_bp,
+        |  CAST(SUM(nb) * 10000 // SUM(tok) AS BIGINT) AS bytes_per_token_bp
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // stream_dedup_window: kept = distinct (user, type, 15-min
+    // tumbling window) groups; timestamps positive so // == DIV
+    "stream_dedup_window" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, event_type, us // 900000000 AS win,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(SUM(n) AS BIGINT) AS raw_events,
+        |  CAST(COUNT(*) AS BIGINT) AS kept_events,
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS dups_suppressed,
+        |  CAST((SUM(n) - COUNT(*)) * 10000 // SUM(n) AS BIGINT) AS dup_bp
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     // load_occ_crossproc: chain geometry constants + the slice
     // arithmetic recomputed via generate_series (2 slices x 30 files
     // x 10 keys at slice*1e6 + i*10 + j)

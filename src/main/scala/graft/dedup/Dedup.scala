@@ -1377,4 +1377,31 @@ object Dedup {
         "(w_shared * 10000) DIV (twa + twb - w_shared) AS wj_bp")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** SOFT dedup weighting (the "keep everything, weight it down"
+    * alternative to dropping duplicates — SoftDeDup-style common-ness
+    * reweighting): every document stays in the corpus but carries
+    * sampling weight 1/|exact-dup cluster|, so a text repeated 40
+    * times across crawls contributes one document's worth of
+    * gradient signal instead of 40. Weights are integer basis points
+    * (10000 DIV n — deterministic on any engine); the per-source
+    * rollup reports raw docs, docs that belong to a multi-doc
+    * cluster, and the EFFECTIVE corpus size in bp — the dedup report
+    * a mixture designer reads next to [[Dedup.exact]]. Execution is
+    * the same md5(text) hash-groupBy `dedup_exact` pays (clusters are
+    * GLOBAL — a cluster spanning sources weights all its members
+    * down together), one hash-join back on the digest key, and a
+    * map-side-combining source rollup — two shuffles total at any
+    * corpus size, never a pairwise join. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("th"))
+    val clusters = d.groupBy(col("th")).agg(count(lit(1)).as("n"))
+    d.join(clusters, "th")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(expr("10000 DIV n")).as("eff_bp"))
+      .orderBy("source")
+  }
 }

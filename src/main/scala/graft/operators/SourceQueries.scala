@@ -2712,4 +2712,112 @@ object SourceQueries {
         .orderBy("commit_version", "change_type"),
       out)
   }
+
+  /** ALTER TABLE DROP COLUMN (r17 — completing the schema-evolution
+    * verb surface: ADD + RENAME + DROP, the Delta column-mapping safe
+    * set). Drop is METADATA-ONLY like rename: a `#coldrop:<pos>`
+    * header hides the position, not a byte of data moves; new writes
+    * render `\N` at the dropped slot through the writer's exposure
+    * map, rewrites carry it as all-null, and protocol gates to 5:5 (a
+    * version-4 engine would keep exposing the column AND write
+    * misaligned extras — it must refuse). The op proves the whole
+    * life cycle: two ALTER ADDs and wide appends, the DROP, a
+    * POST-drop append and a MERGE binding only the live columns, time
+    * travel below the drop reading the column back, the change feed
+    * at the live schema, and a RE-ADD of the dropped NAME (fresh
+    * position, physical name uniquified via `#colmap:`) with a tail
+    * append that pushes the chain across the v10 checkpoint so the
+    * drop provably survives the re-listed fold. Reference: Delta
+    * DROP COLUMN under column mapping (metadata-only; physical data
+    * retained until rewritten). */
+  def dropColumnOp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KvSource
+    val out = java.nio.file.Files.createTempDirectory("graft-kv-drop").toString
+    val c = Tables.customer(spark, dir)
+    val n = c.count()
+    c.selectExpr("c_custkey AS key", "c_name AS val")
+      .write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v1
+    KvSource.alterAddColumn(out, "segment")                                  // v2
+    c.selectExpr(s"c_custkey + $n AS key", "c_name AS val",
+        "c_mktsegment AS segment")
+      .write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v3
+    KvSource.alterAddColumn(out, "nat")                                      // v4
+    c.selectExpr(s"c_custkey + ${2 * n} AS key", "c_name AS val",
+        "c_mktsegment AS segment", "CAST(c_nationkey AS STRING) AS nat")
+      .write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v5
+    val vDrop = KvSource.dropColumn(out, "segment")                          // v6
+    val proto = KvSource.protocolAt(out)
+    val afterDrop = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load()
+    val dropCols = afterDrop.schema.fieldNames.toSeq
+    // counts captured EAGERLY: the scan pins its version at action
+    // time, so a count deferred into the rollup would read the final
+    // chain, not the post-drop snapshot
+    val rowsAtDrop = afterDrop.count()
+    val natAtDrop = afterDrop.filter(col("nat").isNotNull).count()
+    // POST-drop write of the LIVE columns: the writer's exposure map
+    // renders `\N` at the hidden slot, the physical layout unchanged
+    c.selectExpr(s"c_custkey + ${3 * n} AS key", "c_name AS val",
+        "CAST(c_nationkey AS STRING) AS nat")
+      .write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v7
+    // MERGE binds ONLY the live columns (Delta schema enforcement
+    // against the post-drop schema)
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .selectExpr("c_custkey AS key", "concat('m:', c_name) AS val",
+        "'MG' AS nat")
+    val (matched, _, vMerge) = KvSource.mergeUpsert(spark, out, updates)     // v8
+    // change feed BEFORE the re-add: live schema, no segment column
+    val feed = KvSource.changeFeed(spark, out, vMerge - 1, vMerge)
+    val feedHasSegment = feed.schema.fieldNames.contains("segment")
+    val feedIns = feed.filter(col("change_type") === "insert").count()
+    val feedDel = feed.filter(col("change_type") === "delete").count()
+    // RE-ADD the dropped NAME: a fresh position (physical name
+    // uniquified through the name map); the old position stays hidden
+    KvSource.alterAddColumn(out, "segment")                                  // v9
+    import spark.implicits._
+    Seq.tabulate(3)(i => (5 * n + i, "tail", "T", "NEW"))
+      .toDF("key", "val", "nat", "segment")
+      .repartition(1).write.format(classOf[KvSource].getName)
+      .option("path", out).mode(org.apache.spark.sql.SaveMode.Append).save() // v10 (checkpoint)
+    val fin = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).load()
+    val finCols = fin.schema.fieldNames.toSeq
+    // time travel BELOW the drop (and below the merge rewrite) still
+    // reads the column and its values
+    val atV5 = spark.read.format(classOf[KvSource].getName)
+      .option("path", out).option("versionAsOf", "5").load()
+    val hist = KvSource.describeHistory(out)
+    materializeAndClean(
+      Seq(
+        ("01_drop", "version", vDrop),
+        ("01_drop", "reader_protocol", proto._1.toLong),
+        ("01_drop", "writer_protocol", proto._2.toLong),
+        ("02_schema", "cols", dropCols.size.toLong),
+        ("02_schema", "has_segment", if (dropCols.contains("segment")) 1L else 0L),
+        ("02_schema", "has_nat", if (dropCols.contains("nat")) 1L else 0L),
+        ("03_read", "rows", rowsAtDrop),
+        ("03_read", "nat_nonnull", natAtDrop),
+        ("04_merge", "matched", matched),
+        ("04_merge", "version", vMerge),
+        ("05_cdf", "has_segment", if (feedHasSegment) 1L else 0L),
+        ("05_cdf", "ins_rows", feedIns),
+        ("05_cdf", "del_rows", feedDel),
+        ("06_travel", "cols_at_v5", atV5.schema.fieldNames.length.toLong),
+        ("06_travel", "rows_at_v5", atV5.count()),
+        ("06_travel", "building_at_v5",
+          atV5.filter(col("segment") === "BUILDING").count()),
+        ("07_readd", "cols", finCols.size.toLong),
+        ("07_readd", "rows", fin.count()),
+        ("07_readd", "segment_new", fin.filter(col("segment") === "NEW").count()),
+        ("07_readd", "nat_nonnull",
+          fin.filter(col("nat").isNotNull).count()),
+        ("07_readd", "mg_nat", fin.filter(col("nat") === "MG").count()),
+        ("08_history", "drop_ops", hist.count(_._2 == "DROP COLUMN").toLong))
+        .toDF("stage", "metric", "value").orderBy("stage", "metric"),
+      out)
+  }
 }

@@ -176,9 +176,15 @@ object KvSource {
     * header = version 1; version 4 = r17 COLUMN NAME-MAPPING
     * (`#colmap:` headers — rename is metadata-only; a version-3
     * engine would silently show stale names, so a renamed table
-    * upgrades itself to 4:4 and the old engine refuses cleanly). */
-  private[graft] val SupportedReaderVersion = 4
-  private[graft] val SupportedWriterVersion = 4
+    * upgrades itself to 4:4 and the old engine refuses cleanly);
+    * version 5 = r17 COLUMN DROP (`#coldrop:` headers — drop is
+    * metadata-only too: data files keep their positional bytes and
+    * the EXPOSURE layer hides the position; a version-4 engine would
+    * silently keep showing the dropped column — and write files whose
+    * extras misalign with the live schema — so a dropped table
+    * upgrades itself to 5:5). */
+  private[graft] val SupportedReaderVersion = 5
+  private[graft] val SupportedWriterVersion = 5
 
   /** The fixed base schema every chain starts with. */
   private[graft] val DefaultCols: Seq[String] = Seq("key", "val")
@@ -216,12 +222,20 @@ object KvSource {
                                      schemaCols: Seq[String] = DefaultCols,
                                      rowCounts: Map[String, Long] = Map.empty,
                                      colStats: Map[(Int, String), (Array[Byte], Array[Byte])] = Map.empty,
-                                     colMap: Map[Int, String] = Map.empty) {
+                                     colMap: Map[Int, String] = Map.empty,
+                                     droppedPos: Set[Int] = Set.empty) {
     /** DV files applicable to `file`: strictly newer than the file. */
     def dvsFor(file: String): Seq[String] = {
       val fv = fileVer.getOrElse(file, 0L)
       dvFiles.filter(d => dvVer.getOrElse(d, Long.MaxValue) > fv)
     }
+    /** Physical positions still LIVE (not dropped), ascending — the
+      * exposure map every read and write translates through. Positions
+      * 0 (key) and 1 (val) are structural and never droppable, so
+      * livePos always starts (0, 1). */
+    def livePos: Seq[Int] = schemaCols.indices.filterNot(droppedPos)
+    /** The user-facing column list: live positions' logical names. */
+    def exposedCols: Seq[String] = livePos.map(schemaCols)
   }
 
   /** One manifest version's declarations (NEW state only for a delta,
@@ -250,7 +264,8 @@ object KvSource {
                                           schemaCols: Option[Seq[String]] = None,
                                           rowCounts: Map[String, Long] = Map.empty,
                                           colStats: Map[(Int, String), (Array[Byte], Array[Byte])] = Map.empty,
-                                          colMap: Map[Int, String] = Map.empty)
+                                          colMap: Map[Int, String] = Map.empty,
+                                          colDrops: Seq[Int] = Seq.empty)
 
   /** Val-zone bound helpers (UTF8-byte order, the order Spark compares
     * strings in). Lower bounds TRUNCATE plainly (a prefix sorts ≤ the
@@ -480,9 +495,18 @@ object KvSource {
           val p = s.stripPrefix("#colmap:").split(":")
           p(0).toInt -> p(1)
       }.toMap
+      // `#coldrop:<pos>` — column DROP (r17, protocol 5): the column
+      // at schema position <pos> is hidden from this version on. Drop
+      // is metadata-only and MONOTONE (no un-drop): data files keep
+      // their positional bytes, the read/write exposure layer skips
+      // the position, checkpoints/clones re-list the accumulated set
+      val colDrops = hdr.collect {
+        case s if s.startsWith("#coldrop:") =>
+          s.stripPrefix("#coldrop:").toInt
+      }
       ManifestDelta(files, txns, removes, dvs, dvState,
         hdr.contains("#checkpoint"), cdfDel, cdfIns, stats, protocol, op,
-        addedAt, valStats, schemaCols, rowCounts, colStats, colMap)
+        addedAt, valStats, schemaCols, rowCounts, colStats, colMap, colDrops)
     } finally src.close()
   }
 
@@ -526,6 +550,7 @@ object KvSource {
     var rcounts = Map.empty[String, Long]
     var cstats = Map.empty[(Int, String), (Array[Byte], Array[Byte])]
     var cmap = Map.empty[Int, String]
+    var drops = Set.empty[Int]
     (base to v).foreach { i =>
       val m = readManifest(path, i)
       val rm = m.removes.toSet
@@ -569,6 +594,10 @@ object KvSource {
       m.schemaCols.foreach(sc => schema = sc)
       cmap = (if (m.checkpoint && m.colMap.nonEmpty) m.colMap
               else cmap ++ m.colMap)
+      // drops are MONOTONE (no un-drop verb exists), so a plain union
+      // is the complete fold; checkpoints re-list the accumulated set
+      // so folds starting at a vacuumed base still see every drop
+      drops = drops ++ m.colDrops
       m.txns.foreach { k =>
         val (app, id) = splitTxn(k)
         txn = txn.updated(app, math.max(id, txn.getOrElse(app, Long.MinValue)))
@@ -588,7 +617,7 @@ object KvSource {
     // checkpoint already re-listed logical names in `#schema:`)
     val logical = schema.zipWithIndex.map { case (c, i) => cmap.getOrElse(i, c) }
     LogState(files.toSeq, txn, dvs.toSeq, stats, proto, fileVer, dvVer,
-      vstats, logical, rcounts, cstats, cmap)
+      vstats, logical, rcounts, cstats, cmap, drops)
   }
 
   /** The table's folded protocol at its latest version, WITHOUT the
@@ -648,18 +677,67 @@ object KvSource {
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: no table at $path"))
     val st = stateAt(path, v0)
-    // case-INSENSITIVE duplicate check: Spark's analyzer resolves
-    // names case-insensitively by default, so a case-colliding column
-    // would make every reference ambiguous — and with append-only
-    // columns (no DROP) the table could never be repaired
-    require(!st.schemaCols.exists(_.equalsIgnoreCase(colName)),
-      s"KvSource: column '$colName' already exists at $path (have: ${st.schemaCols.mkString(",")})")
+    // case-INSENSITIVE duplicate check against the LIVE columns:
+    // Spark's analyzer resolves names case-insensitively by default,
+    // so a case-colliding live column would make every reference
+    // ambiguous. A DROPPED column's name is free for re-use (the
+    // drop-then-re-add flow); its PHYSICAL slot keeps the old name, so
+    // when the new name collides with any historical physical name the
+    // new position gets a uniquified physical name plus a `#colmap:`
+    // entry — physical names stay unique forever and positional
+    // machinery (zones, wide rows) never sees a duplicate.
+    require(!st.exposedCols.exists(_.equalsIgnoreCase(colName)),
+      s"KvSource: column '$colName' already exists at $path (have: ${st.exposedCols.mkString(",")})")
     val cur = st.protocol
+    val newPos = st.schemaCols.size
+    val collides = st.schemaCols.exists(_.equalsIgnoreCase(colName))
+    val physName = if (collides) s"${colName}__p$newPos" else colName
     commitVersionKeyed(path, Seq.empty, None,
-      schemaCols = Some(st.schemaCols :+ colName),
+      schemaCols = Some(st.schemaCols :+ physName),
+      colMap = if (collides) Map(newPos -> colName) else Map.empty,
       protocol = if (cur._1 < 3 || cur._2 < 3)
         Some((math.max(cur._1, 3), math.max(cur._2, 3))) else None,
       op = Some("ALTER TABLE ADD COLUMN"),
+      expectedPrior = Some(v0))
+  }
+
+  /** ALTER TABLE DROP COLUMN (r17 — completing the schema-evolution
+    * verb surface: add + rename + drop): publishes a version carrying
+    * `#coldrop:<pos>`. Drop is METADATA-ONLY, exactly like rename —
+    * not a byte of data moves; the position's bytes stay in old files
+    * and every reader/writer skips the slot through the exposure map
+    * ([[LogState.livePos]]). New writes render `\N` at dropped slots,
+    * rewrites carry them as all-null, and `#cstats:` zones for the
+    * position stop mattering (no predicate can reference a hidden
+    * column). Time travel below the drop still shows the column (the
+    * fold sees no `#coldrop:` there). The same commit upgrades the
+    * table protocol to 5:5 when below: a version-4 engine would
+    * silently keep exposing the column AND write files whose extras
+    * misalign with the live schema, so it must refuse (the gate's
+    * purpose). `key` and `val` (positions 0/1) are structural — the
+    * line format, merge keys, and val zones bind to them — so only
+    * EVOLVED columns (position ≥ 2) are droppable; drops are monotone
+    * (no un-drop; re-ADD the name instead, which mints a fresh
+    * position). Reference: Delta column-mapping DROP COLUMN semantics
+    * (metadata-only, physical data retained until rewritten). */
+  private[graft] def dropColumn(path: String, colName: String): Long = {
+    migrateLog(path)
+    val v0 = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"KvSource: no table at $path"))
+    val st = stateAt(path, v0)
+    val pos = st.livePos.find(p => st.schemaCols(p) == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"KvSource: no column '$colName' at $path (have: ${st.exposedCols.mkString(",")})"))
+    require(pos >= 2,
+      s"KvSource: cannot drop '$colName' — key and val are the commit " +
+        "log's structural columns (line format, merge keys, val zones); " +
+        "only evolved columns are droppable")
+    val cur = st.protocol
+    commitVersionKeyed(path, Seq.empty, None,
+      colDrops = Seq(pos),
+      protocol = if (cur._1 < 5 || cur._2 < 5)
+        Some((math.max(cur._1, 5), math.max(cur._2, 5))) else None,
+      op = Some("DROP COLUMN"),
       expectedPrior = Some(v0))
   }
 
@@ -685,13 +763,16 @@ object KvSource {
     val v0 = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"KvSource: no table at $path"))
     val st = stateAt(path, v0)
-    val pos = st.schemaCols.indexOf(oldName)
+    // resolve among LIVE positions only: a dropped column's stale name
+    // is not addressable, and its name may have been re-used by a
+    // later ADD at a fresh position
+    val pos = st.livePos.find(p => st.schemaCols(p) == oldName).getOrElse(-1)
     require(pos >= 0,
-      s"KvSource: no column '$oldName' at $path (have: ${st.schemaCols.mkString(",")})")
+      s"KvSource: no column '$oldName' at $path (have: ${st.exposedCols.mkString(",")})")
     require(pos >= 1,
       "KvSource: cannot rename 'key' — the commit log's merge/zone key is structural")
-    require(!st.schemaCols.exists(_.equalsIgnoreCase(newName)),
-      s"KvSource: column '$newName' already exists at $path (have: ${st.schemaCols.mkString(",")})")
+    require(!st.exposedCols.exists(_.equalsIgnoreCase(newName)),
+      s"KvSource: column '$newName' already exists at $path (have: ${st.exposedCols.mkString(",")})")
     val cur = st.protocol
     commitVersionKeyed(path, Seq.empty, None,
       colMap = Map(pos -> newName),
@@ -701,8 +782,11 @@ object KvSource {
       expectedPrior = Some(v0))
   }
 
-  /** The folded column list at `version` (default latest); a chain
-    * with no commits reads as the base schema. */
+  /** The EXPOSED (live logical) column list at `version` (default
+    * latest) — dropped positions hidden, renames applied; a chain
+    * with no commits reads as the base schema. This is the list the
+    * user-facing schema is built from; positional machinery uses
+    * [[stateAt]]'s full list + [[LogState.livePos]]. */
   private[graft] def schemaColsAt(path: String,
                                     version: Option[Long] = None): Seq[String] =
     version.orElse(latestVersion(path)) match {
@@ -715,7 +799,7 @@ object KvSource {
           throw new IllegalArgumentException(
             s"KvSource: versionAsOf=$v does not exist at $path " +
               s"(have: ${versions(path).mkString(",")})")
-        stateAt(path, v).schemaCols
+        stateAt(path, v).exposedCols
     }
 
   /** [[LogState]] a reader may see at `version` (default: latest
@@ -970,7 +1054,8 @@ object KvSource {
                                           schemaCols: Option[Seq[String]] = None,
                                           rowCounts: Map[String, Long] = Map.empty,
                                           colStats: Map[(Int, String), (Array[Byte], Array[Byte])] = Map.empty,
-                                          colMap: Map[Int, String] = Map.empty): Long = {
+                                          colMap: Map[Int, String] = Map.empty,
+                                          colDrops: Seq[Int] = Seq.empty): Long = {
     def vstatsLine(f: String, b: (Array[Byte], Array[Byte])): String = {
       val enc = java.util.Base64.getEncoder
       s"#vstats:$f:${enc.encodeToString(b._1)}:${enc.encodeToString(b._2)}"
@@ -1064,6 +1149,7 @@ object KvSource {
           val cstatsAll = prior.colStats
             .filterNot { case ((_, f), _) => rmSet(f) } ++ colStats
           val cmapAll = prior.colMap ++ colMap
+          val dropsAll = prior.droppedPos ++ colDrops
           // the checkpoint re-lists an above-default protocol so folds
           // from this base see it without walking older manifests
           val protoAll = protocol.getOrElse(prior.protocol)
@@ -1093,6 +1179,7 @@ object KvSource {
               Seq(s"#schema:${schemaAll.mkString(",")}") else Seq.empty) ++
               cmapAll.toSeq.sortBy(_._1)
                 .map { case (i, nm) => s"#colmap:$i:$nm" } ++
+              dropsAll.toSeq.sorted.map(i => s"#coldrop:$i") ++
               txnAll.toSeq.sortBy(_._1).map { case (a, id) => s"#txn:$a:$id" } ++
               removeFiles.distinct.map(f => s"#remove:$f") ++
               dvPrior.distinct.map(f => s"#dvstate:$f") ++
@@ -1117,6 +1204,7 @@ object KvSource {
             schemaCols.toSeq.map(sc => s"#schema:${sc.mkString(",")}") ++
             colMap.toSeq.sortBy(_._1)
               .map { case (i, nm) => s"#colmap:$i:$nm" } ++
+            colDrops.distinct.sorted.map(i => s"#coldrop:$i") ++
             replayKey.toSeq.map(b => s"#txn:$b") ++
             removeFiles.distinct.map(f => s"#remove:$f") ++
             dvFiles.distinct.map(f => s"#dv:$f") ++
@@ -1175,7 +1263,7 @@ object KvSource {
     val live = spark.read.format(classOf[KvSource].getName).option("path", path)
       .option("versionAsOf", v0.toString).load()
     val parts = writeKvParts(path, salt,
-      normalized(live.repartition(1), st.schemaCols), "part-compact")
+      normalized(live.repartition(1), st), "part-compact")
     // pin the publish to the scanned snapshot: under version-scoped
     // DVs a DELETE landing between the pin and the publish would be
     // silently UNDONE (the compacted file is newer than the DV, so the
@@ -1326,7 +1414,7 @@ object KvSource {
     val live = normalized(
       spark.read.format(classOf[KvSource].getName)
         .option("path", path).option("versionAsOf", v0.toString).load(),
-      st.schemaCols)
+      st)
     // pass 1: dimension bounds (one distributed fold, 4 longs back)
     val (kMin, kMax, vMin, vMax) = live.queryExecution.toRdd.aggregate(
       (Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))(
@@ -1407,7 +1495,7 @@ object KvSource {
     val live = normalized(
       spark.read.format(classOf[KvSource].getName)
         .option("path", path).option("versionAsOf", v0.toString).load(),
-      st.schemaCols)
+      st)
     val (kMin, kMax) = live.queryExecution.toRdd
       .aggregate((Long.MaxValue, Long.MinValue))(
       { case ((a, b), r) =>
@@ -1619,7 +1707,10 @@ object KvSource {
     // (Delta's MERGE schema enforcement) — on an evolved table the
     // rewrite writes wide rows, old survivors null-fill (r17: the
     // evolved-table guard is gone).
-    val upd = normalized(updates, st.schemaCols)
+    // bind in EXPOSED column space (what the caller and the live scan
+    // see); the write boundary below expands to the physical width,
+    // null-filling dropped slots
+    val upd = normalized(updates, st.exposedCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val updKeys = upd.select("key").distinct()
     val salt = java.util.UUID.randomUUID().toString.take(8)
@@ -1634,13 +1725,13 @@ object KvSource {
       val resultParts =
         writeKvParts(path, salt,
           normalized(live.join(updKeys, Seq("key"), "left_anti").unionByName(upd),
-            st.schemaCols),
+            st),
           "part-merge")
       val delParts =
         writeKvParts(path, salt,
-          normalized(live.join(updKeys, Seq("key"), "left_semi"), st.schemaCols),
+          normalized(live.join(updKeys, Seq("key"), "left_semi"), st),
           "cdf-del")
-      val insParts = writeKvParts(path, salt, upd, "cdf-ins")
+      val insParts = writeKvParts(path, salt, normalized(upd, st), "cdf-ins")
       val resultFiles = resultParts.map(_.name)
       val delFiles = delParts.map(_.name)
       val insFiles = insParts.map(_.name)
@@ -1710,8 +1801,10 @@ object KvSource {
       throw new IllegalArgumentException(s"KvSource: nothing to merge into at $path"))
     // `updates` must carry every column of the snapshot's schema; on
     // an evolved table the appended rows are wide (r17 — guard gone)
-    val upd = normalized(updates, schemaColsAt(path, Some(v0)))
+    val st0 = stateAt(path, v0)
+    val upd = normalized(updates, st0.exposedCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val updPhys = normalized(upd, st0)
     try {
       val updKeys = upd.select("key").distinct()
       // key count AND domain in ONE job: the count guards the empty
@@ -1730,7 +1823,7 @@ object KvSource {
       val live = spark.read.format(classOf[KvSource].getName)
         .option("path", path).option("versionAsOf", v0.toString).load()
       // the new rows: a plain append, stats recorded like any write
-      val dataParts = writeKvParts(path, salt, upd, "part-mor")
+      val dataParts = writeKvParts(path, salt, updPhys, "part-mor")
       // the tombstones: ALL update keys (masking a key with no older
       // live copy is a no-op; the new file is the same version as the
       // DV, so it is never masked)
@@ -1753,8 +1846,8 @@ object KvSource {
         .option("onlyDataFiles", touched.mkString(",")).load()
       val delParts = writeKvParts(path, salt,
         normalized(liveTouched.join(updKeys, Seq("key"), "left_semi"),
-          stMor.schemaCols), "cdf-del")
-      val insParts = writeKvParts(path, salt, upd, "cdf-ins")
+          stMor), "cdf-del")
+      val insParts = writeKvParts(path, salt, updPhys, "cdf-ins")
       val nMatched =
         if (delParts.isEmpty) 0L
         else spark.read.format(classOf[KvSource].getName)
@@ -1784,7 +1877,8 @@ object KvSource {
     * evolved-column zone maps and the row count. Val and evolved
     * extremes compare as [[UTF8String]] (binary order, zero per-row
     * allocation) and copy only on a new extreme. */
-  private[graft] final class WideRowCodec(nCols: Int) {
+  private[graft] final class WideRowCodec(nCols: Int,
+                                          physMap: Array[Int] = null) {
     var minKey: Long = Long.MaxValue
     var maxKey: Long = Long.MinValue
     var minVal: UTF8String = null
@@ -1794,7 +1888,12 @@ object KvSource {
     var nRows: Long = 0L
 
     /** Validate `row`, fold it into the zones, append its line text
-      * (no trailing newline) to `sb`. */
+      * (no trailing newline) to `sb`. `nCols` is the PHYSICAL width
+      * rendered; `physMap` (null = identity) gives each physical slot
+      * its ordinal in the INPUT row, −1 for a DROPPED slot (rendered
+      * `\N`, no zone) — how a post-drop write of the live columns
+      * lands at the unchanged positional layout. Slots 0/1 (key/val)
+      * are structural and never remapped. */
     def render(row: InternalRow, sb: java.lang.StringBuilder): Unit = {
       if (row.isNullAt(0) || row.isNullAt(1))
         throw new IllegalArgumentException(
@@ -1810,9 +1909,10 @@ object KvSource {
       var i = 2
       while (i < nCols) {
         sb.append(',')
-        if (row.isNullAt(i)) sb.append("\\N")
+        val ord = if (physMap == null) i else physMap(i)
+        if (ord < 0 || row.isNullAt(ord)) sb.append("\\N")
         else {
-          val ue = row.getUTF8String(i)
+          val ue = row.getUTF8String(ord)
           if (minExtra(i - 2) == null || ue.compareTo(minExtra(i - 2)) < 0)
             minExtra(i - 2) = ue.copy()
           if (maxExtra(i - 2) == null || ue.compareTo(maxExtra(i - 2)) > 0)
@@ -1887,17 +1987,29 @@ object KvSource {
       }
     }.toMap
 
-  /** Normalize a DataFrame to the table's column list for the rewrite
-    * writers: `key` cast BIGINT, every other column cast STRING, in
-    * exact schema order. A missing column fails with Spark's clear
-    * unresolved-attribute error (a merge into an evolved table must
-    * supply every column — Delta's MERGE schema-enforcement rule). */
+  /** Normalize a DataFrame to the table's PHYSICAL column list for the
+    * rewrite writers: `key` cast BIGINT, every other column cast
+    * STRING, in exact physical schema order; a DROPPED position
+    * renders as a NULL literal (the writers encode it `\N` and record
+    * no zone — a dropped column costs two bytes per row in rewrites
+    * and nothing in zones). A missing LIVE column fails with Spark's
+    * clear unresolved-attribute error (a merge into an evolved table
+    * must supply every live column — Delta's MERGE
+    * schema-enforcement rule). */
   private[graft] def normalized(df: org.apache.spark.sql.DataFrame,
-                                  cols: Seq[String]): org.apache.spark.sql.DataFrame =
-    df.selectExpr(cols.map { c =>
-      if (c == "key") "CAST(key AS BIGINT) AS key"
+                                  cols: Seq[String],
+                                  dropped: Set[Int] = Set.empty): org.apache.spark.sql.DataFrame =
+    df.selectExpr(cols.zipWithIndex.map { case (c, i) =>
+      if (dropped(i)) s"CAST(NULL AS STRING) AS `__dropped_$i`"
+      else if (c == "key") "CAST(key AS BIGINT) AS key"
       else s"CAST(`$c` AS STRING) AS `$c`"
     }: _*)
+
+  /** [[normalized]] against a snapshot: input binds the snapshot's
+    * LIVE columns, output is the full physical width. */
+  private[graft] def normalized(df: org.apache.spark.sql.DataFrame,
+                                  st: LogState): org.apache.spark.sql.DataFrame =
+    normalized(df, st.schemaCols, st.droppedPos)
 
   /** The ONE per-partition row writer every rewrite verb shares
     * (r16 review: the zorder/binpack rewrites had drifted into
@@ -2012,21 +2124,21 @@ object KvSource {
     // evolved columns pass through the rewrite untouched (only `val`
     // is settable — the table's one mutable payload column; predicate
     // and set expression may REFERENCE evolved columns freely)
-    val extras = st.schemaCols.drop(2).map(c => s"`$c`")
+    val extras = st.livePos.drop(2).map(p => s"`${st.schemaCols(p)}`")
     // position-1 is the settable payload column under whatever name
     // the table currently maps it to (rename-safe)
     val vn = st.schemaCols(1)
     val resultParts = writeKvParts(path, salt,
-      liveTouched.selectExpr(Seq("key",
+      normalized(liveTouched.selectExpr(Seq("key",
         s"CAST(CASE WHEN ($predicate) THEN ($setValExpr) ELSE `$vn` END AS STRING) AS `$vn`")
-        ++ extras: _*),
+        ++ extras: _*), st),
       "part-update")
     val delParts = writeKvParts(path, salt,
-      normalized(liveTouched.where(predicate), st.schemaCols), "cdf-del")
+      normalized(liveTouched.where(predicate), st), "cdf-del")
     val insParts = writeKvParts(path, salt,
-      liveTouched.where(predicate)
+      normalized(liveTouched.where(predicate)
         .selectExpr(Seq("key", s"CAST(($setValExpr) AS STRING) AS `$vn`")
-          ++ extras: _*),
+          ++ extras: _*), st),
       "cdf-ins")
     // rows updated = the pre-image sidecar's row count (deletes-sized)
     val nRows =
@@ -2118,6 +2230,7 @@ object KvSource {
           Seq(s"#schema:${st.schemaCols.mkString(",")}") else Seq.empty) ++
         st.colMap.toSeq.sortBy(_._1)
           .map { case (i, nm) => s"#colmap:$i:$nm" } ++
+        st.droppedPos.toSeq.sorted.map(i => s"#coldrop:$i") ++
         inheritedAt.sortBy(_._1).map { case (n, u) => s"#addedat:$n:$u" } ++
         st.dvFiles.distinct.map(f => s"#dvstate:$f") ++
         st.stats.toSeq.sortBy(_._1)
@@ -2200,7 +2313,8 @@ object KvSource {
     *     limitation, noted). */
   private[graft] def cdfPartitions(path: String, fromV: Long,
                                      toV: Long,
-                                     nCols: Int): Array[InputPartition] = {
+                                     nCols: Int,
+                                     extraPos: Seq[Int] = Seq.empty): Array[InputPartition] = {
     def abs(f: String): String = new java.io.File(path, f).getPath
     val parts = Array.newBuilder[InputPartition]
     // running file state from the range's base: every version's adds
@@ -2218,9 +2332,11 @@ object KvSource {
       val fresh = m.adds.filterNot(state)
       if (m.cdfDel.nonEmpty || m.cdfIns.nonEmpty) {
         parts ++= m.cdfDel.map(f =>
-          KvCdfFilePartition(abs(f), "delete", v, nCols = nCols): InputPartition)
+          KvCdfFilePartition(abs(f), "delete", v, nCols = nCols,
+            extraPos = extraPos): InputPartition)
         parts ++= m.cdfIns.map(f =>
-          KvCdfFilePartition(abs(f), "insert", v, nCols = nCols): InputPartition)
+          KvCdfFilePartition(abs(f), "insert", v, nCols = nCols,
+            extraPos = extraPos): InputPartition)
       }
       else if (m.removes.nonEmpty) () // rewrite: no logical change
       else if (m.dvs.nonEmpty) {
@@ -2250,10 +2366,12 @@ object KvSource {
           })
           .map(f =>
           KvCdfFilePartition(abs(f), "delete", v, includeDvs = dvPaths,
-            excludeDvs = pre.dvsFor(f).map(abs), nCols = nCols): InputPartition)
+            excludeDvs = pre.dvsFor(f).map(abs), nCols = nCols,
+            extraPos = extraPos): InputPartition)
       } else {
         parts ++= fresh.map(f =>
-          KvCdfFilePartition(abs(f), "insert", v, nCols = nCols): InputPartition)
+          KvCdfFilePartition(abs(f), "insert", v, nCols = nCols,
+            extraPos = extraPos): InputPartition)
       }
       state = state -- m.removes ++ m.adds
     }
@@ -2377,13 +2495,30 @@ class KvTable(path: String, cdfRead: Boolean = false,
     // name needs a component unique to this write query
     val qid = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
     val fullQueryId = info.queryId()
-    val nCols = math.max(2, info.schema().size)
+    val w = math.max(2, info.schema().size)
+    // exposure map for POST-DROP tables (r17): the input DataFrame
+    // carries the LIVE columns, but files always render the physical
+    // positional layout — each dropped slot below the input's width
+    // renders `\N`. No drops (or no table yet) = identity, the
+    // pre-drop fast path byte-for-byte.
+    val (nCols, physMap) = KvSource.latestVersion(path).map { v =>
+      val st = KvSource.stateAt(path, v)
+      if (st.droppedPos.isEmpty) (w, null: Array[Int])
+      else {
+        val used = st.livePos.take(w)
+        require(used.size == w,
+          s"KvSource: write of $w columns into $path which has only " +
+            s"${st.livePos.size} live columns (${st.exposedCols.mkString(",")})")
+        val phys = used.last + 1
+        (phys, Array.tabulate(phys)(p => used.indexOf(p)))
+      }
+    }.getOrElse((w, null: Array[Int]))
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new KvBatchWrite(path, replayKey, qid, nCols)
+          new KvBatchWrite(path, replayKey, qid, nCols, physMap)
         override def toStreaming: streaming.StreamingWrite =
-          new KvStreamingWrite(path, qid, fullQueryId, nCols)
+          new KvStreamingWrite(path, qid, fullQueryId, nCols, physMap)
       }
     }
   }
@@ -2557,7 +2692,8 @@ class KvScanBuilder(path: String, asOf: Option[Long],
 
 case class KvFilePartition(file: String,
                            dvFiles: Seq[String] = Seq.empty,
-                           nCols: Int = 2) extends InputPartition
+                           nCols: Int = 2,
+                           extraPos: Seq[Int] = Seq.empty) extends InputPartition
 
 class KvScan(path: String, asOf: Option[Long],
              startingVersion: Option[Long] = None,
@@ -2580,14 +2716,24 @@ class KvScan(path: String, asOf: Option[Long],
     asOf.orElse(KvSource.latestVersion(path))
   private val cdfEnd: Option[Long] =
     if (cdfRead) endingVersion.orElse(KvSource.latestVersion(path)) else None
+  /** Physical positions of the read's extra (>=2) output columns at
+    * `v` — empty = identity (no drops; also the no-table fallback).
+    * Positions never move after a drop, so a value computed at stream
+    * start stays correct for the stream's whole life. */
+  private def extraPosAt(v: Option[Long]): Seq[Int] = {
+    val st = try KvSource.committedState(path, v)
+             catch { case _: IllegalArgumentException => return Seq.empty }
+    if (st.droppedPos.isEmpty) Seq.empty else st.livePos.drop(2)
+  }
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (cdfRead) new KvCdfMicroBatchStream(path, startingVersion,
-      maxVersionsPerTrigger, startLatest, tableSchema.size - 2)
+      maxVersionsPerTrigger, startLatest, tableSchema.size - 2,
+      extraPosAt(None))
     else new KvMicroBatchStream(path, startingVersion, maxVersionsPerTrigger,
-      tableSchema.size, startLatest)
+      tableSchema.size, startLatest, extraPosAt(None))
   override def description(): String =
     s"KvScan path=$path version=${version.getOrElse(-1L)} (manifest-gated)" +
       (if (cdfRead) s" changeFeed=(${startingVersion.getOrElse(1L) - 1},${cdfEnd.getOrElse(0L)}]" else "") +
@@ -2613,14 +2759,28 @@ class KvScan(path: String, asOf: Option[Long],
         "startingVersion")
     val from = startingVersion.getOrElse(throw new IllegalArgumentException(
       "KvSource: a readChangeFeed batch read requires option 'startingVersion'"))
+    // the change feed reads under the LATEST schema (the Delta CDF
+    // rule), so the exposure map is the LATEST live-position set too —
+    // a drop committed after the range's end still hides the column
+    // in these change rows, exactly like the snapshot read would
     KvSource.cdfPartitions(path, from - 1, cdfEnd.getOrElse(0L),
-      tableSchema.size - 2)
+      tableSchema.size - 2, extraPosAt(None))
   } else cdfFiles match {
     case Some(files) => // change-feed restriction: exact files, raw
+      val exPos = extraPosAt(version)
       files.map(f => KvFilePartition(new java.io.File(path, f).getPath,
-        nCols = tableSchema.size): InputPartition).toArray
+        nCols = tableSchema.size, extraPos = exPos): InputPartition).toArray
     case None =>
       val st = KvSource.committedState(path, version)
+      // exposure map at the pinned snapshot: output extras project
+      // these PHYSICAL positions; the pushed per-column windows are
+      // keyed by EXPOSED index and remap to physical before matching
+      // the position-keyed `#cstats:` zones
+      val exPos: Seq[Int] =
+        if (st.droppedPos.isEmpty) Seq.empty else st.livePos.drop(2)
+      val colWindowsPhys =
+        if (st.droppedPos.isEmpty) colWindows
+        else colWindows.map { case (i, w) => st.livePos(i) -> w }
       // touched-file restriction (pruned COW merge): intersect the
       // snapshot's file list — DV masks still apply, unlike cdfFiles
       val base = onlyDataFiles match {
@@ -2654,11 +2814,11 @@ class KvScan(path: String, asOf: Option[Long],
       // null rows can't match the (null-rejecting) pushed predicates,
       // so the residual filter keeps results exact.
       val kept =
-        if (colWindows.isEmpty) keptV
+        if (colWindowsPhys.isEmpty) keptV
         else {
           import java.util.Arrays.compareUnsigned
           keptV.filter { f =>
-            colWindows.forall { case (pos, (lo, hi)) =>
+            colWindowsPhys.forall { case (pos, (lo, hi)) =>
               st.colStats.get((pos, f)).forall { case (cmin, cmax) =>
                 lo.forall(l => compareUnsigned(cmax, l) >= 0) &&
                   hi.forall(h => compareUnsigned(cmin, h) <= 0)
@@ -2672,7 +2832,7 @@ class KvScan(path: String, asOf: Option[Long],
       kept
         .map(f => KvFilePartition(new java.io.File(path, f).getPath,
           st.dvsFor(f).map(d => new java.io.File(path, d).getPath),
-          tableSchema.size): InputPartition)
+          tableSchema.size, exPos): InputPartition)
         .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2736,7 +2896,11 @@ class KvReaderFactory extends PartitionReaderFactory {
       // LAST (fileCols-2) comma-fields split off the end exactly and
       // the middle remainder is `val` (which MAY contain commas);
       // columns this file predates null-fill, extras beyond the read
-      // schema (a narrower time-travel read) are dropped
+      // schema (a narrower time-travel read) are dropped. Output
+      // column j >= 2 projects the PHYSICAL position extraPos(j-2)
+      // (identity when empty) — a DROPPED middle position is simply
+      // never projected, so post-drop reads skip its bytes in place.
+      private val exPos = part.extraPos
       private var row: InternalRow = _
       override def next(): Boolean = {
         while (it.hasNext) {
@@ -2760,7 +2924,8 @@ class KvReaderFactory extends PartitionReaderFactory {
             if (nCols >= 2) vals(1) = UTF8String.fromString(rest.substring(0, end))
             var j = 2
             while (j < nCols) {
-              val e = if (j - 2 < extras.length) extras(j - 2) else null
+              val p = if (exPos.nonEmpty) exPos(j - 2) else j
+              val e = if (p - 2 < extras.length) extras(p - 2) else null
               vals(j) =
                 if (e == null || e == "\\N") null else UTF8String.fromString(e)
               j += 1
@@ -2788,7 +2953,8 @@ case class KvCdfFilePartition(file: String, changeType: String,
                               version: Long,
                               includeDvs: Seq[String] = Seq.empty,
                               excludeDvs: Seq[String] = Seq.empty,
-                              nCols: Int = 2)
+                              nCols: Int = 2,
+                              extraPos: Seq[Int] = Seq.empty)
     extends InputPartition
 
 /** Reader for [[KvCdfFilePartition]]: streams the file (bounded
@@ -2856,7 +3022,8 @@ class KvCdfReaderFactory extends PartitionReaderFactory {
               if (nx > 0) rest.substring(0, end) else rest)
             var j = 2
             while (j < nCols) {
-              val e = if (j - 2 < extras.length) extras(j - 2) else null
+              val p = if (part.extraPos.nonEmpty) part.extraPos(j - 2) else j
+              val e = if (p - 2 < extras.length) extras(p - 2) else null
               vals(j) =
                 if (e == null || e == "\\N") null else UTF8String.fromString(e)
               j += 1
@@ -2894,7 +3061,8 @@ class KvCdfReaderFactory extends PartitionReaderFactory {
 class KvCdfMicroBatchStream(path: String, startingVersion: Option[Long] = None,
                             maxVersionsPerTrigger: Option[Long] = None,
                             startLatest: Boolean = false,
-                            nCols: Int = 2)
+                            nCols: Int = 2,
+                            extraPos: Seq[Int] = Seq.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2942,7 +3110,7 @@ class KvCdfMicroBatchStream(path: String, startingVersion: Option[Long] = None,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     KvSource.cdfPartitions(path, start.asInstanceOf[CdfOffset].v,
-      end.asInstanceOf[CdfOffset].v, nCols)
+      end.asInstanceOf[CdfOffset].v, nCols, extraPos)
 
   override def createReaderFactory(): PartitionReaderFactory = new KvCdfReaderFactory
 }
@@ -2980,7 +3148,8 @@ class KvCdfMicroBatchStream(path: String, startingVersion: Option[Long] = None,
 class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
                          maxVersionsPerTrigger: Option[Long] = None,
                          nCols: Int = 2,
-                         startLatest: Boolean = false)
+                         startLatest: Boolean = false,
+                         extraPos: Seq[Int] = Seq.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -3134,7 +3303,8 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
           math.min(math.max(endOff.idx, from), ordered.size.toLong).toInt
         else ordered.size
       parts ++= ordered.slice(from, until).map(f =>
-        KvFilePartition(abs(f), st.dvsFor(f).map(abs), nCols): InputPartition)
+        KvFilePartition(abs(f), st.dvsFor(f).map(abs), nCols,
+          extraPos): InputPartition)
       if (endOff.snapshot && endOff.v == lo) return parts.result()
       // snapshot complete in this batch — tail versions after it
       var state = st.files.toSet
@@ -3185,7 +3355,8 @@ class KvMicroBatchStream(path: String, startingVersion: Option[Long] = None,
     } else {
       val fresh = m.adds.filterNot(state0)
       parts ++= fresh.map(f =>
-        KvFilePartition(abs(f), nCols = nCols): InputPartition)
+        KvFilePartition(abs(f), nCols = nCols,
+          extraPos = extraPos): InputPartition)
       if (v % KvSource.CheckpointInterval == 0) m.adds.toSet
       else state0 ++ m.adds
     }
@@ -3208,13 +3379,13 @@ case class KvCommitMessage(file: String,
     extends WriterCommitMessage
 
 class KvBatchWrite(path: String, replayKey: Option[String], queryId: String,
-                   nCols: Int = 2)
+                   nCols: Int = 2, physMap: Array[Int] = null)
     extends BatchWrite {
   // spec/back-compat constructor: plain batch write, no replay key
-  def this(path: String) = this(path, None, "local", 2)
+  def this(path: String) = this(path, None, "local", 2, null)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path, queryId, nCols)
+    new KvWriterFactory(path, queryId, nCols, physMap)
 
   /** Job commit: APPEND semantics through the version chain — the new
     * task files MERGE with the latest committed state and publish as
@@ -3247,10 +3418,11 @@ class KvBatchWrite(path: String, replayKey: Option[String], queryId: String,
     }
 }
 
-class KvWriterFactory(path: String, queryId: String, nCols: Int = 2)
+class KvWriterFactory(path: String, queryId: String, nCols: Int = 2,
+                      physMap: Array[Int] = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, taskId, queryId, nCols)
+    new KvDataWriter(path, partitionId, taskId, queryId, nCols, physMap)
 }
 
 /** TRUE Structured Streaming sink (TableCapability.STREAMING_WRITE):
@@ -3266,11 +3438,11 @@ class KvWriterFactory(path: String, queryId: String, nCols: Int = 2)
   * [[KvSource.commitVersion]] makes the epoch commit atomic,
   * concurrent-safe, and idempotent. */
 class KvStreamingWrite(path: String, queryId: String, fullQueryId: String,
-                       nCols: Int = 2)
+                       nCols: Int = 2, physMap: Array[Int] = null)
     extends streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    new KvStreamingWriterFactory(path, queryId, nCols)
+    new KvStreamingWriterFactory(path, queryId, nCols, physMap)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -3305,11 +3477,13 @@ class KvStreamingWrite(path: String, queryId: String, fullQueryId: String,
   * for streaming epochs: task files salt their names with the epoch,
   * so a restarted writer at epoch N+1 can never collide with its own
   * epoch-N files. */
-class KvStreamingWriterFactory(path: String, queryId: String, nCols: Int = 2)
+class KvStreamingWriterFactory(path: String, queryId: String, nCols: Int = 2,
+                               physMap: Array[Int] = null)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, taskId, s"$queryId-e$epochId", nCols)
+    new KvDataWriter(path, partitionId, taskId, s"$queryId-e$epochId", nCols,
+      physMap)
 }
 
 /** Task writer: stream to a temp, rename on commit, delete on abort.
@@ -3320,7 +3494,7 @@ class KvStreamingWriterFactory(path: String, queryId: String, nCols: Int = 2)
   * fail the TASK fast (clear error → task abort → nothing visible),
   * never corrupt a committed file. */
 class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String,
-                   nCols: Int = 2)
+                   nCols: Int = 2, physMap: Array[Int] = null)
     extends DataWriter[InternalRow] {
   // spec/back-compat constructors
   def this(path: String, partitionId: Int, taskId: Long) =
@@ -3342,7 +3516,7 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long, queryId: String
   // copied only when they change) as rows stream through: ONE
   // implementation of the format for this writer and every rewrite
   // verb (r17 review — the two had drifted into parallel copies)
-  private val codec = new KvSource.WideRowCodec(nCols)
+  private val codec = new KvSource.WideRowCodec(nCols, physMap)
   private val sb = new java.lang.StringBuilder(64)
 
   override def write(row: InternalRow): Unit = {

@@ -2033,4 +2033,46 @@ object Streams {
     res
   }
 
+  /** TTL-WINDOWED streaming dedup, batch form (the
+    * dropDuplicatesWithinWatermark shape made deterministic): a
+    * duplicate (user, event_type) is suppressed only while its
+    * 15-minute TUMBLING window lasts — after the window rolls over,
+    * the key is re-admitted. That is the contract real streaming
+    * dedup state actually provides (state entries expire; the global
+    * forever-dedup of [[dedupBatch]] needs unbounded state), and the
+    * window-aligned form is exactly reproducible in batch: kept rows
+    * = distinct (user, type, window) groups. Per event type the op
+    * reports raw events, kept events, suppressed duplicates, and the
+    * dup ratio in bp. One (user,type,window) hash aggregate (the
+    * state-shaped shuffle) + a type-keyed map-side-combining rollup —
+    * state at any scale is bounded by keys ACTIVE per window, the
+    * whole point of the TTL. */
+  def dedupWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("win", expr("us DIV 900000000"))
+      .groupBy(col("user_id"), col("event_type"), col("win"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(sum("n").as("raw_events"),
+        count(lit(1)).as("kept_events"),
+        (sum("n") - count(lit(1))).as("dups_suppressed"))
+      .selectExpr("event_type", "raw_events", "kept_events",
+        "dups_suppressed",
+        "dups_suppressed * 10000 DIV raw_events AS dup_bp")
+      .orderBy("event_type")
+
+  /** Streaming form: dropDuplicates on (key, tumbling window) under a
+    * watermark — Spark evicts a window's dedup state once the
+    * watermark passes it, the bounded-state contract the batch form
+    * mirrors window-for-window. */
+  def dedupWindowStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .withColumn("win", window(col("ts"), "15 minutes"))
+      // the window struct inherits the watermark; keeping raw ts too
+      // would leave TWO event-time columns in one stream (refused)
+      .select(col("user_id"), col("event_type"), col("win"))
+      .dropDuplicates("user_id", "event_type", "win")
+
 }

@@ -875,12 +875,21 @@ object TextOps {
     * not duplication), so candidates stay linear in the fingerprint
     * mass at any corpus size. */
   def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = graft.Caches.shared(spark, s"text.winnow:$dir") {
+    // The cache holds the COMPACT per-doc fingerprint arrays (~n_docs
+    // rows), not the exploded (doc, fingerprint) table (~len/8 rows per
+    // doc — 150M at sf1): the winnow scan runs once per doc either way,
+    // but persisting arrays cuts the cached footprint and the one-time
+    // build ~8× (no explode before persist, no per-row overhead ×
+    // fingerprint mass). Consumers explode on the way out — a codegen'd
+    // Generate over cached data, no shuffle.
+    val fpDocs = graft.Caches.shared(spark, s"text.winnow:$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          explode(graft.functions.AnchorExprs.winnow(col("text"), 16, 8)).as("f"))
+          graft.functions.AnchorExprs.winnow(col("text"), 16, 8).as("fs"))
     }
-    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val fp = fpDocs.select(col("doc_id"), explode(col("fs")).as("f"))
+    // winnow output is already distinct per doc, so nf = array length
+    val sizes = fpDocs.select(col("doc_id"), size(col("fs")).cast("long").as("nf"))
     val rare = fp.groupBy(col("f")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, 64)).select(col("f"))
     val cand = fp.join(rare, "f")
@@ -1244,4 +1253,28 @@ object TextOps {
         col("new_words"), col("cum_vocab"))
       .orderBy("bucket")
   }
+
+  /** Tokenizer FERTILITY by language — the report read when choosing
+    * or auditing a tokenizer for a multilingual corpus (fertility =
+    * subword tokens per whitespace word; bytes per token is the
+    * compression the context window actually feels; a language whose
+    * fertility is 2x another's pays 2x the sequence length for the
+    * same text, the classic under-trained-tokenizer tax). Tokens are
+    * the [[BpeRe]] regex class count (the same proto-BPE segmentation
+    * [[tokenCount]] uses), ratios integer bp. One map-only scan into
+    * a language-keyed map-side-combining aggregate — no shuffle wider
+    * than the language count at any corpus size. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("lang",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ws",
+        s"CAST(size(regexp_extract_all(text, '$BpeRe', 0)) AS BIGINT) AS tok",
+        "CAST(octet_length(text) AS BIGINT) AS nb")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("words"),
+        sum("tok").as("tokens"), sum("nb").as("bytes"))
+      .selectExpr("lang", "n_docs", "words", "tokens", "bytes",
+        "tokens * 10000 DIV words AS fertility_bp",
+        "bytes * 10000 DIV tokens AS bytes_per_token_bp")
+      .orderBy("lang")
 }

@@ -471,6 +471,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL-windowed streaming dedup keeps one row per (key, window)") {
+    // the bounded-state dedup: dropDuplicates on (key, tumbling
+    // window) under a watermark — kept rows must equal the batch
+    // form's distinct (user, type, window) group count, and windows
+    // make re-admission observable (kept > global key count)
+    val q = Streams.dedupWindowStreaming(eventsStream)
+      .writeStream.outputMode("append").format("memory").queryName("dedupw_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedupw_out")
+    val expectedKept = Streams.dedupWindowBatch(spark, sf)
+      .agg(sum("kept_events")).head().getLong(0)
+    assert(got.count() == expectedKept,
+      s"streaming windowed dedup kept ${got.count()} rows vs batch $expectedKept")
+    assert(got.select("user_id", "event_type", "win").distinct().count() == expectedKept)
+    val globalKeys = Streams.dedupBatch(spark, sf).count()
+    assert(expectedKept > globalKeys,
+      "TTL re-admission must keep MORE rows than the forever-dedup key count")
+  }
+
   test("streaming dedup keeps one row per key") {
     val raw = eventsStream
     val q = Streams.dedupStreaming(raw)
