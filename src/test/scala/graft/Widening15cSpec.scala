@@ -31,9 +31,9 @@ class Widening15cSpec extends AnyFunSuite {
     append(dir, 10, 20)
     assert(readAll(dir).count() == 20L)
     // downgrade and beyond-support upgrades refuse (engine support is
-    // 4:4 since r17 — column name-mapping)
+    // 5:5 since r17 batch 5 — column DROP)
     intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 1, 1))
-    intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 5, 5))
+    intercept[IllegalArgumentException](KvSource.upgradeProtocol(dir, 6, 6))
     // the checkpoint re-lists the protocol: grow past v10, vacuum away
     // the pre-checkpoint manifests, the fold still sees 2:2
     (0 until 9).foreach(i => append(dir, 100L + i * 10, 110L + i * 10)) // ..v12
