@@ -32,17 +32,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // r17 residual fix (q_ancestor_closure at sf10): the fixed
-      // 32-wide shuffle binds once iterative-join inputs reach tens of
-      // millions of rows. Instead of scaling shuffle.partitions by SF
-      // (which would pessimize every small stage), give AQE a higher
-      // pre-coalesce ceiling: large shuffles keep up to 8×cores
-      // reducers, small ones still coalesce to the 64 MB advisory
-      // target exactly as before. This is the local[32] stand-in for
-      // the cluster-side rule "set the AQE ceiling from cluster cores,
-      // let coalescing find the data-proportional width per stage".
+      // AQE pre-coalesce ceiling, env-tunable for experiments. The r17
+      // residual hypothesized that raising it to 8×cores would fix
+      // q_ancestor_closure's fixed-width bind at sf10 — MEASURED and
+      // REJECTED this round: at a matched ambient-load window the
+      // closure ran 105–171 s at ceiling 32 vs 203–469 s at 256
+      // (sf10, REPEAT=2 + retry), and the winnowing family regressed
+      // ~2× at sf1 under 256 (more, smaller sort-merge runs over the
+      // shared 150M-row cache). Default stays = cores; the closure
+      // width fix belongs INSIDE the iterative operator, not in a
+      // global knob (r18 note in SURVEY).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CEIL", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

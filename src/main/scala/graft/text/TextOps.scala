@@ -875,21 +875,12 @@ object TextOps {
     * not duplication), so candidates stay linear in the fingerprint
     * mass at any corpus size. */
   def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
-    // The cache holds the COMPACT per-doc fingerprint arrays (~n_docs
-    // rows), not the exploded (doc, fingerprint) table (~len/8 rows per
-    // doc — 150M at sf1): the winnow scan runs once per doc either way,
-    // but persisting arrays cuts the cached footprint and the one-time
-    // build ~8× (no explode before persist, no per-row overhead ×
-    // fingerprint mass). Consumers explode on the way out — a codegen'd
-    // Generate over cached data, no shuffle.
-    val fpDocs = graft.Caches.shared(spark, s"text.winnow:$dir") {
+    val fp = graft.Caches.shared(spark, s"text.winnow:$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          graft.functions.AnchorExprs.winnow(col("text"), 16, 8).as("fs"))
+          explode(graft.functions.AnchorExprs.winnow(col("text"), 16, 8)).as("f"))
     }
-    val fp = fpDocs.select(col("doc_id"), explode(col("fs")).as("f"))
-    // winnow output is already distinct per doc, so nf = array length
-    val sizes = fpDocs.select(col("doc_id"), size(col("fs")).cast("long").as("nf"))
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val rare = fp.groupBy(col("f")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, 64)).select(col("f"))
     val cand = fp.join(rare, "f")

@@ -158,6 +158,26 @@ class Widening17bSpec extends AnyFunSuite {
     rm(dir)
   }
 
+  test("batch CDF pinned entirely below a later drop still reads the LATEST schema") {
+    // the Delta CDF rule: change rows render under the latest table
+    // schema. A range that ends BEFORE the drop must still hide the
+    // dropped position and keep live columns at their values — the
+    // exposure map is the latest one, not the range-end one.
+    val dir = twoCol("cdfdrop")
+    KvSource.dropColumn(dir, "a") // v6
+    val feed = KvSource.changeFeed(spark, dir, 0L, 5L) // range below the drop
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("key", "val", "b", "change_type", "commit_version"))
+    val rows = feed.filter(col("change_type") === "insert")
+    assert(rows.count() == 150L)
+    // v5's wide rows carry b at its true values — a stale (range-end)
+    // exposure map would misread physical position 2 (dropped a) as b
+    assert(rows.filter(col("b") === "b0").count() ===
+      (100L until 150L).count(_ % 3 == 0).toLong)
+    assert(rows.filter(col("b").isNull).count() == 100L)
+    rm(dir)
+  }
+
   test("streaming source delivers the post-drop schema") {
     val dir = twoCol("stream")
     KvSource.dropColumn(dir, "a") // v6
