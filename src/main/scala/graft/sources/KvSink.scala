@@ -1839,7 +1839,7 @@ object KvSource {
       // CDF sidecars: pre-images = the LIVE copies of update keys
       // (zone-pruned scan — only files whose zone admits an update key
       // are read), post-images = the update rows themselves
-      val stMor = stateAt(path, v0)
+      val stMor = st0
       val touched = touchedFiles(spark, stMor, updKeys)
       val liveTouched = spark.read.format(classOf[KvSource].getName)
         .option("path", path).option("versionAsOf", v0.toString)
@@ -1966,6 +1966,19 @@ object KvSource {
     * cannot be truncated safely (all-0xFF prefix) drop the zone. */
   private[graft] def valStatsOf(parts: Seq[PartMeta]): Map[String, (Array[Byte], Array[Byte])] =
     parts.flatMap(p => truncHi(p.valHi).map(h => p.name -> ((truncLo(p.valLo), h)))).toMap
+
+  /** The same truncation fold over task COMMIT MESSAGES — shared by
+    * the batch and streaming job commits so the zone-compression rule
+    * can never drift between them (r17 review). */
+  private[graft] def valStatsOfMsgs(msgs: Seq[KvCommitMessage]): Map[String, (Array[Byte], Array[Byte])] =
+    msgs.flatMap(m => m.valStats.flatMap { case (lo, hi) =>
+      truncHi(hi).map(h => m.file -> ((truncLo(lo), h)))
+    }).toMap
+
+  private[graft] def colStatsOfMsgs(msgs: Seq[KvCommitMessage]): Map[(Int, String), (Array[Byte], Array[Byte])] =
+    msgs.flatMap(m => m.colStats.flatMap { case (i, lo, hi) =>
+      truncHi(hi).map(h => (i, m.file) -> ((truncLo(lo), h)))
+    }).toMap
 
   /** `#cstats:` entries for a set of written parts (r17 — zone maps
     * for EVOLVED columns, the r16 verdict's item 2): keyed by ABSOLUTE
@@ -2378,6 +2391,38 @@ object KvSource {
     parts.result()
   }
 
+  /** Decode the post-key remainder of one wide line into
+    * `vals(1 .. nData-1)`: split the LAST (fileCols−2) comma-fields
+    * off the end (extras are comma-free by construction; the middle
+    * remainder is `val`, which MAY contain commas), then project
+    * output extras through `extraPos` (identity when empty),
+    * null-filling columns the file predates and decoding `\N`. ONE
+    * implementation for the snapshot reader and the change-feed
+    * reader (r17 review — they had drifted into parallel copies, the
+    * read-side analog of the [[WideRowCodec]] consolidation). */
+  private[graft] def decodeWide(rest: String, fileCols: Int, nData: Int,
+                                  extraPos: Seq[Int], vals: Array[Any]): Unit = {
+    val nx = fileCols - 2
+    val extras = new Array[String](math.max(0, nx))
+    var end = rest.length
+    var i = nx
+    while (i > 0) {
+      val c = rest.lastIndexOf(',', end - 1)
+      extras(i - 1) = rest.substring(c + 1, end)
+      end = c
+      i -= 1
+    }
+    vals(1) = UTF8String.fromString(if (nx > 0) rest.substring(0, end) else rest)
+    var j = 2
+    while (j < nData) {
+      val p = if (extraPos.nonEmpty) extraPos(j - 2) else j
+      val e = if (p - 2 < extras.length) extras(p - 2) else null
+      vals(j) =
+        if (e == null || e == "\\N") null else UTF8String.fromString(e)
+      j += 1
+    }
+  }
+
   /** The ONE definition of the on-disk line format: validate and
     * render a (key, val) row. Shared by the DSv2 task writer and the
     * merge's row writers so the format can never drift between them. */
@@ -2725,6 +2770,20 @@ class KvScan(path: String, asOf: Option[Long],
              catch { case _: IllegalArgumentException => return Seq.empty }
     if (st.droppedPos.isEmpty) Seq.empty else st.livePos.drop(2)
   }
+  /** A DROP COLUMN committed between schema RESOLUTION and scan
+    * PLANNING would make the exposure map narrower than the resolved
+    * schema — the reader would index past extraPos (an opaque
+    * IndexOutOfBounds deep in a task). Surface the schema change as a
+    * clear planning-time error instead; a column ADDED in the window
+    * keeps the old prefix semantics (null-fill) and passes. */
+  private def guardExposure(exPos: Seq[Int], dataWidth: Int): Seq[Int] = {
+    if (exPos.nonEmpty && exPos.size + 2 < dataWidth)
+      throw new IllegalStateException(
+        s"KvSource: a column of $path was dropped after this read resolved " +
+          s"its schema ($dataWidth data columns resolved, ${exPos.size + 2} " +
+          "still live) — re-create the DataFrame to pick up the new schema")
+    exPos
+  }
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(
@@ -2764,10 +2823,11 @@ class KvScan(path: String, asOf: Option[Long],
     // a drop committed after the range's end still hides the column
     // in these change rows, exactly like the snapshot read would
     KvSource.cdfPartitions(path, from - 1, cdfEnd.getOrElse(0L),
-      tableSchema.size - 2, extraPosAt(None))
+      tableSchema.size - 2,
+      guardExposure(extraPosAt(None), tableSchema.size - 2))
   } else cdfFiles match {
     case Some(files) => // change-feed restriction: exact files, raw
-      val exPos = extraPosAt(version)
+      val exPos = guardExposure(extraPosAt(version), tableSchema.size)
       files.map(f => KvFilePartition(new java.io.File(path, f).getPath,
         nCols = tableSchema.size, extraPos = exPos): InputPartition).toArray
     case None =>
@@ -2776,8 +2836,9 @@ class KvScan(path: String, asOf: Option[Long],
       // these PHYSICAL positions; the pushed per-column windows are
       // keyed by EXPOSED index and remap to physical before matching
       // the position-keyed `#cstats:` zones
-      val exPos: Seq[Int] =
-        if (st.droppedPos.isEmpty) Seq.empty else st.livePos.drop(2)
+      val exPos: Seq[Int] = guardExposure(
+        if (st.droppedPos.isEmpty) Seq.empty else st.livePos.drop(2),
+        tableSchema.size)
       val colWindowsPhys =
         if (st.droppedPos.isEmpty) colWindows
         else colWindows.map { case (i, w) => st.livePos(i) -> w }
@@ -2908,28 +2969,11 @@ class KvReaderFactory extends PartitionReaderFactory {
           val cut = line.indexOf(',')
           val key = line.substring(0, cut).toLong
           if (deleted.isEmpty || !deleted.contains(key)) {
-            val rest = line.substring(cut + 1)
-            val nx = fileCols - 2
-            val extras = new Array[String](math.max(0, nx))
-            var end = rest.length
-            var i = nx
-            while (i > 0) {
-              val c = rest.lastIndexOf(',', end - 1)
-              extras(i - 1) = rest.substring(c + 1, end)
-              end = c
-              i -= 1
-            }
             val vals = new Array[Any](nCols)
             vals(0) = key
-            if (nCols >= 2) vals(1) = UTF8String.fromString(rest.substring(0, end))
-            var j = 2
-            while (j < nCols) {
-              val p = if (exPos.nonEmpty) exPos(j - 2) else j
-              val e = if (p - 2 < extras.length) extras(p - 2) else null
-              vals(j) =
-                if (e == null || e == "\\N") null else UTF8String.fromString(e)
-              j += 1
-            }
+            if (nCols >= 2)
+              KvSource.decodeWide(line.substring(cut + 1), fileCols, nCols,
+                exPos, vals)
             row = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
             return true
           }
@@ -3003,31 +3047,10 @@ class KvCdfReaderFactory extends PartitionReaderFactory {
           val key = line.substring(0, cut).toLong
           if ((include == null || include.contains(key)) &&
             (exclude == null || !exclude.contains(key))) {
-            val rest = line.substring(cut + 1)
-            // the last (fileCols-2) comma-fields split off the end;
-            // the middle remainder is `val` (may contain commas)
-            val nx = fileCols - 2
-            val extras = new Array[String](math.max(0, nx))
-            var end = rest.length
-            var i = nx
-            while (i > 0) {
-              val c = rest.lastIndexOf(',', end - 1)
-              extras(i - 1) = rest.substring(c + 1, end)
-              end = c
-              i -= 1
-            }
             val vals = new Array[Any](nCols + 2)
             vals(0) = key
-            vals(1) = UTF8String.fromString(
-              if (nx > 0) rest.substring(0, end) else rest)
-            var j = 2
-            while (j < nCols) {
-              val p = if (part.extraPos.nonEmpty) part.extraPos(j - 2) else j
-              val e = if (p - 2 < extras.length) extras(p - 2) else null
-              vals(j) =
-                if (e == null || e == "\\N") null else UTF8String.fromString(e)
-              j += 1
-            }
+            KvSource.decodeWide(line.substring(cut + 1), fileCols, nCols,
+              part.extraPos, vals)
             vals(nCols) = tpe
             vals(nCols + 1) = part.version
             row = InternalRow.fromSeq(
@@ -3397,15 +3420,11 @@ class KvBatchWrite(path: String, replayKey: Option[String], queryId: String,
     val msgs = messages.map(_.asInstanceOf[KvCommitMessage]).toSeq
     KvSource.commitVersionKeyed(path, msgs.map(_.file), replayKey,
       stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap,
-      valStats = msgs.flatMap(m => m.valStats.flatMap { case (lo, hi) =>
-        KvSource.truncHi(hi).map(h => m.file -> ((KvSource.truncLo(lo), h)))
-      }).toMap,
+      valStats = KvSource.valStatsOfMsgs(msgs),
       rowCounts = msgs.collect {
         case m if m.nRows >= 0 => m.file -> m.nRows
       }.toMap,
-      colStats = msgs.flatMap(m => m.colStats.flatMap { case (i, lo, hi) =>
-        KvSource.truncHi(hi).map(h => (i, m.file) -> ((KvSource.truncLo(lo), h)))
-      }).toMap,
+      colStats = KvSource.colStatsOfMsgs(msgs),
       op = Some("WRITE"))
   }
 
@@ -3453,15 +3472,11 @@ class KvStreamingWrite(path: String, queryId: String, fullQueryId: String,
     KvSource.commitVersionKeyed(path, msgs.map(_.file),
       Some(s"$fullQueryId:$epochId"),
       stats = msgs.flatMap(m => m.stats.map(m.file -> _)).toMap,
-      valStats = msgs.flatMap(m => m.valStats.flatMap { case (lo, hi) =>
-        KvSource.truncHi(hi).map(h => m.file -> ((KvSource.truncLo(lo), h)))
-      }).toMap,
+      valStats = KvSource.valStatsOfMsgs(msgs),
       rowCounts = msgs.collect {
         case m if m.nRows >= 0 => m.file -> m.nRows
       }.toMap,
-      colStats = msgs.flatMap(m => m.colStats.flatMap { case (i, lo, hi) =>
-        KvSource.truncHi(hi).map(h => (i, m.file) -> ((KvSource.truncLo(lo), h)))
-      }).toMap,
+      colStats = KvSource.colStatsOfMsgs(msgs),
       op = Some("STREAMING UPDATE"))
   }
 

@@ -1627,12 +1627,19 @@ object Streams {
     // the racing maintenance job: start mid-stream, retry the one
     // legitimate surfaced-conflict shape until the rewrite lands
     @volatile var optVersion = -1L
+    @volatile var lastErr: Throwable = null
     val racer = new Thread(() => {
       Thread.sleep(150)
       var tries = 0
       while (optVersion < 0 && tries < 20) {
-        try optVersion = KvSource.optimizeBinPack(spark, out, 4)._2
-        catch { case _: IllegalStateException => tries += 1; Thread.sleep(50) }
+        // retry surfaced CONFLICTS; any other failure must not die
+        // silently on the daemon thread (the op would then emit
+        // optimize_ran=0 and fail the gate with a value mismatch that
+        // HIDES the real exception — r17 review finding)
+        try { optVersion = KvSource.optimizeBinPack(spark, out, 4)._2; lastErr = null }
+        catch { case scala.util.control.NonFatal(e) =>
+          lastErr = e; tries += 1; Thread.sleep(50)
+        }
       }
     })
     racer.setDaemon(true)
@@ -1645,6 +1652,9 @@ object Streams {
       .start()
     q.awaitTermination()
     racer.join(120000)
+    if (optVersion < 0 && lastErr != null)
+      throw new IllegalStateException(
+        "streamSinkOccRace: the OPTIMIZE racer never committed", lastErr)
     val history = KvSource.describeHistory(out)
     val rows = spark.read.format(classOf[KvSource].getName)
       .option("path", out).load()

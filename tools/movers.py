@@ -23,6 +23,9 @@ def now(path):
 
 for mode in ("shared", "isolate"):
     old = committed(f"BENCH_FULL_{mode}.json")
+    if old is None:
+        sys.exit(f"no BENCH_FULL_{mode}.json at {rev} — check the revision "
+                 "(git show failed); nothing to diff against")
     new = now(f"BENCH_FULL_{mode}.json")
     oq, nq = old["queries"], new["queries"]
     print(f"== {mode}: old total {old.get('value')} ({len(oq)} q) -> "
