@@ -67,6 +67,38 @@ object Caches {
     }
   }
 
+  /** Get-or-build like [[shared]], but materialize via an EAGER
+    * `localCheckpoint` instead of `persist`: the registered DataFrame
+    * scans a lineage-TRUNCATED block set, so every consumer's task
+    * binary serializes a one-node LogicalRDD instead of the build's
+    * full plan tree. Measured motivation (r17 optimization round): a
+    * consumer stage over a PERSISTED customer-sized cache shipped
+    * ~1 MB task binaries (the InMemoryRelation keeps the whole
+    * recompute plan in the RDD closure) and spent more wall time in
+    * task deserialization than in compute; the checkpointed form
+    * ships kilobytes. Use for caches with many downstream consumers
+    * whose build plans are deep; the trade is the iterative-loop one
+    * documented in [[Checkpoints]] — blocks are unrecoverable if an
+    * executor dies, and the handle must not be re-collected after
+    * [[clearAll]] (go back through the operator, which rebuilds). */
+  def sharedCheckpoint(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    reg.filterInPlace { case (_, df) => !df.sparkSession.sparkContext.isStopped }
+    val k = (spark.sharedState.cacheManager: AnyRef, key)
+    reg.get(k) match {
+      case Some(df) => df
+      case None =>
+        val df = Checkpoints.releaseOnClear(build.localCheckpoint())
+        reg.putIfAbsent(k, df) match {
+          case Some(winner) =>
+            // the loser is always a true orphan here (each checkpoint
+            // embeds its own RDD) — release its blocks immediately
+            Checkpoints.release(df)
+            winner
+          case None => df
+        }
+    }
+  }
+
   /** Unpersist every registered intermediate and forget it, and drain
     * the deferred checkpoint-release queue ([[Checkpoints]]) — local
     * checkpoint blocks never enter the CacheManager, so without this

@@ -33,7 +33,7 @@ object Dedup {
       .select(col("doc_id"), graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
 
   private def gramsDf(spark: SparkSession, dir: String): DataFrame =
-    Caches.shared(spark, s"dedup.grams:$dir") {
+    Caches.sharedCheckpoint(spark, s"dedup.grams:$dir") {
       gramsOf(Tables.documents(spark, dir))
     }
 
@@ -48,7 +48,7 @@ object Dedup {
       .selectExpr("doc_id" +: (0 until 8).map(j => s"sig[$j] AS h$j"): _*)
 
   private def sigDf(spark: SparkSession, dir: String): DataFrame =
-    Caches.shared(spark, s"dedup.sig:$dir") {
+    Caches.sharedCheckpoint(spark, s"dedup.sig:$dir") {
       sigFromGrams(gramsDf(spark, dir))
     }
 
@@ -111,7 +111,7 @@ object Dedup {
     // otherwise. It is also the natural checkpoint of a production
     // dedup — tiny (candidates that passed, not the corpus) and
     // feeding every downstream policy.
-    Caches.shared(spark, s"dedup.pairs:$dir") {
+    Caches.sharedCheckpoint(spark, s"dedup.pairs:$dir") {
       val bands = bandsOf(sigDf(spark, dir))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
@@ -270,7 +270,7 @@ object Dedup {
     // and both the components query and the keep-best policy read it —
     // without the cache each consumer re-runs the whole propagation
     // loop.
-    Caches.shared(spark, s"dedup.components:$dir") {
+    Caches.sharedCheckpoint(spark, s"dedup.components:$dir") {
       componentsFromPairs(
         Tables.documents(spark, dir).select("doc_id"),
         minhashPairs(spark, dir).select("doc_a", "doc_b"))
@@ -646,7 +646,7 @@ object Dedup {
     // session-shared per (dir, cap): the Jaccard query and the
     // containment query both read these verified counts — without the
     // cache each rebuilds the inverted index and the double-explode
-    Caches.shared(spark, s"dedup.paircounts:$dir:$maxGramDf") {
+    Caches.sharedCheckpoint(spark, s"dedup.paircounts:$dir:$maxGramDf") {
       gramPairCountsUncached(spark, dir, maxGramDf)
     }
 
@@ -662,7 +662,7 @@ object Dedup {
     // array columns never enter a join or a cache: array<string>
     // payloads fall out of whole-stage codegen and make broadcast /
     // shuffle sides pay seconds of serialization.
-    val x = Caches.shared(spark, s"dedup.flatgrams:$dir") {
+    val x = Caches.sharedCheckpoint(spark, s"dedup.flatgrams:$dir") {
       Tables.documents(spark, dir)
         .selectExpr("doc_id", "n_chars DIV 32 AS lb", "split(text, ' ') AS w")
         .select(col("doc_id"), col("lb"),
@@ -810,7 +810,7 @@ object Dedup {
     * its three uses. Wedge totals fold out of the degree aggregate
     * (Σ d(d−1)/2). One summary row. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val p = Caches.shared(spark, s"dedup.embpairs:$dir") {
+    val p = Caches.sharedCheckpoint(spark, s"dedup.embpairs:$dir") {
       embeddingCosine(spark, dir).select(col("vec_a").as("a"), col("vec_b").as("b"))
     }
     val degStats = p.select(explode(array(col("a"), col("b"))).as("v"))
@@ -851,8 +851,13 @@ object Dedup {
         s"${graft.text.TextOps.SplitCaseSql} AS split",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
       .join(ok, "doc_id")
-      .join(removed, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      // removed/contaminated derive from the checkpoint-backed pair
+      // list — a LogicalRDD carries no size stats, so without the
+      // hint the planner demotes these to SMJ. Both are verified-pair
+      // doc lists (candidate-sized, the dedup checkpoint invariant),
+      // the broadcastable side at any corpus size.
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("source", "split")
@@ -1127,7 +1132,7 @@ object Dedup {
     * by near-dup degree, never the corpus); mutuality is a self-join
     * on the ordered pair key. */
   def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
-    val p = Caches.shared(spark, s"dedup.embpairscos:$dir") {
+    val p = Caches.sharedCheckpoint(spark, s"dedup.embpairscos:$dir") {
       embeddingCosine(spark, dir)
     }
     val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
@@ -1251,7 +1256,9 @@ object Dedup {
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "source",
         "CAST(size(split(text, ' ')) AS BIGINT) AS t")
-      .join(removed.withColumn("rm", lit(1L)), Seq("doc_id"), "left")
+      // same hint rationale as trainingMix: the pair-derived removal
+      // list is candidate-sized but stats-less behind the checkpoint
+      .join(broadcast(removed.withColumn("rm", lit(1L))), Seq("doc_id"), "left")
       .na.fill(0L, Seq("rm"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
@@ -1340,7 +1347,7 @@ object Dedup {
     * every dedup operator shares; the unweighted count ships
     * alongside so the rerank's effect is visible per pair. */
   def idfJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val flat = Caches.shared(spark, s"dedup.flatgrams:$dir") {
+    val flat = Caches.sharedCheckpoint(spark, s"dedup.flatgrams:$dir") {
       // same construction as gramPairCountsUncached — the shared key
       // guarantees one materialization per session either way
       Tables.documents(spark, dir)
@@ -1356,7 +1363,7 @@ object Dedup {
     // below (docW, both sides of the shared-weight join) would each
     // re-run the df join + weight projection over the corpus-sized
     // gram index otherwise
-    val gw = Caches.shared(spark, s"dedup.idfgw:$dir") {
+    val gw = Caches.sharedCheckpoint(spark, s"dedup.idfgw:$dir") {
       flat
         .join(flat.groupBy(col("gh")).agg(count(lit(1)).as("df")), "gh")
         .crossJoin(broadcast(nDocs))

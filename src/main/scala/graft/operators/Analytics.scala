@@ -871,7 +871,7 @@ object Analytics {
     // session-cached: the exact sweep is also the AUDITOR the sketch
     // variant joins against, and its output is (tables × partitions ×
     // columns)-sized — catalog stats, not data
-    graft.Caches.shared(spark, s"layout.sweep:$dir") {
+    graft.Caches.sharedCheckpoint(spark, s"layout.sweep:$dir") {
       layoutStatsSweepBuild(spark, dir)
     }
 
@@ -1388,11 +1388,21 @@ object Analytics {
     var c = nodes.filter(col("node") >= 2)
       .select(col("node"), expr("node DIV 2").as("anc"), lit(1L).as("d"))
       .localCheckpoint(false)
-    for (_ <- 1 to 5) {
-      val j = c.as("a").join(c.as("b"), col("a.anc") === col("b.node"))
+    // Exact-frontier doubling (r17 optimization): joining the full
+    // closure against itself generates every depth-d pair once per
+    // split point (d−1 ways) and needs a table-wide distinct each
+    // round. Joining against ONLY the depth-exactly-2^(k-1) slice
+    // generates each new pair exactly once — in a tree the node at
+    // depth d−2^(k-1) above `node` is unique — and new depths all
+    // exceed the current maximum, so union is disjoint and the
+    // per-round distinct exchange disappears (guide §2.4). Depth
+    // coverage after round k is 2^k, identical to the old loop.
+    for (k <- 1 to 5) {
+      val f = c.filter(col("d") === (1L << (k - 1)))
+      val j = c.as("a").join(f.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.d") + col("b.d")).as("d"))
-      c = c.unionAll(j).distinct().localCheckpoint(false)
+      c = c.unionAll(j).localCheckpoint(false)
     }
     c.groupBy(col("anc"))
       .agg(count(lit(1)).as("n_desc"), max(col("d")).as("max_depth"))
@@ -1711,24 +1721,33 @@ object Analytics {
     * domain, never the row count), and the three (n+1)·q DIV 4 order
     * statistics fall out of one aggregate. Returns a 1-row frame
     * (q1/q2/q3) meant to be broadcast. */
-  private def exactQuartiles(df: DataFrame, valueCol: String,
-                             tieCol: String, bucketWidth: Long): DataFrame = {
-    val c = df.withColumn("b", col(valueCol).divide(lit(bucketWidth)).cast("long"))
-    val wIn = Window.partitionBy(col("b")).orderBy(col(valueCol), col(tieCol))
-    val wB = Window.orderBy(col("b"))
-    val offs = c.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+  /** Exact per-dimension quartiles over an unpivoted (dim, v, tie)
+    * frame, one fused two-level rank pass for ALL dimensions: rows
+    * rank inside (dim, value-bucket) partitions, bucket offsets come
+    * from a dim-partitioned cumulative over the bucket counts, and
+    * the result is one row per dim. Identical rank/threshold math to
+    * the former per-dimension `exactQuartiles` (same bucket widths,
+    * same tie column) — fusing the three probe plan-trees into one
+    * cut q_rfm_segments' measured ~1 MB task binaries × 12 stages to
+    * a third (guide §1.2: per-task work after the algorithm). */
+  private def exactQuartilesByDim(long: DataFrame): DataFrame = {
+    val c = long.withColumn("b", col("v").divide(col("w")).cast("long"))
+    val wIn = Window.partitionBy(col("dim"), col("b")).orderBy(col("v"), col("tie"))
+    val wB = Window.partitionBy(col("dim")).orderBy(col("b"))
+    val offs = c.groupBy(col("dim"), col("b")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt"))
         .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(
         wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .drop("cnt")
     c.withColumn("rb", row_number().over(wIn))
-      .join(broadcast(offs), "b")
+      .join(broadcast(offs), Seq("dim", "b"))
       .withColumn("rn", col("off") + col("rb"))
+      .groupBy(col("dim"))
       .agg(
-        min(when(col("rn") === expr("GREATEST((n + 1) DIV 4, 1)"), col(valueCol))).as("q1"),
-        min(when(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"), col(valueCol))).as("q2"),
-        min(when(col("rn") === expr("GREATEST((3 * (n + 1)) DIV 4, 1)"), col(valueCol))).as("q3"))
+        min(when(col("rn") === expr("GREATEST((n + 1) DIV 4, 1)"), col("v"))).as("q1"),
+        min(when(col("rn") === expr("GREATEST((n + 1) DIV 2, 1)"), col("v"))).as("q2"),
+        min(when(col("rn") === expr("GREATEST((3 * (n + 1)) DIV 4, 1)"), col("v"))).as("q3"))
   }
 
   /** RFM customer segmentation — recency / frequency / monetary
@@ -1743,7 +1762,7 @@ object Analytics {
     // the customer-sized RFM core feeds FOUR consumers (three quartile
     // probes + the final coding) — session-persist it once, or every
     // consumer re-runs the orders scan and shuffle
-    val rfm = graft.Caches.shared(spark, s"analytics.rfm:$dir") {
+    val rfm = graft.Caches.sharedCheckpoint(spark, s"analytics.rfm:$dir") {
       val o = Tables.orders(spark, dir).select(
         col("o_custkey"),
         datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
@@ -1756,15 +1775,31 @@ object Analytics {
           count(lit(1)).as("frequency"),
           sum(col("price_c")).as("monetary_c"))
     }
-    val qr = exactQuartiles(rfm, "recency_d", "o_custkey", 16L)
-      .selectExpr("q1 AS r1", "q2 AS r2", "q3 AS r3")
-    val qf = exactQuartiles(rfm, "frequency", "o_custkey", 4L)
-      .selectExpr("q1 AS f1", "q2 AS f2", "q3 AS f3")
-    val qm = exactQuartiles(rfm, "monetary_c", "o_custkey", 1L << 20)
-      .selectExpr("q1 AS m1", "q2 AS m2", "q3 AS m3")
+    // one fused probe: unpivot the three dimensions (with their former
+    // per-probe bucket widths 16 / 4 / 2^20) and rank them all in a
+    // single two-level pass — thresholds are bit-identical to the
+    // three separate probes, the plan is one tree instead of three
+    val longDims = rfm.selectExpr("o_custkey AS tie",
+      """stack(3,
+        | 'r', recency_d,  CAST(16 AS BIGINT),
+        | 'f', frequency,  CAST(4 AS BIGINT),
+        | 'm', monetary_c, CAST(1048576 AS BIGINT)) AS (dim, v, w)"""
+        .stripMargin.replace("\n", " "))
+    val thr = exactQuartilesByDim(longDims)
+      .groupBy()
+      .agg(
+        min(when(col("dim") === "r", col("q1"))).as("r1"),
+        min(when(col("dim") === "r", col("q2"))).as("r2"),
+        min(when(col("dim") === "r", col("q3"))).as("r3"),
+        min(when(col("dim") === "f", col("q1"))).as("f1"),
+        min(when(col("dim") === "f", col("q2"))).as("f2"),
+        min(when(col("dim") === "f", col("q3"))).as("f3"),
+        min(when(col("dim") === "m", col("q1"))).as("m1"),
+        min(when(col("dim") === "m", col("q2"))).as("m2"),
+        min(when(col("dim") === "m", col("q3"))).as("m3"))
     def bucket(v: String, t1: String, t2: String, t3: String) =
       s"CASE WHEN $v <= $t1 THEN 1 WHEN $v <= $t2 THEN 2 WHEN $v <= $t3 THEN 3 ELSE 4 END"
-    rfm.crossJoin(broadcast(qr)).crossJoin(broadcast(qf)).crossJoin(broadcast(qm))
+    rfm.crossJoin(broadcast(thr))
       .selectExpr("o_custkey", "monetary_c",
         s"CAST(${bucket("recency_d", "r1", "r2", "r3")} * 100 + " +
           s"${bucket("frequency", "f1", "f2", "f3")} * 10 + " +
@@ -2028,7 +2063,7 @@ object Analytics {
     * frequencies attach by key join (the part dimension grows with
     * scale — no forced broadcast); top 50 via TakeOrdered. */
   def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = graft.Caches.shared(spark, s"analytics.basket:$dir") {
+    val b = graft.Caches.sharedCheckpoint(spark, s"analytics.basket:$dir") {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
     }
@@ -2084,7 +2119,7 @@ object Analytics {
     // NODE-sized (rank ⋈ degree) join — edges then join one small
     // contribution table per round (broadcastable here; co-partitioned
     // on src at cluster scale)
-    val edges = graft.Caches.shared(spark, s"analytics.tradegraph:$dir") {
+    val edges = graft.Caches.sharedCheckpoint(spark, s"analytics.tradegraph:$dir") {
       // r13 (r12 verdict item 10): collapse lineitem to DISTINCT
       // (l_orderkey, l_suppkey) BEFORE the orders join — the distinct
       // partially aggregates map-side, so the join input shrinks by
@@ -2109,7 +2144,7 @@ object Analytics {
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
-    val deg = graft.Caches.shared(spark, s"analytics.tradedeg:$dir") {
+    val deg = graft.Caches.sharedCheckpoint(spark, s"analytics.tradedeg:$dir") {
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     }
     val nodes = Tables.customer(spark, dir)
@@ -2123,7 +2158,7 @@ object Analytics {
       // final plan nests every earlier round and the edge join
       // re-executes 1+2+3 times — the iterative-lineage blowup this
       // loop's docstring promises away
-      r = graft.Caches.shared(spark, s"analytics.pagerank.r$i:$dir") {
+      r = graft.Caches.sharedCheckpoint(spark, s"analytics.pagerank.r$i:$dir") {
         val contrib = prev.join(deg, prev("node_id") === deg("src"))
           .selectExpr("src", "r DIV deg AS c")
         val s = edges.join(contrib, "src")
@@ -2322,7 +2357,7 @@ object Analytics {
         cents(col("o_totalprice"), 2).as("sp"))
       .groupBy(col("dn")).agg(sum(expr("sp DIV 100000")).as("rev_k"))
     val stats = day.agg(count(lit(1)).as("n"), sum(col("rev_k")).as("s"))
-    val dev = graft.Caches.shared(spark, s"analytics.dailydev:$dir") {
+    val dev = graft.Caches.sharedCheckpoint(spark, s"analytics.dailydev:$dir") {
       day.crossJoin(broadcast(stats))
         .selectExpr("dn", "rev_k - (s DIV n) AS dev")
     }
@@ -2614,7 +2649,7 @@ object Analytics {
     // persisted at the (priority, day) grain (≤ 5 × calendar days):
     // the anchor min and the regression both read it, so the fact
     // table is scanned once, not once per pass
-    val daily = graft.Caches.shared(spark, s"analytics.prioDaily:$dir") {
+    val daily = graft.Caches.sharedCheckpoint(spark, s"analytics.prioDaily:$dir") {
       Tables.orders(spark, dir)
         .select(col("o_orderpriority"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
@@ -2653,7 +2688,7 @@ object Analytics {
     * re-scanned when [[qOlsTrend]] ran first; all windows partition
     * by priority over ≤ calendar-days rows. */
   def qMaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+    val daily = graft.Caches.sharedCheckpoint(spark, s"analytics.prioDailyC:$dir") {
       Tables.orders(spark, dir)
         .select(col("o_orderpriority"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
@@ -2849,7 +2884,7 @@ object Analytics {
     * the exact crossing value. Both windows run over bounded-cardinality
     * rows at any SF — the same machinery as dlp_quantile_bucketing. */
   def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val vals = graft.Caches.shared(spark, s"analytics.wmedVals:$dir") {
+    val vals = graft.Caches.sharedCheckpoint(spark, s"analytics.wmedVals:$dir") {
       Tables.lineitem(spark, dir)
         .select(col("l_returnflag"),
           cents(col("l_extendedprice"), 2).as("price_c"),
@@ -2928,7 +2963,7 @@ object Analytics {
     * interpolating `percentile`/`median` of both engines agree
     * bit-for-bit and the boundary stays BIGINT. */
   def qMovingMedian(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+    val daily = graft.Caches.sharedCheckpoint(spark, s"analytics.prioDailyC:$dir") {
       Tables.orders(spark, dir)
         .select(col("o_orderpriority"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
@@ -2980,7 +3015,7 @@ object Analytics {
     * over one row per (priority, day) — calendar-bounded at any SF;
     * the two median tables are priority-sized broadcasts. */
   def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+    val daily = graft.Caches.sharedCheckpoint(spark, s"analytics.prioDailyC:$dir") {
       Tables.orders(spark, dir)
         .select(col("o_orderpriority"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),
@@ -3027,7 +3062,7 @@ object Analytics {
     * by side over HISTOGRAM-sized rows; output is bounded by the
     * distinct-degree domain at any SF. */
   def qDegreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.Caches.shared(spark, s"analytics.psEdges:$dir") {
+    val edges = graft.Caches.sharedCheckpoint(spark, s"analytics.psEdges:$dir") {
       Tables.lineitem(spark, dir)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
     }
@@ -3103,7 +3138,7 @@ object Analytics {
     * All windows run over one row per (priority, day) — calendar-
     * bounded at any SF. */
   def qBowleySkew(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Caches.shared(spark, s"analytics.prioDailyC:$dir") {
+    val daily = graft.Caches.sharedCheckpoint(spark, s"analytics.prioDailyC:$dir") {
       Tables.orders(spark, dir)
         .select(col("o_orderpriority"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("dn"),

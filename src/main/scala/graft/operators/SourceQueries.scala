@@ -626,7 +626,7 @@ object SourceQueries {
     // session-cached: the containment pass is the data-sized work and
     // BOTH consumers (the discovery report and ingest_load_order's
     // dependency graph) need the identical candidate-count result
-    graft.Caches.shared(spark, s"ingest.fk:$dir") {
+    graft.Caches.sharedCheckpoint(spark, s"ingest.fk:$dir") {
       def distinctKeys(t: String, c: String): DataFrame =
         Tables.load(spark, dir, t).select(col(c).cast("long").as("v"))
           .filter(col("v").isNotNull).distinct()
@@ -886,7 +886,17 @@ object SourceQueries {
     * then a 4-row unpivot ranks them. Output is candidate-set-sized
     * at any scale. */
   def ingestCompositeKey(spark: SparkSession, dir: String): DataFrame = {
+    // The 4-way multi-column countDistinct plans as Expand(×4) + partial
+    // distinct-aggregate; without a repartition that CPU-heavy stage runs
+    // at the SCAN's split parallelism (3 tasks at sf0.1 — measured 1.6 s
+    // of a 2.2 s steady state). One skinny hash exchange on l_orderkey
+    // (4 BIGINTs/row) first spreads the expand across the full core
+    // count; every candidate key is l_orderkey-prefixed, so the
+    // partitioning is also the natural cluster key at any scale.
     val agg = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .repartition(col("l_orderkey"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("d1"),
         countDistinct(col("l_orderkey"), col("l_linenumber")).as("d2"),

@@ -139,7 +139,7 @@ object Ann {
     // the corpus encode (argmin centroid per subspace) is the
     // expensive scan both PQ queries share — session-cached, flat
     // all-long (vec_id, c0..c3)
-    val codes = graft.Caches.shared(spark, s"ann.pq.codes:$dir") {
+    val codes = graft.Caches.sharedCheckpoint(spark, s"ann.pq.codes:$dir") {
       scored.groupBy(col("vec_id"))
         .agg(min(struct(col("d0"), col("cent_id"))).as("b0"),
           min(struct(col("d1"), col("cent_id"))).as("b1"),
@@ -211,7 +211,7 @@ object Ann {
     // Bench/Verify between queries); the residual branches below
     // (codebook, corpus encode, query table) re-derive residuals with
     // joins only — no repeated aggregation, no array columns in the cache
-    val cells = graft.Caches.shared(spark, s"ann.ivfpq.cells:$dir") {
+    val cells = graft.Caches.sharedCheckpoint(spark, s"ann.ivfpq.cells:$dir") {
       e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cent_id"),
           graft.functions.SqL2Sub.sqL2Full(col("emb"), col("ce")).as("d"))
@@ -327,7 +327,17 @@ object Ann {
     * micro-units, n_members) — for feeding the production probe path:
     * `ivfTopkWith(spark, dir, trainedCentroids(codebook), k)`.
     * [[kmeansTrain]] is the oracle-facing projection of this. */
-  def kmeansCodebook(spark: SparkSession, dir: String, rounds: Int, k: Int): DataFrame = {
+  def kmeansCodebook(spark: SparkSession, dir: String, rounds: Int, k: Int): DataFrame =
+    // session-shared per (dir, rounds, k): kmeansTrain and
+    // reassignDrift train the SAME codebook — without the registry
+    // each pays the full rounds× (assign crossJoin + posexplode
+    // recenter) train (r17 optimization; the centroid table is
+    // k-row tiny, the saving is the training scans)
+    graft.Caches.sharedCheckpoint(spark, s"ann.kmeans:$dir:$rounds:$k") {
+      kmeansCodebookBuild(spark, dir, rounds, k)
+    }
+
+  private def kmeansCodebookBuild(spark: SparkSession, dir: String, rounds: Int, k: Int): DataFrame = {
     val S = 4000000L // > max|dim sum|/n, keeps every dividend positive
     val q = embDf(spark, dir)
       .selectExpr("vec_id",
@@ -1104,7 +1114,7 @@ object Ann {
     val v = Tables.embeddings(spark, dir)
       .selectExpr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
         "x -> CAST(CAST(x AS DECIMAL(9,3)) * 1000 AS BIGINT)) AS vus")
-    val cov = graft.Caches.shared(spark, s"ann.moment:$dir") {
+    val cov = graft.Caches.sharedCheckpoint(spark, s"ann.moment:$dir") {
       v.select(posexplode(col("vus")).as(Seq("j", "vj")), col("vus"))
         .select(col("j").cast("long").as("j"), col("vj"),
           posexplode(col("vus")).as(Seq("k", "vk")))
@@ -1132,7 +1142,7 @@ object Ann {
     * thresholds will be chosen from. Pair work is Σ bucket², never
     * corpus². */
   private def bucketPairs(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.shared(spark, s"ann.bucketpairs:$dir") {
+    graft.Caches.sharedCheckpoint(spark, s"ann.bucketpairs:$dir") {
       val eB = embDf(spark, dir).selectExpr("vec_id", "emb",
         "concat(" + (1 to 8).map(i =>
           s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") +
@@ -1208,7 +1218,7 @@ object Ann {
     // the finished graph persists (4 longs per node): entries and BOTH
     // expansion rounds read it, and without the cache the bucket
     // self-join + cosine pass would re-execute once per consumer
-    val graph = graft.Caches.shared(spark, s"ann.navgraph:$dir:$degree") {
+    val graph = graft.Caches.sharedCheckpoint(spark, s"ann.navgraph:$dir:$degree") {
       val p = bucketPairs(spark, dir)
       val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
         .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
@@ -1233,7 +1243,10 @@ object Ann {
       val c = front.select(col("query_id"), col("cand")).unionAll(nb)
         .distinct()
         .filter(col("cand") =!= col("query_id"))
-      val scored = c.join(e, c("cand") === e("vec_id"))
+      // candidate set is (queries × beam × degree)-bounded at any
+      // corpus size — broadcast it so the corpus-sized embedding table
+      // is probed map-side instead of shuffled per expansion round
+      val scored = broadcast(c).join(e, c("cand") === e("vec_id"))
         .join(broadcast(q), "query_id")
         .withColumn("cos", round(cosineSim(col("qe"), col("emb")), 4))
       val wQ = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand"))

@@ -105,7 +105,7 @@ object TextOps {
     // Shared-persisted: both the scalar total and the top-200 cut read
     // this aggregation — without the cache that is two full corpus
     // scans+shuffles where one suffices.
-    val counts = Caches.shared(spark, s"text.vocabCounts:$dir") {
+    val counts = Caches.sharedCheckpoint(spark, s"text.vocabCounts:$dir") {
       Tables.documents(spark, dir)
         .selectExpr("explode(split(text, ' ')) AS word")
         .groupBy("word")
@@ -432,7 +432,7 @@ object TextOps {
     * pipeline_quality_gate). */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     // same shared corpus-count cache as vocab() — one scan serves both
-    val counts = Caches.shared(spark, s"text.vocabCounts:$dir") {
+    val counts = Caches.sharedCheckpoint(spark, s"text.vocabCounts:$dir") {
       Tables.documents(spark, dir)
         .selectExpr("explode(split(text, ' ')) AS word")
         .groupBy("word")
@@ -598,7 +598,7 @@ object TextOps {
     * and every billing consumer joins against the same table, exactly
     * how a real pipeline ships its tokenizer. */
   private def bpeTokPerWord(spark: SparkSession, dir: String, k: Int = BpeMerges): DataFrame =
-    graft.Caches.shared(spark, s"text.bpeTok:$dir:$k") {
+    graft.Caches.sharedCheckpoint(spark, s"text.bpeTok:$dir:$k") {
       // fold the driver-held ledger into ONE chained-replace column
       // expression: pair text is [a-z ]+ by construction — safe as a
       // SQL literal; merges apply in rank order, two sweeps each
@@ -810,7 +810,7 @@ object TextOps {
     * scan); the rank window runs over the top-50 cut only — a
     * bounded-input global window like vocab's own. */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Caches.shared(spark, s"text.vocabCounts:$dir") {
+    val counts = Caches.sharedCheckpoint(spark, s"text.vocabCounts:$dir") {
       Tables.documents(spark, dir)
         .selectExpr("explode(split(text, ' ')) AS word")
         .groupBy("word")
@@ -875,7 +875,7 @@ object TextOps {
     * not duplication), so candidates stay linear in the fingerprint
     * mass at any corpus size. */
   def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = graft.Caches.shared(spark, s"text.winnow:$dir") {
+    val fp = graft.Caches.sharedCheckpoint(spark, s"text.winnow:$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           explode(graft.functions.AnchorExprs.winnow(col("text"), 16, 8)).as("f"))
@@ -953,7 +953,7 @@ object TextOps {
       .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, word)")
       .filter(not(col("word").isin(RakeStop: _*)))
     val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val g = graft.Caches.shared(spark, s"text.rakeislands:$dir") {
+    val g = graft.Caches.sharedCheckpoint(spark, s"text.rakeislands:$dir") {
       ns.withColumn("grp", col("pos") - row_number().over(wD))
     }
     val ph = g.groupBy(col("doc_id"), col("grp"))
