@@ -50,6 +50,35 @@ object Tables {
     }
   }
 
+  /** Scale-adaptive post-scan spread (r17 optimization; guide §2.5
+    * "input skew: one huge unsplittable file — repartition immediately
+    * after the read"). The testdata ships each table as ONE parquet
+    * file with ONE row group, so every scan is a single task and any
+    * CPU-heavy per-row chain above it (n-gram hashing, md5 sketches,
+    * anchor scans) runs single-threaded while the other cores idle.
+    * When the table's estimated split count is below the session's
+    * core count, hash-repartition on a caller-named key immediately
+    * above the scan (a deterministic key, never round-robin — retried
+    * tasks must reproduce the same row placement, and hash repartition
+    * skips round-robin's sort-before-repartition pass); the exchange
+    * carries only the pruned columns (Catalyst prunes through
+    * RepartitionByExpression). At production scale the same table
+    * arrives in >= cores splits and this is the identity — no exchange
+    * is paid where the scan already parallelizes. */
+  def spread(spark: SparkSession, dir: String, name: String, key: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes =
+      try new java.io.File(s"$dir/$name.parquet").length()
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val maxSplit =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      catch { case scala.util.control.NonFatal(_) => 128L << 20 }
+    if (bytes <= 0L || bytes / math.max(maxSplit, 1L) >= cores) df
+    else df.repartition(cores, col(key))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

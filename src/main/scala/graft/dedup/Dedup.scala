@@ -34,7 +34,9 @@ object Dedup {
 
   private def gramsDf(spark: SparkSession, dir: String): DataFrame =
     Caches.sharedCheckpoint(spark, s"dedup.grams:$dir") {
-      gramsOf(Tables.documents(spark, dir))
+      // spread: the n-gram expression is the CPU of this build and the
+      // scan is a single split at testdata layout (guide §2.5)
+      gramsOf(Tables.spread(spark, dir, "documents", "doc_id"))
     }
 
   /** k=8 MinHash signature as columns h0..h7 (md5-seeded; no RNG —
@@ -91,10 +93,25 @@ object Dedup {
   /** The 4-band × 2-row LSH banding of a signature table — the ONE
     * source of truth for the banding scheme (pairs, incremental, and
     * the oracles all assume this exact key derivation). */
-  private def bandsOf(sig: DataFrame): DataFrame =
-    (0 until 4).map { b =>
-      sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat(h${2 * b}, h${2 * b + 1})) AS bk")
-    }.reduce(_ unionAll _)
+  private def bandsOf(sig: DataFrame): DataFrame = bandsOf(sig, 2)
+
+  /** All bands in ONE map-side stack unpivot (r17): the former
+    * per-band select + unionAll ran nb passes over the signature
+    * cache as nb×partitions tiny tasks (a 256-task storm across
+    * lshTuning's three configs, each task too short to JIT-warm its
+    * md5 loop — measured sum-run 102 s for sum-cpu 41 s on one such
+    * stage). One Generate emits the identical (doc_id, band_id, bk)
+    * row set in a single pass at the cache's own parallelism. */
+  private def bandsOf(sig: DataFrame, rows: Int): DataFrame = {
+    val nb = 8 / rows
+    // band_id stays INT — the literal type the former `$b AS band_id`
+    // produced; bandKeys is public surface (streaming consumers)
+    val stackRows = (0 until nb).map { b =>
+      val cols = (0 until rows).map(j => s"h${rows * b + j}").mkString(", ")
+      s"$b, md5(concat($cols))"
+    }.mkString(", ")
+    sig.selectExpr("doc_id", s"stack($nb, $stackRows) AS (band_id, bk)")
+  }
 
   /** LSH banding (4 bands × 2 rows) → candidate pairs → verify true
     * Jaccard ≥ 0.5. The band join is an equality shuffle join on
@@ -119,7 +136,11 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val g = gramsDf(spark, dir)
-      cand
+      // broadcast the banding-bounded candidate list: both sides are
+      // stats-less behind checkpointed caches, and without the hint
+      // the verify joins demote to SMJ and shuffle the corpus-sized
+      // gram ARRAYS (r17; same class as the lshTuning 4.0→1.3 s fix)
+      broadcast(cand)
         .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
         .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
         .selectExpr("doc_a", "doc_b",
@@ -150,7 +171,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_corpus"), col("b.doc_id").as("doc_new"))
       .distinct()
     val g = gramsDf(spark, dir)
-    val verified = cand
+    // broadcast: batch-vs-corpus candidates are band-key-bounded and
+    // stats-less behind the checkpointed caches (see minhashPairs)
+    val verified = broadcast(cand)
       .join(g.select(col("doc_id").as("doc_corpus"), col("grams").as("ga")), "doc_corpus")
       .join(g.select(col("doc_id").as("doc_new"), col("grams").as("gb")), "doc_new")
       .selectExpr("doc_new", "doc_corpus",
@@ -336,16 +359,20 @@ object Dedup {
     val g = gramsDf(spark, dir)
     val cfgs = Seq(1, 2, 4).map { rows =>
       val nb = 8 / rows
-      val bands = (0 until nb).map { b =>
-        val cols = (0 until rows).map(j => s"h${rows * b + j}").mkString(", ")
-        sig.selectExpr("doc_id", s"$b AS band_id", s"md5(concat($cols)) AS bk")
-      }.reduce(_ unionAll _)
+      // one stack pass per config (see bandsOf) — the former per-band
+      // select+union ran nb passes as nb×partitions tiny tasks
+      val bands = bandsOf(sig, rows)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      cand
+      // candidate list is banding-bounded (the dedup invariant) but
+      // stats-less behind the checkpointed sig cache — without the
+      // hint the planner demoted BOTH verify joins to SMJ and
+      // shuffled the corpus-sized gram ARRAYS six times per run
+      // (measured 4.0 s steady vs 1.3 s at the persist()-era tree)
+      broadcast(cand)
         .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
         .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
         .selectExpr("doc_a",
@@ -516,6 +543,9 @@ object Dedup {
     val bits = (0 until 16).map { j =>
       s"(CASE WHEN 2 * size(filter(mdw, h -> substr(h, ${j + 1}, 1) >= '8')) > size(mdw) THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+    // deliberately NOT spread (r17, measured): steady 0.21 s unspread
+    // vs 0.31 s spread — the md5-per-word transform is too cheap to
+    // pay back the exchange at this operator's row volume
     Tables.documents(spark, dir)
       .selectExpr("doc_id", "transform(split(text, ' '), x -> md5(x)) AS mdw")
       .selectExpr("doc_id", s"CAST($bits AS BIGINT) AS simhash")
@@ -535,6 +565,9 @@ object Dedup {
     * linear shape as dedup_exact, just at sub-document granularity;
     * no pairwise work at any scale. */
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    // deliberately NOT spread (r17, measured): steady 0.66 s unspread
+    // vs 0.72 s spread — segments cap at 16/doc, too little CPU above
+    // the scan to pay back the exchange
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 8)
@@ -588,7 +621,8 @@ object Dedup {
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val winLen = 64
     val gram = 8
-    val w = Tables.documents(spark, dir)
+    // spread: the anchor scan + per-window md5 is the cost (guide §2.5)
+    val w = Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= winLen)
       .select(col("doc_id"), col("text"),
@@ -663,7 +697,7 @@ object Dedup {
     // payloads fall out of whole-stage codegen and make broadcast /
     // shuffle sides pay seconds of serialization.
     val x = Caches.sharedCheckpoint(spark, s"dedup.flatgrams:$dir") {
-      Tables.documents(spark, dir)
+      Tables.spread(spark, dir, "documents", "doc_id")
         .selectExpr("doc_id", "n_chars DIV 32 AS lb", "split(text, ' ') AS w")
         .select(col("doc_id"), col("lb"),
           graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))
@@ -971,7 +1005,8 @@ object Dedup {
     * positions are capped at 64 (first 76 words — mirrored in the
     * oracle) so a pathological giant doc cannot fan out unboundedly. */
   def ngram13Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    // spread: md5 per 13-gram above a single-split scan (guide §2.5)
+    val grams = Tables.spread(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 13)
       .select(col("doc_id"), col("ws"),
@@ -1350,7 +1385,7 @@ object Dedup {
     val flat = Caches.sharedCheckpoint(spark, s"dedup.flatgrams:$dir") {
       // same construction as gramPairCountsUncached — the shared key
       // guarantees one materialization per session either way
-      Tables.documents(spark, dir)
+      Tables.spread(spark, dir, "documents", "doc_id")
         .selectExpr("doc_id", "n_chars DIV 32 AS lb", "split(text, ' ') AS w")
         .select(col("doc_id"), col("lb"),
           graft.functions.WordNGrams.wordNGrams(col("w"), 3).as("grams"))

@@ -879,6 +879,17 @@ object Analytics {
   // projection, consumed by BOTH the exact sweep and the sketch
   // variant — a column/scale change in one place keeps the contract
   // join's key space aligned instead of silently dropping cells
+  // Deliberately NOT spread (r17, measured and REJECTED): splitting
+  // the rsd=0.02 HLL partial aggregation across 32 short tasks
+  // de-warms the JIT on the ~1,500-buffer-column update path
+  // (4 sketches × ~384 long words at p=12) — the same 600k-row
+  // partial burned 22-25 s CPU post-spread (787 s in one deopt-storm
+  // run, 27 s wall) vs ~2 s wall in the single long task where the
+  // loop compiles hot. Event-log evidence: stage "time in aggregation
+  // build" 787,735 ms over 32 tasks, records read 600,000, zero
+  // spill/fetch — pure de-optimized compute. At production split
+  // counts each task is row-group-sized (millions of rows), the
+  // method warms per task, and no spread is needed either.
   private def sweepOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))

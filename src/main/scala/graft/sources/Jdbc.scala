@@ -62,13 +62,7 @@ object Jdbc {
     * identifiers Spark's writer quotes into its INSERT statements. */
   def createAndLoad(df: DataFrame, url: String, table: String, ddl: String): Unit =
     lockFor(url, table).synchronized {
-      withConn(url) { conn =>
-        val st = conn.createStatement()
-        try st.executeUpdate(s"DROP TABLE $table")
-        catch { case _: java.sql.SQLException => () } // first run: no table
-        st.executeUpdate(ddl)
-        st.close()
-      }
+      recreate(url, table, ddl)
       // a handful of writer connections with large insert batches beats
       // one connection per input partition against an embedded DB
       df.coalesce(4).write.mode(SaveMode.Append)
@@ -79,13 +73,35 @@ object Jdbc {
 
   def createTable(url: String, table: String, ddl: String): Unit =
     lockFor(url, table).synchronized {
-      withConn(url) { conn =>
-        val st = conn.createStatement()
-        try st.executeUpdate(s"DROP TABLE $table")
-        catch { case _: java.sql.SQLException => () }
-        st.executeUpdate(ddl)
-        st.close()
-      }
+      recreate(url, table, ddl)
+    }
+
+  /** DROP + CREATE with a bounded retry. The per-table monitor above
+    * serializes STAGING against itself, but a concurrent partitioned
+    * READ of the same table (another suite's extract tasks — reads
+    * are intentionally outside the lock) holds Derby row/table locks
+    * that can make the DROP time out; its SQLException is
+    * indistinguishable from first-run "no table" here, so the CREATE
+    * then hits "already exists" (X0Y32). Retrying the pair after the
+    * reader's locks drain is semantically identical to having won the
+    * timing, and a PERSISTENT failure still surfaces. */
+  private def recreate(url: String, table: String, ddl: String): Unit =
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try st.executeUpdate(s"DROP TABLE $table")
+          catch { case _: java.sql.SQLException => () } // no table, or locked
+          try { st.executeUpdate(ddl); done = true }
+          catch {
+            case e: java.sql.SQLException
+                if e.getSQLState == "X0Y32" && attempt < 5 =>
+              attempt += 1; Thread.sleep(200L * attempt)
+          }
+        }
+      } finally st.close()
     }
 
   /** Primary-key columns from JDBC metadata, in key-sequence order —

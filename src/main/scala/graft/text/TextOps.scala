@@ -876,7 +876,9 @@ object TextOps {
     * mass at any corpus size. */
   def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.Caches.sharedCheckpoint(spark, s"text.winnow:$dir") {
-      Tables.documents(spark, dir)
+      // spread: the winnowing anchor scan is the build's CPU and the
+      // scan is a single split at testdata layout (guide §2.5)
+      Tables.spread(spark, dir, "documents", "doc_id")
         .select(col("doc_id"),
           explode(graft.functions.AnchorExprs.winnow(col("text"), 16, 8)).as("f"))
     }
@@ -949,7 +951,10 @@ object TextOps {
     * structs — never a bare collect_list at a compare boundary); the
     * report is TakeOrdered. */
   def keywords(spark: SparkSession, dir: String): DataFrame = {
-    val ns = Tables.documents(spark, dir)
+    // spread on doc_id: parallelizes the posexplode AND pre-aligns the
+    // island window's partitionBy(doc_id) hash layout (guide §2.4 —
+    // the window reuses the exchange instead of adding one)
+    val ns = Tables.spread(spark, dir, "documents", "doc_id")
       .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, word)")
       .filter(not(col("word").isin(RakeStop: _*)))
     val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
