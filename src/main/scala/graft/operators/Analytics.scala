@@ -891,14 +891,20 @@ object Analytics {
   // counts each task is row-group-sized (millions of rows), the
   // method warms per task, and no spread is needed either.
   private def sweepOrders(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).select(
+    sweepOrdersOf(Tables.orders(spark, dir))
+
+  private def sweepOrdersOf(base: DataFrame): DataFrame =
+    base.select(
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
         .cast("string").as("part_key"),
       col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
       cents(col("o_totalprice"), 2).as("price_c"))
 
   private def sweepLineitem(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).select(
+    sweepLineitemOf(Tables.lineitem(spark, dir))
+
+  private def sweepLineitemOf(base: DataFrame): DataFrame =
+    base.select(
       (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
         .cast("string").as("part_key"),
       col("l_returnflag"), col("l_linestatus"),
@@ -917,8 +923,14 @@ object Analytics {
       col("lang"), col("doc_id"), col("n_chars"))
 
   private def layoutStatsSweepBuild(spark: SparkSession, dir: String): DataFrame = {
-    val orders = sweepOrders(spark, dir)
-    val li = sweepLineitem(spark, dir)
+    // EXACT build only: spread the two big fact branches — the
+    // stack(×4) Generate + count/min/max partial aggregation has
+    // NARROW codegen'd buffers (unlike the approx side's HLL sketches,
+    // whose spread was measured and rejected above), so parallelizing
+    // the single-split scan pays. The approx side keeps the unspread
+    // sweep* projections.
+    val orders = sweepOrdersOf(Tables.spread(spark, dir, "orders", "o_orderkey"))
+    val li = sweepLineitemOf(Tables.spread(spark, dir, "lineitem", "l_orderkey"))
     val cust = sweepCustomer(spark, dir)
     val docs = sweepDocuments(spark, dir)
     tableColumnStats(orders, "orders", 4,
