@@ -32,6 +32,10 @@ object Caches {
   // (possibly stopped) session.
   private val reg = TrieMap.empty[(AnyRef, String), DataFrame]
 
+  // Per-key monitor objects for sharedCheckpoint's eager builds
+  // (TrieMap.getOrElseUpdate is atomic, so one monitor per key).
+  private val buildLocks = TrieMap.empty[(AnyRef, String), AnyRef]
+
   /** Get-or-build the persisted DataFrame for `key` in this session's
     * cache scope. Keyed by the shared CacheManager, not the session
     * object: `newSession()` forks share one CacheManager, and keying
@@ -87,14 +91,20 @@ object Caches {
     reg.get(k) match {
       case Some(df) => df
       case None =>
-        val df = Checkpoints.releaseOnClear(build.localCheckpoint())
-        reg.putIfAbsent(k, df) match {
-          case Some(winner) =>
-            // the loser is always a true orphan here (each checkpoint
-            // embeds its own RDD) — release its blocks immediately
-            Checkpoints.release(df)
-            winner
-          case None => df
+        // Per-key build lock (r17 ADVICE): the build here is EAGER
+        // (localCheckpoint materializes immediately), so a putIfAbsent
+        // race would have BOTH first callers run the full corpus-scale
+        // build job before one loses. Serialize builders per key so
+        // exactly one materializes; losers re-read the registry.
+        val lock = buildLocks.getOrElseUpdate(k, new Object)
+        lock.synchronized {
+          reg.get(k) match {
+            case Some(df) => df
+            case None =>
+              val df = Checkpoints.releaseOnClear(build.localCheckpoint())
+              reg.put(k, df)
+              df
+          }
         }
     }
   }
@@ -110,6 +120,7 @@ object Caches {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     reg.clear()
+    buildLocks.clear()
     Checkpoints.releasePending()
   }
 }

@@ -68,8 +68,20 @@ object Tables {
   def spread(spark: SparkSession, dir: String, name: String, key: String): DataFrame = {
     val df = load(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism
+    // Multi-file parquet DIRECTORY (the standard production layout):
+    // File.length() on a directory returns the directory-ENTRY size
+    // (~4 KB), which would mis-size a large table as tiny and
+    // hash-repartition it down to the core count — sum the part files
+    // instead, and treat an unreadable/remote path as "don't spread"
+    // (r17 ADVICE).
     val bytes =
-      try new java.io.File(s"$dir/$name.parquet").length()
+      try {
+        val f = new java.io.File(s"$dir/$name.parquet")
+        if (f.isDirectory) {
+          val parts = f.listFiles()
+          if (parts == null) Long.MaxValue else parts.filter(_.isFile).map(_.length()).sum
+        } else f.length()
+      }
       catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val maxSplit =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

@@ -139,7 +139,15 @@ object Dedup {
       // broadcast the banding-bounded candidate list: both sides are
       // stats-less behind checkpointed caches, and without the hint
       // the verify joins demote to SMJ and shuffle the corpus-sized
-      // gram ARRAYS (r17; same class as the lshTuning 4.0→1.3 s fix)
+      // gram ARRAYS (r17; same class as the lshTuning 4.0→1.3 s fix).
+      // Bound the hint relies on (r17 ADVICE, documented invariant):
+      // candidates are (doc_a, doc_b) longs from 4-band×2-row LSH
+      // collisions — pair count ≈ Σ_bucket (dups-per-band-bucket)², so
+      // the 8 GB broadcast cap translates to ~500M surviving candidate
+      // pairs. A corpus that near-duplicate-dense is past the point
+      // where pairwise dedup output is usable at all (the keeper table
+      // itself explodes); a deployment in that regime drops the hint
+      // and takes the shuffle join, it does not grow the broadcast.
       broadcast(cand)
         .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
         .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")

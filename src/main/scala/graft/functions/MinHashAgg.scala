@@ -25,52 +25,79 @@ case class MinHashAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[String]] {
+  extends TypedImperativeAggregate[Array[Array[Byte]]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def createAggregationBuffer(): Array[String] = Array.fill[String](k)(null)
+  // Seed prefixes ("<j>:") as UTF-8 bytes; buffer minima are RAW
+  // 16-byte digests (r18) — unsigned byte order equals lowercase-hex
+  // order, so update/merge pick the same minima as the former
+  // md5Hex/compareTo loop and the hex renders once at eval. See
+  // [[MinHashArray]] (the per-row sibling) for the equivalence note.
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(j => (j.toString + ":").getBytes("UTF-8"))
 
-  override def update(buf: Array[String], input: InternalRow): Array[String] = {
+  override def createAggregationBuffer(): Array[Array[Byte]] =
+    Array.fill[Array[Byte]](k)(null)
+
+  override def update(buf: Array[Array[Byte]], input: InternalRow): Array[Array[Byte]] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.toString
+      val sb = v match {
+        case u: UTF8String => u.getBytes
+        case other => other.toString.getBytes("UTF-8")
+      }
+      val md = MinHashArray.localMd5.get()
       var j = 0
       while (j < k) {
-        val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$j:$s")
-        if (buf(j) == null || h.compareTo(buf(j)) < 0) buf(j) = h
+        md.reset()
+        md.update(prefixes(j))
+        md.update(sb)
+        val d = md.digest()
+        if (buf(j) == null || MinHashArray.unsignedLess(d, buf(j))) buf(j) = d
         j += 1
       }
     }
     buf
   }
 
-  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+  override def merge(a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] = {
     var j = 0
     while (j < k) {
-      if (a(j) == null || (b(j) != null && b(j).compareTo(a(j)) < 0)) a(j) = b(j)
+      if (a(j) == null || (b(j) != null && MinHashArray.unsignedLess(b(j), a(j)))) a(j) = b(j)
       j += 1
     }
     a
   }
 
-  override def eval(buf: Array[String]): Any =
-    new GenericArrayData(buf.map(h => UTF8String.fromString(if (h == null) "" else h)))
+  override def eval(buf: Array[Array[Byte]]): Any =
+    new GenericArrayData(buf.map(d =>
+      UTF8String.fromString(if (d == null) "" else MinHashArray.hex(d))))
 
-  override def serialize(buf: Array[String]): Array[Byte] = {
+  override def serialize(buf: Array[Array[Byte]]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)
-    buf.foreach { h => out.writeBoolean(h != null); if (h != null) out.writeUTF(h) }
+    buf.foreach { d =>
+      out.writeBoolean(d != null)
+      if (d != null) { out.writeInt(d.length); out.write(d) }
+    }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[String] = {
+  override def deserialize(bytes: Array[Byte]): Array[Array[Byte]] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    Array.fill(n)(if (in.readBoolean()) in.readUTF() else null)
+    Array.fill(n) {
+      if (in.readBoolean()) {
+        val len = in.readInt()
+        val d = new Array[Byte](len)
+        in.readFully(d)
+        d
+      } else null
+    }
   }
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashAgg = copy(mutableAggBufferOffset = o)

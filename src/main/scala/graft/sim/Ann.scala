@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -28,6 +28,39 @@ object Ann {
   private def seedCentroids(e: DataFrame, k: Int): DataFrame =
     e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+
+  /** Driver-collect a ≤k-row codebook — the router state every vector
+    * database keeps in memory. One k-row action; the result feeds the
+    * MAP-SIDE assignment expressions below (r18, guide §2.4/§8:
+    * decide with driver-sized state, never shuffle the corpus to
+    * learn its cell). */
+  private def collectCentroids(cent: DataFrame, idCol: String = "cent_id",
+                               vecCol: String = "ce"): Array[(Long, Seq[Double])] =
+    cent.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  private def collectCentroidsLong(cent: DataFrame, idCol: String,
+                                   vecCol: String): Array[(Long, Seq[Long])] =
+    cent.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+
+  /** Per-centroid (-cosine, cent_id) structs sorted ascending — the
+    * scalar form of ranking a row's centroids by (cos DESC, cent_id):
+    * identical scores and the identical lexicographic tie-break the
+    * former broadcast-crossJoin + min(struct(-c, cid)) aggregate (or
+    * (c DESC, cent_id) rank window) produced, with zero exchanges. */
+  private def cosRankedCents(cents: Array[(Long, Seq[Double])],
+                             embCol: Column): Column =
+    array_sort(array(cents.map { case (id, ce) =>
+      struct((-cosineSim(embCol, typedLit(ce))).as("nc"), lit(id).as("cid"))
+    }: _*))
+
+  /** Map-side argmax-cosine cell id against a collected codebook. */
+  private def cosBestCell(cents: Array[(Long, Seq[Double])],
+                          embCol: Column): Column =
+    array_min(array(cents.map { case (id, ce) =>
+      struct((-cosineSim(embCol, typedLit(ce))).as("nc"), lit(id).as("cid"))
+    }: _*)).getField("cid")
 
   /** Exact cosine top-10 for query vectors (vec_id < 10): broadcast
     * the tiny query set against the full corpus — one scan, no
@@ -68,27 +101,18 @@ object Ann {
 
   def ivfTopkProbe2(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = seedCentroids(e, k)
-    // every vector scores all k centroids, so each pivot column is
-    // non-null and the k-element sort sees the same (nc, cid) structs
-    // the old per-group list sort did — selection order is identical
-    val ranked = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(min(when(col("cent_id") === 0,
-          struct((-col("c")).as("nc"), col("cent_id").as("cid")))).as("s0"),
-        (1 until k).map(i =>
-          min(when(col("cent_id") === i,
-            struct((-col("c")).as("nc"), col("cent_id").as("cid")))).as(s"s$i")): _*)
-      .select(col("vec_id"),
-        slice(array_sort(array((0 until k).map(i => col(s"s$i")): _*)), 1, 2).as("top2"))
-    val cells = e.join(ranked
-        .select(col("vec_id"), col("top2").getItem(0).getField("cid").as("cell")),
-      "vec_id")
-      .select(col("vec_id"), col("emb"), col("cell"))
-    val q = e.filter(col("vec_id") >= k && col("vec_id") < k + 10).join(ranked, "vec_id")
+    // every vector scores all k collected centroids in ONE scalar
+    // sort (r18): the same (nc, cid) structs the former pivot
+    // aggregate sorted, so the top-2 selection is identical — and the
+    // corpus is never shuffled for its assignment, nor rejoined for
+    // the emb payload (former crossJoin + pivot agg + two joins)
+    val cents = collectCentroids(seedCentroids(e, k))
+    val top2c = slice(cosRankedCents(cents, col("emb")), 1, 2)
+    val cells = e.select(col("vec_id"), col("emb"),
+      top2c.getItem(0).getField("cid").as("cell"))
+    val q = e.filter(col("vec_id") >= k && col("vec_id") < k + 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-        explode(col("top2")).as("t"))
+        explode(top2c).as("t"))
       .select(col("query_id"), col("qe"), col("t.cid").as("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("vec_id"))
@@ -133,19 +157,19 @@ object Ann {
       graft.functions.SqL2Sub.sqL2(col(a), col(b), lo, sub)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    val scored = e.crossJoin(broadcast(cent))
-      .select(Seq(col("vec_id"), col("cent_id")) ++
-        (0 until M).map(m => sqL2("emb", "ce", m * sub + 1).as(s"d$m")): _*)
     // the corpus encode (argmin centroid per subspace) is the
     // expensive scan both PQ queries share — session-cached, flat
-    // all-long (vec_id, c0..c3)
+    // all-long (vec_id, c0..c3). MAP-SIDE argmin against the collected
+    // codebook (r18): same per-subspace distances, same (d, cent_id)
+    // tie-break as the former crossJoin + min(struct) aggregate, no
+    // corpus exchange in the build.
+    val cents = collectCentroids(cent)
     val codes = graft.Caches.sharedCheckpoint(spark, s"ann.pq.codes:$dir") {
-      scored.groupBy(col("vec_id"))
-        .agg(min(struct(col("d0"), col("cent_id"))).as("b0"),
-          min(struct(col("d1"), col("cent_id"))).as("b1"),
-          min(struct(col("d2"), col("cent_id"))).as("b2"),
-          min(struct(col("d3"), col("cent_id"))).as("b3"))
-        .selectExpr("vec_id" +: (0 until M).map(m => s"b$m.cent_id AS c$m"): _*)
+      e.select(col("vec_id") +: (0 until M).map(m =>
+        array_min(array(cents.map { case (id, ce) =>
+          struct(graft.functions.SqL2Sub.sqL2(col("emb"), typedLit(ce),
+            m * sub + 1, sub).as("d"), lit(id).as("cent_id"))
+        }: _*)).getField("cent_id").as(s"c$m")): _*)
     }
     val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"))
@@ -211,13 +235,15 @@ object Ann {
     // Bench/Verify between queries); the residual branches below
     // (codebook, corpus encode, query table) re-derive residuals with
     // joins only — no repeated aggregation, no array columns in the cache
+    // map-side argmin against the collected codebook (r18): same
+    // distances and (d, cent_id) tie-break, no corpus exchange
+    val cents = collectCentroids(cent)
     val cells = graft.Caches.sharedCheckpoint(spark, s"ann.ivfpq.cells:$dir") {
-      e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cent_id"),
-          graft.functions.SqL2Sub.sqL2Full(col("emb"), col("ce")).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cent_id"))).as("best"))
-        .select(col("vec_id"), col("best.cent_id").as("cell"))
+      e.select(col("vec_id"),
+        array_min(array(cents.map { case (id, ce) =>
+          struct(graft.functions.SqL2Sub.sqL2Full(col("emb"), typedLit(ce)).as("d"),
+            lit(id).as("cent_id"))
+        }: _*)).getField("cent_id").as("cell"))
     }
     val withRes = e.join(cells, "vec_id")
       .join(broadcast(cent.select(col("cent_id").as("cell"), col("ce"))), "cell")
@@ -268,22 +294,13 @@ object Ann {
     * engine-portable, the same contract as the money sums. */
   def centroidUpdate(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    // one aggregate, fully flat: the 4 leading dims ride the scored
-    // rows as plain doubles (identical within a vec_id group, so
-    // min() recovers them deterministically) — no array column ever
-    // reaches an exchange, as key OR payload, and no rejoin is needed
-    val cells = e.crossJoin(broadcast(cent))
-      .select(Seq(col("vec_id"), col("cent_id"),
-        cosineSim(col("emb"), col("ce")).as("c")) ++
-        (1 to 4).map(d => element_at(col("emb"), d).as(s"e$d")): _*)
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"),
-        min(col("e1")).as("e1"), min(col("e2")).as("e2"),
-        min(col("e3")).as("e3"), min(col("e4")).as("e4"))
-      .select(col("best.cid").as("cell"),
-        col("e1"), col("e2"), col("e3"), col("e4"))
+    // map-side assignment against the collected codebook (r18): the
+    // leading dims come straight off the row (no crossJoin duplication
+    // to min() away), same (-cos, cent_id) tie-break, zero exchanges
+    // before the per-cell aggregate
+    val cents = collectCentroids(seedCentroids(e, 8))
+    val cells = e.select(cosBestCell(cents, col("emb")).as("cell") +:
+      (1 to 4).map(d => element_at(col("emb"), d).as(s"e$d")): _*)
     def dimSum(d: Int) =
       sum((col(s"e$d").cast("decimal(9,6)") * 1000000).cast("long"))
         .cast("long").as(s"s$d")
@@ -302,17 +319,19 @@ object Ann {
     * positive, so truncating and flooring division agree), which
     * makes every round associative, partition-order independent, and
     * bit-reproducible in DuckDB — floats never survive past the
-    * quantize. Per round: one broadcast of the ≤8-row codebook, one
-    * flat (vec_id)-keyed aggregate for assignment, one flat
-    * (cell, pos)-keyed aggregate for the sums — arrays ride only as
-    * payload, and localCheckpoint truncates the growing lineage (the
-    * iterative-algorithm contract, as in Dedup.componentsFromPairs).
-    * At 100 TB this is exactly distributed k-means: model broadcast
-    * down, partial sums up, driver holds nothing but the loop.
+    * quantize. Per round: the ≤k-row codebook is collected to the
+    * driver and inlined as literal centroids, so the assignment argmin
+    * runs MAP-SIDE in the same pass as the (cell, pos)-keyed partial
+    * sums — one scan, one value-domain-sized exchange, no per-round
+    * corpus shuffle — and localCheckpoint truncates the growing
+    * lineage (the iterative-algorithm contract, as in
+    * Dedup.componentsFromPairs). At 100 TB this is exactly distributed
+    * k-means: model down (a k×dims literal is the broadcast), partial
+    * sums up, driver holds nothing but the k-row model and the loop.
     *
     * Cost model (for bench triage): wall-time ≈ one-time quantize +
-    * rounds × (codebook broadcast + assign aggregate + centroid-sum
-    * aggregate + checkpoint). `rounds`/`k` are the knobs — a timing
+    * rounds × (fused assign+centroid-sum aggregate pass + k-row
+    * collect + checkpoint). `rounds`/`k` are the knobs — a timing
     * regression that scales with rounds is iteration budget, one that
     * doesn't is a plan regression. Default (3, k=8) is the gate's
     * oracle contract. */
@@ -355,15 +374,25 @@ object Ann {
     // still reach the deferred-release queue — a long-lived session
     // would otherwise carry them past every Caches.clearAll forever
     try for (_ <- 1 to rounds) {
-      val assign = q.crossJoin(broadcast(cent.select("cent_id", "cq")))
-        .select(col("vec_id"), col("cent_id"),
-          // native exact long L2 (SqL2Long) — integer adds are
-          // associative, so this IS the HOF fold
-          graft.functions.SqL2Sub.sqL2Long(col("xq"), col("cq")).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
-        .select(col("vec_id"), col("best.cent_id").as("cell"))
-      val next = q.join(assign, "vec_id")
+      // Inline the assignment argmin against DRIVER-COLLECTED centroids
+      // (r18, guide §2.4): the codebook is ≤k rows — collecting it is a
+      // k-row action, and evaluating the k distances per input row
+      // map-side removes BOTH corpus-sized exchanges the former shape
+      // paid per round (the crossJoin→groupBy(vec_id) argmin shuffle
+      // and the q⋈assign join back). Tie-break is bit-identical: the
+      // former min(struct(dist, cent_id)) and array_min over
+      // struct(dist, cent_id) use the same lexicographic struct order,
+      // and cent_id stays BIGINT.
+      val cents = cent.select(col("cent_id"), col("cq")).collect().map { r =>
+        (r.getLong(0), r.getSeq[Long](1))
+      }
+      val best = array_min(array(cents.map { case (id, cq) =>
+        struct(
+          graft.functions.SqL2Sub.sqL2Long(col("xq"), typedLit(cq)).as("dist"),
+          lit(id).as("cent_id"))
+      }: _*))
+      val next = q
+        .select(best.getField("cent_id").as("cell"), col("xq"))
         .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -574,19 +603,23 @@ object Ann {
     val k = 8
     val q = embDf(spark, dir).selectExpr("vec_id",
       "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
-    def assignTo(cent: DataFrame): DataFrame =
-      q.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cent_id"),
-          graft.functions.SqL2Sub.sqL2Long(col("xq"), col("cq")).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cent_id"))).as("b"))
-        .select(col("vec_id"), col("b.cent_id").as("cell"))
-    val seed = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("xq").as("cq"))
-    val trained = kmeansCodebook(spark, dir, rounds = 3, k = k)
-      .select(col("cent_id"), col("cq"))
-    val j = assignTo(seed).withColumnRenamed("cell", "old_cell")
-      .join(assignTo(trained).withColumnRenamed("cell", "new_cell"), "vec_id")
+    // BOTH assignments ride ONE corpus scan as map-side argmins
+    // against driver-collected codebooks (r18): same exact integer
+    // distances, same (dist, cent_id) tie-break as the former
+    // broadcast-crossJoin aggregates — and the old/new join by vec_id
+    // disappears with the two per-assignment exchanges.
+    def bestCell(cents: Array[(Long, Seq[Long])]): org.apache.spark.sql.Column =
+      array_min(array(cents.map { case (id, cq) =>
+        struct(graft.functions.SqL2Sub.sqL2Long(col("xq"), typedLit(cq)).as("dist"),
+          lit(id).as("cent_id"))
+      }: _*)).getField("cent_id")
+    val seed = collectCentroidsLong(
+      q.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("xq").as("cq")), "cent_id", "cq")
+    val trained = collectCentroidsLong(
+      kmeansCodebook(spark, dir, rounds = 3, k = k), "cent_id", "cq")
+    val j = q.select(col("vec_id"),
+      bestCell(seed).as("old_cell"), bestCell(trained).as("new_cell"))
     val incoming = j.groupBy(col("new_cell").as("cell"))
       .agg(count(lit(1)).as("n_new"),
         sum(when(col("old_cell") === col("new_cell"), 1L).otherwise(0L)).as("n_stayed"))
@@ -658,12 +691,8 @@ object Ann {
 
   def cellBalance(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = seedCentroids(e, k)
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"))
+    val cents = collectCentroids(seedCentroids(e, k))
+    val assign = e.select(col("vec_id"), cosBestCell(cents, col("emb")).as("cell"))
     val idealBp = 10000 / k // uniform share in bp (1250 at the k=8 default)
     assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"))
@@ -690,18 +719,13 @@ object Ann {
     * train-then-serve composition a real deploy runs). */
   def ivfTopkWith(spark: SparkSession, dir: String, cent: DataFrame, k: Int): DataFrame = {
     val e = embDf(spark, dir)
-    // cell assignment as an aggregate (min over (-cos, cent_id)
-    // structs) — map-side combinable, no per-vector sort window, and
-    // keyed on `vec_id` ALONE over flat (vec_id, cent_id, c) rows:
-    // the vector array stays out of the exchange keys and rejoins as
-    // payload on the long key (the ann.ivfpq.cells pattern below)
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"))
-    val cells = e.join(assign, "vec_id")
-      .select(col("vec_id"), col("emb"), col("cell"))
+    // cell assignment as a MAP-SIDE argmin against the driver-collected
+    // codebook (r18): same scores, same (-cos, cent_id) tie-break as
+    // the former broadcast-crossJoin aggregate, but the corpus is never
+    // shuffled to learn its cell and the emb payload needs no rejoin
+    val cents = collectCentroids(cent)
+    val cells = e.select(col("vec_id"), col("emb"),
+      cosBestCell(cents, col("emb")).as("cell"))
     val q = cells.filter(col("vec_id") >= k && col("vec_id") < k + 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))
@@ -727,14 +751,8 @@ object Ann {
     * nothing lands in a repo warehouse. */
   private[graft] def bucketedIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = seedCentroids(e, 8)
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"))
-    e.join(assign, "vec_id")
-      .select(col("vec_id"), col("cell"), col("emb"))
+    val cents = collectCentroids(seedCentroids(e, 8))
+    e.select(col("vec_id"), cosBestCell(cents, col("emb")).as("cell"), col("emb"))
       .write.format("parquet").option("path", s"$annWarehouseDir/ivf_idx")
       .bucketBy(8, "cell").sortBy("cell", "vec_id")
       .mode("overwrite").saveAsTable("graft_ann_ivf_idx")
@@ -941,14 +959,11 @@ object Ann {
     val el = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
         "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
-    val cent = el.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    val assign = el.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"))
-    val cells = el.join(assign, "vec_id")
+    // map-side assignment against the collected codebook (r18): same
+    // scores and (-cos, cent_id) tie-break, no corpus exchange/rejoin
+    val cents = collectCentroids(el.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce")))
+    val cells = el.withColumn("cell", cosBestCell(cents, col("emb")))
     val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("label").as("ql"),
         col("emb").as("qe"), col("cell").as("qcell"))
@@ -987,14 +1002,11 @@ object Ann {
     val el = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
         "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
-    val cent = el.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    val assign = el.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"))
-    val cells = el.join(assign, "vec_id")
+    // map-side assignment against the collected codebook (r18): same
+    // scores and (-cos, cent_id) tie-break, no corpus exchange/rejoin
+    val cents = collectCentroids(el.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce")))
+    val cells = el.withColumn("cell", cosBestCell(cents, col("emb")))
     val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("query_id"), col("label").as("ql"),
         col("emb").as("qe"), col("cell").as("qcell"))
@@ -1389,15 +1401,15 @@ object Ann {
     * histogram-sized rollup with shares against a 1-row broadcast. */
   def assignMargin(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = seedCentroids(e, 8)
-    val wV = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cent_id"))
-    val top2 = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .withColumn("rn", row_number().over(wV))
-      .filter(col("rn") <= 2)
-      .groupBy(col("vec_id"))
-      .agg(max(when(col("rn") === 1, col("c"))).as("c1"),
-        max(when(col("rn") === 2, col("c"))).as("c2"))
+    // map-side top-2 against the collected codebook (r18): the scalar
+    // sort ranks the same (-cos, cent_id) structs the former
+    // (c DESC, cent_id) rank window did, so c1/c2 are identical —
+    // with zero exchanges (the window shuffled the corpus ×k)
+    val cents = collectCentroids(seedCentroids(e, 8))
+    val rankedC = cosRankedCents(cents, col("emb"))
+    val top2 = e.select(col("vec_id"),
+      (-element_at(rankedC, 1).getField("nc")).as("c1"),
+      (-element_at(rankedC, 2).getField("nc")).as("c2"))
     val hist = top2
       .selectExpr("CAST(FLOOR((c1 - c2) * 1000) AS BIGINT) AS margin_mu")
       .groupBy(expr("LEAST(margin_mu DIV 100, 9)").as("margin_bucket"))
@@ -1422,12 +1434,10 @@ object Ann {
     * and joins doc-grain; output is k rows. */
   def sampleCellCoverage(spark: SparkSession, dir: String): DataFrame = {
     val e = embDf(spark, dir)
-    val cent = seedCentroids(e, 8)
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"))
+    // map-side assignment against the collected codebook (r18): same
+    // scores and (-cos, cent_id) tie-break, no corpus exchange
+    val cents = collectCentroids(seedCentroids(e, 8))
+    val assign = e.select(col("vec_id"), cosBestCell(cents, col("emb")).as("cell"))
     val lab = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
     val nmin = lab.groupBy(col("label")).agg(count(lit(1)).as("nb"))
@@ -1473,14 +1483,14 @@ object Ann {
     val sub = 16
     def sqL2(a: String, b: String, lo: Int) =
       graft.functions.SqL2Sub.sqL2(col(a), col(b), lo, sub)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    val errs = e.crossJoin(broadcast(cent))
-      .select(Seq(col("vec_id")) ++
-        (0 until M).map(m => sqL2("emb", "ce", m * sub + 1).as(s"d$m")): _*)
-      .groupBy(col("vec_id"))
-      .agg(min(col("d0")).as("e0"), min(col("d1")).as("e1"),
-        min(col("d2")).as("e2"), min(col("d3")).as("e3"))
+    // map-side per-subspace min against the collected codebook (r18):
+    // same distances, same min semantics, no corpus exchange
+    val cents = collectCentroids(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce")))
+    val errs = e.select(col("vec_id") +:
+      (0 until M).map(m => array_min(array(cents.map { case (_, ce) =>
+        graft.functions.SqL2Sub.sqL2(col("emb"), typedLit(ce), m * sub + 1, sub)
+      }: _*)).as(s"e$m")): _*)
     errs.selectExpr("explode(array(" + (0 until M).map(m =>
         s"struct(${m}L AS subspace, CAST(FLOOR(e$m * 1000000) AS BIGINT) AS err_u)")
         .mkString(", ") + ")) AS s")
@@ -1703,18 +1713,24 @@ object Ann {
     val q = embDf(spark, dir).selectExpr("vec_id",
       "transform(emb, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xq")
     var chosen = Vector((1L, 0L, 0L)) // (rank, vec_id, dist to nearest prior)
+    // the chosen set IS driver state in any seeding loop — keep the
+    // quantized vectors alongside the ids, so each round is ONE
+    // argmax job whose min-distance is a map-side array_min over the
+    // chosen literals (r18; formerly a broadcast crossJoin + a
+    // groupBy(vec_id) corpus exchange per round). The winner's xq
+    // rides the single TakeOrdered row, so no fetch job either.
+    var chosenVecs = Vector(
+      q.filter(col("vec_id") === 0).select("xq").head().getSeq[Long](0))
     (2 to k).foreach { r =>
       val ids = chosen.map(_._2)
-      val chosenDf = q.filter(col("vec_id").isin(ids: _*))
-        .select(col("vec_id").as("cid"), col("xq").as("cq"))
+      val dmin = array_min(array(chosenVecs.map(cq =>
+        graft.functions.SqL2Sub.sqL2Long(col("xq"), typedLit(cq))): _*))
       val best = q.filter(!col("vec_id").isin(ids: _*))
-        .crossJoin(broadcast(chosenDf))
-        .select(col("vec_id"),
-          graft.functions.SqL2Sub.sqL2Long(col("xq"), col("cq")).as("dist"))
-        .groupBy(col("vec_id")).agg(min(col("dist")).as("dmin"))
+        .select(col("vec_id"), dmin.as("dmin"), col("xq"))
         .orderBy(col("dmin").desc, col("vec_id")).limit(1)
         .head()
       chosen = chosen :+ ((r.toLong, best.getLong(0), best.getLong(1)))
+      chosenVecs = chosenVecs :+ best.getSeq[Long](2)
     }
     import spark.implicits._
     chosen.toDF("rank", "vec_id", "dist_to_nearest_prior").orderBy("rank")
@@ -1737,14 +1753,15 @@ object Ann {
   def incrementalAssign(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
     val e = embDf(spark, dir)
-    val cent = seedCentroids(e, k) // vec_id < 8: all land base-side
+    // vec_id < 8: all land base-side. Map-side assignment against the
+    // collected codebook (r18): same (-cos, cent_id) tie-break, and
+    // the batch branch routes on literally broadcast state — the
+    // incremental contract (never rescan the corpus) now holds with
+    // zero exchanges on either branch.
+    val cents = collectCentroids(seedCentroids(e, k))
     val isBatch = col("vec_id") % 10 === 9
     def assign(in: DataFrame): DataFrame =
-      in.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cent_id"), cosineSim(col("emb"), col("ce")).as("c"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct((-col("c")).as("nc"), col("cent_id").as("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cell"))
+      in.select(col("vec_id"), cosBestCell(cents, col("emb")).as("cell"))
     val base = assign(e.filter(!isBatch))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
     val batch = assign(e.filter(isBatch))

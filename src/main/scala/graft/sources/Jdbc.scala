@@ -93,7 +93,17 @@ object Jdbc {
         var done = false
         while (!done) {
           try st.executeUpdate(s"DROP TABLE $table")
-          catch { case _: java.sql.SQLException => () } // no table, or locked
+          catch {
+            // 42Y55 = "table does not exist" — the expected first-run
+            // case, silent. Anything else (locks, a persistent non-lock
+            // failure) is logged so the eventual X0Y32 surfaced after 5
+            // retries is diagnosable instead of masking the real cause
+            // (r17 ADVICE).
+            case e: java.sql.SQLException =>
+              if (e.getSQLState != "42Y55")
+                System.err.println(
+                  s"[jdbc] DROP $table failed (${e.getSQLState}): ${e.getMessage}")
+          }
           try { st.executeUpdate(ddl); done = true }
           catch {
             case e: java.sql.SQLException

@@ -660,44 +660,76 @@ object TextOps {
   private[graft] def bpeLedger(spark: SparkSession, dir: String,
                                k: Int): Seq[(Long, String, String, Long, Long)] =
     ledgerMemo.getOrElseUpdate((dir, k), {
-    var vocab = Tables.documents(spark, dir)
+    // ONE Spark job per merge round (r18; formerly three — re-tokenize
+    // checkpoint, pair argmax, token-bill aggregate). The vocab is
+    // checkpointed ONCE; each round re-tokenizes on the fly by folding
+    // the ledger-so-far into a chained-replace EXPRESSION over it (the
+    // bpeTokPerWord fold — two sweeps per merge in rank order, the
+    // engine-exact contract unchanged), and the round's single pair
+    // aggregate yields the argmax AND the global pair total in one
+    // pass. The token bill falls out for free: every word's tokens =
+    // adjacent pairs + 1, so tokens(v) = Σ pair-weights(v) + Σ word
+    // counts for ANY tokenization v — round r+1's pair total IS round
+    // r's corpus_tokens_after, with one trailing sum-only pass for the
+    // final round.
+    val vocab = Tables.documents(spark, dir)
       .selectExpr("explode(split(text, ' ')) AS word")
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .selectExpr("word", "n",
-        "concat(' ', regexp_replace(word, '(.)', '$1 ')) AS toks")
       .localCheckpoint()
-    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
-    var exhausted = false
-    (1 to k).foreach { r =>
-      val bestOpt = if (exhausted) None else vocab
-        .selectExpr("n", "split(trim(toks), ' ') AS t")
-        .filter(size(col("t")) >= 2)
-        .selectExpr("n",
-          "explode(transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pr")
-        .groupBy(col("pr")).agg(sum(col("n")).as("wgt"))
-        .orderBy(col("wgt").desc, col("pr")).limit(1)
-        .collect().headOption
-      // a tiny/degenerate corpus can run out of adjacent pairs before
-      // round k: stop cleanly with the completed rounds (the oracle's
-      // final select filters its NULL rounds the same way)
-      if (bestOpt.isEmpty) exhausted = true
-      bestOpt.foreach { best =>
-      val pair = best.getString(0)
-      val merged = pair.replace(" ", "")
-      // pair text is [a-z ]+ by construction — safe as a SQL literal
-      val next = vocab.selectExpr("word", "n",
-          s"replace(replace(toks, ' $pair ', ' $merged '), ' $pair ', ' $merged ') AS toks")
-        .localCheckpoint()
-      graft.Checkpoints.release(vocab)
-      vocab = next
-      val tokensAfter = vocab
-        .selectExpr("n * CAST(size(split(trim(toks), ' ')) AS BIGINT) AS tk")
-        .agg(sum(col("tk"))).head().getLong(0)
-      ledger += ((r.toLong, pair, merged, best.getLong(1), tokensAfter))
-      }
+    def pairAgg(tokExpr: String): org.apache.spark.sql.Row = vocab
+      .selectExpr("n", s"split(trim($tokExpr), ' ') AS t")
+      .filter(size(col("t")) >= 2)
+      .selectExpr("n",
+        "explode(transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS pr")
+      .groupBy(col("pr")).agg(sum(col("n")).as("wgt"))
+      // min(struct(-wgt, pr)) = the former ORDER BY wgt DESC, pr
+      // LIMIT 1 (largest weight, ties to the smallest pair)
+      .agg(min(struct((-col("wgt")).as("nw"), col("pr"))).as("best"),
+        sum(col("wgt")).as("total"))
+      .head()
+    val nWords = {
+      val r = vocab.agg(sum(col("n"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    graft.Checkpoints.release(vocab)
+    var tokExpr = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    try {
+      var exhausted = false
+      (1 to k).foreach { r =>
+        if (!exhausted) {
+          val row = pairAgg(tokExpr)
+          // this round's scan tokenizes with merges 1..r-1 applied, so
+          // its pair total prices the PREVIOUS round's ledger entry
+          if (ledger.nonEmpty) {
+            val (pr0, p0, m0, w0, _) = ledger.last
+            ledger(ledger.size - 1) =
+              (pr0, p0, m0, w0, (if (row.isNullAt(1)) 0L else row.getLong(1)) + nWords)
+          }
+          // a tiny/degenerate corpus can run out of adjacent pairs
+          // before round k: stop cleanly with the completed rounds (the
+          // oracle's final select filters its NULL rounds the same way)
+          if (row.isNullAt(0)) exhausted = true
+          else {
+            val best = row.getStruct(0)
+            val pair = best.getString(1)
+            val merged = pair.replace(" ", "")
+            // pair text is [a-z ]+ by construction — safe as a SQL literal
+            tokExpr = s"replace(replace($tokExpr, ' $pair ', ' $merged '), ' $pair ', ' $merged ')"
+            ledger += ((r.toLong, pair, merged, -best.getLong(0), -1L))
+          }
+        }
+      }
+      if (ledger.nonEmpty) {
+        // final round's token bill: one sum-only pass over the full fold
+        val lastTotal = vocab
+          .selectExpr("n", s"split(trim($tokExpr), ' ') AS t")
+          .selectExpr("n * CAST(size(t) AS BIGINT) AS tk")
+          .agg(sum(col("tk"))).head().getLong(0)
+        val (prL, pL, mL, wL, _) = ledger.last
+        ledger(ledger.size - 1) = (prL, pL, mL, wL, lastTotal)
+      }
+    } finally graft.Checkpoints.release(vocab)
     ledger.toSeq
   })
 

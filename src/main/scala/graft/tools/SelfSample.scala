@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SelfSample {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.tools.SelfSample <sfDir> <query> [repeat]")
+      sys.exit(2)
+    }
     val Array(sfDir, q) = args.take(2)
     val repeat = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
