@@ -780,19 +780,28 @@ object Dedup {
     * pair join — 256 buckets keep each bucket's pair count ~n²/256 —
     * then cosine ≥ 0.35 (native codegen'd expression) verified inside
     * the bucket only. */
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
-      .selectExpr("vec_id", "emb",
-        ("concat(" + (1 to 8).map(i =>
-          s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
-      .filter(col("cos") >= 0.35)
-      .orderBy("vec_a", "vec_b")
-  }
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    embPairs(spark, dir).orderBy("vec_a", "vec_b")
+
+  /** ONE session-shared build of the LSH-gated cosine pair list (r18):
+    * four graph consumers (semantic clusters, degree hubs, triangle
+    * census, mutual-kNN) and the public near-dup query all read the
+    * same (vec_a, vec_b, cos) checkpoint — formerly two caches held
+    * the same rows under different keys while two consumers re-ran the
+    * bucket self-join uncached. */
+  private def embPairs(spark: SparkSession, dir: String): DataFrame =
+    Caches.sharedCheckpoint(spark, s"dedup.embpairscos:$dir") {
+      val e = Tables.embeddings(spark, dir)
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+        .selectExpr("vec_id", "emb",
+          ("concat(" + (1 to 8).map(i =>
+            s"CASE WHEN element_at(emb, $i) >= 0 THEN '1' ELSE '0' END").mkString(", ") + ") AS bucket"))
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosineSim(col("a.emb"), col("b.emb")), 4).as("cos"))
+        .filter(col("cos") >= 0.35)
+    }
 
   /** Semantic duplicate clusters (the SemDeDup shape — Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -804,7 +813,7 @@ object Dedup {
     * components — per-round work is O(|paired vectors|), never the
     * corpus. */
   def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = embeddingCosine(spark, dir)
+    val pairs = embPairs(spark, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"))
     componentsFromPairs(nodes, pairs)
@@ -828,7 +837,7 @@ object Dedup {
     * against the corpus, then a degree-sized rollup — nothing here
     * ever exceeds the pair list plus one corpus scan. */
   def degreeHubs(spark: SparkSession, dir: String): DataFrame = {
-    val deg = embeddingCosine(spark, dir)
+    val deg = embPairs(spark, dir)
       .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
     Tables.embeddings(spark, dir).select(col("vec_id"))
@@ -852,9 +861,7 @@ object Dedup {
     * its three uses. Wedge totals fold out of the degree aggregate
     * (Σ d(d−1)/2). One summary row. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val p = Caches.sharedCheckpoint(spark, s"dedup.embpairs:$dir") {
-      embeddingCosine(spark, dir).select(col("vec_a").as("a"), col("vec_b").as("b"))
-    }
+    val p = embPairs(spark, dir).select(col("vec_a").as("a"), col("vec_b").as("b"))
     val degStats = p.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
       .agg(sum(col("dg")).as("deg_sum"),
@@ -1175,9 +1182,7 @@ object Dedup {
     * by near-dup degree, never the corpus); mutuality is a self-join
     * on the ordered pair key. */
   def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
-    val p = Caches.sharedCheckpoint(spark, s"dedup.embpairscos:$dir") {
-      embeddingCosine(spark, dir)
-    }
+    val p = embPairs(spark, dir)
     val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
       .unionAll(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
     val wK = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))

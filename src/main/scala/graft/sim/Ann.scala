@@ -1696,12 +1696,14 @@ object Ann {
     * k-center greedy, the reproducible variant a data pipeline wants:
     * same corpus, same seeds, no RNG state to version): seed 1 is
     * vec 0; each next seed is the corpus vector FARTHEST from its
-    * nearest already-chosen seed. Per round: one corpus × chosen-set
-    * broadcast cross (chosen ≤ k rows), a min-aggregate, and a
-    * single-row argmax driver read — the merge-table pattern of
-    * [[graft.text.TextOps.bpeTrainIter]]; corpus work is one scan per
-    * round, k rounds total, and the chosen set IS driver-sized state
-    * in any trainer. Distances in exact integer micro-units
+    * nearest already-chosen seed. Per round: ONE TakeOrdered job — the
+    * min distance to the ≤k chosen seeds is a map-side array_min over
+    * literal vectors (the chosen set is driver state, kept with its
+    * quantized vectors so the winner's xq rides the single result row)
+    * — the merge-table pattern of [[graft.text.TextOps.bpeTrainIter]];
+    * corpus work is one scan per round, k rounds total, no per-round
+    * corpus exchange (r18; formerly a broadcast cross + a
+    * groupBy(vec_id) aggregate per round). Distances in exact integer micro-units
     * (SqL2Sub.sqL2Long), so the oracle unroll replays bit-for-bit.
     * Why it earns its place next to [[kmeansCodebook]]: the first-k
     * seed's cells inherit the corpus's local density (vectors 0..7

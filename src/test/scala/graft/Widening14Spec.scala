@@ -172,16 +172,17 @@ class Widening14Spec extends AnyFunSuite {
   test("ann_incremental_assign: batch routes via the broadcast codebook, never a corpus rejoin") {
     import graft.sim.Ann
     val df = Ann.incrementalAssign(spark, sf)
-    // structural proof of "never rescans the corpus": the plan's only
-    // joins are the two k-row-codebook cross joins (one per branch)
-    // and the k-row cell-ledger full outer — no join keys fact rows
+    // structural proof of "never rescans the corpus": since r18 the
+    // codebook is driver-collected and the assignment argmin is a
+    // map-side scalar over literal centroids, so the plan's ONLY join
+    // is the k-row cell-ledger full outer — not even the former two
+    // k-row codebook cross joins remain, and no join keys fact rows
     // against fact rows
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins.size == 3, s"expected 2 codebook crosses + 1 ledger merge, got ${joins.size}")
+    assert(joins.size == 1, s"expected only the ledger full-outer merge, got ${joins.size}")
     assert(joins.count(_.joinType == org.apache.spark.sql.catalyst.plans.FullOuter) == 1)
-    assert(joins.count(_.joinType == org.apache.spark.sql.catalyst.plans.Cross) == 2)
     val rows = df.collect()
     assert(rows.length == 8)
     val e = Tables.embeddings(spark, sf)
